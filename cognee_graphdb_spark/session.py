@@ -1,0 +1,38 @@
+"""SparkSession factory.
+
+Local testing runs on local[32]; the configuration is nevertheless written for a
+large multi-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting) so the
+  same plans survive 1000x data growth without retuning ``shuffle.partitions``.
+- Arrow enabled for the few pandas-UDF stages (chunker, mock embedder) so Python
+  boundaries are batched, never row-at-a-time.
+- Broadcast threshold left at default; dimension tables (region/nation/supplier,
+  score maps, stopword lists) are broadcast explicitly where the plan knows better.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "cognee-graphdb-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession suitable for tests and the local bench."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,125 @@
+"""Relational -> property-graph migration (SURVEY.md §2.1 S4/S5).
+
+Reference semantics (cognee/tasks/ingestion/migrate_relational_database.py:18-74):
+- one ``TableType`` node per table,
+- one ``TableRow`` node per row (id derived from table + primary key),
+- edge ``is_part_of`` row -> table,
+- one edge per FK pair (relationship named after the FK column),
+- duplicate-edge elimination by (src, dst, relationship_name)
+  (migrate_relational_database.py:40-59).
+
+Spark design: the migration is a union of narrow per-table projections plus FK
+equi-joins — no shuffle at all for node construction (map-only), and the FK
+"join" needs no join either: the FK *value* already names the target row id, so
+an edge is a pure projection of the child table.  At 100 TB this means edge
+construction is embarrassingly parallel; only downstream dedup shuffles, and on
+the natural key (src, dst, relationship_name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.ids import node_id
+
+# (child_table, fk_column, parent_table, parent_key)
+# These are the FK pairs of the driver's TPC-H-ish schema (FIXTURES.md §5).
+TPCH_FK_SPECS: tuple[tuple[str, str, str, str], ...] = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+# primary key column per table
+TPCH_PKS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",  # composite in reality; row nodes use orderkey:linenumber
+}
+
+
+def row_nodes(df: DataFrame, table: str, pk: str) -> DataFrame:
+    """TableRow nodes: id = '<table>:<pk>', type = 'TableRow', name = table."""
+    return df.select(
+        node_id(table, pk).alias("id"),
+        F.lit(table).alias("name"),
+        F.lit("TableRow").alias("type"),
+    )
+
+
+def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
+    """FK edges as pure projections (no join: the FK value IS the parent id).
+
+    Edge = (src='<child>:<childpk>', dst='<parent>:<fkval>', relationship_name=fk_col).
+    Lineitem src uses orderkey (the reference keys row nodes by pk; our pk choice
+    for lineitem is l_orderkey, making dedup by (src,dst,rel) meaningful for the
+    multi-line orders — matching the reference's duplicate-edge elimination).
+    """
+    parts = []
+    for child, fk, parent, _pkey in specs:
+        df = tables[child]
+        parts.append(
+            df.select(
+                node_id(child, TPCH_PKS[child]).alias("src"),
+                node_id(parent, F.col(fk)).alias("dst"),
+                F.lit(fk).alias("relationship_name"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # duplicate-edge elimination by (src, dst, relationship_name)
+    # (migrate_relational_database.py:40-59)
+    return out.dropDuplicates(["src", "dst", "relationship_name"])
+
+
+def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[DataFrame, DataFrame]:
+    """Full S4 migration: (nodes, edges).
+
+    nodes = TableType per table + TableRow per row (+ is_part_of edges in edges).
+    """
+    spark = next(iter(tables.values())).sparkSession
+    table_names = sorted({s[0] for s in specs} | {s[2] for s in specs})
+
+    type_nodes = spark.createDataFrame(
+        [(f"table:{t}", t, "TableType") for t in table_names], ["id", "name", "type"]
+    )
+    rn = [row_nodes(tables[t].dropDuplicates([TPCH_PKS[t]]), t, TPCH_PKS[t]) for t in table_names]
+    nodes = type_nodes
+    for r in rn:
+        nodes = nodes.unionByName(r)
+
+    membership = []
+    for t in table_names:
+        membership.append(
+            tables[t]
+            .dropDuplicates([TPCH_PKS[t]])
+            .select(
+                node_id(t, TPCH_PKS[t]).alias("src"),
+                F.lit(f"table:{t}").alias("dst"),
+                F.lit("is_part_of").alias("relationship_name"),
+            )
+        )
+    edges = fk_edges(tables, specs)
+    for m in membership:
+        edges = edges.unionByName(m)
+    return nodes, edges
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Convenience: read the driver tables and migrate to (nodes, edges)."""
+    from cognee_graphdb_spark.schemas import load_testdata
+
+    tables = load_testdata(
+        spark, sf_dir, tables=("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    )
+    return migrate_tables(tables)
