@@ -11,13 +11,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Compact English stopword list (standard public list; role mirrors
-# cognee/modules/retrieval/utils/stop_words.py which the lexical/top-words
-# operators filter against).  Kept short so oracle SQL can inline it.
+# The reference's full English stopword list, ported verbatim (a standard
+# public list — cognee/modules/retrieval/utils/stop_words.py DEFAULT_STOP_WORDS).
+# Top-words (A5) and lexical retrieval filter against exactly this set so their
+# answers match the reference's.
 STOP_WORDS: tuple[str, ...] = (
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
-    "has", "have", "he", "in", "is", "it", "its", "of", "on", "or", "that",
-    "the", "this", "to", "was", "were", "will", "with",
+    "a", "an", "the", "and", "or", "but", "is", "are", "was", "were", "in",
+    "on", "at", "to", "for", "with", "by", "about", "of", "from", "as",
+    "that", "this", "these", "those", "it", "its", "them", "they", "their",
+    "he", "she", "his", "her", "him", "we", "our", "you", "your", "not",
+    "be", "been", "being", "have", "has", "had", "do", "does", "did", "can",
+    "could", "will", "would", "shall", "should", "may", "might", "must",
+    "when", "where", "which", "who", "whom", "whose", "why", "how",
 )
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -55,9 +60,61 @@ def word_shingles(tokens: Column, k: int) -> Column:
 
 
 def first_n_words_title(text: Column | str, n: int = 7) -> Column:
-    """Title synthesis: first n whitespace words re-joined.
+    """First n whitespace words re-joined (the title's prefix half).
 
-    Reference: resolve_edges_to_text.py:20-45 (first-7-words title).
+    Reference: resolve_edges_to_text.py:20-45.
     """
     col = F.col(text) if isinstance(text, str) else text
-    return F.concat_ws(" ", F.slice(F.split(F.trim(col), "\\s+"), 1, n))
+    return F.concat_ws(" ", F.slice(F.filter(F.split(F.trim(col), "\\s+"), lambda w: w != ""), 1, n))
+
+
+# string.punctuation, escaped for a regex char class (valid in both Java regex
+# and RE2, so Spark and the DuckDB oracle strip identically)
+_PUNCT_CLASS = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+
+
+def title_words(text: Column | str) -> Column:
+    """The word stream _top_n_words counts: whitespace-split, lowercased,
+    punctuation stripped from both ends, empties and stopwords dropped
+    (resolve_edges_to_text.py:22-39)."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.transform(
+        F.split(F.trim(col), "\\s+"),
+        lambda w: F.regexp_replace(F.lower(w), f"^{_PUNCT_CLASS}+|{_PUNCT_CLASS}+$", ""),
+    )
+    sw = F.array(*[F.lit(w) for w in STOP_WORDS])
+    return F.filter(words, lambda w: (w != "") & ~F.array_contains(sw, w))
+
+
+def top_n_words_expr(text: Column | str, n: int) -> Column:
+    """Counter.most_common(n) over title_words, joined by ', '.
+
+    Most-common tie-break = first occurrence order (Counter semantics).
+    Implemented as a pure expression: sort structs (-count, first_pos, token) —
+    default struct ordering reproduces count-desc then insertion order, and
+    DuckDB's list_sort orders structs the same way.
+    """
+    toks = title_words(text)
+    stats = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            (-F.size(F.filter(toks, lambda x: x == t))).alias("negcnt"),
+            F.array_position(toks, t).alias("pos"),
+            t.alias("tok"),
+        ),
+    )
+    return F.concat_ws(", ", F.transform(F.slice(F.array_sort(stats), 1, n), lambda s: s["tok"]))
+
+
+def title_with_top_words(text: Column | str, first_n: int = 7) -> Column:
+    """F10 — '<first 7 words>... [<top words>]' title synthesis.
+
+    Reference: resolve_edges_to_text.py:41-45; note the reference passes
+    top_n=first_n_words (7), not 3 — reproduced faithfully.
+    """
+    return F.concat(
+        first_n_words_title(text, first_n),
+        F.lit("... ["),
+        top_n_words_expr(text, first_n),
+        F.lit("]"),
+    )

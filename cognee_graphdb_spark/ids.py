@@ -39,15 +39,16 @@ def content_id(*parts: Column | str) -> Column:
     return F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in cols]))
 
 
-def node_id(table: Column | str, key: Column | str) -> Column:
-    """Readable deterministic node id ``<table>:<key>`` for migration nodes.
+def node_id(table: Column | str, *keys: Column | str) -> Column:
+    """Readable deterministic node id ``<table>:<k1>[:<k2>...]`` for migration
+    nodes (composite primary keys supported, e.g. lineitem (orderkey, linenumber)).
 
     Reference builds row-node ids from table+pk (migrate_relational_database.py:18-74);
     a readable composite keeps the DuckDB oracle a plain string concat.
     """
     t = F.lit(table) if isinstance(table, str) else table
-    k = F.col(key) if isinstance(key, str) else key
-    return F.concat_ws(":", t.cast("string"), k.cast("string"))
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return F.concat_ws(":", t.cast("string"), *[c.cast("string") for c in cols])
 
 
 def normalize_name(col: Column | str) -> Column:
@@ -69,5 +70,5 @@ def py_content_id(*parts: object) -> str:
     return hashlib.md5("\x1f".join(str(p) for p in parts).encode("utf-8")).hexdigest()
 
 
-def py_node_id(table: str, key: object) -> str:
-    return f"{table}:{key}"
+def py_node_id(table: str, *keys: object) -> str:
+    return ":".join([table, *[str(k) for k in keys]])

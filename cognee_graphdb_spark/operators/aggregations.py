@@ -79,17 +79,36 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
     return edges.dropDuplicates(["src", "relationship_name", "dst"])
 
 
+def multiset_intersect_size(a, b):
+    """|A ∩ B| as MULTISETS: sum over distinct tokens of least(count_a, count_b).
+
+    Pure expression (stays in codegen): for QA-length token arrays the O(d·n)
+    scan per row beats an explode+groupBy shuffle.  DuckDB restates it with
+    list_transform/list_filter/list_sum.
+    """
+    return F.aggregate(
+        F.array_distinct(a),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(a, lambda x: x == t)),
+            F.size(F.filter(b, lambda x: x == t)),
+        ),
+    )
+
+
 def token_overlap_f1(pred_tokens, gold_tokens):
     """A7 — QA token-F1 as expressions over two token-array columns.
 
     Reference: eval_framework/evaluation/metrics/f1.py:12-46 — Counter
-    min-overlap tp, precision/recall/F1.  Multiset intersection done by
-    exploding both sides and summing least(count_pred, count_gold); the
-    expression form here covers the common set-ish case used in tests.
+    min-overlap tp (MULTISET: repeated tokens count), precision = tp/|pred|,
+    recall = tp/|gold|.  Both-empty ⇒ F1 = 1.0 (f1.py:28-31).
     Returns (precision, recall, f1) columns given token arrays.
     """
-    inter = F.size(F.array_intersect(pred_tokens, gold_tokens)).cast("double")
+    inter = multiset_intersect_size(pred_tokens, gold_tokens).cast("double")
     p = F.when(F.size(pred_tokens) > 0, inter / F.size(pred_tokens)).otherwise(F.lit(0.0))
     r = F.when(F.size(gold_tokens) > 0, inter / F.size(gold_tokens)).otherwise(F.lit(0.0))
-    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (F.size(pred_tokens) == 0) & (F.size(gold_tokens) == 0), F.lit(1.0)
+    ).otherwise(F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)))
     return p, r, f1

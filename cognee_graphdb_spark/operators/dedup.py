@@ -69,24 +69,40 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _hash64(col, seed: int, hasher: str):
+    """Seeded 64-bit hash of a string column.
+
+    ``xxhash64``: fastest (JVM-native) — the production default.
+    ``md5_64``: first 60 bits of md5('<seed>|' + s) — bit-identical in DuckDB
+    (``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``), used by the
+    correctness oracle.
+    """
+    if hasher == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hasher == "md5_64":
+        return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: min over shingles of xxhash64(shingle, seed_i).
+    """MinHash signature per document: min over shingles of hash64(shingle, seed_i).
 
-    Deterministic across runs (xxhash64 is a fixed function).  Signature is an
-    array<bigint> column ``signature``.
+    Deterministic across runs.  Signature is an array<bigint> column
+    ``signature``.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias("shingle"),
     )
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(_hash64(F.col("shingle"), i, hasher)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
 
@@ -94,20 +110,27 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by estimated Jaccard.
 
     shingle → minhash → band → bucket-join: docs sharing any band bucket become
     candidates; candidate pairs are scored by full-signature agreement
     (estimated Jaccard) and filtered by ``threshold``.
+
+    Default (32 hashes, 16 bands ⇒ 2 rows/band) has candidate-recall
+    ≈ 1-(1-J^2)^16 — ~99% at J=0.5 (8 bands × 4 rows was ~40% at J=0.5; see
+    the LSH S-curve).  More bands = more candidates = more verify cost.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes: got bands={bands}, num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col)
+    sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, hasher)
     bands_df = sig.select(
         "id",
         "signature",
@@ -116,8 +139,10 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                        _hash64(
+                            F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]),
+                            b,
+                            hasher,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -170,20 +195,30 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     lsh_bits: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
     lsh_bits=0: exact (self-join; only for small/sampled data).
     lsh_bits>0: random-hyperplane LSH — pairs are only compared within equal
     sign-buckets, the scale path (recall<1 by design; raise bits to shrink
-    buckets, lower to raise recall).
+    buckets, lower to raise recall).  ``dim`` is the embedding dimension;
+    inferred from the first row when None (a dim mismatch would null-pad the
+    hyperplane dot products and silently collapse every row into bucket 0).
     """
     from cognee_graphdb_spark.functions.vectors import cosine_similarity
     from cognee_graphdb_spark.operators.similarity import hyperplane_bucket
 
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
     if lsh_bits > 0:
-        e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), lsh_bits))
+        if dim is None:
+            first = e.select(F.size("v").alias("d")).first()
+            if first is None:
+                return e.select(
+                    F.col("id").alias("id_a"), F.col("id").alias("id_b"), F.lit(0.0).alias("cos_sim")
+                ).limit(0)
+            dim = int(first["d"])
+        e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), lsh_bits, dim))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
         b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -137,17 +137,22 @@ def triplet_score_join(
     Reference: CogneeGraph.py:141-190 maps per-collection vector distances onto
     node/edge attributes then heap-selects; orchestrated by
     brute_force_triplet_search.py:90-185.  Here: two left joins onto the score
-    map (broadcast — it is a per-query result set), one onto edge-type scores,
-    then TakeOrderedAndProject for the top-k (no global sort).
+    map, one onto edge-type scores, then TakeOrderedAndProject for the top-k
+    (no global sort).
+
+    The score map is NOT force-broadcast: with limit=None semantics it is the
+    full indexed-node set (O(N) — a forced broadcast OOMs the driver at scale).
+    Catalyst/AQE broadcasts it automatically when runtime stats say it fits
+    (spark.sql.autoBroadcastJoinThreshold); otherwise it shuffle-joins on
+    src/dst, which stays co-located when edges are bucketed by src/dst.
+    edge_type_scores IS broadcast — distinct relationship names are genuinely
+    small.
 
     node_scores: (id, score); edge_type_scores: (relationship_name, score).
     """
     s1 = node_scores.select(F.col("id").alias("src"), F.col("score").alias("src_score"))
     s2 = node_scores.select(F.col("id").alias("dst"), F.col("score").alias("dst_score"))
-    out = (
-        edges.join(F.broadcast(s1), "src", "left")
-        .join(F.broadcast(s2), "dst", "left")
-    )
+    out = edges.join(s1, "src", "left").join(s2, "dst", "left")
     if edge_type_scores is not None:
         es = edge_type_scores.select("relationship_name", F.col("score").alias("rel_score"))
         out = out.join(F.broadcast(es), "relationship_name", "left")

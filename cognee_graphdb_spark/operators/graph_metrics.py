@@ -32,35 +32,54 @@ def _sym_edges(edges: DataFrame) -> DataFrame:
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(id, component) where component = min node id reachable.
 
-    Min-label propagation over undirected edges; each round joins the current
-    labels to the symmetric edge list and takes the min over the neighborhood.
-    Converges in <= diameter rounds; checkpoint every round to cut lineage.
+    Alternating large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — converges in O(log^2 n) ROUNDS regardless of graph
+    diameter (plain min-label propagation needs O(diameter) rounds, hundreds on
+    chain-y graphs).  Each round is two groupBy+join stages over the current
+    star-edge set; localCheckpoint truncates lineage, and convergence is one
+    count+hash aggregate per round.
+
+    large-star: every neighbor v > u links to min(N(u) ∪ {u});
+    small-star: every neighbor v <= u links to min(N(u) ∪ {u}).
+    At the fixpoint every node points directly at its component root.
     """
-    sym = _sym_edges(edges).localCheckpoint(eager=False)
-    labels = nodes.select("id", F.col("id").alias("component"))
+    e = _sym_edges(edges).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    prev_stats = None
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "n_comp"), "dst")
-            .groupBy("src")
-            .agg(F.min("n_comp").alias("n_comp"))
-            .withColumnRenamed("src", "id")
+        # ---- large-star: operate on the symmetric neighbor view
+        nbr = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        mins = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(neigh_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"))
+        # ---- small-star: large's output is already directed big -> small
+        mins2 = large.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        stats = (row["n"], row["h"])
+        e = small
+        if stats == prev_stats:
             break
-    return labels
+        prev_stats = stats
+    # fixpoint: e maps every non-root to its root; roots map to themselves
+    return nodes.select("id").join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("component")), "id", "left"
+    ).select("id", F.coalesce("component", "id").alias("component"))
 
 
 def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:

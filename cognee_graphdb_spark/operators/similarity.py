@@ -24,8 +24,14 @@ def _hyperplanes(bits: int, dim: int) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def hyperplane_bucket(vec: Column, bits: int, dim: int = 64) -> Column:
-    """Sign-bit bucket id of a vector under fixed random hyperplanes."""
+def hyperplane_bucket(vec: Column, bits: int, dim: int) -> Column:
+    """Sign-bit bucket id of a vector under fixed random hyperplanes.
+
+    ``dim`` MUST equal the vector length: zip_with null-pads a length mismatch,
+    making every dot product NULL and every row hash to bucket 0 (i.e. the LSH
+    silently degenerates into a full cross-join).  Callers infer dim from the
+    data when unknown (see dedup.embedding_near_duplicates).
+    """
     planes = _hyperplanes(bits, dim)
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):

@@ -50,7 +50,9 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-stopword language heuristic: pick the language whose marker words
-    occur most often; ties and zero-evidence fall back to 'und' (undetermined)."""
+    occur most often.  Zero-evidence texts get 'und' (undetermined); ties
+    resolve to the alphabetically-first language (deterministic, so the DuckDB
+    oracle can restate it)."""
     toks = tokenize(F.col(text_col))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):

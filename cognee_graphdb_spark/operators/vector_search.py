@@ -76,6 +76,72 @@ def batch_knn(
     )
 
 
+def batch_knn_agg(
+    embeddings: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    vector_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """V2 at scale — map-side per-query top-k, NO cross-product shuffle.
+
+    ``queries`` is a small in-memory list of (query_id, vector) — the reference
+    batch search is a handful of query texts (LanceDBAdapter.py:264-283), so
+    shipping them in the task closure is the broadcast.  Each partition computes
+    distances for ALL queries at once with one numpy matmul (Arrow-batched) and
+    keeps only its local top-k per query; the global reduce then sees at most
+    ``num_partitions * len(queries) * k`` rows instead of ``N * len(queries)``.
+    This is the aggregated form ``batch_knn`` should fall back to when
+    k ≪ collection size.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(id_col, T.StringType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        # accumulate per-partition top-k per query across Arrow batches
+        best: dict[str, list[tuple[float, str]]] = {str(q): [] for q in qids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            enorm = np.linalg.norm(emat, axis=1)
+            enorm[enorm == 0.0] = 1.0
+            dist = 1.0 - (emat @ qmat.T) / np.outer(enorm, qnorm)  # (rows, Q)
+            ids_ = pdf[id_col].astype(str).to_numpy()
+            for qi, qid in enumerate(qids):
+                col = dist[:, qi]
+                take = min(k, len(col))
+                idx = np.argpartition(col, take - 1)[:take]
+                cur = best[str(qid)]
+                cur.extend((float(col[i]), ids_[i]) for i in idx)
+                cur.sort()
+                del cur[k:]
+        rows = [(str(qid), i, d) for qid, lst in best.items() for d, i in lst]
+        yield pd.DataFrame(rows, columns=["query_id", id_col, "distance"])
+
+    partial = embeddings.select(id_col, vector_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def point_lookup(embeddings: DataFrame, ids: list, id_col: str = "id") -> DataFrame:
     """V4 — payload retrieval by id list (vector_db_interface.py:64-76)."""
     return embeddings.filter(F.col(id_col).isin(ids))

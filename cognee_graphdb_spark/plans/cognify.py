@@ -169,10 +169,19 @@ def cognify_documents(
     emb_summaries = summaries.select(
         F.lit("TextSummary_text").alias("collection"), F.col("id"), F.col("text")
     )
+    # EdgeType_relationship_name: one row per distinct relationship name, as
+    # the reference's index_graph_edges builds after every graph write — the
+    # triplet search's relationship term depends on this collection existing.
+    emb_edge_types = edges.select(F.col("relationship_name").alias("text")).distinct().select(
+        F.lit("EdgeType_relationship_name").alias("collection"),
+        content_id(F.lit("EdgeType"), "text").alias("id"),
+        "text",
+    )
     embeddings = (
         emb_chunks.unionByName(emb_entities)
         .unionByName(emb_types)
         .unionByName(emb_summaries)
+        .unionByName(emb_edge_types)
         .withColumn("vector", embed_column("text", dim=embed_dim))
     )
 

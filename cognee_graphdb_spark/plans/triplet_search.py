@@ -28,6 +28,11 @@ from cognee_graphdb_spark.operators.graph_joins import triplet_score_join
 
 DEFAULT_COLLECTIONS = ("Entity_name", "EntityType_name", "DocumentChunk_text", "TextSummary_text")
 
+# The reference ALWAYS maps edge-type vector distances onto edges, even when
+# EdgeType_relationship_name is not among the requested node collections
+# (CogneeGraph.map_vector_distances_to_graph_edges).
+EDGE_TYPE_COLLECTION = "EdgeType_relationship_name"
+
 
 def collection_scores(
     embeddings: DataFrame,
@@ -57,24 +62,85 @@ def brute_force_triplet_search(
     """Top-k scored triplets (src, dst, relationship_name, triplet_score) with
     endpoint names attached for rendering."""
     query_vector = HashEmbedder(embed_dim).embed(query_text)
-    scores = collection_scores(embeddings, query_vector, collections)
+    scores = collection_scores(embeddings, query_vector, tuple(collections) + (EDGE_TYPE_COLLECTION,))
     # per-node best (min) score across collections — a node indexed by several
     # collections contributes its closest match, as in the reference's
     # per-collection score maps applied in sequence (CogneeGraph.py:141-181)
-    node_scores = scores.groupBy("id").agg(F.min("score").alias("score"))
-    top = triplet_score_join(edges, node_scores, edge_type_scores=None, k=k)
+    node_scores = scores.filter(F.col("collection") != EDGE_TYPE_COLLECTION).groupBy("id").agg(
+        F.min("score").alias("score")
+    )
+    # edge-type scores: the EdgeType_relationship_name collection's text IS the
+    # relationship name (index_graph_edges.py:52-55) — resolve id -> name, then
+    # the relationship term of the triplet score is coalesce(rel_score, 1)
+    ets = (
+        scores.filter(F.col("collection") == EDGE_TYPE_COLLECTION)
+        .join(
+            embeddings.filter(F.col("collection") == EDGE_TYPE_COLLECTION).select(
+                "id", F.col("text").alias("relationship_name")
+            ),
+            "id",
+        )
+        .select("relationship_name", "score")
+    )
+    top = triplet_score_join(edges, node_scores, edge_type_scores=ets, k=k)
 
     n_src = nodes.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
     n_dst = nodes.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
+    texts = (
+        embeddings.filter(F.col("collection").isin(list(collections)))
+        .select("id", "text")
+        .dropDuplicates(["id"])
+    )
     return (
         top.join(F.broadcast(n_src), "src", "left")
         .join(F.broadcast(n_dst), "dst", "left")
-        .select("src", "src_name", "relationship_name", "dst", "dst_name", "triplet_score")
+        .join(F.broadcast(texts.withColumnRenamed("id", "src").withColumnRenamed("text", "src_text")), "src", "left")
+        .join(F.broadcast(texts.withColumnRenamed("id", "dst").withColumnRenamed("text", "dst_text")), "dst", "left")
+        .select("src", "src_name", "src_text", "relationship_name", "dst", "dst_name", "dst_text", "triplet_score")
         .orderBy(F.col("triplet_score").asc(), F.col("src").asc(), F.col("dst").asc())
     )
 
 
+def _py_title(text: str, first_n: int = 7) -> str:
+    """Driver-side mirror of functions.text.title_with_top_words (k rows only)."""
+    import string
+    from collections import Counter
+
+    from cognee_graphdb_spark.functions.text import STOP_WORDS
+
+    first = " ".join(text.split()[:first_n])
+    words = [w.lower().strip(string.punctuation) for w in text.split()]
+    words = [w for w in words if w and w not in set(STOP_WORDS)]
+    top = ", ".join(w for w, _ in Counter(words).most_common(first_n))
+    return f"{first}... [{top}]"
+
+
 def render_triplets(triplets: DataFrame) -> str:
-    """F11 — 'A --[rel]--> B' rendering (resolve_edges_to_text.py:62-71)."""
+    """F11 — the reference's exact rendering (resolve_edges_to_text.py:46-71):
+
+    a ``Nodes:`` section (title + __node_content_start__ block per distinct
+    node, first-seen order) followed by a ``Connections:`` section of
+    ``A --[rel]--> B`` lines.  Nodes with a text payload get a synthesized
+    title (F10); others use their name.  Driver-side: input is the top-k rows.
+    """
     rows = triplets.collect()
-    return "\n".join(f"{r['src_name']} --[{r['relationship_name']}]--> {r['dst_name']}" for r in rows)
+    nodes: dict[str, tuple[str, str]] = {}  # id -> (title, content)
+    for r in rows:
+        for side in ("src", "dst"):
+            nid = r[side]
+            if nid in nodes:
+                continue
+            text = r[f"{side}_text"]
+            name = r[f"{side}_name"] or "Unnamed Node"
+            if text:
+                nodes[nid] = (_py_title(text), text)
+            else:
+                nodes[nid] = (name, name)
+    node_section = "\n".join(
+        f"Node: {title}\n__node_content_start__\n{content}\n__node_content_end__\n"
+        for title, content in nodes.values()
+    )
+    connection_section = "\n".join(
+        f"{nodes[r['src']][0]} --[{r['relationship_name']}]--> {nodes[r['dst']][0]}" for r in rows
+    )
+    return f"Nodes:\n{node_section}\n\nConnections:\n{connection_section}"

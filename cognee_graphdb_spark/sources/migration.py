@@ -35,22 +35,23 @@ TPCH_FK_SPECS: tuple[tuple[str, str, str, str], ...] = (
     ("nation", "n_regionkey", "region", "r_regionkey"),
 )
 
-# primary key column per table
-TPCH_PKS: dict[str, str] = {
-    "region": "r_regionkey",
-    "nation": "n_nationkey",
-    "customer": "c_custkey",
-    "supplier": "s_suppkey",
-    "part": "p_partkey",
-    "orders": "o_orderkey",
-    "lineitem": "l_orderkey",  # composite in reality; row nodes use orderkey:linenumber
+# primary key columns per table (tuples: composite keys supported — lineitem
+# row nodes are keyed (l_orderkey, l_linenumber), one node per physical row)
+TPCH_PKS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
 }
 
 
-def row_nodes(df: DataFrame, table: str, pk: str) -> DataFrame:
-    """TableRow nodes: id = '<table>:<pk>', type = 'TableRow', name = table."""
+def row_nodes(df: DataFrame, table: str, pk: tuple[str, ...]) -> DataFrame:
+    """TableRow nodes: id = '<table>:<pk...>', type = 'TableRow', name = table."""
     return df.select(
-        node_id(table, pk).alias("id"),
+        node_id(table, *pk).alias("id"),
         F.lit(table).alias("name"),
         F.lit("TableRow").alias("type"),
     )
@@ -59,17 +60,16 @@ def row_nodes(df: DataFrame, table: str, pk: str) -> DataFrame:
 def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
     """FK edges as pure projections (no join: the FK value IS the parent id).
 
-    Edge = (src='<child>:<childpk>', dst='<parent>:<fkval>', relationship_name=fk_col).
-    Lineitem src uses orderkey (the reference keys row nodes by pk; our pk choice
-    for lineitem is l_orderkey, making dedup by (src,dst,rel) meaningful for the
-    multi-line orders — matching the reference's duplicate-edge elimination).
+    Edge = (src='<child>:<childpk...>', dst='<parent>:<fkval>', relationship_name=fk_col).
+    Duplicate edges are eliminated by (src, dst, relationship_name), matching
+    the reference's duplicate-edge elimination.
     """
     parts = []
     for child, fk, parent, _pkey in specs:
         df = tables[child]
         parts.append(
             df.select(
-                node_id(child, TPCH_PKS[child]).alias("src"),
+                node_id(child, *TPCH_PKS[child]).alias("src"),
                 node_id(parent, F.col(fk)).alias("dst"),
                 F.lit(fk).alias("relationship_name"),
             )
@@ -93,7 +93,7 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     type_nodes = spark.createDataFrame(
         [(f"table:{t}", t, "TableType") for t in table_names], ["id", "name", "type"]
     )
-    rn = [row_nodes(tables[t].dropDuplicates([TPCH_PKS[t]]), t, TPCH_PKS[t]) for t in table_names]
+    rn = [row_nodes(tables[t].dropDuplicates(list(TPCH_PKS[t])), t, TPCH_PKS[t]) for t in table_names]
     nodes = type_nodes
     for r in rn:
         nodes = nodes.unionByName(r)
@@ -102,9 +102,9 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     for t in table_names:
         membership.append(
             tables[t]
-            .dropDuplicates([TPCH_PKS[t]])
+            .dropDuplicates(list(TPCH_PKS[t]))
             .select(
-                node_id(t, TPCH_PKS[t]).alias("src"),
+                node_id(t, *TPCH_PKS[t]).alias("src"),
                 F.lit(f"table:{t}").alias("dst"),
                 F.lit("is_part_of").alias("relationship_name"),
             )
