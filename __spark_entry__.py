@@ -1,38 +1,1146 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composed plan (cognify -> brute-force
+triplet search, the reference's GRAPH_COMPLETION context path) on sf0.001.
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2;
+``oracle_sql()`` restates each deterministic one in DuckDB SQL over the same
+parquet tables.  Column names and value rounding are aligned on both sides so
+the driver's order-insensitive value-hash matches.
+
+Conventions:
+- floats are rounded to 6 decimals (4 for sums of rounded terms) on BOTH sides;
+- ids are strings built with the same concatenation in Spark and SQL;
+- hashes shared with the oracle use md5 (Spark ``md5`` == DuckDB ``md5``); the
+  64-bit variant is the first 15 hex chars parsed as a bigint on both sides;
+- timestamps are compared as epoch seconds (bigint) and calendar fields are
+  extracted under an explicit UTC session timezone.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS, tpch_graph
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; read nanos as long and truncate to microseconds — exactly what
+    DuckDB's nanos->TIMESTAMP coercion does, keeping both engines aligned."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+# --- SQL fragments -----------------------------------------------------------
+
+# tokenize: identical contract in Spark (functions/text.py:tokenize) and DuckDB
+_TOK = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _cosd(a: str, b: str) -> str:
+    """1 - cos similarity over two DOUBLE[] SQL expressions (same formula and
+    accumulation order as functions/vectors.py:cosine_distance)."""
+    return (
+        f"(1.0 - list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _md5_64(x: str, seed: int) -> str:
+    """DuckDB mirror of operators/dedup.py:_hash64(..., hasher='md5_64')."""
+    return f"CAST(concat('0x', substr(md5(concat('{seed}|', {x})), 1, 15)) AS BIGINT)"
+
+
+def _pk_id_sql(table: str) -> str:
+    parts = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in TPCH_PKS[table])
+    return f"'{table}:' || {parts}"
+
+
+def _graph_cte() -> str:
+    """WITH-clause body reproducing sources/migration.py:migrate_tables in SQL."""
+    tables = sorted({s[0] for s in TPCH_FK_SPECS} | {s[2] for s in TPCH_FK_SPECS})
+    type_nodes = "\n    UNION ALL ".join(
+        f"SELECT 'table:{t}' AS id, '{t}' AS name, 'TableType' AS type" for t in tables
+    )
+    row_nodes = "\n    UNION ALL ".join(
+        f"SELECT DISTINCT {_pk_id_sql(t)} AS id, '{t}' AS name, 'TableRow' AS type FROM {t}" for t in tables
+    )
+    fk = "\n      UNION ALL ".join(
+        f"SELECT {_pk_id_sql(child)} AS src, '{parent}:' || CAST({fkcol} AS VARCHAR) AS dst, "
+        f"'{fkcol}' AS relationship_name FROM {child}"
+        for child, fkcol, parent, _ in TPCH_FK_SPECS
+    )
+    member = "\n      UNION ALL ".join(
+        f"SELECT {_pk_id_sql(t)} AS src, 'table:{t}' AS dst, 'is_part_of' AS relationship_name FROM {t}"
+        for t in tables
+    )
+    return f"""nodes AS (
+    {type_nodes}
+    UNION ALL {row_nodes}
+), edges AS (
+    SELECT DISTINCT src, dst, relationship_name FROM (
+      {fk}
+      UNION ALL {member}
+    ) u
+)"""
+
+
+# J7 synthetic doc graph: deterministic construction shared by Spark and SQL.
+# d = doc_id, s in {0,1}, k = d*2+s:
+#   chunk:<d>:<s> -is_part_of-> doc:<d>
+#   chunk -contains-> (k%10==4 ? shared:4 : ent:<k>)
+#   sum:<d>:<s> -made_from-> chunk
+#   ent -is_a-> (k%2==1 ? typesolo:<k> : typeshared:<k%5>)
+_J7_SQL_EDGES = """
+j7_base AS (
+    SELECT doc_id AS d, s, doc_id * 2 + s AS k,
+           'doc:' || CAST(doc_id AS VARCHAR) AS doc,
+           'chunk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR) AS chunk,
+           'sum:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR) AS summ,
+           CASE WHEN (doc_id * 2 + s) % 10 = 4 THEN 'shared:4'
+                ELSE 'ent:' || CAST(doc_id * 2 + s AS VARCHAR) END AS ent,
+           CASE WHEN (doc_id * 2 + s) % 2 = 1 THEN 'typesolo:' || CAST(doc_id * 2 + s AS VARCHAR)
+                ELSE 'typeshared:' || CAST((doc_id * 2 + s) % 5 AS VARCHAR) END AS etype
+    FROM documents, (SELECT 0 AS s UNION ALL SELECT 1) ss
+), j7_edges AS (
+    SELECT DISTINCT src, dst, relationship_name FROM (
+      SELECT chunk AS src, doc AS dst, 'is_part_of' AS relationship_name FROM j7_base
+      UNION ALL SELECT chunk, ent, 'contains' FROM j7_base
+      UNION ALL SELECT summ, chunk, 'made_from' FROM j7_base
+      UNION ALL SELECT ent, etype, 'is_a' FROM j7_base
+    ) u
+)"""
+
+
+def _j7_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = spark.range(2).select(F.col("id").cast("int").alias("s"))
+    base = docs.crossJoin(s).select(
+        F.col("doc_id").alias("d"),
+        "s",
+        (F.col("doc_id") * 2 + F.col("s")).alias("k"),
+    )
+    base = base.select(
+        F.concat(F.lit("doc:"), F.col("d").cast("string")).alias("doc"),
+        F.concat_ws(":", F.lit("chunk"), F.col("d").cast("string"), F.col("s").cast("string")).alias("chunk"),
+        F.concat_ws(":", F.lit("sum"), F.col("d").cast("string"), F.col("s").cast("string")).alias("summ"),
+        F.when(F.col("k") % 10 == 4, F.lit("shared:4"))
+        .otherwise(F.concat(F.lit("ent:"), F.col("k").cast("string")))
+        .alias("ent"),
+        F.when(F.col("k") % 2 == 1, F.concat(F.lit("typesolo:"), F.col("k").cast("string")))
+        .otherwise(F.concat(F.lit("typeshared:"), (F.col("k") % 5).cast("string")))
+        .alias("etype"),
+    )
+    e = (
+        base.select(F.col("chunk").alias("src"), F.col("doc").alias("dst"), F.lit("is_part_of").alias("relationship_name"))
+        .unionByName(base.select(F.col("chunk").alias("src"), F.col("ent").alias("dst"), F.lit("contains").alias("relationship_name")))
+        .unionByName(base.select(F.col("summ").alias("src"), F.col("chunk").alias("dst"), F.lit("made_from").alias("relationship_name")))
+        .unionByName(base.select(F.col("ent").alias("src"), F.col("etype").alias("dst"), F.lit("is_a").alias("relationship_name")))
+        .dropDuplicates(["src", "dst", "relationship_name"])
+    )
+    ids = (
+        base.select(F.col("doc").alias("id"))
+        .unionByName(base.select(F.col("chunk").alias("id")))
+        .unionByName(base.select(F.col("summ").alias("id")))
+        .unionByName(base.select(F.col("ent").alias("id")))
+        .unionByName(base.select(F.col("etype").alias("id")))
+        .distinct()
+    )
+    nodes = ids.select("id", F.col("id").alias("name"), F.lit("n").alias("type"))
+    return nodes, e
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship composed plan
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cognify sf0.001 documents (chunk -> mock-extract -> graph +
+    vector collections), then GRAPH_COMPLETION-style brute-force triplet
+    search.  The driver checks rows >= 0 and a stable schema."""
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    res = cognify_documents(docs)
+    return brute_force_triplet_search(
+        res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark implementations
+# ---------------------------------------------------------------------------
+
+
+def _q_s4_node_counts(spark, sf_dir):
+    nodes, _ = tpch_graph(spark, sf_dir)
+    return nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_a1_edge_type_frequency(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import edge_type_frequency
+
+    _, edges = tpch_graph(spark, sf_dir)
+    return edge_type_frequency(edges)
+
+
+def _q_a3_node_degrees(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import node_degrees
+
+    _, edges = tpch_graph(spark, sf_dir)
+    return node_degrees(edges)
+
+
+def _q_a3_degree_one(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
+
+    # restrict to the c_nationkey FK subgraph so the result is non-empty
+    # (customers have exactly one nation edge; nations have many)
+    nodes, edges = tpch_graph(spark, sf_dir)
+    return degree_one_nodes(nodes, edges.filter(F.col("relationship_name") == "c_nationkey"))
+
+
+def _q_a4_disconnected(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import disconnected_nodes
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    return disconnected_nodes(nodes, edges.filter(F.col("relationship_name") != "is_part_of"))
+
+
+def _q_a6_distinct_schema(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import distinct_schema
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    return distinct_schema(nodes, edges)
+
+
+def _q_p2_attribute_filter(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import attribute_filter
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fnodes, fedges = attribute_filter(nodes, edges, {"type": ["TableRow"], "name": ["nation", "region"]})
+    return fnodes.join(
+        fedges.groupBy("src").agg(F.count(F.lit(1)).alias("out_edges")).withColumnRenamed("src", "id"),
+        "id",
+        "left",
+    ).select("id", "name", F.coalesce("out_edges", F.lit(0)).alias("out_edges"))
+
+
+def _q_p5_valid_edges(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import valid_edges
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    pruned = nodes.filter(F.col("name") != "part")  # drop part nodes -> lineitem->part edges dangle
+    return valid_edges(pruned, edges).groupBy("relationship_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_j1_neighbors(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import neighbors
+
+    _, edges = tpch_graph(spark, sf_dir)
+    return neighbors(edges, "customer:1")
+
+
+def _q_j2_connections(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import connections
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    return connections(edges, nodes, "nation:7")
+
+
+def _q_j3_has_edges(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import has_edges
+
+    _, edges = tpch_graph(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20)
+    cands = orders.select(
+        F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("dst"),
+        F.lit("o_custkey").alias("relationship_name"),
+    ).unionByName(
+        spark.createDataFrame([("orders:1", "nation:0", "bogus")], ["src", "dst", "relationship_name"])
+    )
+    return has_edges(edges, cands)
+
+
+def _q_j4_nodeset_subgraph(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import nodeset_subgraph
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    _, sub_edges = nodeset_subgraph(nodes, edges, "TableRow", ["region"])
+    return sub_edges
+
+
+def _q_j6_k_hop(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import k_hop
+
+    _, edges = tpch_graph(spark, sf_dir)
+    seeds = spark.createDataFrame([("region:0",), ("region:1",)], ["id"])
+    return k_hop(edges, seeds, k=2)
+
+
+def _q_so3_induced_edges(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import induced_edges
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ids = nodes.filter(F.col("name").isin(["nation", "region"]) & (F.col("type") == "TableRow")).select("id")
+    return induced_edges(edges, ids)
+
+
+def _q_j5_triplet_scores(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import triplet_score_join
+
+    _, edges = tpch_graph(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(x) for x in _qvec(spark, sf_dir, 0)])
+    from cognee_graphdb_spark.functions.vectors import cosine_distance
+
+    node_scores = emb.select(
+        F.concat(F.lit("customer:"), F.col("vec_id").cast("string")).alias("id"),
+        F.round(cosine_distance(F.col("embedding"), qv), 6).alias("score"),
+    )
+    ets = edges.select("relationship_name").distinct().select(
+        "relationship_name", F.round(F.length("relationship_name") / 20.0, 6).alias("score")
+    )
+    return triplet_score_join(edges, node_scores, edge_type_scores=ets, k=50).withColumn(
+        "triplet_score", F.round("triplet_score", 4)
+    )
+
+
+def _q_j7_cascade(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import cascade_delete_set
+
+    nodes, edges = _j7_graph(spark, sf_dir)
+    return cascade_delete_set(nodes, edges, "doc:7")
+
+
+def _q_j9_temporal_range(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_joins import temporal_range_join
+    from cognee_graphdb_spark.functions.temporal import date_to_int
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    timestamps = ev.select(
+        F.concat(F.lit("ts:"), F.col("event_id").cast("string")).alias("id"),
+        date_to_int("ts").alias("time_at"),
+    )
+    ev_edges = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(F.lit("ts:"), F.col("event_id").cast("string")).alias("dst"),
+        F.lit("at").alias("relationship_name"),
+    )
+    return temporal_range_join(timestamps, ev_edges, 1704844800, 1705708800)  # 2024-01-10..2024-01-20
+
+
+def _q_v1_knn(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn(emb, _qvec(spark, sf_dir, 7), k=10, vector_col="embedding", id_cols=("vec_id",))
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_v2_batch_knn(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import batch_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+        .select(F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vector"))
+    )
+    out = batch_knn(emb, queries, k=3, vector_col="embedding", id_cols=("vec_id",))
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_v2_batch_knn_agg(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import batch_knn_agg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [(str(i), _qvec(spark, sf_dir, i)) for i in (1, 3, 5, 7, 9)]
+    out = batch_knn_agg(emb.withColumn("vec_id", F.col("vec_id").cast("string")), qs, k=3, vector_col="embedding", id_col="vec_id")
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_v3_minmax(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn(emb, _qvec(spark, sf_dir, 7), k=None, vector_col="embedding", id_cols=("vec_id",), normalize=True)
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_p4_score_threshold(spark, sf_dir):
+    return _q_v3_minmax(spark, sf_dir).filter(F.col("distance") < 0.5)
+
+
+def _q_v4_point_lookup(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import point_lookup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return point_lookup(emb, [5, 105, 205], id_col="vec_id").select("vec_id", "label")
+
+
+def _q_v6_multi_collection(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import multi_collection_knn
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "collection", F.concat(F.lit("c"), (F.col("label") % 3).cast("string"))
+    )
+    out = multi_collection_knn(
+        emb, _qvec(spark, sf_dir, 7), ["c0", "c1", "c2"], k=5, vector_col="embedding", id_cols=("vec_id",)
+    )
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_so1_union_dedup(spark, sf_dir):
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = knn(emb, _qvec(spark, sf_dir, 7), k=10, vector_col="embedding", id_cols=("vec_id",))
+    b = knn(emb, _qvec(spark, sf_dir, 11), k=10, vector_col="embedding", id_cols=("vec_id",))
+    return (
+        a.unionByName(b)
+        .groupBy("vec_id")
+        .agg(F.round(F.min("distance"), 6).alias("distance"))
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from cognee_graphdb_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(emb, _qvec(spark, sf_dir, 7), k=10, bits=6)
+    return out.withColumn("distance", F.round("distance", 6))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return exact_duplicates(docs.unionByName(clones))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.95)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5, hasher="md5_64")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=16, hasher="md5_64")
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4)
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4, lsh_bits=4, dim=64)
+
+
+def _q_quality_features(spark, sf_dir):
+    from cognee_graphdb_spark.operators.text_analysis import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _q_language_id(spark, sf_dir):
+    from cognee_graphdb_spark.operators.text_analysis import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from cognee_graphdb_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from cognee_graphdb_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+
+
+def _q_a5_top_words(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import top_n_words
+
+    return top_n_words(_t(spark, sf_dir, "documents"), n=20)
+
+
+def _q_a7_token_f1(spark, sf_dir):
+    from cognee_graphdb_spark.operators.aggregations import token_overlap_f1
+    from cognee_graphdb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("gold_text"))
+    pairs = docs.join(nxt, "doc_id").select(
+        "doc_id", tokenize(F.col("text")).alias("pred"), tokenize(F.col("gold_text")).alias("gold")
+    )
+    p, r, f1 = token_overlap_f1(F.col("pred"), F.col("gold"))
+    return pairs.select(
+        "doc_id",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def _q_f5_content_id(spark, sf_dir):
+    from cognee_graphdb_spark.ids import content_id
+
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select("c_custkey", content_id("c_name", "c_custkey").alias("data_id"))
+
+
+def _q_f6_normalize(spark, sf_dir):
+    from cognee_graphdb_spark.ids import normalize_name
+
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", normalize_name("p_name").alias("norm_name"))
+
+
+def _q_f10_title(spark, sf_dir):
+    from cognee_graphdb_spark.functions.text import title_with_top_words
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", title_with_top_words(F.col("text")).alias("title"))
+
+
+def _q_f7_calendar(spark, sf_dir):
+    from cognee_graphdb_spark.functions.temporal import calendar_fields, date_to_int
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    cal = calendar_fields("ts")
+    return ev.select(
+        "event_id",
+        date_to_int("ts").alias("time_at"),
+        *[c.cast("bigint").alias(k) for k, c in cal.items()],
+    )
+
+
+def _q_p6_json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+
+
+def _q_w4_last_k(spark, sf_dir):
+    from cognee_graphdb_spark.functions.temporal import date_to_int
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", date_to_int("ts").alias("time_at"))
+        .orderBy(F.col("time_at").desc(), F.col("event_id").desc())
+        .limit(10)
+    )
+
+
+def _q_w1_topk_smallest(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(20)
+    )
+
+
+def _q_w3_null_inf_sort(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    score = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        ev.select("event_id", F.round(score, 6).alias("score"))
+        .orderBy(F.coalesce(F.col("score"), F.lit(float("inf"))).asc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) ---------------------------------
+
+
+def _q_chunking(spark, sf_dir):
+    from cognee_graphdb_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_chunk_size=32)
+
+
+def _q_cognify_counts(spark, sf_dir):
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    res = cognify_documents(docs)
+    return res.nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_graph_completion_context(spark, sf_dir):
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    res = cognify_documents(docs)
+    return brute_force_triplet_search(res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10)
+
+
+def _q_a2_components(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    comp = connected_components(nodes, edges)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s4_node_counts": _q_s4_node_counts,
+        "a1_edge_type_frequency": _q_a1_edge_type_frequency,
+        "a3_node_degrees": _q_a3_node_degrees,
+        "a3_degree_one_nodes": _q_a3_degree_one,
+        "a4_disconnected_nodes": _q_a4_disconnected,
+        "a6_distinct_schema": _q_a6_distinct_schema,
+        "p2_attribute_filter": _q_p2_attribute_filter,
+        "p5_valid_edges": _q_p5_valid_edges,
+        "j1_neighbors": _q_j1_neighbors,
+        "j2_connections": _q_j2_connections,
+        "j3_has_edges": _q_j3_has_edges,
+        "j4_nodeset_subgraph": _q_j4_nodeset_subgraph,
+        "j6_k_hop": _q_j6_k_hop,
+        "so3_induced_edges": _q_so3_induced_edges,
+        "j5_triplet_scores": _q_j5_triplet_scores,
+        "j7_cascade_delete_set": _q_j7_cascade,
+        "j9_temporal_range_join": _q_j9_temporal_range,
+        "v1_knn": _q_v1_knn,
+        "v2_batch_knn": _q_v2_batch_knn,
+        "v2_batch_knn_agg": _q_v2_batch_knn_agg,
+        "v3_minmax_normalize": _q_v3_minmax,
+        "p4_score_threshold": _q_p4_score_threshold,
+        "v4_point_lookup": _q_v4_point_lookup,
+        "v6_multi_collection_knn": _q_v6_multi_collection,
+        "so1_union_dedup": _q_so1_union_dedup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_exact": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f10_title_synthesis": _q_f10_title,
+        "f7_calendar_fields": _q_f7_calendar,
+        "p6_json_extract": _q_p6_json_extract,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
+        # rows-only (pandas-UDF / iterative plans — no SQL restatement)
+        "f1_f4_chunking": _q_chunking,
+        "cognify_node_counts": _q_cognify_counts,
+        "graph_completion_context": _q_graph_completion_context,
+        "a2_connected_components": _q_a2_components,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    h_exprs = ",\n      ".join(
+        f"min({_md5_64('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {hcols}, {bucket} AS bucket, {b} AS band FROM sig".format(
+            hcols=", ".join(f"h{i}" for i in range(num_hashes)),
+            bucket=_md5_64(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows))
+                + ")",
+                b,
+            ),
+            b=b,
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes))
+    toks = _TOK.format(c="text")
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+sh AS (
+  SELECT id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+sig AS (SELECT id, {h_exprs} FROM sh GROUP BY id),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         {", ".join(f"a.h{i} AS ah{i}, b.h{i} AS bh{i}" for i in range(num_hashes))}
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, round(({matches.replace('a.h', 'ah').replace('b.h', 'bh')}) / {num_hashes}.0, 6) AS est_jaccard
+FROM cands
+WHERE round(({matches.replace('a.h', 'ah').replace('b.h', 'bh')}) / {num_hashes}.0, 6) >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    toks = _TOK.format(c="text")
+    bitsums = ", ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    total = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest({toks}) AS token FROM documents),
+hashed AS (SELECT id, {_md5_64('token', 0)} AS h FROM toks),
+bitsums AS (SELECT id, {bitsums} FROM hashed GROUP BY id)
+SELECT id, CAST({total} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+def _hyperplane_bucket_sql(vec_expr: str, bits: int, dim: int) -> str:
+    from cognee_graphdb_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(bits, dim)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {2**i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = _graph_cte()
+    cosd_q = _cosd("e.v", "q.qv")
+    tok = _TOK.format(c="text")
+    emb_d = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    from cognee_graphdb_spark.operators.text_analysis import LANG_MARKERS
+
+    lang_counts = {
+        lang: f"len(list_filter(t, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(f"c_{k}" for k in lang_counts) + ")"
+    lang_case = " ".join(f"WHEN c_{k} = best THEN '{k}'" for k in lang_counts)
+    from cognee_graphdb_spark.functions.text import STOP_WORDS
+
+    stop_in = ", ".join(repr(w) for w in STOP_WORDS)
+    punct = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+    punct = punct.replace("'", "''")  # escape for the SQL string literal
+
+    sql: dict[str, str] = {}
+
+    sql["s4_node_counts"] = f"WITH {g} SELECT type, count(*) AS n FROM nodes GROUP BY type"
+
+    sql["a1_edge_type_frequency"] = (
+        f"WITH {g} SELECT relationship_name, count(*) AS number_of_edges FROM edges GROUP BY relationship_name"
+    )
+
+    sql["a3_node_degrees"] = f"""WITH {g},
+ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+SELECT id, count(*) AS degree FROM ends GROUP BY id"""
+
+    sql["a3_degree_one_nodes"] = f"""WITH {g},
+fk AS (SELECT * FROM edges WHERE relationship_name = 'c_nationkey'),
+ends AS (SELECT src AS id FROM fk UNION ALL SELECT dst FROM fk),
+deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id HAVING count(*) = 1)
+SELECT n.id, n.name, n.type FROM nodes n JOIN deg USING (id)"""
+
+    sql["a4_disconnected_nodes"] = f"""WITH {g},
+fk AS (SELECT * FROM edges WHERE relationship_name != 'is_part_of'),
+ends AS (SELECT DISTINCT src AS id FROM fk UNION SELECT DISTINCT dst FROM fk)
+SELECT id, name, type FROM nodes WHERE id NOT IN (SELECT id FROM ends)"""
+
+    sql["a6_distinct_schema"] = f"""WITH {g}
+SELECT DISTINCT 'node_type' AS kind, type AS value FROM nodes
+UNION SELECT DISTINCT 'relationship', relationship_name FROM edges"""
+
+    sql["p2_attribute_filter"] = f"""WITH {g},
+fnodes AS (SELECT * FROM nodes WHERE type IN ('TableRow') AND name IN ('nation', 'region')),
+fedges AS (
+  SELECT e.* FROM edges e
+  WHERE e.src IN (SELECT id FROM fnodes) AND e.dst IN (SELECT id FROM fnodes)
+),
+outdeg AS (SELECT src AS id, count(*) AS out_edges FROM fedges GROUP BY src)
+SELECT f.id, f.name, coalesce(o.out_edges, 0) AS out_edges FROM fnodes f LEFT JOIN outdeg o USING (id)"""
+
+    sql["p5_valid_edges"] = f"""WITH {g},
+pruned AS (SELECT id FROM nodes WHERE name != 'part'),
+ve AS (SELECT e.* FROM edges e WHERE e.src IN (SELECT id FROM pruned) AND e.dst IN (SELECT id FROM pruned))
+SELECT relationship_name, count(*) AS n FROM ve GROUP BY relationship_name"""
+
+    sql["j1_neighbors"] = f"""WITH {g}
+SELECT DISTINCT neighbor_id FROM (
+  SELECT dst AS neighbor_id FROM edges WHERE src = 'customer:1'
+  UNION ALL SELECT src FROM edges WHERE dst = 'customer:1'
+) u"""
+
+    sql["j2_connections"] = f"""WITH {g},
+incident AS (SELECT src, dst, relationship_name FROM edges WHERE src = 'nation:7' OR dst = 'nation:7')
+SELECT i.src, ns.name AS src_name, i.relationship_name, i.dst, nd.name AS dst_name
+FROM incident i JOIN nodes ns ON i.src = ns.id JOIN nodes nd ON i.dst = nd.id"""
+
+    sql["j3_has_edges"] = f"""WITH {g},
+cands AS (
+  SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS src,
+         'customer:' || CAST(o_custkey AS VARCHAR) AS dst,
+         'o_custkey' AS relationship_name
+  FROM orders WHERE o_orderkey <= 20
+  UNION ALL SELECT 'orders:1', 'nation:0', 'bogus'
+)
+SELECT DISTINCT e.src, e.dst, e.relationship_name
+FROM edges e JOIN cands c USING (src, dst, relationship_name)"""
+
+    sql["j4_nodeset_subgraph"] = f"""WITH {g},
+seed AS (SELECT id FROM nodes WHERE type = 'TableRow' AND name IN ('region')),
+frontier AS (
+  SELECT dst AS id FROM edges WHERE src IN (SELECT id FROM seed)
+  UNION ALL SELECT src FROM edges WHERE dst IN (SELECT id FROM seed)
+),
+members AS (SELECT DISTINCT id FROM (SELECT id FROM seed UNION ALL SELECT id FROM frontier) u)
+SELECT src, dst, relationship_name FROM edges
+WHERE src IN (SELECT id FROM members) AND dst IN (SELECT id FROM members)"""
+
+    sql["j6_k_hop"] = f"""WITH {g},
+sym AS (SELECT src AS u, dst AS v FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT 'region:0' AS id UNION ALL SELECT 'region:1'),
+v1 AS (SELECT id FROM seeds UNION SELECT v FROM sym WHERE u IN (SELECT id FROM seeds)),
+v2 AS (SELECT id FROM v1 UNION SELECT v FROM sym WHERE u IN (SELECT id FROM v1))
+SELECT id FROM v2"""
+
+    sql["so3_induced_edges"] = f"""WITH {g},
+ids AS (SELECT id FROM nodes WHERE type = 'TableRow' AND name IN ('nation', 'region'))
+SELECT src, dst, relationship_name FROM edges
+WHERE src IN (SELECT id FROM ids) AND dst IN (SELECT id FROM ids)"""
+
+    sql["j5_triplet_scores"] = f"""WITH {g},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scores AS (
+  SELECT 'customer:' || CAST(e.vec_id AS VARCHAR) AS id, round({_cosd('(e.embedding::DOUBLE[])', 'q.qv')}, 6) AS score
+  FROM embeddings e, q
+),
+ets AS (
+  SELECT relationship_name, round(length(relationship_name) / 20.0, 6) AS score
+  FROM (SELECT DISTINCT relationship_name FROM edges) r
+),
+scored AS (
+  SELECT e.src, e.dst, e.relationship_name,
+         coalesce(s1.score, 1.0) + coalesce(s2.score, 1.0) + coalesce(t.score, 1.0) AS raw
+  FROM edges e
+  LEFT JOIN scores s1 ON e.src = s1.id
+  LEFT JOIN scores s2 ON e.dst = s2.id
+  LEFT JOIN ets t ON e.relationship_name = t.relationship_name
+)
+SELECT src, dst, relationship_name, round(raw, 4) AS triplet_score
+FROM scored ORDER BY raw, src, dst, relationship_name LIMIT 50"""
+
+    sql["j7_cascade_delete_set"] = f"""WITH {_J7_SQL_EDGES},
+doc AS (SELECT 'doc:7' AS id),
+chunks AS (SELECT DISTINCT src AS id FROM j7_edges WHERE relationship_name = 'is_part_of' AND dst = 'doc:7'),
+summaries AS (
+  SELECT DISTINCT src AS id FROM j7_edges
+  WHERE relationship_name = 'made_from' AND dst IN (SELECT id FROM chunks)
+),
+ents AS (
+  SELECT DISTINCT dst AS id FROM j7_edges
+  WHERE relationship_name = 'contains' AND src IN (SELECT id FROM chunks)
+),
+other_chunks AS (
+  SELECT DISTINCT src AS id FROM j7_edges WHERE relationship_name = 'is_part_of' AND dst != 'doc:7'
+),
+ents_elsewhere AS (
+  SELECT DISTINCT dst AS id FROM j7_edges
+  WHERE relationship_name = 'contains' AND src IN (SELECT id FROM other_chunks)
+),
+orphan_ents AS (SELECT id FROM ents WHERE id NOT IN (SELECT id FROM ents_elsewhere)),
+types_of_deleted AS (
+  SELECT DISTINCT dst AS id FROM j7_edges
+  WHERE relationship_name = 'is_a' AND src IN (SELECT id FROM orphan_ents)
+),
+types_with_survivors AS (
+  SELECT DISTINCT dst AS id FROM j7_edges
+  WHERE relationship_name = 'is_a' AND src NOT IN (SELECT id FROM orphan_ents)
+),
+orphan_types AS (SELECT id FROM types_of_deleted WHERE id NOT IN (SELECT id FROM types_with_survivors))
+SELECT DISTINCT id FROM (
+  SELECT id FROM doc UNION ALL SELECT id FROM chunks UNION ALL SELECT id FROM summaries
+  UNION ALL SELECT id FROM orphan_ents UNION ALL SELECT id FROM orphan_types
+) u"""
+
+    sql["j9_temporal_range_join"] = """
+WITH ts AS (SELECT 'ts:' || CAST(event_id AS VARCHAR) AS id, CAST(floor(epoch(ts)) AS BIGINT) AS time_at FROM events),
+ee AS (SELECT 'ev:' || CAST(event_id AS VARCHAR) AS src, 'ts:' || CAST(event_id AS VARCHAR) AS dst, 'at' AS relationship_name FROM events),
+hits AS (SELECT id FROM ts WHERE time_at BETWEEN 1704844800 AND 1705708800)
+SELECT DISTINCT src AS event_id FROM ee WHERE relationship_name = 'at' AND dst IN (SELECT id FROM hits)"""
+
+    sql["v1_knn"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+e AS ({emb_d})
+SELECT vec_id, round({cosd_q}, 6) AS distance FROM e, q
+ORDER BY {cosd_q}, vec_id LIMIT 10"""
+
+    batch_sql = f"""
+WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)),
+e AS ({emb_d}),
+scored AS (
+  SELECT qs.query_id, e.vec_id, {_cosd('e.v', 'qs.qv')} AS d,
+         row_number() OVER (PARTITION BY qs.query_id ORDER BY {_cosd('e.v', 'qs.qv')}, e.vec_id) AS rk
+  FROM e, qs
+)
+SELECT query_id, vec_id, round(d, 6) AS distance FROM scored WHERE rk <= 3"""
+    sql["v2_batch_knn"] = batch_sql
+    sql["v2_batch_knn_agg"] = f"""
+WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)),
+e AS (SELECT CAST(vec_id AS VARCHAR) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT qs.query_id, e.vec_id, {_cosd('e.v', 'qs.qv')} AS d,
+         row_number() OVER (PARTITION BY qs.query_id ORDER BY {_cosd('e.v', 'qs.qv')}, e.vec_id) AS rk
+  FROM e, qs
+)
+SELECT query_id, vec_id, round(d, 6) AS distance FROM scored WHERE rk <= 3"""
+
+    sql["v3_minmax_normalize"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+e AS ({emb_d}),
+scored AS (SELECT vec_id, {cosd_q} AS d FROM e, q),
+mm AS (SELECT vec_id, d, min(d) OVER () AS lo, max(d) OVER () AS hi FROM scored)
+SELECT vec_id, round(CASE WHEN hi = lo THEN 0.0 ELSE (d - lo) / (hi - lo) END, 6) AS distance FROM mm"""
+
+    sql["p4_score_threshold"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+e AS ({emb_d}),
+scored AS (SELECT vec_id, {cosd_q} AS d FROM e, q),
+mm AS (SELECT vec_id, d, min(d) OVER () AS lo, max(d) OVER () AS hi FROM scored),
+norm AS (SELECT vec_id, round(CASE WHEN hi = lo THEN 0.0 ELSE (d - lo) / (hi - lo) END, 6) AS distance FROM mm)
+SELECT vec_id, distance FROM norm WHERE distance < 0.5"""
+
+    sql["v4_point_lookup"] = "SELECT vec_id, label FROM embeddings WHERE vec_id IN (5, 105, 205)"
+
+    sql["v6_multi_collection_knn"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+e AS (SELECT 'c' || CAST(label % 3 AS VARCHAR) AS collection, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT collection, vec_id, {cosd_q} AS d,
+         row_number() OVER (PARTITION BY collection ORDER BY {cosd_q}, vec_id) AS rk
+  FROM e, q
+  WHERE collection IN ('c0', 'c1', 'c2')
+)
+SELECT collection, vec_id, round(d, 6) AS distance FROM scored WHERE rk <= 5"""
+
+    sql["so1_union_dedup"] = f"""
+WITH e AS ({emb_d}),
+q7 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+q11 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 11),
+a AS (SELECT vec_id, {_cosd('e.v', 'q7.qv')} AS d FROM e, q7 ORDER BY d, vec_id LIMIT 10),
+b AS (SELECT vec_id, {_cosd('e.v', 'q11.qv')} AS d FROM e, q11 ORDER BY d, vec_id LIMIT 10)
+SELECT vec_id, round(min(d), 6) AS distance FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u GROUP BY vec_id"""
+
+    sql["dedup_exact"] = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+),
+h AS (SELECT doc_id, md5(text) AS content_hash FROM docs2)
+SELECT content_hash, count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM h GROUP BY content_hash HAVING count(*) > 1"""
+
+    sql["dedup_jaccard_pairs"] = f"""
+WITH toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
+ts AS (SELECT DISTINCT id, unnest(t) AS token FROM toks),
+sizes AS (SELECT id, count(*) AS sz FROM ts GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ts a JOIN ts b USING (token) WHERE a.id < b.id GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.95"""
+
+    sql["dedup_minhash_lsh"] = _minhash_sql(16, 8, 0.5)
+    sql["dedup_simhash"] = _simhash_sql(16)
+
+    coss = "(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+    sql["dedup_embedding_exact"] = f"""
+WITH e AS ({emb_d})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({coss}, 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND round({coss}, 6) >= 0.4"""
+
+    bucket = _hyperplane_bucket_sql("v", 4, 64)
+    sql["dedup_embedding_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({coss}, 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({coss}, 6) >= 0.4"""
+
+    sql["quality_features"] = f"""
+WITH t AS (SELECT doc_id, text, {tok} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_words,
+       round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0 / greatest(len(toks), 1), 4) AS mean_word_len,
+       round((length(text) - (length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')))) * 1.0 / greatest(length(text), 1), 4) AS non_alnum_ratio,
+       round(len(list_filter(toks, x -> x IN ({stop_in}))) * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+FROM t"""
+
+    sql["language_id"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS t FROM documents),
+c AS (SELECT doc_id, {", ".join(f"{expr} AS c_{k}" for k, expr in lang_counts.items())} FROM t),
+b AS (SELECT doc_id, {best} AS best, {", ".join(f"c_{k}" for k in lang_counts)} FROM c)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und' {lang_case} END AS pred_lang FROM b"""
+
+    sql["doc_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents"""
+
+    sql["token_counts"] = f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents"
+
+    sql["a5_top_words"] = f"""
+WITH w AS (SELECT unnest({tok}) AS word FROM documents)
+SELECT word, count(*) AS cnt FROM w
+WHERE word NOT IN ({stop_in})
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"""
+
+    sql["a7_token_f1"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+pairs AS (
+  SELECT a.doc_id, a.toks AS pred, b.toks AS gold
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+),
+m AS (
+  SELECT doc_id, pred, gold,
+         coalesce(list_sum(list_transform(list_distinct(pred),
+           tkn -> least(len(list_filter(pred, x -> x = tkn)), len(list_filter(gold, x -> x = tkn))))), 0) * 1.0 AS tp
+  FROM pairs
+),
+pr AS (
+  SELECT doc_id,
+         CASE WHEN len(pred) > 0 THEN tp / len(pred) ELSE 0.0 END AS p,
+         CASE WHEN len(gold) > 0 THEN tp / len(gold) ELSE 0.0 END AS r,
+         len(pred) AS np, len(gold) AS ng
+  FROM m
+)
+SELECT doc_id, round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN np = 0 AND ng = 0 THEN 1.0
+                  WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+FROM pr"""
+
+    sql["f5_content_id"] = (
+        "SELECT c_custkey, md5(concat_ws(chr(31), c_name, CAST(c_custkey AS VARCHAR))) AS data_id FROM customer"
+    )
+
+    sql["f6_normalize_name"] = (
+        "SELECT p_partkey, regexp_replace(trim(lower(p_name)), '[^a-z0-9]+', '_', 'g') AS norm_name FROM part"
+    )
+
+    sql["f10_title_synthesis"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS raw,
+         list_filter(
+           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                          x -> regexp_replace(lower(x), '^{punct}+|{punct}+$', '', 'g')),
+           x -> x != '' AND x NOT IN ({stop_in})
+         ) AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, raw,
+         list_sort(list_transform(list_distinct(toks),
+           tkn -> {{'negcnt': -len(list_filter(toks, x -> x = tkn)),
+                    'pos': list_position(toks, tkn), 'tok': tkn}})) AS s
+  FROM w
+)
+SELECT doc_id,
+       array_to_string(raw[1:7], ' ') || '... [' ||
+       array_to_string(list_transform(s[1:7], x -> x.tok), ', ') || ']' AS title
+FROM stats"""
+
+    sql["f7_calendar_fields"] = """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_at,
+       CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+       CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(minute(ts) AS BIGINT) AS minute, CAST(second(ts) AS BIGINT) AS second
+FROM events"""
+
+    sql["p6_json_extract"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+    )
+
+    sql["w4_last_k_interactions"] = """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_at FROM events
+ORDER BY time_at DESC, event_id DESC LIMIT 10"""
+
+    sql["w1_topk_smallest"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC LIMIT 20"""
+
+    sql["w3_null_inf_sort"] = """
+SELECT event_id, round(CASE WHEN event_type = 'click' THEN value END, 6) AS score
+FROM events
+ORDER BY coalesce(round(CASE WHEN event_type = 'click' THEN value END, 6), 'infinity'::DOUBLE) ASC, event_id ASC
+LIMIT 20"""
+
+    qb = _hyperplane_bucket_sql("(embedding::DOUBLE[])", 6, 64)
+    sql["ann_lsh_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {qb} AS bucket FROM embeddings),
+qb AS (SELECT {qb.replace('(embedding::DOUBLE[])', 'qv')} AS b FROM q)
+SELECT e.vec_id, round({cosd_q.replace('e.v', 'e.v')}, 6) AS distance
+FROM e, q, qb WHERE e.bucket = qb.b
+ORDER BY {cosd_q}, e.vec_id LIMIT 10"""
+
+    return sql

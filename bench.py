@@ -1,0 +1,167 @@
+"""Headline benchmark: runs the engine's flagship plans at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each step forces materialization (count/collect); shared inputs (the migrated
+TPC-H graph, the cognify output) are cached so steps measure their own plan,
+not a rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from cognee_graphdb_spark.operators import aggregations as agg
+    from cognee_graphdb_spark.operators import dedup
+    from cognee_graphdb_spark.operators.chunking import chunk_documents
+    from cognee_graphdb_spark.operators.graph_joins import k_hop, triplet_score_join
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+    from cognee_graphdb_spark.operators.text_analysis import language_id, quality_features
+    from cognee_graphdb_spark.operators.vector_search import batch_knn_agg, knn
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
+    from cognee_graphdb_spark.sources.migration import tpch_graph
+
+    timings: dict[str, float] = {}
+
+    def step(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return fn
+
+        return deco
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # --- build paths ---------------------------------------------------------
+    nodes = edges = None
+
+    @step("s4_migrate_graph")
+    def _migrate():
+        nonlocal nodes, edges
+        nodes, edges = tpch_graph(spark, SF_DIR)
+        nodes = nodes.cache()
+        edges = edges.cache()
+        nodes.count(), edges.count()
+
+    cog = None
+
+    @step("cognify_build")
+    def _cognify():
+        nonlocal cog
+        cog = cognify_documents(docs)
+        cog.nodes.cache().count()
+        cog.edges.cache().count()
+        cog.embeddings.cache().count()
+
+    # --- query paths ---------------------------------------------------------
+    @step("graph_completion_context")
+    def _flagship():
+        top = brute_force_triplet_search(
+            cog.nodes, cog.edges, cog.embeddings, "fast table scan merge join", k=10
+        )
+        top.collect()
+
+    @step("j5_triplet_scores")
+    def _j5():
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        from cognee_graphdb_spark.functions.vectors import cosine_distance
+
+        scores = emb.select(
+            F.concat(F.lit("customer:"), F.col("vec_id").cast("string")).alias("id"),
+            cosine_distance(F.col("embedding"), F.array(*[F.lit(x) for x in qv])).alias("score"),
+        )
+        triplet_score_join(edges, scores, k=50).collect()
+
+    @step("a1_edge_type_frequency")
+    def _a1():
+        agg.edge_type_frequency(edges).collect()
+
+    @step("a3_node_degrees")
+    def _a3():
+        agg.node_degrees(edges).count()
+
+    @step("a2_connected_components")
+    def _a2():
+        connected_components(nodes, edges).groupBy("component").count().collect()
+
+    @step("j6_k_hop")
+    def _j6():
+        seeds = spark.createDataFrame([("region:0",), ("region:1",)], ["id"])
+        k_hop(edges, seeds, k=2).count()
+
+    @step("v1_knn_full_scan")
+    def _v1():
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+        knn(emb, qv, k=10, vector_col="embedding", id_cols=("vec_id",)).collect()
+
+    @step("v2_batch_knn_agg")
+    def _v2():
+        qs = [
+            (str(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id").isin([1, 3, 5, 7, 9])).collect()
+        ]
+        batch_knn_agg(
+            emb.withColumn("vec_id", F.col("vec_id").cast("string")),
+            qs,
+            k=10,
+            vector_col="embedding",
+            id_col="vec_id",
+        ).collect()
+
+    @step("dedup_minhash_lsh")
+    def _minhash():
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5).count()
+
+    @step("dedup_embedding_lsh")
+    def _embdup():
+        dedup.embedding_near_duplicates(emb, threshold=0.4, lsh_bits=4, dim=64).count()
+
+    @step("text_analysis")
+    def _text():
+        quality_features(docs).count()
+        language_id(docs).count()
+
+    @step("f1_f4_chunking")
+    def _chunk():
+        chunk_documents(docs, max_chunk_size=64).count()
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,13 +42,24 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram/token Jaccard near-dup pairs via inverted-index self-join.
 
     |A∩B| from the token self-join, |A∪B| = |A|+|B|-|A∩B|; keeps id_a < id_b.
     The reference computes the same set-Jaccard in jaccard_retrival.py:45-60.
+
+    ``max_df``: drop tokens appearing in more than max_df documents before the
+    self-join — a stopword-dense corpus otherwise makes the join quadratic per
+    hot token (the classic inverted-index blowup).  Dropping ubiquitous tokens
+    changes |A∩B| AND |A∪B| (sizes are computed after the cut, keeping the
+    estimate consistent); at 100 TB this cap is mandatory, exact Jaccard on
+    ubiquitous tokens is what MinHash is for.
     """
     ts = token_set(df, text_col, id_col)
+    if max_df is not None:
+        hot = ts.groupBy("token").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+        ts = ts.join(F.broadcast(hot.select("token")), "token", "left_anti")
     sizes = ts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = ts.select(F.col("id").alias("id_a"), "token")
     b = ts.select(F.col("id").alias("id_b"), "token")
@@ -170,13 +181,17 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """SimHash fingerprint: sign of per-bit sums of token hashes.
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash fingerprint: sign of per-bit sums of token hashes (multiset —
+    repeated tokens weigh more).
 
     Returns (id, simhash bigint).  Hamming-close simhashes ⇒ similar token sets.
+    ``hasher="md5_64"`` limits usable bits to 60 but is DuckDB-reproducible.
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token"))
-    hashed = toks.withColumn("h", F.xxhash64("token"))
+    hashed = toks.withColumn("h", _hash64(F.col("token"), 0, hasher))
     bit_sums = hashed.groupBy("id").agg(
         *[
             F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")

@@ -58,6 +58,37 @@ def connections(edges: DataFrame, nodes: DataFrame, node: str) -> DataFrame:
     )
 
 
+def attribute_filter(nodes: DataFrame, edges: DataFrame, attr_filters: dict[str, list]) -> tuple[DataFrame, DataFrame]:
+    """P2 — nodes where every ``attr IN values`` holds (AND across filters);
+    edges where BOTH endpoints pass (double semi-join).
+
+    Reference: kuzu get_filtered_graph_data adapter.py:1275-1352.
+    """
+    cond = F.lit(True)
+    for attr, values in attr_filters.items():
+        cond = cond & F.col(attr).isin(list(values))
+    fnodes = nodes.filter(cond)
+    ids = fnodes.select("id")
+    fedges = (
+        edges.join(ids.withColumnRenamed("id", "src"), "src", "leftsemi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return fnodes, fedges
+
+
+def valid_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """P5 — drop edges whose endpoints are missing from the nodes table.
+
+    Reference: extract_graph_from_data.py:120-127 discards dangling edges
+    before persisting.  Two leftsemi joins on id.
+    """
+    ids = nodes.select("id")
+    return (
+        edges.join(ids.withColumnRenamed("id", "src"), "src", "leftsemi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+
+
 def has_edges(edges: DataFrame, candidates: DataFrame) -> DataFrame:
     """J3 — which of the candidate (src,dst,relationship_name) triples exist.
 
