@@ -72,6 +72,7 @@ def attribute_filter(nodes: DataFrame, edges: DataFrame, attr_filters: dict[str,
     fedges = (
         edges.join(ids.withColumnRenamed("id", "src"), "src", "leftsemi")
         .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        .select(*edges.columns)
     )
     return fnodes, fedges
 
@@ -86,6 +87,7 @@ def valid_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return (
         edges.join(ids.withColumnRenamed("id", "src"), "src", "leftsemi")
         .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        .select(*edges.columns)
     )
 
 

@@ -1,0 +1,72 @@
+"""Golden chunker tests — expected vectors ported from the reference
+(cognee/tests/unit/processing/chunks/chunk_by_paragraph_test.py:15-58, with
+the 1-token-per-word mock tokenizer), plus the exact-reconstruction invariant
+the reference chunker guarantees (chunk_by_paragraph.py docstring)."""
+
+from cognee_graphdb_spark.operators.chunking import chunk_text, scan_words
+
+INPUT_TEXT = {
+    "whole_text": """This is example text. It contains multiple sentences.
+This is a second paragraph. First two paragraphs are whole.
+Third paragraph is a bit longer and is finished with a dot.""",
+    "cut_text": """This is example text. It contains multiple sentences.
+This is a second paragraph. First two paragraphs are whole.
+Third paragraph is cut and is missing the dot at the end""",
+}
+
+GROUND_TRUTH = {
+    "whole_text": [
+        {"text": "This is example text. It contains multiple sentences.", "chunk_size": 8, "cut_type": "paragraph_end"},
+        {"text": "\nThis is a second paragraph. First two paragraphs are whole.", "chunk_size": 10, "cut_type": "paragraph_end"},
+        {"text": "\nThird paragraph is a bit longer and is finished with a dot.", "chunk_size": 12, "cut_type": "sentence_end"},
+    ],
+    "cut_text": [
+        {"text": "This is example text. It contains multiple sentences.", "chunk_size": 8, "cut_type": "paragraph_end"},
+        {"text": "\nThis is a second paragraph. First two paragraphs are whole.", "chunk_size": 10, "cut_type": "paragraph_end"},
+        {"text": "\nThird paragraph is cut and is missing the dot at the end", "chunk_size": 12, "cut_type": "sentence_cut"},
+    ],
+}
+
+
+def _check(name):
+    chunks = chunk_text(INPUT_TEXT[name], max_chunk_size=12)
+    assert len(chunks) == 3
+    for expected, got in zip(GROUND_TRUTH[name], chunks):
+        for key in ("text", "chunk_size", "cut_type"):
+            assert got[key] == expected[key], f"{name}.{key}: {got[key]!r} != {expected[key]!r}"
+
+
+def test_chunking_whole_text():
+    _check("whole_text")
+
+
+def test_chunking_cut_text():
+    _check("cut_text")
+
+
+def test_exact_reconstruction():
+    for text in INPUT_TEXT.values():
+        for size in (3, 8, 64):
+            chunks = chunk_text(text, max_chunk_size=size)
+            assert "".join(c["text"] for c in chunks) == text
+            assert all(c["chunk_size"] <= size for c in chunks)
+
+
+def test_scan_words_preserves_everything():
+    text = "Hello,  world!  Next sentence.\nNew paragraph here?No space."
+    toks = list(scan_words(text))
+    assert "".join(t for t, _ in toks) == text
+    kinds = [k for _, k in toks]
+    assert "paragraph_end" in kinds and "sentence_end" in kinds
+
+
+def test_spark_chunk_documents(spark):
+    docs = spark.createDataFrame(
+        [(str(i), INPUT_TEXT["whole_text"]) for i in range(4)], ["doc_id", "text"]
+    )
+    from cognee_graphdb_spark.operators.chunking import chunk_documents
+
+    out = chunk_documents(docs, max_chunk_size=12).collect()
+    assert len(out) == 12  # 3 chunks x 4 docs
+    one = sorted((r for r in out if r["doc_id"] == "0"), key=lambda r: r["chunk_index"])
+    assert "".join(r["text"] for r in one) == INPUT_TEXT["whole_text"]

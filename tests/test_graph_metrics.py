@@ -1,0 +1,95 @@
+"""Graph-metrics ground truth ported from the reference
+(cognee/tests/tasks/descriptive_metrics/ground_truth_metrics.json +
+metrics_test_utils.py:36-60 fixture graphs)."""
+
+import pytest
+
+from cognee_graphdb_spark.operators.graph_metrics import connected_components, graph_metrics
+
+
+def _connected_graph(spark):
+    # doc - chunk(part_of) - contains Alice/Alice2 - is_type EntityType + 1 self-loop
+    nodes = spark.createDataFrame(
+        [(n, n, "t") for n in ["doc", "chunk", "alice", "alice2", "etype"]], ["id", "name", "type"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("chunk", "doc", "part_of"),
+            ("chunk", "alice", "contains"),
+            ("chunk", "alice2", "contains"),
+            ("alice", "etype", "is_type"),
+            ("alice2", "etype", "is_type"),
+            ("alice", "alice", "self_loop"),
+        ],
+        ["src", "dst", "relationship_name"],
+    )
+    return nodes, edges
+
+
+def _disconnected_graph(spark):
+    nodes = spark.createDataFrame(
+        [(n, n, "t") for n in ["doc", "chunk", "alice", "alice2", "etype", "doc2", "chunk2", "bob", "etype2"]],
+        ["id", "name", "type"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("chunk", "doc", "part_of"),
+            ("chunk", "alice", "contains"),
+            ("chunk", "alice2", "contains"),
+            ("alice", "etype", "is_type"),
+            ("alice2", "etype", "is_type"),
+            ("chunk2", "doc2", "part_of"),
+            ("chunk2", "bob", "contains"),
+            ("bob", "etype2", "is_type"),
+        ],
+        ["src", "dst", "relationship_name"],
+    )
+    return nodes, edges
+
+
+def test_connected_graph_metrics(spark):
+    nodes, edges = _connected_graph(spark)
+    m = graph_metrics(nodes, edges, include_paths=True)
+    assert m["num_nodes"] == 5
+    assert m["num_edges"] == 6
+    assert m["mean_degree"] == pytest.approx(2.4)
+    assert m["edge_density"] == pytest.approx(0.3)
+    assert m["num_connected_components"] == 1
+    assert m["sizes_of_connected_components"] == [5]
+    assert m["num_selfloops"] == 1
+    assert m["diameter"] == 3
+    assert m["avg_shortest_path_length"] == pytest.approx(1.6)
+    assert m["avg_clustering"] == pytest.approx(0.0)
+
+
+def test_disconnected_graph_metrics(spark):
+    nodes, edges = _disconnected_graph(spark)
+    m = graph_metrics(nodes, edges)
+    assert m["num_nodes"] == 9
+    assert m["num_edges"] == 8
+    assert m["mean_degree"] == pytest.approx(16 / 9)
+    assert m["edge_density"] == pytest.approx(8 / 72)
+    assert m["num_connected_components"] == 2
+    assert m["sizes_of_connected_components"] == [5, 4]
+    assert m["num_selfloops"] == 0
+
+
+def test_components_on_long_chain(spark):
+    # a 40-node chain — O(diameter) label propagation would need 40 rounds;
+    # large-star/small-star must converge well under max_iter=50 AND the
+    # result must still be exactly one component
+    n = 40
+    nodes = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}", "r") for i in range(n - 1)], ["src", "dst", "relationship_name"]
+    )
+    comp = connected_components(nodes, edges, max_iter=12).collect()
+    assert len({r["component"] for r in comp}) == 1
+    assert len(comp) == n
+
+
+def test_components_determinism(spark):
+    nodes, edges = _disconnected_graph(spark)
+    a = sorted(map(tuple, connected_components(nodes, edges).collect()))
+    b = sorted(map(tuple, connected_components(nodes, edges).collect()))
+    assert a == b
