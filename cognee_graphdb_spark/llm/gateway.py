@@ -37,6 +37,28 @@ class LLMGateway(Protocol):
         """feedback text -> score in [-5, 5] (U10)."""
         ...
 
+    def nl_to_sql(self, question: str, schema: list[tuple[str, str]], previous_attempts: str = "") -> str:
+        """NL question + graph schema -> executable SQL over nodes/edges views
+        (U5; the reference generates Cypher, natural_language_retriever.py:51-103)."""
+        ...
+
+    def followup_question(self, query: str, answer: str, context: str) -> str:
+        """CoT loop follow-up generation (U7, graph_completion_cot_retriever.py:57-142)."""
+        ...
+
+    def select_search_type(self, query: str) -> str:
+        """FEELING_LUCKY search-type selection (U9, select_search_type.py:9-42)."""
+        ...
+
+    def parse_code_query(self, query: str) -> tuple[list[str], list[str]]:
+        """code query -> (filenames, content terms) (U11, code_retriever.py:39-59)."""
+        ...
+
+    def extract_events(self, text: str) -> list[dict]:
+        """U3 — temporal pipeline event extraction: text -> events with
+        name/ts_from/ts_to epoch seconds (cognee/tasks/temporal_graph/)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
@@ -89,3 +111,62 @@ class MockLLMGateway:
     def sentiment(self, text: str) -> int:
         toks = set(_WORD_RE.findall(text.lower()))
         return max(-5, min(5, len(toks & _POS) - len(toks & _NEG)))
+
+    def nl_to_sql(self, question: str, schema: list[tuple[str, str]], previous_attempts: str = "") -> str:
+        """Deterministic NL->SQL: look for a known node type or relationship in
+        the question; fall back to a name LIKE filter on the longest token.
+        Mirrors the retry-with-feedback shape of the reference (up to 3
+        attempts receive ``previous_attempts``)."""
+        q = question.lower()
+        types = [v for k, v in schema if k == "node_type"]
+        rels = [v for k, v in schema if k == "relationship"]
+        for t in sorted(types):
+            if t.lower() in q:
+                return f"SELECT id, name, type FROM nodes WHERE type = '{t}' ORDER BY id LIMIT 20"
+        for r in sorted(rels):
+            if r.lower() in q:
+                return (
+                    "SELECT src, dst, relationship_name FROM edges "
+                    f"WHERE relationship_name = '{r}' ORDER BY src, dst LIMIT 20"
+                )
+        words = sorted(_WORD_RE.findall(q), key=lambda w: (-len(w), w))
+        needle = words[0] if words else ""
+        return f"SELECT id, name, type FROM nodes WHERE name LIKE '%{needle}%' ORDER BY id LIMIT 20"
+
+    def followup_question(self, query: str, answer: str, context: str) -> str:
+        words = [w for w in _WORD_RE.findall(query.lower()) if len(w) >= 4]
+        focus = words[len(words) // 2] if words else query
+        return f"what else relates to {focus}?"
+
+    def select_search_type(self, query: str) -> str:
+        q = query.lower()
+        if any(w in q for w in ("when", "before", "after", "during")):
+            return "TEMPORAL"
+        if any(w in q for w in ("summary", "summarize")):
+            return "SUMMARIES"
+        if "insight" in q or "related" in q:
+            return "INSIGHTS"
+        return "RAG_COMPLETION"  # the reference's default (select_search_type.py:42)
+
+    def parse_code_query(self, query: str) -> tuple[list[str], list[str]]:
+        toks = query.split()
+        files = [t.strip(",;") for t in toks if "." in t and not t.strip(",;").replace(".", "").isdigit()]
+        terms = [t.lower() for t in toks if t not in files and len(t) >= 3]
+        return files, terms
+
+    def extract_events(self, text: str) -> list[dict]:
+        """U3 mock — one event per ISO date (or range) found in the text;
+        name = the 6 words preceding the date."""
+        from datetime import datetime, timezone
+
+        def to_epoch(s: str) -> int:
+            return int(datetime.strptime(s, "%Y-%m-%d").replace(tzinfo=timezone.utc).timestamp())
+
+        events = []
+        for m in re.finditer(r"(\d{4}-\d{2}-\d{2})(?:\D{1,10}(\d{4}-\d{2}-\d{2}))?", text):
+            prefix = text[: m.start()].split()[-6:]
+            name = " ".join(prefix) if prefix else f"event at {m.group(1)}"
+            ts_from = to_epoch(m.group(1))
+            ts_to = to_epoch(m.group(2)) if m.group(2) else None
+            events.append({"name": name, "ts_from": ts_from, "ts_to": ts_to})
+        return events

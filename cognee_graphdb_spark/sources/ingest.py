@@ -1,0 +1,205 @@
+"""Ingest path (S1-S3) + incremental-load semantics (ST2).
+
+Reference:
+- ``cognee.add``: save item -> loader -> classify -> content-hash identify ->
+  dedup by (content_hash, owner) (tasks/ingestion/ingest_data.py:24-193; id at
+  :93-96; dedup invariant tests/test_deduplication.py:13-106).
+- Loader dispatch by extension/MIME (infrastructure/loaders/LoaderEngine.py:25-96)
+  with text/pdf/audio/image loaders; audio->transcript and image->description
+  are LLM loaders (core/audio_loader.py:18, core/image_loader.py:15).
+- Incremental: a dataset whose pipeline run is STARTED/COMPLETED is skipped,
+  and already-ingested content hashes are not reprocessed
+  (check_pipeline_run_qualification.py:17-59).
+
+Spark-first: ingestion is a DataFrame pipeline — the content hash, the
+classification, and the dedup are all expressions; the only Python is inside
+binary loaders (Arrow-batched), and those are STUBBED deterministically here
+because the decode libraries are not in this container (the Spark-side
+plumbing — schema, dispatch, batching — is real).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.ids import content_id
+
+# S3 — extension -> Document subtype (classify_documents.py)
+EXTENSION_TYPES: dict[str, str] = {
+    "txt": "TextDocument",
+    "md": "TextDocument",
+    "csv": "TextDocument",
+    "pdf": "PdfDocument",
+    "mp3": "AudioDocument",
+    "wav": "AudioDocument",
+    "png": "ImageDocument",
+    "jpg": "ImageDocument",
+    "jpeg": "ImageDocument",
+    "mp4": "VideoDocument",
+}
+
+
+def classify_documents(df: DataFrame, name_col: str = "name") -> DataFrame:
+    """S3 — map file name -> Document subtype via a when/otherwise chain."""
+    ext = F.lower(F.element_at(F.split(F.col(name_col), "\\."), -1))
+    expr = F.lit("TextDocument")
+    for e, t in sorted(EXTENSION_TYPES.items(), reverse=True):
+        expr = F.when(ext == e, F.lit(t)).otherwise(expr)
+    return df.withColumn("document_type", expr)
+
+
+def loader_for(document_type: str) -> str:
+    """S2 — loader dispatch (LoaderEngine.py:25-96).  Text loads natively;
+    binary formats route to (stubbed) decode loaders."""
+    return {
+        "TextDocument": "text_loader",
+        "PdfDocument": "pdf_loader",
+        "AudioDocument": "audio_loader",
+        "ImageDocument": "image_loader",
+        "VideoDocument": "video_loader",
+    }.get(document_type, "text_loader")
+
+
+def load_binary_as_text(df: DataFrame, document_type: str) -> DataFrame:
+    """Binary loaders (audio transcript / image description / pdf text).
+
+    The decode libraries (pypdf, whisper, vision models) are NOT in this
+    container, so the decode step is a deterministic fake over the raw bytes —
+    the Arrow-batched mapInPandas plumbing (schema in/out, batching) is the
+    real Spark design; swap ``_fake_decode`` for the real library in prod.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    loader = loader_for(document_type)
+    if loader == "text_loader":
+        return df.withColumn("text", F.col("content").cast("string"))
+
+    out_schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+
+    def _fake_decode(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["id"], pdf["content"]):
+                digest = hashlib.md5(bytes(content) if content is not None else b"").hexdigest()
+                rows.append((i, f"[{loader}:{digest[:12]}]"))
+            yield pd.DataFrame(rows, columns=["id", "text"])
+
+    return df.select("id", "content").mapInPandas(_fake_decode, out_schema)
+
+
+def ingest_texts(
+    spark: SparkSession,
+    items: list[tuple[str, str]],
+    dataset_id: str = "main_dataset",
+    owner_id: str = "default_user",
+) -> DataFrame:
+    """S1 — the ``cognee.add`` equivalent for in-memory text items
+    (name, text).  Returns the ``data`` table rows: deterministic id =
+    md5(content_hash + owner), deduped by (content_hash, owner) so re-adding
+    identical content is a no-op (ingest_data.py:93-96)."""
+    df = spark.createDataFrame(items, ["name", "text"])
+    return ingest_dataframe(df, dataset_id=dataset_id, owner_id=owner_id)
+
+
+def ingest_dataframe(
+    df: DataFrame,
+    text_col: str = "text",
+    name_col: str = "name",
+    dataset_id: str = "main_dataset",
+    owner_id: str = "default_user",
+) -> DataFrame:
+    """S1 core: classify + hash-identify + first-wins dedup by content hash."""
+    out = classify_documents(df, name_col)
+    out = out.select(
+        F.col(name_col).alias("name"),
+        F.col(text_col).alias("text"),
+        "document_type",
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    out = out.withColumn("id", content_id(F.col("content_hash"), F.lit(owner_id))).withColumn(
+        "dataset_id", F.lit(dataset_id)
+    )
+    # first-wins per (content_hash, owner): identical content -> one Data row
+    return out.dropDuplicates(["id"]).select("id", "name", "text", "document_type", "content_hash", "dataset_id")
+
+
+def ingest_files(spark: SparkSession, path_glob: str, dataset_id: str = "main_dataset", owner_id: str = "default_user") -> DataFrame:
+    """S1/S2 over real files: binaryFile source -> classify by extension ->
+    loader dispatch -> hash-identify."""
+    raw = spark.read.format("binaryFile").load(path_glob).select(
+        F.col("path").alias("name"), F.col("content")
+    )
+    raw = classify_documents(raw, "name").withColumn("id", F.md5(F.col("content")))
+    parts = []
+    for dtype in [r["document_type"] for r in raw.select("document_type").distinct().collect()]:
+        sub = raw.filter(F.col("document_type") == dtype)
+        texts = load_binary_as_text(sub, dtype)
+        parts.append(
+            sub.select("id", "name", "document_type").join(texts, "id").select("id", "name", "text", "document_type")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.withColumn("content_hash", F.md5("text")).withColumn(
+        "id", content_id(F.col("content_hash"), F.lit(owner_id))
+    )
+    return out.withColumn("dataset_id", F.lit(dataset_id)).dropDuplicates(["id"])
+
+
+# ---------------------------------------------------------------------------
+# ST2 — incremental loading
+# ---------------------------------------------------------------------------
+
+
+class PipelineRuns:
+    """Run-state bookkeeping (check_pipeline_run_qualification.py:17-59):
+    a dataset whose latest run is STARTED/COMPLETED is skipped; data rows whose
+    content hash was already processed are filtered with an anti-join."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.path = os.path.join(root, "pipeline_runs")
+        self.processed_path = os.path.join(root, "processed_hashes")
+
+    def status(self, dataset_id: str, pipeline_name: str) -> str | None:
+        if not os.path.exists(self.path):
+            return None
+        df = self.spark.read.parquet(self.path)
+        row = (
+            df.filter((F.col("dataset_id") == dataset_id) & (F.col("pipeline_name") == pipeline_name))
+            .orderBy(F.col("seq").desc())
+            .first()
+        )
+        return row["status"] if row else None
+
+    def log(self, dataset_id: str, pipeline_name: str, status: str) -> None:
+        seq = 0
+        if os.path.exists(self.path):
+            seq = self.spark.read.parquet(self.path).agg(F.max("seq")).first()[0] + 1
+        self.spark.createDataFrame(
+            [(dataset_id, pipeline_name, status, seq)], ["dataset_id", "pipeline_name", "status", "seq"]
+        ).write.mode("append").parquet(self.path)
+
+    def mark_processed(self, data: DataFrame) -> None:
+        data.select("content_hash").distinct().write.mode("append").parquet(self.processed_path)
+
+    def unprocessed(self, data: DataFrame) -> DataFrame:
+        """Anti-join new data against the processed-hash set — incremental
+        cognify reprocesses only new content."""
+        if not os.path.exists(self.processed_path):
+            return data
+        seen = self.spark.read.parquet(self.processed_path)
+        return data.join(seen, "content_hash", "left_anti")
+
+    def should_run(self, dataset_id: str, pipeline_name: str, incremental: bool = True) -> bool:
+        if not incremental:
+            return True
+        return self.status(dataset_id, pipeline_name) not in ("STARTED", "COMPLETED")

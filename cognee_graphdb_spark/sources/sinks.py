@@ -1,0 +1,156 @@
+"""Sinks: graph/vector upsert (S6/S7), relationship ledger (S9), storage
+layout (S8).
+
+The reference MERGEs nodes/edges in batches into Kuzu (adapter.py:382-449,
+679-732) and merge-inserts vectors into LanceDB (LanceDBAdapter.py:147-202),
+with an audit ledger per mutation (graph_db_interface.py:22-134).
+
+Spark-first: tables live as parquet snapshot directories; an upsert is an
+anti-join + union rewritten atomically (write-new-snapshot, swap).  On a real
+lakehouse the same plans run as ``MERGE INTO`` on Delta/Iceberg — the logic
+below IS the merge condition (match on id / (src,dst,relationship_name)), so
+swapping the writer is a storage concern, not a plan change.  Paths may be
+``s3a://`` URIs (S8) — the snapshot-swap then relies on the object store's
+atomic rename semantics or a table format; local paths use os.rename.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODE_KEY = ["id"]
+EDGE_KEY = ["src", "dst", "relationship_name"]
+EMBEDDING_KEY = ["collection", "id"]
+
+_KEYS = {"nodes": NODE_KEY, "edges": EDGE_KEY, "embeddings": EMBEDDING_KEY}
+
+
+class GraphStore:
+    """Persistent nodes/edges/embeddings with MERGE-upsert + audit ledger."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def load(self, table: str) -> DataFrame | None:
+        p = self._path(table)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _swap_write(self, table: str, df: DataFrame) -> None:
+        """Write a new snapshot then atomically swap it in (Delta-MERGE
+        stand-in; the read side never sees a half-written table)."""
+        p = self._path(table)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(p):
+            old = f"{p}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(p, old)
+            os.rename(tmp, p)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, p)
+
+    def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
+        key = _KEYS[table]
+        incoming = incoming.dropDuplicates(key)
+        existing = self.load(table)
+        if existing is None:
+            merged = incoming
+        else:
+            # MERGE: matched rows take the incoming version (update), the rest
+            # of the existing table is kept (the NOT MATCHED ... INSERT half)
+            kept = existing.join(incoming.select(*key), key, "left_anti")
+            merged = kept.unionByName(incoming, allowMissingColumns=True)
+        self._swap_write(table, merged)
+        self.append_ledger(f"upsert_{table}", incoming.select(F.concat_ws("|", *key).alias("id")), created_by)
+
+    def upsert_nodes(self, nodes: DataFrame, created_by: str = "add_data_points") -> None:
+        """S6 — MERGE on node id (kuzu adapter.py:382-449)."""
+        self._upsert("nodes", nodes, created_by)
+
+    def upsert_edges(self, edges: DataFrame, created_by: str = "add_data_points") -> None:
+        """S6 — MERGE on (src, dst, relationship_name) (kuzu adapter.py:679-732)."""
+        self._upsert("edges", edges, created_by)
+
+    def upsert_embeddings(self, embeddings: DataFrame, created_by: str = "index_data_points") -> None:
+        """S7 — merge_insert by (collection, id) (LanceDBAdapter.py:147-202)."""
+        self._upsert("embeddings", embeddings, created_by)
+
+    # -- S9: append-only relationship ledger ---------------------------------
+
+    def append_ledger(self, op: str, ids: DataFrame, created_by: str) -> None:
+        """Audit row per mutation (graph_db_interface.py:22-134)."""
+        rows = ids.select(
+            F.lit(op).alias("op"),
+            F.col("id").cast("string").alias("id"),
+            F.lit(created_by).alias("created_by"),
+            F.lit(int(time.time())).alias("at"),
+        )
+        rows.write.mode("append").parquet(os.path.join(self.root, "ledger"))
+
+    def ledger(self) -> DataFrame | None:
+        p = os.path.join(self.root, "ledger")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    # -- FEEDBACK weight mutation --------------------------------------------
+
+    def apply_feedback_weight(self, node_ids: list[str], weight: int) -> None:
+        """Add ``weight`` to the feedback_weight property of every
+        used_graph_element_to_answer edge pointing at ``node_ids``
+        (kuzu adapter.py:1724-1760)."""
+        edges = self.load("edges")
+        if edges is None:
+            return
+        if "properties" not in edges.columns:
+            edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
+        target = (F.col("relationship_name") == "used_graph_element_to_answer") & F.col("dst").isin(node_ids)
+        props = F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>"))
+        current = F.coalesce(F.element_at(props, "feedback_weight").cast("double"), F.lit(0.0))
+        updated_props = F.map_concat(
+            F.map_filter(props, lambda k, _: k != F.lit("feedback_weight")),
+            F.create_map(F.lit("feedback_weight"), (current + weight).cast("string")),
+        )
+        out = edges.withColumn("properties", F.when(target, updated_props).otherwise(F.col("properties")))
+        self._swap_write("edges", out)
+        self.append_ledger(
+            "apply_feedback_weight",
+            self.spark.createDataFrame([(i,) for i in node_ids], ["id"]),
+            "user_qa_feedback",
+        )
+
+
+def flatten_edge_weights(edges: DataFrame) -> DataFrame:
+    """Edge weight model: scalar ``weight`` + named multi-weights become
+    ``weight_<name>`` properties (Edge.py:5-26 flattened at
+    expand_with_nodes_and_edges.py:53-74).  Input may carry ``weight`` double
+    and/or ``weights`` map<string,double>; output folds both into the
+    string-typed properties map."""
+    empty = F.create_map().cast("map<string,string>")
+    props = F.coalesce(F.col("properties"), empty) if "properties" in edges.columns else empty
+    drop = []
+    if "weight" in edges.columns:
+        props = F.when(
+            F.col("weight").isNotNull(),
+            F.map_concat(props, F.create_map(F.lit("weight"), F.col("weight").cast("string"))),
+        ).otherwise(props)
+        drop.append("weight")
+    if "weights" in edges.columns:
+        named = F.transform_values(
+            F.coalesce(F.col("weights"), F.create_map().cast("map<string,double>")), lambda _, v: v.cast("string")
+        )
+        named = F.transform_keys(named, lambda k, _: F.concat(F.lit("weight_"), k))
+        props = F.map_concat(props, named)
+        drop.append("weights")
+    return edges.withColumn("properties", props).drop(*drop)

@@ -1,0 +1,179 @@
+"""Ingest (S1-S3), sinks (S6/S7/S9), incremental (ST2), feedback, streaming
+(ST1), ontology (U12), multimodal plumbing — lifecycle tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.sources.ingest import PipelineRuns, classify_documents, ingest_texts
+from cognee_graphdb_spark.sources.sinks import GraphStore, flatten_edge_weights
+
+
+def test_classify_documents(spark):
+    df = spark.createDataFrame(
+        [("a.txt",), ("b.pdf",), ("c.mp3",), ("d.png",), ("noext",)], ["name"]
+    )
+    out = {r["name"]: r["document_type"] for r in classify_documents(df).collect()}
+    assert out == {
+        "a.txt": "TextDocument",
+        "b.pdf": "PdfDocument",
+        "c.mp3": "AudioDocument",
+        "d.png": "ImageDocument",
+        "noext": "TextDocument",
+    }
+
+
+def test_ingest_dedup_by_content_hash(spark):
+    items = [("a.txt", "same content"), ("b.txt", "same content"), ("c.txt", "other content")]
+    out = ingest_texts(spark, items)
+    assert out.count() == 2  # duplicate content collapses (ingest_data.py:93-96)
+    again = ingest_texts(spark, items)
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}  # deterministic ids
+
+
+def test_graph_store_upsert_and_ledger(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "store"))
+    n1 = spark.createDataFrame([("a", "A", "T"), ("b", "B", "T")], ["id", "name", "type"])
+    store.upsert_nodes(n1)
+    # update a + insert c — MERGE semantics
+    n2 = spark.createDataFrame([("a", "A2", "T"), ("c", "C", "T")], ["id", "name", "type"])
+    store.upsert_nodes(n2)
+    got = {r["id"]: r["name"] for r in store.load("nodes").collect()}
+    assert got == {"a": "A2", "b": "B", "c": "C"}
+    ops = {r["op"] for r in store.ledger().collect()}
+    assert ops == {"upsert_nodes"}
+    assert store.ledger().count() == 4  # 2 + 2 audited rows
+
+
+def test_add_cognify_search_roundtrip_no_duplicates(spark, tmp_path):
+    """The reference's test_deduplication invariant: add -> cognify twice ->
+    no duplicate nodes (content-addressed ids + MERGE upsert)."""
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+
+    store = GraphStore(spark, str(tmp_path / "store2"))
+    docs = ingest_texts(spark, [("a.txt", "Apache Spark processes data. Spark scales out.")])
+    for _ in range(2):
+        res = cognify_documents(docs.select(F.col("id").alias("doc_id"), "text"))
+        store.upsert_nodes(res.nodes)
+        store.upsert_edges(res.edges)
+        store.upsert_embeddings(res.embeddings)
+    nodes = store.load("nodes")
+    assert nodes.count() == nodes.select("id").distinct().count()
+    edges = store.load("edges")
+    assert edges.count() == edges.select("src", "dst", "relationship_name").distinct().count()
+    # and the second run added nothing new
+    assert store.load("embeddings").count() == store.load("embeddings").select("collection", "id").distinct().count()
+
+
+def test_incremental_pipeline_runs(spark, tmp_path):
+    pr = PipelineRuns(spark, str(tmp_path / "runs"))
+    assert pr.should_run("ds1", "cognify")
+    pr.log("ds1", "cognify", "STARTED")
+    assert not pr.should_run("ds1", "cognify")
+    pr.log("ds1", "cognify", "COMPLETED")
+    assert not pr.should_run("ds1", "cognify")
+    assert pr.should_run("ds1", "cognify", incremental=False)
+
+    data = ingest_texts(spark, [("a.txt", "alpha"), ("b.txt", "beta")])
+    pr.mark_processed(data)
+    more = ingest_texts(spark, [("a.txt", "alpha"), ("c.txt", "gamma")])
+    fresh = pr.unprocessed(more)
+    assert [r["name"] for r in fresh.collect()] == ["c.txt"]
+
+
+def test_feedback_roundtrip(spark, tmp_path):
+    from cognee_graphdb_spark.plans.feedback import add_feedback, last_k_interactions, save_interaction
+
+    store = GraphStore(spark, str(tmp_path / "fb"))
+    t_old = spark.createDataFrame([("n1", "n2", "rel")], ["src", "dst", "relationship_name"])
+    t_new = spark.createDataFrame([("n3", "n4", "rel")], ["src", "dst", "relationship_name"])
+    iid = save_interaction(store, spark, "what is spark?", "an engine", t_old, created_at=100)
+    save_interaction(store, spark, "newer question", "newer answer", t_new, created_at=200)
+    last = [r["id"] for r in last_k_interactions(store, 1).collect()]
+    assert len(last) == 1 and last[0] != iid  # newest first (W4)
+
+    out = add_feedback(store, spark, "this was a great helpful correct answer", last_k=1)
+    assert out["score"] == 3
+    edges = store.load("edges")
+    fb_edges = edges.filter(F.col("relationship_name") == "gives_feedback_to")
+    assert fb_edges.count() == 1
+    # only the NEWEST interaction's elements (n3, n4) get weighted — last_k=1
+    weighted = edges.filter(F.col("properties")["feedback_weight"].isNotNull())
+    assert {r["dst"] for r in weighted.collect()} == {"n3", "n4"}
+    assert {float(r["properties"]["feedback_weight"]) for r in weighted.collect()} == {3.0}
+
+
+def test_flatten_edge_weights(spark):
+    df = spark.createDataFrame(
+        [("a", "b", "r", 0.5, {"trust": 0.9})],
+        "src string, dst string, relationship_name string, weight double, weights map<string,double>",
+    )
+    out = flatten_edge_weights(df).collect()[0]
+    assert out["properties"]["weight"] == "0.5"
+    assert out["properties"]["weight_trust"] == "0.9"
+
+
+def test_streaming_cognify(spark, tmp_path):
+    from cognee_graphdb_spark.streaming.pipeline import cognify_stream
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    store = GraphStore(spark, str(tmp_path / "stream_store"))
+    with open(src / "batch1.json", "w") as f:
+        f.write(json.dumps({"doc_id": "1", "text": "Spark streams data. Streams are incremental."}) + "\n")
+        f.write(json.dumps({"doc_id": "2", "text": "DuckDB scans parquet files quickly."}) + "\n")
+    q = cognify_stream(spark, str(src), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    nodes1 = store.load("nodes").count()
+    assert nodes1 > 0
+    # second file with one duplicate doc -> idempotent upsert, only new content adds nodes
+    with open(src / "batch2.json", "w") as f:
+        f.write(json.dumps({"doc_id": "1", "text": "Spark streams data. Streams are incremental."}) + "\n")
+    q2 = cognify_stream(spark, str(src), store, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert store.load("nodes").count() == nodes1
+    nodes = store.load("nodes")
+    assert nodes.count() == nodes.select("id").distinct().count()
+
+
+def test_ontology_resolution(spark):
+    from cognee_graphdb_spark.sources.ontology import OntologyResolver
+
+    r = OntologyResolver(
+        individuals={"Apache Spark": "Engine", "DuckDB": "Database"},
+        subclasses={"Engine": "Software", "Database": "Software"},
+    )
+    ents = spark.createDataFrame(
+        [("apache_spark",), ("apache_spark_engine",), ("unknown_thing",)], ["name"]
+    )
+    out = {r2["name"]: (r2["ontology_class"], r2["ontology_valid"]) for r2 in r.resolve_entities(ents).collect()}
+    assert out["apache_spark"] == ("Engine", True)  # exact normalized match
+    assert out["apache_spark_engine"] == ("Engine", True)  # prefix fuzzy match
+    assert out["unknown_thing"] == (None, False)
+    nodes, edges = r.class_edges(spark)
+    assert nodes.count() == 3
+    assert edges.count() == 2
+
+
+def test_multimodal_plumbing(spark):
+    from cognee_graphdb_spark.operators.multimodal import extract_features, frame_sample_plan, resize_plan
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"imgbytes"), "image/png", 1024, 768, None),
+            ("m2", "video", bytearray(b"vidbytes"), "video/mp4", 1920, 1080, 3500),
+        ],
+        "media_id string, kind string, content binary, mime_type string, width int, height int, duration_ms long",
+    )
+    feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    assert len(feats["m1"]) == 8
+    again = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    assert feats == again  # deterministic fake decode
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_offset_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    rs = {r["media_id"]: (r["target_width"], r["target_height"]) for r in resize_plan(media, 512).collect()}
+    assert rs["m1"] == (512, 384)
+    with pytest.raises(Exception):
+        extract_features(media, dim=8, deterministic_fake=False).collect()
