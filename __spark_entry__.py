@@ -635,6 +635,163 @@ def _q_a2_components(spark, sf_dir):
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
 
 
+
+def _q_w2_lexical_chunks(spark, sf_dir):
+    from cognee_graphdb_spark.plans.search_types import GraphContext, lexical_chunks
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("chunk_id"), "text")
+    ctx = GraphContext(nodes=docs.limit(0), edges=docs.limit(0), embeddings=docs.limit(0), chunks=docs)
+    out = lexical_chunks(ctx, "the fast table scan merge join spark", k=10)
+    return out.select("chunk_id", F.round("score", 6).alias("score"))
+
+
+def _q_cypher_passthrough(spark, sf_dir):
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "SELECT n.name AS src_table, e.relationship_name, count(*) AS n "
+        "FROM edges e JOIN nodes n ON e.src = n.id GROUP BY n.name, e.relationship_name",
+    )
+
+
+def _q_natural_language(spark, sf_dir):
+    from cognee_graphdb_spark.plans.search_types import GraphContext, natural_language_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return natural_language_search(spark, ctx, "show me every TableType node")
+
+
+def _q_insights_exact(spark, sf_dir):
+    from cognee_graphdb_spark.plans.search_types import GraphContext, insights
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return insights(ctx, "nation:7")
+
+
+def _temporal_docs(spark, sf_dir):
+    # bounded to 2000 events: the plan shape is what matters, and the oracle
+    # runs this at sf0.01 where the full 10k-doc extraction dominates runtime
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+    return ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("user "), F.col("user_id").cast("string"),
+            F.lit(" did "), F.col("event_type"),
+            F.lit(" on "), F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("text"),
+    )
+
+
+def _q_temporal_search(spark, sf_dir):
+    from cognee_graphdb_spark.plans.search_types import GraphContext
+    from cognee_graphdb_spark.plans.search_types import temporal_context
+    from cognee_graphdb_spark.plans.temporal_graph import cognify_temporal
+
+    _utc(spark)
+    tg = cognify_temporal(_temporal_docs(spark, sf_dir))
+    ctx = GraphContext(nodes=tg.nodes, edges=tg.edges, embeddings=tg.embeddings)
+    out = temporal_context(ctx, "what happened between 2024-01-10 and 2024-01-20?", k=1000000)
+    return out.select("id", "name")
+
+
+def _q_s1_ingest(spark, sf_dir):
+    from cognee_graphdb_spark.sources.ingest import ingest_dataframe
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("name"), "text"
+    )
+    return ingest_dataframe(docs).select("id", "name", "document_type", "content_hash")
+
+
+def _q_s3_classify(spark, sf_dir):
+    from cognee_graphdb_spark.sources.ingest import classify_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("f"),
+            F.col("doc_id").cast("string"),
+            F.element_at(F.array(F.lit(".txt"), F.lit(".pdf"), F.lit(".mp3"), F.lit(".png"), F.lit("")), (F.col("doc_id") % 5 + 1).cast("int")),
+        ).alias("name"),
+    )
+    return classify_documents(docs).select("doc_id", "document_type")
+
+
+def _q_edge_weights_flatten(spark, sf_dir):
+    from cognee_graphdb_spark.sources.sinks import flatten_edge_weights
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data — take
+    # min() per key so both engines agree on the surviving weight values
+    edges = (
+        li.select(
+            F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")).alias("src"),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("dst"),
+            "l_discount",
+            "l_quantity",
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("l_discount").alias("weight_v"), F.min("l_quantity").alias("qty_v"))
+        .select(
+            "src",
+            "dst",
+            F.lit("l_partkey").alias("relationship_name"),
+            F.col("weight_v").alias("weight"),
+            F.map_from_arrays(F.array(F.lit("qty")), F.array(F.col("qty_v"))).alias("weights"),
+        )
+    )
+    out = flatten_edge_weights(edges)
+    return out.select(
+        "src",
+        "dst",
+        F.col("properties")["weight"].alias("weight"),
+        F.col("properties")["weight_qty"].alias("weight_qty"),
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    from cognee_graphdb_spark.operators.multimodal import frame_sample_plan
+
+    ev = _events(spark, sf_dir)
+    media = ev.select(
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("value") * 100).cast("long").alias("duration_ms"),
+    ).filter(F.col("event_id") < 200)
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def _q_resize_plan(spark, sf_dir):
+    from cognee_graphdb_spark.operators.multimodal import resize_plan
+
+    part = _t(spark, sf_dir, "part")
+    media = part.select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        (F.col("p_size") * 40).cast("int").alias("width"),
+        (F.col("p_size") * 25).cast("int").alias("height"),
+    )
+    return resize_plan(media, max_side=512)
+
+
+_ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
+
+
+def _q_ontology_resolve(spark, sf_dir):
+    from cognee_graphdb_spark.sources.ontology import OntologyResolver
+
+    r = OntologyResolver(individuals=dict(_ONTO_INDIVIDUALS))
+    ents = _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_mktsegment").alias("name"))
+    out = r.resolve_entities(ents)
+    return out.select("c_custkey", "name", "ontology_class", "ontology_valid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s4_node_counts": _q_s4_node_counts,
@@ -683,6 +840,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_last_k_interactions": _q_w4_last_k,
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
+        "w2_lexical_chunks": _q_w2_lexical_chunks,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "natural_language_search": _q_natural_language,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "u12_ontology_resolve": _q_ontology_resolve,
         # rows-only (pandas-UDF / iterative plans — no SQL restatement)
         "f1_f4_chunking": _q_chunking,
         "cognify_node_counts": _q_cognify_counts,
@@ -1142,5 +1310,121 @@ qb AS (SELECT {qb.replace('(embedding::DOUBLE[])', 'qv')} AS b FROM q)
 SELECT e.vec_id, round({cosd_q.replace('e.v', 'e.v')}, 6) AS distance
 FROM e, q, qb WHERE e.bucket = qb.b
 ORDER BY {cosd_q}, e.vec_id LIMIT 10"""
+
+
+    sql["w2_lexical_chunks"] = """
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^0-9a-zA-Z_]+'), x -> x != '')) AS toks
+  FROM documents
+),
+q AS (SELECT ['the', 'fast', 'table', 'scan', 'merge', 'join', 'spark'] AS qt),
+scored AS (
+  SELECT chunk_id,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains(q.qt, x))) * 1.0 /
+                   (len(toks) + 7 - len(list_filter(toks, x -> list_contains(q.qt, x))))
+         END AS s
+  FROM c, q
+)
+SELECT chunk_id, round(s, 6) AS score FROM scored ORDER BY s DESC, chunk_id ASC LIMIT 10"""
+
+    sql["cypher_passthrough"] = f"""WITH {g}
+SELECT n.name AS src_table, e.relationship_name, count(*) AS n
+FROM edges e JOIN nodes n ON e.src = n.id GROUP BY n.name, e.relationship_name"""
+
+    sql["natural_language_search"] = f"""WITH {g}
+SELECT id, name, type FROM nodes WHERE type = 'TableType' ORDER BY id LIMIT 20"""
+
+    sql["insights_exact_node"] = f"""WITH {g},
+incident AS (
+  SELECT src, dst, relationship_name FROM edges WHERE src = 'nation:7'
+  UNION ALL SELECT src, dst, relationship_name FROM edges WHERE dst = 'nation:7'
+)
+SELECT DISTINCT i.src, ns.name AS src_name, i.relationship_name, i.dst, nd.name AS dst_name
+FROM incident i JOIN nodes ns ON i.src = ns.id JOIN nodes nd ON i.dst = nd.id"""
+
+    sql["temporal_search_e2e"] = """
+WITH ev AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id,
+         'user ' || CAST(user_id AS VARCHAR) || ' did ' || event_type || ' on' AS name,
+         CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP))) AS BIGINT) AS ts_from
+  FROM events WHERE event_id % 5 = 0
+),
+named AS (
+  SELECT md5(concat_ws(chr(31), 'Event', doc_id, name, CAST(ts_from AS VARCHAR))) AS id, name, ts_from
+  FROM ev
+)
+SELECT DISTINCT id, name FROM named WHERE ts_from BETWEEN 1704844800 AND 1705708800"""
+
+    sql["s1_ingest_identify"] = """
+WITH d AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name, text, md5(text) AS content_hash
+  FROM documents
+),
+idd AS (
+  SELECT md5(concat_ws(chr(31), content_hash, 'default_user')) AS id, name, 'TextDocument' AS document_type, content_hash,
+         row_number() OVER (PARTITION BY md5(concat_ws(chr(31), content_hash, 'default_user')) ORDER BY name) AS rk
+  FROM d
+)
+SELECT id, name, document_type, content_hash FROM idd WHERE rk = 1"""
+
+    sql["s3_classify_documents"] = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'TextDocument'
+            WHEN 1 THEN 'PdfDocument'
+            WHEN 2 THEN 'AudioDocument'
+            WHEN 3 THEN 'ImageDocument'
+            ELSE 'TextDocument'
+       END AS document_type
+FROM documents"""
+
+    sql["edge_weights_flatten"] = """
+WITH e AS (
+  SELECT 'li:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS src,
+         'part:' || CAST(l_partkey AS VARCHAR) AS dst,
+         min(l_discount) AS w, min(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT src, dst, CAST(w AS VARCHAR) AS weight, CAST(q AS VARCHAR) AS weight_qty FROM e"""
+
+    sql["mm_frame_sample"] = """
+WITH m AS (
+  SELECT 'm' || CAST(event_id AS VARCHAR) AS media_id, CAST(floor(value * 100) AS BIGINT) AS duration_ms
+  FROM events WHERE event_id < 200
+)
+SELECT media_id, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_offset_ms FROM m"""
+
+    sql["mm_resize_plan"] = """
+WITH m AS (
+  SELECT 'img' || CAST(p_partkey AS VARCHAR) AS media_id, 'image' AS kind,
+         CAST(p_size * 40 AS INTEGER) AS width, CAST(p_size * 25 AS INTEGER) AS height
+  FROM part
+)
+SELECT media_id, kind,
+       CAST(floor(width * (CASE WHEN greatest(width, height) > 512 THEN 512 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END)) AS INTEGER) AS target_width,
+       CAST(floor(height * (CASE WHEN greatest(width, height) > 512 THEN 512 / CAST(greatest(width, height) AS DOUBLE) ELSE 1.0 END)) AS INTEGER) AS target_height
+FROM m"""
+
+    sql["u12_ontology_resolve"] = """
+WITH e AS (
+  SELECT c_custkey, c_mktsegment AS name,
+         regexp_replace(trim(lower(c_mktsegment)), '[^a-z0-9]+', '_', 'g') AS norm
+  FROM customer
+),
+resolved AS (
+  SELECT c_custkey, name,
+         CASE
+              WHEN norm = 'building' THEN 'Structure'\n              WHEN norm = 'house' THEN 'Structure'\n              WHEN norm = 'machine' THEN 'Equipment'\n              WHEN norm = 'auto' THEN 'Vehicle'\n              ELSE NULL
+         END AS exact_cls,
+         CASE
+              WHEN norm LIKE 'building%' THEN 'Structure'\n              WHEN norm LIKE 'machine%' THEN 'Equipment'\n              WHEN norm LIKE 'house%' THEN 'Structure'\n              WHEN norm LIKE 'auto%' THEN 'Vehicle'\n              ELSE NULL
+         END AS prefix_cls
+  FROM e
+)
+SELECT c_custkey, name, coalesce(exact_cls, prefix_cls) AS ontology_class,
+       coalesce(exact_cls, prefix_cls) IS NOT NULL AS ontology_valid
+FROM resolved"""
 
     return sql

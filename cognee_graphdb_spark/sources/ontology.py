@@ -61,28 +61,31 @@ class OntologyResolver:
                 "ontology_valid", F.lit(False)
             )
         onto = spark.createDataFrame(list(mapping.items()), ["onto_name", "ontology_class"])
-        norm = normalize_name(F.col(name_col))
-        exact = entities.withColumn("_norm", norm).join(
+        # resolve DISTINCT normalized names first (the match table stays tiny at
+        # any corpus size), then broadcast the name->class map back onto the rows
+        norms = entities.select(normalize_name(F.col(name_col)).alias("_norm")).distinct()
+        exact = norms.join(
             F.broadcast(onto.withColumnRenamed("onto_name", "_norm")), "_norm", "left"
         )
-        # prefix fallback for unmatched rows: longest individual that prefixes the name
-        unmatched = exact.filter(F.col("ontology_class").isNull()).drop("ontology_class")
-        prefix = F.broadcast(onto)
+        unmatched = exact.filter(F.col("ontology_class").isNull()).select("_norm")
+        # prefix fallback: longest individual that prefixes the name wins
         fuzzy = (
-            unmatched.join(prefix, F.col("_norm").startswith(F.col("onto_name")), "left")
+            unmatched.join(F.broadcast(onto), F.col("_norm").startswith(F.col("onto_name")), "left")
             .withColumn(
                 "_rank",
                 F.row_number().over(
-                    Window.partitionBy("_norm", name_col).orderBy(
+                    Window.partitionBy("_norm").orderBy(
                         F.length(F.col("onto_name")).desc(), F.col("onto_name").asc()
                     )
                 ),
             )
             .filter(F.col("_rank") == 1)
-            .drop("_rank", "onto_name")
+            .select("_norm", "ontology_class")
         )
-        matched = exact.filter(F.col("ontology_class").isNotNull())
-        out = matched.unionByName(fuzzy, allowMissingColumns=True)
+        match_map = exact.filter(F.col("ontology_class").isNotNull()).unionByName(fuzzy)
+        out = entities.withColumn("_norm", normalize_name(F.col(name_col))).join(
+            F.broadcast(match_map), "_norm", "left"
+        )
         return out.withColumn("ontology_valid", F.col("ontology_class").isNotNull()).drop("_norm")
 
     def class_edges(self, spark) -> tuple[DataFrame, DataFrame]:
