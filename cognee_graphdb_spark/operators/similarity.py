@@ -41,6 +41,73 @@ def hyperplane_bucket(vec: Column, bits: int, dim: int) -> Column:
     return bucket
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int = _SEED,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: seeded KMeans centroids + per-row list
+    assignment.  The scale path for ANN when hyperplane-LSH recall is not
+    enough: write the assigned table partitioned by ``list_id`` and a probe
+    becomes an ``nprobe``-partition scan.
+
+    Returns (assigned DataFrame with ``list_id``, centroids).  Training runs
+    on a bounded sample — centroid quality needs no full pass at 100 TB.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
+    frac = min(1.0, 100_000 / max(train.count(), 1))
+    if frac < 1.0:
+        train = train.sample(fraction=frac, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, initMode="k-means||").fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # assignment as a pure expression (argmin over centroid distances) so the
+    # bucketed table is reproducible without shipping the model
+    dists = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vector_col).cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    assigned = embeddings.withColumn("list_id", F.array_min(F.array(*dists))["i"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: scan only the ``nprobe`` lists whose centroids are closest to
+    the query; exact cosine re-rank within them.  recall < 1 by design; raise
+    nprobe toward n_lists for exactness."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
+    q = np.asarray(query_vector, dtype=np.float64)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    probe = [int(i) for i in order[:nprobe]]
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -50,10 +50,15 @@ class GraphStore:
 
     def _swap_write(self, table: str, df: DataFrame) -> None:
         """Write a new snapshot then atomically swap it in (Delta-MERGE
-        stand-in; the read side never sees a half-written table)."""
+        stand-in; the read side never sees a half-written table).  Tables
+        carrying ``dataset_id`` are partitioned by it — the reference's
+        DB-per-dataset multi-tenancy becomes partition pruning (search.py:322)."""
         p = self._path(table)
         tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if "dataset_id" in df.columns:
+            writer = writer.partitionBy("dataset_id")
+        writer.parquet(tmp)
         if os.path.exists(p):
             old = f"{p}.old-{uuid.uuid4().hex[:8]}"
             os.rename(p, old)
@@ -103,6 +108,48 @@ class GraphStore:
     def ledger(self) -> DataFrame | None:
         p = os.path.join(self.root, "ledger")
         return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    # -- delete / prune (the reference's api/v1/delete + api/v1/prune) -------
+
+    def delete_nodes(self, ids: DataFrame, created_by: str = "delete") -> None:
+        """Remove the given node ids, their incident edges, and their vector
+        rows — the apply step of a J7 cascade set (api/v1/delete/delete.py)."""
+        ids = ids.select("id").distinct()
+        nodes = self.load("nodes")
+        if nodes is not None:
+            self._swap_write("nodes", nodes.join(ids, "id", "left_anti"))
+        edges = self.load("edges")
+        if edges is not None:
+            kept = (
+                edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .select(*edges.columns)
+            )
+            self._swap_write("edges", kept)
+        emb = self.load("embeddings")
+        if emb is not None:
+            self._swap_write("embeddings", emb.join(ids, "id", "left_anti"))
+        self.append_ledger("delete_nodes", ids, created_by)
+
+    def delete_document(self, document_id: str) -> int:
+        """Cascade delete: J7 delete-set over the stored graph, then apply.
+        Shared entities survive (operators/graph_joins.py:cascade_delete_set).
+        Returns the number of deleted nodes."""
+        from cognee_graphdb_spark.operators.graph_joins import cascade_delete_set
+
+        nodes, edges = self.load("nodes"), self.load("edges")
+        if nodes is None or edges is None:
+            return 0
+        delete_set = cascade_delete_set(nodes, edges, document_id).localCheckpoint(eager=True)
+        n = delete_set.count()
+        if n:
+            self.delete_nodes(delete_set, created_by="delete_document")
+        return n
+
+    def prune(self) -> None:
+        """Full reset (api/v1/prune): drop every table including the ledger."""
+        for t in ("nodes", "edges", "embeddings", "ledger"):
+            shutil.rmtree(self._path(t), ignore_errors=True)
 
     # -- FEEDBACK weight mutation --------------------------------------------
 
