@@ -49,9 +49,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
     small-star: every neighbor v <= u links to min(N(u) ∪ {u}).
     At the fixpoint every node points directly at its component root.
     """
+    # hash BEFORE the dedup shuffle: distinct on 8-byte longs, not id strings
     e = (
-        _sym_edges(edges)
+        undirected(edges)
         .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)  # round 0 fans out to 4 consumers — materialize once
     )
     prev_stats = None
