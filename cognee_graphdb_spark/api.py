@@ -1,0 +1,170 @@
+"""Top-level API mirroring the reference's entry points (SURVEY.md §3):
+``add`` → ``cognify`` → ``search(SearchType, ...)`` plus ``delete``/``prune``.
+
+A user of the reference drives it as::
+
+    await cognee.add(texts); await cognee.cognify()
+    await cognee.search(query_type=SearchType.GRAPH_COMPLETION, query_text=q)
+
+Here the same lifecycle is synchronous Spark jobs over a persistent
+:class:`GraphStore`::
+
+    engine = CogneeSpark(spark, "/data/store")
+    engine.add([("a.txt", "....")])
+    engine.cognify()
+    engine.search("GRAPH_COMPLETION", "what relates to spark?")
+
+Every search type routes through plans/search_types.py; ``only_context=True``
+returns the retrieval half without the completion, exactly as the reference's
+``get_context`` tools (search.py:339-340).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+from cognee_graphdb_spark.sources.ingest import PipelineRuns, ingest_texts
+from cognee_graphdb_spark.sources.sinks import GraphStore
+
+SEARCH_TYPES = (
+    "CHUNKS", "SUMMARIES", "RAG_COMPLETION", "GRAPH_COMPLETION",
+    "GRAPH_SUMMARY_COMPLETION", "GRAPH_COMPLETION_COT",
+    "GRAPH_COMPLETION_CONTEXT_EXTENSION", "INSIGHTS", "TEMPORAL",
+    "CHUNKS_LEXICAL", "CYPHER", "NATURAL_LANGUAGE", "CODE", "FEEDBACK",
+    "FEELING_LUCKY", "CODING_RULES",
+)
+
+
+class CogneeSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dataset_id: str = "main_dataset",
+        gateway: MockLLMGateway | None = None,
+        embed_dim: int = 64,
+    ):
+        self.spark = spark
+        self.store = GraphStore(spark, root)
+        self.runs = PipelineRuns(spark, root)
+        self.dataset_id = dataset_id
+        self.gateway = gateway or MockLLMGateway()
+        self.embed_dim = embed_dim
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def add(self, items: list[tuple[str, str]]) -> DataFrame:
+        """S1 — ingest (name, text) items; returns the Data rows (deduped by
+        content hash, so re-adding is a no-op)."""
+        data = ingest_texts(self.spark, items, dataset_id=self.dataset_id)
+        self.store.upsert_data(data)
+        return data
+
+    def cognify(self, incremental: bool = True, temporal: bool = False) -> int:
+        """Build the graph from unprocessed Data rows.  Returns the number of
+        documents processed (0 when incremental skip applies — ST2)."""
+        pipeline = "cognify_temporal" if temporal else "cognify"
+        data = self.store.load("data")
+        if data is None:
+            return 0
+        fresh = self.runs.unprocessed(data) if incremental else data
+        n = fresh.count()
+        if n == 0:
+            return 0
+        self.runs.log(self.dataset_id, pipeline, "STARTED")
+        docs = fresh.select(F.col("id").alias("doc_id"), "text")
+        if temporal:
+            from cognee_graphdb_spark.plans.temporal_graph import cognify_temporal
+
+            tg = cognify_temporal(docs, gateway=self.gateway, embed_dim=self.embed_dim)
+            nodes, edges, embeddings = tg.nodes, tg.edges, tg.embeddings
+        else:
+            from cognee_graphdb_spark.plans.cognify import cognify_documents
+
+            res = cognify_documents(docs, gateway=self.gateway, embed_dim=self.embed_dim)
+            nodes, edges, embeddings = res.nodes, res.edges, res.embeddings
+        self.store.upsert_nodes(nodes, created_by=pipeline)
+        self.store.upsert_edges(edges, created_by=pipeline)
+        self.store.upsert_embeddings(embeddings, created_by=pipeline)
+        self.runs.mark_processed(fresh)
+        self.runs.log(self.dataset_id, pipeline, "COMPLETED")
+        return n
+
+    def delete(self, document_id: str) -> int:
+        return self.store.delete_document(document_id)
+
+    def prune(self) -> None:
+        self.store.prune()
+
+    # -- search --------------------------------------------------------------
+
+    def _ctx(self):
+        from cognee_graphdb_spark.plans.search_types import GraphContext
+
+        nodes = self.store.load("nodes")
+        edges = self.store.load("edges")
+        embeddings = self.store.load("embeddings")
+        if nodes is None or edges is None or embeddings is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        return GraphContext(
+            nodes=nodes,
+            edges=edges,
+            embeddings=embeddings,
+            gateway=self.gateway,
+            embed_dim=self.embed_dim,
+        )
+
+    def search(self, query_type: str, query_text: str, top_k: int = 5, only_context: bool = False):
+        """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
+
+        Completion types return str (or DataFrame context when
+        ``only_context``); retrieval types return DataFrames."""
+        from cognee_graphdb_spark.plans import search_types as st
+
+        ctx = self._ctx()
+        qt = query_type.upper()
+        if qt not in SEARCH_TYPES:
+            raise ValueError(f"unsupported search type {query_type!r}")
+        if qt == "CHUNKS":
+            return st.search_chunks(ctx, query_text, top_k)
+        if qt == "SUMMARIES":
+            return st.search_summaries(ctx, query_text, top_k)
+        if qt == "RAG_COMPLETION":
+            if only_context:
+                return st.search_chunks(ctx, query_text, top_k)
+            return st.rag_completion(ctx, query_text)
+        if qt == "GRAPH_COMPLETION":
+            if only_context:
+                return st.graph_completion_context(ctx, query_text, top_k)
+            return st.graph_completion(ctx, query_text, top_k)
+        if qt == "GRAPH_SUMMARY_COMPLETION":
+            return st.graph_summary_completion(ctx, query_text, top_k)
+        if qt == "GRAPH_COMPLETION_COT":
+            answer, triplets = st.graph_completion_cot(ctx, query_text, top_k)
+            return triplets if only_context else answer
+        if qt == "GRAPH_COMPLETION_CONTEXT_EXTENSION":
+            answer, triplets = st.graph_completion_context_extension(ctx, query_text, top_k)
+            return triplets if only_context else answer
+        if qt == "INSIGHTS":
+            return st.insights(ctx, query_text, top_k)
+        if qt == "TEMPORAL":
+            return st.temporal_context(ctx, query_text, top_k)
+        if qt == "CHUNKS_LEXICAL":
+            return st.lexical_chunks(ctx, query_text, top_k)
+        if qt == "CYPHER":
+            return st.cypher_search(self.spark, ctx, query_text)
+        if qt == "NATURAL_LANGUAGE":
+            return st.natural_language_search(self.spark, ctx, query_text)
+        if qt == "CODE":
+            return st.code_search(ctx, query_text, top_k)
+        if qt == "FEEDBACK":
+            from cognee_graphdb_spark.plans.feedback import add_feedback
+
+            return add_feedback(self.store, self.spark, query_text, gateway=self.gateway)
+        if qt == "FEELING_LUCKY":
+            return st.feeling_lucky(self.spark, ctx, query_text)
+        if qt == "CODING_RULES":
+            return st.coding_rules(ctx)
+        raise AssertionError("unreachable")

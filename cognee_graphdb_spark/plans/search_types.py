@@ -202,7 +202,9 @@ def temporal_context(ctx: GraphContext, query: str, k: int = 10) -> DataFrame:
     Timestamp nodes carry ``properties['time_at']``; events link via ``at`` /
     ``during`` edges.  Falls back to triplet search when no interval parses."""
     interval = ctx.gateway.extract_interval(query)
-    if interval is None:
+    # no interval parsed, or a graph without Timestamp properties at all ->
+    # the reference's fallback: plain triplet search (temporal_retriever.py:108-128)
+    if interval is None or "properties" not in ctx.nodes.columns:
         return graph_completion_context(ctx, query, k)
     time_from, time_to = interval
     timestamps = ctx.nodes.filter(F.col("type") == "Timestamp").select(

@@ -28,7 +28,7 @@ NODE_KEY = ["id"]
 EDGE_KEY = ["src", "dst", "relationship_name"]
 EMBEDDING_KEY = ["collection", "id"]
 
-_KEYS = {"nodes": NODE_KEY, "edges": EDGE_KEY, "embeddings": EMBEDDING_KEY}
+_KEYS = {"nodes": NODE_KEY, "edges": EDGE_KEY, "embeddings": EMBEDDING_KEY, "data": ["id"]}
 
 
 class GraphStore:
@@ -42,30 +42,51 @@ class GraphStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _current_version(self, table: str) -> str | None:
+        pointer = os.path.join(self._path(table), "_CURRENT")
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return os.path.join(self._path(table), f.read().strip())
+
     def load(self, table: str) -> DataFrame | None:
-        p = self._path(table)
-        if not os.path.exists(p):
+        p = self._current_version(table)
+        if p is None or not os.path.exists(p):
             return None
         return self.spark.read.parquet(p)
 
     def _swap_write(self, table: str, df: DataFrame) -> None:
-        """Write a new snapshot then atomically swap it in (Delta-MERGE
-        stand-in; the read side never sees a half-written table).  Tables
-        carrying ``dataset_id`` are partitioned by it — the reference's
-        DB-per-dataset multi-tenancy becomes partition pruning (search.py:322)."""
-        p = self._path(table)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        """MVCC snapshot write (Delta-MERGE stand-in): each version is an
+        immutable directory; the ``_CURRENT`` pointer flips atomically, so a
+        lazy plan that captured an old version keeps reading files that never
+        move (Delta's versioned-files model).  ``vacuum()`` reclaims
+        superseded versions.  Tables carrying ``dataset_id`` are partitioned
+        by it — the reference's DB-per-dataset multi-tenancy becomes partition
+        pruning (search.py:322)."""
+        base = self._path(table)
+        os.makedirs(base, exist_ok=True)
+        version = f"v-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if "dataset_id" in df.columns:
             writer = writer.partitionBy("dataset_id")
-        writer.parquet(tmp)
-        if os.path.exists(p):
-            old = f"{p}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(p, old)
-            os.rename(tmp, p)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, p)
+        writer.parquet(os.path.join(base, version))
+        tmp_pointer = os.path.join(base, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp_pointer, "w") as f:
+            f.write(version)
+        os.replace(tmp_pointer, os.path.join(base, "_CURRENT"))
+
+    def vacuum(self) -> None:
+        """Delete every non-current version (callers guarantee no reader
+        still holds a plan over them — Delta's VACUUM contract)."""
+        for table in list(_KEYS):
+            base = self._path(table)
+            current = self._current_version(table)
+            if not os.path.isdir(base):
+                continue
+            for entry in os.listdir(base):
+                full = os.path.join(base, entry)
+                if entry.startswith("v-") and full != current:
+                    shutil.rmtree(full, ignore_errors=True)
 
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
         key = _KEYS[table]
@@ -92,6 +113,10 @@ class GraphStore:
     def upsert_embeddings(self, embeddings: DataFrame, created_by: str = "index_data_points") -> None:
         """S7 — merge_insert by (collection, id) (LanceDBAdapter.py:147-202)."""
         self._upsert("embeddings", embeddings, created_by)
+
+    def upsert_data(self, data: DataFrame, created_by: str = "ingest") -> None:
+        """Data-table MERGE by content-derived id (ingest_data.py:93-96)."""
+        self._upsert("data", data, created_by)
 
     # -- S9: append-only relationship ledger ---------------------------------
 
@@ -147,8 +172,9 @@ class GraphStore:
         return n
 
     def prune(self) -> None:
-        """Full reset (api/v1/prune): drop every table including the ledger."""
-        for t in ("nodes", "edges", "embeddings", "ledger"):
+        """Full reset (api/v1/prune): drop every table including the ledger
+        and ingest/run state."""
+        for t in ("nodes", "edges", "embeddings", "ledger", "data", "pipeline_runs", "processed_hashes"):
             shutil.rmtree(self._path(t), ignore_errors=True)
 
     # -- FEEDBACK weight mutation --------------------------------------------

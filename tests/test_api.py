@@ -1,0 +1,77 @@
+"""Top-level API lifecycle: add -> cognify -> every search type -> delete ->
+prune, the reference's canonical E2E flow (tests/test_library.py shape)."""
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.api import SEARCH_TYPES, CogneeSpark
+
+ITEMS = [
+    ("spark.txt", "Apache Spark processes large datasets. Spark uses distributed executors."),
+    ("duck.txt", "DuckDB is an embedded analytical database. DuckDB executes vectorized queries."),
+    ("events.txt", "The launch happened on 2024-03-05. A summit ran from 2024-03-10 to 2024-03-12."),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    e = CogneeSpark(spark, str(tmp_path_factory.mktemp("api_store")))
+    e.add(ITEMS)
+    assert e.cognify() == 3
+    return e
+
+
+def test_incremental_cognify_skips(engine):
+    assert engine.cognify() == 0  # ST2: nothing new
+    engine.add([("new.txt", "Fresh content arrives later with novel entities.")])
+    assert engine.cognify() == 1  # only the new document
+
+
+def test_all_search_types_run(engine):
+    results = {}
+    for qt in SEARCH_TYPES:
+        if qt == "CYPHER":
+            q = "SELECT id, name, type FROM nodes WHERE type = 'Entity' ORDER BY id LIMIT 5"
+        elif qt == "NATURAL_LANGUAGE":
+            q = "show me every Entity node"
+        elif qt == "TEMPORAL":
+            q = "what happened between 2024-03-01 and 2024-03-31?"
+        elif qt == "FEEDBACK":
+            q = "that was a great helpful answer"
+        else:
+            q = "what uses distributed executors?"
+        results[qt] = engine.search(qt, q)
+    for qt, out in results.items():
+        if isinstance(out, DataFrame):
+            out.collect()  # must execute cleanly
+        elif isinstance(out, str):
+            assert out.startswith("MOCK_COMPLETION"), qt
+    assert isinstance(results["FEEDBACK"], dict)
+    chosen, _ = results["FEELING_LUCKY"]
+    assert chosen in SEARCH_TYPES
+
+
+def test_only_context_returns_triplets(engine):
+    ctx = engine.search("GRAPH_COMPLETION", "spark executors", only_context=True)
+    assert "triplet_score" in ctx.columns
+    assert 0 < len(ctx.collect()) <= 5
+
+
+def test_temporal_variant_and_delete_prune(spark, tmp_path):
+    e = CogneeSpark(spark, str(tmp_path / "t"))
+    e.add(ITEMS)
+    assert e.cognify(temporal=True) == 3
+    ev = e.store.load("nodes").filter(F.col("type") == "Event")
+    assert ev.count() >= 2
+    out = e.search("TEMPORAL", "what happened between 2024-03-01 and 2024-03-31?")
+    assert out.count() >= 2
+
+    e2 = CogneeSpark(spark, str(tmp_path / "d"))
+    e2.add(ITEMS[:2])
+    e2.cognify()
+    doc_id = e2.store.load("nodes").filter(F.col("type") == "TextDocument").first()["id"]
+    assert e2.delete(doc_id) > 0
+    e2.prune()
+    with pytest.raises(RuntimeError):
+        e2.search("CHUNKS", "anything")
