@@ -55,10 +55,13 @@ class CogneeSpark:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def add(self, items: list[tuple[str, str]]) -> DataFrame:
+    def add(self, items: list[tuple[str, str]], node_set: str | None = None) -> DataFrame:
         """S1 — ingest (name, text) items; returns the Data rows (deduped by
-        content hash, so re-adding is a no-op)."""
+        content hash, so re-adding is a no-op).  ``node_set`` tags the items
+        for NodeSet-scoped retrieval (ingest_data.py:117-118): cognify links
+        their document nodes ``belongs_to`` the set."""
         data = ingest_texts(self.spark, items, dataset_id=self.dataset_id)
+        data = data.withColumn("node_set", F.lit(node_set))
         self.store.upsert_data(data)
         return data
 
@@ -85,6 +88,21 @@ class CogneeSpark:
 
             res = cognify_documents(docs, gateway=self.gateway, embed_dim=self.embed_dim)
             nodes, edges, embeddings = res.nodes, res.edges, res.embeddings
+        # NodeSet tagging: doc nodes belongs_to their set (node_set.py model)
+        if "node_set" in fresh.columns:
+            from cognee_graphdb_spark.ids import content_id
+
+            tagged = fresh.filter(F.col("node_set").isNotNull())
+            set_nodes = tagged.select(F.col("node_set").alias("name")).distinct().select(
+                content_id(F.lit("NodeSet"), "name").alias("id"), "name", F.lit("NodeSet").alias("type")
+            )
+            set_edges = tagged.select(
+                F.concat(F.lit("doc:"), F.col("id")).alias("src"),
+                content_id(F.lit("NodeSet"), "node_set").alias("dst"),
+                F.lit("belongs_to").alias("relationship_name"),
+            )
+            nodes = nodes.unionByName(set_nodes, allowMissingColumns=True)
+            edges = edges.unionByName(set_edges, allowMissingColumns=True)
         self.store.upsert_nodes(nodes, created_by=pipeline)
         self.store.upsert_edges(edges, created_by=pipeline)
         self.store.upsert_embeddings(embeddings, created_by=pipeline)
@@ -116,7 +134,14 @@ class CogneeSpark:
             embed_dim=self.embed_dim,
         )
 
-    def search(self, query_type: str, query_text: str, top_k: int = 5, only_context: bool = False):
+    def search(
+        self,
+        query_type: str,
+        query_text: str,
+        top_k: int = 5,
+        only_context: bool = False,
+        save_interaction: bool = False,
+    ):
         """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
 
         Completion types return str (or DataFrame context when
@@ -138,7 +163,15 @@ class CogneeSpark:
         if qt == "GRAPH_COMPLETION":
             if only_context:
                 return st.graph_completion_context(ctx, query_text, top_k)
-            return st.graph_completion(ctx, query_text, top_k)
+            triplets = st.graph_completion_context(ctx, query_text, top_k)
+            from cognee_graphdb_spark.plans.triplet_search import render_triplets
+
+            answer = ctx.gateway.complete(f"Answer {query_text!r} using:\n{render_triplets(triplets)}")
+            if save_interaction:
+                from cognee_graphdb_spark.plans.feedback import save_interaction as _save
+
+                _save(self.store, self.spark, query_text, answer, triplets)
+            return answer
         if qt == "GRAPH_SUMMARY_COMPLETION":
             return st.graph_summary_completion(ctx, query_text, top_k)
         if qt == "GRAPH_COMPLETION_COT":

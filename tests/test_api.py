@@ -58,6 +58,26 @@ def test_only_context_returns_triplets(engine):
     assert 0 < len(ctx.collect()) <= 5
 
 
+def test_save_interaction_then_feedback(engine):
+    engine.search("GRAPH_COMPLETION", "what uses executors?", save_interaction=True)
+    inter = engine.store.load("nodes").filter(F.col("type") == "CogneeUserInteraction")
+    assert inter.count() >= 1
+    out = engine.search("FEEDBACK", "excellent correct useful answer")
+    assert out["score"] > 0 and out["interactions"]
+
+
+def test_node_set_tagging(spark, tmp_path):
+    e = CogneeSpark(spark, str(tmp_path / "ns"))
+    e.add([("rule1.txt", "Always run pytest before committing changes.")], node_set="coding_agent_rules")
+    e.add([("other.txt", "Unrelated plain document without a set.")])
+    e.cognify()
+    nodes = e.store.load("nodes")
+    assert nodes.filter(F.col("type") == "NodeSet").count() == 1
+    edges = e.store.load("edges")
+    tagged = edges.filter(F.col("relationship_name") == "belongs_to")
+    assert tagged.count() == 1
+
+
 def test_temporal_variant_and_delete_prune(spark, tmp_path):
     e = CogneeSpark(spark, str(tmp_path / "t"))
     e.add(ITEMS)
