@@ -103,6 +103,11 @@ class CogneeSpark:
             )
             nodes = nodes.unionByName(set_nodes, allowMissingColumns=True)
             edges = edges.unionByName(set_edges, allowMissingColumns=True)
+        # dataset_id on every row: multi-tenancy as partition pruning, not
+        # DB-per-dataset context switching (search.py:322)
+        nodes = nodes.withColumn("dataset_id", F.lit(self.dataset_id))
+        edges = edges.withColumn("dataset_id", F.lit(self.dataset_id))
+        embeddings = embeddings.withColumn("dataset_id", F.lit(self.dataset_id))
         self.store.upsert_nodes(nodes, created_by=pipeline)
         self.store.upsert_edges(edges, created_by=pipeline)
         self.store.upsert_embeddings(embeddings, created_by=pipeline)
@@ -118,7 +123,7 @@ class CogneeSpark:
 
     # -- search --------------------------------------------------------------
 
-    def _ctx(self):
+    def _ctx(self, dataset_ids: list[str] | None = None):
         from cognee_graphdb_spark.plans.search_types import GraphContext
 
         nodes = self.store.load("nodes")
@@ -126,6 +131,11 @@ class CogneeSpark:
         embeddings = self.store.load("embeddings")
         if nodes is None or edges is None or embeddings is None:
             raise RuntimeError("No data found in the system, please add data first.")
+        if dataset_ids is not None:
+            # partition-pruned scan: dataset_id is the store's partition column
+            nodes = nodes.filter(F.col("dataset_id").isin(dataset_ids))
+            edges = edges.filter(F.col("dataset_id").isin(dataset_ids))
+            embeddings = embeddings.filter(F.col("dataset_id").isin(dataset_ids))
         return GraphContext(
             nodes=nodes,
             edges=edges,
@@ -141,14 +151,17 @@ class CogneeSpark:
         top_k: int = 5,
         only_context: bool = False,
         save_interaction: bool = False,
+        dataset_ids: list[str] | None = None,
     ):
         """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
 
         Completion types return str (or DataFrame context when
-        ``only_context``); retrieval types return DataFrames."""
+        ``only_context``); retrieval types return DataFrames.
+        ``dataset_ids`` scopes retrieval to those datasets (the reference's
+        authorized per-dataset fan-out becomes ONE partition-pruned plan)."""
         from cognee_graphdb_spark.plans import search_types as st
 
-        ctx = self._ctx()
+        ctx = self._ctx(dataset_ids)
         qt = query_type.upper()
         if qt not in SEARCH_TYPES:
             raise ValueError(f"unsupported search type {query_type!r}")

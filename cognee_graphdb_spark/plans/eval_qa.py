@@ -1,0 +1,54 @@
+"""QA evaluation harness (SURVEY.md §5.6).
+
+Reference: eval_framework/ — corpus adapters feed (question, gold_answer)
+pairs to a retriever, then EM / token-F1 score the generated answers
+(evaluation/metrics/f1.py:12-46, exact_match.py).  LLM-judged metrics stay
+behind the gateway; the deterministic EM/F1 half is a DataFrame plan over the
+answer table.
+
+Tokenization mirrors the reference metric exactly: lowercase, whitespace
+split, strip non-word chars per token, drop empties (f1.py:17-27) — note this
+differs from the engine's lexical tokenizer on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.operators.aggregations import token_overlap_f1
+
+
+def _metric_tokens(col):
+    # token.strip() -> re.sub(r"\W+", "", token) -> drop empties (f1.py:17-27)
+    words = F.split(F.trim(F.lower(col)), "\\s+")
+    cleaned = F.transform(words, lambda w: F.regexp_replace(w, "[^0-9a-zA-Z_]+", ""))
+    return F.filter(cleaned, lambda w: w != "")
+
+
+def score_answers(answers: DataFrame, pred_col: str = "answer", gold_col: str = "gold") -> DataFrame:
+    """Per-row EM + precision/recall/F1 over (answer, gold) columns."""
+    pred = _metric_tokens(F.col(pred_col))
+    gold = _metric_tokens(F.col(gold_col))
+    p, r, f1 = token_overlap_f1(pred, gold)
+    em = (F.concat_ws(" ", pred) == F.concat_ws(" ", gold)).cast("double")
+    return answers.withColumn("em", em).withColumn("precision", p).withColumn("recall", r).withColumn("f1", f1)
+
+
+def evaluate_qa(engine, pairs: list[tuple[str, str]], search_type: str = "RAG_COMPLETION") -> dict:
+    """Run each question through ``engine.search`` and score against gold.
+
+    Returns {"em": mean, "f1": mean, "n": count, "per_question": DataFrame}.
+    Driver-side loop over questions mirrors the reference's
+    answer_generation_executor (one engine query per question); scoring is a
+    single Spark job.
+    """
+    rows = []
+    for question, gold in pairs:
+        out = engine.search(search_type, question)
+        answer = out if isinstance(out, str) else " ".join(str(r) for r in out.collect())
+        rows.append((question, answer, gold))
+    df = engine.spark.createDataFrame(rows, ["question", "answer", "gold"])
+    scored = score_answers(df)
+    agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1"), F.count("*").alias("n")).first()
+    return {"em": float(agg["em"]), "f1": float(agg["f1"]), "n": int(agg["n"]), "per_question": scored}
