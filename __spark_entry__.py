@@ -18,13 +18,45 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the repo importable no matter where the driver process started from
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS, tpch_graph
+
+_PYFILES_SENT: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Executors unpickle mapInPandas stages by importing
+    ``cognee_graphdb_spark`` by name — which only works if the package is on
+    the WORKER's sys.path.  When the driver wasn't launched from the repo
+    directory, ship the package as a zip via addPyFile (idempotent per
+    SparkContext)."""
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SENT:
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(_REPO_DIR) / "cognee_graphdb_spark"
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="cognee_graphdb_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in pkg.rglob("*.py"):
+            zf.write(p, p.relative_to(pkg.parent))
+    sc.addPyFile(zpath)
+    _PYFILES_SENT.add(id(sc))
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -185,6 +217,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from cognee_graphdb_spark.plans.cognify import cognify_documents
     from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
 
+    _ship_package(spark)
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     res = cognify_documents(docs)
     return brute_force_triplet_search(
@@ -792,8 +825,16 @@ def _q_ontology_resolve(spark, sf_dir):
     return out.select("c_custkey", "name", "ontology_class", "ontology_valid")
 
 
+def _with_shipping(fn):
+    def wrapped(spark, sf_dir, _fn=fn):
+        _ship_package(spark)
+        return _fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    raw = {
         "s4_node_counts": _q_s4_node_counts,
         "a1_edge_type_frequency": _q_a1_edge_type_frequency,
         "a3_node_degrees": _q_a3_node_degrees,
@@ -857,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_completion_context": _q_graph_completion_context,
         "a2_connected_components": _q_a2_components,
     }
+    return {name: _with_shipping(fn) for name, fn in raw.items()}
 
 
 # ---------------------------------------------------------------------------

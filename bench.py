@@ -27,6 +27,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import __spark_entry__ as entrymod
+
+    entrymod._ship_package(spark)  # workers need the package for mapInPandas stages
 
     from cognee_graphdb_spark.operators import aggregations as agg
     from cognee_graphdb_spark.operators import dedup
