@@ -825,6 +825,56 @@ def _q_ontology_resolve(spark, sf_dir):
     return out.select("c_custkey", "name", "ontology_class", "ontology_valid")
 
 
+
+def _q_s4_column_values(spark, sf_dir):
+    from cognee_graphdb_spark.schemas import load_testdata
+    from cognee_graphdb_spark.sources.migration import column_value_graph
+
+    tables = load_testdata(spark, sf_dir, tables=("customer", "orders"))
+    nodes, edges = column_value_graph(
+        tables, {"customer": ("c_mktsegment",), "orders": ("o_orderstatus", "o_orderpriority")}
+    )
+    return edges.groupBy("relationship_name", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_u7_cot_triplets(spark, sf_dir):
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_cot
+
+    docs = _t(spark, sf_dir, "documents").limit(60)
+    res = cognify_documents(docs)
+    ctx = GraphContext(nodes=res.nodes.cache(), edges=res.edges.cache(), embeddings=res.embeddings.cache())
+    _, triplets = graph_completion_cot(ctx, "fast table scan merge", k=5, max_iter=2)
+    return triplets
+
+
+def _q_u8_context_extension_triplets(spark, sf_dir):
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_context_extension
+
+    docs = _t(spark, sf_dir, "documents").limit(60)
+    res = cognify_documents(docs)
+    ctx = GraphContext(nodes=res.nodes.cache(), edges=res.edges.cache(), embeddings=res.embeddings.cache())
+    _, triplets = graph_completion_context_extension(ctx, "fast table scan merge", k=5, max_iter=2)
+    return triplets
+
+
+def _q_code_graph(spark, sf_dir):
+    from cognee_graphdb_spark.plans.code_graph import cognify_code
+
+    # deterministic synthetic sources derived from the documents table
+    files = _t(spark, sf_dir, "documents").limit(40).select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        F.concat(
+            F.lit("def handler_"), F.col("doc_id").cast("string"),
+            F.lit("():\n    return "), F.lit('"'), F.substring("text", 1, 20), F.lit('"'), F.lit("\n\n"),
+            F.lit("class Worker_"), F.col("doc_id").cast("string"), F.lit(":\n    pass\n"),
+        ).alias("source"),
+    )
+    cg = cognify_code(files)
+    return cg.nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _with_shipping(fn):
     def wrapped(spark, sf_dir, _fn=fn):
         _ship_package(spark)
@@ -897,6 +947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
         "a2_connected_components": _q_a2_components,
+        "u7_cot_triplets": _q_u7_cot_triplets,
+        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
+        "code_graph_counts": _q_code_graph,
+        "s4_column_values": _q_s4_column_values,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -1468,5 +1522,24 @@ resolved AS (
 SELECT c_custkey, name, coalesce(exact_cls, prefix_cls) AS ontology_class,
        coalesce(exact_cls, prefix_cls) IS NOT NULL AS ontology_valid
 FROM resolved"""
+
+
+    sql["s4_column_values"] = """
+WITH e AS (
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'colval:customer.c_mktsegment:' || c_mktsegment AS dst,
+         'has_c_mktsegment' AS relationship_name
+  FROM customer
+  UNION ALL
+  SELECT 'orders:' || CAST(o_orderkey AS VARCHAR),
+         'colval:orders.o_orderstatus:' || o_orderstatus, 'has_o_orderstatus'
+  FROM orders
+  UNION ALL
+  SELECT 'orders:' || CAST(o_orderkey AS VARCHAR),
+         'colval:orders.o_orderpriority:' || o_orderpriority, 'has_o_orderpriority'
+  FROM orders
+)
+SELECT relationship_name, dst, count(*) AS n FROM (SELECT DISTINCT * FROM e) d
+GROUP BY relationship_name, dst"""
 
     return sql

@@ -115,6 +115,44 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     return nodes, edges
 
 
+def column_value_graph(
+    tables: dict[str, DataFrame], columns: dict[str, tuple[str, ...]]
+) -> tuple[DataFrame, DataFrame]:
+    """Optional S4 detail: ``ColumnValue`` nodes per distinct (table, column,
+    value) plus ``has_value`` edges from each row node.
+
+    Reference: migrate_relational_database.py full ingestion creates
+    ColumnValue nodes so categorical values become first-class graph citizens.
+    Pure projections again — the value itself names the target node, no join.
+    """
+    nodes_parts, edges_parts = [], []
+    for table, cols in sorted(columns.items()):
+        df = tables[table]
+        for col in cols:
+            cv_id = F.concat_ws(":", F.lit(f"colval:{table}.{col}"), F.col(col).cast("string"))
+            nodes_parts.append(
+                df.select(
+                    cv_id.alias("id"),
+                    F.col(col).cast("string").alias("name"),
+                    F.lit("ColumnValue").alias("type"),
+                ).dropDuplicates(["id"])
+            )
+            edges_parts.append(
+                df.select(
+                    node_id(table, *TPCH_PKS[table]).alias("src"),
+                    cv_id.alias("dst"),
+                    F.lit(f"has_{col}").alias("relationship_name"),
+                ).dropDuplicates(["src", "dst", "relationship_name"])
+            )
+    nodes = nodes_parts[0]
+    for p in nodes_parts[1:]:
+        nodes = nodes.unionByName(p)
+    edges = edges_parts[0]
+    for p in edges_parts[1:]:
+        edges = edges.unionByName(p)
+    return nodes, edges
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Convenience: read the driver tables and migrate to (nodes, edges)."""
     from cognee_graphdb_spark.schemas import load_testdata
