@@ -875,6 +875,16 @@ def _q_code_graph(spark, sf_dir):
     return cg.nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
 
 
+
+def _q_s5_schema_only(spark, sf_dir):
+    from cognee_graphdb_spark.sources.migration import migrate_schema_only
+
+    nodes, edges = migrate_schema_only(spark)
+    n = nodes.select("id", "name", F.lit(None).cast("string").alias("dst"), F.lit("node").alias("kind"))
+    e = edges.select(F.col("src").alias("id"), F.col("relationship_name").alias("name"), "dst", F.lit("edge").alias("kind"))
+    return n.unionByName(e)
+
+
 def _with_shipping(fn):
     def wrapped(spark, sf_dir, _fn=fn):
         _ship_package(spark)
@@ -951,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
         "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -1541,5 +1552,15 @@ WITH e AS (
 )
 SELECT relationship_name, dst, count(*) AS n FROM (SELECT DISTINCT * FROM e) d
 GROUP BY relationship_name, dst"""
+
+
+    tabs = sorted({s[0] for s in TPCH_FK_SPECS} | {s[2] for s in TPCH_FK_SPECS})
+    node_rows = "\n  UNION ALL ".join(
+        f"SELECT 'table:{t}' AS id, '{t}' AS name, CAST(NULL AS VARCHAR) AS dst, 'node' AS kind" for t in tabs
+    )
+    edge_rows = "\n  UNION ALL ".join(
+        f"SELECT 'table:{c}', '{fk}', 'table:{p}', 'edge'" for c, fk, p, _ in TPCH_FK_SPECS
+    )
+    sql["s5_schema_only"] = f"{node_rows}\n  UNION ALL {edge_rows}"
 
     return sql

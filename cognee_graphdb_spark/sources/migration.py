@@ -115,6 +115,25 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     return nodes, edges
 
 
+def migrate_schema_only(spark: SparkSession, specs=TPCH_FK_SPECS) -> tuple[DataFrame, DataFrame]:
+    """S5 — schema-only ingestion: one TableType node per table and one edge
+    per FK RELATIONSHIP between tables (no row nodes).
+
+    Reference: migrate_relational_database.py:77-139 /
+    tasks/schema/ingest_database_schema.py — the schema graph alone supports
+    "what references what" queries before any data lands.
+    """
+    tables = sorted({s[0] for s in specs} | {s[2] for s in specs})
+    nodes = spark.createDataFrame(
+        [(f"table:{t}", t, "TableType") for t in tables], ["id", "name", "type"]
+    )
+    edges = spark.createDataFrame(
+        [(f"table:{child}", f"table:{parent}", fk) for child, fk, parent, _ in specs],
+        ["src", "dst", "relationship_name"],
+    ).dropDuplicates(["src", "dst", "relationship_name"])
+    return nodes, edges
+
+
 def column_value_graph(
     tables: dict[str, DataFrame], columns: dict[str, tuple[str, ...]]
 ) -> tuple[DataFrame, DataFrame]:
