@@ -58,9 +58,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
         .localCheckpoint(eager=True)  # round 0 fans out to 4 consumers — materialize once
     )
     prev_stats = None
+    symmetric = True  # the initial set carries both directions already
     for _ in range(max_iter):
-        # ---- large-star: operate on the symmetric neighbor view
-        nbr = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # ---- large-star: operate on the symmetric neighbor view (round 0's
+        # input is symmetric by construction — re-symmetrizing would double
+        # every row and fan out the mins join for nothing)
+        nbr = e if symmetric else e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        symmetric = False  # star outputs are directed big -> small
         mins = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
             nbr.join(mins, "u")
