@@ -885,6 +885,14 @@ def _q_s5_schema_only(spark, sf_dir):
     return n.unionByName(e)
 
 
+
+def _q_bpe_token_counts(spark, sf_dir):
+    from cognee_graphdb_spark.operators.text_analysis import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").cast("bigint").alias("n_pieces"))
+
+
 def _with_shipping(fn):
     def wrapped(spark, sf_dir, _fn=fn):
         _ship_package(spark)
@@ -931,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "a5_top_words": _q_a5_top_words,
         "a7_token_f1": _q_a7_token_f1,
         "f5_content_id": _q_f5_content_id,
@@ -1562,5 +1571,13 @@ GROUP BY relationship_name, dst"""
         f"SELECT 'table:{c}', '{fk}', 'table:{p}', 'edge'" for c, fk, p, _ in TPCH_FK_SPECS
     )
     sql["s5_schema_only"] = f"{node_rows}\n  UNION ALL {edge_rows}"
+
+
+    from cognee_graphdb_spark.operators.text_analysis import _BPE_ISH_PATTERN
+
+    bpe = _BPE_ISH_PATTERN.replace("'", "''")  # DuckDB '...' literals are raw
+    sql["bpe_token_counts"] = (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_pieces FROM documents"
+    )
 
     return sql

@@ -28,6 +28,21 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokenize(text))
 
 
+# BPE-ish pre-tokenizer: the GPT-2 style split pattern family — contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs.  A cheap LLM
+# token-count proxy that needs no vocab file; counts pieces, each of which a
+# real BPE would then merge-split further (so this lower-bounds token count
+# with a stable, oracle-reproducible rule).
+_BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count BPE-ish pieces via regexp extraction — pure expression
+    (regexp_extract_all stays in codegen; no Python tokenizer in the hot path)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_PATTERN), 0))
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality scoring features: length, word count, mean word length,
     punctuation ratio, stopword ratio — the standard cheap quality signals."""

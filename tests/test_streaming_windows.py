@@ -1,0 +1,83 @@
+"""Watermarked windowed aggregation + stateful sessionization."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_windowed_event_counts_static(spark):
+    from cognee_graphdb_spark.streaming.windows import windowed_event_counts
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+            (2, "2024-01-01 00:02:00", 1, "click", 2.0),
+            (3, "2024-01-01 00:07:00", 2, "view", 5.0),
+        ],
+        ["event_id", "ts_s", "user_id", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {(r["event_type"], str(r["window_start"])): (r["n"], r["total"]) for r in windowed_event_counts(events).collect()}
+    assert out[("click", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert out[("view", "2024-01-01 00:05:00")] == (1, 5.0)
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    from cognee_graphdb_spark.streaming.windows import EVENT_STREAM_SCHEMA, windowed_event_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i, (ts, et) in enumerate(
+            [("2024-01-01T00:01:00", "click"), ("2024-01-01T00:02:00", "click"), ("2024-01-01T00:21:00", "view")]
+        ):
+            f.write(json.dumps({"event_id": i, "ts": ts, "user_id": 1, "event_type": et, "value": 1.0}) + "\n")
+    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).json(str(src))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has CLOSED: the 00:00-00:05
+    # click window closes once max event time (00:21) passes end+watermark
+    rows = {(r["event_type"], str(r["window_start"])): r["n"] for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert rows == {("click", "2024-01-01 00:00:00"): 2}
+
+
+def test_sessionize_stateful_across_batches(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cognee_graphdb_spark.streaming.windows import sessionize
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts_epoch", T.LongType())]
+    )
+    src = tmp_path / "sess"
+    src.mkdir()
+    # batch 1: user 1 events at t=0,60; user 2 at t=0
+    with open(src / "b1.json", "w") as f:
+        for u, t in [(1, 0), (1, 60), (2, 0)]:
+            f.write(json.dumps({"user_id": u, "ts_epoch": t}) + "\n")
+    # batch 2 (arrives later): user 1 at t=10000 -> closes user 1's first session
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts_epoch": 10000}) + "\n")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [tuple(r) for r in spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()]
+    # user 1's first session (0..60, 2 events) closed by the t=10000 event;
+    # the open sessions (user1 @10000, user2 @0) remain in state, not emitted
+    assert rows == [(1, 0, 60, 2)]
