@@ -21,6 +21,8 @@ returns the retrieval half without the completion, exactly as the reference's
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,6 +123,41 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    def metrics(self, include_paths: bool = False) -> dict:
+        """A2 — descriptive graph metrics over the stored graph
+        (the reference's get_graph_metrics endpoint)."""
+        from cognee_graphdb_spark.operators.graph_metrics import graph_metrics
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        return graph_metrics(nodes, edges, include_paths=include_paths)
+
+    def _log_query(self, query_type: str, query_text: str) -> str:
+        """Query log row (search.py:61, modules/search/models/Query.py)."""
+        import time
+
+        from cognee_graphdb_spark.ids import py_content_id
+
+        qid = py_content_id("query", query_type, query_text, time.time_ns())
+        self.spark.createDataFrame(
+            [(qid, query_type, query_text, int(time.time()))],
+            ["id", "query_type", "query_text", "at"],
+        ).write.mode("append").parquet(os.path.join(self.store.root, "queries"))
+        return qid
+
+    def _log_result(self, query_id: str, result_summary: str) -> None:
+        """Result log row (search.py:99-113)."""
+        import time
+
+        self.spark.createDataFrame(
+            [(query_id, result_summary[:500], int(time.time()))], ["query_id", "summary", "at"]
+        ).write.mode("append").parquet(os.path.join(self.store.root, "results"))
+
+    def query_log(self) -> DataFrame | None:
+        p = os.path.join(self.store.root, "queries")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
     # -- search --------------------------------------------------------------
 
     def _ctx(self, dataset_ids: list[str] | None = None):
@@ -158,7 +195,22 @@ class CogneeSpark:
         Completion types return str (or DataFrame context when
         ``only_context``); retrieval types return DataFrames.
         ``dataset_ids`` scopes retrieval to those datasets (the reference's
-        authorized per-dataset fan-out becomes ONE partition-pruned plan)."""
+        authorized per-dataset fan-out becomes ONE partition-pruned plan).
+        Every call is logged to the queries/results tables (search.py:61,99)."""
+        qid = self._log_query(query_type, query_text)
+        out = self._dispatch(query_type, query_text, top_k, only_context, save_interaction, dataset_ids)
+        self._log_result(qid, out if isinstance(out, str) else f"<{type(out).__name__}>")
+        return out
+
+    def _dispatch(
+        self,
+        query_type: str,
+        query_text: str,
+        top_k: int,
+        only_context: bool,
+        save_interaction: bool,
+        dataset_ids: list[str] | None,
+    ):
         from cognee_graphdb_spark.plans import search_types as st
 
         ctx = self._ctx(dataset_ids)

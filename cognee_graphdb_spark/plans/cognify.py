@@ -90,21 +90,44 @@ def cognify_documents(
     chunks = chunk_documents(docs, max_chunk_size=max_chunk_size).cache()
     extracted = _extract_stage(chunks, gateway).cache()
 
+    # node properties mirror the DataPoint payloads (SURVEY §1.3): chunks keep
+    # text + packing metadata, entities a description, summaries their text —
+    # all content-derived, never wall-clock, so re-runs stay id-stable
     ent = extracted.filter(F.col("kind") == "node").select(
         normalize_name("name").alias("name"), F.col("type").alias("type")
     )
-    entity_nodes = ent.select(content_id(F.lit("Entity"), "name").alias("id"), "name", F.lit("Entity").alias("type")).dropDuplicates(["id"])
+    entity_nodes = ent.select(
+        content_id(F.lit("Entity"), "name").alias("id"),
+        "name",
+        F.lit("Entity").alias("type"),
+        F.map_from_arrays(F.array(F.lit("description")), F.array(F.col("name"))).alias("properties"),
+    ).dropDuplicates(["id"])
     type_nodes = ent.select(
-        content_id(F.lit("EntityType"), "type").alias("id"), F.col("type").alias("name"), F.lit("EntityType").alias("type")
+        content_id(F.lit("EntityType"), "type").alias("id"),
+        F.col("type").alias("name"),
+        F.lit("EntityType").alias("type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
     ).dropDuplicates(["id"])
 
     doc_nodes = docs.select(
         F.concat(F.lit("doc:"), F.col("doc_id")).alias("id"),
         F.col("doc_id").alias("name"),
         F.lit("TextDocument").alias("type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
     )
     chunk_nodes = chunks.select(
-        F.col("chunk_id").alias("id"), F.col("chunk_id").alias("name"), F.lit("DocumentChunk").alias("type")
+        F.col("chunk_id").alias("id"),
+        F.col("chunk_id").alias("name"),
+        F.lit("DocumentChunk").alias("type"),
+        F.map_from_arrays(
+            F.array(F.lit("text"), F.lit("chunk_index"), F.lit("chunk_size"), F.lit("cut_type")),
+            F.array(
+                F.col("text"),
+                F.col("chunk_index").cast("string"),
+                F.col("chunk_size").cast("string"),
+                F.col("cut_type"),
+            ),
+        ).alias("properties"),
     ).dropDuplicates(["id"])
 
     summaries = extracted.filter(F.col("kind") == "summary").select(
@@ -119,7 +142,14 @@ def cognify_documents(
         doc_nodes.unionByName(chunk_nodes)
         .unionByName(entity_nodes)
         .unionByName(type_nodes)
-        .unionByName(summaries.select("id", "name", "type"))
+        .unionByName(
+            summaries.select(
+                "id",
+                "name",
+                "type",
+                F.map_from_arrays(F.array(F.lit("text")), F.array(F.col("text"))).alias("properties"),
+            )
+        )
     )
 
     e_part = chunks.select(

@@ -66,6 +66,17 @@ def test_save_interaction_then_feedback(engine):
     assert out["score"] > 0 and out["interactions"]
 
 
+def test_query_logging_and_metrics(engine):
+    before = engine.query_log().count() if engine.query_log() is not None else 0
+    engine.search("CHUNKS", "logged query text")
+    log = engine.query_log()
+    assert log.count() == before + 1
+    row = log.orderBy(F.col("at").desc()).first()
+    assert row["query_type"] == "CHUNKS" and row["query_text"] == "logged query text"
+    m = engine.metrics()
+    assert m["num_nodes"] > 0 and m["num_edges"] > 0 and m["num_connected_components"] >= 1
+
+
 def test_node_set_tagging(spark, tmp_path):
     e = CogneeSpark(spark, str(tmp_path / "ns"))
     e.add([("rule1.txt", "Always run pytest before committing changes.")], node_set="coding_agent_rules")
