@@ -84,11 +84,25 @@ def rag_completion(ctx: GraphContext, query: str, k: int = 1) -> str:
 # ---------------------------------------------------------------------------
 
 
-def graph_completion_context(ctx: GraphContext, query: str, k: int = 5) -> DataFrame:
-    """GRAPH_COMPLETION's retrieval half: scored triplets (J5/W1)."""
-    return brute_force_triplet_search(
-        ctx.nodes, ctx.edges, ctx.embeddings, query, k=k, embed_dim=ctx.embed_dim
-    )
+def graph_completion_context(
+    ctx: GraphContext,
+    query: str,
+    k: int = 5,
+    node_type: str | None = None,
+    node_names: list[str] | None = None,
+) -> DataFrame:
+    """GRAPH_COMPLETION's retrieval half: scored triplets (J5/W1).
+
+    ``node_type``/``node_names`` restrict scoring to the J4 nodeset subgraph
+    first — the reference's subgraph projection strategy
+    (CogneeGraph.project_graph_from_db:78-98, graph_completion_retriever
+    node_type/node_name parameters)."""
+    nodes, edges = ctx.nodes, ctx.edges
+    if node_type is not None and node_names:
+        from cognee_graphdb_spark.operators.graph_joins import nodeset_subgraph
+
+        nodes, edges = nodeset_subgraph(nodes, edges, node_type, node_names)
+    return brute_force_triplet_search(nodes, edges, ctx.embeddings, query, k=k, embed_dim=ctx.embed_dim)
 
 
 def graph_completion(ctx: GraphContext, query: str, k: int = 5) -> str:

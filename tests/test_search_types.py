@@ -65,6 +65,16 @@ def test_cot_and_context_extension_loops(ctx):
     assert triplets2.count() >= 3
 
 
+def test_graph_completion_nodeset_scope(ctx):
+    from cognee_graphdb_spark.plans.search_types import graph_completion_context
+
+    name = ctx.nodes.filter(F.col("type") == "Entity").orderBy("id").first()["name"]
+    rows = graph_completion_context(ctx, "anything", k=50, node_type="Entity", node_names=[name]).collect()
+    assert rows, "scoped search returned nothing"
+    full = graph_completion_context(ctx, "anything", k=50).collect()
+    assert len(rows) < len(full)  # genuinely restricted
+
+
 def test_insights_vector_path(ctx):
     out = insights(ctx, "distributed executors", k=3).collect()
     assert len(out) > 0
