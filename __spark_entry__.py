@@ -893,6 +893,22 @@ def _q_bpe_token_counts(spark, sf_dir):
     return docs.select("doc_id", bpe_ish_token_count("text").cast("bigint").alias("n_pieces"))
 
 
+
+def _q_a2_component_sizes(spark, sf_dir):
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+    # n_regionkey-only subgraph: one component per region (its nations) —
+    # the size MULTISET is oracle-derivable even though the representative
+    # (min xxhash id) is engine-internal
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(F.col("relationship_name") == "n_regionkey")
+    members = fk.select(F.col("src").alias("id")).unionByName(fk.select(F.col("dst").alias("id"))).distinct()
+    comp = connected_components(members, fk)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size")).groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
 def _with_shipping(fn):
     def wrapped(spark, sf_dir, _fn=fn):
         _ship_package(spark)
@@ -966,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
         "a2_connected_components": _q_a2_components,
+        "a2_component_sizes": _q_a2_component_sizes,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
@@ -1579,5 +1596,12 @@ GROUP BY relationship_name, dst"""
     sql["bpe_token_counts"] = (
         f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_pieces FROM documents"
     )
+
+
+    sql["a2_component_sizes"] = """
+WITH sizes AS (
+  SELECT n_regionkey, count(*) + 1 AS size FROM nation GROUP BY n_regionkey
+)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size"""
 
     return sql

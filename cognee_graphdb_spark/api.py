@@ -54,6 +54,9 @@ class CogneeSpark:
         self.dataset_id = dataset_id
         self.gateway = gateway or MockLLMGateway()
         self.embed_dim = embed_dim
+        from cognee_graphdb_spark.sources.permissions import PermissionStore
+
+        self.permissions = PermissionStore(spark, root)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -189,6 +192,7 @@ class CogneeSpark:
         only_context: bool = False,
         save_interaction: bool = False,
         dataset_ids: list[str] | None = None,
+        user_id: str | None = None,
     ):
         """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
 
@@ -196,7 +200,16 @@ class CogneeSpark:
         ``only_context``); retrieval types return DataFrames.
         ``dataset_ids`` scopes retrieval to those datasets (the reference's
         authorized per-dataset fan-out becomes ONE partition-pruned plan).
-        Every call is logged to the queries/results tables (search.py:61,99)."""
+        ``user_id`` resolves datasets from the ACL instead — deny by default,
+        intersected with any explicit ``dataset_ids`` (authorized_search,
+        search.py:184-285).  Every call is logged (search.py:61,99)."""
+        if user_id is not None:
+            allowed = self.permissions.authorized_datasets(user_id, "read")
+            if dataset_ids is not None:
+                allowed = sorted(set(allowed) & set(dataset_ids))
+            if not allowed:
+                raise PermissionError(f"user {user_id!r} has no read permission on any requested dataset")
+            dataset_ids = allowed
         qid = self._log_query(query_type, query_text)
         out = self._dispatch(query_type, query_text, top_k, only_context, save_interaction, dataset_ids)
         self._log_result(qid, out if isinstance(out, str) else f"<{type(out).__name__}>")

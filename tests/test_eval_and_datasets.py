@@ -35,6 +35,33 @@ def test_evaluate_qa_end_to_end(spark, tmp_path):
     assert set(res["per_question"].columns) >= {"question", "answer", "gold", "em", "f1"}
 
 
+def test_permissions_deny_by_default(spark, tmp_path):
+    root = str(tmp_path / "perm")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("b.txt", "Beta dataset describes duckdb vectorized scans.")])
+    b.cognify()
+
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        a.search("CHUNKS", "anything", user_id="alice")  # no grants yet
+
+    a.permissions.give_permission("alice", "ds_a", "read")
+    out = a.search("CHUNKS", "dataset", top_k=10, user_id="alice")
+    assert all("Alpha" in r["text"] for r in out.collect())
+    assert a.permissions.has_permission("alice", "ds_a", "read")
+    assert not a.permissions.has_permission("alice", "ds_b", "read")
+    # explicit request outside the grant set is refused, not silently widened
+    with _pytest.raises(PermissionError):
+        a.search("CHUNKS", "anything", user_id="alice", dataset_ids=["ds_b"])
+    a.permissions.revoke_permission("alice", "ds_a", "read")
+    with _pytest.raises(PermissionError):
+        a.search("CHUNKS", "anything", user_id="alice")
+
+
 def test_dataset_scoped_search(spark, tmp_path):
     root = str(tmp_path / "multi")
     a = CogneeSpark(spark, root, dataset_id="ds_a")
