@@ -121,7 +121,26 @@ class CogneeSpark:
         return n
 
     def delete(self, document_id: str) -> int:
-        return self.store.delete_document(document_id)
+        """Cascade-delete a document (api/v1/delete/delete.py:95-244): removes
+        its graph subtree (J7), the Data row, and its processed-hash entry so
+        re-adding the same content re-processes.
+
+        Accepts the name passed to ``add``, the content-derived Data row id,
+        or the ``doc:<id>`` node id (ingest content-addresses ids, so the
+        user-visible handle is the name)."""
+        data = self.store.load("data")
+        data_ids: list[str] = []
+        if data is not None:
+            bare = document_id.removeprefix("doc:")
+            hits = data.filter((F.col("name") == bare) | (F.col("id") == bare))
+            data_ids = [r["id"] for r in hits.select("id").collect()]
+        node_ids = [f"doc:{i}" for i in data_ids] or [
+            document_id if document_id.startswith("doc:") else f"doc:{document_id}"
+        ]
+        deleted = sum(self.store.delete_document(nid) for nid in node_ids)
+        hashes = self.store.delete_data(data_ids, created_by="delete")
+        self.runs.unmark_processed(hashes)
+        return deleted
 
     def prune(self) -> None:
         self.store.prune()

@@ -191,6 +191,19 @@ class PipelineRuns:
     def mark_processed(self, data: DataFrame) -> None:
         data.select("content_hash").distinct().write.mode("append").parquet(self.processed_path)
 
+    def unmark_processed(self, hashes: list[str]) -> None:
+        """Forget content hashes (document delete): re-adding the same content
+        afterwards re-processes instead of hitting the ST2 skip."""
+        if not hashes or not os.path.exists(self.processed_path):
+            return
+        seen = self.spark.read.parquet(self.processed_path)
+        kept = seen.filter(~F.col("content_hash").isin(hashes)).collect()
+        import shutil
+
+        shutil.rmtree(self.processed_path, ignore_errors=True)
+        if kept:
+            self.spark.createDataFrame(kept, seen.schema).write.mode("overwrite").parquet(self.processed_path)
+
     def unprocessed(self, data: DataFrame) -> DataFrame:
         """Anti-join new data against the processed-hash set — incremental
         cognify reprocesses only new content."""

@@ -93,7 +93,11 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     type_nodes = spark.createDataFrame(
         [(f"table:{t}", t, "TableType") for t in table_names], ["id", "name", "type"]
     )
-    rn = [row_nodes(tables[t].dropDuplicates(list(TPCH_PKS[t])), t, TPCH_PKS[t]) for t in table_names]
+    # project to the PK columns BEFORE the uniqueness shuffle: dropDuplicates
+    # on the full-width table would shuffle every column of every row just to
+    # discard them; the narrow form moves only the key bytes
+    pk_sets = {t: tables[t].select(*TPCH_PKS[t]).dropDuplicates() for t in table_names}
+    rn = [row_nodes(pk_sets[t], t, TPCH_PKS[t]) for t in table_names]
     nodes = type_nodes
     for r in rn:
         nodes = nodes.unionByName(r)
@@ -101,9 +105,7 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     membership = []
     for t in table_names:
         membership.append(
-            tables[t]
-            .dropDuplicates(list(TPCH_PKS[t]))
-            .select(
+            pk_sets[t].select(
                 node_id(t, *TPCH_PKS[t]).alias("src"),
                 F.lit(f"table:{t}").alias("dst"),
                 F.lit("is_part_of").alias("relationship_name"),

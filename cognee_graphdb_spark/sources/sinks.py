@@ -156,6 +156,19 @@ class GraphStore:
             self._swap_write("embeddings", emb.join(ids, "id", "left_anti"))
         self.append_ledger("delete_nodes", ids, created_by)
 
+    def delete_data(self, data_ids: list[str], created_by: str = "delete") -> list[str]:
+        """Remove Data rows by id; returns their content hashes so the caller
+        can clear incremental-processing state (delete.py also drops the data
+        record, not just the graph)."""
+        data = self.load("data")
+        if data is None or not data_ids:
+            return []
+        hits = data.filter(F.col("id").isin(data_ids))
+        hashes = [r["content_hash"] for r in hits.select("content_hash").distinct().collect()]
+        self._swap_write("data", data.filter(~F.col("id").isin(data_ids)))
+        self.append_ledger("delete_data", hits.select("id"), created_by)
+        return hashes
+
     def delete_document(self, document_id: str) -> int:
         """Cascade delete: J7 delete-set over the stored graph, then apply.
         Shared entities survive (operators/graph_joins.py:cascade_delete_set).

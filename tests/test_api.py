@@ -106,3 +106,20 @@ def test_temporal_variant_and_delete_prune(spark, tmp_path):
     e2.prune()
     with pytest.raises(RuntimeError):
         e2.search("CHUNKS", "anything")
+
+
+def test_delete_by_name_then_readd_reprocesses(spark, tmp_path):
+    """delete() resolves the name passed to add (ingest content-addresses the
+    row id, so the name is the user-visible handle) and clears the processed
+    hash: re-adding the same content re-cognifies instead of the ST2 skip."""
+    e = CogneeSpark(spark, str(tmp_path / "dn"))
+    e.add(ITEMS[:2])
+    assert e.cognify() == 2
+    assert e.delete("spark.txt") > 0
+    names = {r["name"] for r in e.store.load("data").select("name").collect()}
+    assert names == {"duck.txt"}
+    # graph subtree gone
+    assert e.store.load("nodes").filter(F.col("type") == "TextDocument").count() == 1
+    # same content re-processes after delete
+    e.add(ITEMS[:1])
+    assert e.cognify() == 1
