@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 
 def undirected(edges: DataFrame) -> DataFrame:
-    """Both directions of each edge: (src,dst) ∪ (dst,src). Map-only."""
+    """Both directions of each edge: (src,dst) ∪ (dst,src). Map-only.
+
+    Deliberately a union of two narrow selects, not an explode: the union
+    scans the input twice but stays fully inside whole-stage codegen; the
+    explode variant (one scan, array+struct allocation per row) measured
+    ~20% SLOWER at sf0.1 and broke the components round codegen span."""
     fwd = edges.select("src", "dst", "relationship_name")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "relationship_name")
     return fwd.unionByName(rev)

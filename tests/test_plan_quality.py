@@ -1,0 +1,134 @@
+"""Physical-plan regression tests — the scale claims in SCALE.md, pinned.
+
+These assert on ``explain`` output, not timings: the properties that make the
+engine survive 100 TB (bucketed joins shuffle-free, dataset partition pruning,
+single-pass top-k, filter pushdown) are visible in the plan at ANY data size,
+so they are testable at test scale without flakiness.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.sources.bucketed import (
+    resolve_src,
+    resolve_triples,
+    write_bucketed_graph,
+)
+from cognee_graphdb_spark.sources.sinks import GraphStore
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def sql_conf(spark, **kv):
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+@pytest.fixture(scope="module")
+def toy_graph(spark):
+    nodes = spark.createDataFrame(
+        [(f"n{i}", f"name{i}", "Entity") for i in range(100)], ["id", "name", "type"]
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 100}", "rel") for i in range(100)],
+        ["src", "dst", "relationship_name"],
+    )
+    return nodes, edges
+
+
+def test_bucketed_src_join_has_no_exchange(spark, toy_graph, tmp_path_factory):
+    """Both sides bucketed on the join key => SortMergeJoin without ANY
+    Exchange (the co-location claim in SCALE.md / sources/bucketed.py)."""
+    nodes, edges = toy_graph
+    loc = str(tmp_path_factory.mktemp("bucketed_db"))
+    write_bucketed_graph(nodes, edges, database="pq_test", buckets=4, location=loc)
+    # force SMJ: tiny tables would otherwise broadcast (which also avoids a
+    # shuffle, but then the test would not be exercising bucket co-location)
+    with sql_conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+        plan = plan_of(resolve_src(spark, "pq_test"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert resolve_src(spark, "pq_test").count() == 100
+
+        # full triple resolution: exactly ONE Exchange (the src-joined stream
+        # re-keyed by dst); the bucketed nodes side still reads in place
+        plan3 = plan_of(resolve_triples(spark, "pq_test"))
+        # formatted mode lists each operator twice (tree + detail); count the
+        # tree lines only
+        assert plan3.count("+- Exchange") == 1, plan3
+        assert resolve_triples(spark, "pq_test").count() == 100
+
+
+def test_store_scan_prunes_dataset_partitions(spark, toy_graph, tmp_path):
+    """GraphStore partitions by dataset_id; a dataset-scoped read must show a
+    partition filter (multi-tenant scoping = pruning, not post-filter)."""
+    nodes, _ = toy_graph
+    store = GraphStore(spark, str(tmp_path / "store"))
+    two = nodes.withColumn(
+        "dataset_id", F.when(F.col("id") < "n5", "ds_a").otherwise("ds_b")
+    )
+    store.upsert_nodes(two)
+    scan = store.load("nodes").filter(F.col("dataset_id") == "ds_a")
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan
+    # the dataset predicate must appear in the partition filters, not (only)
+    # as a post-scan Filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dataset_id" in ln for ln in pf), plan
+
+
+def test_knn_topk_is_take_ordered_not_global_sort(spark):
+    """V1 k-NN must plan as TakeOrderedAndProject (per-partition partial
+    top-k + driver merge), never a full Sort + Limit."""
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    df = knn(emb, [1.0, 0.0, 0.0], k=5, vector_col="embedding", id_cols=("vec_id",))
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stored_point_lookup_pushes_filter_to_scan(spark, toy_graph, tmp_path):
+    """P-family point filters must reach the parquet reader (PushedFilters),
+    not run as a residual filter over a full scan."""
+    nodes, _ = toy_graph
+    store = GraphStore(spark, str(tmp_path / "store2"))
+    store.upsert_nodes(nodes)
+    scan = store.load("nodes").filter(F.col("id") == "n7")
+    plan = plan_of(scan)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("id" in ln and "n7" in ln for ln in pushed), plan
+
+
+def test_triplet_search_has_no_cartesian_product(spark, toy_graph):
+    """J5 scoring joins must never degenerate into a cross join."""
+    from cognee_graphdb_spark.operators.graph_joins import triplet_score_join
+
+    _, edges = toy_graph
+    scores = spark.createDataFrame(
+        [(f"n{i}", float(i) / 100) for i in range(100)], ["id", "score"]
+    )
+    plan = plan_of(triplet_score_join(edges, scores, k=5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
