@@ -917,6 +917,28 @@ def _with_shipping(fn):
     return wrapped
 
 
+def _q_memify_rules(spark, sf_dir):
+    """memify enrichment: chunk documents, gateway-extract developer rules
+    (plans/memify.py:extract_rules_stage), count per distinct rule.  Rows-only:
+    the sentence split uses a lookbehind RE2/DuckDB can't restate."""
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.operators.chunking import chunk_documents
+    from cognee_graphdb_spark.plans.memify import extract_rules_stage
+
+    # deterministic imperative sentences derived from the documents table (the
+    # synthetic corpus vocabulary has no modal verbs of its own)
+    docs = _t(spark, sf_dir, "documents").limit(200).select(
+        "doc_id",
+        F.concat(
+            F.lit("You should "), F.substring("text", 1, 40),
+            F.lit(". Plain filler statement here. Never "), F.substring("text", 41, 40), F.lit("."),
+        ).alias("text"),
+    )
+    chunks = chunk_documents(docs, max_chunk_size=128)
+    rules = extract_rules_stage(chunks, MockLLMGateway())
+    return rules.groupBy("rule_text").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "s4_node_counts": _q_s4_node_counts,
@@ -986,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
+        "memify_rules": _q_memify_rules,
         "s4_column_values": _q_s4_column_values,
         "s5_schema_only": _q_s5_schema_only,
     }

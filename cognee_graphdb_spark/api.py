@@ -145,6 +145,71 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    def update(self, document_id: str, new_text: str, node_set: str | None = None) -> int:
+        """api/v1/update/update.py: replace a document's content — cascade
+        delete of the old subtree, re-add under the same name, re-cognify.
+        Returns the number of documents re-processed (1 on success)."""
+        data = self.store.load("data")
+        name = document_id
+        if data is not None:
+            bare = document_id.removeprefix("doc:")
+            hit = data.filter((F.col("name") == bare) | (F.col("id") == bare)).select("name").first()
+            if hit is not None:
+                name = hit["name"]
+        self.delete(document_id)
+        self.add([(name, new_text)], node_set=node_set)
+        return self.cognify()
+
+    def memify(
+        self,
+        node_type: str | None = None,
+        node_names: list[str] | None = None,
+        rules_nodeset_name: str = "coding_agent_rules",
+    ) -> int:
+        """Enrich the already-built graph (modules/memify/memify.py:28-120):
+        extract the (optionally node_type/node_names-scoped) subgraph's chunk
+        texts, derive developer rules through the gateway, and MERGE the new
+        CodingRule nodes + belongs_to/rule_associated_from edges into the
+        store.  Content-addressed rule ids make re-runs no-ops (the
+        existing-rules dedup of coding_rule_associations.py:35-50 becomes an
+        anti-join).  Returns the number of NEW rules added."""
+        from cognee_graphdb_spark.plans.memify import (
+            extract_rules_stage,
+            extract_subgraph_chunks,
+            rule_graph,
+        )
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        chunks = extract_subgraph_chunks(nodes, edges, node_type, node_names)
+        rules = extract_rules_stage(chunks, self.gateway).localCheckpoint(eager=True)
+        r_nodes, r_edges = rule_graph(rules, rules_nodeset_name)
+        new_rules = r_nodes.filter(F.col("type") == "CodingRule").join(
+            nodes.select("id"), "id", "left_anti"
+        )
+        n_new = new_rules.count()
+        self.runs.log(self.dataset_id, "memify_pipeline", "STARTED")
+        from cognee_graphdb_spark.llm.embedder import embed_column
+
+        r_nodes = r_nodes.withColumn("dataset_id", F.lit(self.dataset_id))
+        r_edges = r_edges.withColumn("dataset_id", F.lit(self.dataset_id))
+        self.store.upsert_nodes(r_nodes, created_by="memify_pipeline")
+        self.store.upsert_edges(r_edges, created_by="memify_pipeline")
+        rule_emb = (
+            r_nodes.filter(F.col("type") == "CodingRule")
+            .select(
+                F.lit("CodingRule_text").alias("collection"),
+                "id",
+                F.col("name").alias("text"),
+            )
+            .withColumn("vector", embed_column("text", dim=self.embed_dim))
+            .withColumn("dataset_id", F.lit(self.dataset_id))
+        )
+        self.store.upsert_embeddings(rule_emb, created_by="memify_pipeline")
+        self.runs.log(self.dataset_id, "memify_pipeline", "COMPLETED")
+        return n_new
+
     def metrics(self, include_paths: bool = False) -> dict:
         """A2 — descriptive graph metrics over the stored graph
         (the reference's get_graph_metrics endpoint)."""

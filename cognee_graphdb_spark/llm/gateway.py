@@ -59,10 +59,16 @@ class LLMGateway(Protocol):
         name/ts_from/ts_to epoch seconds (cognee/tasks/temporal_graph/)."""
         ...
 
+    def extract_rules(self, text: str) -> list[str]:
+        """memify's default enrichment: text -> developer rules
+        (tasks/codingagents/coding_rule_associations.py Rule/RuleSet)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
 _ISO_RANGE = re.compile(r"(\d{4}-\d{2}-\d{2})\D+(\d{4}-\d{2}-\d{2})")
+_RULE_MARKER = re.compile(r"\b(should|must|always|never|avoid|prefer)\b", re.IGNORECASE)
 _POS = {"good", "great", "helpful", "correct", "excellent", "useful"}
 _NEG = {"bad", "wrong", "useless", "incorrect", "poor", "misleading"}
 
@@ -170,3 +176,13 @@ class MockLLMGateway:
             ts_to = to_epoch(m.group(2)) if m.group(2) else None
             events.append({"name": name, "ts_from": ts_from, "ts_to": ts_to})
         return events
+
+    def extract_rules(self, text: str) -> list[str]:
+        """Mock rule extraction: imperative sentences (should/must/always/
+        never/avoid/prefer) become rules, whitespace-normalized — a
+        deterministic stand-in for the reference's RuleSet LLM call."""
+        rules = []
+        for sent in _SENT_SPLIT.split(text.strip()):
+            if _RULE_MARKER.search(sent):
+                rules.append(" ".join(sent.split()).rstrip(".;!?"))
+        return rules[:5]

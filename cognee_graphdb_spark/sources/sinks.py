@@ -53,7 +53,13 @@ class GraphStore:
         p = self._current_version(table)
         if p is None or not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        try:
+            return self.spark.read.parquet(p)
+        except Exception:
+            # a snapshot of an emptied table has no parquet footers (a
+            # partitioned write of 0 rows emits only _SUCCESS) — an empty
+            # table and a missing one behave identically downstream
+            return None
 
     def _swap_write(self, table: str, df: DataFrame) -> None:
         """MVCC snapshot write (Delta-MERGE stand-in): each version is an

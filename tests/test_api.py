@@ -123,3 +123,18 @@ def test_delete_by_name_then_readd_reprocesses(spark, tmp_path):
     # same content re-processes after delete
     e.add(ITEMS[:1])
     assert e.cognify() == 1
+
+
+def test_update_replaces_document_content(spark, tmp_path):
+    """api/v1/update: delete + re-add + re-cognify under the same name."""
+    e = CogneeSpark(spark, str(tmp_path / "up"))
+    e.add(ITEMS[:2])
+    assert e.cognify() == 2
+    assert e.update("spark.txt", "Apache Flink also processes streams. Flink snapshots state.") == 1
+    data = e.store.load("data")
+    assert data.count() == 2  # still two documents
+    texts = {r["text"] for r in data.select("text").collect()}
+    assert any("Flink" in t for t in texts) and not any("executors" in t for t in texts)
+    # the old document's chunks are gone from the graph
+    chunks = e.store.load("nodes").filter(F.col("type") == "DocumentChunk")
+    assert not any("executors" in (r["properties"] or {}).get("text", "") for r in chunks.collect())
