@@ -72,3 +72,11 @@ def py_content_id(*parts: object) -> str:
 
 def py_node_id(table: str, *keys: object) -> str:
     return ":".join([table, *[str(k) for k in keys]])
+
+
+def py_normalize_name(s: str) -> str:
+    """Python twin of :func:`normalize_name` (same regex semantics; strips
+    ASCII spaces only, matching Spark's ``trim``)."""
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "_", s.lower().strip(" "))
