@@ -120,14 +120,20 @@ class CogneeSpark:
         self.runs.log(self.dataset_id, pipeline, "COMPLETED")
         return n
 
-    def delete(self, document_id: str) -> int:
+    def delete(self, document_id: str, mode: str = "soft") -> int:
         """Cascade-delete a document (api/v1/delete/delete.py:95-244): removes
         its graph subtree (J7), the Data row, and its processed-hash entry so
         re-adding the same content re-processes.
 
         Accepts the name passed to ``add``, the content-derived Data row id,
         or the ``doc:<id>`` node id (ingest content-addresses ids, so the
-        user-visible handle is the name)."""
+        user-visible handle is the name).
+
+        ``mode="hard"`` additionally removes graph-wide degree-one Entity and
+        EntityType nodes after the cascade (delete.py:248-263) — the leftover
+        leaves the soft cascade keeps for other documents' sake."""
+        if mode not in ("soft", "hard"):
+            raise ValueError(f"unsupported delete mode {mode!r}")
         data = self.store.load("data")
         data_ids: list[str] = []
         if data is not None:
@@ -140,10 +146,35 @@ class CogneeSpark:
         deleted = sum(self.store.delete_document(nid) for nid in node_ids)
         hashes = self.store.delete_data(data_ids, created_by="delete")
         self.runs.unmark_processed(hashes)
+        if mode == "hard":
+            from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
+
+            nodes, edges = self.store.load("nodes"), self.store.load("edges")
+            if nodes is not None and edges is not None:
+                leaves = (
+                    degree_one_nodes(nodes, edges, "Entity")
+                    .unionByName(degree_one_nodes(nodes, edges, "EntityType"))
+                    .select("id")
+                    .localCheckpoint(eager=True)
+                )
+                n_leaves = leaves.count()
+                if n_leaves:
+                    self.store.delete_nodes(leaves, created_by="delete_hard")
+                deleted += n_leaves
         return deleted
 
     def prune(self) -> None:
         self.store.prune()
+
+    def visualize(self, destination_file_path: str | None = None, max_nodes: int = 200) -> str:
+        """api/v1/visualize: render the stored graph (degree-ranked sample) to
+        self-contained HTML; writes the file when a path is given."""
+        from cognee_graphdb_spark.plans.visualize import visualize_graph
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        return visualize_graph(nodes, edges, destination_file_path, max_nodes)
 
     def update(self, document_id: str, new_text: str, node_set: str | None = None) -> int:
         """api/v1/update/update.py: replace a document's content — cascade

@@ -138,3 +138,36 @@ def test_update_replaces_document_content(spark, tmp_path):
     # the old document's chunks are gone from the graph
     chunks = e.store.load("nodes").filter(F.col("type") == "DocumentChunk")
     assert not any("executors" in (r["properties"] or {}).get("text", "") for r in chunks.collect())
+
+
+def test_hard_delete_removes_degree_one_leaves(spark, tmp_path):
+    """mode='hard' also removes graph-wide degree-one Entity/EntityType nodes
+    after the cascade (delete.py:248-263)."""
+    e = CogneeSpark(spark, str(tmp_path / "hd"))
+    e.add(ITEMS[:2])
+    e.cognify()
+    from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
+
+    n = e.delete("spark.txt", mode="hard")
+    assert n > 0
+    nodes, edges = e.store.load("nodes"), e.store.load("edges")
+    assert degree_one_nodes(nodes, edges, "Entity").count() == 0
+    assert degree_one_nodes(nodes, edges, "EntityType").count() == 0
+    with pytest.raises(ValueError):
+        e.delete("duck.txt", mode="nuclear")
+
+
+def test_visualize_renders_bounded_html(spark, tmp_path):
+    e = CogneeSpark(spark, str(tmp_path / "vz"))
+    e.add(ITEMS[:2])
+    e.cognify()
+    out = str(tmp_path / "graph.html")
+    html = e.visualize(destination_file_path=out, max_nodes=10)
+    assert html.startswith("<!DOCTYPE html>")
+    import json, re
+
+    payload = json.loads(re.search(r"const nodes = (\[.*?\]);", html).group(1))
+    assert 0 < len(payload) <= 10
+    assert {"id", "name", "type", "degree"} <= set(payload[0])
+    with open(out) as f:
+        assert f.read() == html
