@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS, tpch_graph
+from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS
+from cognee_graphdb_spark.sources.migration import tpch_graph as _tpch_graph_raw
 
 _PYFILES_SENT: set[int] = set()
 
@@ -84,6 +85,46 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+# --- shared-input memoization ------------------------------------------------
+# The driver runs every queries() entry in ONE session against ONE sf_dir.
+# ~22 of them consume the migrated TPC-H graph and 5 the cognify output;
+# rebuilding those per query multiplies the dedup/extraction shuffles ~20x and
+# blew the round-2 correctness budget after 48 of 70 queries.  Materialize each
+# shared input once (localCheckpoint: lineage-free, memory+disk, survives
+# cache eviction) and hand every query the same DataFrames.
+
+_GRAPH_MEMO: dict = {}
+_COG_MEMO: dict = {}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _GRAPH_MEMO:
+        nodes, edges = _tpch_graph_raw(spark, sf_dir)
+        _GRAPH_MEMO[key] = (
+            nodes.localCheckpoint(eager=True),
+            edges.localCheckpoint(eager=True),
+        )
+    return _GRAPH_MEMO[key]
+
+
+def _cognify_memo(spark: SparkSession, sf_dir: str, limit: int | None):
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+
+    key = (id(spark.sparkContext), sf_dir, limit)
+    if key not in _COG_MEMO:
+        _ship_package(spark)
+        docs = _t(spark, sf_dir, "documents")
+        if limit is not None:
+            docs = docs.limit(limit)
+        res = cognify_documents(docs)
+        res.nodes = res.nodes.localCheckpoint(eager=True)
+        res.edges = res.edges.localCheckpoint(eager=True)
+        res.embeddings = res.embeddings.localCheckpoint(eager=True)
+        _COG_MEMO[key] = res
+    return _COG_MEMO[key]
 
 
 # --- SQL fragments -----------------------------------------------------------
@@ -644,19 +685,14 @@ def _q_chunking(spark, sf_dir):
 
 
 def _q_cognify_counts(spark, sf_dir):
-    from cognee_graphdb_spark.plans.cognify import cognify_documents
-
-    docs = _t(spark, sf_dir, "documents").limit(100)
-    res = cognify_documents(docs)
+    res = _cognify_memo(spark, sf_dir, 100)
     return res.nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q_graph_completion_context(spark, sf_dir):
-    from cognee_graphdb_spark.plans.cognify import cognify_documents
     from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
 
-    docs = _t(spark, sf_dir, "documents").limit(100)
-    res = cognify_documents(docs)
+    res = _cognify_memo(spark, sf_dir, 100)
     return brute_force_triplet_search(res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10)
 
 
@@ -838,23 +874,19 @@ def _q_s4_column_values(spark, sf_dir):
 
 
 def _q_u7_cot_triplets(spark, sf_dir):
-    from cognee_graphdb_spark.plans.cognify import cognify_documents
     from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_cot
 
-    docs = _t(spark, sf_dir, "documents").limit(60)
-    res = cognify_documents(docs)
-    ctx = GraphContext(nodes=res.nodes.cache(), edges=res.edges.cache(), embeddings=res.embeddings.cache())
+    res = _cognify_memo(spark, sf_dir, 60)
+    ctx = GraphContext(nodes=res.nodes, edges=res.edges, embeddings=res.embeddings)
     _, triplets = graph_completion_cot(ctx, "fast table scan merge", k=5, max_iter=2)
     return triplets
 
 
 def _q_u8_context_extension_triplets(spark, sf_dir):
-    from cognee_graphdb_spark.plans.cognify import cognify_documents
     from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_context_extension
 
-    docs = _t(spark, sf_dir, "documents").limit(60)
-    res = cognify_documents(docs)
-    ctx = GraphContext(nodes=res.nodes.cache(), edges=res.edges.cache(), embeddings=res.embeddings.cache())
+    res = _cognify_memo(spark, sf_dir, 60)
+    ctx = GraphContext(nodes=res.nodes, edges=res.edges, embeddings=res.embeddings)
     _, triplets = graph_completion_context_extension(ctx, "fast table scan merge", k=5, max_iter=2)
     return triplets
 
@@ -999,18 +1031,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_frame_sample,
         "mm_resize_plan": _q_resize_plan,
         "u12_ontology_resolve": _q_ontology_resolve,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "a2_component_sizes": _q_a2_component_sizes,
         # rows-only (pandas-UDF / iterative plans — no SQL restatement)
         "f1_f4_chunking": _q_chunking,
         "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
         "a2_connected_components": _q_a2_components,
-        "a2_component_sizes": _q_a2_component_sizes,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
         "memify_rules": _q_memify_rules,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 

@@ -66,7 +66,9 @@ class CogneeSpark:
         for NodeSet-scoped retrieval (ingest_data.py:117-118): cognify links
         their document nodes ``belongs_to`` the set."""
         data = ingest_texts(self.spark, items, dataset_id=self.dataset_id)
-        data = data.withColumn("node_set", F.lit(node_set))
+        # cast: lit(None) alone is a NullType (void) column — rejected by other
+        # engines' parquet readers and unstable under later schema unions
+        data = data.withColumn("node_set", F.lit(node_set).cast("string"))
         self.store.upsert_data(data)
         return data
 

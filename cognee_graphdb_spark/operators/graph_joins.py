@@ -157,7 +157,10 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -
             .distinct()
             .join(visited, "id", "left_anti")
         )
-        visited = visited.unionByName(nxt).distinct()
+        # nxt is distinct AND anti-joined against visited, so the union is
+        # disjoint by construction — no distinct (= no shuffle of the whole
+        # visited set) per round
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

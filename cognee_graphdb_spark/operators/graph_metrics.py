@@ -30,7 +30,8 @@ def _sym_edges(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50, skew_safe: bool = False
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50, skew_safe: bool = False,
+    hash_ids: bool = True,
 ) -> DataFrame:
     """(id, component): component = the reachable node with the smallest
     xxhash64(id) — an arbitrary but deterministic canonical representative.
@@ -68,12 +69,28 @@ def connected_components(
     """
     from pyspark.sql.window import Window
 
-    # hash up front: every per-round shuffle then works on 8-byte longs
-    e = (
-        undirected(edges)
-        .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    if hash_ids:
+        # A 64-bit collision would silently merge unrelated components
+        # (~n^2/2^65 — non-negligible at billions of nodes), so probe first:
+        # any collision among node ids ⇒ fall back to string labels.
+        probe = nodes.agg(
+            (F.count_distinct("id") - F.count_distinct(F.xxhash64("id"))).alias("c")
+        ).first()
+        if probe["c"] != 0:
+            hash_ids = False
+    if hash_ids:
+        # hash up front: every per-round shuffle then works on 8-byte longs
+        e = (
+            undirected(edges)
+            .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+    else:
+        e = (
+            undirected(edges)
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
     if skew_safe:
         # the join path consumes nbr twice (agg + probe); materialize once
         e = e.distinct().localCheckpoint(eager=True)
@@ -130,6 +147,13 @@ def connected_components(
         if stats == prev_stats:
             break
         prev_stats = stats
+    if not hash_ids:
+        # labels ARE the ids — no reverse mapping needed
+        return (
+            nodes.select("id", F.col("id").alias("u"))
+            .join(e, "u", "left")
+            .select("id", F.coalesce("v", "u").alias("component"))
+        )
     # fixpoint: e maps every non-root hash to its root hash; map back to ids
     root_ids = nodes.select(F.xxhash64("id").alias("h"), F.col("id").alias("component"))
     return (

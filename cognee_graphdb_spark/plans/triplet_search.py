@@ -84,10 +84,23 @@ def brute_force_triplet_search(
     )
     top = triplet_score_join(edges, node_scores, edge_type_scores=ets, k=k)
 
-    n_src = nodes.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
-    n_dst = nodes.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
+    # The top-k result is bounded by k (tiny by contract — the reference's heap
+    # top-k is likewise driver-side, CogneeGraph.py:183-190).  Materialize it
+    # once, then resolve endpoint names/texts as point lookups with a pushed-
+    # down IN filter: the big nodes/embeddings tables are never broadcast or
+    # shuffled — only the ≤2k matching rows are, and broadcasting THOSE is safe
+    # at any scale.
+    top_rows = top.collect()
+    spark = nodes.sparkSession
+    top = spark.createDataFrame(top_rows, top.schema) if top_rows else top
+    ids = sorted({r["src"] for r in top_rows} | {r["dst"] for r in top_rows})
+
+    n_hit = nodes.filter(F.col("id").isin(ids)).select("id", "name")
+    n_src = n_hit.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
+    n_dst = n_hit.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
     texts = (
         embeddings.filter(F.col("collection").isin(list(collections)))
+        .filter(F.col("id").isin(ids))
         .select("id", "text")
         .dropDuplicates(["id"])
     )

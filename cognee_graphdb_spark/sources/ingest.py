@@ -173,19 +173,28 @@ class PipelineRuns:
         if not os.path.exists(self.path):
             return None
         df = self.spark.read.parquet(self.path)
+        # two concurrent writers can race to the same seq: break ties with the
+        # monotonic write timestamp, then run_id, so "latest" is deterministic
+        order = [F.col("seq").desc()]
+        if "wall_ns" in df.columns:
+            order += [F.col("wall_ns").desc(), F.col("run_id").desc()]
         row = (
             df.filter((F.col("dataset_id") == dataset_id) & (F.col("pipeline_name") == pipeline_name))
-            .orderBy(F.col("seq").desc())
+            .orderBy(*order)
             .first()
         )
         return row["status"] if row else None
 
     def log(self, dataset_id: str, pipeline_name: str, status: str) -> None:
+        import time
+        import uuid
+
         seq = 0
         if os.path.exists(self.path):
             seq = self.spark.read.parquet(self.path).agg(F.max("seq")).first()[0] + 1
         self.spark.createDataFrame(
-            [(dataset_id, pipeline_name, status, seq)], ["dataset_id", "pipeline_name", "status", "seq"]
+            [(dataset_id, pipeline_name, status, seq, time.time_ns(), uuid.uuid4().hex)],
+            "dataset_id string, pipeline_name string, status string, seq long, wall_ns long, run_id string",
         ).write.mode("append").parquet(self.path)
 
     def mark_processed(self, data: DataFrame) -> None:

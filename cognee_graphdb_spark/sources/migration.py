@@ -67,8 +67,17 @@ def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
     parts = []
     for child, fk, parent, _pkey in specs:
         df = tables[child]
+        # duplicate-edge elimination by (src, dst, relationship_name)
+        # (migrate_relational_database.py:40-59) — performed per branch on the
+        # NARROW natural key before the id strings exist: within a branch
+        # (src, dst) is an injective function of (pk..., fk), and distinct
+        # branches carry distinct relationship_name literals, so per-branch
+        # numeric dedup ≡ global string dedup while shuffling int keys instead
+        # of ~60-byte concatenated ids (the single biggest shuffle of S4).
+        key_cols = list(dict.fromkeys([*TPCH_PKS[child], fk]))
+        narrow = df.select(*key_cols).dropDuplicates()
         parts.append(
-            df.select(
+            narrow.select(
                 node_id(child, *TPCH_PKS[child]).alias("src"),
                 node_id(parent, F.col(fk)).alias("dst"),
                 F.lit(fk).alias("relationship_name"),
@@ -77,9 +86,11 @@ def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # duplicate-edge elimination by (src, dst, relationship_name)
-    # (migrate_relational_database.py:40-59)
-    return out.dropDuplicates(["src", "dst", "relationship_name"])
+    if len({(c, f, p) for c, f, p, _ in specs}) != len(specs):
+        # duplicate spec rows could produce cross-branch duplicates — fall
+        # back to the global key dedup in that (never-default) case
+        out = out.dropDuplicates(["src", "dst", "relationship_name"])
+    return out
 
 
 def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[DataFrame, DataFrame]:
@@ -102,18 +113,16 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     for r in rn:
         nodes = nodes.unionByName(r)
 
-    membership = []
-    for t in table_names:
-        membership.append(
-            pk_sets[t].select(
-                node_id(t, *TPCH_PKS[t]).alias("src"),
-                F.lit(f"table:{t}").alias("dst"),
-                F.lit("is_part_of").alias("relationship_name"),
-            )
-        )
-    edges = fk_edges(tables, specs)
-    for m in membership:
-        edges = edges.unionByName(m)
+    # membership edges are a pure projection of the row nodes (the node id IS
+    # the edge src, the table name names the dst) — deriving them from `nodes`
+    # instead of pk_sets means the per-table PK dedup shuffles run ONCE in the
+    # nodes lineage (which callers cache), not again for the edges side
+    membership = nodes.filter(F.col("type") == "TableRow").select(
+        F.col("id").alias("src"),
+        F.concat(F.lit("table:"), F.col("name")).alias("dst"),
+        F.lit("is_part_of").alias("relationship_name"),
+    )
+    edges = fk_edges(tables, specs).unionByName(membership)
     return nodes, edges
 
 

@@ -79,11 +79,22 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     session stays in state until a later batch closes it.
 
     Input needs an epoch-seconds ``ts_epoch`` column grouped by ``user_id``.
+
+    A user who stops sending events must not hold their last session in state
+    forever: each update arms a processing-time timeout of ``gap_seconds``, and
+    on timeout the open session is emitted and its state dropped.
     """
     import pandas as pd
 
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n)], columns=cols)
+            return
         rows = []
         ts_sorted = []
         for pdf in pdfs:
@@ -104,12 +115,13 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 last, n = t, n + 1
         if start is not None:
             state.update((start, last, n))
-        yield pd.DataFrame(rows, columns=["user_id", "session_start", "session_end", "n_events"])
+            state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(rows, columns=cols)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=_SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
