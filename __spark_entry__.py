@@ -34,30 +34,7 @@ from pyspark.sql.window import Window
 from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS
 from cognee_graphdb_spark.sources.migration import tpch_graph as _tpch_graph_raw
 
-_PYFILES_SENT: set[int] = set()
-
-
-def _ship_package(spark: SparkSession) -> None:
-    """Executors unpickle mapInPandas stages by importing
-    ``cognee_graphdb_spark`` by name — which only works if the package is on
-    the WORKER's sys.path.  When the driver wasn't launched from the repo
-    directory, ship the package as a zip via addPyFile (idempotent per
-    SparkContext)."""
-    sc = spark.sparkContext
-    if id(sc) in _PYFILES_SENT:
-        return
-    import tempfile
-    import zipfile
-    from pathlib import Path
-
-    pkg = Path(_REPO_DIR) / "cognee_graphdb_spark"
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="cognee_graphdb_spark_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for p in pkg.rglob("*.py"):
-            zf.write(p, p.relative_to(pkg.parent))
-    sc.addPyFile(zpath)
-    _PYFILES_SENT.add(id(sc))
+from cognee_graphdb_spark.session import ship_package as _ship_package
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -764,7 +741,13 @@ def _q_temporal_search(spark, sf_dir):
 
     _utc(spark)
     tg = cognify_temporal(_temporal_docs(spark, sf_dir))
-    ctx = GraphContext(nodes=tg.nodes, edges=tg.edges, embeddings=tg.embeddings)
+    # temporal_context's k-hop loop scans edges ~5x; without materialization
+    # each scan re-runs the whole extraction lineage (measured 48s -> ~8s)
+    ctx = GraphContext(
+        nodes=tg.nodes.localCheckpoint(eager=True),
+        edges=tg.edges.localCheckpoint(eager=True),
+        embeddings=tg.embeddings.localCheckpoint(eager=True),
+    )
     out = temporal_context(ctx, "what happened between 2024-01-10 and 2024-01-20?", k=1000000)
     return out.select("id", "name")
 

@@ -49,6 +49,9 @@ class CogneeSpark:
         embed_dim: int = 64,
     ):
         self.spark = spark
+        from cognee_graphdb_spark.session import ship_package
+
+        ship_package(spark)  # embed/chunk stages must import this package on executors
         self.store = GraphStore(spark, root)
         self.runs = PipelineRuns(spark, root)
         self.dataset_id = dataset_id

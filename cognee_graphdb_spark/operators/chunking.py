@@ -138,6 +138,10 @@ def chunk_documents(
     """documents -> chunk rows, as an Arrow-batched mapInPandas fan-out."""
     import pandas as pd
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+
     def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

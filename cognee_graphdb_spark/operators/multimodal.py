@@ -53,6 +53,10 @@ def extract_features(
     import numpy as np
     import pandas as pd
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
     def _decode_features(content: bytes) -> list[float]:
         if not deterministic_fake:
             raise NotImplementedError("real image/audio decode requires PIL/ffmpeg — not in this container")

@@ -98,6 +98,9 @@ def batch_knn_agg(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(embeddings.sparkSession)
     qids = [q[0] for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
     qnorm = np.linalg.norm(qmat, axis=1)

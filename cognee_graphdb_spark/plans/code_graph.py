@@ -62,6 +62,9 @@ def extract_definitions(files: DataFrame, path_col: str = "path", source_col: st
                         rows.append((path, "class", node.name, ast.get_source_segment(source, node) or ""))
             yield pd.DataFrame(rows, columns=["path", "kind", "name", "source_code"])
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(files.sparkSession)
     return files.select(path_col, source_col).mapInPandas(run, _DEF_SCHEMA)
 
 

@@ -56,6 +56,9 @@ def extract_events(docs: DataFrame, gateway: MockLLMGateway | None = None, text_
                     rows.append((str(doc_id), ev["name"], ev["ts_from"], ev.get("ts_to")))
             yield pd.DataFrame(rows, columns=["doc_id", "name", "ts_from", "ts_to"])
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
     return docs.select(id_col, text_col).mapInPandas(run, _EVENT_SCHEMA)
 
 

@@ -19,6 +19,36 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cognee_graphdb_spark`` importable on executors.
+
+    Python-worker stages (mapInPandas / applyInPandas / pandas_udf) unpickle
+    their closures by importing this package by name on the WORKER — which
+    fails whenever the driver was launched from outside the repo directory
+    (the package sits on the driver's sys.path only).  Shipping the package
+    as a zip via ``addPyFile`` is cheap, idempotent per SparkContext, and a
+    no-op burden when the package was importable anyway.  Every public
+    function that creates a Python-worker stage calls this first.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="cognee_graphdb_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in pkg.rglob("*.py"):
+            zf.write(p, p.relative_to(pkg.parent))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
 
 def get_spark(app_name: str = "cognee-graphdb-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession suitable for tests and the local bench."""
@@ -35,4 +65,6 @@ def get_spark(app_name: str = "cognee-graphdb-spark", shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

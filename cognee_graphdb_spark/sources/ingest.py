@@ -74,6 +74,9 @@ def load_binary_as_text(df: DataFrame, document_type: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
     loader = loader_for(document_type)
     if loader == "text_loader":
         return df.withColumn("text", F.col("content").cast("string"))

@@ -86,6 +86,9 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """
     import pandas as pd
 
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(events.sparkSession)
     cols = ["user_id", "session_start", "session_end", "n_events"]
 
     def fn(key, pdfs, state: GroupState):
