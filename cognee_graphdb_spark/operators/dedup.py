@@ -221,10 +221,17 @@ def embedding_near_duplicates(
     inferred from the first row when None (a dim mismatch would null-pad the
     hyperplane dot products and silently collapse every row into bucket 0).
     """
-    from cognee_graphdb_spark.functions.vectors import cosine_similarity
+    from cognee_graphdb_spark.functions.vectors import dot, l2_norm
     from cognee_graphdb_spark.operators.similarity import hyperplane_bucket
 
-    e = embeddings.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+    # norms are computed ONCE per row here, not inside every candidate-pair
+    # evaluation — the pair set is quadratic-per-bucket, so factoring the two
+    # norm reductions out of the pair expression cuts ~2/3 of the arithmetic
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).cast("array<double>").alias("v"),
+        l2_norm(F.col(vector_col)).alias("nrm"),
+    )
     if lsh_bits > 0:
         if dim is None:
             first = e.select(F.size("v").alias("d")).first()
@@ -234,15 +241,15 @@ def embedding_near_duplicates(
                 ).limit(0)
             dim = int(first["d"])
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), lsh_bits, dim))
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"), "bucket")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos_sim", F.round(cosine_similarity("v_a", "v_b"), 6))
+        pairs.withColumn("cos_sim", F.round(dot("v_a", "v_b") / (F.col("nrm_a") * F.col("nrm_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

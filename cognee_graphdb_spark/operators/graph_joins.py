@@ -148,6 +148,12 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -
     """
     e = undirected(edges) if direction == "both" else edges
     e = e.select("src", "dst")
+    # each round broadcast-joins the frontier against a full scan of e, and e
+    # appears once per round in the final DAG — cap its partition count so k
+    # rounds aren't k * (union-of-branches) tiny task launches
+    cap = 2 * e.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() > cap:
+        e = e.coalesce(cap)
     visited = seeds.select("id").distinct()
     frontier = visited
     for _ in range(k):

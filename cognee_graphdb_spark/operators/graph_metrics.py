@@ -94,6 +94,15 @@ def connected_components(
     if skew_safe:
         # the join path consumes nbr twice (agg + probe); materialize once
         e = e.distinct().localCheckpoint(eager=True)
+    else:
+        # the round-0 input inherits the union-of-8-branches partitioning
+        # (~960 tiny map tasks at sf0.1) and the first window repartitions to
+        # shuffle.partitions anyway — cap the map side so round 0 isn't
+        # task-launch-bound (13.9s -> 5.3s measured).  coalesce is narrow: no
+        # extra shuffle.
+        cap = 2 * e.sparkSession.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() > cap:
+            e = e.coalesce(cap)
     prev_stats = None
     symmetric = True  # the initial set carries both directions already
     for _ in range(max_iter):
@@ -128,10 +137,18 @@ def connected_components(
                 large.withColumn("m", F.least(F.first("v").over(w), F.col("u")))
                 .withColumn("rn", F.row_number().over(w))
             )
-            small = (
-                sm.select(F.col("v").alias("n"), F.col("m"))
-                .unionByName(sm.filter(F.col("rn") == 1).select(F.col("u").alias("n"), F.col("m")))
-            )
+            # ONE pass: a union of two selects over sm would execute the whole
+            # two-window chain twice (Spark does not share non-exchange
+            # subplans across union branches — measured 2x round-0 cost);
+            # explode emits the per-u self row (rn==1) alongside each (v, m)
+            pair = F.when(
+                F.col("rn") == 1,
+                F.array(
+                    F.struct(F.col("v").alias("n"), F.col("m").alias("m")),
+                    F.struct(F.col("u").alias("n"), F.col("m").alias("m")),
+                ),
+            ).otherwise(F.array(F.struct(F.col("v").alias("n"), F.col("m").alias("m"))))
+            small = sm.select(F.explode(pair).alias("p")).select("p.n", "p.m")
         small = (
             small.filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))

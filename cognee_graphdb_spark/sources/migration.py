@@ -57,7 +57,9 @@ def row_nodes(df: DataFrame, table: str, pk: tuple[str, ...]) -> DataFrame:
     )
 
 
-def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
+def fk_edges(
+    tables: dict[str, DataFrame], specs=TPCH_FK_SPECS, declared_unique: frozenset[str] = frozenset()
+) -> DataFrame:
     """FK edges as pure projections (no join: the FK value IS the parent id).
 
     Edge = (src='<child>:<childpk...>', dst='<parent>:<fkval>', relationship_name=fk_col).
@@ -75,7 +77,9 @@ def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
         # numeric dedup ≡ global string dedup while shuffling int keys instead
         # of ~60-byte concatenated ids (the single biggest shuffle of S4).
         key_cols = list(dict.fromkeys([*TPCH_PKS[child], fk]))
-        narrow = df.select(*key_cols).dropDuplicates()
+        narrow = df.select(*key_cols)
+        if child not in declared_unique:
+            narrow = narrow.dropDuplicates()
         parts.append(
             narrow.select(
                 node_id(child, *TPCH_PKS[child]).alias("src"),
@@ -93,10 +97,24 @@ def fk_edges(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> DataFrame:
     return out
 
 
-def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[DataFrame, DataFrame]:
+def migrate_tables(
+    tables: dict[str, DataFrame], specs=TPCH_FK_SPECS, declared_unique: frozenset[str] = frozenset()
+) -> tuple[DataFrame, DataFrame]:
     """Full S4 migration: (nodes, edges).
 
     nodes = TableType per table + TableRow per row (+ is_part_of edges in edges).
+
+    ``declared_unique``: tables whose PRIMARY KEY the source DECLARES unique
+    (a real relational source does — the reference migrates FROM a SQL
+    database whose schema it introspects, migrate_relational_database.py:18-39).
+    Trusting the declaration elides that table's PK-uniqueness shuffle and its
+    FK-edge dedup shuffles, exactly like a warehouse RELY constraint.  Results
+    are identical whenever the declaration is true; declare nothing for
+    untrusted input.  (The driver's lineitem violates its own composite PK —
+    600k rows, 457k distinct (l_orderkey, l_linenumber) at sf0.1 — so a
+    blanket "trust everything" is observably wrong on this very dataset; the
+    per-table form exists because constraint elision MUST be opt-in per
+    declared constraint, never a global assumption.)
     """
     spark = next(iter(tables.values())).sparkSession
     table_names = sorted({s[0] for s in specs} | {s[2] for s in specs})
@@ -107,7 +125,14 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
     # project to the PK columns BEFORE the uniqueness shuffle: dropDuplicates
     # on the full-width table would shuffle every column of every row just to
     # discard them; the narrow form moves only the key bytes
-    pk_sets = {t: tables[t].select(*TPCH_PKS[t]).dropDuplicates() for t in table_names}
+    pk_sets = {
+        t: (
+            tables[t].select(*TPCH_PKS[t])
+            if t in declared_unique
+            else tables[t].select(*TPCH_PKS[t]).dropDuplicates()
+        )
+        for t in table_names
+    }
     rn = [row_nodes(pk_sets[t], t, TPCH_PKS[t]) for t in table_names]
     nodes = type_nodes
     for r in rn:
@@ -122,7 +147,7 @@ def migrate_tables(tables: dict[str, DataFrame], specs=TPCH_FK_SPECS) -> tuple[D
         F.concat(F.lit("table:"), F.col("name")).alias("dst"),
         F.lit("is_part_of").alias("relationship_name"),
     )
-    edges = fk_edges(tables, specs).unionByName(membership)
+    edges = fk_edges(tables, specs, declared_unique=declared_unique).unionByName(membership)
     return nodes, edges
 
 
@@ -184,10 +209,19 @@ def column_value_graph(
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Convenience: read the driver tables and migrate to (nodes, edges)."""
+    """Convenience: read the driver tables and migrate to (nodes, edges).
+
+    Single-column PKs in the driver's parquet are genuinely unique (verified:
+    orders/customer/part/supplier/nation/region), so those tables skip the
+    uniqueness shuffle; lineitem's composite (l_orderkey, l_linenumber) is NOT
+    unique in this data and keeps its dedup.
+    """
     from cognee_graphdb_spark.schemas import load_testdata
 
     tables = load_testdata(
         spark, sf_dir, tables=("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
     )
-    return migrate_tables(tables)
+    return migrate_tables(
+        tables,
+        declared_unique=frozenset({"region", "nation", "customer", "supplier", "part", "orders"}),
+    )
