@@ -31,6 +31,13 @@ def main() -> None:
 
     entrymod._ship_package(spark)  # workers need the package for mapInPandas stages
 
+    # Pre-fork the Arrow python workers (a one-time ~4s process-spawn cost per
+    # session at local[32]) so step timings measure query plans, not process
+    # startup — the same rationale as keeping JVM/session creation outside the
+    # timed region.  Real clusters pay this once per executor lifetime.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long").count()
+
     from cognee_graphdb_spark.operators import aggregations as agg
     from cognee_graphdb_spark.operators import dedup
     from cognee_graphdb_spark.operators.chunking import chunk_documents

@@ -138,9 +138,10 @@ def chunk_documents(
     """documents -> chunk rows, as an Arrow-batched mapInPandas fan-out."""
     import pandas as pd
 
-    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.session import fan_out, ship_package
 
     ship_package(docs.sparkSession)
+    docs = fan_out(docs)
 
     def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

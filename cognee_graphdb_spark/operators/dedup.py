@@ -34,6 +34,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def token_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, token) distinct pairs — the inverted-index input."""
+    from cognee_graphdb_spark.session import fan_out
+
+    df = fan_out(df)
     return df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")).distinct()
 
 
@@ -108,13 +111,26 @@ def minhash_signatures(
     Deterministic across runs.  Signature is an array<bigint> column
     ``signature``.
     """
-    sh = df.select(
+    from cognee_graphdb_spark.session import fan_out
+
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias("shingle"),
     )
-    mins = sh.groupBy("id").agg(
-        *[F.min(_hash64(F.col("shingle"), i, hasher)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    if hasher == "xxhash64":
+        # hash the shingle STRING once, then chain the per-seed hashes off the
+        # 8-byte base value: xxhash64(h0, i) re-streams 12 bytes instead of the
+        # whole shingle text per seed — ~num_hashes x less string hashing,
+        # still an independent-enough family (each seed is a fresh avalanche
+        # over the base).
+        sh = sh.select("id", F.xxhash64("shingle").alias("h0"))
+        mins = sh.groupBy("id").agg(
+            *[F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        )
+    else:
+        mins = sh.groupBy("id").agg(
+            *[F.min(_hash64(F.col("shingle"), i, hasher)).alias(f"h{i}") for i in range(num_hashes)]
+        )
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
 
 
@@ -190,7 +206,9 @@ def simhash(
     Returns (id, simhash bigint).  Hamming-close simhashes ⇒ similar token sets.
     ``hasher="md5_64"`` limits usable bits to 60 but is DuckDB-reproducible.
     """
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+    from cognee_graphdb_spark.session import fan_out
+
+    toks = fan_out(df).select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token"))
     hashed = toks.withColumn("h", _hash64(F.col("token"), 0, hasher))
     bit_sums = hashed.groupBy("id").agg(
         *[

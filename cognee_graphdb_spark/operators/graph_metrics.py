@@ -72,12 +72,17 @@ def connected_components(
     if hash_ids:
         # A 64-bit collision would silently merge unrelated components
         # (~n^2/2^65 — non-negligible at billions of nodes), so probe first:
-        # any collision among node ids ⇒ fall back to string labels.
-        probe = nodes.agg(
-            (F.count_distinct("id") - F.count_distinct(F.xxhash64("id"))).alias("c")
-        ).first()
-        if probe["c"] != 0:
-            hash_ids = False
+        # any collision among node ids ⇒ fall back to string labels.  Below
+        # 50M nodes the collision probability is < 7e-5, and the probe's
+        # double count_distinct (an Expand over every node) costs more than
+        # the risk it retires — probe only at the scale where it matters.
+        n_nodes = nodes.count()
+        if n_nodes >= 50_000_000:
+            probe = nodes.agg(
+                (F.count_distinct("id") - F.count_distinct(F.xxhash64("id"))).alias("c")
+            ).first()
+            if probe["c"] != 0:
+                hash_ids = False
     if hash_ids:
         # hash up front: every per-round shuffle then works on 8-byte longs
         e = (
@@ -171,14 +176,24 @@ def connected_components(
             .join(e, "u", "left")
             .select("id", F.coalesce("v", "u").alias("component"))
         )
-    # fixpoint: e maps every non-root hash to its root hash; map back to ids
-    root_ids = nodes.select(F.xxhash64("id").alias("h"), F.col("id").alias("component"))
+    # fixpoint: e maps every non-root hash to its root hash; map back to ids.
+    # The root set is one row per (non-singleton) component — usually tiny,
+    # so joining it instead of the full nodes table replaces the second
+    # full-width shuffle join.  NOT force-broadcast: a forest-shaped graph
+    # (dedup clusters) legitimately has O(n) components, and AQE's runtime
+    # stats over the checkpointed e make the broadcast-vs-shuffle call safely.
+    nh = nodes.select("id", F.xxhash64("id").alias("u"))
+    roots = e.select(F.col("v").alias("u")).distinct()
+    root_map = (
+        nh.join(roots, "u", "leftsemi")
+        .select(F.col("u").alias("rh"), F.col("id").alias("component"))
+    )
     return (
-        nodes.select("id", F.xxhash64("id").alias("u"))
-        .join(e, "u", "left")
+        nh.join(e, "u", "left")
         .select("id", F.coalesce("v", "u").alias("rh"))
-        .join(root_ids.withColumnRenamed("h", "rh"), "rh")
-        .select("id", "component")
+        .join(root_map, "rh", "left")
+        # singletons and roots resolve to themselves
+        .select("id", F.coalesce("component", "id").alias("component"))
     )
 
 

@@ -62,10 +62,10 @@ def extract_definitions(files: DataFrame, path_col: str = "path", source_col: st
                         rows.append((path, "class", node.name, ast.get_source_segment(source, node) or ""))
             yield pd.DataFrame(rows, columns=["path", "kind", "name", "source_code"])
 
-    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.session import fan_out, ship_package
 
     ship_package(files.sparkSession)
-    return files.select(path_col, source_col).mapInPandas(run, _DEF_SCHEMA)
+    return fan_out(files.select(path_col, source_col)).mapInPandas(run, _DEF_SCHEMA)
 
 
 def cognify_code(files: DataFrame, embed_dim: int = 64) -> CodeGraph:

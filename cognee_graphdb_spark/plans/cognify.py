@@ -73,10 +73,10 @@ def _extract_stage(chunks: DataFrame, gateway: MockLLMGateway) -> DataFrame:
                 rows.append((chunk_id, "summary", None, None, None, None, None, gateway.extract_summary(text or "")))
             yield pd.DataFrame(rows, columns=cols)
 
-    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.session import fan_out, ship_package
 
     ship_package(chunks.sparkSession)
-    return chunks.select("chunk_id", "text").mapInPandas(run, _EXTRACT_SCHEMA)
+    return fan_out(chunks.select("chunk_id", "text")).mapInPandas(run, _EXTRACT_SCHEMA)
 
 
 def cognify_documents(

@@ -79,10 +79,10 @@ def extract_rules_stage(chunks: DataFrame, gateway: MockLLMGateway) -> DataFrame
                     rows.append((chunk_id, rule))
             yield pd.DataFrame(rows, columns=["chunk_id", "rule_text"])
 
-    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.session import fan_out, ship_package
 
     ship_package(chunks.sparkSession)
-    return chunks.select("chunk_id", "text").mapInPandas(run, _RULES_SCHEMA)
+    return fan_out(chunks.select("chunk_id", "text")).mapInPandas(run, _RULES_SCHEMA)
 
 
 def rule_graph(rules: DataFrame, nodeset_name: str) -> tuple[DataFrame, DataFrame]:

@@ -56,10 +56,10 @@ def extract_events(docs: DataFrame, gateway: MockLLMGateway | None = None, text_
                     rows.append((str(doc_id), ev["name"], ev["ts_from"], ev.get("ts_to")))
             yield pd.DataFrame(rows, columns=["doc_id", "name", "ts_from", "ts_to"])
 
-    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.session import fan_out, ship_package
 
     ship_package(docs.sparkSession)
-    return docs.select(id_col, text_col).mapInPandas(run, _EVENT_SCHEMA)
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(run, _EVENT_SCHEMA)
 
 
 def cognify_temporal(docs: DataFrame, gateway: MockLLMGateway | None = None, embed_dim: int = 64) -> TemporalGraph:

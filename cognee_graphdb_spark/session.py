@@ -22,6 +22,22 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SHIPPED: set[int] = set()
 
 
+def fan_out(df, target: int | None = None):
+    """Repartition a NARROW input up to cluster parallelism before per-row
+    heavy work (tokenize/shingle/chunk/extract stages).
+
+    Small parquet inputs arrive as one or two partitions (a 5k-doc file is a
+    single row-group ⇒ a single task ⇒ one core does all the Python/expression
+    work).  At real scale the input is already wider than the cluster and this
+    is a no-op — the repartition only fires when the partition count is BELOW
+    parallelism, so it never adds a shuffle to a 100 TB scan.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``cognee_graphdb_spark`` importable on executors.
 

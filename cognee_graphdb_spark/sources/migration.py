@@ -122,17 +122,40 @@ def migrate_tables(
     type_nodes = spark.createDataFrame(
         [(f"table:{t}", t, "TableType") for t in table_names], ["id", "name", "type"]
     )
+
+    # One shuffle per non-declared child table, not one per FK branch: group
+    # by the PK once and collect the distinct FK values of EVERY outgoing FK
+    # as sets in the same aggregation.  distinct(pk, fk) == explode of
+    # collect_set(fk) per pk, so each branch is a map-only explode of the
+    # shared grouped frame (same Exchange reused across branches within a
+    # job); the PK set for row nodes is the grouped keys themselves.  For
+    # lineitem this turns 4 shuffles of the 600k-row key set (pk dedup + 3
+    # FK-pair dedups) into 1.
+    fks_by_child: dict[str, list[tuple[str, str]]] = {}
+    for child, fk, parent, _pkey in specs:
+        fks_by_child.setdefault(child, []).append((fk, parent))
+
+    grouped: dict[str, DataFrame] = {}
+    for t in table_names:
+        if t in declared_unique or t not in fks_by_child:
+            continue
+        pk = TPCH_PKS[t]
+        nonpk = sorted({fk for fk, _ in fks_by_child[t] if fk not in pk})
+        grouped[t] = tables[t].groupBy(*pk).agg(
+            *[F.collect_set(fk).alias(f"__set_{fk}") for fk in nonpk]
+        )
+
     # project to the PK columns BEFORE the uniqueness shuffle: dropDuplicates
     # on the full-width table would shuffle every column of every row just to
     # discard them; the narrow form moves only the key bytes
-    pk_sets = {
-        t: (
-            tables[t].select(*TPCH_PKS[t])
-            if t in declared_unique
-            else tables[t].select(*TPCH_PKS[t]).dropDuplicates()
-        )
-        for t in table_names
-    }
+    pk_sets = {}
+    for t in table_names:
+        if t in grouped:
+            pk_sets[t] = grouped[t].select(*TPCH_PKS[t])
+        elif t in declared_unique:
+            pk_sets[t] = tables[t].select(*TPCH_PKS[t])
+        else:
+            pk_sets[t] = tables[t].select(*TPCH_PKS[t]).dropDuplicates()
     rn = [row_nodes(pk_sets[t], t, TPCH_PKS[t]) for t in table_names]
     nodes = type_nodes
     for r in rn:
@@ -147,7 +170,31 @@ def migrate_tables(
         F.concat(F.lit("table:"), F.col("name")).alias("dst"),
         F.lit("is_part_of").alias("relationship_name"),
     )
-    edges = fk_edges(tables, specs, declared_unique=declared_unique).unionByName(membership)
+
+    edge_parts = []
+    for child, fk, parent, _pkey in specs:
+        pk = TPCH_PKS[child]
+        if child in grouped:
+            g = grouped[child]
+            if fk in pk:
+                # the FK is part of the PK — the grouped keys already carry it
+                src_df = g
+            else:
+                src_df = g.select(*pk, F.explode(f"__set_{fk}").alias(fk))
+        else:
+            narrow = tables[child].select(*list(dict.fromkeys([*pk, fk])))
+            src_df = narrow if child in declared_unique else narrow.dropDuplicates()
+        edge_parts.append(
+            src_df.select(
+                node_id(child, *pk).alias("src"),
+                node_id(parent, F.col(fk)).alias("dst"),
+                F.lit(fk).alias("relationship_name"),
+            )
+        )
+    edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.unionByName(membership)
     return nodes, edges
 
 
