@@ -761,6 +761,22 @@ def _q_s1_ingest(spark, sf_dir):
     return ingest_dataframe(docs).select("id", "name", "document_type", "content_hash")
 
 
+# corpus-matching custom config (the reference extractor takes a custom
+# config_path, RegexEntityExtractor.__init__): the synthetic documents are
+# lowercase word salad, so the default EMAIL/URL/DATE types match nothing here
+_REGEX_Q_CONFIG = (
+    ("SYSTEM", r"spark|vector", "System: {}"),
+    ("TPCH_ENTITY", r"customer|supplier|order", "TPC-H entity: {}"),
+)
+
+
+def _q_regex_entities(spark, sf_dir):
+    from cognee_graphdb_spark.operators.entity_extraction import regex_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_entities(docs, config=_REGEX_Q_CONFIG)
+
+
 def _q_s3_classify(spark, sf_dir):
     from cognee_graphdb_spark.sources.ingest import classify_documents
 
@@ -1010,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_search_e2e": _q_temporal_search,
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
+        "u_regex_entities": _q_regex_entities,
         "edge_weights_flatten": _q_edge_weights_flatten,
         "mm_frame_sample": _q_frame_sample,
         "mm_resize_plan": _q_resize_plan,
@@ -1550,6 +1567,17 @@ SELECT doc_id,
             ELSE 'TextDocument'
        END AS document_type
 FROM documents"""
+
+    sql["u_regex_entities"] = """
+SELECT doc_id, 'SYSTEM' AS entity_type, name, 'System: ' || name AS description
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             unnest(regexp_extract_all(text, 'spark|vector')) AS name
+      FROM documents)
+UNION ALL
+SELECT doc_id, 'TPCH_ENTITY' AS entity_type, name, 'TPC-H entity: ' || name AS description
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             unnest(regexp_extract_all(text, 'customer|supplier|order')) AS name
+      FROM documents)"""
 
     sql["edge_weights_flatten"] = """
 WITH e AS (
