@@ -30,6 +30,35 @@ def test_cognify_code_shapes(spark):
     assert any("scan_table" in r["text"] for r in fn)
 
 
+def test_repo_dependency_graph(spark):
+    # pkg/a.py imports pkg.b (local, resolved) and os (external); pkg/b.py
+    # relative-imports .c (resolved); pkg/c/__init__.py closes the chain
+    files = spark.createDataFrame(
+        [
+            ("pkg/a.py", "import os\nimport pkg.b\n\ndef fa():\n    pass\n"),
+            ("pkg/b.py", "from . import c\n\ndef fb():\n    pass\n"),
+            ("pkg/c/__init__.py", "def fc():\n    pass\n"),
+        ],
+        ["path", "source"],
+    )
+    cg = cognify_code(files)
+    names = {r["id"]: r["name"] for r in cg.nodes.collect()}
+    dep = [
+        (names[r["src"]], names[r["dst"]])
+        for r in cg.edges.filter(F.col("relationship_name") == "depends_on").collect()
+    ]
+    assert ("pkg/a.py", "pkg/b.py") in dep
+    assert ("pkg/b.py", "pkg/c/__init__.py") in dep
+    # external import kept as an ImportStatement datapoint, not dropped
+    ext = cg.nodes.filter(F.col("type") == "ImportStatement").collect()
+    assert {r["name"] for r in ext} == {"os"}
+    imp = [
+        (names[r["src"]], names[r["dst"]])
+        for r in cg.edges.filter(F.col("relationship_name") == "imports").collect()
+    ]
+    assert imp == [("pkg/a.py", "os")]
+
+
 def test_code_search_over_code_graph(spark):
     files = spark.createDataFrame(SOURCES, ["path", "source"])
     cg = cognify_code(files)
