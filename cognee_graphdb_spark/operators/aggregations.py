@@ -23,6 +23,11 @@ def edge_type_frequency(edges: DataFrame) -> DataFrame:
 def node_degrees(edges: DataFrame) -> DataFrame:
     """A3 — per-node undirected degree (self-loops count twice, standard)."""
     ends = edges.select(F.col("src").alias("id")).unionByName(edges.select(F.col("dst").alias("id")))
+    # the union doubles the input's partition count; cap the map side so the
+    # partial agg isn't task-launch-bound on many-branch cached inputs
+    cap = 2 * edges.sparkSession.sparkContext.defaultParallelism
+    if ends.rdd.getNumPartitions() > cap:
+        ends = ends.coalesce(cap)
     return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
 
 
