@@ -1,0 +1,48 @@
+"""CLI lifecycle (reference cli_tests): add → cognify → search → delete →
+prune driven through cli.main with an injected SparkSession."""
+
+import json
+
+from cognee_graphdb_spark.cli import main
+
+
+def test_cli_full_lifecycle(spark, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    doc = tmp_path / "notes.txt"
+    doc.write_text("Alice works at Acme. Acme builds rockets in Berlin.")
+
+    assert main(["--store", store, "add", str(doc)], spark=spark) == 0
+    assert main(["--store", store, "add", "--text", "Bob knows Alice.", "--name", "bob.txt"], spark=spark) == 0
+    assert main(["--store", store, "cognify"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "cognified 2 document(s)" in out
+
+    assert main(["--store", store, "search", "who works at Acme?", "--type", "CHUNKS"], spark=spark) == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows and any("Alice" in (r.get("text") or "") for r in rows)
+
+    assert main(["--store", store, "search", "who works at Acme?"], spark=spark) == 0
+    assert capsys.readouterr().out.strip()  # completion text
+
+    assert main(["--store", store, "delete", "bob.txt"], spark=spark) == 0
+    assert main(["--store", store, "prune"], spark=spark) == 0
+
+
+def test_cli_errors_and_config(spark, tmp_path, capsys):
+    store = str(tmp_path / "empty_store")
+    # search on an empty store -> exit 1 with the reference's message
+    assert main(["--store", store, "search", "q"], spark=spark) == 1
+    assert "No data found" in capsys.readouterr().err
+    # unknown search type -> exit 1 naming it (CliCommandException shape)
+    main(["--store", store, "add", "--text", "hello world", "--name", "h.txt"], spark=spark)
+    main(["--store", store, "cognify"], spark=spark)
+    capsys.readouterr()
+    assert main(["--store", store, "search", "q", "--type", "NOPE"], spark=spark) == 1
+    assert "NOPE" in capsys.readouterr().err
+    # add with nothing -> exit 1
+    assert main(["--store", store, "add"], spark=spark) == 1
+    capsys.readouterr()
+    # config lists all 16 search types without needing a session
+    assert main(["config", "--json"], spark=spark) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert len(cfg["search_types"]) == 16
