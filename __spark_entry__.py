@@ -504,6 +504,14 @@ def _q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(docs, threshold=0.95)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from cognee_graphdb_spark.operators.dedup import dedup_clusters, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.95)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from cognee_graphdb_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1000,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_exact": _q_dedup_embedding,
@@ -1365,6 +1374,31 @@ j AS (
   FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.95"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
+ts AS (SELECT DISTINCT id, unnest(t) AS token FROM toks),
+sizes AS (SELECT id, count(*) AS sz FROM ts GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ts a JOIN ts b USING (token) WHERE a.id < b.id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM documents),
+sym AS (
+  SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b FROM pairs
+  UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+),
+reach(a, b) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS id, min(b) AS keeper_id FROM reach GROUP BY a"""
 
     sql["dedup_minhash_lsh"] = _minhash_sql(16, 8, 0.5)
     sql["dedup_simhash"] = _simhash_sql(16)

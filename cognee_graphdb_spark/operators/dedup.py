@@ -83,6 +83,31 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters and elect a canonical
+    keeper per cluster: (id, keeper_id), keeper = min id of the connected
+    component (transitively: if a~b and b~c, all three share one keeper —
+    matching the reference's min-id keeper election in exact dedup,
+    ingest_data.py:93-96, extended to transitive near-dup closure).
+
+    The pair graph's components are computed with the same alternating-star
+    operator as A2 — pair graphs are forests of small cliques, exactly the
+    many-tiny-components shape the star rounds converge on in O(1) rounds.
+    Docs with no near-dup partner are their own keeper (map-only left join).
+    """
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+    ids = df.select(F.col(id_col).cast("string").alias("id")).dropDuplicates()
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+        F.lit("near_dup").alias("relationship_name"),
+    )
+    comp = connected_components(ids, edges)
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper_id"))
+    return comp.join(keepers, "component").select("id", "keeper_id")
+
+
 def _hash64(col, seed: int, hasher: str):
     """Seeded 64-bit hash of a string column.
 

@@ -45,6 +45,16 @@ def test_minhash_recall_at_half_jaccard(spark):
     assert not any(3 in p for p in found)
 
 
+def test_dedup_clusters_transitive_keeper(spark):
+    # a~b, b~c (transitive cluster) + d~e + f alone
+    docs = _docs(spark, [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 6]])
+    pairs = spark.createDataFrame(
+        [("1", "2", 0.9), ("2", "3", 0.9), ("4", "5", 0.9)], ["id_a", "id_b", "jaccard"]
+    )
+    out = {r["id"]: r["keeper_id"] for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert out == {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4", "6": "6"}
+
+
 def test_minhash_band_validation(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
