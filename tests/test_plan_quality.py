@@ -132,3 +132,25 @@ def test_triplet_search_has_no_cartesian_product(spark, toy_graph):
     )
     plan = plan_of(triplet_score_join(edges, scores, k=5))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_regex_entities_stays_jvm_side(spark):
+    """The regex entity scan must compile to pure Catalyst expressions —
+    no Python worker (BatchEvalPython / MapInPandas) in the plan."""
+    from cognee_graphdb_spark.operators.entity_extraction import regex_entities
+
+    docs = spark.createDataFrame([(1, "mail me at a@b.co")], ["doc_id", "text"])
+    plan = plan_of(regex_entities(docs))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_fan_out_is_conditional(spark):
+    """fan_out widens narrow inputs to cluster parallelism and must be a
+    no-op (no added Exchange) when the input is already wide."""
+    from cognee_graphdb_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(10)], ["x"]).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par * 2)
+    assert fan_out(wide) is wide
