@@ -36,7 +36,12 @@ def main() -> None:
     # startup — the same rationale as keeping JVM/session creation outside the
     # timed region.  Real clusters pay this once per executor lifetime.
     par = spark.sparkContext.defaultParallelism
-    spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long").count()
+
+    def _warm(it):
+        import cognee_graphdb_spark.operators.chunking  # noqa: F401 — pay the zipimport once
+        return it
+
+    spark.range(par).repartition(par).mapInPandas(_warm, "id long").count()
 
     from cognee_graphdb_spark.operators import aggregations as agg
     from cognee_graphdb_spark.operators import dedup
