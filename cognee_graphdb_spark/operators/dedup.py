@@ -183,9 +183,15 @@ def minhash_lsh_pairs(
         raise ValueError(f"bands must divide num_hashes: got bands={bands}, num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, hasher)
+    # Materialize signatures ONCE.  The frame is referenced three times below
+    # (two band-join sides + the verify joins); relying on Catalyst's
+    # ReuseExchange is fragile — when AQE broadcasts one side of the band join
+    # the exchanges stop being identical and the whole shingle→minhash chain
+    # silently computes twice.  One row per doc (id + num_hashes longs), spills
+    # to executor disk at scale — the same trade Spark ML's MinHashLSH makes.
+    sig = sig.localCheckpoint(eager=True)
     bands_df = sig.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -201,15 +207,20 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = bands_df.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket")
-    b = bands_df.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket")
+    # The hot shuffle carries only (id, band, bucket) — signatures join back in
+    # AFTER pair dedup, so the band exchange stays ~24 bytes/row regardless of
+    # num_hashes (carrying sig arrays through it multiplies shuffle volume ~10x).
+    a = bands_df.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands_df.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
     )
     est = cands.withColumn(
         "est_jaccard",
