@@ -978,6 +978,62 @@ def _q_memify_rules(spark, sf_dir):
     return rules.groupBy("rule_text").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_td_hash_sample(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1, seed=7, hasher="md5_64").select("doc_id", "lang", "source")
+
+
+def _q_td_stratified_sample(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.6, "zh": 0.2}, default_fraction=0.05, seed=11, hasher="md5_64"
+    ).select("doc_id", "lang")
+
+
+def _q_td_decontaminate(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(train, ev, n=5, hasher="md5_64")
+
+
+def _pii_text_col():
+    return F.concat(
+        F.lit("reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-000-1234 at 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(255)).cast("string"),
+        F.lit(" ssn 123-45-6789 :: "),
+        F.col("text"),
+    )
+
+
+def _q_td_pii_redact(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _pii_text_col().alias("text"))
+    return redact_pii(docs)
+
+
+def _q_td_corpus_stats(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_td_pack_sequences(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, partitions=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "s4_node_counts": _q_s4_node_counts,
@@ -1043,6 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_column_values": _q_s4_column_values,
         "s5_schema_only": _q_s5_schema_only,
         "a2_component_sizes": _q_a2_component_sizes,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
         # rows-only (pandas-UDF / iterative plans — no SQL restatement)
         "f1_f4_chunking": _q_chunking,
         "cognify_node_counts": _q_cognify_counts,
@@ -1052,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
         "memify_rules": _q_memify_rules,
+        "td_pack_sequences": _q_td_pack_sequences,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -1703,5 +1765,76 @@ WITH sizes AS (
   SELECT n_regionkey, count(*) + 1 AS size FROM nation GROUP BY n_regionkey
 )
 SELECT size, count(*) AS n_components FROM sizes GROUP BY size"""
+
+    # --- training-data ops (operators/training_data.py) ----------------------
+
+    _bucket7 = _md5_64("CAST(doc_id AS VARCHAR)", 7)
+    sql["td_hash_sample"] = (
+        f"SELECT doc_id, lang, source FROM documents WHERE {_bucket7} % 1000000 < 100000"
+    )
+
+    _bucket11 = _md5_64("CAST(doc_id AS VARCHAR)", 11)
+    sql["td_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket11} % 1000000 <
+      (CASE WHEN lang = 'en' THEN 600000 WHEN lang = 'zh' THEN 200000 ELSE 50000 END)"""
+
+    # 5-gram shingles: mirror of functions/text.py:word_shingles(k=5) — DuckDB
+    # slices are inclusive, so t[i:i+4] is 5 tokens
+    _grams5 = (
+        "unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1), "
+        "i -> array_to_string(t[i:i+4], ' ')))"
+    )
+    sql["td_decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+tr AS (
+  SELECT DISTINCT doc_id, {_md5_64('ngram', 0)} AS g
+  FROM (SELECT doc_id, {_grams5} AS ngram FROM toks WHERE doc_id % 97 != 0)
+),
+ev AS (
+  SELECT DISTINCT {_md5_64('ngram', 0)} AS g
+  FROM (SELECT {_grams5} AS ngram FROM toks WHERE doc_id % 97 = 0)
+)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id"""
+
+    from cognee_graphdb_spark.operators.training_data import PII_PATTERNS
+
+    _pii_src = (
+        "'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-000-1234 at 10.0.0.' "
+        "|| CAST(doc_id % 255 AS VARCHAR) || ' ssn 123-45-6789 :: ' || text"
+    )
+    _pii_ctes, _prev = [f"s0 AS (SELECT doc_id, {_pii_src} AS t0 FROM documents)"], "t0"
+    for _i, (_, _pat, _repl) in enumerate(PII_PATTERNS, start=1):
+        _carry = "".join(f"c{j}, " for j in range(1, _i))
+        _pii_ctes.append(
+            f"s{_i} AS (SELECT doc_id, {_carry}"
+            f"len(regexp_extract_all({_prev}, '{_pat}', 0)) AS c{_i}, "
+            f"regexp_replace({_prev}, '{_pat}', '{_repl}', 'g') AS t{_i} FROM s{_i - 1})"
+        )
+        _prev = f"t{_i}"
+    _n = len(PII_PATTERNS)
+    sql["td_pii_redact"] = (
+        "WITH "
+        + ",\n".join(_pii_ctes)
+        + f"\nSELECT doc_id, t{_n} AS redacted_text, "
+        + f"CAST({' + '.join(f'c{j}' for j in range(1, _n + 1))} AS BIGINT) AS n_redactions FROM s{_n}"
+    )
+
+    sql["td_corpus_stats"] = f"""
+WITH t AS (SELECT len({tok}) AS n FROM documents),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         round(avg(n), 6) AS avg_doc_tokens,
+         CAST(min(n) AS BIGINT) AS min_doc_tokens,
+         CAST(max(n) AS BIGINT) AS max_doc_tokens
+  FROM t
+),
+v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest({tok}) AS token FROM documents)
+)
+SELECT * FROM d, v"""
 
     return sql

@@ -1,0 +1,229 @@
+"""Training-data pipeline operators beyond the reference's surface:
+deterministic sampling, eval-set decontamination, PII redaction, corpus
+statistics, and fixed-budget sequence packing.
+
+The reference engine stops at dedup + retrieval; a 100 TB pretraining corpus
+pipeline additionally needs to cut, clean, and reshape the corpus.  Everything
+here is expression-level (whole-stage codegen) except sequence packing, which
+is genuinely per-partition-stateful and uses an Arrow-batched mapInPandas.
+
+Scale design:
+- sampling is map-only (a hash filter pushed to the scan — no shuffle, no RNG
+  state, identical output on any cluster layout);
+- decontamination joins the TRAIN n-gram stream against the (small) eval-set
+  n-gram set on a 64-bit hash — AQE broadcasts the eval side; the train side
+  never shuffles its text;
+- PII redaction is a chain of regexp_replace expressions (one projection);
+- corpus stats are two aggregations (one for per-doc facts, one shuffle for
+  the exact vocabulary); at 100 TB swap countDistinct for
+  approx_count_distinct — noted inline;
+- sequence packing hash-partitions doc ids, then packs greedily inside each
+  partition; partitions are independent, so the result is deterministic for a
+  fixed partition count and never needs a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.functions.text import tokenize, word_shingles
+from cognee_graphdb_spark.operators.dedup import _hash64
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def _bucket(col, seed: int, hasher: str, buckets: int = SAMPLE_BUCKETS):
+    """Deterministic bucket in [0, buckets) from a key column."""
+    return F.pmod(_hash64(col.cast("string"), seed, hasher), F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``id_col``.
+
+    Unlike ``df.sample()`` (per-partition RNG — resample on every retry /
+    repartition), the kept set is a pure function of the key: stable across
+    runs, cluster layouts, and incremental re-runs, so a training corpus cut
+    is reproducible.  Map-only — the hash filter evaluates inside the scan
+    stage.  ``hasher="md5_64"`` is bit-reproducible in DuckDB for the oracle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    thresh = int(round(fraction * SAMPLE_BUCKETS))
+    return df.filter(_bucket(F.col(id_col), seed, hasher) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing weights).
+
+    ``fractions`` maps stratum value -> keep fraction; unlisted strata keep
+    ``default_fraction``.  Same hash-filter mechanics as :func:`hash_sample`
+    (map-only, reproducible), so source-mixing ratios survive re-runs.
+    """
+    thresh = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * SAMPLE_BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(_bucket(F.col(id_col), seed, hasher) < thresh)
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Flag training docs that share any ``n``-gram with an eval/benchmark set.
+
+    Returns ``(doc_id, shared_ngrams)`` for contaminated docs only (count of
+    DISTINCT shared n-grams); anti-join the result against ``train`` to get
+    the clean corpus.  N-grams are compared by 64-bit hash, so the join
+    shuffles 8-byte keys, never text; the eval side (distinct eval n-grams)
+    is tiny relative to train and broadcasts under AQE.
+    """
+    ev_col = eval_text_col or text_col
+
+    def grams(df: DataFrame, tcol: str):
+        return F.explode(word_shingles(tokenize(F.col(tcol)), n)).alias("ngram")
+
+    tr = (
+        train.select(F.col(id_col).alias("doc_id"), grams(train, text_col))
+        .select("doc_id", _hash64(F.col("ngram"), 0, hasher).alias("g"))
+        .distinct()
+    )
+    ev = (
+        eval_df.select(grams(eval_df, ev_col))
+        .select(_hash64(F.col("ngram"), 0, hasher).alias("g"))
+        .distinct()
+    )
+    return tr.join(ev, "g").groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared_ngrams"))
+
+
+# (name, java/RE2-portable pattern, replacement) — applied IN ORDER; each
+# pattern avoids lookaround and alternation-order traps so Java regex (Spark)
+# and RE2 (DuckDB oracle) match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / SSNs / IPv4s / phone numbers from a text column.
+
+    Returns ``(doc_id, redacted_text, n_redactions)``.  One projection — the
+    regexp chain runs inside whole-stage codegen; counts are taken on the
+    intermediate text each pattern actually saw (sequential semantics, so a
+    redacted SSN is not double-counted by the phone pattern).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        cur.alias("redacted_text"),
+        total.cast("bigint").alias("n_redactions"),
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus summary: docs, token totals/extremes, exact vocabulary.
+
+    Two aggregations: per-doc token counts (map-side partial agg) and the
+    exact distinct-token count (one shuffle on the token).  At 100 TB replace
+    ``countDistinct`` with ``approx_count_distinct`` (HLL sketch, no exact
+    shuffle) — kept exact here so the DuckDB oracle can reproduce the value.
+    """
+    per_doc = df.select(F.size(tokenize(F.col(text_col))).alias("n"))
+    doc_stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_doc_tokens"),
+        F.min("n").cast("bigint").alias("min_doc_tokens"),
+        F.max("n").cast("bigint").alias("max_doc_tokens"),
+    )
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .agg(F.countDistinct("token").alias("vocab_size"))
+    )
+    return doc_stats.crossJoin(vocab)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy-pack documents into training sequences of at most ``budget``
+    tokens: ``(doc_id, n_tokens, seq_id, seq_pos)``.
+
+    Token counting stays JVM-side; only the (id, count) pairs cross into
+    Python.  Docs are hash-partitioned by id and packed greedily in id order
+    within each partition — partitions are independent, so packing runs
+    map-parallel and is deterministic for a fixed ``partitions``.  A doc
+    larger than ``budget`` gets its own sequence (it needs chunking upstream,
+    F1-F3).  The small per-partition remainder sequence is the usual trade
+    of distributed packing; a 100 TB corpus wastes at most ``partitions`` x
+    ``budget`` tokens of fill.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    counted = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("int").alias("n_tokens"),
+    ).repartition(parts, F.col("doc_id"))
+
+    def pack(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id", kind="mergesort")
+        seq, acc, pos = 0, 0, 0
+        seq_ids, seq_pos = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc > 0 and acc + n > budget:
+                seq, acc, pos = seq + 1, 0, 0
+            acc += n
+            seq_ids.append(f"{pid}-{seq}")
+            seq_pos.append(pos)
+            pos += 1
+        pdf = pdf.assign(seq_id=seq_ids, seq_pos=seq_pos)
+        yield pdf
+
+    return counted.mapInPandas(pack, "doc_id string, n_tokens int, seq_id string, seq_pos int")

@@ -1,0 +1,127 @@
+"""Training-data pipeline operators: sampling, decontamination, PII
+redaction, corpus stats, sequence packing (operators/training_data.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.operators.training_data import (
+    corpus_stats,
+    hash_sample,
+    ngram_decontaminate,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc number {i} " + " ".join(f"w{(i * 7 + j) % 23}" for j in range(20)), ["en", "es", "zh"][i % 3])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
+    assert a == b  # pure function of the key — no RNG state
+    assert 0.15 < len(a) / 200 < 0.45
+    # nested property: a smaller fraction with the same seed is a subset
+    c = {r["doc_id"] for r in hash_sample(docs, 0.1, seed=7).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_hash_sample_bounds(docs):
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == 200
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_respects_per_stratum_fractions(docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0, "es": 0.0}, default_fraction=0.5, seed=3)
+    by_lang = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by_lang["en"] == totals["en"]  # fraction 1.0 keeps everything
+    assert "es" not in by_lang  # fraction 0.0 keeps nothing
+    assert 0 < by_lang["zh"] < totals["zh"]  # default fraction in between
+
+
+def test_ngram_decontaminate_flags_only_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different words appear in this one sample"),
+            (3, "quick brown fox jumps over something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "a quick brown fox jumps across")], ["doc_id", "text"])
+    hits = {r["doc_id"]: r["shared_ngrams"] for r in ngram_decontaminate(train, ev, n=4).collect()}
+    # eval 4-grams: {a quick brown fox, quick brown fox jumps, brown fox jumps across}
+    assert set(hits) == {1, 3}
+    assert hits[1] == 1 and hits[3] == 1  # only "quick brown fox jumps" is shared
+    clean = train.join(ngram_decontaminate(train, ev, n=4), "doc_id", "left_anti")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "ssn 123-45-6789 ip 192.168.0.1 call +1 555-123-4567"),
+            (3, "nothing sensitive here 12 34"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> now"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["redacted_text"] == "ssn <SSN> ip <IP> call +1 <PHONE>"
+    assert out[2]["n_redactions"] == 3
+    assert out[3]["redacted_text"] == "nothing sensitive here 12 34"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_corpus_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "d d d d")], ["doc_id", "text"]
+    )
+    row = corpus_stats(df).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 9
+    assert row["min_doc_tokens"] == 2
+    assert row["max_doc_tokens"] == 4
+    assert row["avg_doc_tokens"] == 3.0
+    assert row["vocab_size"] == 4  # {a, b, c, d}
+
+
+def test_pack_sequences_invariants(docs):
+    packed = pack_sequences(docs, budget=64, partitions=4)
+    rows = packed.collect()
+    # every doc appears exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(str(i) for i in range(200))
+    # per-sequence budget holds unless a single doc overflows it alone
+    by_seq: dict[str, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_rows in by_seq.values():
+        total = sum(r["n_tokens"] for r in seq_rows)
+        assert total <= 64 or len(seq_rows) == 1
+        # positions are 0..n-1
+        assert sorted(r["seq_pos"] for r in seq_rows) == list(range(len(seq_rows)))
+    # deterministic for a fixed partition count
+    again = {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in pack_sequences(docs, budget=64, partitions=4).collect()}
+    assert again == {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in rows}
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100)), (2, "a b"), (3, "c d")], ["doc_id", "text"]
+    )
+    rows = pack_sequences(df, budget=10, partitions=1).collect()
+    seq_of = {r["doc_id"]: r["seq_id"] for r in rows}
+    assert seq_of["1"] != seq_of["2"]  # the 100-token doc sits alone
+    assert seq_of["2"] == seq_of["3"]  # the two small docs pack together
