@@ -1034,6 +1034,31 @@ def _q_td_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=256, partitions=8)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    from cognee_graphdb_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), "fast table scan merge", k=20)
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    from cognee_graphdb_spark.operators.ranking import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), "window vector batch", k=20)
+
+
+def _q_knn_quantized(spark, sf_dir):
+    from cognee_graphdb_spark.operators.similarity import knn_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_quantized(emb, _qvec(spark, sf_dir, 7), k=10)
+
+
+def _q_skew_report(spark, sf_dir):
+    from cognee_graphdb_spark.operators.diagnostics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "s4_node_counts": _q_s4_node_counts,
@@ -1104,6 +1129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_decontaminate": _q_td_decontaminate,
         "td_pii_redact": _q_td_pii_redact,
         "td_corpus_stats": _q_td_corpus_stats,
+        "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "knn_quantized": _q_knn_quantized,
+        "skew_report": _q_skew_report,
         # rows-only (pandas-UDF / iterative plans — no SQL restatement)
         "f1_f4_chunking": _q_chunking,
         "cognify_node_counts": _q_cognify_counts,
@@ -1836,5 +1865,70 @@ v AS (
   FROM (SELECT unnest({tok}) AS token FROM documents)
 )
 SELECT * FROM d, v"""
+
+    # --- lexical ranking (operators/ranking.py) ------------------------------
+
+    def _bm25_sql(terms: list[str], k: int) -> str:
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+idf AS (SELECT term, ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) AS idf FROM dft, st),
+sc AS (
+  SELECT tf.doc_id,
+         sum(idf * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT {k}"""
+
+    sql["bm25_topk"] = _bm25_sql(["fast", "merge", "scan", "table"], 20)
+
+    sql["tfidf_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('batch', 'vector', 'window') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs FROM dl),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+idf AS (SELECT term, ln(n_docs / df_t) AS idf FROM dft, st),
+sc AS (
+  SELECT doc_id, sum((1.0 + ln(tf)) * idf) AS s
+  FROM tf JOIN idf USING (term) GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS tfidf FROM sc ORDER BY tfidf DESC, doc_id ASC LIMIT 20"""
+
+    # --- int8 quantized kNN (operators/similarity.py) ------------------------
+
+    sql["knn_quantized"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i),
+dq AS (
+  SELECT vec_id, i,
+         mn + ((CASE WHEN mx = mn THEN 0
+                     ELSE CAST(round((x - mn) * 254.0 / (mx - mn)) AS INT) - 127 END)
+               + 127.0) * (mx - mn) / 254.0 AS xhat
+  FROM x JOIN dims USING (i)
+),
+qv AS (SELECT i, x AS qx FROM x WHERE vec_id = 7),
+s AS (
+  SELECT dq.vec_id,
+         sum(xhat * qx) AS dot, sum(xhat * xhat) AS na, sum(qx * qx) AS nb
+  FROM dq JOIN qv USING (i) GROUP BY dq.vec_id
+)
+SELECT vec_id, round(1.0 - dot / (sqrt(na) * sqrt(nb)), 6) AS qdist
+FROM s ORDER BY qdist ASC, vec_id ASC LIMIT 10"""
+
+    # --- skew diagnostics (operators/diagnostics.py) -------------------------
+
+    sql["skew_report"] = """
+WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt FROM orders GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+SELECT key, cnt, round(cnt / total, 6) AS share, round(cnt * n_keys / total, 6) AS x_mean
+FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20"""
 
     return sql

@@ -132,3 +132,82 @@ def ann_lsh_topk(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — 4x smaller vectors for shuffle/storage-bound ANN
+# ---------------------------------------------------------------------------
+
+
+def quantization_params(
+    embeddings: DataFrame, vector_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, maxs) over the collection — the affine int8
+    quantization grid.  One posexplode + per-dim aggregate (dim rows — tiny);
+    collected to the driver so quantize/dequantize stay pure codegen
+    expressions with literal grids."""
+    rows = (
+        embeddings.select(F.posexplode(F.col(vector_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    vector_col: str = "embedding",
+    out_col: str = "q_vector",
+) -> DataFrame:
+    """Affine per-dim quantization to int8: q = round((x−mn)·254/(mx−mn)) − 127,
+    constant dims quantize to 0.  array<int> output is 4x smaller than
+    float32 on the wire — at 100 TB the ANN candidate shuffle is usually
+    bandwidth-bound, and re-ranking the top candidates against the
+    full-precision vectors restores exactness."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    sc = F.array(*[F.lit(float(b) - float(a)) for a, b in zip(mins, maxs)])
+    diffs = F.zip_with(F.col(vector_col).cast("array<double>"), mn, lambda x, m: x - m)
+    q = F.zip_with(
+        diffs,
+        sc,
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            (F.round((d * 254.0) / s) - 127).cast("int")
+        ),
+    )
+    return embeddings.withColumn(out_col, q)
+
+
+def dequantize_expr(qcol, mins: list[float], maxs: list[float]):
+    """x̂ = mn + (q+127)·(mx−mn)/254 as a codegen expression (array<double>)."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    sc = F.array(*[F.lit(float(b) - float(a)) for a, b in zip(mins, maxs)])
+    scaled = F.zip_with(qcol, sc, lambda q, s: ((q + 127.0) * s) / 254.0)
+    return F.zip_with(scaled, mn, lambda d, m: d + m)
+
+
+def knn_quantized(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    params: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Exact top-k over the QUANTIZED collection: (id, qdist) by cosine of the
+    dequantized vectors against the full-precision query.  Bounds the ranking
+    error of an int8-stored corpus; compose with LSH/IVF pruning for the full
+    scale path (quantized candidate scan → full-precision re-rank)."""
+    mins, maxs = params if params is not None else quantization_params(embeddings, vector_col)
+    qd = quantize_int8(embeddings, mins, maxs, vector_col)
+    xhat = dequantize_expr(F.col("q_vector"), mins, maxs)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        qd.select(id_col, cosine_distance(xhat, qv).alias("qdist"))
+        .withColumn("qdist", F.round("qdist", 6))
+        .orderBy(F.col("qdist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
