@@ -152,6 +152,26 @@ def main() -> None:
     def _embdup():
         dedup.embedding_near_duplicates(emb, threshold=0.4, lsh_bits=4, dim=64).count()
 
+    @step("bm25_topk")
+    def _bm25():
+        from cognee_graphdb_spark.operators.ranking import bm25_topk
+
+        bm25_topk(docs, "fast table scan merge", k=20).collect()
+
+    @step("training_data_ops")
+    def _td():
+        from cognee_graphdb_spark.operators.training_data import (
+            hash_sample,
+            ngram_decontaminate,
+            redact_pii,
+        )
+
+        hash_sample(docs, 0.1, seed=7).count()
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        ngram_decontaminate(train, ev, n=5).count()
+        redact_pii(docs).count()
+
     @step("text_analysis")
     def _text():
         quality_features(docs).count()

@@ -260,14 +260,12 @@ def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = Fals
     return out
 
 
-def _path_metrics(nodes: DataFrame, edges: DataFrame, max_hops: int = 32) -> dict:
-    """Exact all-pairs shortest paths by iterated frontier expansion.
-
-    Only for test-scale graphs (the reference's GDS equivalents are likewise
-    whole-graph jobs); 100 TB graphs should use sampled sources instead.
-    """
+def _bfs_path_stats(sources: DataFrame, edges: DataFrame, max_hops: int = 32) -> dict:
+    """Multi-source BFS over the undirected graph: max and mean shortest-path
+    length from the given source set.  One frontier-expansion join per hop;
+    every round localCheckpoints so lineage stays flat."""
     sym = _sym_edges(edges).localCheckpoint(eager=False)
-    dist = nodes.select(F.col("id").alias("s"), F.col("id").alias("d"), F.lit(0).alias("dist"))
+    dist = sources.select(F.col("id").alias("s"), F.col("id").alias("d"), F.lit(0).alias("dist"))
     frontier = dist
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -285,3 +283,30 @@ def _path_metrics(nodes: DataFrame, edges: DataFrame, max_hops: int = 32) -> dic
     row = reachable.agg(F.max("dist").alias("diam"), F.avg("dist").alias("aspl")).collect()[0]
     return {"diameter": int(row["diam"]) if row["diam"] is not None else 0,
             "avg_shortest_path_length": float(row["aspl"]) if row["aspl"] is not None else 0.0}
+
+
+def _path_metrics(nodes: DataFrame, edges: DataFrame, max_hops: int = 32) -> dict:
+    """Exact all-pairs shortest paths (BFS from EVERY node) — O(V·E) rows;
+    test-scale only, exactly like the reference's whole-graph GDS jobs.
+    100 TB graphs use :func:`approx_path_metrics`."""
+    return _bfs_path_stats(nodes.select("id"), edges, max_hops)
+
+
+def approx_path_metrics(
+    nodes: DataFrame, edges: DataFrame, n_sources: int = 32, max_hops: int = 32, seed: int = 0
+) -> dict:
+    """Sampled-source path metrics — the A2 scale path.
+
+    BFS from ``n_sources`` deterministically sampled nodes (smallest
+    xxhash64(id, seed) — a uniform sample selected by TakeOrderedAndProject,
+    no full shuffle).  Returns a diameter LOWER BOUND (max eccentricity seen
+    is ≤ true diameter) and an unbiased avg-shortest-path estimate; the
+    frontier cost is O(n_sources · E) instead of exact's O(V · E).  With
+    ``n_sources >= |V|`` this IS the exact computation.
+    """
+    src = (
+        nodes.select("id")
+        .orderBy(F.xxhash64("id", F.lit(seed)).asc(), F.col("id").asc())
+        .limit(n_sources)
+    )
+    return _bfs_path_stats(src, edges, max_hops)

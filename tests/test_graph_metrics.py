@@ -93,3 +93,19 @@ def test_components_determinism(spark):
     a = sorted(map(tuple, connected_components(nodes, edges).collect()))
     b = sorted(map(tuple, connected_components(nodes, edges).collect()))
     assert a == b
+
+
+def test_approx_path_metrics_bounds_and_exact_limit(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import _path_metrics, approx_path_metrics
+
+    nodes, edges = _connected_graph(spark)
+    exact = _path_metrics(nodes, edges)
+    # with n_sources >= |V| the sampled BFS IS the exact computation
+    full = approx_path_metrics(nodes, edges, n_sources=10)
+    assert full == exact
+    # with fewer sources the diameter estimate is a valid lower bound
+    approx = approx_path_metrics(nodes, edges, n_sources=2, seed=1)
+    assert approx["diameter"] <= exact["diameter"]
+    assert approx["avg_shortest_path_length"] > 0.0
+    # deterministic for a fixed seed
+    assert approx == approx_path_metrics(nodes, edges, n_sources=2, seed=1)

@@ -81,3 +81,41 @@ def test_sessionize_stateful_across_batches(spark, tmp_path):
     # user 1's first session (0..60, 2 events) closed by the t=10000 event;
     # the open sessions (user1 @10000, user2 @0) remain in state, not emitted
     assert rows == [(1, 0, 60, 2)]
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cognee_graphdb_spark.streaming.dedup import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for doc_id, ts, text in [
+            (1, "2024-01-01T00:00:00", "same content"),
+            (2, "2024-01-01T00:01:00", "same content"),  # in-horizon dup of 1
+            (3, "2024-01-01T00:02:00", "other content"),
+        ]:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        dedup_stream(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, content_hash FROM dedup_out").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 3]  # first arrival per content hash survives
+    assert len({r["content_hash"] for r in rows}) == 2
