@@ -56,12 +56,20 @@ def _qvec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; read nanos as long and truncate to microseconds — exactly what
-    DuckDB's nanos->TIMESTAMP coercion does, keeping both engines aligned."""
+    """events.parquet stores TIMESTAMP(NANOS).  Older Spark honors
+    ``spark.sql.legacy.parquet.nanosAsLong`` (read as long, truncate to
+    micros); Spark 4.1+ ignores that conf and reads TIMESTAMP_NTZ natively,
+    truncating to micros itself (verified bit-equal to DuckDB's
+    nanos->TIMESTAMP coercion over all of sf0.1).  Normalize both paths to a
+    UTC-interpreted TIMESTAMP column so downstream unix_timestamp/date_format
+    match the DuckDB oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    _utc(spark)  # NTZ->LTZ cast interprets wall clock in the session TZ
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --- shared-input memoization ------------------------------------------------
@@ -1027,6 +1035,20 @@ def _q_td_corpus_stats(spark, sf_dir):
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_td_repetition(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"), hasher="md5_64")
+
+
+def _q_td_gopher_filter(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import gopher_quality_filter
+
+    out = gopher_quality_filter(_t(spark, sf_dir, "documents"))
+    # arrays hash differently across engines — compare the joined string
+    return out.select("doc_id", "keep", F.array_join("fail_reasons", ",").alias("fail_reasons"))
+
+
 def _q_td_pack_sequences(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import pack_sequences
 
@@ -1129,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_decontaminate": _q_td_decontaminate,
         "td_pii_redact": _q_td_pii_redact,
         "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -1865,6 +1889,71 @@ v AS (
   FROM (SELECT unnest({tok}) AS token FROM documents)
 )
 SELECT * FROM d, v"""
+
+    # Gopher repetition features (operators/training_data.py:repetition_features)
+    _gram_ctes, _gram_joins, _gram_cols = [], [], []
+    for _n in (2, 3, 4):
+        _gram_ctes.append(f"""g{_n} AS (
+  SELECT doc_id, ngram, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - {_n - 1}, 0) + 1),
+                                         i -> array_to_string(t[i:i+{_n - 1}], ' '))) AS ngram
+    FROM toks
+  ) GROUP BY doc_id, ngram
+),
+t{_n} AS (SELECT doc_id, max(c * (length(ngram) - {_n - 1})) AS topc FROM g{_n} GROUP BY doc_id)""")
+        _gram_joins.append(f"LEFT JOIN t{_n} USING (doc_id)")
+        _gram_cols.append(
+            f"round(coalesce(t{_n}.topc, 0)::DOUBLE / greatest(tc.tok_chars, 1), 6)"
+            f" AS top{_n}gram_char_frac"
+        )
+    sql["td_repetition"] = f"""
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+  WHERE trim(l) != ''
+),
+lc AS (SELECT doc_id, line, count(*) AS c, max(length(line)) AS len FROM lines GROUP BY doc_id, line),
+line_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         round(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_line_frac,
+         round(sum(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END)::DOUBLE / sum(c * len), 6) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {tok} AS t FROM base),
+tc AS (SELECT doc_id, coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars FROM toks),
+{",".join(_gram_ctes)}
+SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+       {", ".join(_gram_cols)}
+FROM line_stats ls JOIN tc USING (doc_id) {" ".join(_gram_joins)}"""
+
+    # Gopher quality rules (operators/training_data.py:gopher_quality_filter)
+    sql["td_gopher_filter"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {tok} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mean_wl,
+         (len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\\.\\.\\.', 0)))::DOUBLE
+           / greatest(len(toks), 1) AS sym_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(toks), 1) AS alpha_frac,
+         len(list_filter(list_distinct(toks), x -> x IN ({stop_in}))) AS stop_hits
+  FROM t
+),
+r AS (
+  SELECT doc_id, list_filter([
+      CASE WHEN n_words < 50 THEN 'too_few_words' END,
+      CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+      CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'mean_word_len_out_of_band' END,
+      CASE WHEN sym_ratio > 0.1 THEN 'symbol_word_ratio' END,
+      CASE WHEN alpha_frac < 0.8 THEN 'low_alpha_word_frac' END,
+      CASE WHEN stop_hits < 2 THEN 'too_few_stopwords' END
+    ], x -> x IS NOT NULL) AS reasons
+  FROM f
+)
+SELECT doc_id, len(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS fail_reasons FROM r"""
 
     # --- lexical ranking (operators/ranking.py) ------------------------------
 

@@ -174,6 +174,181 @@ def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return doc_stats.crossJoin(vocab)
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngrams: tuple[int, ...] = (2, 3, 4),
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top{n}gram_char_frac ...)``:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) lines that are
+      repeats of an earlier identical line (occurrences beyond the first);
+    - ``dup_line_char_frac``: same, weighted by line length in characters;
+    - ``top{n}gram_char_frac``: the largest character mass any single word
+      n-gram accounts for — ``count * chars(ngram) / total token chars``.
+      (Picking max of count*chars instead of "chars of the most frequent
+      gram" makes the statistic tie-break-free, hence deterministic.)
+
+    Scale design: lines and n-grams are hashed to 64-bit BEFORE their groupBy,
+    so both shuffles carry (doc_id, hash, small ints) — never text.  All
+    ratios are computed from exact integer sums, so results do not depend on
+    partition/merge order (a float sum would).  Docs with no qualifying lines
+    or tokens simply have no row — filter semantics, like the other corpus
+    ops.
+    """
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    lc = (
+        lines.select(
+            "doc_id",
+            _hash64(F.col("line"), 0, hasher).alias("lh"),
+            F.length("line").alias("len"),
+        )
+        .groupBy("doc_id", "lh")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("len").alias("len"))
+    )
+    dup = F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
+    line_stats = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.round(F.sum(dup).cast("double") / F.sum("c"), 6).alias("dup_line_frac"),
+        F.round(
+            F.sum(dup * F.col("len")).cast("double") / F.sum(F.col("c") * F.col("len")), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = tokenize(F.col("text"))
+    tok_chars = base.select(
+        "doc_id",
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "tok_chars"
+        ),
+    )
+    def _tag(n: int):
+        # must stay single-argument: F.transform passes the element INDEX to
+        # a second parameter, so a `lambda g, n=n:` default would be clobbered
+        def tag(g):
+            return F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+        return tag
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[F.transform(word_shingles(toks, n), _tag(n)) for n in top_ngrams]))
+        ).alias("ng"),
+    )
+    gc = (
+        grams.select(
+            "doc_id",
+            F.col("ng.n").alias("n"),
+            _hash64(F.col("ng.g"), 0, hasher).alias("gh"),
+            # tokens contain no spaces, so length minus the n-1 joiners is the
+            # character mass of the gram's words
+            (F.length(F.col("ng.g")) - (F.col("ng.n") - F.lit(1))).alias("gchars"),
+        )
+        .groupBy("doc_id", "n", "gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("gchars").alias("gchars"))
+    )
+    top = gc.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.col("gchars")).cast("bigint").alias("top_chars")
+    )
+    pivoted = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"top{n}_chars")
+            for n in top_ngrams
+        ]
+    )
+    # left join: a doc can have lines yet fewer tokens than the largest n
+    # (no n-grams) — its fractions are 0, not a dropped row
+    out = line_stats.join(pivoted, "doc_id", "left").join(tok_chars, "doc_id", "inner")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        *[
+            F.round(
+                F.coalesce(F.col(f"top{n}_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("tok_chars"), F.lit(1)),
+                6,
+            ).alias(f"top{n}gram_char_frac")
+            for n in top_ngrams
+        ],
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rules document filter: ``(doc_id, keep, fail_reasons)``.
+
+    The published heuristics (word-count band, mean-word-length band,
+    symbol-to-word ratio for ``#``/``...``, fraction of words containing an
+    alphabetic character, minimum distinct-stopword evidence) as one
+    whole-stage-codegen projection — no shuffle, no UDF, so at 100 TB this is
+    scan-speed.  ``fail_reasons`` names every rule a doc breaks (empty array
+    = kept), which a corpus pipeline needs for filter-rate audits.
+    """
+    from cognee_graphdb_spark.functions.text import STOP_WORDS
+
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1))
+    hashes = F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), F.lit(0)))
+    ellipses = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), F.lit(0)))
+    symbol_ratio = (hashes + ellipses).cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    stop_hits = F.size(F.array_intersect(sw, toks))
+
+    rules = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("mean_word_len_out_of_band", (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)),
+        ("symbol_word_ratio", symbol_ratio > max_symbol_word_ratio),
+        ("low_alpha_word_frac", alpha_frac < min_alpha_word_frac),
+        ("too_few_stopwords", stop_hits < min_stopword_hits),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]),
+        lambda r: r.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -125,3 +125,50 @@ def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
     seq_of = {r["doc_id"]: r["seq_id"] for r in rows}
     assert seq_of["1"] != seq_of["2"]  # the 100-token doc sits alone
     assert seq_of["2"] == seq_of["3"]  # the two small docs pack together
+
+
+def test_repetition_features_exact(spark):
+    from cognee_graphdb_spark.operators.training_data import repetition_features
+
+    # 4 non-empty lines, "dup dup" twice (8 chars each, counted once as repeat);
+    # tokens: dup x4, one x1, two x1, three x1 -> tok_chars = 4*3 + 3+3+5 = 23
+    text = "dup dup\none two three\ndup dup\n\n  \ndup dup extra"
+    out = repetition_features(
+        spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    ).collect()[0]
+    assert out["n_lines"] == 4
+    assert out["dup_line_frac"] == round(1 / 4, 6)
+    assert out["dup_line_char_frac"] == round(7 / (7 + 13 + 7 + 13), 6)
+    # tokenization is text-wide (line breaks are just separators): the token
+    # stream is dup dup one two three dup dup dup dup extra, so the bigram
+    # "dup dup" occurs 4 times x 6 chars over 34 total token chars
+    assert out["top2gram_char_frac"] == round(4 * 6 / 34, 6)
+
+
+def test_repetition_features_no_ngram_doc_kept(spark):
+    from cognee_graphdb_spark.operators.training_data import repetition_features
+
+    # a single 1-token line has no 2/3/4-grams: fractions are 0, row kept
+    out = repetition_features(
+        spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["top2gram_char_frac"] == 0.0
+    assert out[0]["dup_line_frac"] == 0.0
+
+
+def test_gopher_quality_filter_reasons(spark):
+    from cognee_graphdb_spark.operators.training_data import gopher_quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and then " * 10
+    short = "tiny text here"
+    symbols = "the code has " + "# " * 40 + " and more of the usual filler words"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert rows["1"]["keep"] and rows["1"]["fail_reasons"] == []
+    assert not rows["2"]["keep"]
+    assert "too_few_words" in rows["2"]["fail_reasons"]
+    assert not rows["3"]["keep"]
+    assert "symbol_word_ratio" in rows["3"]["fail_reasons"]
