@@ -172,6 +172,16 @@ def main() -> None:
         ngram_decontaminate(train, ev, n=5).count()
         redact_pii(docs).count()
 
+    @step("quality_filters")
+    def _qf():
+        from cognee_graphdb_spark.operators.training_data import (
+            gopher_quality_filter,
+            repetition_features,
+        )
+
+        repetition_features(docs).count()
+        gopher_quality_filter(docs).count()
+
     @step("text_analysis")
     def _text():
         quality_features(docs).count()
