@@ -1049,6 +1049,38 @@ def _q_td_gopher_filter(spark, sf_dir):
     return out.select("doc_id", "keep", F.array_join("fail_reasons", ",").alias("fail_reasons"))
 
 
+def _q_td_unigram_logprob(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import unigram_lm, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    # truncated vocab so the OOV floor path is exercised against the oracle
+    return unigram_logprob(docs, unigram_lm(docs, vocab_size=100))
+
+
+def _q_td_weighted_sample(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    from cognee_graphdb_spark.functions.text import tokenize
+
+    # weight = min(1, n_words/100): longer docs more likely kept
+    weighted = docs.withColumn(
+        "w", F.least(F.lit(1.0), F.size(tokenize(F.col("text"))).cast("double") / F.lit(100.0))
+    )
+    return weighted_sample(weighted, "w", seed=5, hasher="md5_64").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_td_shuffle_shards(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, n_shards=16, seed=3, hasher="md5_64").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def _q_td_pack_sequences(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import pack_sequences
 
@@ -1153,6 +1185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_corpus_stats": _q_td_corpus_stats,
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
+        "td_unigram_logprob": _q_td_unigram_logprob,
+        "td_weighted_sample": _q_td_weighted_sample,
+        "td_shuffle_shards": _q_td_shuffle_shards,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -1954,6 +1989,40 @@ r AS (
 )
 SELECT doc_id, len(reasons) = 0 AS keep,
        coalesce(array_to_string(reasons, ','), '') AS fail_reasons FROM r"""
+
+    # CCNet-style unigram-LM scoring (training_data.py:unigram_lm/unigram_logprob):
+    # vocab truncated to top-100 (count desc, token asc) so OOV hits the
+    # ln(1/total) floor; total counts ALL instances, pre-truncation.
+    sql["td_unigram_logprob"] = f"""
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+tk AS (SELECT doc_id, unnest({tok}) AS token FROM base),
+cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT sum(c)::DOUBLE AS total FROM cnt),
+lm AS (
+  SELECT token, ln(c / total) AS logp
+  FROM cnt, tot ORDER BY c DESC, token LIMIT 100
+),
+dt AS (SELECT doc_id, token, count(*) AS dc FROM tk GROUP BY doc_id, token)
+SELECT doc_id, sum(dc)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN logp IS NULL THEN dc ELSE 0 END)::DOUBLE / sum(dc), 6) AS oov_frac,
+       round(sum(dc * coalesce(logp, ln(1.0 / total))) / sum(dc), 6) AS mean_logprob
+FROM dt LEFT JOIN lm USING (token), tot
+GROUP BY doc_id"""
+
+    # weighted (per-row-probability) sampling: weight = min(1, n_words/100)
+    sql["td_weighted_sample"] = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
+) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # deterministic shuffle: shard = hash mod 16, pos = rank by hash in shard
+    _sh = _md5_64("CAST(doc_id AS VARCHAR)", 3)
+    sql["td_shuffle_shards"] = f"""
+SELECT doc_id, CAST({_sh} % 16 AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_sh} % 16
+         ORDER BY {_sh}, CAST(doc_id AS VARCHAR)) AS INT) AS pos
+FROM documents"""
 
     # --- lexical ranking (operators/ranking.py) ------------------------------
 

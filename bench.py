@@ -182,6 +182,17 @@ def main() -> None:
         repetition_features(docs).count()
         gopher_quality_filter(docs).count()
 
+    @step("corpus_reshape")
+    def _reshape():
+        from cognee_graphdb_spark.operators.training_data import (
+            deterministic_shuffle,
+            unigram_lm,
+            unigram_logprob,
+        )
+
+        unigram_logprob(docs, unigram_lm(docs, vocab_size=1000)).count()
+        deterministic_shuffle(docs, n_shards=64, seed=3).count()
+
     @step("text_analysis")
     def _text():
         quality_features(docs).count()

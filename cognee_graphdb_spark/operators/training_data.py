@@ -349,6 +349,140 @@ def gopher_quality_filter(
     )
 
 
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Corpus unigram language model: ``(token, c, total, logp)``.
+
+    ``logp = ln(c / total)`` where ``total`` counts ALL token instances in the
+    corpus (before any vocabulary truncation, so probabilities stay honest
+    when ``vocab_size`` keeps only the most frequent tokens — CCNet-style
+    filtering trains its LM on the target corpus slice exactly like this).
+
+    Scale design: one hash aggregation over the exploded token stream (full
+    map-side partial combine — the shuffle carries (token, count), never
+    text positions); the total is a scalar aggregate broadcast back onto the
+    vocab rows.  The resulting LM is vocab-sized (≪ corpus) and is the
+    broadcast side of every scoring join.
+    """
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("double").alias("total"))
+    if vocab_size is not None:
+        # deterministic truncation: ties broken by token text
+        counts = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    return counts.crossJoin(F.broadcast(total)).withColumn(
+        "logp", F.log(F.col("c") / F.col("total"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-document LM score against a :func:`unigram_lm`:
+    ``(doc_id, n_tokens, oov_frac, mean_logprob)``.
+
+    ``mean_logprob`` is the mean natural-log probability over token
+    *instances*; out-of-vocabulary tokens score at the floor ``ln(1/total)``
+    (a count-1 pseudo-token) and are reported in ``oov_frac``.  Low scores ≈
+    high perplexity ≈ far from the LM's training slice — the standard
+    quality/domain filter signal (keep docs the target-domain LM finds
+    likely).  Docs with zero tokens have no row (filter semantics).
+
+    Scale design: one (doc_id, token) count aggregation — the only shuffle
+    that sees per-doc data, carrying counts not text — then a join against
+    the vocab-sized LM (AQE broadcasts it) and a per-doc roll-up.  Results
+    are rounded to 6 decimals so float summation order cannot leak into
+    equality comparisons.
+    """
+    dt = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    total = lm.agg(F.max("total").alias("total"))
+    scored = dt.join(lm.select("token", "logp"), "token", "left").crossJoin(
+        F.broadcast(total)
+    )
+    floor = F.log(F.lit(1.0) / F.col("total"))
+    oov = F.when(F.col("logp").isNull(), F.col("dc")).otherwise(F.lit(0))
+    return scored.groupBy("doc_id").agg(
+        F.sum("dc").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(oov).cast("double") / F.sum("dc"), 6).alias("oov_frac"),
+        F.round(
+            F.sum(F.col("dc") * F.coalesce(F.col("logp"), floor)) / F.sum("dc"), 6
+        ).alias("mean_logprob"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-row-probability deterministic sample: keep a row iff its hash
+    bucket falls below ``weight`` (clamped to [0, 1]).
+
+    Generalizes :func:`hash_sample` from one global fraction to a per-row
+    keep probability — the quality-weighted resampling step of modern corpus
+    pipelines (upsample what a quality classifier likes, downsample the
+    rest) — while keeping its reproducibility contract: the kept set is a
+    pure function of (key, seed, weight), identical across retries, cluster
+    layouts, and incremental re-runs.  Map-only; the filter evaluates inside
+    the scan stage, so at 100 TB this adds zero shuffles to whatever plan
+    consumes it.
+    """
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        _bucket(F.col(id_col), seed, hasher) < w * F.lit(float(SAMPLE_BUCKETS))
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Reproducible global training order: adds ``(shard, pos)`` where
+    ``shard = hash(key, seed) mod n_shards`` and ``pos`` numbers rows within
+    the shard by hash order (key as tiebreak).
+
+    A training run needs the corpus in a shuffled, sharded order that every
+    re-run reproduces exactly — ``df.orderBy(rand())`` cannot (per-partition
+    RNG), hash order can: changing ``seed`` gives an independent permutation.
+    Scale design: one hash-partition shuffle on ``shard`` plus an
+    in-partition sort — exactly the physical layout a sharded writer needs,
+    so ``.write.partitionBy("shard")`` emits ordered shards with no extra
+    exchange.  Choose ``n_shards`` ≥ cluster parallelism: the window runs one
+    task per shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    from pyspark.sql import Window
+
+    h = _hash64(F.col(id_col).cast("string"), seed, hasher)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col).cast("string"))
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

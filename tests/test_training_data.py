@@ -172,3 +172,68 @@ def test_gopher_quality_filter_reasons(spark):
     assert "too_few_words" in rows["2"]["fail_reasons"]
     assert not rows["3"]["keep"]
     assert "symbol_word_ratio" in rows["3"]["fail_reasons"]
+
+
+def test_unigram_logprob_exact(spark):
+    import math
+
+    from cognee_graphdb_spark.operators.training_data import unigram_lm, unigram_logprob
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    lm = unigram_lm(df)
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, lm).collect()}
+    assert rows["1"]["n_tokens"] == 3
+    assert rows["1"]["oov_frac"] == 0.0
+    assert rows["1"]["mean_logprob"] == round(math.log(3 / 4), 6)
+    assert rows["2"]["mean_logprob"] == round(math.log(1 / 4), 6)
+
+
+def test_unigram_logprob_oov_floor(spark):
+    import math
+
+    from cognee_graphdb_spark.operators.training_data import unigram_lm, unigram_logprob
+
+    train = spark.createDataFrame([(1, "x x x y")], ["doc_id", "text"])
+    lm = unigram_lm(train, vocab_size=1)  # keeps only "x"; total stays 4
+    score = spark.createDataFrame([(9, "x y z")], ["doc_id", "text"])
+    row = unigram_logprob(score, lm).collect()[0]
+    # y and z are OOV (y truncated out of vocab, z unseen): floor = ln(1/4)
+    assert row["oov_frac"] == round(2 / 3, 6)
+    expect = (math.log(3 / 4) + 2 * math.log(1 / 4)) / 3
+    assert row["mean_logprob"] == round(expect, 6)
+
+
+def test_weighted_sample_extremes_and_determinism(docs):
+    from cognee_graphdb_spark.operators.training_data import weighted_sample
+
+    w1 = docs.withColumn("w", F.lit(1.0))
+    assert weighted_sample(w1, "w").count() == docs.count()  # weight 1 keeps all
+    w0 = docs.withColumn("w", F.lit(0.0))
+    assert weighted_sample(w0, "w").count() == 0
+    wj = docs.withColumn("w", (F.col("doc_id") % 10).cast("double") / 10.0)
+    a = {r["doc_id"] for r in weighted_sample(wj, "w", seed=3).collect()}
+    b = {r["doc_id"] for r in weighted_sample(wj, "w", seed=3).collect()}
+    assert a == b
+    # weight-0 rows can never survive
+    assert all(i % 10 != 0 for i in a)
+
+
+def test_deterministic_shuffle_is_a_permutation(docs):
+    from cognee_graphdb_spark.operators.training_data import deterministic_shuffle
+
+    out = deterministic_shuffle(docs, n_shards=8, seed=1)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == docs.count()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # pos is 1..n_in_shard with no gaps within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # same seed -> identical assignment; different seed -> different order
+    again = deterministic_shuffle(docs, n_shards=8, seed=1).select("doc_id", "shard", "pos")
+    assert {tuple(r) for r in again.collect()} == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = deterministic_shuffle(docs, n_shards=8, seed=2).select("doc_id", "shard", "pos")
+    assert {tuple(r) for r in other.collect()} != {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
