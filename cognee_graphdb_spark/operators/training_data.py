@@ -104,17 +104,25 @@ def ngram_decontaminate(
     def grams(df: DataFrame, tcol: str):
         return F.explode(word_shingles(tokenize(F.col(tcol)), n)).alias("ngram")
 
-    tr = (
-        train.select(F.col(id_col).alias("doc_id"), grams(train, text_col))
-        .select("doc_id", _hash64(F.col("ngram"), 0, hasher).alias("g"))
-        .distinct()
+    from cognee_graphdb_spark.session import fan_out
+
+    # the shingle+hash explode is the heavy stage; a narrow parquet input
+    # (one row-group ⇒ one task) would run it single-core — no-op at scale
+    train = fan_out(train.select(id_col, text_col))
+    tr = train.select(F.col(id_col).alias("doc_id"), grams(train, text_col)).select(
+        "doc_id", _hash64(F.col("ngram"), 0, hasher).alias("g")
     )
     ev = (
         eval_df.select(grams(eval_df, ev_col))
         .select(_hash64(F.col("ngram"), 0, hasher).alias("g"))
         .distinct()
     )
-    return tr.join(ev, "g").groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    # join BEFORE any train-side dedup: the broadcast eval set filters the
+    # n-gram stream map-side, so the only shuffle carries contaminated
+    # (doc_id, g) pairs — count_distinct dedups that tiny survivor set.
+    # (Dedup-then-join would shuffle the full corpus n-gram stream first.)
+    hits = tr.join(ev, "g")
+    return hits.groupBy("doc_id").agg(F.count_distinct("g").alias("shared_ngrams"))
 
 
 # (name, java/RE2-portable pattern, replacement) — applied IN ORDER; each
@@ -201,8 +209,12 @@ def repetition_features(
     or tokens simply have no row — filter semantics, like the other corpus
     ops.
     """
-    base = df.select(
-        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    from cognee_graphdb_spark.session import fan_out
+
+    # line/n-gram explodes are the heavy map stages — widen a narrow input
+    # (one row-group ⇒ one task) up to cluster parallelism; no-op at scale
+    base = fan_out(
+        df.select(F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text"))
     )
 
     lines = base.select(
@@ -367,8 +379,11 @@ def unigram_lm(
     vocab rows.  The resulting LM is vocab-sized (≪ corpus) and is the
     broadcast side of every scoring join.
     """
+    from cognee_graphdb_spark.session import fan_out
+
     counts = (
-        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        fan_out(df.select(text_col))
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -403,8 +418,11 @@ def unigram_logprob(
     are rounded to 6 decimals so float summation order cannot leak into
     equality comparisons.
     """
+    from cognee_graphdb_spark.session import fan_out
+
     dt = (
-        df.select(
+        fan_out(df.select(id_col, text_col))
+        .select(
             F.col(id_col).cast("string").alias("doc_id"),
             F.explode(tokenize(F.col(text_col))).alias("token"),
         )
