@@ -162,6 +162,11 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
+            # materialize the (small) frontier: round r's output feeds BOTH
+            # the visited union and round r+1's join, and Spark re-executes
+            # shared subplans per consumer — without this, round 1's edge
+            # join runs once per remaining round (k× total edge scans)
+            .localCheckpoint(eager=True)
         )
         # nxt is distinct AND anti-joined against visited, so the union is
         # disjoint by construction — no distinct (= no shuffle of the whole
