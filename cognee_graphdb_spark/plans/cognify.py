@@ -73,10 +73,14 @@ def _extract_stage(chunks: DataFrame, gateway: MockLLMGateway) -> DataFrame:
                 rows.append((chunk_id, "summary", None, None, None, None, None, gateway.extract_summary(text or "")))
             yield pd.DataFrame(rows, columns=cols)
 
-    from cognee_graphdb_spark.session import fan_out, ship_package
+    from cognee_graphdb_spark.session import ship_package
 
     ship_package(chunks.sparkSession)
-    return fan_out(chunks.select("chunk_id", "text")).mapInPandas(run, _EXTRACT_SCHEMA)
+    # no fan_out here: chunks always comes from chunk_documents, which already
+    # widened the lineage to cluster parallelism (mapInPandas preserves
+    # partitioning), and probing .rdd.getNumPartitions() on the mapInPandas
+    # plan costs ~2.5s of driver-side physical planning for a guaranteed no-op
+    return chunks.select("chunk_id", "text").mapInPandas(run, _EXTRACT_SCHEMA)
 
 
 def cognify_documents(
