@@ -141,8 +141,16 @@ def migrate_tables(
             continue
         pk = TPCH_PKS[t]
         nonpk = sorted({fk for fk, _ in fks_by_child[t] if fk not in pk})
-        grouped[t] = tables[t].groupBy(*pk).agg(
-            *[F.collect_set(fk).alias(f"__set_{fk}") for fk in nonpk]
+        # deferred checkpoint: the grouped frame feeds BOTH the nodes output
+        # (pk set) and every FK-edge branch, and those materialize in separate
+        # jobs — without it the child-table shuffle re-runs per job.  The
+        # checkpoint holds one row per pk with small FK sets (≪ the table),
+        # and write-once-read-twice beats scan+shuffle-twice at any scale.
+        grouped[t] = (
+            tables[t]
+            .groupBy(*pk)
+            .agg(*[F.collect_set(fk).alias(f"__set_{fk}") for fk in nonpk])
+            .localCheckpoint(eager=False)
         )
 
     # project to the PK columns BEFORE the uniqueness shuffle: dropDuplicates
