@@ -121,7 +121,10 @@ def ngram_decontaminate(
     # n-gram stream map-side, so the only shuffle carries contaminated
     # (doc_id, g) pairs — count_distinct dedups that tiny survivor set.
     # (Dedup-then-join would shuffle the full corpus n-gram stream first.)
-    hits = tr.join(ev, "g")
+    # The broadcast hint is safe by contract: eval sets are benchmark-sized
+    # (a 10k-question suite ≈ 1M distinct 5-gram hashes ≈ 8 MB), unlike the
+    # O(corpus) maps this codebase deliberately never hints.
+    hits = tr.join(F.broadcast(ev), "g")
     return hits.groupBy("doc_id").agg(F.count_distinct("g").alias("shared_ngrams"))
 
 

@@ -154,3 +154,73 @@ def test_fan_out_is_conditional(spark):
     assert fan_out(narrow).rdd.getNumPartitions() == par
     wide = spark.range(1000).repartition(par * 2)
     assert fan_out(wide) is wide
+
+
+def test_decontaminate_filters_before_any_train_shuffle(spark):
+    """The eval n-gram set joins the train stream BEFORE any train-side
+    aggregation: the broadcast-join filter must appear BELOW the (doc_id)
+    aggregate exchange, so the only shuffled rows are contaminated pairs."""
+    from cognee_graphdb_spark.operators.training_data import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [(i, "some words here repeated for shingles " * 3) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(1, "benchmark eval text sample")], ["doc_id", "text"])
+    plan = plan_of(ngram_decontaminate(train, ev, n=5), mode="simple")
+    # the train side must never shuffle for the join itself
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # hash-partition exchanges: the tiny eval-side distinct, plus the
+    # count_distinct's two phases over the already-filtered survivor rows —
+    # a dedup of the full train n-gram stream below the join would add a 4th,
+    # and the train side reaches the join straight from its scan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    left = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in left, plan  # train side: scan -> explode -> join
+
+
+def test_unigram_scoring_aggregates_tokens_before_the_join(spark):
+    """The doc-token stream is count-aggregated (map-side partial) BEFORE
+    joining the LM — the join never sees raw token instances — and no
+    cartesian sneaks in.  (The LM side's broadcast is AQE's runtime call:
+    an untruncated vocab can be legitimately large, so the code does not
+    static-hint it.)"""
+    from cognee_graphdb_spark.operators.training_data import unigram_lm, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50)], ["doc_id", "text"]
+    )
+    plan = plan_of(unigram_logprob(docs, unigram_lm(docs)))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on (doc_id, token)
+
+
+def test_gopher_filter_is_single_stage_projection(spark):
+    """The quality-rules filter is pure whole-stage-codegen projection:
+    zero exchanges, zero Python evals — scan speed at any corpus size."""
+    from cognee_graphdb_spark.operators.training_data import gopher_quality_filter
+
+    docs = spark.createDataFrame([(1, "text " * 60)], ["doc_id", "text"])
+    plan = plan_of(gopher_quality_filter(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_map_only(spark):
+    """Per-row-probability sampling is a filter in the scan stage — no
+    shuffle, no RNG state."""
+    from cognee_graphdb_spark.operators.training_data import weighted_sample
+
+    docs = spark.createDataFrame([(1, 0.5)], ["doc_id", "w"])
+    plan = plan_of(weighted_sample(docs, "w"))
+    assert "Exchange" not in plan
+
+
+def test_deterministic_shuffle_single_exchange(spark):
+    """Shard+order assignment costs exactly one hash-partition exchange (the
+    window's), which doubles as the sharded writer's layout."""
+    from cognee_graphdb_spark.operators.training_data import deterministic_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    plan = plan_of(deterministic_shuffle(docs, n_shards=8), mode="simple")
+    assert plan.count("Exchange") == 1, plan
