@@ -84,7 +84,21 @@ def main() -> None:
     @step("cognify_build")
     def _cognify():
         nonlocal cog
+        import dataclasses
+
         cog = cognify_documents(docs)
+        # the build output is a union of many branches whose partition counts
+        # ADD UP (~130 tiny partitions at sf0.1); every query step below scans
+        # these caches several times, so cap them to cluster width before
+        # caching (narrow coalesce — no shuffle).  The real query path reads
+        # the bucketed GraphStore instead, where layout is already right.
+        cap = 2 * par
+        cog = dataclasses.replace(
+            cog,
+            nodes=cog.nodes.coalesce(cap),
+            edges=cog.edges.coalesce(cap),
+            embeddings=cog.embeddings.coalesce(cap),
+        )
         cog.nodes.cache().count()
         cog.edges.cache().count()
         cog.embeddings.cache().count()
