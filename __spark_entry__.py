@@ -1081,6 +1081,13 @@ def _q_td_shuffle_shards(spark, sf_dir):
     )
 
 
+def _q_td_duplicate_spans(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, window=12, stride=4, hasher="md5_64")
+
+
 def _q_td_pack_sequences(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import pack_sequences
 
@@ -1188,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_unigram_logprob": _q_td_unigram_logprob,
         "td_weighted_sample": _q_td_weighted_sample,
         "td_shuffle_shards": _q_td_shuffle_shards,
+        "td_duplicate_spans": _q_td_duplicate_spans,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -2014,6 +2022,27 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # cross-doc duplicate spans (training_data.py:duplicate_spans):
+    # content-defined anchors = positions whose token hashes to 0 mod 4
+    # (seed 1), 12-token windows, doc-frequency >= 2 flags the window
+    _anchor = _md5_64("t[i]", 1)
+    sql["td_duplicate_spans"] = f"""
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {tok} AS t FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+11], ' ') AS w
+  FROM (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 11, 1) + 1)) AS i
+    FROM base WHERE len(t) >= 12
+  )
+  WHERE ({_anchor} % 4) = 0
+),
+dfq AS (SELECT w, count(*) AS ndocs FROM w GROUP BY w)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum((ndocs >= 2)::INT)::BIGINT AS dup_windows,
+       round(sum((ndocs >= 2)::INT)::DOUBLE / count(*), 6) AS dup_frac
+FROM w JOIN dfq USING (w)
+GROUP BY doc_id"""
 
     # deterministic shuffle: shard = hash mod 16, pos = rank by hash in shard
     _sh = _md5_64("CAST(doc_id AS VARCHAR)", 3)

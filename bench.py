@@ -195,6 +195,9 @@ def main() -> None:
 
         repetition_features(docs).count()
         gopher_quality_filter(docs).count()
+        from cognee_graphdb_spark.operators.training_data import duplicate_spans
+
+        duplicate_spans(docs, window=12, stride=4).count()
 
     @step("corpus_reshape")
     def _reshape():

@@ -364,6 +364,74 @@ def gopher_quality_filter(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document verbatim-span signal: per doc, how much of it consists
+    of token windows that appear verbatim in ≥ ``min_docs`` distinct docs.
+
+    The distributed approximation of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): instead of a
+    corpus suffix array, hash ``window``-token spans at CONTENT-DEFINED
+    anchor positions — positions whose token hashes to 0 mod ``stride``
+    (winnowing-style fingerprinting, Schleimer et al.).  Anchors depend only
+    on the tokens themselves, so a span shared verbatim by two docs anchors
+    at the SAME in-span offsets in both — fixed-stride sampling from the doc
+    start would miss spans at different alignments.  Expected anchor density
+    is 1/stride; a shared span with any anchor in its first
+    ``len - window + 1`` tokens is caught in both docs.
+    Returns ``(doc_id, n_windows, dup_windows, dup_frac)``; docs with no
+    anchored window have no row (filter semantics).  The intra-document
+    complement is :func:`repetition_features`.
+
+    Scale design: windows are hashed to 64-bit at the explode, so every
+    shuffle carries (doc_id, hash) — never span text.  The doc-frequency
+    aggregation and the join back to per-doc windows both key on the hash, so
+    the join reuses the aggregation's Exchange.  Within-doc repeats collapse
+    first (distinct), so a span repeated inside one doc can't fake a
+    cross-doc duplicate.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive: {window}, {stride}")
+    from cognee_graphdb_spark.session import fan_out
+
+    base = fan_out(df.select(F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")))
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: F.pmod(_hash64(F.element_at(toks, i), 1, hasher), F.lit(stride)) == 0,
+    )
+    windows = F.when(n < window, F.array().cast("array<string>")).otherwise(
+        F.transform(anchors, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    )
+    wd = (
+        base.select("doc_id", F.explode(windows).alias("w"))
+        .select("doc_id", _hash64(F.col("w"), 0, hasher).alias("wh"))
+        .distinct()
+    )
+    docfreq = wd.groupBy("wh").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        wd.join(docfreq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("ndocs") >= min_docs).cast("int")).cast("bigint").alias("dup_windows"),
+            F.round(
+                F.sum((F.col("ndocs") >= min_docs).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def unigram_lm(
     df: DataFrame,
     text_col: str = "text",

@@ -237,3 +237,33 @@ def test_deterministic_shuffle_is_a_permutation(docs):
     assert {tuple(r) for r in again.collect()} == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
     other = deterministic_shuffle(docs, n_shards=8, seed=2).select("doc_id", "shard", "pos")
     assert {tuple(r) for r in other.collect()} != {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_duplicate_spans_cross_doc_misaligned(spark):
+    from cognee_graphdb_spark.operators.training_data import duplicate_spans
+
+    # the same 40-token span embedded at DIFFERENT offsets in two docs —
+    # content-defined anchors must still align inside the span
+    span = " ".join(f"shared{i % 17} common{i % 13}" for i in range(20))
+    a = "prefix one two three " + span + " suffix here"
+    b = "a completely different and much longer leading context sentence " + span
+    c = "unrelated filler words that never repeat anything interesting at all " * 3
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in duplicate_spans(df, window=8, stride=2).collect()}
+    assert rows["1"]["dup_windows"] > 0
+    assert rows["2"]["dup_windows"] > 0
+    assert rows["3"]["dup_windows"] == 0
+    assert rows["3"]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    from cognee_graphdb_spark.operators.training_data import duplicate_spans
+
+    # a span repeated INSIDE one doc must not count as a cross-doc duplicate
+    span = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, span + " middle filler " + span), (2, "totally different content here " * 10)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(df, window=8, stride=2).collect()}
+    assert rows["1"]["dup_windows"] == 0
