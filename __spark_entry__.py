@@ -1081,6 +1081,12 @@ def _q_td_shuffle_shards(spark, sf_dir):
     )
 
 
+def _q_td_c4_line_filter(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import c4_line_filter
+
+    return c4_line_filter(_t(spark, sf_dir, "documents"))
+
+
 def _q_td_duplicate_spans(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import duplicate_spans
 
@@ -1196,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_weighted_sample": _q_td_weighted_sample,
         "td_shuffle_shards": _q_td_shuffle_shards,
         "td_duplicate_spans": _q_td_duplicate_spans,
+        "td_c4_line_filter": _q_td_c4_line_filter,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -2022,6 +2029,31 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # C4 line-level cleaning (training_data.py:c4_line_filter)
+    sql["td_c4_line_filter"] = """
+WITH split AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l != '') AS nonempty
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, nonempty,
+         list_filter(nonempty, l ->
+           regexp_matches(l, '[.!?"'']$')
+           AND len(list_filter(string_split_regex(l, '\\s+'), w -> w != '')) >= 5
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(lower(l), 'cookie')) AS kept
+  FROM split
+)
+SELECT doc_id,
+       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{')) AS keep_doc,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       len(kept)::BIGINT AS n_lines_kept,
+       (len(nonempty) - len(kept))::BIGINT AS n_lines_dropped
+FROM f"""
 
     # cross-doc duplicate spans (training_data.py:duplicate_spans):
     # content-defined anchors = positions whose token hashes to 0 mod 4

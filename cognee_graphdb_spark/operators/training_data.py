@@ -364,6 +364,57 @@ def gopher_quality_filter(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines_kept: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript", "cookie"),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al., "Exploring the Limits of
+    Transfer Learning" §2.2): ``(doc_id, keep_doc, clean_text, n_lines_kept,
+    n_lines_dropped)``.
+
+    Line rules — keep a line iff it ends in terminal punctuation (``.!?"'``),
+    has ≥ ``min_words_per_line`` words, and contains no blocklisted phrase
+    (case-insensitive).  Doc rules — keep the doc iff ≥ ``min_lines_kept``
+    lines survive and the full text contains no ``doc_blocklist`` entry
+    (C4 drops pages with "lorem ipsum" or code braces).  ``clean_text``
+    reassembles the surviving lines in order.
+
+    Scale design: pure whole-stage-codegen projection — split, per-line
+    predicates via higher-order functions, re-join — zero shuffles, zero
+    UDFs, so this runs at scan speed over any corpus size (same profile as
+    :func:`gopher_quality_filter`).
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    lower = F.lower(F.col(text_col))
+
+    def line_ok(l):
+        low = F.lower(l)
+        ok = l.rlike("""[.!?"']$""") & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= min_words_per_line
+        )
+        for phrase in line_blocklist:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    kept = F.filter(lines, lambda l: (l != "") & line_ok(l))
+    dropped = F.size(F.filter(lines, lambda l: l != "")) - F.size(kept)
+    doc_ok = F.size(kept) >= min_lines_kept
+    for phrase in doc_blocklist:
+        doc_ok = doc_ok & ~lower.contains(phrase.lower())
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        doc_ok.alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        dropped.cast("bigint").alias("n_lines_dropped"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     window: int = 20,

@@ -224,3 +224,14 @@ def test_deterministic_shuffle_single_exchange(spark):
     docs = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
     plan = plan_of(deterministic_shuffle(docs, n_shards=8), mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_c4_line_filter_is_single_stage_projection(spark):
+    """Line cleaning is higher-order-function expressions in one codegen
+    stage — zero exchanges, zero Python evals."""
+    from cognee_graphdb_spark.operators.training_data import c4_line_filter
+
+    docs = spark.createDataFrame([(1, "A sentence that is long enough here.")], ["doc_id", "text"])
+    plan = plan_of(c4_line_filter(docs), mode="simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -267,3 +267,28 @@ def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
     )
     rows = {r["doc_id"]: r for r in duplicate_spans(df, window=8, stride=2).collect()}
     assert rows["1"]["dup_windows"] == 0
+
+
+def test_c4_line_filter_rules(spark):
+    from cognee_graphdb_spark.operators.training_data import c4_line_filter
+
+    good = "\n".join(
+        [
+            "This is a perfectly fine sentence with enough words in it.",
+            "Another complete sentence that also ends with proper punctuation!",
+            "And a third one, because documents need at least three lines?",
+            "short line.",  # < 5 words -> dropped
+            "Enable javascript to view this page properly and completely.",  # blocklist
+            "A line without terminal punctuation that keeps going",  # no punct
+        ]
+    )
+    code = "Valid sentence number one right here with words.\nfunction f() { return 1; }\nMore valid sentence text right here with words.\nThird full sentence is also present in this doc."
+    lorem = "Lorem Ipsum dolor sit amet is placeholder text for sure.\nSecond real sentence with plenty of words in it.\nThird real sentence with plenty of words in it."
+    df = spark.createDataFrame([(1, good), (2, code), (3, lorem)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert rows["1"]["keep_doc"]
+    assert rows["1"]["n_lines_kept"] == 3 and rows["1"]["n_lines_dropped"] == 3
+    assert rows["1"]["clean_text"].count("\n") == 2
+    assert "javascript" not in rows["1"]["clean_text"]
+    assert not rows["2"]["keep_doc"]  # '{' in doc
+    assert not rows["3"]["keep_doc"]  # lorem ipsum
