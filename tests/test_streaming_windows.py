@@ -119,3 +119,37 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in rows)
     assert kept == [1, 3]  # first arrival per content hash survives
     assert len({r["content_hash"] for r in rows}) == 2
+
+
+def test_quality_filters_compose_with_streams(spark, tmp_path):
+    """gopher_quality_filter / c4_line_filter are stateless projections, so
+    they run unchanged on a readStream — the streaming ingest path can filter
+    documents in-flight with the same operators the batch path uses."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from cognee_graphdb_spark.operators.training_data import gopher_quality_filter
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    good = "the quick brown fox jumps over the lazy dog and then some " * 10
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": good}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": "too short"}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        gopher_quality_filter(stream)
+        .writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["keep"] for r in spark.sql("SELECT * FROM stream_quality").collect()}
+    assert rows == {"1": True, "2": False}
