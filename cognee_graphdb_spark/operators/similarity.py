@@ -211,3 +211,48 @@ def knn_quantized(
         .orderBy(F.col("qdist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_quantized_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """The full ANN scale path in one plan: IVF list pruning → int8 quantized
+    candidate scoring → full-precision re-rank of the top ``rerank``.
+
+    The three stages each attack a different bottleneck: nprobe/n_lists of
+    the data is READ (partition pruning on a list_id-partitioned table);
+    candidates are scored on 4x-smaller int8 vectors (the scan/shuffle is
+    bandwidth-bound at 100 TB); only ``rerank`` survivors touch their
+    full-precision vectors for exact cosine.  Recall vs exact kNN is bounded
+    by (nprobe coverage) x (rerank depth); both knobs trade cost for recall
+    monotonically.
+    """
+    import numpy as np
+
+    assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
+    q = np.asarray(query_vector, dtype=np.float64)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    probe = [int(i) for i in order[:nprobe]]
+    cand = assigned.filter(F.col("list_id").isin(probe))
+
+    mins, maxs = quantization_params(cand, vector_col)
+    qd = quantize_int8(cand, mins, maxs, vector_col)
+    xhat = dequantize_expr(F.col("q_vector"), mins, maxs)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    shortlist = (
+        qd.select(id_col, vector_col, cosine_distance(xhat, qv).alias("qdist"))
+        .orderBy(F.col("qdist").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return (
+        shortlist.select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -128,3 +128,26 @@ def test_skew_report_flags_hot_key(spark):
     assert rep["hot"]["share"] == 0.9
     assert rep["hot"]["x_mean"] == 1.8  # 900 / (1000/2 keys)
     assert rep["cold"]["cnt"] == 100
+
+
+def test_ivf_quantized_topk_recall_against_exact(spark):
+    from cognee_graphdb_spark.operators.similarity import ivf_quantized_topk
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((400, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)], ["vec_id", "embedding"]
+    )
+    qv = [float(x) for x in vecs[3]]
+    exact = [r["vec_id"] for r in knn(df, qv, k=10, vector_col="embedding", id_cols=("vec_id",)).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_quantized_topk(df, qv, k=10, n_lists=8, nprobe=4, rerank=50).collect()
+    ]
+    # nprobe=half the lists + deep re-rank: expect strong overlap, and the
+    # query's own vector must be the top hit
+    assert approx[0] == 3
+    assert len(set(exact) & set(approx)) >= 6
