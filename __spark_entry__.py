@@ -1081,6 +1081,24 @@ def _q_td_shuffle_shards(spark, sf_dir):
     )
 
 
+_QUALITY_W = {
+    "log_n_words": 0.8,
+    "mean_word_len": -0.5,
+    "stopword_ratio": 3.0,
+    "alpha_word_frac": 1.5,
+    "symbol_ratio": -4.0,
+    "dup_word_frac": -2.0,
+    "__intercept__": -1.0,
+}
+
+
+def _q_td_quality_score(spark, sf_dir):
+    from cognee_graphdb_spark.operators.quality_model import score_quality
+
+    out = score_quality(_t(spark, sf_dir, "documents"), _QUALITY_W)
+    return out.withColumn("quality_score", F.round("quality_score", 6))
+
+
 def _q_td_c4_line_filter(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import c4_line_filter
 
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_shuffle_shards": _q_td_shuffle_shards,
         "td_duplicate_spans": _q_td_duplicate_spans,
         "td_c4_line_filter": _q_td_c4_line_filter,
+        "td_quality_score": _q_td_quality_score,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -2029,6 +2048,37 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # learned quality score with FIXED literal weights (quality_model.py:
+    # score_quality) — training is ML (pytest-proven); inference is the pure
+    # sigmoid(w·x + b) projection, restated here feature-by-feature
+    _qw = _QUALITY_W
+    sql["td_quality_score"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {tok} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         ln(1.0 + len(toks)) AS log_n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mean_word_len,
+         len(list_filter(toks, x -> x IN ({stop_in})))::DOUBLE
+           / greatest(len(toks), 1) AS stopword_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(toks), 1) AS alpha_word_frac,
+         (len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\\.\\.\\.', 0)))::DOUBLE
+           / greatest(len(toks), 1) AS symbol_ratio,
+         (len(toks) - len(list_distinct(toks)))::DOUBLE
+           / greatest(len(toks), 1) AS dup_word_frac
+  FROM t
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_qw["__intercept__"]}
+         + {_qw["log_n_words"]} * log_n_words
+         + {_qw["mean_word_len"]} * mean_word_len
+         + {_qw["stopword_ratio"]} * stopword_ratio
+         + {_qw["alpha_word_frac"]} * alpha_word_frac
+         + {_qw["symbol_ratio"]} * symbol_ratio
+         + {_qw["dup_word_frac"]} * dup_word_frac))), 6) AS quality_score
+FROM f"""
 
     # C4 line-level cleaning (training_data.py:c4_line_filter)
     sql["td_c4_line_filter"] = """
