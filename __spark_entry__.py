@@ -2084,7 +2084,7 @@ FROM f"""
     sql["td_c4_line_filter"] = """
 WITH split AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
-         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         list_filter(list_transform(string_split_regex(text, '\\r?\\n'), l -> trim(l)),
                      l -> l != '') AS nonempty
   FROM documents
 ),

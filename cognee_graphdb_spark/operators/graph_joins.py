@@ -168,6 +168,11 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -
             # join runs once per remaining round (k× total edge scans)
             .localCheckpoint(eager=True)
         )
+        # the frontier is already materialized, so the emptiness probe is a
+        # metadata-cheap take(1) — an exhausted component must not pay the
+        # remaining rounds' edge joins
+        if not nxt.take(1):
+            break
         # nxt is distinct AND anti-joined against visited, so the union is
         # disjoint by construction — no distinct (= no shuffle of the whole
         # visited set) per round

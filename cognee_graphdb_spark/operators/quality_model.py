@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cognee_graphdb_spark.functions.text import STOP_WORDS, tokenize
+from cognee_graphdb_spark.functions.text import tokenize
 
 _SEED = 20240613
 
@@ -40,17 +40,20 @@ QUALITY_FEATURES: tuple[str, ...] = (
 
 
 def _feature_exprs(text_col: str) -> dict[str, Column]:
+    from cognee_graphdb_spark.operators.text_analysis import (
+        stopword_count,
+        word_char_count,
+    )
+
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     denom = F.greatest(n, F.lit(1)).cast("double")
-    word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    sw = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
     hashes = F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), F.lit(0)))
     ellipses = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), F.lit(0)))
     return {
         "log_n_words": F.log1p(n.cast("double")),
-        "mean_word_len": word_chars.cast("double") / denom,
-        "stopword_ratio": F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / denom,
+        "mean_word_len": word_char_count(toks).cast("double") / denom,
+        "stopword_ratio": stopword_count(toks).cast("double") / denom,
         "alpha_word_frac": F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / denom,
         "symbol_ratio": (hashes + ellipses).cast("double") / denom,
         "dup_word_frac": (n - F.size(F.array_distinct(toks))).cast("double") / denom,
@@ -96,6 +99,7 @@ def train_quality_model(
         ),
         "doc_id",
     )
+    feats = feats.cache()  # count + (maybe) sample + fit each re-read it
     n = feats.count()
     if n > max_rows:
         feats = hash_sample(feats, max_rows / n)

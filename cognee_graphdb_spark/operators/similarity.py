@@ -81,6 +81,14 @@ def ivf_index(
     return assigned, centroids
 
 
+def _probe_lists(centroids: list[list[float]], query_vector: list[float], nprobe: int) -> list[int]:
+    """The nprobe list ids whose centroids are L2-closest to the query — the
+    ONE definition of probe selection, shared by every IVF variant."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    return [int(i) for i in order[:nprobe]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -93,12 +101,8 @@ def ivf_topk(
     """IVF ANN: scan only the ``nprobe`` lists whose centroids are closest to
     the query; exact cosine re-rank within them.  recall < 1 by design; raise
     nprobe toward n_lists for exactness."""
-    import numpy as np
-
     assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
-    q = np.asarray(query_vector, dtype=np.float64)
-    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
-    probe = [int(i) for i in order[:nprobe]]
+    probe = _probe_lists(centroids, query_vector, nprobe)
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         assigned.filter(F.col("list_id").isin(probe))
@@ -234,13 +238,8 @@ def ivf_quantized_topk(
     by (nprobe coverage) x (rerank depth); both knobs trade cost for recall
     monotonically.
     """
-    import numpy as np
-
     assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
-    q = np.asarray(query_vector, dtype=np.float64)
-    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
-    probe = [int(i) for i in order[:nprobe]]
-    cand = assigned.filter(F.col("list_id").isin(probe))
+    cand = assigned.filter(F.col("list_id").isin(_probe_lists(centroids, query_vector, nprobe)))
 
     mins, maxs = quantization_params(cand, vector_col)
     qd = quantize_int8(cand, mins, maxs, vector_col)

@@ -43,15 +43,26 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_PATTERN), 0))
 
 
+def word_char_count(toks):
+    """Total characters across tokens — shared by quality_features and the
+    learned quality model's features (ONE definition, or they desync)."""
+    return F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+
+
+def stopword_count(toks, stop_words=STOP_WORDS):
+    """Stopword INSTANCES (multiset) in the token stream — shared likewise."""
+    sw = F.array(*[F.lit(w) for w in sorted(stop_words)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality scoring features: length, word count, mean word length,
     punctuation ratio, stopword ratio — the standard cheap quality signals."""
     toks = tokenize(F.col(text_col))
     n_words = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    sw = F.array(*[F.lit(w) for w in STOP_WORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    word_chars = word_char_count(toks)
+    n_stop = stopword_count(toks)
     non_alnum = n_chars - F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9]", ""))
     return df.select(
         id_col,

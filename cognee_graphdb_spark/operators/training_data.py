@@ -389,7 +389,9 @@ def c4_line_filter(
     UDFs, so this runs at scan speed over any corpus size (same profile as
     :func:`gopher_quality_filter`).
     """
-    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    # split on \r?\n: crawled corpora mix CRLF and LF, and a trailing \r would
+    # defeat the terminal-punctuation regex on every line of a CRLF doc
+    lines = F.transform(F.split(F.col(text_col), "\r?\n"), lambda l: F.trim(l))
     lower = F.lower(F.col(text_col))
 
     def line_ok(l):
@@ -508,6 +510,10 @@ def unigram_lm(
         .select(F.explode(tokenize(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
+        # materialize once: the total aggregate and the vocab rows both read
+        # this frame, and they live in different consumers of the plan — an
+        # unmaterialized counts would run the corpus token count twice
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("c").cast("double").alias("total"))
     if vocab_size is not None:
@@ -536,10 +542,17 @@ def unigram_logprob(
 
     Scale design: one (doc_id, token) count aggregation — the only shuffle
     that sees per-doc data, carrying counts not text — then a join against
-    the vocab-sized LM (AQE broadcasts it) and a per-doc roll-up.  Results
-    are rounded to 6 decimals so float summation order cannot leak into
-    equality comparisons.
+    the vocab-sized LM (AQE broadcasts it) and a per-doc roll-up.  The LM is
+    materialized once (localCheckpoint) before use: it appears twice in the
+    scoring plan (total fetch + join side) and Spark re-executes shared
+    subplans per consumer, so an unmaterialized LM would re-run its
+    corpus-wide token count per appearance.  ``total`` is fetched to the
+    driver as a scalar (one row off the vocab-sized frame), making the OOV
+    floor a literal.  Results are rounded to 6 decimals so float summation
+    order cannot leak into equality comparisons.
     """
+    import math
+
     from cognee_graphdb_spark.session import fan_out
 
     dt = (
@@ -551,11 +564,11 @@ def unigram_logprob(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("dc"))
     )
-    total = lm.agg(F.max("total").alias("total"))
-    scored = dt.join(lm.select("token", "logp"), "token", "left").crossJoin(
-        F.broadcast(total)
-    )
-    floor = F.log(F.lit(1.0) / F.col("total"))
+    lm = lm.localCheckpoint(eager=False)
+    row = lm.agg(F.max("total").alias("total")).first()
+    total = float(row["total"]) if row and row["total"] is not None else 1.0
+    scored = dt.join(lm.select("token", "logp"), "token", "left")
+    floor = F.lit(math.log(1.0 / total))
     oov = F.when(F.col("logp").isNull(), F.col("dc")).otherwise(F.lit(0))
     return scored.groupBy("doc_id").agg(
         F.sum("dc").cast("bigint").alias("n_tokens"),

@@ -153,3 +153,17 @@ def test_quality_filters_compose_with_streams(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["doc_id"]: r["keep"] for r in spark.sql("SELECT * FROM stream_quality").collect()}
     assert rows == {"1": True, "2": False}
+
+    from cognee_graphdb_spark.operators.training_data import c4_line_filter
+
+    q2 = (
+        c4_line_filter(stream)
+        .writeStream.format("memory")
+        .queryName("stream_c4")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT * FROM stream_c4").count() == 2

@@ -292,3 +292,16 @@ def test_c4_line_filter_rules(spark):
     assert "javascript" not in rows["1"]["clean_text"]
     assert not rows["2"]["keep_doc"]  # '{' in doc
     assert not rows["3"]["keep_doc"]  # lorem ipsum
+
+
+def test_c4_line_filter_handles_crlf(spark):
+    from cognee_graphdb_spark.operators.training_data import c4_line_filter
+
+    text = (
+        "This is a perfectly fine sentence with enough words in it.\r\n"
+        "Another complete sentence that also ends with proper punctuation!\r\n"
+        "And a third one, because documents need at least three lines?\r\n"
+    )
+    row = c4_line_filter(spark.createDataFrame([(1, text)], ["doc_id", "text"])).collect()[0]
+    assert row["keep_doc"] and row["n_lines_kept"] == 3
+    assert "\r" not in row["clean_text"]
