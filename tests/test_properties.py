@@ -92,3 +92,70 @@ def test_multiset_overlap_matches_counter_reference(spark):
     got = {r["i"]: r["ov"] for r in df.collect()}
     for i, (p, g) in enumerate(cases):
         assert got[i] == sum((Counter(p) & Counter(g)).values()), (p, g)
+
+
+def test_corpus_op_invariants_batched(spark):
+    """Corpus-wide invariants of the curation ops, checked over one seeded
+    random corpus in a handful of Spark actions (the hypothesis-per-example
+    pattern would pay a job per case)."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)] + ["the", "and", "of", "to", "a"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 120)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        # sprinkle structure: newlines, punctuation, repeats
+        text = " ".join(words)
+        if i % 3 == 0:
+            text = text.replace(" ", ".\n", 3)
+        if i % 7 == 0:
+            text += " " + text[: len(text) // 2]
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+    from cognee_graphdb_spark.operators.training_data import (
+        c4_line_filter,
+        deterministic_shuffle,
+        duplicate_spans,
+        unigram_lm,
+        unigram_logprob,
+        weighted_sample,
+    )
+
+    # c4: kept + dropped == non-empty lines, and keep_doc implies >= 3 kept
+    c4 = c4_line_filter(docs)
+    bad = c4.filter(
+        (F.col("n_lines_kept") < 0)
+        | (F.col("n_lines_dropped") < 0)
+        | (F.col("keep_doc") & (F.col("n_lines_kept") < 3))
+    ).count()
+    assert bad == 0
+    assert c4.count() == 300  # projection: one row per doc, always
+
+    # duplicate_spans: dup_windows <= n_windows, dup_frac in [0,1]
+    ds = duplicate_spans(docs, window=6, stride=2)
+    assert (
+        ds.filter(
+            (F.col("dup_windows") > F.col("n_windows"))
+            | (F.col("dup_frac") < 0)
+            | (F.col("dup_frac") > 1)
+        ).count()
+        == 0
+    )
+
+    # unigram scoring: mean_logprob <= 0, oov_frac == 0 on own corpus
+    lm = unigram_lm(docs)
+    sc = unigram_logprob(docs, lm)
+    assert sc.filter((F.col("mean_logprob") > 0) | (F.col("oov_frac") != 0.0)).count() == 0
+
+    # weighted_sample: kept set is a subset and monotone in weight
+    w_lo = docs.withColumn("w", F.lit(0.3))
+    w_hi = docs.withColumn("w", F.lit(0.8))
+    kept_lo = {r["doc_id"] for r in weighted_sample(w_lo, "w", seed=9).select("doc_id").collect()}
+    kept_hi = {r["doc_id"] for r in weighted_sample(w_hi, "w", seed=9).select("doc_id").collect()}
+    assert kept_lo <= kept_hi  # same hash, higher threshold keeps superset
+
+    # deterministic_shuffle: a permutation (every doc exactly once)
+    sh = deterministic_shuffle(docs, n_shards=8, seed=5)
+    assert sh.count() == 300
+    assert sh.select("doc_id").distinct().count() == 300
