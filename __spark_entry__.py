@@ -597,6 +597,17 @@ def _q_a7_token_f1(spark, sf_dir):
     )
 
 
+def _q_f4_unicode_tokens(spark, sf_dir):
+    from cognee_graphdb_spark.functions.text import tokenize, tokenize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("ascii_tokens"),
+        F.size(tokenize_unicode(F.col("text"))).cast("bigint").alias("unicode_tokens"),
+    )
+
+
 def _q_f5_content_id(spark, sf_dir):
     from cognee_graphdb_spark.ids import content_id
 
@@ -1186,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "a5_top_words": _q_a5_top_words,
         "a7_token_f1": _q_a7_token_f1,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
         "f5_content_id": _q_f5_content_id,
         "f6_normalize_name": _q_f6_normalize,
         "f10_title_synthesis": _q_f10_title,
@@ -2048,6 +2060,15 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # ASCII vs Unicode tokenization (functions/text.py:tokenize[_unicode]) —
+    # \p{L}\p{N} parse identically in Java regex and RE2
+    sql["f4_unicode_tokens"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len({tok})::BIGINT AS ascii_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                       x -> x != ''))::BIGINT AS unicode_tokens
+FROM documents"""
 
     # learned quality score with FIXED literal weights (quality_model.py:
     # score_quality) — training is ML (pytest-proven); inference is the pure

@@ -27,11 +27,28 @@ STOP_WORDS: tuple[str, ...] = (
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+# Unicode letters/digits — the multilingual variant.  \p{L}\p{N} parse
+# identically in Java regex (Spark) and RE2 (DuckDB oracle), verified on
+# CJK + accented text.
+UNICODE_TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
 
 def tokenize(c: Column | str) -> Column:
-    """lower → split on non-alphanumerics → drop empties. array<string>."""
+    """lower → split on non-alphanumerics → drop empties. array<string>.
+
+    ASCII-only by design (matches the reference's [a-zA-Z0-9] word regex,
+    chunk_by_word.py) — CJK/accented text becomes separators.  Corpus ops on
+    multilingual data should use :func:`tokenize_unicode`."""
     col = F.col(c) if isinstance(c, str) else c
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def tokenize_unicode(c: Column | str) -> Column:
+    """lower → split on non-(letter|digit) under Unicode classes → drop
+    empties.  The multilingual tokenizer for corpus stats/dedup: keeps CJK,
+    accents, any script with letter category."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(col), UNICODE_TOKEN_SPLIT_RE), lambda t: t != "")
 
 
 def filter_stopwords(tokens: Column) -> Column:

@@ -167,3 +167,18 @@ def test_temporal_range_join(spark):
 
     out = {r["event_id"] for r in temporal_range_join(ts, ee, 150, 250).collect()}
     assert out == {"e2"}
+
+
+def test_tokenize_unicode_keeps_nonlatin_scripts(spark):
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.functions.text import tokenize, tokenize_unicode
+
+    df = spark.createDataFrame([(1, "Héllo wörld 你好 世界 naïve café 123")], ["id", "t"])
+    row = df.select(
+        tokenize(F.col("t")).alias("ascii"), tokenize_unicode(F.col("t")).alias("uni")
+    ).collect()[0]
+    assert row["uni"] == ["héllo", "wörld", "你好", "世界", "naïve", "café", "123"]
+    # the ASCII tokenizer shreds the accents/CJK — documenting why the
+    # multilingual variant exists
+    assert "你好" not in row["ascii"]
