@@ -1123,6 +1123,26 @@ def _q_td_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, window=12, stride=4, hasher="md5_64")
 
 
+def _q_td_curate_corpus(spark, sf_dir):
+    """End-to-end curation chain (rows-only: every stage is individually
+    oracle-checked; the composition is deterministic but restating all five
+    stages as one SQL block would just duplicate those oracles)."""
+    from cognee_graphdb_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 101 == 0)
+    train = docs.filter(F.col("doc_id") % 101 != 0)
+    res = curate_corpus(
+        train,
+        eval_df=ev,
+        use_c4=False,  # driver docs have no line structure
+        quality_weights=_QUALITY_W,
+        n_shards=8,
+        seed=3,
+    )
+    return res.corpus.select("doc_id", "shard", "pos")
+
+
 def _q_td_pack_sequences(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import pack_sequences
 
@@ -1234,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_duplicate_spans": _q_td_duplicate_spans,
         "td_c4_line_filter": _q_td_c4_line_filter,
         "td_quality_score": _q_td_quality_score,
+        "td_curate_corpus": _q_td_curate_corpus,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
