@@ -1123,6 +1123,13 @@ def _q_td_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, window=12, stride=4, hasher="md5_64")
 
 
+def _q_td_mixture_plan(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(docs, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, total_tokens=100_000)
+
+
 def _q_td_curate_corpus(spark, sf_dir):
     """End-to-end curation chain (rows-only: every stage is individually
     oracle-checked; the composition is deterministic but restating all five
@@ -1255,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_c4_line_filter": _q_td_c4_line_filter,
         "td_quality_score": _q_td_quality_score,
         "td_curate_corpus": _q_td_curate_corpus,
+        "td_mixture_plan": _q_td_mixture_plan,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -2081,6 +2089,29 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # mixture planning (training_data.py:mixture_plan): weights {src0:2,
+    # src1:1, src2:1} normalize to .5/.25/.25; unlisted sources weight 0
+    sql["td_mixture_plan"] = f"""
+WITH avail AS (
+  SELECT source, CAST(sum(len({tok})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+wtd AS (
+  SELECT source, available_tokens,
+         CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                          WHEN 'src2' THEN 0.25 ELSE 0.0 END AS DOUBLE) AS w
+  FROM avail
+),
+tg AS (
+  SELECT source, available_tokens, round(w, 6) AS weight,
+         CAST(round(w * 100000.0) AS BIGINT) AS target_tokens
+  FROM wtd
+)
+SELECT source, available_tokens, weight, target_tokens,
+       round(target_tokens::DOUBLE / greatest(available_tokens, 1), 6) AS fraction,
+       CAST(ceil(round(target_tokens::DOUBLE / greatest(available_tokens, 1), 6)) AS BIGINT) AS epochs
+FROM tg"""
 
     # ASCII vs Unicode tokenization (functions/text.py:tokenize[_unicode]) —
     # \p{L}\p{N} parse identically in Java regex and RE2

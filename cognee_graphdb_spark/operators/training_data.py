@@ -636,6 +636,58 @@ def deterministic_shuffle(
     return out.withColumn("pos", F.row_number().over(w)).drop("_h")
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning: per-source sampling fractions to hit a target token
+    budget at target weights — the calculator that feeds
+    :func:`stratified_sample` / :func:`weighted_sample`.
+
+    For each source: ``target_tokens = weight x total_tokens``,
+    ``fraction = target / available`` (the sampling fraction when < 1), and
+    ``epochs = ceil(fraction)`` (how many times the source must repeat when
+    the budget EXCEEDS what's available — the up-sampling regime).  Sources
+    absent from ``weights`` get weight 0.  Weights are normalized, so callers
+    can pass unnormalized mixing ratios.
+
+    One aggregation over (source, token count) — the token counting stays
+    JVM-side and map-combines per source, so the shuffle carries one row per
+    source.  Output: ``(source, available_tokens, weight, target_tokens,
+    fraction, epochs)``, ordered by source for determinism.
+    """
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive: {total_tokens}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: v / wsum for k, v in weights.items()}
+
+    avail = (
+        df.select(F.col(source_col).alias("source"), F.size(tokenize(F.col(text_col))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("available_tokens"))
+    )
+    w = F.lit(0.0)
+    for src, frac in sorted(norm.items()):
+        w = F.when(F.col("source") == src, F.lit(float(frac))).otherwise(w)
+    target = F.round(w * F.lit(float(total_tokens))).cast("bigint")
+    fraction = F.round(
+        target.cast("double") / F.greatest(F.col("available_tokens"), F.lit(1)).cast("double"), 6
+    )
+    return avail.select(
+        "source",
+        "available_tokens",
+        F.round(w, 6).alias("weight"),
+        target.alias("target_tokens"),
+        fraction.alias("fraction"),
+        F.ceil(fraction).cast("bigint").alias("epochs"),
+    ).orderBy("source")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -305,3 +305,22 @@ def test_c4_line_filter_handles_crlf(spark):
     row = c4_line_filter(spark.createDataFrame([(1, text)], ["doc_id", "text"])).collect()[0]
     assert row["keep_doc"] and row["n_lines_kept"] == 3
     assert "\r" not in row["clean_text"]
+
+
+def test_mixture_plan_fractions_and_epochs(spark):
+    from cognee_graphdb_spark.operators.training_data import mixture_plan
+
+    rows = [(i, "word " * 100, "web") for i in range(10)] + [
+        (100 + i, "word " * 100, "books") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # web: 1000 tokens available, books: 200
+    plan = {r["source"]: r for r in mixture_plan(df, {"web": 1, "books": 1}, total_tokens=800).collect()}
+    assert plan["web"]["available_tokens"] == 1000
+    assert plan["web"]["target_tokens"] == 400 and plan["web"]["fraction"] == 0.4
+    assert plan["web"]["epochs"] == 1
+    # books needs 400 of 200 -> 2 epochs (up-sampling regime)
+    assert plan["books"]["fraction"] == 2.0 and plan["books"]["epochs"] == 2
+    # unlisted source gets weight 0
+    plan2 = {r["source"]: r for r in mixture_plan(df, {"web": 1}, total_tokens=500).collect()}
+    assert plan2["books"]["weight"] == 0.0 and plan2["books"]["target_tokens"] == 0
