@@ -1123,6 +1123,12 @@ def _q_td_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, window=12, stride=4, hasher="md5_64")
 
 
+def _q_td_source_report(spark, sf_dir):
+    from cognee_graphdb_spark.operators.training_data import source_quality_report
+
+    return source_quality_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_td_mixture_plan(spark, sf_dir):
     from cognee_graphdb_spark.operators.training_data import mixture_plan
 
@@ -1263,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_quality_score": _q_td_quality_score,
         "td_curate_corpus": _q_td_curate_corpus,
         "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
@@ -2089,6 +2096,38 @@ GROUP BY doc_id"""
 SELECT doc_id, lang, source FROM (
   SELECT *, least(1.0, len({tok})::DOUBLE / 100.0) AS w FROM documents
 ) WHERE ({_md5_64("CAST(doc_id AS VARCHAR)", 5)} % 1000000) < w * 1000000.0"""
+
+    # per-source curation audit (training_data.py:source_quality_report) —
+    # macro-averaged per-doc ratios; gopher keep restated from its oracle
+    sql["td_source_report"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text, {tok} AS toks FROM documents),
+f AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({stop_in})))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(toks), 1) AS alpha_frac,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mean_wl,
+         (len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\\.\\.\\.', 0)))::DOUBLE
+           / greatest(len(toks), 1) AS sym_ratio,
+         len(list_filter(list_distinct(toks), x -> x IN ({stop_in}))) AS stop_hits
+  FROM t
+),
+k AS (
+  SELECT *, CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+                  AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                  AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+  FROM f
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 6) AS mean_tokens,
+       round(avg(keep), 6) AS gopher_keep_rate,
+       round(avg(stop_ratio), 6) AS mean_stopword_ratio,
+       round(avg(alpha_frac), 6) AS mean_alpha_frac
+FROM k GROUP BY source"""
 
     # mixture planning (training_data.py:mixture_plan): weights {src0:2,
     # src1:1, src2:1} normalize to .5/.25/.25; unlisted sources weight 0

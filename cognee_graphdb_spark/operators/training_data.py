@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cognee_graphdb_spark.functions.text import tokenize, word_shingles
+from cognee_graphdb_spark.functions.text import STOP_WORDS, tokenize, word_shingles
 from cognee_graphdb_spark.operators.dedup import _hash64
 
 SAMPLE_BUCKETS = 1_000_000
@@ -634,6 +634,54 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col).cast("string"))
     return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
+def source_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source curation audit: ``(source, n_docs, total_tokens,
+    mean_tokens, gopher_keep_rate, mean_stopword_ratio, mean_alpha_frac)``.
+
+    The table a curation run publishes so corpus owners can see WHERE the
+    filters bite — a source with a collapsing keep-rate is either junk or a
+    filter mis-calibration, and you want to know before burning a training
+    run.  One groupBy over codegen per-doc expressions: the shuffle carries
+    one row per source.  Ratios are computed per doc then averaged (macro
+    average — each doc counts equally, so a few huge docs can't mask a
+    source's junk rate); rounding to 6 decimals keeps float sum order out of
+    equality comparisons.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    sw = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / denom
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / denom
+    keep = gopher_quality_filter(df, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.col("keep").cast("int").alias("keep")
+    )
+    per_doc = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_frac.alias("alpha_frac"),
+    ).join(keep, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(F.avg("keep"), 6).alias("gopher_keep_rate"),
+            F.round(F.avg("stop_ratio"), 6).alias("mean_stopword_ratio"),
+            F.round(F.avg("alpha_frac"), 6).alias("mean_alpha_frac"),
+        )
+        .orderBy("source")
+    )
 
 
 def mixture_plan(

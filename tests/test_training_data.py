@@ -324,3 +324,16 @@ def test_mixture_plan_fractions_and_epochs(spark):
     # unlisted source gets weight 0
     plan2 = {r["source"]: r for r in mixture_plan(df, {"web": 1}, total_tokens=500).collect()}
     assert plan2["books"]["weight"] == 0.0 and plan2["books"]["target_tokens"] == 0
+
+
+def test_source_quality_report_keep_rates(spark):
+    from cognee_graphdb_spark.operators.training_data import source_quality_report
+
+    good = "the quick brown fox jumps over the lazy dog and then walks on " * 10
+    rows = [(i, good, "clean") for i in range(4)] + [(10 + i, "x y.", "junk") for i in range(4)]
+    out = {r["source"]: r for r in source_quality_report(
+        spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ).collect()}
+    assert out["clean"]["gopher_keep_rate"] == 1.0
+    assert out["junk"]["gopher_keep_rate"] == 0.0
+    assert out["clean"]["n_docs"] == 4 and out["clean"]["total_tokens"] == 4 * 130
