@@ -700,6 +700,27 @@ def _q_graph_completion_context(spark, sf_dir):
     return brute_force_triplet_search(res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10)
 
 
+def _q_graph_completion_e2e(spark, sf_dir):
+    """Flagship SURVEY §7 Phase 0 composite, end to end: ingest -> cognify
+    (U1/U2 extraction, embeddings) -> embed query (V5) -> brute-force triplet
+    scoring (J5/W1) -> F11 render -> completion (U6).  Rows-only: the
+    extraction stage is mapInPandas and the render is the reference's exact
+    driver-side string format (resolve_edges_to_text.py:46-71) — one output
+    row per rendered context line plus one 'completion' row, so the row count
+    is a stable per-round signal for the whole composite plan."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_context
+    from cognee_graphdb_spark.plans.triplet_search import render_triplets
+
+    res = _cognify_memo(spark, sf_dir, 100)
+    ctx = GraphContext(nodes=res.nodes, edges=res.edges, embeddings=res.embeddings)
+    triplets = graph_completion_context(ctx, "fast table scan merge join", k=10)
+    context = render_triplets(triplets)
+    completion = ctx.gateway.complete(f"Answer 'fast table scan merge join' using:\n{context}")
+    rows = [("context", i, ln) for i, ln in enumerate(context.splitlines())]
+    rows.append(("completion", 0, completion))
+    return spark.createDataFrame(rows, "kind STRING, line_no INT, line STRING")
+
+
 def _q_a2_components(spark, sf_dir):
     from cognee_graphdb_spark.operators.graph_metrics import connected_components
 
@@ -1189,71 +1210,29 @@ def _q_skew_report(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver validates a ~50-entry window from the front of
+    # this dict (CORRECTNESS_r02/r03 each covered exactly the first 50 keys).
+    # Rounds 1-3 validated the classic core (graph joins, vector search, dedup,
+    # text functions — all green); round 4 leads with the 44 entries that have
+    # never had a driver row (td_* corpus ops, ranking, quantized kNN, e2e
+    # search plans, rows-only composites) plus 6 representative already-green
+    # anchors, so cumulative driver coverage reaches 94/94.
     raw = {
-        "s4_node_counts": _q_s4_node_counts,
-        "a1_edge_type_frequency": _q_a1_edge_type_frequency,
-        "a3_node_degrees": _q_a3_node_degrees,
-        "a3_degree_one_nodes": _q_a3_degree_one,
-        "a4_disconnected_nodes": _q_a4_disconnected,
-        "a6_distinct_schema": _q_a6_distinct_schema,
-        "p2_attribute_filter": _q_p2_attribute_filter,
-        "p5_valid_edges": _q_p5_valid_edges,
-        "j1_neighbors": _q_j1_neighbors,
-        "j2_connections": _q_j2_connections,
-        "j3_has_edges": _q_j3_has_edges,
-        "j4_nodeset_subgraph": _q_j4_nodeset_subgraph,
-        "j6_k_hop": _q_j6_k_hop,
-        "so3_induced_edges": _q_so3_induced_edges,
-        "j5_triplet_scores": _q_j5_triplet_scores,
-        "j7_cascade_delete_set": _q_j7_cascade,
-        "j9_temporal_range_join": _q_j9_temporal_range,
-        "v1_knn": _q_v1_knn,
-        "v2_batch_knn": _q_v2_batch_knn,
-        "v2_batch_knn_agg": _q_v2_batch_knn_agg,
-        "v3_minmax_normalize": _q_v3_minmax,
-        "p4_score_threshold": _q_p4_score_threshold,
-        "v4_point_lookup": _q_v4_point_lookup,
-        "v6_multi_collection_knn": _q_v6_multi_collection,
-        "so1_union_dedup": _q_so1_union_dedup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_exact": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "quality_features": _q_quality_features,
-        "language_id": _q_language_id,
-        "doc_fingerprint": _q_fingerprint,
-        "token_counts": _q_token_counts,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "a5_top_words": _q_a5_top_words,
-        "a7_token_f1": _q_a7_token_f1,
-        "f4_unicode_tokens": _q_f4_unicode_tokens,
-        "f5_content_id": _q_f5_content_id,
-        "f6_normalize_name": _q_f6_normalize,
-        "f10_title_synthesis": _q_f10_title,
-        "f7_calendar_fields": _q_f7_calendar,
-        "p6_json_extract": _q_p6_json_extract,
-        "w4_last_k_interactions": _q_w4_last_k,
-        "w1_topk_smallest": _q_w1_topk_smallest,
-        "w3_null_inf_sort": _q_w3_null_inf_sort,
-        "w2_lexical_chunks": _q_w2_lexical_chunks,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "natural_language_search": _q_natural_language,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
+        # -- never driver-checked before round 4 (43 + new flagship e2e) ------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
         "u_regex_entities": _q_regex_entities,
         "edge_weights_flatten": _q_edge_weights_flatten,
         "mm_frame_sample": _q_frame_sample,
         "mm_resize_plan": _q_resize_plan,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
         "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "natural_language_search": _q_natural_language,
         "td_hash_sample": _q_td_hash_sample,
         "td_stratified_sample": _q_td_stratified_sample,
         "td_decontaminate": _q_td_decontaminate,
@@ -1275,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": _q_knn_quantized,
         "skew_report": _q_skew_report,
         # rows-only (pandas-UDF / iterative plans — no SQL restatement)
+        "graph_completion_e2e": _q_graph_completion_e2e,
         "f1_f4_chunking": _q_chunking,
         "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
@@ -1284,6 +1264,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_graph_counts": _q_code_graph,
         "memify_rules": _q_memify_rules,
         "td_pack_sequences": _q_td_pack_sequences,
+        # -- representative anchors, green in r03 (regression canaries) -------
+        "s4_node_counts": _q_s4_node_counts,
+        "a3_node_degrees": _q_a3_node_degrees,
+        "j6_k_hop": _q_j6_k_hop,
+        "j5_triplet_scores": _q_j5_triplet_scores,
+        "v1_knn": _q_v1_knn,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        # -- window boundary (~50): below here, green in r02/r03 --------------
+        "w2_lexical_chunks": _q_w2_lexical_chunks,
+        "a1_edge_type_frequency": _q_a1_edge_type_frequency,
+        "a3_degree_one_nodes": _q_a3_degree_one,
+        "a4_disconnected_nodes": _q_a4_disconnected,
+        "a6_distinct_schema": _q_a6_distinct_schema,
+        "p2_attribute_filter": _q_p2_attribute_filter,
+        "p5_valid_edges": _q_p5_valid_edges,
+        "j1_neighbors": _q_j1_neighbors,
+        "j2_connections": _q_j2_connections,
+        "j3_has_edges": _q_j3_has_edges,
+        "j4_nodeset_subgraph": _q_j4_nodeset_subgraph,
+        "so3_induced_edges": _q_so3_induced_edges,
+        "j7_cascade_delete_set": _q_j7_cascade,
+        "j9_temporal_range_join": _q_j9_temporal_range,
+        "v2_batch_knn": _q_v2_batch_knn,
+        "v2_batch_knn_agg": _q_v2_batch_knn_agg,
+        "v3_minmax_normalize": _q_v3_minmax,
+        "p4_score_threshold": _q_p4_score_threshold,
+        "v4_point_lookup": _q_v4_point_lookup,
+        "v6_multi_collection_knn": _q_v6_multi_collection,
+        "so1_union_dedup": _q_so1_union_dedup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_exact": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f10_title_synthesis": _q_f10_title,
+        "f7_calendar_fields": _q_f7_calendar,
+        "p6_json_extract": _q_p6_json_extract,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
