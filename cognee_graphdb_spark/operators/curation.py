@@ -63,7 +63,7 @@ def curate_corpus(
 
     The returned frames keep (id, text) plus ``shard``/``pos`` when sharded.
     """
-    from cognee_graphdb_spark.operators.dedup import exact_duplicates, minhash_lsh_pairs
+    from cognee_graphdb_spark.operators.dedup import dedup_clusters, exact_duplicates, minhash_lsh_pairs
     from cognee_graphdb_spark.operators.training_data import (
         c4_line_filter,
         deterministic_shuffle,
@@ -76,8 +76,15 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = [("input", cur)]
 
     if use_c4:
+        # C4 is line-LEVEL cleaning, not just a doc filter: surviving docs
+        # carry clean_text (blocklisted/short/unpunctuated lines removed), so
+        # every downstream stage — dedup, decontamination, quality — sees the
+        # cleaned text, as in Raffel et al. §2.2 where filtering precedes
+        # dedup on the cleaned pages.
         kept = c4_line_filter(cur, text_col="text").filter(F.col("keep_doc"))
-        cur = cur.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        cur = cur.drop("text").join(
+            kept.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        ).select("doc_id", "text")
         stages.append(("c4_line_filter", cur))
     if use_gopher:
         kept = gopher_quality_filter(cur, text_col="text").filter(F.col("keep"))
@@ -98,8 +105,18 @@ def curate_corpus(
     stages.append(("exact_dedup", cur))
 
     pairs = minhash_lsh_pairs(cur, threshold=minhash_threshold, text_col="text", id_col="doc_id")
-    # drop the lexicographically larger member of each near-dup pair
-    drop_near = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    # keeper-per-connected-component election (dedup_clusters), not pairwise
+    # drop-the-larger: for a chain a~b, b~c (a!~c), pairwise dropping loses
+    # both b and c even though c's only duplicate was already removed —
+    # over-deletion.  Component election keeps exactly one representative
+    # (the min id) per near-dup cluster.  Restricting the component run to
+    # docs that appear in a pair keeps the iterative part proportional to the
+    # duplicate set, not the corpus.
+    members = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    clusters = dedup_clusters(cur.join(members, "doc_id", "leftsemi"), pairs, id_col="doc_id")
+    drop_near = clusters.filter(F.col("id") != F.col("keeper_id")).select(F.col("id").alias("doc_id"))
     cur = cur.join(drop_near, "doc_id", "left_anti")
     stages.append(("minhash_dedup", cur))
 

@@ -139,12 +139,30 @@ def nodeset_subgraph(nodes: DataFrame, edges: DataFrame, node_type: str, names: 
     return sub_nodes, induced_edges(edges, members)
 
 
-def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -> DataFrame:
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    direction: str = "both",
+    checkpoint_frontier: bool = True,
+) -> DataFrame:
     """J6 — node ids within ≤k hops of the seed set (column ``id``), seeds included.
 
     Reference: variable-length Cypher paths [*1..2]/[*1..3]
     (kuzu adapter.py:1762-1800, 1426-1451).  Iterated self-join: only the
     frontier shuffles each round; dedup per round keeps it minimal.
+
+    ``checkpoint_frontier=True`` (default) trades two laziness contracts for
+    a k× reduction in edge scans: (1) calling k_hop triggers Spark jobs at
+    plan-construction time (eager per-round ``localCheckpoint``), so callers
+    that build but never execute the plan still pay the traversal; (2)
+    localCheckpoint blocks live unreplicated on executors, so on executor
+    loss the traversal fails and must be rerun rather than recomputed from
+    lineage.  Pass ``False`` for a fully lazy, lineage-recoverable plan —
+    correct but O(k²) edge scans, since Spark re-executes the shared frontier
+    subplan once per remaining round.  At cluster scale prefer the default
+    and rely on job retry; the checkpoint blocks are frontier-sized (small),
+    the rerun cost is one traversal.
     """
     e = undirected(edges) if direction == "both" else edges
     e = e.select("src", "dst")
@@ -162,17 +180,18 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int, direction: str = "both") -
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
+        )
+        if checkpoint_frontier:
             # materialize the (small) frontier: round r's output feeds BOTH
             # the visited union and round r+1's join, and Spark re-executes
             # shared subplans per consumer — without this, round 1's edge
             # join runs once per remaining round (k× total edge scans)
-            .localCheckpoint(eager=True)
-        )
-        # the frontier is already materialized, so the emptiness probe is a
-        # metadata-cheap take(1) — an exhausted component must not pay the
-        # remaining rounds' edge joins
-        if not nxt.take(1):
-            break
+            nxt = nxt.localCheckpoint(eager=True)
+            # the frontier is already materialized, so the emptiness probe is
+            # a metadata-cheap take(1) — an exhausted component must not pay
+            # the remaining rounds' edge joins
+            if not nxt.take(1):
+                break
         # nxt is distinct AND anti-joined against visited, so the union is
         # disjoint by construction — no distinct (= no shuffle of the whole
         # visited set) per round

@@ -699,8 +699,12 @@ def mixture_plan(
     ``fraction = target / available`` (the sampling fraction when < 1), and
     ``epochs = ceil(fraction)`` (how many times the source must repeat when
     the budget EXCEEDS what's available — the up-sampling regime).  Sources
-    absent from ``weights`` get weight 0.  Weights are normalized, so callers
-    can pass unnormalized mixing ratios.
+    absent from ``weights`` get weight 0.  Weighted sources with NO rows in
+    ``df`` still appear in the plan (``available_tokens=0``, fraction/epochs
+    computed against a floor of 1 token, i.e. ≈ the full target) — a typo'd
+    or missing source must surface as an impossible plan row, not silently
+    drop its share of the budget.  Weights are normalized, so callers can
+    pass unnormalized mixing ratios.
 
     One aggregation over (source, token count) — the token counting stays
     JVM-side and map-combines per source, so the shuffle carries one row per
@@ -718,6 +722,16 @@ def mixture_plan(
         df.select(F.col(source_col).alias("source"), F.size(tokenize(F.col(text_col))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("available_tokens"))
+    )
+    # surface weighted-but-absent sources: outer-union the weight keys (a
+    # |weights|-row literal frame, broadcast by AQE) so they appear with
+    # available_tokens=0 instead of vanishing from the plan
+    weight_keys = df.sparkSession.createDataFrame(
+        [(k,) for k in sorted(norm)], "source string"
+    )
+    avail = (
+        avail.join(weight_keys, "source", "full_outer")
+        .select("source", F.coalesce("available_tokens", F.lit(0)).cast("bigint").alias("available_tokens"))
     )
     w = F.lit(0.0)
     for src, frac in sorted(norm.items()):

@@ -57,3 +57,49 @@ def test_curate_corpus_stages_optional(spark, planted_corpus):
     names = [n for n, _ in res.stages]
     assert names == ["input", "exact_dedup", "minhash_dedup"]
     assert "shard" not in res.corpus.columns
+
+
+def test_curate_corpus_c4_clean_text_feeds_downstream(spark):
+    """C4 is line-LEVEL cleaning: downstream stages must see clean_text.
+    Two docs that differ only by a blocklisted line become exact duplicates
+    after cleaning — the dedup stage must catch them."""
+    from cognee_graphdb_spark.operators.curation import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "A second perfectly ordinary sentence sits right here now.\n"
+        "The third sentence completes the minimum line requirement nicely."
+    )
+    rows = [
+        (0, good + "\nPlease enable javascript and accept our cookie banner now."),
+        (1, good),
+    ]
+    res = curate_corpus(
+        spark.createDataFrame(rows, ["doc_id", "text"]), use_gopher=False
+    )
+    kept = res.corpus.collect()
+    # exact dedup on the CLEANED text collapses the pair to the min doc_id,
+    # and the surviving row carries the cleaned text (junk line gone)
+    assert [r["doc_id"] for r in kept] == ["0"]
+    assert "javascript" not in kept[0]["text"]
+    assert kept[0]["text"] == good
+
+
+def test_curate_corpus_neardup_keeps_one_per_cluster(spark, planted_corpus):
+    """Near-dup removal elects one keeper per connected component
+    (dedup_clusters), matching the engine's cluster-collapse semantics."""
+    from cognee_graphdb_spark.operators.curation import curate_corpus
+    from cognee_graphdb_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    res = curate_corpus(planted_corpus, use_c4=False, use_gopher=False, minhash_threshold=0.5)
+    kept = {r["doc_id"] for r in res.corpus.collect()}
+
+    # recompute the expected election from the post-exact-dedup corpus
+    after_exact = dict(res.stages)["exact_dedup"]
+    pairs = minhash_lsh_pairs(after_exact, threshold=0.5)
+    clusters = {r["id"]: r["keeper_id"] for r in dedup_clusters(after_exact, pairs).collect()}
+    survivors = {r["doc_id"] for r in after_exact.select("doc_id").collect()}
+    expected = {d for d in survivors if clusters.get(d, d) == d}
+    assert kept == expected
+    # and the planted near-dup chain 0~3 kept exactly its min-id representative
+    assert "0" in kept and "3" not in kept

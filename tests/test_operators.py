@@ -75,6 +75,10 @@ def test_k_hop_frontier(spark):
     seeds = spark.createDataFrame([("n0",)], ["id"])
     assert {r["id"] for r in k_hop(e, seeds, k=2).collect()} == {"n0", "n1", "n2"}
     assert {r["id"] for r in k_hop(e, seeds, k=2, direction="out").collect()} == {"n0", "n1", "n2"}
+    # fully-lazy variant (no per-round localCheckpoint): same answer, and the
+    # call itself must not trigger Spark jobs
+    lazy = k_hop(e, seeds, k=3, checkpoint_frontier=False)
+    assert {r["id"] for r in lazy.collect()} == {"n0", "n1", "n2", "n3"}
 
 
 def test_valid_edges_drops_dangling(spark):

@@ -326,6 +326,20 @@ def test_mixture_plan_fractions_and_epochs(spark):
     assert plan2["books"]["weight"] == 0.0 and plan2["books"]["target_tokens"] == 0
 
 
+def test_mixture_plan_surfaces_absent_weighted_source(spark):
+    """A weighted source with no rows must appear as an impossible plan row
+    (available_tokens=0), not silently drop its share of the budget."""
+    from cognee_graphdb_spark.operators.training_data import mixture_plan
+
+    df = spark.createDataFrame([(0, "word " * 100, "web")], ["doc_id", "text", "source"])
+    plan = {r["source"]: r for r in mixture_plan(df, {"web": 1, "bookz": 1}, total_tokens=200).collect()}
+    assert set(plan) == {"web", "bookz"}
+    assert plan["bookz"]["available_tokens"] == 0
+    assert plan["bookz"]["weight"] == 0.5 and plan["bookz"]["target_tokens"] == 100
+    # fraction/epochs computed against a 1-token floor: visibly impossible
+    assert plan["bookz"]["fraction"] == 100.0 and plan["bookz"]["epochs"] == 100
+
+
 def test_source_quality_report_keep_rates(spark):
     from cognee_graphdb_spark.operators.training_data import source_quality_report
 
