@@ -82,6 +82,10 @@ class CogneeSpark:
         data = self.store.load("data")
         if data is None:
             return 0
+        if "dataset_id" in data.columns:
+            # only THIS dataset's rows: with several engines over one store,
+            # another dataset's backlog must not leak into this graph
+            data = data.filter(F.col("dataset_id").eqNullSafe(self.dataset_id))
         fresh = self.runs.unprocessed(data) if incremental else data
         n = fresh.count()
         if n == 0:
@@ -144,18 +148,37 @@ class CogneeSpark:
         if data is not None:
             bare = document_id.removeprefix("doc:")
             hits = data.filter((F.col("name") == bare) | (F.col("id") == bare))
+            if "dataset_id" in data.columns:
+                hits = hits.filter(F.col("dataset_id").eqNullSafe(self.dataset_id))
             data_ids = [r["id"] for r in hits.select("id").collect()]
         node_ids = [f"doc:{i}" for i in data_ids] or [
             document_id if document_id.startswith("doc:") else f"doc:{document_id}"
         ]
-        deleted = sum(self.store.delete_document(nid) for nid in node_ids)
-        hashes = self.store.delete_data(data_ids, created_by="delete")
-        self.runs.unmark_processed(hashes)
+        deleted = sum(self.store.delete_document(nid, dataset_id=self.dataset_id) for nid in node_ids)
+        hashes = self.store.delete_data(data_ids, created_by="delete", dataset_id=self.dataset_id)
+        # the processed-hash set is store-global: forget a hash only when NO
+        # dataset still holds a Data row for it (delete.py:202-214 keeps the
+        # Data record while other datasets reference it)
+        remaining: set[str] = set()
+        data_after = self.store.load("data")
+        if data_after is not None and hashes:
+            remaining = {
+                r["content_hash"]
+                for r in data_after.filter(F.col("content_hash").isin(hashes))
+                .select("content_hash")
+                .distinct()
+                .collect()
+            }
+        self.runs.unmark_processed([h for h in hashes if h not in remaining])
         if mode == "hard":
             from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
 
             nodes, edges = self.store.load("nodes"), self.store.load("edges")
             if nodes is not None and edges is not None:
+                if "dataset_id" in nodes.columns:
+                    nodes = nodes.filter(F.col("dataset_id").eqNullSafe(self.dataset_id))
+                if "dataset_id" in edges.columns:
+                    edges = edges.filter(F.col("dataset_id").eqNullSafe(self.dataset_id))
                 leaves = (
                     degree_one_nodes(nodes, edges, "Entity")
                     .unionByName(degree_one_nodes(nodes, edges, "EntityType"))
@@ -164,7 +187,7 @@ class CogneeSpark:
                 )
                 n_leaves = leaves.count()
                 if n_leaves:
-                    self.store.delete_nodes(leaves, created_by="delete_hard")
+                    self.store.delete_nodes(leaves, created_by="delete_hard", dataset_id=self.dataset_id)
                 deleted += n_leaves
         return deleted
 
@@ -313,6 +336,7 @@ class CogneeSpark:
         save_interaction: bool = False,
         dataset_ids: list[str] | None = None,
         user_id: str | None = None,
+        use_combined_context: bool = False,
     ):
         """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
 
@@ -322,7 +346,13 @@ class CogneeSpark:
         authorized per-dataset fan-out becomes ONE partition-pruned plan).
         ``user_id`` resolves datasets from the ACL instead — deny by default,
         intersected with any explicit ``dataset_ids`` (authorized_search,
-        search.py:184-285).  Every call is logged (search.py:61,99)."""
+        search.py:184-285).
+
+        ``use_combined_context=True`` mirrors search.py:211-268: retrieve
+        top-k context PER permitted dataset (each retrieval is its own
+        partition-pruned distributed plan; contexts are k-row/str small),
+        concatenate the contexts, and generate ONE completion from the merged
+        context.  Every call is logged (search.py:61,99)."""
         if user_id is not None:
             allowed = self.permissions.authorized_datasets(user_id, "read")
             if dataset_ids is not None:
@@ -331,9 +361,81 @@ class CogneeSpark:
                 raise PermissionError(f"user {user_id!r} has no read permission on any requested dataset")
             dataset_ids = allowed
         qid = self._log_query(query_type, query_text)
-        out = self._dispatch(query_type, query_text, top_k, only_context, save_interaction, dataset_ids)
+        if use_combined_context:
+            out = self._search_combined(query_type, query_text, top_k, only_context, dataset_ids)
+        else:
+            out = self._dispatch(query_type, query_text, top_k, only_context, save_interaction, dataset_ids)
         self._log_result(qid, out if isinstance(out, str) else f"<{type(out).__name__}>")
         return out
+
+    def _search_combined(
+        self,
+        query_type: str,
+        query_text: str,
+        top_k: int,
+        only_context: bool,
+        dataset_ids: list[str] | None,
+    ):
+        """Per-dataset context fan-out + combined-context completion
+        (search.py:211-268, prepare_combined_context at :251-264).
+
+        The reference iterates its permitted datasets because each lives in a
+        separate graph DB; here each iteration is the same single plan pruned
+        to one dataset partition, and the per-dataset contexts (k rows each,
+        bounded) merge driver-side exactly as the reference joins its context
+        strings."""
+        qt = query_type.upper()
+        if qt not in SEARCH_TYPES:
+            raise ValueError(f"unsupported search type {query_type!r}")
+        if dataset_ids is None:
+            # no scoping requested: every dataset present in the store
+            nodes = self.store.load("nodes")
+            if nodes is None:
+                raise RuntimeError("No data found in the system, please add data first.")
+            if "dataset_id" in nodes.columns:
+                dataset_ids = sorted(
+                    r["dataset_id"] for r in nodes.select("dataset_id").distinct().collect() if r["dataset_id"]
+                )
+            else:
+                dataset_ids = [self.dataset_id]
+        if qt in ("GRAPH_COMPLETION", "GRAPH_SUMMARY_COMPLETION"):
+            from cognee_graphdb_spark.plans import search_types as st
+            from cognee_graphdb_spark.plans.triplet_search import render_triplets
+
+            per_ds = [
+                st.graph_completion_context(self._ctx([ds]), query_text, top_k) for ds in dataset_ids
+            ]
+            if only_context:
+                out = per_ds[0]
+                for extra in per_ds[1:]:
+                    out = out.unionByName(extra)
+                return out.dropDuplicates(["src", "dst", "relationship_name"])
+            combined = "\n".join(render_triplets(t) for t in per_ds)
+            if qt == "GRAPH_SUMMARY_COMPLETION":
+                combined = self.gateway.extract_summary(combined)
+            return self.gateway.complete(f"Answer {query_text!r} using:\n{combined}")
+        if qt in ("RAG_COMPLETION", "CHUNKS", "SUMMARIES", "CHUNKS_LEXICAL", "INSIGHTS"):
+            from cognee_graphdb_spark.plans import search_types as st
+
+            fetch = {
+                "RAG_COMPLETION": lambda c: st.search_chunks(c, query_text, top_k),
+                "CHUNKS": lambda c: st.search_chunks(c, query_text, top_k),
+                "SUMMARIES": lambda c: st.search_summaries(c, query_text, top_k),
+                "CHUNKS_LEXICAL": lambda c: st.lexical_chunks(c, query_text, top_k),
+                "INSIGHTS": lambda c: st.insights(c, query_text, top_k),
+            }[qt]
+            per_ds = [fetch(self._ctx([ds])) for ds in dataset_ids]
+            out = per_ds[0]
+            for extra in per_ds[1:]:
+                out = out.unionByName(extra, allowMissingColumns=True)
+            if qt == "RAG_COMPLETION" and not only_context:
+                context = "\n".join(r["text"] or "" for r in out.collect())
+                return self.gateway.complete(f"Answer {query_text!r} using:\n{context}")
+            return out
+        raise ValueError(
+            f"use_combined_context is not defined for search type {query_type!r} "
+            "(reference combined-context covers the completion/retrieval family)"
+        )
 
     def _dispatch(
         self,

@@ -63,39 +63,60 @@ def loader_for(document_type: str) -> str:
     }.get(document_type, "text_loader")
 
 
-def load_binary_as_text(df: DataFrame, document_type: str) -> DataFrame:
-    """Binary loaders (audio transcript / image description / pdf text).
+def decode_row(loader: str, content: bytes | None) -> str:
+    """Per-row binary decode, dispatched by loader name.
 
-    The decode libraries (pypdf, whisper, vision models) are NOT in this
-    container, so the decode step is a deterministic fake over the raw bytes —
-    the Arrow-batched mapInPandas plumbing (schema in/out, batching) is the
-    real Spark design; swap ``_fake_decode`` for the real library in prod.
+    - ``pdf_loader``: REAL deterministic text extraction
+      (:mod:`cognee_graphdb_spark.sources.pdf` — pypdf when importable,
+      else a pure-Python parser; reference pypdf_loader.py:19-97).
+    - ``audio_loader`` / ``image_loader`` / ``video_loader``: the reference
+      routes these through LLM transcription/description models
+      (core/audio_loader.py:18, core/image_loader.py:15) — [LLM], so the
+      decode stays a deterministic content-addressed stand-in here; the
+      Spark-side plumbing (schema, dispatch, Arrow batching) is real.
     """
+    if loader == "pdf_loader":
+        from cognee_graphdb_spark.sources.pdf import extract_pdf_text
+
+        return extract_pdf_text(bytes(content) if content is not None else None)
+    import hashlib
+
+    digest = hashlib.md5(bytes(content) if content is not None else b"").hexdigest()
+    return f"[{loader}:{digest[:12]}]"
+
+
+def _decode_map(df: DataFrame) -> DataFrame:
+    """(id, document_type, content) -> (id, text): ONE Arrow-batched
+    mapInPandas pass dispatching per row — every binary type decodes in the
+    same stage, so N document types cost one plan, not a union of N."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from cognee_graphdb_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    loader = loader_for(document_type)
-    if loader == "text_loader":
-        return df.withColumn("text", F.col("content").cast("string"))
-
     out_schema = T.StructType(
         [T.StructField("id", T.StringType()), T.StructField("text", T.StringType())]
     )
 
-    def _fake_decode(batches):
-        import hashlib
-
+    def _decode(batches):
         for pdf in batches:
-            rows = []
-            for i, content in zip(pdf["id"], pdf["content"]):
-                digest = hashlib.md5(bytes(content) if content is not None else b"").hexdigest()
-                rows.append((i, f"[{loader}:{digest[:12]}]"))
+            rows = [
+                (i, decode_row(loader_for(dtype), content))
+                for i, dtype, content in zip(pdf["id"], pdf["document_type"], pdf["content"])
+            ]
             yield pd.DataFrame(rows, columns=["id", "text"])
 
-    return df.select("id", "content").mapInPandas(_fake_decode, out_schema)
+    return df.select("id", "document_type", "content").mapInPandas(_decode, out_schema)
+
+
+def load_binary_as_text(df: DataFrame, document_type: str) -> DataFrame:
+    """S2 loader dispatch for one document type (LoaderEngine.py:25-96):
+    text loads natively (codegen cast, no Python); binary types decode via
+    :func:`decode_row` inside an Arrow-batched stage."""
+    if loader_for(document_type) == "text_loader":
+        return df.withColumn("text", F.col("content").cast("string"))
+    return _decode_map(df.withColumn("document_type", F.lit(document_type)))
 
 
 def ingest_texts(
@@ -141,16 +162,20 @@ def ingest_files(spark: SparkSession, path_glob: str, dataset_id: str = "main_da
         F.col("path").alias("name"), F.col("content")
     )
     raw = classify_documents(raw, "name").withColumn("id", F.md5(F.col("content")))
-    parts = []
-    for dtype in [r["document_type"] for r in raw.select("document_type").distinct().collect()]:
-        sub = raw.filter(F.col("document_type") == dtype)
-        texts = load_binary_as_text(sub, dtype)
-        parts.append(
-            sub.select("id", "name", "document_type").join(texts, "id").select("id", "name", "text", "document_type")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # two branches, one plan: text documents decode as a codegen cast; every
+    # binary type goes through ONE shared Arrow dispatch stage (no per-type
+    # driver loop, no N-way union)
+    is_text = F.col("document_type") == "TextDocument"
+    text_part = raw.filter(is_text).select(
+        "id", "name", F.col("content").cast("string").alias("text"), "document_type"
+    )
+    binary = raw.filter(~is_text)
+    binary_part = (
+        binary.select("id", "name", "document_type")
+        .join(_decode_map(binary), "id")
+        .select("id", "name", "text", "document_type")
+    )
+    out = text_part.unionByName(binary_part)
     out = out.withColumn("content_hash", F.md5("text")).withColumn(
         "id", content_id(F.col("content_hash"), F.lit(owner_id))
     )
@@ -205,16 +230,32 @@ class PipelineRuns:
 
     def unmark_processed(self, hashes: list[str]) -> None:
         """Forget content hashes (document delete): re-adding the same content
-        afterwards re-processes instead of hitting the ST2 skip."""
+        afterwards re-processes instead of hitting the ST2 skip.
+
+        The processed-hash set is O(corpus), so this never touches the driver:
+        a distributed left_anti against the (small, literal) delete set is
+        written to a fresh snapshot directory first, then swapped in — the
+        same write-new-then-swap discipline as ``GraphStore._swap_write``."""
         if not hashes or not os.path.exists(self.processed_path):
             return
-        seen = self.spark.read.parquet(self.processed_path)
-        kept = seen.filter(~F.col("content_hash").isin(hashes)).collect()
         import shutil
+        import uuid
 
+        seen = self.spark.read.parquet(self.processed_path)
+        to_drop = self.spark.createDataFrame([(h,) for h in hashes], "content_hash string")
+        kept = seen.join(to_drop, "content_hash", "left_anti")
+        tmp = f"{self.processed_path}.swap-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.processed_path, ignore_errors=True)
-        if kept:
-            self.spark.createDataFrame(kept, seen.schema).write.mode("overwrite").parquet(self.processed_path)
+        try:
+            # a 0-row write emits only _SUCCESS (no parquet footers) — probing
+            # the schema here tells us whether the snapshot is readable; an
+            # empty set and a missing directory behave identically downstream
+            self.spark.read.parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        os.rename(tmp, self.processed_path)
 
     def unprocessed(self, data: DataFrame) -> DataFrame:
         """Anti-join new data against the processed-hash set — incremental

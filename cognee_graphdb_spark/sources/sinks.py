@@ -96,8 +96,14 @@ class GraphStore:
 
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
         key = _KEYS[table]
-        incoming = incoming.dropDuplicates(key)
         existing = self.load(table)
+        # Multi-tenancy: ids are content-addressed, so the SAME entity ingested
+        # into two datasets yields the same id — each dataset must keep its own
+        # row (the reference gives each dataset its own graph DB; search.py:322).
+        # dataset_id therefore joins the merge key whenever both sides carry it.
+        if "dataset_id" in incoming.columns and (existing is None or "dataset_id" in existing.columns):
+            key = key + ["dataset_id"]
+        incoming = incoming.dropDuplicates(key)
         if existing is None:
             merged = incoming
         else:
@@ -142,52 +148,86 @@ class GraphStore:
 
     # -- delete / prune (the reference's api/v1/delete + api/v1/prune) -------
 
-    def delete_nodes(self, ids: DataFrame, created_by: str = "delete") -> None:
+    def delete_nodes(self, ids: DataFrame, created_by: str = "delete", dataset_id: str | None = None) -> None:
         """Remove the given node ids, their incident edges, and their vector
-        rows — the apply step of a J7 cascade set (api/v1/delete/delete.py)."""
+        rows — the apply step of a J7 cascade set (api/v1/delete/delete.py).
+
+        ``dataset_id`` scopes the removal to that dataset's rows: ids are
+        content-addressed, so another dataset may legitimately hold the SAME
+        id (the reference isolates datasets as separate graph DBs —
+        search.py:322) and must keep its copy.  The scope split is a
+        partition-pruned filter, so the out-of-scope partitions pass through
+        untouched while only the scoped slice pays the anti-join."""
         ids = ids.select("id").distinct()
+
+        def split(df: DataFrame):
+            """(in_scope, out_of_scope) under the dataset filter."""
+            if dataset_id is None or "dataset_id" not in df.columns:
+                return df, None
+            in_scope = df.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+            out = df.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
+            return in_scope, out
+
         nodes = self.load("nodes")
         if nodes is not None:
-            self._swap_write("nodes", nodes.join(ids, "id", "left_anti"))
+            hit, rest = split(nodes)
+            kept = hit.join(ids, "id", "left_anti")
+            self._swap_write("nodes", kept if rest is None else kept.unionByName(rest))
         edges = self.load("edges")
         if edges is not None:
+            hit, rest = split(edges)
             kept = (
-                edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+                hit.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
                 .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
                 .select(*edges.columns)
             )
-            self._swap_write("edges", kept)
+            self._swap_write("edges", kept if rest is None else kept.unionByName(rest))
         emb = self.load("embeddings")
         if emb is not None:
-            self._swap_write("embeddings", emb.join(ids, "id", "left_anti"))
+            hit, rest = split(emb)
+            kept = hit.join(ids, "id", "left_anti")
+            self._swap_write("embeddings", kept if rest is None else kept.unionByName(rest))
         self.append_ledger("delete_nodes", ids, created_by)
 
-    def delete_data(self, data_ids: list[str], created_by: str = "delete") -> list[str]:
+    def delete_data(self, data_ids: list[str], created_by: str = "delete", dataset_id: str | None = None) -> list[str]:
         """Remove Data rows by id; returns their content hashes so the caller
         can clear incremental-processing state (delete.py also drops the data
-        record, not just the graph)."""
+        record, not just the graph).  ``dataset_id`` removes only that
+        dataset's membership rows — the reference deletes the dataset link
+        and keeps the Data record while other datasets still reference it
+        (delete.py:188-201)."""
         data = self.load("data")
         if data is None or not data_ids:
             return []
-        hits = data.filter(F.col("id").isin(data_ids))
+        doomed = F.col("id").isin(data_ids)
+        if dataset_id is not None and "dataset_id" in data.columns:
+            doomed = doomed & F.col("dataset_id").eqNullSafe(dataset_id)
+        hits = data.filter(doomed)
         hashes = [r["content_hash"] for r in hits.select("content_hash").distinct().collect()]
-        self._swap_write("data", data.filter(~F.col("id").isin(data_ids)))
+        self._swap_write("data", data.filter(~doomed))
         self.append_ledger("delete_data", hits.select("id"), created_by)
         return hashes
 
-    def delete_document(self, document_id: str) -> int:
+    def delete_document(self, document_id: str, dataset_id: str | None = None) -> int:
         """Cascade delete: J7 delete-set over the stored graph, then apply.
         Shared entities survive (operators/graph_joins.py:cascade_delete_set).
-        Returns the number of deleted nodes."""
+        ``dataset_id`` computes the cascade over that dataset's subgraph only
+        and scopes the apply step the same way.  Returns the number of
+        deleted nodes."""
         from cognee_graphdb_spark.operators.graph_joins import cascade_delete_set
 
         nodes, edges = self.load("nodes"), self.load("edges")
         if nodes is None or edges is None:
             return 0
+        if dataset_id is not None:
+            if "dataset_id" in nodes.columns:
+                nodes = nodes.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+            if "dataset_id" in edges.columns:
+                edges = edges.filter(F.col("dataset_id").eqNullSafe(dataset_id))
         delete_set = cascade_delete_set(nodes, edges, document_id).localCheckpoint(eager=True)
         n = delete_set.count()
         if n:
-            self.delete_nodes(delete_set, created_by="delete_document")
+            self.delete_nodes(delete_set, created_by="delete_document", dataset_id=dataset_id)
         return n
 
     def prune(self) -> None:

@@ -79,3 +79,81 @@ def test_dataset_scoped_search(spark, tmp_path):
     assert texts and all("Alpha" in t for t in texts)
     both = a.search("CHUNKS", "dataset", top_k=10)
     assert len(both.collect()) > len(texts) - 1  # unscoped sees both datasets
+
+
+def test_same_content_in_two_datasets_keeps_both_rows(spark, tmp_path):
+    """ids are content-addressed, so identical content in two datasets
+    collides on id — each dataset must keep its own row (the reference
+    isolates datasets as separate graph DBs)."""
+    root = str(tmp_path / "collide")
+    text = "Gamma dataset describes the identical shared sentence."
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("same.txt", text)])
+    a.cognify()
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("same.txt", text)])
+    b.cognify(incremental=False)  # same content hash: force reprocessing into ds_b
+
+    nodes = a.store.load("nodes")
+    per_ds = {
+        r["dataset_id"]: r["n"]
+        for r in nodes.groupBy("dataset_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_ds) == {"ds_a", "ds_b"}
+    assert per_ds["ds_a"] == per_ds["ds_b"]  # ds_b's upsert did not steal ds_a's rows
+    # deleting from ds_b leaves ds_a's graph and Data row intact
+    assert b.delete("same.txt") > 0
+    nodes_after = a.store.load("nodes")
+    assert {r["dataset_id"] for r in nodes_after.select("dataset_id").distinct().collect()} == {"ds_a"}
+    data_after = a.store.load("data")
+    assert data_after.count() == 1 and data_after.first()["dataset_id"] == "ds_a"
+    # content hash stays marked processed (ds_a still references it):
+    # re-adding into ds_a stays incremental no-op
+    a.add([("same.txt", text)])
+    assert a.cognify() == 0
+    # ds_a's retrieval still works end to end
+    out = a.search("CHUNKS", "identical shared sentence", top_k=5, dataset_ids=["ds_a"])
+    assert out.count() > 0
+
+
+def test_combined_context_multi_dataset_search(spark, tmp_path):
+    """use_combined_context: per-dataset top-k contexts merged, one
+    completion (search.py:211-268); merged context covers both datasets and
+    each per-dataset half matches the single-dataset run."""
+    root = str(tmp_path / "combined")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("b.txt", "Beta dataset describes duckdb vectorized scans.")])
+    b.cognify()
+    a.permissions.give_permission("alice", "ds_a", "read")
+    a.permissions.give_permission("alice", "ds_b", "read")
+
+    merged = a.search(
+        "GRAPH_COMPLETION", "what describes spark?", top_k=5,
+        user_id="alice", use_combined_context=True, only_context=True,
+    )
+    single_a = a.search("GRAPH_COMPLETION", "what describes spark?", top_k=5,
+                        dataset_ids=["ds_a"], only_context=True)
+    single_b = a.search("GRAPH_COMPLETION", "what describes spark?", top_k=5,
+                        dataset_ids=["ds_b"], only_context=True)
+    merged_keys = {(r["src"], r["dst"], r["relationship_name"]) for r in merged.collect()}
+    keys_a = {(r["src"], r["dst"], r["relationship_name"]) for r in single_a.collect()}
+    keys_b = {(r["src"], r["dst"], r["relationship_name"]) for r in single_b.collect()}
+    assert keys_a and keys_b
+    assert merged_keys == keys_a | keys_b
+
+    # the completion path returns one string built from the combined context
+    answer = a.search(
+        "GRAPH_COMPLETION", "what describes spark?", top_k=5,
+        user_id="alice", use_combined_context=True,
+    )
+    assert isinstance(answer, str) and answer
+    # deny-by-default still applies under combined context
+    with pytest.raises(PermissionError):
+        a.search("GRAPH_COMPLETION", "q", user_id="mallory", use_combined_context=True)
+    # retrieval family merges per-dataset rows
+    chunks = a.search("CHUNKS", "dataset", top_k=10, user_id="alice", use_combined_context=True)
+    texts = [r["text"] for r in chunks.collect()]
+    assert any("Alpha" in t for t in texts) and any("Beta" in t for t in texts)
