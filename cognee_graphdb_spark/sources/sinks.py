@@ -146,6 +146,41 @@ class GraphStore:
         p = os.path.join(self.root, "ledger")
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
+    def ledger_with_deletions(self) -> DataFrame | None:
+        """The ledger with a ``deleted_at`` column, reference-parity with
+        delete.py:152-166 (UPDATE graph_relationship_ledger SET deleted_at
+        WHERE the row touches a deleted node).
+
+        The parquet ledger is append-only (events, not mutable rows), so
+        deletion is itself an event: ``deleted_at`` for a creation row is the
+        earliest later ``delete_*`` event naming an id the row references —
+        computed here as a view instead of rewriting history.  Edge rows'
+        ids are ``src|dst|relationship_name``, so a deleted node tombstones
+        them by substring containment on the delimited key."""
+        led = self.ledger()
+        if led is None:
+            return None
+        deletes = (
+            led.filter(F.col("op").startswith("delete"))
+            .select(F.col("id").alias("del_id"), F.col("at").alias("del_at"))
+        )
+        creations = led.filter(~F.col("op").startswith("delete"))
+        # the delete set is bounded per event (ids of one cascade), and the
+        # match is id-containment on the | -delimited key; a broadcast
+        # theta-join keeps the big creation side shuffle-free
+        hit = creations.join(
+            F.broadcast(deletes),
+            (
+                (F.col("id") == F.col("del_id"))
+                | F.col("id").startswith(F.concat(F.col("del_id"), F.lit("|")))
+                | F.col("id").endswith(F.concat(F.lit("|"), F.col("del_id")))
+                | F.col("id").contains(F.concat(F.lit("|"), F.col("del_id"), F.lit("|")))
+            )
+            & (F.col("del_at") >= F.col("at")),
+            "left",
+        )
+        return hit.groupBy(*creations.columns).agg(F.min("del_at").alias("deleted_at"))
+
     # -- delete / prune (the reference's api/v1/delete + api/v1/prune) -------
 
     def delete_nodes(self, ids: DataFrame, created_by: str = "delete", dataset_id: str | None = None) -> None:

@@ -140,6 +140,52 @@ def test_update_replaces_document_content(spark, tmp_path):
     assert not any("executors" in (r["properties"] or {}).get("text", "") for r in chunks.collect())
 
 
+def test_soft_delete_keeps_shared_leaves_and_tombstones_ledger(spark, tmp_path):
+    """mode='soft' (default) cascades the document subtree but leaves
+    graph-wide degree-one Entity/EntityType nodes alone (delete.py: only hard
+    mode runs the degree-one sweep), and the ledger view shows deleted_at on
+    rows touching deleted nodes (delete.py:152-166)."""
+    e = CogneeSpark(spark, str(tmp_path / "sd"))
+    e.add(ITEMS[:2])
+    e.cognify()
+    from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
+
+    doomed_doc = e.store.load("data").filter(F.col("name") == "spark.txt").first()["id"]
+    before = {r["id"] for r in e.store.load("nodes").select("id").collect()}
+    assert e.delete("spark.txt", mode="soft") > 0
+    nodes, edges = e.store.load("nodes"), e.store.load("edges")
+    after = {r["id"] for r in nodes.select("id").collect()}
+    # soft = the J7 cascade only: no degree-one sweep ran (no delete_hard
+    # ledger op), and the other document's subtree is fully intact
+    led_ops = {r["op"] for r in e.store.ledger().select("op").distinct().collect()}
+    assert "delete_nodes" in led_ops  # the cascade applied...
+    deleted_ops = {
+        r["created_by"]
+        for r in e.store.ledger().filter(F.col("op") == "delete_nodes").select("created_by").collect()
+    }
+    assert deleted_ops == {"delete_document"}  # ...but never the hard sweep
+    assert nodes.filter(F.col("type") == "TextDocument").count() == 1
+    # every removed node belonged to the deleted doc's cascade, which keeps
+    # shared/degree>=1 leaves of other docs by construction
+    assert after < before
+    # ledger tombstones: the deleted doc node's creation rows (keys are
+    # |-delimited, incl. dataset_id) get deleted_at; the survivor's do not
+    led = e.store.ledger_with_deletions()
+    doc_rows = led.filter(F.col("id").startswith(f"doc:{doomed_doc}"))
+    assert doc_rows.count() > 0
+    assert doc_rows.filter(F.col("deleted_at").isNotNull()).count() == doc_rows.count()
+    survivor = nodes.filter(F.col("type") == "TextDocument").first()["id"]
+    srows = led.filter(F.col("id").startswith(survivor))
+    assert srows.count() > 0
+    assert srows.filter(F.col("deleted_at").isNotNull()).count() == 0
+    # hard mode on the remaining doc DOES run the degree-one sweep — the
+    # whole graph empties (reference test_delete_hard.py's end state)
+    e.delete("duck.txt", mode="hard")
+    nodes2, edges2 = e.store.load("nodes"), e.store.load("edges")
+    if nodes2 is not None and edges2 is not None:
+        assert degree_one_nodes(nodes2, edges2, "Entity").count() == 0
+
+
 def test_hard_delete_removes_degree_one_leaves(spark, tmp_path):
     """mode='hard' also removes graph-wide degree-one Entity/EntityType nodes
     after the cascade (delete.py:248-263)."""
