@@ -202,17 +202,45 @@ def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     triangles(v) = #(a,b) neighbor pairs of v that are themselves edges;
     coefficient = 2*tri / (deg*(deg-1)); deg<2 ⇒ 0.0.
+
+    Hub-safe by construction (compact-forward / degree-ordered orientation,
+    Latapy "Main-memory triangle computations", 2008): every undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher one, and
+    wedges are enumerated only among each node's oriented OUT-neighbors.
+    Under this orientation a node's out-degree is O(sqrt(E)) regardless of
+    its real degree, so a 10M-neighbor celebrity node emits at most
+    O(E)-bounded pairs instead of 10^13 — total work is bounded by the
+    graph's arboricity, not by Σ deg².  Each triangle {u,v,w} (ranks
+    u<v<w) is found exactly once as the wedge (v,w) at center u closed by
+    the oriented edge v→w, then credited to all three corners, so the
+    per-node counts are EXACT — same results as the naive enumeration,
+    never a sampled approximation.
     """
     sym = _sym_edges(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "id")
-    # neighbor pairs (a < b) per center node
-    n1 = sym.select(F.col("src").alias("center"), F.col("dst").alias("a"))
-    n2 = sym.select(F.col("src").alias("center"), F.col("dst").alias("b"))
-    pairs = n1.join(n2, "center").filter(F.col("a") < F.col("b"))
-    closed = pairs.join(
-        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "leftsemi"
+    dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
+    ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
+    ranked = sym.join(dsrc, "src").join(ddst, "dst")
+    oriented = ranked.filter(
+        (F.col("deg_src") < F.col("deg_dst"))
+        | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst", "deg_dst")
+    # wedge (a,b) at each center, canonically ordered by the SAME rank so it
+    # joins against the oriented closing edge a→b
+    n1 = oriented.select(F.col("src").alias("center"), F.col("dst").alias("a"), F.col("deg_dst").alias("da"))
+    n2 = oriented.select(F.col("src").alias("center"), F.col("dst").alias("b"), F.col("deg_dst").alias("db"))
+    wedges = n1.join(n2, "center").filter(
+        (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     )
-    tri = closed.groupBy("center").agg(F.count(F.lit(1)).alias("triangles")).withColumnRenamed("center", "id")
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "leftsemi"
+    )
+    corners = (
+        closed.select(F.col("center").alias("id"))
+        .unionAll(closed.select(F.col("a").alias("id")))
+        .unionAll(closed.select(F.col("b").alias("id")))
+    )
+    tri = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     return (
         nodes.select("id")
         .join(deg, "id", "left")

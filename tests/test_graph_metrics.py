@@ -109,3 +109,50 @@ def test_approx_path_metrics_bounds_and_exact_limit(spark):
     assert approx["avg_shortest_path_length"] > 0.0
     # deterministic for a fixed seed
     assert approx == approx_path_metrics(nodes, edges, n_sources=2, seed=1)
+
+
+def test_triangle_clustering_ground_truth(spark):
+    """Exact local clustering coefficients on known graphs — the
+    degree-ordered (compact-forward) enumeration must match the naive
+    per-node definition."""
+    from cognee_graphdb_spark.operators.graph_metrics import triangle_clustering
+
+    # K4: every node in 3 triangles, coefficient 1.0
+    ids = ["a", "b", "c", "d"]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    k4 = spark.createDataFrame(
+        [(x, y, "r") for x in ids for y in ids if x < y], ["src", "dst", "relationship_name"]
+    )
+    out = {r["id"]: r["clustering"] for r in triangle_clustering(nodes, k4).collect()}
+    assert out == {i: 1.0 for i in ids}
+
+    # diamond (square + one diagonal a-c): a,c in 2 triangles of 3 possible
+    # pairs; b,d in their only pair's triangle
+    diamond = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "d", "r"), ("d", "a", "r"), ("a", "c", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    out = {r["id"]: r["clustering"] for r in triangle_clustering(nodes, diamond).collect()}
+    assert out["a"] == pytest.approx(2 / 3) and out["c"] == pytest.approx(2 / 3)
+    assert out["b"] == 1.0 and out["d"] == 1.0
+
+
+def test_triangle_clustering_hub_safe_star(spark):
+    """A celebrity hub with 2000 leaves plus one closed triangle: the
+    degree-ordered orientation gives the hub out-degree ~0 (all leaf edges
+    orient leaf->hub), so the wedge stage emits O(E) pairs, not deg^2 —
+    and the counts stay exact."""
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import triangle_clustering
+
+    n_leaves = 2000
+    rows = [("hub", f"leaf{i}", "r") for i in range(n_leaves)]
+    rows += [("hub", "x", "r"), ("hub", "y", "r"), ("x", "y", "r")]
+    edges = spark.createDataFrame(rows, ["src", "dst", "relationship_name"])
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    out = {r["id"]: r["clustering"] for r in triangle_clustering(nodes, edges).collect()}
+    deg_hub = n_leaves + 2
+    assert out["hub"] == pytest.approx(2 * 1 / (deg_hub * (deg_hub - 1)))
+    assert out["x"] == 1.0 and out["y"] == 1.0
+    assert out["leaf0"] == 0.0
