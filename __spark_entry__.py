@@ -752,6 +752,39 @@ def _q_cypher_passthrough(spark, sf_dir):
     )
 
 
+def _q_cypher_translated(spark, sf_dir):
+    """Real Cypher dialect (plans/cypher.py): typed hop + labels + implicit
+    GROUP BY, translated to one Spark SQL join tree over the migrated graph
+    (reference shape: kuzu/adapter.py:150's MATCH (n)-[r]->(m) counts)."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "MATCH (r:TableRow)-[e:is_part_of]->(t:TableType) "
+        "RETURN t.name AS table_name, count(r) AS n ORDER BY table_name",
+    )
+
+
+def _q_cypher_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH translation (derived-table LEFT JOIN): parts with their
+    lineitem reference counts, zero-reference parts kept as NULL pattern
+    (product_recommendation.py:159-160 shape)."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "MATCH (n:TableRow {name: 'part'}) "
+        "OPTIONAL MATCH (l:TableRow)-[e:l_partkey]->(n) "
+        "RETURN n.id AS part_id, count(e) AS refs ORDER BY part_id",
+    )
+
+
 def _q_natural_language(spark, sf_dir):
     from cognee_graphdb_spark.plans.search_types import GraphContext, natural_language_search
 
@@ -1232,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insights_exact_node": _q_insights_exact,
         "temporal_search_e2e": _q_temporal_search,
         "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_optional_match": _q_cypher_optional_match,
         "natural_language_search": _q_natural_language,
         "td_hash_sample": _q_td_hash_sample,
         "td_stratified_sample": _q_td_stratified_sample,
@@ -1818,6 +1853,19 @@ SELECT chunk_id, round(s, 6) AS score FROM scored ORDER BY s DESC, chunk_id ASC 
     sql["cypher_passthrough"] = f"""WITH {g}
 SELECT n.name AS src_table, e.relationship_name, count(*) AS n
 FROM edges e JOIN nodes n ON e.src = n.id GROUP BY n.name, e.relationship_name"""
+
+    sql["cypher_translated"] = f"""WITH {g}
+SELECT t.name AS table_name, count(r.id) AS n
+FROM edges e JOIN nodes r ON e.src = r.id JOIN nodes t ON e.dst = t.id
+WHERE e.relationship_name = 'is_part_of' AND r.type = 'TableRow' AND t.type = 'TableType'
+GROUP BY t.name ORDER BY table_name"""
+
+    sql["cypher_optional_match"] = f"""WITH {g}
+SELECT n.id AS part_id, count(e.src) AS refs
+FROM nodes n
+LEFT JOIN edges e ON e.dst = n.id AND e.relationship_name = 'l_partkey'
+WHERE n.type = 'TableRow' AND n.name = 'part'
+GROUP BY n.id ORDER BY part_id"""
 
     sql["natural_language_search"] = f"""WITH {g}
 SELECT id, name, type FROM nodes WHERE type = 'TableType' ORDER BY id LIMIT 20"""

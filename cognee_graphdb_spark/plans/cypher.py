@@ -1,0 +1,686 @@
+"""Cypher subset -> Spark SQL translator (CYPHER search type, real dialect).
+
+The reference executes raw Cypher through whichever graph DB is configured
+(cypher_search_retriever.py:29-51 just forwards the string to
+``graph_engine.query``).  Its own code and tests exercise a small, very
+regular Cypher subset — e.g.::
+
+    MATCH (n:Node) RETURN count(n) as c                    # kuzu/adapter.py:146
+    MATCH (n:Node)-[r:EDGE]->(m:Node) RETURN count(r) as c # kuzu/adapter.py:150
+    MATCH (n:Node) WHERE n.id = $id RETURN COUNT(n) > 0    # kuzu/adapter.py:322
+    MATCH (n:Node) WHERE n.id IN $ids RETURN n.id          # kuzu/adapter.py:478
+    MATCH (c:Customer {id: $cid})
+    OPTIONAL MATCH (c)-[:has_preference]->(p:Preference {name: 'ShoeSize'})
+    RETURN c.id, p.name                    # examples/low_level/product_recommendation.py:159-160
+
+This module translates that subset onto the engine's native graph views
+(``nodes(id, name, type, properties)`` / ``edges(src, dst,
+relationship_name)``) as ONE Spark SQL string, so Catalyst plans the whole
+thing — a k-hop MATCH chain becomes an ordinary multi-way equi-join that AQE
+can broadcast / skew-split like any other.  Queries outside the subset raise
+:class:`CypherUnsupported` and the caller falls back to Spark-SQL passthrough.
+
+Translation strategy (scale rationale):
+
+- Every **MATCH** path element adds a table to the FROM list and its linking /
+  label / property constraints to WHERE.  Catalyst's join planning converts
+  cross-join + equality predicates into equi-joins and reorders them, so we
+  deliberately emit the *declarative* form instead of hand-ordering JOIN ... ON
+  chains — at 100 TB the optimizer's cost-based order beats the query author's
+  textual order.
+- Every **OPTIONAL MATCH** path becomes a derived-table LEFT JOIN anchored on
+  its already-bound variable(s).  Chained ``LEFT JOIN edges ... LEFT JOIN
+  nodes ...`` would be wrong: when the edge matches but the far node's label
+  filter fails, Cypher drops the whole optional pattern, and row multiplicity
+  must count full pattern matches — only a pre-joined derived table preserves
+  both.  A ``WHERE`` following an OPTIONAL MATCH belongs to that pattern
+  (openCypher scoping) and lands in the LEFT JOIN's ON clause, which is
+  semantically the same place.
+
+Supported grammar::
+
+    MATCH <path> (',' <path>)* [WHERE <expr>]       -- repeatable; later
+    (OPTIONAL MATCH <path> [WHERE <expr>])*            clauses may re-use vars
+    RETURN [DISTINCT] item (',' item)*              -- implicit GROUP BY
+    [ORDER BY expr [ASC|DESC] (',' ...)*] [SKIP n] [LIMIT n]
+
+    path: '(' [var][':'Label][{k: lit, ...}] ')'
+          ( ('-'|'<-') '[' [var][':'TYPE] ']' ('->'|'-') node )*
+    expr: = <> < <= > >=, AND/OR/NOT, IN <list|$param>, IS [NOT] NULL,
+          CONTAINS / STARTS WITH / ENDS WITH,
+          count/min/max/sum/avg/collect, $params, literals.
+
+Mapping rules:
+
+- node label ``:X`` -> ``type = 'X'``; ``:Node`` is the reference's physical
+  Kuzu table label and matches everything, so it is a no-op.  Edge type
+  ``[:X]`` -> ``relationship_name = 'X'`` (``:EDGE`` likewise no-op).
+- ``v.id/name/type`` (nodes) and ``v.src/dst/relationship_name`` (edges) are
+  direct columns; any other node property reads ``properties['key']``.
+- ``RETURN v`` expands to a ``named_struct`` of the element's key columns,
+  mirroring the dict rows the reference adapters return.
+- Undirected ``-[r]-`` is rejected (the engine's edges are directed; the
+  reference's own queries never use it).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CypherUnsupported(ValueError):
+    """Query is outside the translated subset."""
+
+
+_NODE_COLS = ("id", "name", "type", "properties")
+_EDGE_COLS = ("src", "dst", "relationship_name")
+_KEYWORDS = {
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "ORDER", "BY", "LIMIT", "SKIP",
+    "DISTINCT", "AS", "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
+    "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC",
+}
+_AGGS = {"COUNT": "count", "MIN": "min", "MAX": "max", "SUM": "sum", "AVG": "avg", "COLLECT": "collect_list"}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+(?:\.\d+)?)
+      | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op><>|<=|>=|<-|->|[()\[\]{}:,.\-=<>*])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            rest = q[pos:].strip()
+            if not rest:
+                break
+            raise CypherUnsupported(f"cannot tokenize near: {rest[:30]!r}")
+        pos = m.end()
+        if m.lastgroup == "name":
+            word = m.group("name")
+            if word.startswith("`"):
+                toks.append(("name", word[1:-1]))
+            elif word.upper() in _KEYWORDS:
+                toks.append(("kw", word.upper()))
+            else:
+                toks.append(("name", word))
+        elif m.lastgroup is not None:
+            toks.append((m.lastgroup, m.group(m.lastgroup)))
+    toks.append(("end", ""))
+    return toks
+
+
+@dataclass
+class _Var:
+    kind: str  # "node" | "edge"
+    alias: str  # SQL table alias (inner table, or the derived table for optional vars)
+    prefix: str = ""  # column prefix inside a derived table ("" for inner vars)
+
+    def col(self, name: str) -> str:
+        return f"{self.alias}.{self.prefix}{name}"
+
+
+@dataclass
+class _NodePat:
+    var: str | None
+    label: str | None
+    props: list[tuple[str, str]]  # (key, sql_literal)
+
+
+@dataclass
+class _RelPat:
+    var: str | None
+    rtype: str | None
+    arrow_in: bool  # True for '<-[r]-' (edge points INTO the left node)
+
+
+@dataclass
+class _Sql:
+    from_tables: list[str] = field(default_factory=list)  # "view AS alias"
+    left_joins: list[str] = field(default_factory=list)  # full "LEFT JOIN (...) AS x ON ..." fragments
+    where: list[str] = field(default_factory=list)
+
+
+class _Parser:
+    def __init__(self, query: str, params: dict | None, nodes_view: str, edges_view: str):
+        self.toks = _tokenize(query)
+        self.i = 0
+        self.params = params or {}
+        self.nodes_view = nodes_view
+        self.edges_view = edges_view
+        self.sql = _Sql()
+        self.vars: dict[str, _Var] = {}
+        self._anon = 0
+        self._saw_agg = False
+        # pre-scan "<var>.<key>" references so derived tables only export the
+        # properties map when some key outside the fixed columns is read —
+        # graph views without a properties column (e.g. the relational
+        # migration's nodes) stay queryable
+        self._prop_refs: dict[str, set[str]] = {}
+        for j in range(len(self.toks) - 2):
+            if (
+                self.toks[j][0] == "name"
+                and self.toks[j + 1] == ("op", ".")
+                and self.toks[j + 2][0] == "name"
+            ):
+                self._prop_refs.setdefault(self.toks[j][1], set()).add(self.toks[j + 2][1])
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise CypherUnsupported(f"expected {val or kind}, got {t[1]!r}")
+        return t[1]
+
+    def _fresh(self, prefix: str) -> str:
+        self._anon += 1
+        return f"_{prefix}{self._anon}"
+
+    # -- literals & params --------------------------------------------------
+    def _sql_literal(self, value) -> str:
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return "TRUE" if value else "FALSE"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        if isinstance(value, str):
+            return "'" + value.replace("'", "''") + "'"
+        if isinstance(value, (list, tuple)):
+            return "(" + ", ".join(self._sql_literal(v) for v in value) + ")"
+        raise CypherUnsupported(f"unsupported parameter type: {type(value).__name__}")
+
+    def _param(self, name: str) -> str:
+        key = name[1:]
+        if key not in self.params:
+            raise CypherUnsupported(f"missing parameter ${key}")
+        return self._sql_literal(self.params[key])
+
+    def _value(self) -> str:
+        """A literal/param value (inline property maps)."""
+        t = self.next()
+        if t[0] == "num":
+            return t[1]
+        if t[0] == "str":
+            return self._sql_literal(t[1][1:-1].replace("\\'", "'").replace('\\"', '"'))
+        if t[0] == "param":
+            return self._param(t[1])
+        if t == ("kw", "TRUE"):
+            return "TRUE"
+        if t == ("kw", "FALSE"):
+            return "FALSE"
+        if t == ("kw", "NULL"):
+            return "NULL"
+        raise CypherUnsupported(f"inline property values must be literals, got {t[1]!r}")
+
+    # -- top level ----------------------------------------------------------
+    def parse(self) -> str:
+        saw_match = False
+        while True:
+            if self.accept("kw", "MATCH"):
+                saw_match = True
+                self._match_clause()
+            elif self.peek() == ("kw", "OPTIONAL"):
+                if not saw_match:
+                    raise CypherUnsupported("OPTIONAL MATCH cannot be the first clause")
+                self.next()
+                self.expect("kw", "MATCH")
+                self._optional_clause()
+            else:
+                break
+        if not saw_match:
+            raise CypherUnsupported("query must start with MATCH")
+        self.expect("kw", "RETURN")
+        distinct = self.accept("kw", "DISTINCT")
+        items = [self._return_item()]
+        while self.accept("op", ","):
+            items.append(self._return_item())
+        order, limit, skip = [], None, None
+        if self.accept("kw", "ORDER"):
+            self.expect("kw", "BY")
+            order.append(self._order_item(items))
+            while self.accept("op", ","):
+                order.append(self._order_item(items))
+        if self.accept("kw", "SKIP"):
+            skip = int(self.expect("num"))
+        if self.accept("kw", "LIMIT"):
+            limit = int(self.expect("num"))
+        if self.peek()[0] != "end":
+            raise CypherUnsupported(f"trailing tokens near {self.peek()[1]!r}")
+        return self._emit(items, distinct, order, limit, skip)
+
+    # -- MATCH --------------------------------------------------------------
+    def _match_clause(self) -> None:
+        self._inner_path(*self._parse_path())
+        while self.accept("op", ","):
+            self._inner_path(*self._parse_path())
+        if self.accept("kw", "WHERE"):
+            self.sql.where.append(self._expr())
+
+    def _optional_clause(self) -> None:
+        nodes, rels = self._parse_path()
+        extra_on = None
+        if self.accept("kw", "WHERE"):
+            # openCypher scopes this WHERE to the optional pattern; the LEFT
+            # JOIN's ON clause is the semantically equivalent home.  The
+            # expression is parsed AFTER the pattern's vars are bound, so var
+            # references resolve to the derived table's exported columns.
+            extra_on = "__DEFERRED__"
+            where_start = self.i
+            self._skip_expr_tokens()
+            where_end = self.i
+        self._emit_optional(nodes, rels)
+        if extra_on is not None:
+            save = self.i
+            self.i = where_start
+            cond = self._expr()
+            if self.i != where_end:
+                raise CypherUnsupported("could not parse OPTIONAL MATCH WHERE")
+            self.i = save
+            frag = self.sql.left_joins[-1]
+            self.sql.left_joins[-1] = f"{frag} AND {cond}"
+
+    def _skip_expr_tokens(self) -> None:
+        """Advance past one expression without evaluating (vars not yet bound)."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t[0] == "end":
+                return
+            if t[0] == "kw" and depth == 0 and t[1] in ("RETURN", "MATCH", "OPTIONAL", "WHERE"):
+                return
+            if t == ("op", "(") or t == ("op", "["):
+                depth += 1
+            elif t == ("op", ")") or t == ("op", "]"):
+                depth -= 1
+            self.next()
+
+    def _parse_path(self) -> tuple[list[_NodePat], list[_RelPat]]:
+        nodes = [self._node_pat()]
+        rels: list[_RelPat] = []
+        while self.peek()[1] in ("-", "<-") and self.peek()[0] == "op":
+            rels.append(self._rel_pat())
+            nodes.append(self._node_pat())
+        return nodes, rels
+
+    def _node_pat(self) -> _NodePat:
+        self.expect("op", "(")
+        var = None
+        if self.peek()[0] == "name":
+            var = self.next()[1]
+        label = None
+        if self.accept("op", ":"):
+            label = self.expect("name")
+        props: list[tuple[str, str]] = []
+        if self.accept("op", "{"):
+            while True:
+                key = self.expect("name")
+                self.expect("op", ":")
+                props.append((key, self._value()))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", "}")
+        self.expect("op", ")")
+        return _NodePat(var, label, props)
+
+    def _rel_pat(self) -> _RelPat:
+        arrow_in = self.next()[1] == "<-"
+        self.expect("op", "[")
+        var = None
+        if self.peek()[0] == "name":
+            var = self.next()[1]
+        rtype = None
+        if self.accept("op", ":"):
+            rtype = self.expect("name")
+        self.expect("op", "]")
+        tail = self.next()
+        if arrow_in:
+            if tail != ("op", "-"):
+                raise CypherUnsupported("bad relationship arrow")
+        elif tail != ("op", "->"):
+            raise CypherUnsupported("undirected relationships are not supported (edges are directed)")
+        return _RelPat(var, rtype, arrow_in)
+
+    # -- inner pattern: tables + WHERE conjuncts ----------------------------
+    def _check_name(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise CypherUnsupported(f"bad variable name {name!r}")
+        return name
+
+    def _node_conds(self, var: _Var, pat: _NodePat) -> list[str]:
+        conds = []
+        if pat.label and pat.label != "Node":  # :Node = physical table label, matches all
+            conds.append(f"{var.col('type')} = {self._sql_literal(pat.label)}")
+        for key, val in pat.props:
+            conds.append(f"{self._prop(var, 'node', key)} = {val}")
+        return conds
+
+    def _inner_path(self, nodes: list[_NodePat], rels: list[_RelPat]) -> None:
+        node_vars: list[_Var] = []
+        for pat in nodes:
+            if pat.var and pat.var in self.vars:
+                v = self.vars[pat.var]
+                if v.kind != "node":
+                    raise CypherUnsupported(f"variable {pat.var!r} used as both node and edge")
+            else:
+                alias = self._check_name(pat.var) if pat.var else self._fresh("n")
+                v = _Var("node", alias)
+                self.vars[alias] = v
+                self.sql.from_tables.append(f"{self.nodes_view} AS {alias}")
+            node_vars.append(v)
+            self.sql.where.extend(self._node_conds(v, pat))
+        for idx, rp in enumerate(rels):
+            if rp.var and rp.var in self.vars:
+                raise CypherUnsupported(f"relationship variable {rp.var!r} reused")
+            alias = self._check_name(rp.var) if rp.var else self._fresh("r")
+            rv = _Var("edge", alias)
+            self.vars[alias] = rv
+            self.sql.from_tables.append(f"{self.edges_view} AS {alias}")
+            left, right = node_vars[idx], node_vars[idx + 1]
+            src, dst = (right, left) if rp.arrow_in else (left, right)
+            self.sql.where.append(f"{alias}.src = {src.col('id')}")
+            self.sql.where.append(f"{alias}.dst = {dst.col('id')}")
+            if rp.rtype and rp.rtype != "EDGE":
+                self.sql.where.append(f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}")
+
+    # -- optional pattern: derived-table LEFT JOIN --------------------------
+    def _emit_optional(self, nodes: list[_NodePat], rels: list[_RelPat]) -> None:
+        if not rels:
+            raise CypherUnsupported("OPTIONAL MATCH must contain a relationship")
+        bound = [i for i, p in enumerate(nodes) if p.var and p.var in self.vars]
+        if not bound:
+            raise CypherUnsupported("OPTIONAL MATCH must re-use a bound variable")
+        derived = self._fresh("opt")
+        inner_alias: dict[int, str] = {}  # node index -> inner alias (non-anchors)
+        exports: list[str] = []
+        conds: list[str] = []
+        on: list[str] = []
+        tables: list[str] = []
+
+        anchor_conds: list[str] = []
+        for i, pat in enumerate(nodes):
+            if i in bound:
+                # anchors join from outside via the adjacent edge column; any
+                # RE-stated label/props on the bound var belong to the optional
+                # pattern, so they go in the ON clause (ON false -> nulls)
+                anchor_conds.extend(self._node_conds(self.vars[pat.var], pat))
+                continue
+            alias = self._fresh("inn")
+            inner_alias[i] = alias
+            tables.append(f"{self.nodes_view} AS {alias}")
+            av = _Var("node", alias)
+            conds.extend(self._node_conds(av, pat))
+            if pat.var:
+                name = self._check_name(pat.var)
+                cols = ["id", "name", "type"]
+                refs = self._prop_refs.get(name, set())
+                if "properties" in refs or any(k not in cols for k in refs):
+                    cols.append("properties")
+                for c in cols:
+                    exports.append(f"{alias}.{c} AS {name}__{c}")
+                self.vars[name] = _Var("node", derived, f"{name}__")
+
+        for idx, rp in enumerate(rels):
+            alias = self._fresh("inr")
+            tables.append(f"{self.edges_view} AS {alias}")
+            li, ri = idx, idx + 1
+            src_i, dst_i = (ri, li) if rp.arrow_in else (li, ri)
+            for endpoint_i, col in ((src_i, "src"), (dst_i, "dst")):
+                if endpoint_i in inner_alias:
+                    conds.append(f"{alias}.{col} = {inner_alias[endpoint_i]}.id")
+                else:  # anchor endpoint: export the edge column, equate outside
+                    anchor_var = self.vars[nodes[endpoint_i].var]
+                    export = f"__a{len(on)}"
+                    exports.append(f"{alias}.{col} AS {export}")
+                    on.append(f"{derived}.{export} = {anchor_var.col('id')}")
+            if rp.rtype and rp.rtype != "EDGE":
+                conds.append(f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}")
+            if rp.var:
+                name = self._check_name(rp.var)
+                for c in _EDGE_COLS:
+                    exports.append(f"{alias}.{c} AS {name}__{c}")
+                self.vars[name] = _Var("edge", derived, f"{name}__")
+
+        if not on:
+            raise CypherUnsupported("OPTIONAL MATCH pattern is not connected to a bound variable")
+        on.extend(anchor_conds)
+        if not exports:
+            exports.append("1 AS __one")
+        body = f"SELECT {', '.join(exports)} FROM {' CROSS JOIN '.join(tables)}"
+        if conds:
+            body += " WHERE " + " AND ".join(conds)
+        self.sql.left_joins.append(f"LEFT JOIN ({body}) AS {derived} ON {' AND '.join(on)}")
+
+    # -- property access ----------------------------------------------------
+    def _prop(self, var: _Var, kind: str, key: str) -> str:
+        if kind == "node":
+            if key in _NODE_COLS:
+                return var.col(key)
+            return f"{var.col('properties')}['{key}']"
+        if key in _EDGE_COLS:
+            return var.col(key)
+        raise CypherUnsupported(f"edges have no property {key!r}")
+
+    # -- expressions --------------------------------------------------------
+    def _expr(self) -> str:
+        left = self._and_expr()
+        while self.accept("kw", "OR"):
+            left = f"({left} OR {self._and_expr()})"
+        return left
+
+    def _and_expr(self) -> str:
+        left = self._not_expr()
+        while self.accept("kw", "AND"):
+            left = f"({left} AND {self._not_expr()})"
+        return left
+
+    def _not_expr(self) -> str:
+        if self.accept("kw", "NOT"):
+            return f"(NOT {self._not_expr()})"
+        return self._comparison()
+
+    def _comparison(self) -> str:
+        left = self._primary()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            return f"{left} {op} {self._primary()}"
+        if t == ("kw", "IN"):
+            self.next()
+            if self.peek()[0] == "param":
+                return f"{left} IN {self._param(self.next()[1])}"
+            self.expect("op", "[")
+            vals = []
+            if self.peek() != ("op", "]"):
+                vals.append(self._primary())
+                while self.accept("op", ","):
+                    vals.append(self._primary())
+            self.expect("op", "]")
+            return f"{left} IN ({', '.join(vals)})"
+        if t == ("kw", "IS"):
+            self.next()
+            neg = self.accept("kw", "NOT")
+            self.expect("kw", "NULL")
+            return f"{left} IS {'NOT ' if neg else ''}NULL"
+        if t == ("kw", "CONTAINS"):
+            self.next()
+            return f"contains({left}, {self._primary()})"
+        if t == ("kw", "STARTS"):
+            self.next()
+            self.expect("kw", "WITH")
+            return f"startswith({left}, {self._primary()})"
+        if t == ("kw", "ENDS"):
+            self.next()
+            self.expect("kw", "WITH")
+            return f"endswith({left}, {self._primary()})"
+        return left
+
+    def _primary(self) -> str:
+        t = self.next()
+        if t[0] == "num":
+            return t[1]
+        if t[0] == "str":
+            return self._sql_literal(t[1][1:-1].replace("\\'", "'").replace('\\"', '"'))
+        if t[0] == "param":
+            return self._param(t[1])
+        if t == ("kw", "TRUE"):
+            return "TRUE"
+        if t == ("kw", "FALSE"):
+            return "FALSE"
+        if t == ("kw", "NULL"):
+            return "NULL"
+        if t == ("op", "("):
+            inner = self._expr()
+            self.expect("op", ")")
+            return f"({inner})"
+        if t[0] == "name":
+            name = t[1]
+            if name.upper() in _AGGS and self.peek() == ("op", "("):
+                return self._aggregate(name.upper())
+            var = self.vars.get(name)
+            if var is None:
+                raise CypherUnsupported(f"unbound variable {name!r}")
+            if self.accept("op", "."):
+                key = self.expect("name")
+                return self._prop(var, var.kind, key)
+            if var.kind == "node":
+                return (
+                    f"named_struct('id', {var.col('id')}, 'name', {var.col('name')},"
+                    f" 'type', {var.col('type')})"
+                )
+            return (
+                f"named_struct('src', {var.col('src')},"
+                f" 'relationship_name', {var.col('relationship_name')},"
+                f" 'dst', {var.col('dst')})"
+            )
+        raise CypherUnsupported(f"unexpected token {t[1]!r}")
+
+    def _aggregate(self, fname: str) -> str:
+        self.expect("op", "(")
+        distinct = self.accept("kw", "DISTINCT")
+        if fname == "COUNT" and self.accept("op", "*"):
+            self.expect("op", ")")
+            self._saw_agg = True
+            return "count(*)"
+        # count(n) counts pattern matches where n is non-null — the element's
+        # key column stands in for the struct (same null-ness, no struct build)
+        t = self.peek()
+        if t[0] == "name" and self.vars.get(t[1]) is not None and self.peek(1) != ("op", "."):
+            var = self.vars[self.next()[1]]
+            arg = var.col("id" if var.kind == "node" else "src")
+        else:
+            arg = self._expr()
+        self.expect("op", ")")
+        self._saw_agg = True
+        return f"{_AGGS[fname]}({'DISTINCT ' if distinct else ''}{arg})"
+
+    # -- RETURN / ORDER BY --------------------------------------------------
+    def _return_item(self) -> tuple[str, str, bool]:
+        """-> (sql_expr, alias, is_aggregate)"""
+        self._saw_agg = False
+        start = self.i
+        expr = self._comparison()  # allows e.g. RETURN COUNT(n) > 0
+        raw = " ".join(tok[1] for tok in self.toks[start : self.i])
+        is_agg = self._saw_agg
+        if self.accept("kw", "AS"):
+            alias = self._check_name(self.expect("name"))
+        else:
+            alias = re.sub(r"[^A-Za-z0-9_]+", "_", raw).strip("_").lower() or self._fresh("c")
+        return expr, alias, is_agg
+
+    def _order_item(self, items: list[tuple[str, str, bool]]) -> str:
+        aliases = {a for _, a, _ in items}
+        t = self.peek()
+        if t[0] == "name" and t[1] in aliases and self.peek(1)[1] != ".":
+            expr = self.next()[1]
+        else:
+            expr = self._comparison()
+        if self.accept("kw", "DESC"):
+            return f"{expr} DESC"
+        self.accept("kw", "ASC")
+        return f"{expr} ASC"
+
+    # -- emit ---------------------------------------------------------------
+    def _emit(
+        self,
+        items: list[tuple[str, str, bool]],
+        distinct: bool,
+        order: list[str],
+        limit: int | None,
+        skip: int | None,
+    ) -> str:
+        select = ", ".join(f"{e} AS {a}" for e, a, _ in items)
+        sql = "SELECT " + ("DISTINCT " if distinct else "") + select
+        sql += "\nFROM " + "\nCROSS JOIN ".join(self.sql.from_tables)
+        for lj in self.sql.left_joins:
+            sql += "\n" + lj
+        if self.sql.where:
+            sql += "\nWHERE " + " AND ".join(self.sql.where)
+        if any(agg for _, _, agg in items):
+            keys = [e for e, _, agg in items if not agg]
+            if keys:
+                sql += "\nGROUP BY " + ", ".join(keys)
+        if order:
+            sql += "\nORDER BY " + ", ".join(order)
+        if limit is not None:
+            sql += f"\nLIMIT {limit}"
+        if skip is not None:
+            sql += f"\nOFFSET {skip}"
+        return sql
+
+
+def cypher_to_sql(
+    query: str,
+    params: dict | None = None,
+    nodes_view: str = "nodes",
+    edges_view: str = "edges",
+) -> str:
+    """Translate a Cypher-subset query to one Spark SQL string.
+
+    Raises :class:`CypherUnsupported` for anything outside the subset, so the
+    caller can fall back to Spark-SQL passthrough.
+    """
+    return _Parser(query, params, nodes_view, edges_view).parse()
+
+
+def looks_like_cypher(query: str) -> bool:
+    head = query.lstrip().upper()
+    return head.startswith("MATCH") or head.startswith("OPTIONAL MATCH")
+
+
+def run_cypher(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    query: str,
+    params: dict | None = None,
+) -> DataFrame:
+    """Register the graph views and execute a translated Cypher query."""
+    nodes.createOrReplaceTempView("nodes")
+    edges.createOrReplaceTempView("edges")
+    return spark.sql(cypher_to_sql(query, params))

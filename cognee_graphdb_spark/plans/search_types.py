@@ -306,12 +306,23 @@ def lexical_chunks(
 # ---------------------------------------------------------------------------
 
 
-def cypher_search(spark: SparkSession, ctx: GraphContext, raw_query: str) -> DataFrame:
-    """CYPHER — raw graph-query passthrough (cypher_search_retriever.py:29-51):
-    the graph is exposed as ``nodes``/``edges`` temp views and the query runs
-    as Spark SQL (our native graph-query surface)."""
+def cypher_search(
+    spark: SparkSession, ctx: GraphContext, raw_query: str, params: dict | None = None
+) -> DataFrame:
+    """CYPHER — graph-query surface (cypher_search_retriever.py:29-51).
+
+    Real Cypher strings in the reference's supported shape (MATCH /
+    OPTIONAL MATCH / WHERE / RETURN / ORDER BY / LIMIT, see plans/cypher.py)
+    are translated to one Spark SQL statement over the ``nodes``/``edges``
+    views; anything else — including full Spark SQL, our native dialect —
+    runs as-is.  A MATCH query that trips the translator's subset limits
+    raises, mirroring the reference's CypherSearchError on bad queries."""
+    from cognee_graphdb_spark.plans.cypher import cypher_to_sql, looks_like_cypher
+
     ctx.nodes.createOrReplaceTempView("nodes")
     ctx.edges.createOrReplaceTempView("edges")
+    if looks_like_cypher(raw_query):
+        return spark.sql(cypher_to_sql(raw_query, params))
     return spark.sql(raw_query)
 
 

@@ -1,0 +1,257 @@
+"""Cypher-subset translator tests (plans/cypher.py).
+
+Query shapes mirror the reference's own Cypher usage:
+kuzu/adapter.py:146,150,322,478 (counts, id filters),
+examples/low_level/product_recommendation.py:129-160 (typed hops, inline
+property maps, OPTIONAL MATCH).
+"""
+
+import pytest
+
+from cognee_graphdb_spark.plans.cypher import (
+    CypherUnsupported,
+    cypher_to_sql,
+    looks_like_cypher,
+    run_cypher,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("c1", "alice", "Customer", {"city": "berlin"}),
+            ("c2", "bob", "Customer", {"city": "paris"}),
+            ("p1", "boots", "Product", {}),
+            ("p2", "sandals", "Product", {}),
+            ("pref1", "ShoeSize", "Preference", {"value": "42"}),
+        ],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("c1", "p1", "purchased"),
+            ("c1", "p2", "purchased"),
+            ("c2", "p1", "purchased"),
+            ("c1", "pref1", "has_preference"),
+        ],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def rows(spark, graph, q, params=None):
+    nodes, edges = graph
+    return run_cypher(spark, nodes, edges, q, params).collect()
+
+
+def test_count_all_nodes(spark, graph):
+    [r] = rows(spark, graph, "MATCH (n) RETURN count(n) AS c")
+    assert r["c"] == 5
+
+
+def test_node_table_label_is_noop(spark, graph):
+    # :Node is the reference's physical Kuzu table label (kuzu/adapter.py:146)
+    [r] = rows(spark, graph, "MATCH (n:Node) RETURN count(n) as c")
+    assert r["c"] == 5
+
+
+def test_count_edges_typed(spark, graph):
+    [r] = rows(spark, graph, "MATCH (n:Node)-[r:EDGE]->(m:Node) RETURN count(r) as c")
+    assert r["c"] == 4
+
+
+def test_label_filter(spark, graph):
+    got = rows(spark, graph, "MATCH (n:Customer) RETURN n.name AS name ORDER BY name")
+    assert [r["name"] for r in got] == ["alice", "bob"]
+
+
+def test_exists_shape(spark, graph):
+    # kuzu/adapter.py:322 — MATCH (n:Node) WHERE n.id = $id RETURN COUNT(n) > 0
+    [r] = rows(
+        spark, graph, "MATCH (n:Node) WHERE n.id = $id RETURN COUNT(n) > 0 AS present", {"id": "c1"}
+    )
+    assert r["present"] is True
+    [r] = rows(
+        spark, graph, "MATCH (n:Node) WHERE n.id = $id RETURN COUNT(n) > 0 AS present", {"id": "zz"}
+    )
+    assert r["present"] is False
+
+
+def test_in_param_list(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE n.id IN $ids RETURN n.id AS id ORDER BY id",
+        {"ids": ["c1", "p2", "nope"]},
+    )
+    assert [r["id"] for r in got] == ["c1", "p2"]
+
+
+def test_typed_hop_with_names(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer)-[:purchased]->(p:Product) "
+        "RETURN c.name AS customer, p.name AS product ORDER BY customer, product",
+    )
+    assert [(r["customer"], r["product"]) for r in got] == [
+        ("alice", "boots"),
+        ("alice", "sandals"),
+        ("bob", "boots"),
+    ]
+
+
+def test_inline_property_map(spark, graph):
+    # product_recommendation.py:159 — MATCH (customer:Customer {id: $customer_id})
+    got = rows(
+        spark,
+        graph,
+        "MATCH (customer:Customer {id: $customer_id}) RETURN customer.name AS name",
+        {"customer_id": "c2"},
+    )
+    assert [r["name"] for r in got] == ["bob"]
+
+
+def test_map_property_access(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n:Customer) WHERE n.city = 'berlin' RETURN n.id AS id",
+    )
+    assert [r["id"] for r in got] == ["c1"]
+
+
+def test_reverse_arrow(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (p:Product)<-[:purchased]-(c:Customer {id: 'c2'}) RETURN p.name AS name",
+    )
+    assert [r["name"] for r in got] == ["boots"]
+
+
+def test_two_hop_chain(spark, graph):
+    # customers who purchased something that alice also purchased
+    got = rows(
+        spark,
+        graph,
+        "MATCH (a:Customer {name: 'alice'})-[:purchased]->(p)<-[:purchased]-(other:Customer) "
+        "WHERE other.id <> a.id RETURN DISTINCT other.name AS name",
+    )
+    assert [r["name"] for r in got] == ["bob"]
+
+
+def test_optional_match_present_and_absent(spark, graph):
+    # product_recommendation.py:159-160 shape
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (c)-[:has_preference]->(pref:Preference {name: 'ShoeSize'}) "
+        "RETURN c.name AS name, pref.name AS pref ORDER BY name",
+    )
+    assert [(r["name"], r["pref"]) for r in got] == [("alice", "ShoeSize"), ("bob", None)]
+
+
+def test_optional_match_label_mismatch_nulls_whole_pattern(spark, graph):
+    # edge exists but far-node label fails -> whole optional pattern is null,
+    # and multiplicity stays 1 (NOT one row per non-matching edge)
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer {id: 'c1'}) "
+        "OPTIONAL MATCH (c)-[r:purchased]->(x:Preference) "
+        "RETURN c.name AS name, r.relationship_name AS rel",
+    )
+    assert [(r["name"], r["rel"]) for r in got] == [("alice", None)]
+
+
+def test_optional_match_multiplicity(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer {id: 'c1'}) "
+        "OPTIONAL MATCH (c)-[:purchased]->(p:Product) "
+        "RETURN p.name AS product ORDER BY product",
+    )
+    assert [r["product"] for r in got] == ["boots", "sandals"]
+
+
+def test_optional_match_where_scopes_to_pattern(spark, graph):
+    # WHERE after OPTIONAL MATCH filters the pattern, not the result rows
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (c)-[:purchased]->(p:Product) WHERE p.name = 'sandals' "
+        "RETURN c.name AS name, p.name AS product ORDER BY name",
+    )
+    assert [(r["name"], r["product"]) for r in got] == [("alice", "sandals"), ("bob", None)]
+
+
+def test_return_node_expands_to_struct(spark, graph):
+    [r] = rows(spark, graph, "MATCH (n) WHERE n.id = 'p1' RETURN n")
+    assert r["n"].asDict() == {"id": "p1", "name": "boots", "type": "Product"}
+
+
+def test_implicit_group_by(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer)-[r:purchased]->(p) "
+        "RETURN c.name AS name, count(p) AS n ORDER BY n DESC, name",
+    )
+    assert [(r["name"], r["n"]) for r in got] == [("alice", 2), ("bob", 1)]
+
+
+def test_string_predicates_and_bool_ops(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE (n.name STARTS WITH 'b' OR n.name CONTAINS 'dal') "
+        "AND NOT n.type = 'Customer' RETURN n.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in got] == ["boots", "sandals"]
+
+
+def test_skip_limit(spark, graph):
+    got = rows(spark, graph, "MATCH (n) RETURN n.id AS id ORDER BY id SKIP 1 LIMIT 2")
+    assert [r["id"] for r in got] == ["c2", "p1"]
+
+
+def test_count_distinct(spark, graph):
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (c)-[r:purchased]->(p) RETURN count(DISTINCT p.id) AS n",
+    )
+    assert r["n"] == 2
+
+
+def test_unsupported_raises(spark, graph):
+    for bad in [
+        "MATCH (a)-[r]-(b) RETURN a",  # undirected
+        "CREATE (n:Thing) RETURN n",  # not MATCH
+        "MATCH (n) RETURN n.id UNION MATCH (m) RETURN m.id",  # UNION
+        "MATCH (a)-[r*1..3]->(b) RETURN a",  # variable-length path
+    ]:
+        with pytest.raises(CypherUnsupported):
+            cypher_to_sql(bad)
+
+
+def test_looks_like_cypher():
+    assert looks_like_cypher("  MATCH (n) RETURN n")
+    assert looks_like_cypher("match (n) return count(n)")
+    assert not looks_like_cypher("SELECT * FROM nodes")
+
+
+def test_injection_is_quoted(spark, graph):
+    # parameter values are rendered as escaped literals, never spliced raw
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE n.name = $v RETURN n.id AS id",
+        {"v": "x' OR '1'='1"},
+    )
+    assert got == []
