@@ -86,6 +86,8 @@ def main() -> None:
         nonlocal cog
         import dataclasses
 
+        from cognee_graphdb_spark.plans.cognify import materialize
+
         cog = cognify_documents(docs)
         # the build output is a union of many branches whose partition counts
         # ADD UP (~130 tiny partitions at sf0.1); every query step below scans
@@ -99,9 +101,9 @@ def main() -> None:
             edges=cog.edges.coalesce(cap),
             embeddings=cog.embeddings.coalesce(cap),
         )
-        cog.nodes.cache().count()
-        cog.edges.cache().count()
-        cog.embeddings.cache().count()
+        # concurrent materialization: the three outputs are independent jobs
+        # over the same cached upstream — overlap them (plans/cognify.py)
+        materialize(cog)
 
     # --- query paths ---------------------------------------------------------
     @step("graph_completion_context")

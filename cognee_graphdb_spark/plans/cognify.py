@@ -52,6 +52,37 @@ class CognifyResult:
     nodes: DataFrame
     edges: DataFrame
     embeddings: DataFrame
+    # the cached intermediate all three outputs read; exposed so callers can
+    # force it ONCE before materializing outputs concurrently (see
+    # materialize()) instead of racing its first computation
+    extracted: DataFrame | None = None
+
+
+def materialize(result: CognifyResult, cache: bool = True) -> dict[str, int]:
+    """Materialize the build outputs as CONCURRENT Spark jobs.
+
+    nodes / edges / embeddings are independent sinks of the same two cached
+    upstreams (chunks, extracted).  Sequential ``.count()`` calls serialize
+    three small-stage jobs behind one driver; submitting them from a thread
+    pool lets the scheduler overlap their stages — the same pattern as a
+    cluster pipeline writing independent outputs concurrently (the reference
+    pipelines its add_data_points writes the same way,
+    api/v1/cognify/cognify.py:259-278).  The shared upstream is forced first
+    so concurrent first-touch doesn't duplicate the Python extract stage.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if result.extracted is not None:
+        result.extracted.count()  # forces chunks cache too (its only parent)
+    else:
+        result.chunks.count()
+
+    def _go(df: DataFrame) -> int:
+        return (df.cache() if cache else df).count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        counts = list(pool.map(_go, (result.nodes, result.edges, result.embeddings)))
+    return {"nodes": counts[0], "edges": counts[1], "embeddings": counts[2]}
 
 
 def _extract_stage(chunks: DataFrame, gateway: MockLLMGateway) -> DataFrame:
@@ -103,18 +134,23 @@ def cognify_documents(
     ent = extracted.filter(F.col("kind") == "node").select(
         normalize_name("name").alias("name"), F.col("type").alias("type")
     )
-    entity_nodes = ent.select(
+    # entity ids are content-hashes of the name, so dropDuplicates(name) is
+    # dropDuplicates(id) on a 1-column frame — map-side partial aggregation
+    # shrinks the shuffle to distinct names, vs. shuffling every full mention
+    # row.  type_nodes distincts ALL mention types (a name can be typed
+    # differently across chunks, and every is_a edge target must exist).
+    entity_nodes = ent.select("name").dropDuplicates(["name"]).select(
         content_id(F.lit("Entity"), "name").alias("id"),
         "name",
         F.lit("Entity").alias("type"),
         F.map_from_arrays(F.array(F.lit("description")), F.array(F.col("name"))).alias("properties"),
-    ).dropDuplicates(["id"])
-    type_nodes = ent.select(
+    )
+    type_nodes = ent.select("type").distinct().select(
         content_id(F.lit("EntityType"), "type").alias("id"),
         F.col("type").alias("name"),
         F.lit("EntityType").alias("type"),
         F.create_map().cast("map<string,string>").alias("properties"),
-    ).dropDuplicates(["id"])
+    )
 
     doc_nodes = docs.select(
         F.concat(F.lit("doc:"), F.col("doc_id")).alias("id"),
@@ -122,6 +158,8 @@ def cognify_documents(
         F.lit("TextDocument").alias("type"),
         F.create_map().cast("map<string,string>").alias("properties"),
     )
+    # dropDuplicates is load-bearing: chunk ids are CONTENT-addressed, so a
+    # duplicated document yields the same chunk node (F5 semantics)
     chunk_nodes = chunks.select(
         F.col("chunk_id").alias("id"),
         F.col("chunk_id").alias("name"),
@@ -185,13 +223,13 @@ def cognify_documents(
         content_id(F.lit("Entity"), normalize_name("dst_name")).alias("dst"),
         F.col("relationship_name"),
     )
-    edges = (
+    edges_raw = (
         e_part.unionByName(e_contains)
         .unionByName(e_is_a)
         .unionByName(e_made_from)
         .unionByName(e_extracted)
-        .dropDuplicates(["src", "relationship_name", "dst"])
     )
+    edges = edges_raw.dropDuplicates(["src", "relationship_name", "dst"])
 
     # vector collections per (Type, index_field) — index_data_points.py:23 naming
     emb_chunks = chunks.select(
@@ -209,7 +247,10 @@ def cognify_documents(
     # EdgeType_relationship_name: one row per distinct relationship name, as
     # the reference's index_graph_edges builds after every graph write — the
     # triplet search's relationship term depends on this collection existing.
-    emb_edge_types = edges.select(F.col("relationship_name").alias("text")).distinct().select(
+    # Distinct over the PRE-dedup union: same name set, but the 1-column
+    # map-side-combined distinct skips the full (src,rel,dst) dedup shuffle —
+    # and keeps this branch independent of whether callers cached `edges`.
+    emb_edge_types = edges_raw.select(F.col("relationship_name").alias("text")).distinct().select(
         F.lit("EdgeType_relationship_name").alias("collection"),
         content_id(F.lit("EdgeType"), "text").alias("id"),
         "text",
@@ -222,4 +263,6 @@ def cognify_documents(
         .withColumn("vector", embed_column("text", dim=embed_dim))
     )
 
-    return CognifyResult(chunks=chunks, nodes=nodes, edges=edges, embeddings=embeddings)
+    return CognifyResult(
+        chunks=chunks, nodes=nodes, edges=edges, embeddings=embeddings, extracted=extracted
+    )
