@@ -45,7 +45,9 @@ Supported grammar::
     [ORDER BY expr [ASC|DESC] (',' ...)*] [SKIP n] [LIMIT n]
 
     path: '(' [var][':'Label][{k: lit, ...}] ')'
-          ( ('-'|'<-') '[' [var][':'TYPE] ']' ('->'|'-') node )*
+          ( ('-'|'<-') '[' [var][':'TYPE]['*'[lo]['..'hi]] ']' ('->'|'-') node )*
+          -- variable-length hops need an explicit upper bound ([*1..3]) and
+             cannot bind a variable; one row per path, edges unique per path
     expr: = <> < <= > >=, AND/OR/NOT, IN <list|$param>, IS [NOT] NULL,
           CONTAINS / STARTS WITH / ENDS WITH,
           count/min/max/sum/avg/collect, $params, literals.
@@ -142,6 +144,8 @@ class _RelPat:
     var: str | None
     rtype: str | None
     arrow_in: bool  # True for '<-[r]-' (edge points INTO the left node)
+    lo: int | None = None  # variable-length bounds ([*lo..hi]); None = one hop
+    hi: int | None = None
 
 
 @dataclass
@@ -348,6 +352,8 @@ class _Parser:
         self.expect("op", ")")
         return _NodePat(var, label, props)
 
+    _VLP_MAX = 8  # hop-count ceiling: each extra hop is another self-join
+
     def _rel_pat(self) -> _RelPat:
         arrow_in = self.next()[1] == "<-"
         self.expect("op", "[")
@@ -357,6 +363,29 @@ class _Parser:
         rtype = None
         if self.accept("op", ":"):
             rtype = self.expect("name")
+        lo = hi = None
+        if self.accept("op", "*"):
+            # [*], [*n], [*lo..hi], [*..hi] — an unbounded upper end would be
+            # an unbounded self-join chain, so it must be stated
+            lo = 1
+            if self.peek()[0] == "num":
+                lo = int(self.expect("num"))
+                hi = lo
+            if self.peek() == ("op", ".") and self.peek(1) == ("op", "."):
+                self.next(), self.next()
+                hi = int(self.expect("num"))
+            if hi is None:
+                raise CypherUnsupported(
+                    "variable-length paths need an explicit upper bound, e.g. [*1..3]"
+                )
+            if lo < 1 or hi < lo:
+                raise CypherUnsupported(f"bad variable-length bounds *{lo}..{hi}")
+            if hi > self._VLP_MAX:
+                raise CypherUnsupported(f"variable-length upper bound capped at {self._VLP_MAX}")
+            if var is not None:
+                raise CypherUnsupported(
+                    "variable-length relationships cannot bind a variable (list values unsupported)"
+                )
         self.expect("op", "]")
         tail = self.next()
         if arrow_in:
@@ -364,7 +393,7 @@ class _Parser:
                 raise CypherUnsupported("bad relationship arrow")
         elif tail != ("op", "->"):
             raise CypherUnsupported("undirected relationships are not supported (edges are directed)")
-        return _RelPat(var, rtype, arrow_in)
+        return _RelPat(var, rtype, arrow_in, lo, hi)
 
     # -- inner pattern: tables + WHERE conjuncts ----------------------------
     def _check_name(self, name: str) -> str:
@@ -395,18 +424,62 @@ class _Parser:
             node_vars.append(v)
             self.sql.where.extend(self._node_conds(v, pat))
         for idx, rp in enumerate(rels):
+            left, right = node_vars[idx], node_vars[idx + 1]
+            src, dst = (right, left) if rp.arrow_in else (left, right)
+            if rp.lo is not None:
+                alias = self._fresh("vlp")
+                self.sql.from_tables.append(f"({self._vlp_body(rp)}) AS {alias}")
+                self.sql.where.append(f"{alias}.s = {src.col('id')}")
+                self.sql.where.append(f"{alias}.t = {dst.col('id')}")
+                continue
             if rp.var and rp.var in self.vars:
                 raise CypherUnsupported(f"relationship variable {rp.var!r} reused")
             alias = self._check_name(rp.var) if rp.var else self._fresh("r")
             rv = _Var("edge", alias)
             self.vars[alias] = rv
             self.sql.from_tables.append(f"{self.edges_view} AS {alias}")
-            left, right = node_vars[idx], node_vars[idx + 1]
-            src, dst = (right, left) if rp.arrow_in else (left, right)
             self.sql.where.append(f"{alias}.src = {src.col('id')}")
             self.sql.where.append(f"{alias}.dst = {dst.col('id')}")
             if rp.rtype and rp.rtype != "EDGE":
                 self.sql.where.append(f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}")
+
+    def _vlp_body(self, rp: _RelPat) -> str:
+        """Variable-length path as UNION ALL of fixed-length edge chains.
+
+        One output row per PATH (Cypher multiplicity), endpoints only; each
+        chain enforces openCypher relationship-uniqueness (no edge reused
+        within one path) via pairwise inequality.  The derived table joins
+        like a single widened edge, so Catalyst still gets a plain equi-join
+        tree — the length-L branch is L-1 self-joins, which AQE shuffles or
+        broadcasts like any other.  (The engine's native k-hop operator,
+        graph_joins.k_hop, is the scale path for REACHABILITY — it dedups
+        per round; this preserves per-path rows, which is what RETURN counts.)
+        """
+        tcond = (
+            f".relationship_name = {self._sql_literal(rp.rtype)}"
+            if rp.rtype and rp.rtype != "EDGE"
+            else None
+        )
+        branches = []
+        for length in range(rp.lo, rp.hi + 1):
+            es = [self._fresh("ve") for _ in range(length)]
+            conds = []
+            for k in range(1, length):
+                conds.append(f"{es[k]}.src = {es[k - 1]}.dst")
+            for a in range(length):
+                if tcond:
+                    conds.append(f"{es[a]}{tcond}")
+                for b in range(a + 1, length):
+                    conds.append(
+                        f"NOT ({es[a]}.src = {es[b]}.src AND {es[a]}.dst = {es[b]}.dst"
+                        f" AND {es[a]}.relationship_name = {es[b]}.relationship_name)"
+                    )
+            frm = " CROSS JOIN ".join(f"{self.edges_view} AS {e}" for e in es)
+            sql = f"SELECT {es[0]}.src AS s, {es[-1]}.dst AS t FROM {frm}"
+            if conds:
+                sql += " WHERE " + " AND ".join(conds)
+            branches.append(sql)
+        return " UNION ALL ".join(branches)
 
     # -- optional pattern: derived-table LEFT JOIN --------------------------
     def _emit_optional(self, nodes: list[_NodePat], rels: list[_RelPat]) -> None:
@@ -446,6 +519,8 @@ class _Parser:
                 self.vars[name] = _Var("node", derived, f"{name}__")
 
         for idx, rp in enumerate(rels):
+            if rp.lo is not None:
+                raise CypherUnsupported("variable-length paths inside OPTIONAL MATCH are not supported")
             alias = self._fresh("inr")
             tables.append(f"{self.edges_view} AS {alias}")
             li, ri = idx, idx + 1

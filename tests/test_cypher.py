@@ -229,6 +229,82 @@ def test_count_distinct(spark, graph):
     assert r["n"] == 2
 
 
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # a -> b -> c -> d, plus shortcut a -> c
+    nodes = spark.createDataFrame(
+        [(x, x, "N", {}) for x in "abcd"],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "next"), ("b", "c", "next"), ("c", "d", "next"), ("a", "c", "skip")],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def test_varlength_bounds(spark, chain_graph):
+    # paths of length 1..2 from a: a->b, a->c(skip), a->b->c, a->c->d  (per-PATH rows)
+    got = rows(
+        spark,
+        chain_graph,
+        "MATCH (a {id: 'a'})-[*1..2]->(b) RETURN b.id AS id ORDER BY id",
+    )
+    assert [r["id"] for r in got] == ["b", "c", "c", "d"]
+
+
+def test_varlength_exact(spark, chain_graph):
+    got = rows(
+        spark,
+        chain_graph,
+        "MATCH (a {id: 'a'})-[*3]->(b) RETURN b.id AS id",
+    )
+    assert [r["id"] for r in got] == ["d"]  # a->b->c->d only
+
+
+def test_varlength_typed(spark, chain_graph):
+    # restricting to :next removes the skip edge from every hop
+    got = rows(
+        spark,
+        chain_graph,
+        "MATCH (a {id: 'a'})-[:next*1..3]->(b) RETURN b.id AS id ORDER BY id",
+    )
+    assert [r["id"] for r in got] == ["b", "c", "d"]
+
+
+def test_varlength_reverse_arrow(spark, chain_graph):
+    got = rows(
+        spark,
+        chain_graph,
+        "MATCH (x)<-[:next*2..2]-(y) RETURN x.id AS x, y.id AS y ORDER BY x",
+    )
+    assert [(r["x"], r["y"]) for r in got] == [("c", "a"), ("d", "b")]
+
+
+def test_varlength_edge_uniqueness(spark):
+    # a 2-cycle: without per-path edge uniqueness, *2 would return a->b->a
+    nodes = spark.createDataFrame(
+        [("a", "a", "N", {}), ("b", "b", "N", {})],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "next"), ("b", "a", "next")],
+        "src string, dst string, relationship_name string",
+    )
+    got = rows(spark, (nodes, edges), "MATCH (s {id: 'a'})-[*2]->(e) RETURN e.id AS id")
+    assert [r["id"] for r in got] == ["a"]  # a->b then b->a uses two DISTINCT edges: allowed
+    # but a->b->a->b (reusing a->b) must not appear at *3
+    got3 = rows(spark, (nodes, edges), "MATCH (s {id: 'a'})-[*3]->(e) RETURN e.id AS id")
+    assert got3 == []
+
+
+def test_varlength_unbounded_raises():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[*]->(b) RETURN a")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[*1..99]->(b) RETURN a")
+
+
 def test_unsupported_raises(spark, graph):
     for bad in [
         "MATCH (a)-[r]-(b) RETURN a",  # undirected
