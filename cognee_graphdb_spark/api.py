@@ -97,11 +97,13 @@ class CogneeSpark:
 
             tg = cognify_temporal(docs, gateway=self.gateway, embed_dim=self.embed_dim)
             nodes, edges, embeddings = tg.nodes, tg.edges, tg.embeddings
+            shared_upstream = getattr(tg, "extracted", None)
         else:
             from cognee_graphdb_spark.plans.cognify import cognify_documents
 
             res = cognify_documents(docs, gateway=self.gateway, embed_dim=self.embed_dim)
             nodes, edges, embeddings = res.nodes, res.edges, res.embeddings
+            shared_upstream = res.extracted
         # NodeSet tagging: doc nodes belongs_to their set (node_set.py model)
         if "node_set" in fresh.columns:
             from cognee_graphdb_spark.ids import content_id
@@ -122,9 +124,24 @@ class CogneeSpark:
         nodes = nodes.withColumn("dataset_id", F.lit(self.dataset_id))
         edges = edges.withColumn("dataset_id", F.lit(self.dataset_id))
         embeddings = embeddings.withColumn("dataset_id", F.lit(self.dataset_id))
-        self.store.upsert_nodes(nodes, created_by=pipeline)
-        self.store.upsert_edges(edges, created_by=pipeline)
-        self.store.upsert_embeddings(embeddings, created_by=pipeline)
+        # the three tables are independent snapshot writes (per-table dirs +
+        # pointers; ledger appends serialized by GraphStore's lock), so run
+        # them as concurrent Spark jobs — the reference pipelines its
+        # add_data_points / index_data_points writes the same way
+        # (cognify.py:259-278).  Force the shared cached extract stage first
+        # so concurrent first-touch can't run the Python stage three times.
+        from concurrent.futures import ThreadPoolExecutor
+
+        if shared_upstream is not None:
+            shared_upstream.count()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(self.store.upsert_nodes, nodes, pipeline),
+                pool.submit(self.store.upsert_edges, edges, pipeline),
+                pool.submit(self.store.upsert_embeddings, embeddings, pipeline),
+            ]
+            for f in futures:
+                f.result()
         self.runs.mark_processed(fresh)
         self.runs.log(self.dataset_id, pipeline, "COMPLETED")
         return n

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -38,6 +39,11 @@ class GraphStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # ledger appends share ONE output dir, and concurrent Spark append
+        # jobs share its _temporary staging — serialize them so table upserts
+        # may run from a thread pool (api.cognify) while the audit trail
+        # stays consistent
+        self._ledger_lock = threading.Lock()
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -140,7 +146,8 @@ class GraphStore:
             F.lit(created_by).alias("created_by"),
             F.lit(int(time.time())).alias("at"),
         )
-        rows.write.mode("append").parquet(os.path.join(self.root, "ledger"))
+        with self._ledger_lock:
+            rows.write.mode("append").parquet(os.path.join(self.root, "ledger"))
 
     def ledger(self) -> DataFrame | None:
         p = os.path.join(self.root, "ledger")
