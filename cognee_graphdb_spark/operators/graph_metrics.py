@@ -158,12 +158,19 @@ def connected_components(
             small.filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        row = small.agg(
+        # convergence stats ride the checkpoint job via observe() — a
+        # separate .agg().first() would re-scan the (checkpointed) round
+        # output as one extra job per round
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        small = small.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).first()
+        ).localCheckpoint(eager=True)
+        row = obs.get
         stats = (row["n"], row["h"])
         e = small
         if stats == prev_stats:
