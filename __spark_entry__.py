@@ -730,6 +730,29 @@ def _q_a2_components(spark, sf_dir):
 
 
 
+def _q_a2_graph_metrics(spark, sf_dir):
+    """A2 scalar metric row (graph_metrics.py:graph_metrics, the
+    ground_truth_metrics.json shape) as ONE Spark plan: two single-pass
+    aggregates cross-joined, no driver-side arithmetic."""
+    nodes, edges = tpch_graph(spark, sf_dir)
+    n = nodes.agg(F.count(F.lit(1)).alias("num_nodes"))
+    e = edges.agg(
+        F.count(F.lit(1)).alias("num_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)), F.lit(0)
+        ).alias("num_selfloops"),
+    )
+    return n.crossJoin(e).select(
+        "num_nodes",
+        "num_edges",
+        F.round(2.0 * F.col("num_edges") / F.col("num_nodes"), 6).alias("mean_degree"),
+        F.round(F.col("num_edges") / (F.col("num_nodes") * (F.col("num_nodes") - 1)), 9).alias(
+            "edge_density"
+        ),
+        "num_selfloops",
+    )
+
+
 def _q_w2_lexical_chunks(spark, sf_dir):
     from cognee_graphdb_spark.plans.search_types import GraphContext, lexical_chunks
 
@@ -1262,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_frame_sample,
         "mm_resize_plan": _q_resize_plan,
         "a2_component_sizes": _q_a2_component_sizes,
+        "a2_graph_metrics": _q_a2_graph_metrics,
         "insights_exact_node": _q_insights_exact,
         "temporal_search_e2e": _q_temporal_search,
         "cypher_passthrough": _q_cypher_passthrough,
@@ -1866,6 +1890,17 @@ FROM nodes n
 LEFT JOIN edges e ON e.dst = n.id AND e.relationship_name = 'l_partkey'
 WHERE n.type = 'TableRow' AND n.name = 'part'
 GROUP BY n.id ORDER BY part_id"""
+
+    sql["a2_graph_metrics"] = f"""WITH {g},
+n AS (SELECT count(*) AS num_nodes FROM nodes),
+e AS (SELECT count(*) AS num_edges,
+             COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS num_selfloops
+      FROM edges)
+SELECT num_nodes, num_edges,
+       round(2.0 * num_edges / num_nodes, 6) AS mean_degree,
+       round(num_edges * 1.0 / (num_nodes * (num_nodes - 1)), 9) AS edge_density,
+       num_selfloops
+FROM n, e"""
 
     sql["natural_language_search"] = f"""WITH {g}
 SELECT id, name, type FROM nodes WHERE type = 'TableType' ORDER BY id LIMIT 20"""
