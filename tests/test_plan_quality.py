@@ -235,3 +235,38 @@ def test_c4_line_filter_is_single_stage_projection(spark):
     plan = plan_of(c4_line_filter(docs), mode="simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cypher_translation_plans_equi_joins_with_pushdown(spark, toy_graph, tmp_path):
+    """Translated MATCH patterns emit declarative cross-join + equality
+    predicates; Catalyst must turn them into equi-joins (no
+    CartesianProduct) and push the label filter into the parquet scan."""
+    nodes, edges = toy_graph
+    nd = str(tmp_path / "nodes")
+    ed = str(tmp_path / "edges")
+    nodes.write.parquet(nd)
+    edges.write.parquet(ed)
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    out = run_cypher(
+        spark,
+        spark.read.parquet(nd),
+        spark.read.parquet(ed),
+        "MATCH (a:Entity)-[r:rel]->(b) RETURN a.id AS src_id, b.id AS dst_id",
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(type), EqualTo(type,Entity)" in plan or "EqualTo(type,Entity)" in plan
+
+
+def test_cypher_varlength_is_union_of_joins(spark, toy_graph):
+    """[*1..2] must plan as a UNION of equi-join chains, not a cartesian."""
+    nodes, edges = toy_graph
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    out = run_cypher(
+        spark, nodes, edges, "MATCH (a)-[*1..2]->(b) RETURN a.id AS s, b.id AS t"
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
