@@ -37,12 +37,19 @@ Translation strategy (scale rationale):
   (openCypher scoping) and lands in the LEFT JOIN's ON clause, which is
   semantically the same place.
 
-Supported grammar::
+Supported grammar (clauses compose in any order before RETURN)::
 
+    UNWIND $param AS x                              -- literal list -> VALUES
     MATCH <path> (',' <path>)* [WHERE <expr>]       -- repeatable; later
-    (OPTIONAL MATCH <path> [WHERE <expr>])*            clauses may re-use vars
-    RETURN [DISTINCT] item (',' item)*              -- implicit GROUP BY
+    OPTIONAL MATCH <path> [WHERE <expr>]               clauses may re-use vars
+    WITH [DISTINCT] item (',' item)*                -- pipeline stage: collapses
+         [ORDER BY ...] [SKIP n] [LIMIT n]             to a subquery, implicit
+                                                       GROUP BY around aggs
+    RETURN [DISTINCT] item (',' item)*              -- implicit GROUP BY;
     [ORDER BY expr [ASC|DESC] (',' ...)*] [SKIP n] [LIMIT n]
+    -- '//' line comments allowed; { k: expr, ... } map projections in RETURN.
+    -- The reference's product_recommendation.py example query (UNWIND ->
+       MATCH/WHERE -> WITH agg ORDER BY LIMIT -> MATCH -> RETURN) runs as-is.
 
     path: '(' [var][':'Label][{k: lit, ...}] ')'
           ( ('-'|'<-') '[' [var][':'TYPE]['*'[lo]['..'hi]] ']' ('->'|'-') node )*
@@ -82,7 +89,7 @@ _EDGE_COLS = ("src", "dst", "relationship_name")
 _KEYWORDS = {
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "ORDER", "BY", "LIMIT", "SKIP",
     "DISTINCT", "AS", "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
-    "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC",
+    "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC", "UNWIND",
 }
 _AGGS = {"COUNT": "count", "MIN": "min", "MAX": "max", "SUM": "sum", "AVG": "avg", "COLLECT": "collect_list"}
 
@@ -98,8 +105,14 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _tokenize(q: str) -> list[tuple[str, str]]:
-    toks, pos = [], 0
+def _tokenize(q: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """-> (tokens, raws): raws[i] keeps a keyword's original spelling, so
+    identifiers that collide with keywords ('contains', 'in', ...) can still
+    name labels / relationship types / properties."""
+    q = re.sub(r"//[^\n]*", "", q)  # line comments, as in the reference's examples
+    toks: list[tuple[str, str]] = []
+    raws: list[str] = []
+    pos = 0
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
         if not m or m.end() == pos:
@@ -112,23 +125,30 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             word = m.group("name")
             if word.startswith("`"):
                 toks.append(("name", word[1:-1]))
+                raws.append(word[1:-1])
             elif word.upper() in _KEYWORDS:
                 toks.append(("kw", word.upper()))
+                raws.append(word)
             else:
                 toks.append(("name", word))
+                raws.append(word)
         elif m.lastgroup is not None:
             toks.append((m.lastgroup, m.group(m.lastgroup)))
+            raws.append(m.group(m.lastgroup))
     toks.append(("end", ""))
-    return toks
+    raws.append("")
+    return toks, raws
 
 
 @dataclass
 class _Var:
-    kind: str  # "node" | "edge"
-    alias: str  # SQL table alias (inner table, or the derived table for optional vars)
-    prefix: str = ""  # column prefix inside a derived table ("" for inner vars)
+    kind: str  # "node" | "edge" | "scalar"
+    alias: str  # SQL table alias (inner table, or the derived table for optional/WITH vars)
+    prefix: str = ""  # column prefix inside a derived table; for scalar, THE column name
 
     def col(self, name: str) -> str:
+        if self.kind == "scalar":
+            return f"{self.alias}.{self.prefix}"
         return f"{self.alias}.{self.prefix}{name}"
 
 
@@ -157,7 +177,7 @@ class _Sql:
 
 class _Parser:
     def __init__(self, query: str, params: dict | None, nodes_view: str, edges_view: str):
-        self.toks = _tokenize(query)
+        self.toks, self.raws = _tokenize(query)
         self.i = 0
         self.params = params or {}
         self.nodes_view = nodes_view
@@ -175,9 +195,9 @@ class _Parser:
             if (
                 self.toks[j][0] == "name"
                 and self.toks[j + 1] == ("op", ".")
-                and self.toks[j + 2][0] == "name"
+                and self.toks[j + 2][0] in ("name", "kw")
             ):
-                self._prop_refs.setdefault(self.toks[j][1], set()).add(self.toks[j + 2][1])
+                self._prop_refs.setdefault(self.toks[j][1], set()).add(self.raws[j + 2])
 
     # -- token helpers ------------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -200,6 +220,16 @@ class _Parser:
         if t[0] != kind or (val is not None and t[1] != val):
             raise CypherUnsupported(f"expected {val or kind}, got {t[1]!r}")
         return t[1]
+
+    def _ident(self) -> str:
+        """An identifier position: plain names, or keywords used as names
+        ('contains', 'in', ... are legitimate relationship/property names)."""
+        t = self.toks[self.i]
+        if t[0] in ("name", "kw"):
+            raw = self.raws[self.i]
+            self.i += 1
+            return raw
+        raise CypherUnsupported(f"expected identifier, got {t[1]!r}")
 
     def _fresh(self, prefix: str) -> str:
         self._anon += 1
@@ -244,21 +274,25 @@ class _Parser:
 
     # -- top level ----------------------------------------------------------
     def parse(self) -> str:
-        saw_match = False
         while True:
             if self.accept("kw", "MATCH"):
-                saw_match = True
                 self._match_clause()
             elif self.peek() == ("kw", "OPTIONAL"):
-                if not saw_match:
+                if not self.sql.from_tables:
                     raise CypherUnsupported("OPTIONAL MATCH cannot be the first clause")
                 self.next()
                 self.expect("kw", "MATCH")
                 self._optional_clause()
+            elif self.accept("kw", "UNWIND"):
+                self._unwind_clause()
+            elif self.accept("kw", "WITH"):
+                if not self.sql.from_tables:
+                    raise CypherUnsupported("WITH cannot be the first clause")
+                self._with_clause()
             else:
                 break
-        if not saw_match:
-            raise CypherUnsupported("query must start with MATCH")
+        if not self.sql.from_tables:
+            raise CypherUnsupported("query must contain MATCH or UNWIND before RETURN")
         self.expect("kw", "RETURN")
         distinct = self.accept("kw", "DISTINCT")
         items = [self._return_item()]
@@ -309,6 +343,129 @@ class _Parser:
             frag = self.sql.left_joins[-1]
             self.sql.left_joins[-1] = f"{frag} AND {cond}"
 
+    # -- UNWIND / WITH ------------------------------------------------------
+    def _unwind_clause(self) -> None:
+        """UNWIND $param AS x over a literal parameter list
+        (product_recommendation.py:126): an inline VALUES table, cross-joined
+        like any other pattern element."""
+        if self.peek()[0] != "param":
+            raise CypherUnsupported("UNWIND supports $param lists only")
+        vals = self.params.get(self.next()[1][1:])
+        if not isinstance(vals, (list, tuple)) or not vals:
+            raise CypherUnsupported("UNWIND parameter must be a non-empty list")
+        self.expect("kw", "AS")
+        name = self._check_name(self.expect("name"))
+        alias = self._fresh("unw")
+        rows = ", ".join(f"({self._sql_literal(v)})" for v in vals)
+        self.sql.from_tables.append(f"(VALUES {rows}) AS {alias}({name})")
+        self.vars[name] = _Var("scalar", alias, name)
+
+    def _from_sql(self) -> str:
+        sql = "FROM " + "\nCROSS JOIN ".join(self.sql.from_tables)
+        for lj in self.sql.left_joins:
+            sql += "\n" + lj
+        if self.sql.where:
+            sql += "\nWHERE " + " AND ".join(self.sql.where)
+        return sql
+
+    def _with_clause(self) -> None:
+        """WITH item, ... [ORDER BY ...] [SKIP n] [LIMIT n] — the openCypher
+        pipeline stage (product_recommendation.py:133-137): everything so far
+        collapses into ONE derived subquery (implicit GROUP BY around
+        aggregates, ORDER/LIMIT applied inside), and only the listed items
+        stay bound for the following clauses.  Bare node/edge variables pass
+        through as prefixed column exports, exactly like OPTIONAL MATCH's
+        derived tables, so later MATCH clauses can hop from them."""
+        distinct = self.accept("kw", "DISTINCT")
+        selects: list[str] = []
+        groups: list[str] = []
+        rebind: dict[str, _Var] = {}
+        any_agg = False
+        while True:
+            t = self.peek()
+            if (
+                t[0] == "name"
+                and t[1] in self.vars
+                and self.vars[t[1]].kind != "scalar"
+                and self.peek(1) != ("op", ".")
+            ):
+                var = self.vars[self.next()[1]]
+                name = t[1]
+                if self.accept("kw", "AS"):
+                    name = self._check_name(self.expect("name"))
+                if var.kind == "node":
+                    cols = ["id", "name", "type"]
+                    refs = self._prop_refs.get(name, set())
+                    if "properties" in refs or any(k not in cols for k in refs):
+                        cols.append("properties")
+                else:
+                    cols = list(_EDGE_COLS)
+                for c in cols:
+                    selects.append(f"{var.col(c)} AS {name}__{c}")
+                    groups.append(var.col(c))
+                rebind[name] = _Var(var.kind, "__W__", f"{name}__")
+            else:
+                self._saw_agg = False
+                start = self.i
+                expr = self._comparison()
+                is_agg = self._saw_agg
+                any_agg = any_agg or is_agg
+                bare_scalar = (
+                    self.i == start + 1
+                    and t[0] == "name"
+                    and t[1] in self.vars
+                    and self.vars[t[1]].kind == "scalar"
+                )
+                if self.accept("kw", "AS"):
+                    alias = self._check_name(self.expect("name"))
+                elif bare_scalar:
+                    alias = t[1]  # scalar passthrough keeps its name
+                else:
+                    raise CypherUnsupported("WITH expressions need AS aliases")
+                selects.append(f"{expr} AS {alias}")
+                if not is_agg:
+                    groups.append(expr)
+                rebind[alias] = _Var("scalar", "__W__", alias)
+            if not self.accept("op", ","):
+                break
+        order, limit, skip = [], None, None
+        if self.accept("kw", "ORDER"):
+            self.expect("kw", "BY")
+            aliases = set(rebind)
+            order.append(self._with_order_item(aliases))
+            while self.accept("op", ","):
+                order.append(self._with_order_item(aliases))
+        if self.accept("kw", "SKIP"):
+            skip = int(self.expect("num"))
+        if self.accept("kw", "LIMIT"):
+            limit = int(self.expect("num"))
+        body = "SELECT " + ("DISTINCT " if distinct else "") + ", ".join(selects)
+        body += "\n" + self._from_sql()
+        if any_agg and groups:
+            body += "\nGROUP BY " + ", ".join(groups)
+        if order:
+            body += "\nORDER BY " + ", ".join(order)
+        if limit is not None:
+            body += f"\nLIMIT {limit}"
+        if skip is not None:
+            body += f"\nOFFSET {skip}"
+        w = self._fresh("with")
+        self.sql = _Sql(from_tables=[f"({body}) AS {w}"])
+        self.vars = {
+            name: _Var(v.kind, w, v.prefix) for name, v in rebind.items()
+        }
+
+    def _with_order_item(self, aliases: set[str]) -> str:
+        t = self.peek()
+        if t[0] == "name" and t[1] in aliases and self.peek(1)[1] != ".":
+            expr = self.next()[1]
+        else:
+            expr = self._comparison()  # old bindings: valid inside the subquery
+        if self.accept("kw", "DESC"):
+            return f"{expr} DESC"
+        self.accept("kw", "ASC")
+        return f"{expr} ASC"
+
     def _skip_expr_tokens(self) -> None:
         """Advance past one expression without evaluating (vars not yet bound)."""
         depth = 0
@@ -339,11 +496,11 @@ class _Parser:
             var = self.next()[1]
         label = None
         if self.accept("op", ":"):
-            label = self.expect("name")
+            label = self._ident()
         props: list[tuple[str, str]] = []
         if self.accept("op", "{"):
             while True:
-                key = self.expect("name")
+                key = self._ident()
                 self.expect("op", ":")
                 props.append((key, self._value()))
                 if not self.accept("op", ","):
@@ -362,7 +519,7 @@ class _Parser:
             var = self.next()[1]
         rtype = None
         if self.accept("op", ":"):
-            rtype = self.expect("name")
+            rtype = self._ident()
         lo = hi = None
         if self.accept("op", "*"):
             # [*], [*n], [*lo..hi], [*..hi] — an unbounded upper end would be
@@ -553,6 +710,8 @@ class _Parser:
 
     # -- property access ----------------------------------------------------
     def _prop(self, var: _Var, kind: str, key: str) -> str:
+        if kind == "scalar":
+            raise CypherUnsupported(f"scalar {var.prefix!r} has no properties")
         if kind == "node":
             if key in _NODE_COLS:
                 return var.col(key)
@@ -633,6 +792,18 @@ class _Parser:
             inner = self._expr()
             self.expect("op", ")")
             return f"({inner})"
+        if t == ("op", "{"):
+            # map projection (kuzu adapter.py:500-510: RETURN { id: n.id, ... })
+            pairs = []
+            while True:
+                key = self._ident()
+                self.expect("op", ":")
+                pairs.append((key, self._comparison()))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", "}")
+            inner = ", ".join(f"'{k}', {v}" for k, v in pairs)
+            return f"named_struct({inner})"
         if t[0] == "name":
             name = t[1]
             if name.upper() in _AGGS and self.peek() == ("op", "("):
@@ -641,8 +812,10 @@ class _Parser:
             if var is None:
                 raise CypherUnsupported(f"unbound variable {name!r}")
             if self.accept("op", "."):
-                key = self.expect("name")
+                key = self._ident()
                 return self._prop(var, var.kind, key)
+            if var.kind == "scalar":
+                return var.col("")
             if var.kind == "node":
                 return (
                     f"named_struct('id', {var.col('id')}, 'name', {var.col('name')},"
@@ -711,11 +884,7 @@ class _Parser:
     ) -> str:
         select = ", ".join(f"{e} AS {a}" for e, a, _ in items)
         sql = "SELECT " + ("DISTINCT " if distinct else "") + select
-        sql += "\nFROM " + "\nCROSS JOIN ".join(self.sql.from_tables)
-        for lj in self.sql.left_joins:
-            sql += "\n" + lj
-        if self.sql.where:
-            sql += "\nWHERE " + " AND ".join(self.sql.where)
+        sql += "\n" + self._from_sql()
         if any(agg for _, _, agg in items):
             keys = [e for e, _, agg in items if not agg]
             if keys:

@@ -298,6 +298,137 @@ def test_varlength_edge_uniqueness(spark):
     assert got3 == []
 
 
+@pytest.fixture(scope="module")
+def shop_graph(spark):
+    # the product_recommendation.py example shape: customers, preferences, products
+    nodes = spark.createDataFrame(
+        [
+            ("c1", "ana", "Customer", {}),
+            ("c2", "bob", "Customer", {}),
+            ("c3", "cyn", "Customer", {}),
+            ("pr1", "Color", "Preference", {"value": "White"}),
+            ("pr2", "Color", "Preference", {"value": "Navy Blue"}),
+            ("pr3", "Style", "Preference", {"value": "Regular Sneakers"}),
+            ("p1", "runner", "Product", {}),
+            ("p2", "loafer", "Product", {}),
+            ("p3", "boot", "Product", {}),
+        ],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("c1", "pr1", "has_preference"),
+            ("c1", "pr2", "has_preference"),
+            ("c2", "pr1", "has_preference"),
+            ("c3", "pr3", "has_preference"),
+            ("c1", "p1", "purchased"),
+            ("c1", "p2", "purchased"),
+            ("c2", "p1", "purchased"),
+            ("c3", "p3", "purchased"),
+        ],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def test_reference_product_recommendation_query(spark, shop_graph):
+    """The reference's own example query (product_recommendation.py:126-145),
+    comments and all: UNWIND -> MATCH/WHERE -> WITH agg + ORDER BY + LIMIT ->
+    second MATCH -> RETURN map-projected aggregation."""
+    got = rows(
+        spark,
+        shop_graph,
+        """
+        // Step 1: Use new customers's preferences from input
+        UNWIND $preferences AS pref_input
+
+        // Step 2: Find other customers who have these preferences
+        MATCH (other_customer:Customer)-[:has_preference]->(preference:Preference)
+          WHERE preference.value = pref_input
+
+        WITH other_customer, count(preference) AS similarity_score
+
+        // Step 3: Limit to the top-N most similar customers
+        ORDER BY similarity_score DESC
+          LIMIT 5
+
+        // Step 4: Get products that these similar customers have purchased
+        MATCH (other_customer)-[:purchased]->(product:Product)
+
+        // Step 5: Rank products based on frequency
+        RETURN product, count(*) AS recommendation_score
+          ORDER BY recommendation_score DESC
+          LIMIT 10
+        """,
+        {"preferences": ["White", "Navy Blue", "Regular Sneakers"]},
+    )
+    # c1 matches 2 prefs, c2 and c3 one each; products by purchase frequency
+    # among them: p1 bought by c1+c2, p2 by c1, p3 by c3
+    ranked = [(r["product"]["id"], r["recommendation_score"]) for r in got]
+    assert ranked[0] == ("p1", 2)
+    assert sorted(ranked[1:]) == [("p2", 1), ("p3", 1)]
+
+
+def test_map_projection_return(spark, graph):
+    # kuzu adapter.py:500-510 — RETURN { id: n.id, name: n.name, type: n.type }
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE n.id = $id RETURN { id: n.id, name: n.name, type: n.type } AS node",
+        {"id": "p1"},
+    )
+    assert r["node"].asDict() == {"id": "p1", "name": "boots", "type": "Product"}
+
+
+def test_with_scalar_passthrough(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WITH c.name AS cname "
+        "MATCH (p:Product) RETURN cname, p.name AS pname ORDER BY cname, pname LIMIT 2",
+    )
+    assert [(r["cname"], r["pname"]) for r in got] == [("alice", "boots"), ("alice", "sandals")]
+
+
+def test_unwind_literal_param(spark, graph):
+    got = rows(
+        spark,
+        graph,
+        "UNWIND $names AS nm MATCH (n) WHERE n.name = nm RETURN n.id AS id ORDER BY id",
+        {"names": ["boots", "alice"]},
+    )
+    assert [r["id"] for r in got] == ["c1", "p1"]
+
+
+def test_with_where_after_is_global(spark, graph):
+    # WHERE after a plain MATCH following WITH filters normally
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WITH c.id AS cid "
+        "MATCH (n) WHERE n.id = cid RETURN n.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in got] == ["alice", "bob"]
+
+
+def test_keyword_collision_identifiers(spark):
+    # the engine's own graph uses 'contains' edges — a Cypher keyword; labels,
+    # rel types, and property keys must accept keyword spellings
+    nodes = spark.createDataFrame(
+        [("a", "a", "Chunk", {"in": "x"}), ("b", "b", "Entity", {})],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "contains")], "src string, dst string, relationship_name string"
+    )
+    got = rows(
+        spark,
+        (nodes, edges),
+        "MATCH (c:Chunk)-[:contains]->(e) WHERE c.in = 'x' RETURN e.id AS id",
+    )
+    assert [r["id"] for r in got] == ["b"]
+
+
 def test_varlength_unbounded_raises():
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a)-[*]->(b) RETURN a")
