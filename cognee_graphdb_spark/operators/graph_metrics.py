@@ -176,6 +176,14 @@ def connected_components(
         if stats == prev_stats:
             break
         prev_stats = stats
+        # star test: if no target is still a source, every node points at a
+        # root — the fixpoint, detected WITHOUT the 1-2 extra confirmation
+        # rounds the stats comparison needs (each a full double-window pass;
+        # this is one semi-join over the checkpointed, in-memory round output)
+        if small.select("v").join(
+            small.select(F.col("u").alias("v")), "v", "leftsemi"
+        ).isEmpty():
+            break
     if not hash_ids:
         # labels ARE the ids — no reverse mapping needed
         return (
