@@ -354,8 +354,10 @@ class CogneeSpark:
         dataset_ids: list[str] | None = None,
         user_id: str | None = None,
         use_combined_context: bool = False,
+        params: dict | None = None,
     ):
         """Dispatch to the search-type plans (get_search_type_tools.py:42-165).
+        ``params`` carries CYPHER query parameters ($name placeholders).
 
         Completion types return str (or DataFrame context when
         ``only_context``); retrieval types return DataFrames.
@@ -379,9 +381,13 @@ class CogneeSpark:
             dataset_ids = allowed
         qid = self._log_query(query_type, query_text)
         if use_combined_context:
-            out = self._search_combined(query_type, query_text, top_k, only_context, dataset_ids)
+            out = self._search_combined(
+                query_type, query_text, top_k, only_context, dataset_ids, save_interaction
+            )
         else:
-            out = self._dispatch(query_type, query_text, top_k, only_context, save_interaction, dataset_ids)
+            out = self._dispatch(
+                query_type, query_text, top_k, only_context, save_interaction, dataset_ids, params
+            )
         self._log_result(qid, out if isinstance(out, str) else f"<{type(out).__name__}>")
         return out
 
@@ -392,6 +398,7 @@ class CogneeSpark:
         top_k: int,
         only_context: bool,
         dataset_ids: list[str] | None,
+        save_interaction: bool = False,
     ):
         """Per-dataset context fan-out + combined-context completion
         (search.py:211-268, prepare_combined_context at :251-264).
@@ -415,6 +422,10 @@ class CogneeSpark:
                 )
             else:
                 dataset_ids = [self.dataset_id]
+        if not dataset_ids:
+            # explicit empty scoping, or a store whose rows carry no dataset
+            # tags: nothing to search — same contract as an empty store
+            raise RuntimeError("No data found in the system, please add data first.")
         if qt in ("GRAPH_COMPLETION", "GRAPH_SUMMARY_COMPLETION"):
             from cognee_graphdb_spark.plans import search_types as st
             from cognee_graphdb_spark.plans.triplet_search import render_triplets
@@ -430,7 +441,17 @@ class CogneeSpark:
             combined = "\n".join(render_triplets(t) for t in per_ds)
             if qt == "GRAPH_SUMMARY_COMPLETION":
                 combined = self.gateway.extract_summary(combined)
-            return self.gateway.complete(f"Answer {query_text!r} using:\n{combined}")
+            answer = self.gateway.complete(f"Answer {query_text!r} using:\n{combined}")
+            if save_interaction:
+                # the FEEDBACK loop must see combined-path answers too
+                # (_dispatch saves the non-combined path the same way)
+                from cognee_graphdb_spark.plans.feedback import save_interaction as _save
+
+                used = per_ds[0]
+                for extra in per_ds[1:]:
+                    used = used.unionByName(extra)
+                _save(self.store, self.spark, query_text, answer, used)
+            return answer
         if qt in ("RAG_COMPLETION", "CHUNKS", "SUMMARIES", "CHUNKS_LEXICAL", "INSIGHTS"):
             from cognee_graphdb_spark.plans import search_types as st
 
@@ -462,6 +483,7 @@ class CogneeSpark:
         only_context: bool,
         save_interaction: bool,
         dataset_ids: list[str] | None,
+        params: dict | None = None,
     ):
         from cognee_graphdb_spark.plans import search_types as st
 
@@ -504,7 +526,7 @@ class CogneeSpark:
         if qt == "CHUNKS_LEXICAL":
             return st.lexical_chunks(ctx, query_text, top_k)
         if qt == "CYPHER":
-            return st.cypher_search(self.spark, ctx, query_text)
+            return st.cypher_search(self.spark, ctx, query_text, params)
         if qt == "NATURAL_LANGUAGE":
             return st.natural_language_search(self.spark, ctx, query_text)
         if qt == "CODE":

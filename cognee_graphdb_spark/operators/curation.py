@@ -81,10 +81,11 @@ def curate_corpus(
         # every downstream stage — dedup, decontamination, quality — sees the
         # cleaned text, as in Raffel et al. §2.2 where filtering precedes
         # dedup on the cleaned pages.
+        # c4_line_filter is a row-preserving projection of cur, so the kept
+        # rows already carry everything needed — joining them back onto cur
+        # would scan and shuffle the corpus twice for an identity mapping
         kept = c4_line_filter(cur, text_col="text").filter(F.col("keep_doc"))
-        cur = cur.drop("text").join(
-            kept.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
-        ).select("doc_id", "text")
+        cur = kept.select("doc_id", F.col("clean_text").alias("text"))
         stages.append(("c4_line_filter", cur))
     if use_gopher:
         kept = gopher_quality_filter(cur, text_col="text").filter(F.col("keep"))

@@ -473,7 +473,14 @@ class _Parser:
             t = self.peek()
             if t[0] == "end":
                 return
-            if t[0] == "kw" and depth == 0 and t[1] in ("RETURN", "MATCH", "OPTIONAL", "WHERE"):
+            prev = self.toks[self.i - 1] if self.i > 0 else ("", "")
+            starts_ends_with = t[1] == "WITH" and prev[1] in ("STARTS", "ENDS")
+            if (
+                t[0] == "kw"
+                and depth == 0
+                and not starts_ends_with
+                and t[1] in ("RETURN", "MATCH", "OPTIONAL", "WHERE", "WITH", "UNWIND")
+            ):
                 return
             if t == ("op", "(") or t == ("op", "["):
                 depth += 1
@@ -747,7 +754,11 @@ class _Parser:
         if t == ("kw", "IN"):
             self.next()
             if self.peek()[0] == "param":
-                return f"{left} IN {self._param(self.next()[1])}"
+                key = self.next()[1]
+                value = self.params.get(key[1:])
+                if isinstance(value, (list, tuple)) and not value:
+                    return "FALSE"  # Cypher: x IN [] matches nothing
+                return f"{left} IN {self._param(key)}"
             self.expect("op", "[")
             vals = []
             if self.peek() != ("op", "]"):
@@ -755,6 +766,8 @@ class _Parser:
                 while self.accept("op", ","):
                     vals.append(self._primary())
             self.expect("op", "]")
+            if not vals:
+                return "FALSE"  # Cypher: x IN [] matches nothing
             return f"{left} IN ({', '.join(vals)})"
         if t == ("kw", "IS"):
             self.next()
@@ -913,8 +926,10 @@ def cypher_to_sql(
 
 
 def looks_like_cypher(query: str) -> bool:
-    head = query.lstrip().upper()
-    return head.startswith("MATCH") or head.startswith("OPTIONAL MATCH")
+    # strip the '//' line comments the reference's examples carry before
+    # testing the leading clause — UNWIND-led pipelines are Cypher too
+    head = re.sub(r"//[^\n]*", "", query).lstrip().upper()
+    return head.startswith(("MATCH", "OPTIONAL MATCH", "UNWIND"))
 
 
 def run_cypher(

@@ -246,16 +246,23 @@ class PipelineRuns:
         kept = seen.join(to_drop, "content_hash", "left_anti")
         tmp = f"{self.processed_path}.swap-{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.processed_path, ignore_errors=True)
+        # validate the replacement BEFORE touching the live directory: a crash
+        # mid-swap must never lose the store-global processed set.  A 0-row
+        # write emits only _SUCCESS (no parquet footers) — unreadable means
+        # the kept set is empty, and an absent directory IS the empty set.
         try:
-            # a 0-row write emits only _SUCCESS (no parquet footers) — probing
-            # the schema here tells us whether the snapshot is readable; an
-            # empty set and a missing directory behave identically downstream
             self.spark.read.parquet(tmp)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(self.processed_path, ignore_errors=True)
             return
+        # two-rename swap: the live dir is renamed aside (instant), the
+        # validated replacement renamed in, then the old copy reaped — the
+        # loss window is two renames, not a Spark write
+        old = f"{self.processed_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.processed_path, old)
         os.rename(tmp, self.processed_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def unprocessed(self, data: DataFrame) -> DataFrame:
         """Anti-join new data against the processed-hash set — incremental

@@ -167,9 +167,17 @@ class GraphStore:
         led = self.ledger()
         if led is None:
             return None
-        deletes = (
-            led.filter(F.col("op").startswith("delete"))
-            .select(F.col("id").alias("del_id"), F.col("at").alias("del_at"))
+        # scoped delete events ("delete_*_scoped") carry "nodeid|dataset" ids:
+        # split the dataset back out so a delete in ds_b never tombstones the
+        # SAME content-addressed id's creation rows in ds_a
+        raw = led.filter(F.col("op").startswith("delete"))
+        scoped = F.col("op").endswith("_scoped")
+        deletes = raw.select(
+            F.when(scoped, F.regexp_extract("id", r"^(.*)\|([^|]*)$", 1))
+            .otherwise(F.col("id"))
+            .alias("del_id"),
+            F.when(scoped, F.regexp_extract("id", r"^(.*)\|([^|]*)$", 2)).alias("del_ds"),
+            F.col("at").alias("del_at"),
         )
         creations = led.filter(~F.col("op").startswith("delete"))
         # the delete set is bounded per event (ids of one cascade), and the
@@ -182,6 +190,10 @@ class GraphStore:
                 | F.col("id").startswith(F.concat(F.col("del_id"), F.lit("|")))
                 | F.col("id").endswith(F.concat(F.lit("|"), F.col("del_id")))
                 | F.col("id").contains(F.concat(F.lit("|"), F.col("del_id"), F.lit("|")))
+            )
+            & (
+                F.col("del_ds").isNull()
+                | F.col("id").endswith(F.concat(F.lit("|"), F.col("del_ds")))
             )
             & (F.col("del_at") >= F.col("at")),
             "left",
@@ -229,7 +241,16 @@ class GraphStore:
             hit, rest = split(emb)
             kept = hit.join(ids, "id", "left_anti")
             self._swap_write("embeddings", kept if rest is None else kept.unionByName(rest))
-        self.append_ledger("delete_nodes", ids, created_by)
+        if dataset_id is None:
+            self.append_ledger("delete_nodes", ids, created_by)
+        else:
+            # dataset-scoped event: the audit view must not tombstone another
+            # dataset's rows for the same content-addressed id
+            self.append_ledger(
+                "delete_nodes_scoped",
+                ids.select(F.concat("id", F.lit(f"|{dataset_id}")).alias("id")),
+                created_by,
+            )
 
     def delete_data(self, data_ids: list[str], created_by: str = "delete", dataset_id: str | None = None) -> list[str]:
         """Remove Data rows by id; returns their content hashes so the caller

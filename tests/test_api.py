@@ -158,10 +158,10 @@ def test_soft_delete_keeps_shared_leaves_and_tombstones_ledger(spark, tmp_path):
     # soft = the J7 cascade only: no degree-one sweep ran (no delete_hard
     # ledger op), and the other document's subtree is fully intact
     led_ops = {r["op"] for r in e.store.ledger().select("op").distinct().collect()}
-    assert "delete_nodes" in led_ops  # the cascade applied...
+    assert any(op.startswith("delete_nodes") for op in led_ops)  # the cascade applied...
     deleted_ops = {
         r["created_by"]
-        for r in e.store.ledger().filter(F.col("op") == "delete_nodes").select("created_by").collect()
+        for r in e.store.ledger().filter(F.col("op").startswith("delete_nodes")).select("created_by").collect()
     }
     assert deleted_ops == {"delete_document"}  # ...but never the hard sweep
     assert nodes.filter(F.col("type") == "TextDocument").count() == 1

@@ -451,6 +451,32 @@ def test_looks_like_cypher():
     assert looks_like_cypher("  MATCH (n) RETURN n")
     assert looks_like_cypher("match (n) return count(n)")
     assert not looks_like_cypher("SELECT * FROM nodes")
+    # UNWIND-led and comment-led Cypher must route to the translator too
+    assert looks_like_cypher("UNWIND $xs AS x MATCH (n) RETURN n")
+    assert looks_like_cypher("// find things\nMATCH (n) RETURN n")
+    assert not looks_like_cypher("-- sql comment\nSELECT 1")
+
+
+def test_empty_in_list_matches_nothing(spark, graph):
+    # Cypher: x IN [] is false, never a SQL syntax error (kuzu adapter.py:478 shape)
+    got = rows(spark, graph, "MATCH (n) WHERE n.id IN $ids RETURN n.id AS id", {"ids": []})
+    assert got == []
+    got = rows(spark, graph, "MATCH (n) WHERE n.id IN [] RETURN n.id AS id")
+    assert got == []
+
+
+def test_optional_where_then_with(spark, graph):
+    # the deferred OPTIONAL-WHERE skipper must stop at WITH/UNWIND, and must
+    # NOT stop inside a STARTS WITH predicate
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (c)-[r:purchased]->(p:Product) WHERE p.name STARTS WITH 'boo' "
+        "WITH c, count(r) AS n_boots "
+        "RETURN c.name AS name, n_boots ORDER BY name",
+    )
+    assert [(r["name"], r["n_boots"]) for r in got] == [("alice", 1), ("bob", 1)]
 
 
 def test_injection_is_quoted(spark, graph):
