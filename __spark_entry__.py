@@ -791,6 +791,25 @@ def _q_cypher_translated(spark, sf_dir):
     )
 
 
+def _q_cypher_pipeline(spark, sf_dir):
+    """UNWIND -> MATCH/WHERE -> WITH aggregation pipeline (the
+    product_recommendation.py:126-145 shape) translated to nested subqueries
+    over the migrated graph."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "UNWIND $tables AS tn "
+        "MATCH (r:TableRow)-[e:is_part_of]->(t:TableType) WHERE t.name = tn "
+        "WITH tn, count(r) AS n "
+        "RETURN tn AS table_name, n ORDER BY table_name",
+        params={"tables": ["nation", "region", "customer"]},
+    )
+
+
 def _q_cypher_optional_match(spark, sf_dir):
     """OPTIONAL MATCH translation (derived-table LEFT JOIN): parts with their
     lineitem reference counts, zero-reference parts kept as NULL pattern
@@ -1290,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_search_e2e": _q_temporal_search,
         "cypher_passthrough": _q_cypher_passthrough,
         "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
         "cypher_optional_match": _q_cypher_optional_match,
         "natural_language_search": _q_natural_language,
         "td_hash_sample": _q_td_hash_sample,
@@ -1883,6 +1903,15 @@ SELECT t.name AS table_name, count(r.id) AS n
 FROM edges e JOIN nodes r ON e.src = r.id JOIN nodes t ON e.dst = t.id
 WHERE e.relationship_name = 'is_part_of' AND r.type = 'TableRow' AND t.type = 'TableType'
 GROUP BY t.name ORDER BY table_name"""
+
+    sql["cypher_pipeline"] = f"""WITH {g},
+wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))
+SELECT w.tn AS table_name, count(r.id) AS n
+FROM wanted w
+JOIN nodes t ON t.type = 'TableType' AND t.name = w.tn
+JOIN edges e ON e.dst = t.id AND e.relationship_name = 'is_part_of'
+JOIN nodes r ON e.src = r.id AND r.type = 'TableRow'
+GROUP BY w.tn ORDER BY table_name"""
 
     sql["cypher_optional_match"] = f"""WITH {g}
 SELECT n.id AS part_id, count(e.src) AS refs
