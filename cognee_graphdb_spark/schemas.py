@@ -103,5 +103,13 @@ TESTDATA_TABLES = (
 
 
 def load_testdata(spark, sf_dir: str, tables=TESTDATA_TABLES):
-    """Load the driver's synthetic parquet tables as a dict of DataFrames."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+    """Load the driver's synthetic parquet tables as a dict of DataFrames.
+
+    Reads are submitted from a thread pool: each ``spark.read.parquet``
+    serially pays file listing + footer schema inference (~0.3s/table on
+    cold metadata), and the per-table reads are independent driver work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+        futures = {t: pool.submit(spark.read.parquet, f"{sf_dir}/{t}.parquet") for t in tables}
+        return {t: f.result() for t, f in futures.items()}
