@@ -231,6 +231,18 @@ class _Parser:
             return raw
         raise CypherUnsupported(f"expected identifier, got {t[1]!r}")
 
+    def _export_cols(self, var_kind: str, name: str) -> list[str]:
+        """Columns a derived table must export for a carried node/edge var;
+        nodes include the properties map only when the query reads a key
+        outside the fixed columns (views without one stay queryable)."""
+        if var_kind == "edge":
+            return list(_EDGE_COLS)
+        cols = ["id", "name", "type"]
+        refs = self._prop_refs.get(name, set())
+        if "properties" in refs or any(k not in cols for k in refs):
+            cols.append("properties")
+        return cols
+
     def _fresh(self, prefix: str) -> str:
         self._anon += 1
         return f"_{prefix}{self._anon}"
@@ -301,9 +313,10 @@ class _Parser:
         order, limit, skip = [], None, None
         if self.accept("kw", "ORDER"):
             self.expect("kw", "BY")
-            order.append(self._order_item(items))
+            aliases = {a for _, a, _ in items}
+            order.append(self._order_item(aliases))
             while self.accept("op", ","):
-                order.append(self._order_item(items))
+                order.append(self._order_item(aliases))
         if self.accept("kw", "SKIP"):
             skip = int(self.expect("num"))
         if self.accept("kw", "LIMIT"):
@@ -322,18 +335,18 @@ class _Parser:
 
     def _optional_clause(self) -> None:
         nodes, rels = self._parse_path()
-        extra_on = None
+        deferred_where = False
         if self.accept("kw", "WHERE"):
             # openCypher scopes this WHERE to the optional pattern; the LEFT
             # JOIN's ON clause is the semantically equivalent home.  The
             # expression is parsed AFTER the pattern's vars are bound, so var
             # references resolve to the derived table's exported columns.
-            extra_on = "__DEFERRED__"
+            deferred_where = True
             where_start = self.i
             self._skip_expr_tokens()
             where_end = self.i
         self._emit_optional(nodes, rels)
-        if extra_on is not None:
+        if deferred_where:
             save = self.i
             self.i = where_start
             cond = self._expr()
@@ -379,7 +392,7 @@ class _Parser:
         distinct = self.accept("kw", "DISTINCT")
         selects: list[str] = []
         groups: list[str] = []
-        rebind: dict[str, _Var] = {}
+        rebind: dict[str, tuple[str, str]] = {}  # name -> (kind, column prefix)
         any_agg = False
         while True:
             t = self.peek()
@@ -393,17 +406,10 @@ class _Parser:
                 name = t[1]
                 if self.accept("kw", "AS"):
                     name = self._check_name(self.expect("name"))
-                if var.kind == "node":
-                    cols = ["id", "name", "type"]
-                    refs = self._prop_refs.get(name, set())
-                    if "properties" in refs or any(k not in cols for k in refs):
-                        cols.append("properties")
-                else:
-                    cols = list(_EDGE_COLS)
-                for c in cols:
+                for c in self._export_cols(var.kind, name):
                     selects.append(f"{var.col(c)} AS {name}__{c}")
                     groups.append(var.col(c))
-                rebind[name] = _Var(var.kind, "__W__", f"{name}__")
+                rebind[name] = (var.kind, f"{name}__")
             else:
                 self._saw_agg = False
                 start = self.i
@@ -425,16 +431,16 @@ class _Parser:
                 selects.append(f"{expr} AS {alias}")
                 if not is_agg:
                     groups.append(expr)
-                rebind[alias] = _Var("scalar", "__W__", alias)
+                rebind[alias] = ("scalar", alias)
             if not self.accept("op", ","):
                 break
         order, limit, skip = [], None, None
         if self.accept("kw", "ORDER"):
             self.expect("kw", "BY")
             aliases = set(rebind)
-            order.append(self._with_order_item(aliases))
+            order.append(self._order_item(aliases))
             while self.accept("op", ","):
-                order.append(self._with_order_item(aliases))
+                order.append(self._order_item(aliases))
         if self.accept("kw", "SKIP"):
             skip = int(self.expect("num"))
         if self.accept("kw", "LIMIT"):
@@ -451,20 +457,7 @@ class _Parser:
             body += f"\nOFFSET {skip}"
         w = self._fresh("with")
         self.sql = _Sql(from_tables=[f"({body}) AS {w}"])
-        self.vars = {
-            name: _Var(v.kind, w, v.prefix) for name, v in rebind.items()
-        }
-
-    def _with_order_item(self, aliases: set[str]) -> str:
-        t = self.peek()
-        if t[0] == "name" and t[1] in aliases and self.peek(1)[1] != ".":
-            expr = self.next()[1]
-        else:
-            expr = self._comparison()  # old bindings: valid inside the subquery
-        if self.accept("kw", "DESC"):
-            return f"{expr} DESC"
-        self.accept("kw", "ASC")
-        return f"{expr} ASC"
+        self.vars = {name: _Var(kind, w, prefix) for name, (kind, prefix) in rebind.items()}
 
     def _skip_expr_tokens(self) -> None:
         """Advance past one expression without evaluating (vars not yet bound)."""
@@ -674,11 +667,7 @@ class _Parser:
             conds.extend(self._node_conds(av, pat))
             if pat.var:
                 name = self._check_name(pat.var)
-                cols = ["id", "name", "type"]
-                refs = self._prop_refs.get(name, set())
-                if "properties" in refs or any(k not in cols for k in refs):
-                    cols.append("properties")
-                for c in cols:
+                for c in self._export_cols("node", name):
                     exports.append(f"{alias}.{c} AS {name}__{c}")
                 self.vars[name] = _Var("node", derived, f"{name}__")
 
@@ -874,8 +863,10 @@ class _Parser:
             alias = re.sub(r"[^A-Za-z0-9_]+", "_", raw).strip("_").lower() or self._fresh("c")
         return expr, alias, is_agg
 
-    def _order_item(self, items: list[tuple[str, str, bool]]) -> str:
-        aliases = {a for _, a, _ in items}
+    def _order_item(self, aliases: set[str]) -> str:
+        """One ORDER BY term: an output alias, or an expression over the
+        currently-bound variables (inside a WITH subquery the old bindings
+        are exactly what's in scope)."""
         t = self.peek()
         if t[0] == "name" and t[1] in aliases and self.peek(1)[1] != ".":
             expr = self.next()[1]
