@@ -810,6 +810,12 @@ class _Parser:
             name = t[1]
             if name.upper() in _AGGS and self.peek() == ("op", "("):
                 return self._aggregate(name.upper())
+            if (
+                name.upper() in ("ID", "TYPE", "LABELS", "PROPERTIES")
+                and name not in self.vars
+                and self.peek() == ("op", "(")
+            ):
+                return self._builtin(name.upper())
             var = self.vars.get(name)
             if var is None:
                 raise CypherUnsupported(f"unbound variable {name!r}")
@@ -829,6 +835,29 @@ class _Parser:
                 f" 'dst', {var.col('dst')})"
             )
         raise CypherUnsupported(f"unexpected token {t[1]!r}")
+
+    def _builtin(self, fname: str) -> str:
+        """Cypher element accessors the reference adapters use
+        (neo4j adapter.py:916,1069: ID(n)/labels(n)/properties(n)/type(r)).
+        labels(n) yields a one-element array: this engine's nodes carry one
+        type, matching the reference's single :Node physical label."""
+        self.expect("op", "(")
+        vn = self.expect("name")
+        var = self.vars.get(vn)
+        if var is None:
+            raise CypherUnsupported(f"unbound variable {vn!r}")
+        self.expect("op", ")")
+        if fname == "ID":
+            return var.col("id" if var.kind == "node" else "src")
+        if var.kind == "node":
+            if fname == "LABELS":
+                return f"array({var.col('type')})"
+            if fname == "PROPERTIES":
+                return var.col("properties")
+            raise CypherUnsupported("type() takes a relationship")
+        if fname == "TYPE":
+            return var.col("relationship_name")
+        raise CypherUnsupported(f"{fname.lower()}() takes a node")
 
     def _aggregate(self, fname: str) -> str:
         self.expect("op", "(")

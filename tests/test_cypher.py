@@ -411,6 +411,24 @@ def test_with_where_after_is_global(spark, graph):
     assert [r["name"] for r in got] == ["alice", "bob"]
 
 
+def test_builtin_accessors(spark, graph):
+    # neo4j adapter.py:916,1069 — RETURN ID(n) AS id, labels(n) AS labels,
+    # properties(n) AS properties; type(r) for relationships
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n:Customer)-[r]->(m) WHERE ID(n) = 'c1' "
+        "RETURN labels(m) AS ls, type(r) AS rel, properties(n) AS props "
+        "ORDER BY rel, ls",
+    )
+    assert [(r["ls"], r["rel"]) for r in got] == [
+        (["Preference"], "has_preference"),
+        (["Product"], "purchased"),
+        (["Product"], "purchased"),
+    ]
+    assert got[0]["props"]["city"] == "berlin"
+
+
 def test_keyword_collision_identifiers(spark):
     # the engine's own graph uses 'contains' edges — a Cypher keyword; labels,
     # rel types, and property keys must accept keyword spellings
