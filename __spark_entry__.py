@@ -682,10 +682,22 @@ def _q_w3_null_inf_sort(spark, sf_dir):
 
 
 def _q_chunking(spark, sf_dir):
+    """F1-F3 exact-reconstruction guarantee (reference TextChunker.py:11-78,
+    chunk_by_paragraph.py:7-96) as an ORACLE-CHECKABLE invariant: per doc,
+    the chunk texts concatenated in chunk_index order must rebuild the
+    original byte-for-byte — emitted as md5 + char count, which DuckDB
+    computes directly from ``documents``."""
     from cognee_graphdb_spark.operators.chunking import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, max_chunk_size=32)
+    chunks = chunk_documents(docs, max_chunk_size=32)
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_index", "text")))
+    return chunks.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("", F.transform(ordered, lambda s: s["text"]))).alias(
+            "reassembled_md5"
+        ),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
 
 
 def _q_cognify_counts(spark, sf_dir):
@@ -742,13 +754,25 @@ def _q_a2_graph_metrics(spark, sf_dir):
             F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)), F.lit(0)
         ).alias("num_selfloops"),
     )
+    # ratio metrics as SCALED BIGINTs (ppm / ppb), not doubles: equal double
+    # VALUES can still hash differently under the driver's DuckDB when its
+    # decimal-literal propagation yields DECIMAL instead of DOUBLE — integers
+    # are hash-stable by construction.  Both sides compute the same pure-DOUBLE
+    # expression in the same operation order, so the pre-round doubles are
+    # bit-identical (IEEE 754 ops are exactly specified).
     return n.crossJoin(e).select(
         "num_nodes",
         "num_edges",
-        F.round(2.0 * F.col("num_edges") / F.col("num_nodes"), 6).alias("mean_degree"),
-        F.round(F.col("num_edges") / (F.col("num_nodes") * (F.col("num_nodes") - 1)), 9).alias(
-            "edge_density"
-        ),
+        F.round(2.0 * F.col("num_edges").cast("double") / F.col("num_nodes") * 1e6)
+        .cast("long")
+        .alias("mean_degree_ppm"),
+        F.round(
+            F.col("num_edges").cast("double")
+            / (F.col("num_nodes") * (F.col("num_nodes") - 1))
+            * 1e9
+        )
+        .cast("long")
+        .alias("edge_density_ppb"),
         "num_selfloops",
     )
 
@@ -1253,10 +1277,37 @@ def _q_td_curate_corpus(spark, sf_dir):
 
 
 def _q_td_pack_sequences(spark, sf_dir):
+    """Sequence-packing invariants as one oracle-checkable row: packing keeps
+    every doc exactly once with its token count conserved (n_docs /
+    total_tokens match the raw corpus), and produces zero overfull multi-doc
+    sequences and zero seq_pos gaps — the oracle states the invariant side
+    as literal zeros.  (seq_id assignment itself is hash-partition-dependent,
+    so the raw rows stay covered by pytest, not the SQL oracle.)"""
     from cognee_graphdb_spark.operators.training_data import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(docs, budget=256, partitions=8)
+    packed = pack_sequences(docs, budget=256, partitions=8)
+    seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_seq"),
+        (F.max("seq_pos") + 1).alias("max_pos1"),
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_distinct_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    invariants = seq.agg(
+        F.sum(
+            F.when((F.col("fill") > 256) & (F.col("n_in_seq") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("overfull_multidoc_seqs"),
+        F.sum(F.when(F.col("max_pos1") != F.col("n_in_seq"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("position_gap_seqs"),
+    )
+    return totals.crossJoin(invariants)
 
 
 def _q_bm25_topk(spark, sf_dir):
@@ -1285,72 +1336,22 @@ def _q_skew_report(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver validates a ~50-entry window from the front of
-    # this dict (CORRECTNESS_r02/r03 each covered exactly the first 50 keys).
-    # Rounds 1-3 validated the classic core (graph joins, vector search, dedup,
-    # text functions — all green); round 4 leads with the 44 entries that have
-    # never had a driver row (td_* corpus ops, ranking, quantized kNN, e2e
-    # search plans, rows-only composites) plus 6 representative already-green
-    # anchors, so cumulative driver coverage reaches 94/94.
+    # ORDER MATTERS: the driver validates the first ~50 keys of this dict
+    # (CORRECTNESS_r02/r03/r04 each covered exactly the first 50).  Cumulative
+    # coverage is complete (98/98 through r04); round 5 leads with the fixed
+    # a2_graph_metrics row + flagship e2e + the 48 entries whose driver rows
+    # predate the r04 code changes, re-proving them under current code.
     raw = {
-        # -- never driver-checked before round 4 (43 + new flagship e2e) ------
-        "s1_ingest_identify": _q_s1_ingest,
-        "s3_classify_documents": _q_s3_classify,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "u_regex_entities": _q_regex_entities,
-        "edge_weights_flatten": _q_edge_weights_flatten,
-        "mm_frame_sample": _q_frame_sample,
-        "mm_resize_plan": _q_resize_plan,
-        "a2_component_sizes": _q_a2_component_sizes,
+        # -- round-5 window (first 50): the hash-stabilized A2 row, the
+        #    flagship e2e, then the 48 entries whose last driver rows ran
+        #    against r03 code (k-hop, curation, and the search path changed
+        #    since) — re-proven here under current code ---------------------
         "a2_graph_metrics": _q_a2_graph_metrics,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
-        "natural_language_search": _q_natural_language,
-        "td_hash_sample": _q_td_hash_sample,
-        "td_stratified_sample": _q_td_stratified_sample,
-        "td_decontaminate": _q_td_decontaminate,
-        "td_pii_redact": _q_td_pii_redact,
-        "td_corpus_stats": _q_td_corpus_stats,
-        "td_repetition": _q_td_repetition,
-        "td_gopher_filter": _q_td_gopher_filter,
-        "td_unigram_logprob": _q_td_unigram_logprob,
-        "td_weighted_sample": _q_td_weighted_sample,
-        "td_shuffle_shards": _q_td_shuffle_shards,
-        "td_duplicate_spans": _q_td_duplicate_spans,
-        "td_c4_line_filter": _q_td_c4_line_filter,
-        "td_quality_score": _q_td_quality_score,
-        "td_curate_corpus": _q_td_curate_corpus,
-        "td_mixture_plan": _q_td_mixture_plan,
-        "td_source_report": _q_td_source_report,
-        "bm25_topk": _q_bm25_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "knn_quantized": _q_knn_quantized,
-        "skew_report": _q_skew_report,
-        # rows-only (pandas-UDF / iterative plans — no SQL restatement)
         "graph_completion_e2e": _q_graph_completion_e2e,
-        "f1_f4_chunking": _q_chunking,
-        "cognify_node_counts": _q_cognify_counts,
-        "graph_completion_context": _q_graph_completion_context,
-        "a2_connected_components": _q_a2_components,
-        "u7_cot_triplets": _q_u7_cot_triplets,
-        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
-        "code_graph_counts": _q_code_graph,
-        "memify_rules": _q_memify_rules,
-        "td_pack_sequences": _q_td_pack_sequences,
-        # -- representative anchors, green in r03 (regression canaries) -------
-        "s4_node_counts": _q_s4_node_counts,
-        "a3_node_degrees": _q_a3_node_degrees,
         "j6_k_hop": _q_j6_k_hop,
         "j5_triplet_scores": _q_j5_triplet_scores,
         "v1_knn": _q_v1_knn,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        # -- window boundary (~50): below here, green in r02/r03 --------------
         "w2_lexical_chunks": _q_w2_lexical_chunks,
         "a1_edge_type_frequency": _q_a1_edge_type_frequency,
         "a3_degree_one_nodes": _q_a3_degree_one,
@@ -1395,6 +1396,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_last_k_interactions": _q_w4_last_k,
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
+        # -- window boundary (50): below here, green in r04 -------------------
+        # first two: promoted from rows-only to oracle-checked this round;
+        # verified locally (tools/verify_contract.py), next rotation's leads
+        "f1_f4_chunking": _q_chunking,
+        "td_pack_sequences": _q_td_pack_sequences,
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
+        "u_regex_entities": _q_regex_entities,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "natural_language_search": _q_natural_language,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
+        "td_unigram_logprob": _q_td_unigram_logprob,
+        "td_weighted_sample": _q_td_weighted_sample,
+        "td_shuffle_shards": _q_td_shuffle_shards,
+        "td_duplicate_spans": _q_td_duplicate_spans,
+        "td_c4_line_filter": _q_td_c4_line_filter,
+        "td_quality_score": _q_td_quality_score,
+        "td_curate_corpus": _q_td_curate_corpus,
+        "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
+        "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "knn_quantized": _q_knn_quantized,
+        "skew_report": _q_skew_report,
+        "s4_node_counts": _q_s4_node_counts,
+        "a3_node_degrees": _q_a3_node_degrees,
+        # rows-only composites (pandas-UDF / iterative plans)
+        "cognify_node_counts": _q_cognify_counts,
+        "graph_completion_context": _q_graph_completion_context,
+        "a2_connected_components": _q_a2_components,
+        "u7_cot_triplets": _q_u7_cot_triplets,
+        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
+        "code_graph_counts": _q_code_graph,
+        "memify_rules": _q_memify_rules,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -1781,6 +1834,23 @@ SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents"""
 
     sql["token_counts"] = f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents"
 
+    # F1-F3 exact reconstruction: reassembled chunks == the original document
+    sql["f1_f4_chunking"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(text) AS reassembled_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE text IS NOT NULL AND text <> ''"""
+
+    # packing conservation: every doc once, token counts conserved; the
+    # invariant columns (overfull / gapped sequences) are zero by contract
+    sql["td_pack_sequences"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+       CAST(coalesce(sum(len({tok})), 0) AS BIGINT) AS total_tokens,
+       CAST(0 AS BIGINT) AS overfull_multidoc_seqs,
+       CAST(0 AS BIGINT) AS position_gap_seqs
+FROM documents"""
+
     sql["a5_top_words"] = f"""
 WITH w AS (SELECT unnest({tok}) AS word FROM documents)
 SELECT word, count(*) AS cnt FROM w
@@ -1926,8 +1996,8 @@ e AS (SELECT count(*) AS num_edges,
              COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS num_selfloops
       FROM edges)
 SELECT num_nodes, num_edges,
-       round(2.0 * num_edges / num_nodes, 6) AS mean_degree,
-       round(num_edges * 1.0 / (num_nodes * (num_nodes - 1)), 9) AS edge_density,
+       CAST(round(2.0 * CAST(num_edges AS DOUBLE) / num_nodes * 1e6) AS BIGINT) AS mean_degree_ppm,
+       CAST(round(CAST(num_edges AS DOUBLE) / (num_nodes * (num_nodes - 1)) * 1e9) AS BIGINT) AS edge_density_ppb,
        num_selfloops
 FROM n, e"""
 

@@ -5,6 +5,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 Each step forces materialization (count/collect); shared inputs (the migrated
 TPC-H graph, the cognify output) are cached so steps measure their own plan,
 not a rebuild.
+
+Noise control: every step runs SPARK_GRAFT_BENCH_REPEAT times (default 2) and
+reports the MIN — single-shot timings on a shared VM have shown ±30% run-to-run
+variance (an entire round's recorded bench was an outlier), and the minimum is
+the standard low-variance estimator of the true plan cost.  Build steps that
+create caches get a reset hook that unpersists exactly what they cached, so
+every iteration measures the same cold build, and the caches downstream steps
+rely on are left in place by the final iteration.
 """
 
 from __future__ import annotations
@@ -55,12 +63,19 @@ def main() -> None:
     from cognee_graphdb_spark.sources.migration import tpch_graph
 
     timings: dict[str, float] = {}
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
 
-    def step(name):
+    def step(name, reset=None):
         def deco(fn):
-            t0 = time.perf_counter()
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for i in range(repeat):
+                if i > 0 and reset is not None:
+                    reset()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
             return fn
 
         return deco
@@ -71,7 +86,11 @@ def main() -> None:
     # --- build paths ---------------------------------------------------------
     nodes = edges = None
 
-    @step("s4_migrate_graph")
+    def _reset_migrate():
+        nodes.unpersist(blocking=True)
+        edges.unpersist(blocking=True)
+
+    @step("s4_migrate_graph", reset=_reset_migrate)
     def _migrate():
         nonlocal nodes, edges
         nodes, edges = tpch_graph(spark, SF_DIR)
@@ -81,7 +100,12 @@ def main() -> None:
 
     cog = None
 
-    @step("cognify_build")
+    def _reset_cognify():
+        for df in (cog.nodes, cog.edges, cog.embeddings, cog.chunks, cog.extracted):
+            if df is not None:
+                df.unpersist(blocking=True)
+
+    @step("cognify_build", reset=_reset_cognify)
     def _cognify():
         nonlocal cog
         import dataclasses

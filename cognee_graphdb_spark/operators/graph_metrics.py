@@ -176,14 +176,26 @@ def connected_components(
         if stats == prev_stats:
             break
         prev_stats = stats
-        # star test: if no target is still a source, every node points at a
-        # root — the fixpoint, detected WITHOUT the 1-2 extra confirmation
-        # rounds the stats comparison needs (each a full double-window pass;
-        # this is one semi-join over the checkpointed, in-memory round output)
+        # star test: if no target is still a source AND no source has two
+        # parents, every node points at exactly one root — the fixpoint,
+        # detected WITHOUT the 1-2 extra confirmation rounds the stats
+        # comparison needs (each a full double-window pass; these are two
+        # cheap jobs over the checkpointed, in-memory round output).  The
+        # single-parenthood check is load-bearing: a round can produce a
+        # depth-1 graph where some node still points at TWO roots (e.g.
+        # edges 3-8, 5-8, 5-9, 4-9 leave 5 -> {3,4} after one round) —
+        # breaking there would split one component in two.  It runs only
+        # once the cheaper depth test passes, i.e. at the final round(s).
         if small.select("v").join(
             small.select(F.col("u").alias("v")), "v", "leftsemi"
         ).isEmpty():
-            break
+            if (
+                small.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .isEmpty()
+            ):
+                break
     if not hash_ids:
         # labels ARE the ids — no reverse mapping needed
         return (

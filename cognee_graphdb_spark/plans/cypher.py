@@ -105,6 +105,23 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _unescape(body: str) -> str:
+    """Decode the escapes inside a Cypher string token body: ``\\\\`` ``\\'``
+    ``\\"`` ``\\n`` ``\\t`` ``\\r``; any other ``\\x`` yields ``x``."""
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r"}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _tokenize(q: str) -> tuple[list[tuple[str, str]], list[str]]:
     """-> (tokens, raws): raws[i] keeps a keyword's original spelling, so
     identifiers that collide with keywords ('contains', 'in', ...) can still
@@ -256,7 +273,10 @@ class _Parser:
         if isinstance(value, (int, float)):
             return repr(value)
         if isinstance(value, str):
-            return "'" + value.replace("'", "''") + "'"
+            # Spark SQL treats backslash as an escape inside string literals,
+            # so a value ending in a backslash followed by a doubled quote
+            # would re-open the literal (injection) — escape backslashes FIRST.
+            return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
         if isinstance(value, (list, tuple)):
             return "(" + ", ".join(self._sql_literal(v) for v in value) + ")"
         raise CypherUnsupported(f"unsupported parameter type: {type(value).__name__}")
@@ -273,7 +293,7 @@ class _Parser:
         if t[0] == "num":
             return t[1]
         if t[0] == "str":
-            return self._sql_literal(t[1][1:-1].replace("\\'", "'").replace('\\"', '"'))
+            return self._sql_literal(_unescape(t[1][1:-1]))
         if t[0] == "param":
             return self._param(t[1])
         if t == ("kw", "TRUE"):
@@ -408,7 +428,9 @@ class _Parser:
                     name = self._check_name(self.expect("name"))
                 for c in self._export_cols(var.kind, name):
                     selects.append(f"{var.col(c)} AS {name}__{c}")
-                    groups.append(var.col(c))
+                    # group by select-list ordinal: a raw literal expression
+                    # here (e.g. 1 AS x) would itself parse as an ordinal
+                    groups.append(str(len(selects)))
                 rebind[name] = (var.kind, f"{name}__")
             else:
                 self._saw_agg = False
@@ -430,7 +452,7 @@ class _Parser:
                     raise CypherUnsupported("WITH expressions need AS aliases")
                 selects.append(f"{expr} AS {alias}")
                 if not is_agg:
-                    groups.append(expr)
+                    groups.append(str(len(selects)))
                 rebind[alias] = ("scalar", alias)
             if not self.accept("op", ","):
                 break
@@ -781,7 +803,7 @@ class _Parser:
         if t[0] == "num":
             return t[1]
         if t[0] == "str":
-            return self._sql_literal(t[1][1:-1].replace("\\'", "'").replace('\\"', '"'))
+            return self._sql_literal(_unescape(t[1][1:-1]))
         if t[0] == "param":
             return self._param(t[1])
         if t == ("kw", "TRUE"):
@@ -919,7 +941,10 @@ class _Parser:
         sql = "SELECT " + ("DISTINCT " if distinct else "") + select
         sql += "\n" + self._from_sql()
         if any(agg for _, _, agg in items):
-            keys = [e for e, _, agg in items if not agg]
+            # group by select-list ordinals, not raw expressions: a literal
+            # item (RETURN count(n) AS c, 1 AS x) emitted as GROUP BY 1 would
+            # be resolved as an ordinal pointing at the aggregate and rejected
+            keys = [str(i + 1) for i, (_, _, agg) in enumerate(items) if not agg]
             if keys:
                 sql += "\nGROUP BY " + ", ".join(keys)
         if order:

@@ -248,14 +248,23 @@ class PipelineRuns:
         kept.write.mode("overwrite").parquet(tmp)
         # validate the replacement BEFORE touching the live directory: a crash
         # mid-swap must never lose the store-global processed set.  A 0-row
-        # write emits only _SUCCESS (no parquet footers) — unreadable means
-        # the kept set is empty, and an absent directory IS the empty set.
+        # write emits only _SUCCESS (no parquet part files) — that genuine
+        # empty case becomes "no directory" (absent IS the empty set).  Any
+        # OTHER unreadable state (transient FS error, partial write) must
+        # leave the live directory untouched, not silently discard the
+        # store-global processed set and force full reprocessing.
+        has_parts = any(
+            f.startswith("part-") for f in os.listdir(tmp)
+        ) if os.path.isdir(tmp) else False
+        if not has_parts:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(self.processed_path, ignore_errors=True)
+            return
         try:
             self.spark.read.parquet(tmp)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(self.processed_path, ignore_errors=True)
-            return
+            raise
         # two-rename swap: the live dir is renamed aside (instant), the
         # validated replacement renamed in, then the old copy reaped — the
         # loss window is two renames, not a Spark write

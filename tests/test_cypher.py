@@ -506,3 +506,33 @@ def test_injection_is_quoted(spark, graph):
         {"v": "x' OR '1'='1"},
     )
     assert got == []
+
+
+def test_injection_backslash_quote(spark, graph):
+    # Spark SQL parses \' as an escaped quote: a value ending in a backslash
+    # before the closing quote must not escape the literal and inject SQL
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE n.name = $v RETURN n.id AS id",
+        {"v": "z\\' OR TRUE --"},
+    )
+    assert got == []
+
+
+def test_backslash_value_roundtrip(spark, graph):
+    # a parameter whose value contains backslashes compares literally
+    got = rows(
+        spark,
+        graph,
+        "MATCH (n) WHERE n.name <> $v RETURN count(n) AS c",
+        {"v": "a\\b\\"},
+    )
+    assert got[0]["c"] == 5
+
+
+def test_literal_group_by_ordinal(spark, graph):
+    # a literal non-aggregate item next to an aggregate must group by the
+    # select-list position, not emit GROUP BY <literal> (ordinal collision)
+    [r] = rows(spark, graph, "MATCH (n) RETURN count(n) AS c, 1 AS x")
+    assert (r["c"], r["x"]) == (5, 1)

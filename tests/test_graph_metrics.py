@@ -88,6 +88,27 @@ def test_components_on_long_chain(spark):
     assert len(comp) == n
 
 
+@pytest.mark.parametrize("skew_safe", [False, True])
+@pytest.mark.parametrize("hash_ids", [False, True])
+def test_components_multi_parent_round_not_a_fixpoint(spark, skew_safe, hash_ids):
+    # Regression: edges 3-8, 5-8, 5-9, 4-9 reach a depth-1 state where node 5
+    # still points at two roots (3 and 4) while no target is a source; the
+    # star-test early break must not fire there — the result must be ONE
+    # component with exactly one row per node.
+    ids = ["3", "4", "5", "8", "9"]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    edges = spark.createDataFrame(
+        [("3", "8", "r"), ("5", "8", "r"), ("5", "9", "r"), ("4", "9", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    comp = connected_components(
+        nodes, edges, skew_safe=skew_safe, hash_ids=hash_ids
+    ).collect()
+    assert len(comp) == len(ids)
+    assert sorted(r["id"] for r in comp) == ids
+    assert len({r["component"] for r in comp}) == 1
+
+
 def test_components_determinism(spark):
     nodes, edges = _disconnected_graph(spark)
     a = sorted(map(tuple, connected_components(nodes, edges).collect()))
