@@ -63,11 +63,18 @@ class CogneeSpark:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def add(self, items: list[tuple[str, str]], node_set: str | None = None) -> DataFrame:
+    def add(
+        self, items: list[tuple[str, str]], node_set: str | None = None, user_id: str | None = None
+    ) -> DataFrame:
         """S1 — ingest (name, text) items; returns the Data rows (deduped by
         content hash, so re-adding is a no-op).  ``node_set`` tags the items
         for NodeSet-scoped retrieval (ingest_data.py:117-118): cognify links
-        their document nodes ``belongs_to`` the set."""
+        their document nodes ``belongs_to`` the set.  ``user_id`` enforces the
+        ACL: ingest requires ``write`` on the dataset, deny by default
+        (check_permission_on_dataset; the reference gates its pipelines the
+        same way, cognify.py:259-278)."""
+        if user_id is not None:
+            self.permissions.check_permission(user_id, self.dataset_id, "write")
         data = ingest_texts(self.spark, items, dataset_id=self.dataset_id)
         # cast: lit(None) alone is a NullType (void) column — rejected by other
         # engines' parquet readers and unstable under later schema unions
@@ -75,9 +82,15 @@ class CogneeSpark:
         self.store.upsert_data(data)
         return data
 
-    def cognify(self, incremental: bool = True, temporal: bool = False) -> int:
+    def cognify(
+        self, incremental: bool = True, temporal: bool = False, user_id: str | None = None
+    ) -> int:
         """Build the graph from unprocessed Data rows.  Returns the number of
-        documents processed (0 when incremental skip applies — ST2)."""
+        documents processed (0 when incremental skip applies — ST2).
+        ``user_id`` requires ``write`` on the dataset
+        (check_permissions_on_dataset in the reference's cognify task list)."""
+        if user_id is not None:
+            self.permissions.check_permission(user_id, self.dataset_id, "write")
         pipeline = "cognify_temporal" if temporal else "cognify"
         data = self.store.load("data")
         if data is None:
@@ -146,7 +159,7 @@ class CogneeSpark:
         self.runs.log(self.dataset_id, pipeline, "COMPLETED")
         return n
 
-    def delete(self, document_id: str, mode: str = "soft") -> int:
+    def delete(self, document_id: str, mode: str = "soft", user_id: str | None = None) -> int:
         """Cascade-delete a document (api/v1/delete/delete.py:95-244): removes
         its graph subtree (J7), the Data row, and its processed-hash entry so
         re-adding the same content re-processes.
@@ -157,9 +170,14 @@ class CogneeSpark:
 
         ``mode="hard"`` additionally removes graph-wide degree-one Entity and
         EntityType nodes after the cascade (delete.py:248-263) — the leftover
-        leaves the soft cascade keeps for other documents' sake."""
+        leaves the soft cascade keeps for other documents' sake.
+
+        ``user_id`` enforces the ACL: requires ``delete`` on the dataset,
+        deny by default."""
         if mode not in ("soft", "hard"):
             raise ValueError(f"unsupported delete mode {mode!r}")
+        if user_id is not None:
+            self.permissions.check_permission(user_id, self.dataset_id, "delete")
         data = self.store.load("data")
         data_ids: list[str] = []
         if data is not None:
@@ -319,7 +337,7 @@ class CogneeSpark:
 
     def query_log(self) -> DataFrame | None:
         p = os.path.join(self.store.root, "queries")
-        return self.spark.read.parquet(p) if os.path.exists(p) else None
+        return self.spark.read.parquet(p) if self.store.fs.exists(p) else None
 
     # -- search --------------------------------------------------------------
 

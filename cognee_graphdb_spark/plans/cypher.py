@@ -68,8 +68,13 @@ Mapping rules:
   direct columns; any other node property reads ``properties['key']``.
 - ``RETURN v`` expands to a ``named_struct`` of the element's key columns,
   mirroring the dict rows the reference adapters return.
-- Undirected ``-[r]-`` is rejected (the engine's edges are directed; the
-  reference's own queries never use it).
+- Undirected ``-[r]-`` matches either orientation (a UNION ALL of the edge
+  set with its flipped copy; self-loops match once).  Undirected
+  variable-length paths are rejected.
+- Write clauses (CREATE / MERGE / SET / DELETE / REMOVE) raise
+  :class:`CypherWriteUnsupported` with a pointer to the GraphStore API —
+  the CYPHER search type is the reference's read surface
+  (cypher_search_retriever.py:29-51).
 """
 
 from __future__ import annotations
@@ -82,6 +87,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CypherUnsupported(ValueError):
     """Query is outside the translated subset."""
+
+
+class CypherWriteUnsupported(CypherUnsupported):
+    """Write clause on the read-only CYPHER search surface.
+
+    The reference's adapters issue MERGE/SET/DELETE Cypher internally
+    (kuzu/adapter.py:382-449,679-732), but the CYPHER *search type* only
+    forwards reads (cypher_search_retriever.py:29-51) — writes go through
+    the engine's GraphStore API instead."""
+
+
+_WRITE_CLAUSES = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"}
+_WRITE_HINT = (
+    "Cypher write clauses (CREATE / MERGE / SET / DELETE / REMOVE) are not "
+    "supported by the CYPHER search type; use the GraphStore API instead "
+    "(upsert_nodes / upsert_edges / delete_nodes / delete_document)."
+)
 
 
 _NODE_COLS = ("id", "name", "type", "properties")
@@ -183,6 +205,7 @@ class _RelPat:
     arrow_in: bool  # True for '<-[r]-' (edge points INTO the left node)
     lo: int | None = None  # variable-length bounds ([*lo..hi]); None = one hop
     hi: int | None = None
+    undirected: bool = False  # '-[r]-': match either orientation
 
 
 @dataclass
@@ -215,6 +238,15 @@ class _Parser:
                 and self.toks[j + 2][0] in ("name", "kw")
             ):
                 self._prop_refs.setdefault(self.toks[j][1], set()).add(self.raws[j + 2])
+        # write-clause scan: a bare CREATE/MERGE/SET/DELETE/... token (not a
+        # property access, label, or alias) gets a TARGETED error up front
+        # instead of an opaque parse failure deeper in, pointing the user at
+        # the GraphStore API (the reference's own write path)
+        for j, (kind, word) in enumerate(self.toks):
+            if kind == "name" and word.upper() in _WRITE_CLAUSES:
+                prev = self.toks[j - 1] if j > 0 else ("", "")
+                if prev not in (("op", "."), ("op", ":"), ("kw", "AS")):
+                    raise CypherWriteUnsupported(_WRITE_HINT)
 
     # -- token helpers ------------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -567,12 +599,20 @@ class _Parser:
                 )
         self.expect("op", "]")
         tail = self.next()
+        undirected = False
         if arrow_in:
             if tail != ("op", "-"):
                 raise CypherUnsupported("bad relationship arrow")
+        elif tail == ("op", "-"):
+            undirected = True  # '-[r]-': either orientation (union of both)
         elif tail != ("op", "->"):
-            raise CypherUnsupported("undirected relationships are not supported (edges are directed)")
-        return _RelPat(var, rtype, arrow_in, lo, hi)
+            raise CypherUnsupported("bad relationship arrow")
+        if undirected and lo is not None:
+            raise CypherUnsupported(
+                "undirected variable-length paths are not supported; "
+                "state a direction or use the k_hop operator"
+            )
+        return _RelPat(var, rtype, arrow_in, lo, hi, undirected)
 
     # -- inner pattern: tables + WHERE conjuncts ----------------------------
     def _check_name(self, name: str) -> str:
@@ -616,11 +656,27 @@ class _Parser:
             alias = self._check_name(rp.var) if rp.var else self._fresh("r")
             rv = _Var("edge", alias)
             self.vars[alias] = rv
-            self.sql.from_tables.append(f"{self.edges_view} AS {alias}")
+            self.sql.from_tables.append(f"{self._edges_source(rp)} AS {alias}")
             self.sql.where.append(f"{alias}.src = {src.col('id')}")
             self.sql.where.append(f"{alias}.dst = {dst.col('id')}")
             if rp.rtype and rp.rtype != "EDGE":
                 self.sql.where.append(f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}")
+
+    def _edges_source(self, rp: _RelPat) -> str:
+        """Table expression for one hop.  Undirected ``-[r]-`` matches either
+        orientation: a UNION ALL of the edge set with its flipped copy
+        (self-loops excluded from the flip so they match once, openCypher
+        multiplicity — a free-endpoint undirected match yields each edge
+        twice, once per binding orientation, exactly as Neo4j does).  Catalyst
+        plans the union as two scans of the same source under one join, and
+        the edge var's src/dst read back in traversal orientation."""
+        if not rp.undirected:
+            return self.edges_view
+        return (
+            f"(SELECT src, dst, relationship_name FROM {self.edges_view}"
+            f" UNION ALL SELECT dst AS src, src AS dst, relationship_name"
+            f" FROM {self.edges_view} WHERE src <> dst)"
+        )
 
     def _vlp_body(self, rp: _RelPat) -> str:
         """Variable-length path as UNION ALL of fixed-length edge chains.
@@ -697,7 +753,7 @@ class _Parser:
             if rp.lo is not None:
                 raise CypherUnsupported("variable-length paths inside OPTIONAL MATCH are not supported")
             alias = self._fresh("inr")
-            tables.append(f"{self.edges_view} AS {alias}")
+            tables.append(f"{self._edges_source(rp)} AS {alias}")
             li, ri = idx, idx + 1
             src_i, dst_i = (ri, li) if rp.arrow_in else (li, ri)
             for endpoint_i, col in ((src_i, "src"), (dst_i, "dst")):
@@ -972,9 +1028,15 @@ def cypher_to_sql(
 
 def looks_like_cypher(query: str) -> bool:
     # strip the '//' line comments the reference's examples carry before
-    # testing the leading clause — UNWIND-led pipelines are Cypher too
+    # testing the leading clause — UNWIND-led pipelines are Cypher too.
+    # CREATE/MERGE followed by a node pattern are Cypher WRITE statements
+    # (SQL's CREATE TABLE / MERGE INTO never parenthesize there): route them
+    # to the translator so the user gets the targeted write-clause error
+    # instead of Spark SQL's opaque parse failure.
     head = re.sub(r"//[^\n]*", "", query).lstrip().upper()
-    return head.startswith(("MATCH", "OPTIONAL MATCH", "UNWIND"))
+    if head.startswith(("MATCH", "OPTIONAL MATCH", "UNWIND")):
+        return True
+    return re.match(r"(CREATE|MERGE)\s*\(", head) is not None
 
 
 def run_cypher(

@@ -193,12 +193,15 @@ class PipelineRuns:
     content hash was already processed are filtered with an anti-join."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from cognee_graphdb_spark.sources.fs import Fs
+
         self.spark = spark
+        self.fs = Fs(spark, root)  # scheme-generic (S8): file://, s3a://, ...
         self.path = os.path.join(root, "pipeline_runs")
         self.processed_path = os.path.join(root, "processed_hashes")
 
     def status(self, dataset_id: str, pipeline_name: str) -> str | None:
-        if not os.path.exists(self.path):
+        if not self.fs.exists(self.path):
             return None
         df = self.spark.read.parquet(self.path)
         # two concurrent writers can race to the same seq: break ties with the
@@ -218,7 +221,7 @@ class PipelineRuns:
         import uuid
 
         seq = 0
-        if os.path.exists(self.path):
+        if self.fs.exists(self.path):
             seq = self.spark.read.parquet(self.path).agg(F.max("seq")).first()[0] + 1
         self.spark.createDataFrame(
             [(dataset_id, pipeline_name, status, seq, time.time_ns(), uuid.uuid4().hex)],
@@ -236,9 +239,8 @@ class PipelineRuns:
         a distributed left_anti against the (small, literal) delete set is
         written to a fresh snapshot directory first, then swapped in — the
         same write-new-then-swap discipline as ``GraphStore._swap_write``."""
-        if not hashes or not os.path.exists(self.processed_path):
+        if not hashes or not self.fs.exists(self.processed_path):
             return
-        import shutil
         import uuid
 
         seen = self.spark.read.parquet(self.processed_path)
@@ -253,30 +255,28 @@ class PipelineRuns:
         # OTHER unreadable state (transient FS error, partial write) must
         # leave the live directory untouched, not silently discard the
         # store-global processed set and force full reprocessing.
-        has_parts = any(
-            f.startswith("part-") for f in os.listdir(tmp)
-        ) if os.path.isdir(tmp) else False
+        has_parts = any(f.startswith("part-") for f in self.fs.listdir(tmp))
         if not has_parts:
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(self.processed_path, ignore_errors=True)
+            self.fs.delete(tmp)
+            self.fs.delete(self.processed_path)
             return
         try:
             self.spark.read.parquet(tmp)
         except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.fs.delete(tmp)
             raise
         # two-rename swap: the live dir is renamed aside (instant), the
         # validated replacement renamed in, then the old copy reaped — the
         # loss window is two renames, not a Spark write
         old = f"{self.processed_path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.processed_path, old)
-        os.rename(tmp, self.processed_path)
-        shutil.rmtree(old, ignore_errors=True)
+        self.fs.rename(self.processed_path, old)
+        self.fs.rename(tmp, self.processed_path)
+        self.fs.delete(old)
 
     def unprocessed(self, data: DataFrame) -> DataFrame:
         """Anti-join new data against the processed-hash set — incremental
         cognify reprocesses only new content."""
-        if not os.path.exists(self.processed_path):
+        if not self.fs.exists(self.processed_path):
             return data
         seen = self.spark.read.parquet(self.processed_path)
         return data.join(seen, "content_hash", "left_anti")

@@ -9,21 +9,25 @@ Spark-first: tables live as parquet snapshot directories; an upsert is an
 anti-join + union rewritten atomically (write-new-snapshot, swap).  On a real
 lakehouse the same plans run as ``MERGE INTO`` on Delta/Iceberg — the logic
 below IS the merge condition (match on id / (src,dst,relationship_name)), so
-swapping the writer is a storage concern, not a plan change.  Paths may be
-``s3a://`` URIs (S8) — the snapshot-swap then relies on the object store's
-atomic rename semantics or a table format; local paths use os.rename.
+swapping the writer is a storage concern, not a plan change.  The root may be
+any Hadoop-supported URI (S8: ``s3a://``, ``hdfs://``, ``abfs://``, ``file://``
+or a bare local path) — every metadata operation routes through the Hadoop
+``FileSystem`` API (sources/fs.py), the same code path for all schemes, and
+snapshot versions are immutable once written so object stores never pay a
+data rename.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.sources.fs import Fs
 
 NODE_KEY = ["id"]
 EDGE_KEY = ["src", "dst", "relationship_name"]
@@ -38,7 +42,8 @@ class GraphStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.fs = Fs(spark, root)
+        self.fs.mkdirs(root)
         # ledger appends share ONE output dir, and concurrent Spark append
         # jobs share its _temporary staging — serialize them so table upserts
         # may run from a thread pool (api.cognify) while the audit trail
@@ -50,14 +55,13 @@ class GraphStore:
 
     def _current_version(self, table: str) -> str | None:
         pointer = os.path.join(self._path(table), "_CURRENT")
-        if not os.path.exists(pointer):
+        if not self.fs.exists(pointer):
             return None
-        with open(pointer) as f:
-            return os.path.join(self._path(table), f.read().strip())
+        return os.path.join(self._path(table), self.fs.read_text(pointer).strip())
 
     def load(self, table: str) -> DataFrame | None:
         p = self._current_version(table)
-        if p is None or not os.path.exists(p):
+        if p is None or not self.fs.exists(p):
             return None
         try:
             return self.spark.read.parquet(p)
@@ -76,16 +80,15 @@ class GraphStore:
         by it — the reference's DB-per-dataset multi-tenancy becomes partition
         pruning (search.py:322)."""
         base = self._path(table)
-        os.makedirs(base, exist_ok=True)
+        self.fs.mkdirs(base)
         version = f"v-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if "dataset_id" in df.columns:
             writer = writer.partitionBy("dataset_id")
         writer.parquet(os.path.join(base, version))
         tmp_pointer = os.path.join(base, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp_pointer, "w") as f:
-            f.write(version)
-        os.replace(tmp_pointer, os.path.join(base, "_CURRENT"))
+        self.fs.write_text(tmp_pointer, version)
+        self.fs.replace(tmp_pointer, os.path.join(base, "_CURRENT"))
 
     def vacuum(self) -> None:
         """Delete every non-current version (callers guarantee no reader
@@ -93,12 +96,12 @@ class GraphStore:
         for table in list(_KEYS):
             base = self._path(table)
             current = self._current_version(table)
-            if not os.path.isdir(base):
+            if not self.fs.is_dir(base):
                 continue
-            for entry in os.listdir(base):
+            for entry in self.fs.listdir(base):
                 full = os.path.join(base, entry)
                 if entry.startswith("v-") and full != current:
-                    shutil.rmtree(full, ignore_errors=True)
+                    self.fs.delete(full)
 
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
         key = _KEYS[table]
@@ -151,7 +154,7 @@ class GraphStore:
 
     def ledger(self) -> DataFrame | None:
         p = os.path.join(self.root, "ledger")
-        return self.spark.read.parquet(p) if os.path.exists(p) else None
+        return self.spark.read.parquet(p) if self.fs.exists(p) else None
 
     def ledger_with_deletions(self) -> DataFrame | None:
         """The ledger with a ``deleted_at`` column, reference-parity with
@@ -297,7 +300,7 @@ class GraphStore:
         """Full reset (api/v1/prune): drop every table including the ledger
         and ingest/run state."""
         for t in ("nodes", "edges", "embeddings", "ledger", "data", "pipeline_runs", "processed_hashes"):
-            shutil.rmtree(self._path(t), ignore_errors=True)
+            self.fs.delete(self._path(t))
 
     # -- FEEDBACK weight mutation --------------------------------------------
 

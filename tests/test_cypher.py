@@ -456,10 +456,10 @@ def test_varlength_unbounded_raises():
 
 def test_unsupported_raises(spark, graph):
     for bad in [
-        "MATCH (a)-[r]-(b) RETURN a",  # undirected
-        "CREATE (n:Thing) RETURN n",  # not MATCH
+        "CREATE (n:Thing) RETURN n",  # write clause (targeted error)
         "MATCH (n) RETURN n.id UNION MATCH (m) RETURN m.id",  # UNION
-        "MATCH (a)-[r*1..3]->(b) RETURN a",  # variable-length path
+        "MATCH (a)-[r*1..3]->(b) RETURN a",  # vlp cannot bind a variable
+        "MATCH (a)-[*1..2]-(b) RETURN a",  # undirected variable-length
     ]:
         with pytest.raises(CypherUnsupported):
             cypher_to_sql(bad)
@@ -529,6 +529,62 @@ def test_backslash_value_roundtrip(spark, graph):
         {"v": "a\\b\\"},
     )
     assert got[0]["c"] == 5
+
+
+def test_write_clauses_targeted_error(spark, graph):
+    # the reference's adapters issue MERGE/SET/DELETE internally, but the
+    # CYPHER search type is read-only: write clauses must raise a clear
+    # pointer to the GraphStore API, not an opaque SQL parse error
+    from cognee_graphdb_spark.plans.cypher import CypherWriteUnsupported, looks_like_cypher
+
+    for q in (
+        "CREATE (n:Person {name: 'x'})",
+        "MERGE (n:Person {name: 'x'})",
+        "MATCH (n) DELETE n",
+        "MATCH (n) DETACH DELETE n",
+        "MATCH (n) SET n.name = 'y'",
+        "MATCH (n) REMOVE n.name",
+    ):
+        if looks_like_cypher(q):
+            with pytest.raises(CypherWriteUnsupported, match="GraphStore API"):
+                cypher_to_sql(q)
+        else:
+            pytest.fail(f"write statement not routed to the translator: {q}")
+
+
+def test_undirected_single_hop(spark, graph):
+    # '-[r]-' matches either orientation: c1 purchased p1 (outgoing only),
+    # so the undirected pattern from p1 must still reach c1
+    got = rows(
+        spark,
+        graph,
+        "MATCH (p:Product {name: 'boots'})-[r:purchased]-(c:Customer) "
+        "RETURN c.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in got] == ["alice", "bob"]
+
+
+def test_undirected_free_endpoints_multiplicity(spark, graph):
+    # openCypher: with both endpoints free, each edge matches once per
+    # binding orientation — 4 directed edges -> 8 rows
+    [r] = rows(spark, graph, "MATCH (a)-[r]-(b) RETURN count(r) AS c")
+    assert r["c"] == 8
+
+
+def test_undirected_optional_match(spark, graph):
+    # undirected inside OPTIONAL MATCH: preference hangs off c1 only
+    got = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:has_preference]-(p:Preference) "
+        "RETURN c.name AS name, p.name AS pref ORDER BY name",
+    )
+    assert [(r["name"], r["pref"]) for r in got] == [("alice", "ShoeSize"), ("bob", None)]
+
+
+def test_undirected_varlength_raises():
+    with pytest.raises(CypherUnsupported, match="undirected variable-length"):
+        cypher_to_sql("MATCH (a)-[*1..2]-(b) RETURN count(*) AS c")
 
 
 def test_literal_group_by_ordinal(spark, graph):

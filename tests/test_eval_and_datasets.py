@@ -62,6 +62,48 @@ def test_permissions_deny_by_default(spark, tmp_path):
         a.search("CHUNKS", "anything", user_id="alice")
 
 
+def test_write_delete_permissions_deny_by_default(spark, tmp_path):
+    """Mutations are ACL-gated like reads: add/cognify need 'write', delete
+    needs 'delete' (reference: check_permissions_on_dataset in the cognify
+    task list; permission types read/write/delete/share)."""
+    root = str(tmp_path / "wperm")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    items = [("a.txt", "Alpha dataset describes apache spark executors.")]
+
+    with pytest.raises(PermissionError, match="'write'"):
+        a.add(items, user_id="alice")
+    a.permissions.give_permission("alice", "ds_a", "write")
+    a.add(items, user_id="alice")
+    assert a.cognify(user_id="alice") == 1
+
+    # write does not imply delete
+    with pytest.raises(PermissionError, match="'delete'"):
+        a.delete("a.txt", user_id="alice")
+    a.permissions.give_permission("alice", "ds_a", "delete")
+    assert a.delete("a.txt", user_id="alice") > 0
+
+
+def test_role_grants_flow_to_members(spark, tmp_path):
+    """Grants to a ROLE principal authorize its member users (Role.py +
+    UserRole membership; get_specific_user_permission_datasets resolves
+    through roles)."""
+    root = str(tmp_path / "roles")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+
+    a.permissions.give_permission("analysts", "ds_a", "read")
+    with pytest.raises(PermissionError):
+        a.search("CHUNKS", "anything", user_id="bob")  # not a member yet
+    a.permissions.add_user_to_role("bob", "analysts", tenant_id="acme")
+    assert a.permissions.has_permission("bob", "ds_a", "read")
+    assert a.permissions.authorized_datasets("bob", "read") == ["ds_a"]
+    out = a.search("CHUNKS", "dataset", top_k=5, user_id="bob")
+    assert out.count() >= 1
+    # membership confers exactly the role's grants, nothing more
+    assert not a.permissions.has_permission("bob", "ds_a", "write")
+
+
 def test_dataset_scoped_search(spark, tmp_path):
     root = str(tmp_path / "multi")
     a = CogneeSpark(spark, root, dataset_id="ds_a")

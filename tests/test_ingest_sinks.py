@@ -47,6 +47,46 @@ def test_graph_store_upsert_and_ledger(spark, tmp_path):
     assert store.ledger().count() == 4  # 2 + 2 audited rows
 
 
+@pytest.mark.parametrize("scheme", ["bare", "file"])
+def test_store_lifecycle_scheme_generic(spark, tmp_path, scheme):
+    """S8: the whole store root works through the Hadoop FileSystem API — the
+    file:// URI run proves the metadata path is scheme-generic (the same code
+    path an s3a:// root takes; reference pushes graph files to S3,
+    kuzu/adapter.py:167-187)."""
+    from cognee_graphdb_spark.sources.permissions import PermissionStore
+
+    local = str(tmp_path / "store")
+    root = local if scheme == "bare" else f"file://{local}"
+    store = GraphStore(spark, root)
+    n1 = spark.createDataFrame([("a", "A", "T")], ["id", "name", "type"])
+    store.upsert_nodes(n1)
+    store.upsert_nodes(spark.createDataFrame([("a", "A2", "T"), ("b", "B", "T")], ["id", "name", "type"]))
+    got = {r["id"]: r["name"] for r in store.load("nodes").collect()}
+    assert got == {"a": "A2", "b": "B"}
+    assert store.ledger().count() == 3
+    store.vacuum()  # non-current snapshot reaped, current still readable
+    assert store.load("nodes").count() == 2
+
+    pr = PipelineRuns(spark, root)
+    pr.log("ds1", "cognify", "COMPLETED")
+    assert not pr.should_run("ds1", "cognify")
+    data = ingest_texts(spark, [("a.txt", "alpha"), ("b.txt", "beta")])
+    pr.mark_processed(data)
+    assert pr.unprocessed(data).count() == 0
+    hashes = [r["content_hash"] for r in data.collect()]
+    pr.unmark_processed(hashes[:1])
+    assert pr.unprocessed(data).count() == 1
+
+    perms = PermissionStore(spark, root)
+    perms.give_permission("u1", "ds1", "read")
+    assert perms.has_permission("u1", "ds1", "read")
+    perms.revoke_permission("u1", "ds1", "read")
+    assert not perms.has_permission("u1", "ds1", "read")
+
+    store.prune()
+    assert store.load("nodes") is None
+
+
 def test_add_cognify_search_roundtrip_no_duplicates(spark, tmp_path):
     """The reference's test_deduplication invariant: add -> cognify twice ->
     no duplicate nodes (content-addressed ids + MERGE upsert)."""
