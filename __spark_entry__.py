@@ -815,6 +815,23 @@ def _q_cypher_translated(spark, sf_dir):
     )
 
 
+def _q_cypher_undirected(spark, sf_dir):
+    """Undirected ``-[r]-`` pattern (plans/cypher.py:_edges_source): the
+    TableType side of is_part_of edges has only INCOMING edges, so reaching
+    rows from it requires matching either orientation — the translated union
+    of both directions, per-type counts."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "MATCH (t:TableType)-[e:is_part_of]-(r:TableRow) "
+        "RETURN t.name AS table_name, count(r) AS n ORDER BY table_name",
+    )
+
+
 def _q_cypher_pipeline(spark, sf_dir):
     """UNWIND -> MATCH/WHERE -> WITH aggregation pipeline (the
     product_recommendation.py:126-145 shape) translated to nested subqueries
@@ -993,6 +1010,68 @@ def _q_resize_plan(spark, sf_dir):
         (F.col("p_size") * 25).cast("int").alias("height"),
     )
     return resize_plan(media, max_side=512)
+
+
+def _q_mm_wav_decode(spark, sf_dir):
+    """REAL WAV decode, oracle-checked: each doc synthesizes an 8-bit PCM WAV
+    (sample i = (doc_id*7 + i*3) % 256, 1000 Hz, 200 + doc_id%100 samples) via
+    sources/media.wav_bytes, then audio_frame_sample decodes the RIFF
+    container and samples actual amplitudes every 50 ms.  At 1000 Hz the
+    sample index equals the ms offset, so DuckDB restates the expected
+    amplitudes analytically — the round-trip proves header parse + PCM frame
+    addressing, not just plumbing."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import audio_frame_sample
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import wav_bytes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 100
+                pcm = bytes((did * 7 + i * 3) % 256 for i in range(n))
+                rows.append((str(did), wav_bytes(pcm, sample_rate=1000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return audio_frame_sample(media, every_ms=50)
+
+
+def _q_mm_bmp_resize(spark, sf_dir):
+    """REAL BMP decode + nearest-neighbor resize, oracle-checked: each doc
+    synthesizes a 24-bpp BMP ((16 + doc_id%8) x 12, red(x,y) = (doc_id + 3x +
+    7y) % 256 — widths not divisible by 4 exercise row padding), then
+    image_resize decodes the pixel rows and resamples to 4x3 with the
+    integer-exact floor mapping sx = tx*w//tw, which DuckDB restates."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import bmp_bytes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 8
+                blob = bmp_bytes(w, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))
+                rows.append((str(did), blob))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
 
 
 _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
@@ -1401,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified locally (tools/verify_contract.py), next rotation's leads
         "f1_f4_chunking": _q_chunking,
         "td_pack_sequences": _q_td_pack_sequences,
+        "mm_wav_decode": _q_mm_wav_decode,
+        "mm_bmp_resize": _q_mm_bmp_resize,
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
         "s4_column_values": _q_s4_column_values,
@@ -1417,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_translated": _q_cypher_translated,
         "cypher_pipeline": _q_cypher_pipeline,
         "cypher_optional_match": _q_cypher_optional_match,
+        "cypher_undirected": _q_cypher_undirected,
         "natural_language_search": _q_natural_language,
         "td_hash_sample": _q_td_hash_sample,
         "td_stratified_sample": _q_td_stratified_sample,
@@ -1834,6 +1916,34 @@ SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents"""
 
     sql["token_counts"] = f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents"
 
+    # real WAV decode: amplitude at ms offset == the synthesized PCM formula
+    # (1000 Hz => sample index == offset; duration 200 + doc_id%100 ms)
+    sql["mm_wav_decode"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(off AS BIGINT) AS frame_offset_ms,
+       CAST((doc_id * 7 + off * 3) % 256 AS BIGINT) AS amplitude
+FROM (SELECT doc_id, unnest(generate_series(0, 200 + doc_id % 100 - 1, 50)) AS off
+      FROM documents)"""
+
+    # real BMP decode + nearest resize: red_sum restated via the integer
+    # floor mapping sx = tx*w//4, sy = ty*12//3 over the 4x3 target grid
+    sql["mm_bmp_resize"] = """
+WITH g AS (SELECT doc_id, 16 + doc_id % 8 AS w FROM documents),
+cells AS (
+  SELECT doc_id, w, tx, ty
+  FROM g
+  CROSS JOIN (SELECT unnest(range(4)) AS tx)
+  CROSS JOIN (SELECT unnest(range(3)) AS ty)
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(12 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS target_width,
+       CAST(3 AS INTEGER) AS target_height,
+       CAST(SUM((doc_id + 3 * ((tx * w) // 4) + 7 * ((ty * 12) // 3)) % 256) AS BIGINT) AS red_sum
+FROM cells
+GROUP BY doc_id, w"""
+
     # F1-F3 exact reconstruction: reassembled chunks == the original document
     sql["f1_f4_chunking"] = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1972,6 +2082,20 @@ FROM edges e JOIN nodes n ON e.src = n.id GROUP BY n.name, e.relationship_name""
 SELECT t.name AS table_name, count(r.id) AS n
 FROM edges e JOIN nodes r ON e.src = r.id JOIN nodes t ON e.dst = t.id
 WHERE e.relationship_name = 'is_part_of' AND r.type = 'TableRow' AND t.type = 'TableType'
+GROUP BY t.name ORDER BY table_name"""
+
+    # undirected: union of both orientations (self-loops excluded from the
+    # flip); is_part_of only ever points row->type, so the flipped copy is
+    # what actually matches
+    sql["cypher_undirected"] = f"""WITH {g},
+sym AS (
+  SELECT src, dst, relationship_name FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, relationship_name FROM edges WHERE src <> dst
+)
+SELECT t.name AS table_name, count(r.id) AS n
+FROM sym e JOIN nodes t ON e.src = t.id JOIN nodes r ON e.dst = r.id
+WHERE e.relationship_name = 'is_part_of' AND t.type = 'TableType' AND r.type = 'TableRow'
 GROUP BY t.name ORDER BY table_name"""
 
     sql["cypher_pipeline"] = f"""WITH {g},

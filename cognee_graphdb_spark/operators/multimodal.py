@@ -6,12 +6,16 @@ image_loader.py:15).  For a 100 TB training-data pipeline the engine
 additionally needs decode / feature-extract / resize / frame-sample as
 DATA-PARALLEL operators.
 
-The decode libraries (PIL, ffmpeg, torchaudio) are NOT in this container, so
-the innermost decode call is stubbed: ``deterministic_fake=True`` derives
-features from the bytes' md5 (stable, testable batch plumbing);
-``deterministic_fake=False`` raises NotImplementedError where the real decoder
-would run.  Everything Spark-side — schema, Arrow batching, partition layout —
-is real and is the part that matters at scale.
+WAV (RIFF PCM), BMP (24bpp) and PPM (P6) decode for REAL via the public-spec
+parsers in :mod:`cognee_graphdb_spark.sources.media` (stdlib only, same
+approach as sources/pdf.py): ``audio_frame_sample`` samples actual PCM
+amplitudes, ``image_resize`` resamples actual pixel rows, and
+``extract_features`` computes real signal/pixel statistics for those formats.
+Formats needing heavyweight codecs (mp3/mp4/jpeg — PIL/ffmpeg are not in this
+container) keep the md5-seeded stand-in behind ``deterministic_fake=True``
+(or raise NotImplementedError), exactly where the real codec call would plug
+in.  Everything Spark-side — schema, Arrow batching, partition layout — is
+identical for both paths.
 """
 
 from __future__ import annotations
@@ -57,9 +61,41 @@ def extract_features(
 
     ship_package(media.sparkSession)
 
+    from cognee_graphdb_spark.sources import media as m
+
     def _decode_features(content: bytes) -> list[float]:
+        # REAL decode for the stdlib-parseable formats: WAV -> windowed RMS
+        # profile; BMP/PPM -> per-grid-cell mean luminance.  Both are
+        # deterministic signal statistics, padded/truncated to dim.
+        if content[:4] == b"RIFF":
+            samples = m.wav_samples(content)
+            info = m.parse_wav(content)
+            center = 128.0 if info.sample_width == 1 else 0.0
+            full = 255.0 if info.sample_width == 1 else 32768.0
+            n = max(1, len(samples) // dim)
+            feats = [
+                (sum((s - center) ** 2 for s in samples[i * n : (i + 1) * n]) / max(1, len(samples[i * n : (i + 1) * n]))) ** 0.5 / full
+                for i in range(dim)
+            ]
+            return [float(f) for f in feats]
+        if content[:2] in (b"BM", b"P6"):
+            px = m.decode_image(content)
+            h, w = len(px), len(px[0])
+            side = max(1, int(dim**0.5))
+            feats = []
+            for gy in range(side):
+                for gx in range(side):
+                    cell = [
+                        px[y][x]
+                        for y in range(gy * h // side, max(gy * h // side + 1, (gy + 1) * h // side))
+                        for x in range(gx * w // side, max(gx * w // side + 1, (gx + 1) * w // side))
+                    ]
+                    lum = sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in cell) / len(cell)
+                    feats.append(float(lum / 255.0))
+            feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+            return feats
         if not deterministic_fake:
-            raise NotImplementedError("real image/audio decode requires PIL/ffmpeg — not in this container")
+            raise NotImplementedError("decode for this format requires PIL/ffmpeg — not in this container")
         seed = int.from_bytes(hashlib.md5(content or b"").digest()[:8], "big")
         rng = np.random.RandomState(seed % (2**32))
         v = rng.standard_normal(dim)
@@ -74,6 +110,64 @@ def extract_features(
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 
     return media.select("media_id", "content").mapInPandas(run, _feature_schema(dim))
+
+
+def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """REAL audio sampling: decode each WAV blob's PCM frames and emit
+    (media_id, frame_offset_ms, amplitude) at every_ms steps — the decoded
+    counterpart of :func:`frame_sample_plan` (which stays expression-only for
+    formats without an in-container codec).  Arrow-batched mapInPandas; one
+    blob never leaves its partition, so decode scales with executors."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.sources.media import wav_sample_at_offsets
+
+    ship_package(media.sparkSession)
+    schema = "media_id string, frame_offset_ms long, amplitude long"
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for off, amp in wav_sample_at_offsets(bytes(content), every_ms):
+                    rows.append((mid, off, amp))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_offset_ms", "amplitude"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema)
+
+
+def image_resize(media: DataFrame, target_width: int, target_height: int) -> DataFrame:
+    """REAL image resize: decode BMP/PPM pixel rows, nearest-neighbor
+    resample (sx = tx*w//tw), and emit per-image stats of the RESIZED pixels
+    — (media_id, width, height, target_width, target_height, red_sum).
+    The integer-exact mapping keeps the output oracle-checkable."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.session import ship_package
+    from cognee_graphdb_spark.sources.media import decode_image, resize_nearest
+
+    ship_package(media.sparkSession)
+    schema = (
+        "media_id string, width int, height int, target_width int, "
+        "target_height int, red_sum long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_image(bytes(content))
+                h, w = len(px), len(px[0])
+                small = resize_nearest(px, target_width, target_height)
+                red_sum = sum(p[0] for row in small for p in row)
+                rows.append((mid, w, h, target_width, target_height, red_sum))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "target_width", "target_height", "red_sum"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -69,19 +69,47 @@ def decode_row(loader: str, content: bytes | None) -> str:
     - ``pdf_loader``: REAL deterministic text extraction
       (:mod:`cognee_graphdb_spark.sources.pdf` — pypdf when importable,
       else a pure-Python parser; reference pypdf_loader.py:19-97).
-    - ``audio_loader`` / ``image_loader`` / ``video_loader``: the reference
-      routes these through LLM transcription/description models
-      (core/audio_loader.py:18, core/image_loader.py:15) — [LLM], so the
-      decode stays a deterministic content-addressed stand-in here; the
-      Spark-side plumbing (schema, dispatch, Arrow batching) is real.
+    - ``audio_loader`` / ``image_loader``: the BINARY half decodes for REAL
+      when the blob is a stdlib-parseable format (WAV via sources/media.py
+      RIFF parse; BMP/PPM pixel rows) — the envelope carries genuine
+      channels/rate/duration/RMS or dimensions/mean-RGB.  The
+      transcript/description half is [LLM] in the reference
+      (core/audio_loader.py:18, core/image_loader.py:15) and stays behind
+      the gateway.  Unparseable formats (mp3/jpeg — codecs not in this
+      container) fall back to the content-addressed stand-in.
+    - ``video_loader``: container parsing (mp4) needs ffmpeg — stand-in.
     """
+    data = bytes(content) if content is not None else b""
     if loader == "pdf_loader":
         from cognee_graphdb_spark.sources.pdf import extract_pdf_text
 
-        return extract_pdf_text(bytes(content) if content is not None else None)
+        return extract_pdf_text(data or None)
+    if loader == "audio_loader" and data[:4] == b"RIFF":
+        try:
+            from cognee_graphdb_spark.sources import media as m
+
+            info = m.parse_wav(data)
+            rms = m.wav_rms(data)
+            return (
+                f"[audio {info.channels}ch {info.sample_rate}Hz "
+                f"{info.duration_ms}ms rms={rms:.4f}]"
+            )
+        except Exception:
+            pass
+    if loader == "image_loader" and data[:2] in (b"BM", b"P6"):
+        try:
+            from cognee_graphdb_spark.sources import media as m
+
+            px = m.decode_image(data)
+            h, w = len(px), len(px[0])
+            n = h * w
+            mean = tuple(sum(p[c] for row in px for p in row) // n for c in range(3))
+            return f"[image {w}x{h} mean_rgb={mean}]"
+        except Exception:
+            pass
     import hashlib
 
-    digest = hashlib.md5(bytes(content) if content is not None else b"").hexdigest()
+    digest = hashlib.md5(data).hexdigest()
     return f"[{loader}:{digest[:12]}]"
 
 

@@ -1,0 +1,214 @@
+"""Deterministic WAV / BMP / PPM codecs (public-spec parsers, stdlib only).
+
+Mirrors the :mod:`cognee_graphdb_spark.sources.pdf` approach: the reference
+routes audio/image through LLM loaders (transcript / description —
+cognee/infrastructure/loaders/core/audio_loader.py:18, image_loader.py:15;
+dispatch LoaderEngine.py:25-96), so the [LLM] half stays behind the gateway —
+but the BINARY half (RIFF/WAVE chunks, BITMAPINFOHEADER pixel rows, PPM P6)
+is fully specified by public formats and decodes deterministically here,
+feeding the multimodal operators real bytes instead of md5 stand-ins.
+
+Scale note: these run INSIDE Arrow-batched mapInPandas stages — pure
+per-blob Python with no shared state, so they parallelize per partition
+like any other decode UDF.  Synthesis helpers (``wav_bytes`` /
+``bmp_bytes``) exist so tests and driver oracles can round-trip encode →
+decode against an analytically predictable pixel/sample function.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM) — stdlib `wave`
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class WavInfo:
+    channels: int
+    sample_rate: int
+    sample_width: int  # bytes per sample
+    n_frames: int
+
+    @property
+    def duration_ms(self) -> int:
+        return int(self.n_frames * 1000 // self.sample_rate)
+
+
+def wav_bytes(pcm: bytes, sample_rate: int = 1000, channels: int = 1, sample_width: int = 1) -> bytes:
+    """Encode raw PCM frames as a WAV container (synthesis for fixtures)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def parse_wav(data: bytes) -> WavInfo:
+    """Header-only parse: channels / rate / width / frame count."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return WavInfo(w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes())
+
+
+def wav_samples(data: bytes) -> list[int]:
+    """First-channel sample values: unsigned for 8-bit (WAV stores 8-bit PCM
+    unsigned), signed little-endian for 16-bit."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        info = WavInfo(w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes())
+        raw = w.readframes(info.n_frames)
+    step = info.sample_width * info.channels
+    if info.sample_width == 1:
+        return [raw[i] for i in range(0, len(raw), step)]
+    if info.sample_width == 2:
+        return [struct.unpack_from("<h", raw, i)[0] for i in range(0, len(raw), step)]
+    raise ValueError(f"unsupported sample width {info.sample_width}")
+
+
+def wav_sample_at_offsets(data: bytes, every_ms: int) -> list[tuple[int, int]]:
+    """(offset_ms, amplitude) at each every_ms step — the audio analogue of
+    video frame sampling, on REAL decoded PCM."""
+    info = parse_wav(data)
+    samples = wav_samples(data)
+    out = []
+    for off in range(0, info.duration_ms, every_ms):
+        idx = off * info.sample_rate // 1000
+        if idx < len(samples):
+            out.append((off, samples[idx]))
+    return out
+
+
+def wav_rms(data: bytes) -> float:
+    """Root-mean-square amplitude of the first channel, normalized to [0,1]."""
+    info = parse_wav(data)
+    samples = wav_samples(data)
+    if not samples:
+        return 0.0
+    full = 255.0 if info.sample_width == 1 else 32768.0
+    centered = [s - 128 for s in samples] if info.sample_width == 1 else samples
+    return (sum(s * s for s in centered) / len(centered)) ** 0.5 / full
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bpp uncompressed, BITMAPINFOHEADER) + PPM (P6)
+# ---------------------------------------------------------------------------
+
+
+def bmp_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """Encode ``pixel_fn(x, y) -> (r, g, b)`` (y=0 is the TOP row) as a
+    24-bpp bottom-up BMP with 4-byte row padding — the baseline layout every
+    decoder must handle."""
+    row_size = (width * 3 + 3) & ~3
+    pixel_bytes = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b & 255, g & 255, r & 255))  # BGR order
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def parse_bmp(data: bytes) -> tuple[int, int, int]:
+    """(width, height, bits_per_pixel); raises ValueError for non-BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    return width, abs(height), bpp
+
+
+def bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Pixel rows TOP-DOWN as (r, g, b); 24-bpp uncompressed only (the
+    baseline every writer emits), honoring negative-height top-down files."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    rows = []
+    for i in range(height):
+        stored = i if top_down else height - 1 - i
+        base = offset + stored * row_size
+        row = [
+            (data[base + 3 * x + 2], data[base + 3 * x + 1], data[base + 3 * x])
+            for x in range(width)
+        ]
+        rows.append(row)
+    return rows
+
+
+def ppm_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """PPM P6 (binary) encoder."""
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((r & 255, g & 255, b & 255))
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def parse_ppm(data: bytes) -> tuple[int, int]:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    return parts[0], parts[1]
+
+
+def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    width, height = parse_ppm(data)
+    # pixel data starts after the single whitespace following maxval
+    header_end = data.index(b"255") + 4
+    rows = []
+    for y in range(height):
+        base = header_end + y * width * 3
+        rows.append(
+            [(data[base + 3 * x], data[base + 3 * x + 1], data[base + 3 * x + 2]) for x in range(width)]
+        )
+    return rows
+
+
+def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """BMP or PPM pixel rows top-down; ValueError for anything else."""
+    if data[:2] == b"BM":
+        return bmp_pixels(data)
+    if data[:2] == b"P6":
+        return ppm_pixels(data)
+    raise ValueError("unsupported image format (BMP 24bpp / PPM P6 supported)")
+
+
+def resize_nearest(
+    pixels: list[list[tuple[int, int, int]]], tw: int, th: int
+) -> list[list[tuple[int, int, int]]]:
+    """Nearest-neighbor resample with the floor mapping
+    ``sx = tx * w // tw`` — integer-exact, so oracles can restate it."""
+    h, w = len(pixels), len(pixels[0])
+    return [[pixels[ty * h // th][tx * w // tw] for tx in range(tw)] for ty in range(th)]
