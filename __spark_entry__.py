@@ -777,6 +777,38 @@ def _q_a2_graph_metrics(spark, sf_dir):
     )
 
 
+def _q_a2_triangle_clustering(spark, sf_dir):
+    """A2 avg-clustering sub-operator (graph_metrics.py:triangle_clustering,
+    reference gds.localClusteringCoefficient neo4j_metrics_utils.py:152-190)
+    oracle-checked on a graph that actually HAS triangles: the Jaccard
+    near-dup pair graph (near-dup clusters are near-cliques).  The Spark side
+    runs the hub-safe degree-ordered orientation; DuckDB recomputes
+    per-node triangle counts naively — equal EXACT counts prove the
+    orientation enumeration is lossless.  Histogram output (coefficient ->
+    node count) checks every node with no top-k tie-break sensitivity."""
+    from cognee_graphdb_spark.operators.dedup import jaccard_pairs
+    from cognee_graphdb_spark.operators.graph_metrics import triangle_clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.9)
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+        F.lit("near_dup").alias("relationship_name"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cl = triangle_clustering(nodes, edges)
+    return (
+        cl.groupBy(F.round("clustering", 6).alias("clustering"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("clustering")
+    )
+
+
 def _q_w2_lexical_chunks(spark, sf_dir):
     from cognee_graphdb_spark.plans.search_types import GraphContext, lexical_chunks
 
@@ -1482,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_pack_sequences": _q_td_pack_sequences,
         "mm_wav_decode": _q_mm_wav_decode,
         "mm_bmp_resize": _q_mm_bmp_resize,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
         "s4_column_values": _q_s4_column_values,
@@ -1852,6 +1885,45 @@ j AS (
   FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.95"""
+
+    # triangle clustering on the near-dup pair graph: DuckDB counts each
+    # node's closed neighbor pairs naively (n1.dst < n2.dst => once per
+    # unordered pair); the Spark side's degree-ordered orientation must
+    # produce the SAME exact counts
+    sql["a2_triangle_clustering"] = f"""
+WITH toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
+ts AS (SELECT DISTINCT id, unnest(t) AS token FROM toks),
+sizes AS (SELECT id, count(*) AS sz FROM ts GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ts a JOIN ts b USING (token) WHERE a.id < b.id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9
+),
+sym AS (
+  SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pairs
+  UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+tri AS (
+  SELECT n1.src AS id, count(*) AS t
+  FROM sym n1
+  JOIN sym n2 ON n1.src = n2.src AND n1.dst < n2.dst
+  JOIN sym e ON e.src = n1.dst AND e.dst = n2.dst
+  GROUP BY n1.src
+),
+cl AS (
+  SELECT d.id,
+         CASE WHEN d.deg >= 2
+              THEN round(2.0 * CAST(coalesce(t.t, 0) AS DOUBLE) / (d.deg * (d.deg - 1)), 6)
+              ELSE 0.0 END AS clustering
+  FROM deg d LEFT JOIN tri t USING (id)
+)
+SELECT clustering, CAST(count(*) AS BIGINT) AS n
+FROM cl GROUP BY clustering ORDER BY clustering"""
 
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
