@@ -1368,9 +1368,13 @@ def _q_td_mixture_plan(spark, sf_dir):
 
 
 def _q_td_curate_corpus(spark, sf_dir):
-    """End-to-end curation chain (rows-only: every stage is individually
-    oracle-checked; the composition is deterministic but restating all five
-    stages as one SQL block would just duplicate those oracles)."""
+    """End-to-end curation chain, ORACLE-CHECKED as one composed SQL block:
+    gopher filter -> exact dedup (min-id keeper) -> MinHash near-dedup with
+    connected-component keeper election -> 5-gram decontamination ->
+    learned-quality weighted resample -> deterministic shards.  Every stage
+    reuses the fragment its standalone oracle already proved; the composition
+    pins the ORDER and the keep/drop wiring between stages.  hasher=md5_64 so
+    DuckDB can restate the hash-keyed stages bit-identically."""
     from cognee_graphdb_spark.operators.curation import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -1380,9 +1384,12 @@ def _q_td_curate_corpus(spark, sf_dir):
         train,
         eval_df=ev,
         use_c4=False,  # driver docs have no line structure
+        minhash_num_hashes=16,
+        minhash_bands=8,
         quality_weights=_QUALITY_W,
         n_shards=8,
         seed=3,
+        hasher="md5_64",
     )
     return res.corpus.select("doc_id", "shard", "pos")
 
@@ -1572,13 +1579,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_ctes(num_hashes: int, bands: int, source: str = "documents") -> tuple[str, str]:
+    """(cte_chain, est_jaccard_expr): the MinHash+LSH pipeline as prefixed
+    CTEs over ``source`` — reused by the standalone oracle AND the composed
+    curation-chain oracle.  mh_cands carries both signatures so the estimate
+    is computed once in the consumer."""
     rows = num_hashes // bands
     h_exprs = ",\n      ".join(
         f"min({_md5_64('shingle', i)}) AS h{i}" for i in range(num_hashes)
     )
     band_selects = "\n      UNION ALL ".join(
-        "SELECT id, {hcols}, {bucket} AS bucket, {b} AS band FROM sig".format(
+        "SELECT id, {hcols}, {bucket} AS bucket, {b} AS band FROM mh_sig".format(
             hcols=", ".join(f"h{i}" for i in range(num_hashes)),
             bucket=_md5_64(
                 "concat_ws(',', "
@@ -1590,25 +1601,32 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
         )
         for b in range(bands)
     )
-    matches = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes))
+    matches = " + ".join(f"(CASE WHEN ah{i} = bh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes))
     toks = _TOK.format(c="text")
-    return f"""
-WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
-sh AS (
+    ctes = f"""mh_toks AS (SELECT doc_id AS id, {toks} AS t FROM {source}),
+mh_sh AS (
   SELECT id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                                    i -> array_to_string(t[i:i+2], ' '))) AS shingle
-  FROM toks
+  FROM mh_toks
 ),
-sig AS (SELECT id, {h_exprs} FROM sh GROUP BY id),
-bands AS ({band_selects}),
-cands AS (
+mh_sig AS (SELECT id, {h_exprs} FROM mh_sh GROUP BY id),
+mh_bands AS ({band_selects}),
+mh_cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          {", ".join(f"a.h{i} AS ah{i}, b.h{i} AS bh{i}" for i in range(num_hashes))}
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-)
-SELECT id_a, id_b, round(({matches.replace('a.h', 'ah').replace('b.h', 'bh')}) / {num_hashes}.0, 6) AS est_jaccard
-FROM cands
-WHERE round(({matches.replace('a.h', 'ah').replace('b.h', 'bh')}) / {num_hashes}.0, 6) >= {threshold}
+  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)"""
+    est = f"round(({matches}) / {num_hashes}.0, 6)"
+    return ctes, est
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    ctes, est = _minhash_ctes(num_hashes, bands)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b, {est} AS est_jaccard
+FROM mh_cands
+WHERE {est} >= {threshold}
 """
 
 
@@ -2656,6 +2674,103 @@ SELECT doc_id, CAST({_sh} % 16 AS INT) AS shard,
          PARTITION BY {_sh} % 16
          ORDER BY {_sh}, CAST(doc_id AS VARCHAR)) AS INT) AS pos
 FROM documents"""
+
+    # --- composed curation chain (operators/curation.py:curate_corpus) -------
+    # every stage reuses the fragment of its standalone oracle; the value
+    # added here is pinning the inter-stage wiring: each stage's keep-set is
+    # the next stage's input, keepers elected over the SURVIVOR corpus only
+    _mh_ctes, _mh_est = _minhash_ctes(16, 8, source="c_exact")
+    _sh3 = _md5_64("CAST(doc_id AS VARCHAR)", 3)
+    sql["td_curate_corpus"] = f"""
+WITH RECURSIVE
+c_input AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents WHERE doc_id % 101 != 0),
+c_eval AS (SELECT text FROM documents WHERE doc_id % 101 = 0),
+-- gopher rule filter (same feature expressions as td_gopher_filter)
+c_gf AS (
+  SELECT doc_id, text, len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mean_wl,
+         (len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\\.\\.\\.', 0)))::DOUBLE
+           / greatest(len(toks), 1) AS sym_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(toks), 1) AS alpha_frac,
+         len(list_filter(list_distinct(toks), x -> x IN ({stop_in}))) AS stop_hits
+  FROM (SELECT doc_id, text, {tok} AS toks FROM c_input)
+),
+c_gopher AS (
+  SELECT doc_id, text FROM c_gf
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+),
+-- exact dedup: keeper = min doc_id (string order) per content hash
+c_eh AS (SELECT doc_id, text, md5(text) AS ch FROM c_gopher),
+c_ek AS (SELECT ch, min(doc_id) AS keeper FROM c_eh GROUP BY ch),
+c_exact AS (SELECT e.doc_id, e.text FROM c_eh e JOIN c_ek k ON e.ch = k.ch AND e.doc_id = k.keeper),
+-- minhash near-dup pairs over the exact-dedup survivors
+{_mh_ctes},
+mh_pairs AS (SELECT id_a, id_b FROM mh_cands WHERE {_mh_est} >= 0.5),
+mh_ids AS (SELECT id_a AS id FROM mh_pairs UNION SELECT id_b FROM mh_pairs),
+mh_sym AS (SELECT id_a AS a, id_b AS b FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
+reach(a, b) AS (
+  SELECT id, id FROM mh_ids
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN mh_sym s ON r.b = s.a
+),
+mh_keep AS (SELECT a AS doc_id, min(b) AS keeper FROM reach GROUP BY a),
+c_near AS (
+  SELECT c.doc_id, c.text FROM c_exact c LEFT JOIN mh_keep k USING (doc_id)
+  WHERE k.keeper IS NULL OR k.keeper = c.doc_id
+),
+-- 5-gram decontamination against the eval split
+c_tr5 AS (
+  SELECT DISTINCT doc_id, {_md5_64('ngram', 0)} AS g
+  FROM (SELECT doc_id, {_grams5} AS ngram FROM (SELECT doc_id, {tok} AS t FROM c_near))
+),
+c_ev5 AS (
+  SELECT DISTINCT {_md5_64('ngram', 0)} AS g
+  FROM (SELECT {_grams5} AS ngram FROM (SELECT {tok} AS t FROM c_eval))
+),
+c_contaminated AS (SELECT DISTINCT doc_id FROM c_tr5 JOIN c_ev5 USING (g)),
+c_clean AS (SELECT * FROM c_near WHERE doc_id NOT IN (SELECT doc_id FROM c_contaminated)),
+-- learned-quality sigmoid weight (same features as td_quality_score) ->
+-- per-row-probability sample, hash seed 3
+c_qf AS (
+  SELECT doc_id,
+         ln(1.0 + len(toks)) AS log_n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mean_word_len,
+         len(list_filter(toks, x -> x IN ({stop_in})))::DOUBLE
+           / greatest(len(toks), 1) AS stopword_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(toks), 1) AS alpha_word_frac,
+         (len(regexp_extract_all(text, '#', 0)) + len(regexp_extract_all(text, '\\.\\.\\.', 0)))::DOUBLE
+           / greatest(len(toks), 1) AS symbol_ratio,
+         (len(toks) - len(list_distinct(toks)))::DOUBLE
+           / greatest(len(toks), 1) AS dup_word_frac
+  FROM (SELECT doc_id, text, {tok} AS toks FROM c_clean)
+),
+c_qs AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-({_qw["__intercept__"]}
+    + {_qw["log_n_words"]} * log_n_words
+    + {_qw["mean_word_len"]} * mean_word_len
+    + {_qw["stopword_ratio"]} * stopword_ratio
+    + {_qw["alpha_word_frac"]} * alpha_word_frac
+    + {_qw["symbol_ratio"]} * symbol_ratio
+    + {_qw["dup_word_frac"]} * dup_word_frac))) AS w
+  FROM c_qf
+),
+c_sampled AS (
+  SELECT c.doc_id FROM c_clean c JOIN c_qs q USING (doc_id)
+  WHERE ({_sh3} % 1000000) < q.w * 1000000.0
+)
+-- deterministic shards: shard = hash(seed 3) mod 8, pos = rank by hash
+SELECT doc_id,
+       CAST({_sh3} % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_sh3} % 8
+         ORDER BY {_sh3}, doc_id) AS INT) AS pos
+FROM c_sampled"""
 
     # --- lexical ranking (operators/ranking.py) ------------------------------
 

@@ -45,10 +45,13 @@ def curate_corpus(
     use_c4: bool = True,
     use_gopher: bool = True,
     minhash_threshold: float = 0.5,
+    minhash_num_hashes: int = 32,
+    minhash_bands: int = 16,
     decontaminate_n: int = 5,
     quality_weights: dict[str, float] | None = None,
     n_shards: int | None = None,
     seed: int = 0,
+    hasher: str = "xxhash64",
 ) -> CurationResult:
     """Run the standard curation chain over ``docs``; see module docstring
     for ordering rationale.  Optional stages disable cleanly:
@@ -61,7 +64,11 @@ def curate_corpus(
       train_quality_model`);
     - ``n_shards=None`` skips shard assignment (no global shuffle at all).
 
-    The returned frames keep (id, text) plus ``shard``/``pos`` when sharded.
+    ``hasher`` flows to every hash-keyed stage (MinHash, decontamination,
+    weighted sampling, sharding): ``xxhash64`` is the JVM-native fast path;
+    ``md5_64`` is bit-identical across engines, which is what the driver's
+    DuckDB oracle restates.  The returned frames keep (id, text) plus
+    ``shard``/``pos`` when sharded.
     """
     from cognee_graphdb_spark.operators.dedup import dedup_clusters, exact_duplicates, minhash_lsh_pairs
     from cognee_graphdb_spark.operators.training_data import (
@@ -105,7 +112,15 @@ def curate_corpus(
     cur = cur.join(drop_exact, "doc_id", "left_anti")
     stages.append(("exact_dedup", cur))
 
-    pairs = minhash_lsh_pairs(cur, threshold=minhash_threshold, text_col="text", id_col="doc_id")
+    pairs = minhash_lsh_pairs(
+        cur,
+        num_hashes=minhash_num_hashes,
+        bands=minhash_bands,
+        threshold=minhash_threshold,
+        text_col="text",
+        id_col="doc_id",
+        hasher=hasher,
+    )
     # keeper-per-connected-component election (dedup_clusters), not pairwise
     # drop-the-larger: for a chain a~b, b~c (a!~c), pairwise dropping loses
     # both b and c even though c's only duplicate was already removed —
@@ -122,7 +137,9 @@ def curate_corpus(
     stages.append(("minhash_dedup", cur))
 
     if eval_df is not None:
-        contaminated = ngram_decontaminate(cur, eval_df, n=decontaminate_n, text_col="text", id_col="doc_id")
+        contaminated = ngram_decontaminate(
+            cur, eval_df, n=decontaminate_n, text_col="text", id_col="doc_id", hasher=hasher
+        )
         cur = cur.join(contaminated.select("doc_id"), "doc_id", "left_anti")
         stages.append(("decontaminate", cur))
 
@@ -135,11 +152,12 @@ def curate_corpus(
             "__w",
             id_col="doc_id",
             seed=seed,
+            hasher=hasher,
         ).drop("__w")
         stages.append(("quality_resample", cur))
 
     if n_shards is not None:
-        cur = deterministic_shuffle(cur, n_shards=n_shards, id_col="doc_id", seed=seed)
+        cur = deterministic_shuffle(cur, n_shards=n_shards, id_col="doc_id", seed=seed, hasher=hasher)
         stages.append(("sharded", cur))
 
     return CurationResult(corpus=cur, stages=stages)
