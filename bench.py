@@ -245,6 +245,34 @@ def main() -> None:
     def _chunk():
         chunk_documents(docs, max_chunk_size=64).count()
 
+    @step("mm_media_decode")
+    def _media():
+        # synth WAV/BMP blobs from doc ids, then REAL decode: PCM frame
+        # sampling + pixel-row resize (operators/multimodal.py)
+        import pandas as pd
+
+        from cognee_graphdb_spark.operators.multimodal import audio_frame_sample, image_resize
+
+        ids = docs.select(F.col("doc_id").cast("long"))
+
+        def synth(batches):
+            from cognee_graphdb_spark.sources.media import bmp_bytes, wav_bytes
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    pcm = bytes((did * 7 + i * 3) % 256 for i in range(200 + did % 100))
+                    wav = wav_bytes(pcm, sample_rate=1000)
+                    bmp = bmp_bytes(16 + did % 8, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))
+                    rows.append((str(did), wav, bmp))
+                yield pd.DataFrame(rows, columns=["media_id", "wav", "bmp"])
+
+        media = ids.mapInPandas(synth, "media_id string, wav binary, bmp binary").cache()
+        audio_frame_sample(media.select("media_id", F.col("wav").alias("content")), every_ms=50).count()
+        image_resize(media.select("media_id", F.col("bmp").alias("content")), 4, 3).count()
+        media.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
     print(
