@@ -64,6 +64,12 @@ class LLMGateway(Protocol):
         (tasks/codingagents/coding_rule_associations.py Rule/RuleSet)."""
         ...
 
+    def judge_correctness(self, question: str, answer: str, gold: str) -> float:
+        """LLM-judged answer correctness in [0, 1] (the reference's
+        DeepEval / direct-LLM eval metrics,
+        eval_framework/evaluation/deep_eval_adapter.py)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
@@ -186,3 +192,15 @@ class MockLLMGateway:
             if _RULE_MARKER.search(sent):
                 rules.append(" ".join(sent.split()).rstrip(".;!?"))
         return rules[:5]
+
+    def judge_correctness(self, question: str, answer: str, gold: str) -> float:
+        """Mock LLM judge: fraction of the gold answer's distinct alnum
+        tokens present in the generated answer — a deterministic proxy with
+        the same signature and [0, 1] verdict range as the reference's
+        DeepEval correctness metric."""
+        split = re.compile(r"[a-z0-9]+")
+        gold_toks = set(split.findall(gold.lower()))
+        if not gold_toks:
+            return 1.0 if not split.findall(answer.lower()) else 0.0
+        ans_toks = set(split.findall(answer.lower()))
+        return len(gold_toks & ans_toks) / len(gold_toks)

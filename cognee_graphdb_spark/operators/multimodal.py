@@ -130,7 +130,11 @@ def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                for off, amp in wav_sample_at_offsets(bytes(content), every_ms):
+                try:
+                    samples = wav_sample_at_offsets(bytes(content), every_ms)
+                except Exception:
+                    continue  # malformed blob: skip, don't fail the corpus job
+                for off, amp in samples:
                     rows.append((mid, off, amp))
             yield pd.DataFrame(rows, columns=["media_id", "frame_offset_ms", "amplitude"])
 
@@ -157,9 +161,12 @@ def image_resize(media: DataFrame, target_width: int, target_height: int) -> Dat
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = decode_image(bytes(content))
+                try:
+                    px = decode_image(bytes(content))
+                    small = resize_nearest(px, target_width, target_height)
+                except Exception:
+                    continue  # malformed blob: skip, don't fail the corpus job
                 h, w = len(px), len(px[0])
-                small = resize_nearest(px, target_width, target_height)
                 red_sum = sum(p[0] for row in small for p in row)
                 rows.append((mid, w, h, target_width, target_height, red_sum))
             yield pd.DataFrame(

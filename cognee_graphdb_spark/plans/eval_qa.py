@@ -35,13 +35,19 @@ def score_answers(answers: DataFrame, pred_col: str = "answer", gold_col: str = 
     return answers.withColumn("em", em).withColumn("precision", p).withColumn("recall", r).withColumn("f1", f1)
 
 
-def evaluate_qa(engine, pairs: list[tuple[str, str]], search_type: str = "RAG_COMPLETION") -> dict:
+def evaluate_qa(
+    engine, pairs: list[tuple[str, str]], search_type: str = "RAG_COMPLETION", llm_judge: bool = False
+) -> dict:
     """Run each question through ``engine.search`` and score against gold.
 
-    Returns {"em": mean, "f1": mean, "n": count, "per_question": DataFrame}.
+    Returns {"em": mean, "f1": mean, "n": count, "per_question": DataFrame};
+    with ``llm_judge=True`` also a ``judge`` mean and per-row ``judge_score``
+    from ``gateway.judge_correctness`` — the reference's LLM-judged
+    correctness metric (eval_framework/evaluation/deep_eval_adapter.py),
+    behind the same pluggable gateway as every other [LLM] operator.
     Driver-side loop over questions mirrors the reference's
-    answer_generation_executor (one engine query per question); scoring is a
-    single Spark job.
+    answer_generation_executor (one engine query per question); deterministic
+    scoring is a single Spark job.
     """
     rows = []
     for question, gold in pairs:
@@ -50,5 +56,15 @@ def evaluate_qa(engine, pairs: list[tuple[str, str]], search_type: str = "RAG_CO
         rows.append((question, answer, gold))
     df = engine.spark.createDataFrame(rows, ["question", "answer", "gold"])
     scored = score_answers(df)
-    agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1"), F.count("*").alias("n")).first()
-    return {"em": float(agg["em"]), "f1": float(agg["f1"]), "n": int(agg["n"]), "per_question": scored}
+    out = {"n": len(rows), "per_question": scored}
+    if llm_judge:
+        judged = [
+            (q, float(engine.gateway.judge_correctness(q, a, g))) for q, a, g in rows
+        ]
+        jdf = engine.spark.createDataFrame(judged, ["question", "judge_score"])
+        scored = scored.join(jdf, "question", "left")
+        out["per_question"] = scored
+        out["judge"] = sum(s for _, s in judged) / max(1, len(judged))
+    agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1")).first()
+    out["em"], out["f1"] = float(agg["em"]), float(agg["f1"])
+    return out

@@ -587,6 +587,30 @@ def test_undirected_varlength_raises():
         cypher_to_sql("MATCH (a)-[*1..2]-(b) RETURN count(*) AS c")
 
 
+def test_sql_literal_roundtrip_fuzz(spark):
+    # every rendered string literal must parse back to the exact value under
+    # Spark SQL's escape rules — one batched action over an adversarial corpus
+    # plus seeded-random strings (the injection fixes live or die here)
+    import random
+
+    from cognee_graphdb_spark.plans.cypher import _Parser
+
+    nasty = [
+        "", "'", "''", "\\", "\\\\", "\\'", "'\\", "a\\b\\", "z\\' OR TRUE --",
+        "x' OR '1'='1", '"double"', "back`tick", "new\nline", "tab\tchar",
+        "\r\n", "100% LIKE _", "nul\\0", "\\n literal", "日本語 'quoted' \\ text",
+        "-- comment", "/* block */", "$param", "{brace}", "semi;colon",
+    ]
+    rng = random.Random(7)
+    alphabet = "ab'\\\"\n\t%_$;`-/*"
+    nasty += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))) for _ in range(40)]
+    p = _Parser("MATCH (n) RETURN n", {}, "nodes", "edges")
+    select = ", ".join(f"{p._sql_literal(v)} AS c{i}" for i, v in enumerate(nasty))
+    row = spark.sql(f"SELECT {select}").first()
+    for i, v in enumerate(nasty):
+        assert row[f"c{i}"] == v, f"literal round-trip failed for {v!r}"
+
+
 def test_literal_group_by_ordinal(spark, graph):
     # a literal non-aggregate item next to an aggregate must group by the
     # select-list position, not emit GROUP BY <literal> (ordinal collision)

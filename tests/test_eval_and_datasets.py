@@ -35,6 +35,22 @@ def test_evaluate_qa_end_to_end(spark, tmp_path):
     assert set(res["per_question"].columns) >= {"question", "answer", "gold", "em", "f1"}
 
 
+def test_evaluate_qa_llm_judge(spark, tmp_path):
+    from cognee_graphdb_spark.plans.eval_qa import evaluate_qa
+
+    e = CogneeSpark(spark, str(tmp_path / "evj"))
+    e.add([("a.txt", "Apache Spark processes large datasets with executors.")])
+    e.cognify()
+    # gold 'mock completion': the RAG answer is MOCK_COMPLETION[...], so the
+    # deterministic judge gives full marks; an unrelated gold gives zero
+    res = evaluate_qa(e, [("q1", "mock completion"), ("q2", "zebra xylophone")], llm_judge=True)
+    assert res["judge"] == pytest.approx(0.5)
+    per = {r["question"]: r["judge_score"] for r in res["per_question"].collect()}
+    assert per["q1"] == pytest.approx(1.0) and per["q2"] == pytest.approx(0.0)
+    # direct judge sanity: partial overlap scores fractionally
+    assert e.gateway.judge_correctness("q", "spark is fast", "fast spark engine") == pytest.approx(2 / 3)
+
+
 def test_permissions_deny_by_default(spark, tmp_path):
     root = str(tmp_path / "perm")
     a = CogneeSpark(spark, root, dataset_id="ds_a")

@@ -99,6 +99,25 @@ def test_image_resize_operator(spark):
     assert r["red_sum"] == sum(tx * 20 for tx in range(4)) * 4
 
 
+def test_operators_skip_malformed_blobs(spark):
+    # a 100 TB corpus always contains broken blobs: decode failures skip the
+    # row instead of failing the whole job
+    from cognee_graphdb_spark.operators.multimodal import audio_frame_sample, image_resize
+
+    good_wav = m.wav_bytes(bytes(range(100)), sample_rate=1000)
+    good_bmp = m.bmp_bytes(4, 4, _pix)
+    media = spark.createDataFrame(
+        [("ok", "audio", good_wav), ("bad", "audio", b"\x00garbage")],
+        "media_id string, kind string, content binary",
+    )
+    assert {r["media_id"] for r in audio_frame_sample(media, every_ms=50).collect()} == {"ok"}
+    media2 = spark.createDataFrame(
+        [("ok", "image", good_bmp), ("bad", "image", b"\x89PNGnope")],
+        "media_id string, kind string, content binary",
+    )
+    assert {r["media_id"] for r in image_resize(media2, 2, 2).collect()} == {"ok"}
+
+
 def test_extract_features_real_wav_and_bmp(spark):
     from cognee_graphdb_spark.operators.multimodal import extract_features
 
