@@ -1061,15 +1061,10 @@ def _q_mm_wav_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
 
     def synth(batches):
-        from cognee_graphdb_spark.sources.media import wav_bytes
+        from cognee_graphdb_spark.sources.media import synth_wav_for_id
 
         for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n = 200 + did % 100
-                pcm = bytes((did * 7 + i * 3) % 256 for i in range(n))
-                rows.append((str(did), wav_bytes(pcm, sample_rate=1000)))
+            rows = [(str(int(d)), synth_wav_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(synth, "media_id string, content binary")
@@ -1091,15 +1086,10 @@ def _q_mm_bmp_resize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
 
     def synth(batches):
-        from cognee_graphdb_spark.sources.media import bmp_bytes
+        from cognee_graphdb_spark.sources.media import synth_bmp_for_id
 
         for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w = 16 + did % 8
-                blob = bmp_bytes(w, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))
-                rows.append((str(did), blob))
+            rows = [(str(int(d)), synth_bmp_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(synth, "media_id string, content binary")

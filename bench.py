@@ -256,16 +256,13 @@ def main() -> None:
         ids = docs.select(F.col("doc_id").cast("long"))
 
         def synth(batches):
-            from cognee_graphdb_spark.sources.media import bmp_bytes, wav_bytes
+            from cognee_graphdb_spark.sources.media import synth_bmp_for_id, synth_wav_for_id
 
             for pdf in batches:
-                rows = []
-                for did in pdf["doc_id"]:
-                    did = int(did)
-                    pcm = bytes((did * 7 + i * 3) % 256 for i in range(200 + did % 100))
-                    wav = wav_bytes(pcm, sample_rate=1000)
-                    bmp = bmp_bytes(16 + did % 8, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))
-                    rows.append((str(did), wav, bmp))
+                rows = [
+                    (str(int(d)), synth_wav_for_id(int(d)), synth_bmp_for_id(int(d)))
+                    for d in pdf["doc_id"]
+                ]
                 yield pd.DataFrame(rows, columns=["media_id", "wav", "bmp"])
 
         media = ids.mapInPandas(synth, "media_id string, wav binary, bmp binary").cache()

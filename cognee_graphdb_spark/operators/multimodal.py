@@ -63,37 +63,54 @@ def extract_features(
 
     from cognee_graphdb_spark.sources import media as m
 
-    def _decode_features(content: bytes) -> list[float]:
+    def _real_features(content: bytes) -> list[float] | None:
         # REAL decode for the stdlib-parseable formats: WAV -> windowed RMS
         # profile; BMP/PPM -> per-grid-cell mean luminance.  Both are
-        # deterministic signal statistics, padded/truncated to dim.
-        if content[:4] == b"RIFF":
-            samples = m.wav_samples(content)
-            info = m.parse_wav(content)
-            center = 128.0 if info.sample_width == 1 else 0.0
-            full = 255.0 if info.sample_width == 1 else 32768.0
-            n = max(1, len(samples) // dim)
-            feats = [
-                (sum((s - center) ** 2 for s in samples[i * n : (i + 1) * n]) / max(1, len(samples[i * n : (i + 1) * n]))) ** 0.5 / full
-                for i in range(dim)
-            ]
-            return [float(f) for f in feats]
-        if content[:2] in (b"BM", b"P6"):
-            px = m.decode_image(content)
-            h, w = len(px), len(px[0])
-            side = max(1, int(dim**0.5))
-            feats = []
-            for gy in range(side):
-                for gx in range(side):
-                    cell = [
-                        px[y][x]
-                        for y in range(gy * h // side, max(gy * h // side + 1, (gy + 1) * h // side))
-                        for x in range(gx * w // side, max(gx * w // side + 1, (gx + 1) * w // side))
-                    ]
-                    lum = sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in cell) / len(cell)
-                    feats.append(float(lum / 255.0))
-            feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
-            return feats
+        # deterministic signal statistics, padded/truncated to dim.  None for
+        # anything that is not a well-formed supported blob — a RIFF-magic
+        # AVI, a truncated WAV, or a 32bpp BMP must fall back to the stand-in
+        # path, never crash the corpus job.
+        try:
+            if content[:4] == b"RIFF":
+                samples = m.wav_samples(content)
+                info = m.parse_wav(content)
+                center = 128.0 if info.sample_width == 1 else 0.0
+                full = 255.0 if info.sample_width == 1 else 32768.0
+                n = max(1, len(samples) // dim)
+                return [
+                    float(
+                        (
+                            sum((s - center) ** 2 for s in samples[i * n : (i + 1) * n])
+                            / max(1, len(samples[i * n : (i + 1) * n]))
+                        )
+                        ** 0.5
+                        / full
+                    )
+                    for i in range(dim)
+                ]
+            if content[:2] in (b"BM", b"P6"):
+                px = m.decode_image(content)
+                h, w = len(px), len(px[0])
+                side = max(1, int(dim**0.5))
+                feats = []
+                for gy in range(side):
+                    for gx in range(side):
+                        cell = [
+                            px[y][x]
+                            for y in range(gy * h // side, max(gy * h // side + 1, (gy + 1) * h // side))
+                            for x in range(gx * w // side, max(gx * w // side + 1, (gx + 1) * w // side))
+                        ]
+                        lum = sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in cell) / len(cell)
+                        feats.append(float(lum / 255.0))
+                return feats[:dim] + [0.0] * max(0, dim - len(feats))
+        except Exception:
+            return None
+        return None
+
+    def _decode_features(content: bytes) -> list[float]:
+        real = _real_features(content)
+        if real is not None:
+            return real
         if not deterministic_fake:
             raise NotImplementedError("decode for this format requires PIL/ffmpeg — not in this container")
         seed = int.from_bytes(hashlib.md5(content or b"").digest()[:8], "big")

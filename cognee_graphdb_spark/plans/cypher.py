@@ -238,15 +238,25 @@ class _Parser:
                 and self.toks[j + 2][0] in ("name", "kw")
             ):
                 self._prop_refs.setdefault(self.toks[j][1], set()).add(self.raws[j + 2])
-        # write-clause scan: a bare CREATE/MERGE/SET/DELETE/... token (not a
-        # property access, label, or alias) gets a TARGETED error up front
-        # instead of an opaque parse failure deeper in, pointing the user at
-        # the GraphStore API (the reference's own write path)
+        # write-clause scan: a CREATE/MERGE/SET/DELETE/... token in CLAUSE
+        # position gets a TARGETED error up front instead of an opaque parse
+        # failure deeper in, pointing the user at the GraphStore API (the
+        # reference's own write path).  Detection keys on the NEXT token —
+        # these words are legal identifiers in Cypher (MATCH (set:Thing)
+        # RETURN set.name is a pure read), and in valid read syntax an
+        # identifier is never followed by '(' (CREATE/MERGE open a pattern)
+        # or by another bare name (SET n..., DELETE n, DETACH DELETE).
         for j, (kind, word) in enumerate(self.toks):
-            if kind == "name" and word.upper() in _WRITE_CLAUSES:
-                prev = self.toks[j - 1] if j > 0 else ("", "")
-                if prev not in (("op", "."), ("op", ":"), ("kw", "AS")):
-                    raise CypherWriteUnsupported(_WRITE_HINT)
+            if kind != "name":
+                continue
+            up = word.upper()
+            if up not in _WRITE_CLAUSES:
+                continue
+            nxt = self.toks[j + 1] if j + 1 < len(self.toks) else ("end", "")
+            if up in ("CREATE", "MERGE") and nxt == ("op", "("):
+                raise CypherWriteUnsupported(_WRITE_HINT)
+            if up in ("SET", "DELETE", "REMOVE", "DETACH") and nxt[0] == "name":
+                raise CypherWriteUnsupported(_WRITE_HINT)
 
     # -- token helpers ------------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:

@@ -50,19 +50,22 @@ def evaluate_qa(
     scoring is a single Spark job.
     """
     rows = []
-    for question, gold in pairs:
+    for idx, (question, gold) in enumerate(pairs):
         out = engine.search(search_type, question)
         answer = out if isinstance(out, str) else " ".join(str(r) for r in out.collect())
-        rows.append((question, answer, gold))
-    df = engine.spark.createDataFrame(rows, ["question", "answer", "gold"])
+        rows.append((idx, question, answer, gold))
+    df = engine.spark.createDataFrame(rows, ["qid", "question", "answer", "gold"])
     scored = score_answers(df)
     out = {"n": len(rows), "per_question": scored}
     if llm_judge:
+        # keyed by the per-row qid, NOT the question text: eval sets routinely
+        # repeat a question with gold variants, and a text-keyed join would
+        # fan out and cross-match those rows
         judged = [
-            (q, float(engine.gateway.judge_correctness(q, a, g))) for q, a, g in rows
+            (qid, float(engine.gateway.judge_correctness(q, a, g))) for qid, q, a, g in rows
         ]
-        jdf = engine.spark.createDataFrame(judged, ["question", "judge_score"])
-        scored = scored.join(jdf, "question", "left")
+        jdf = engine.spark.createDataFrame(judged, ["qid", "judge_score"])
+        scored = scored.join(jdf, "qid", "left")
         out["per_question"] = scored
         out["judge"] = sum(s for _, s in judged) / max(1, len(judged))
     agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1")).first()

@@ -163,7 +163,10 @@ def ppm_bytes(width: int, height: int, pixel_fn) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
 
 
-def parse_ppm(data: bytes) -> tuple[int, int]:
+def _parse_ppm_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_data_offset) — tracks the scan position, so a
+    dimension containing '255' or a header comment can't confuse the pixel
+    offset (the spec: exactly ONE whitespace byte after maxval)."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     parts = []
@@ -180,13 +183,16 @@ def parse_ppm(data: bytes) -> tuple[int, int]:
             j += 1
         parts.append(int(data[i:j]))
         i = j
-    return parts[0], parts[1]
+    return parts[0], parts[1], i + 1  # skip the single whitespace after maxval
+
+
+def parse_ppm(data: bytes) -> tuple[int, int]:
+    width, height, _ = _parse_ppm_header(data)
+    return width, height
 
 
 def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
-    width, height = parse_ppm(data)
-    # pixel data starts after the single whitespace following maxval
-    header_end = data.index(b"255") + 4
+    width, height, header_end = _parse_ppm_header(data)
     rows = []
     for y in range(height):
         base = header_end + y * width * 3
@@ -212,3 +218,25 @@ def resize_nearest(
     ``sx = tx * w // tw`` — integer-exact, so oracles can restate it."""
     h, w = len(pixels), len(pixels[0])
     return [[pixels[ty * h // th][tx * w // tw] for tx in range(tw)] for ty in range(th)]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-id fixtures — the ONE Python definition of the synth
+# formulas that the driver's DuckDB oracles (mm_wav_decode / mm_bmp_resize)
+# restate analytically; bench and the contract queries both call these, so
+# the constants can't drift between call sites and oracle SQL.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_for_id(did: int) -> bytes:
+    """8-bit PCM WAV @1000 Hz: sample i = (did*7 + i*3) % 256, with
+    200 + did % 100 samples — at 1000 Hz the sample index equals the ms
+    offset, which is what makes the oracle restatement exact."""
+    n = 200 + did % 100
+    return wav_bytes(bytes((did * 7 + i * 3) % 256 for i in range(n)), sample_rate=1000)
+
+
+def synth_bmp_for_id(did: int) -> bytes:
+    """24-bpp BMP (16 + did%8) x 12, red(x, y) = (did + 3x + 7y) % 256 —
+    widths not divisible by 4 exercise row padding."""
+    return bmp_bytes(16 + did % 8, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))

@@ -36,6 +36,7 @@ class PermissionStore:
         self.spark = spark
         self.fs = Fs(spark, root)  # scheme-generic (S8): file://, s3a://, ...
         self.path = os.path.join(root, "permissions")
+        self._roles_map: dict[str, list[str]] | None = None
 
     def _load(self) -> DataFrame | None:
         return self.spark.read.parquet(self.path) if self.fs.exists(self.path) else None
@@ -64,18 +65,34 @@ class PermissionStore:
             [(user_id, role_id, tenant_id)],
             "user_id string, role_id string, tenant_id string",
         ).write.mode("append").parquet(self._roles_path)
+        self._roles_map = None  # invalidate the membership cache
+
+    def _role_map(self) -> dict[str, list[str]]:
+        """user -> role ids, loaded ONCE per instance and invalidated by
+        membership writes.  Every authorization check needs the principal
+        set, and re-reading the (small) membership table per check would put
+        a parquet scan + collect on the hot path of every search/add/
+        cognify/delete call.  Per-instance caching mirrors the reference's
+        per-session ACL resolution; another engine instance's membership
+        writes appear on this instance's next construction."""
+        if getattr(self, "_roles_map", None) is None:
+            if not self.fs.exists(self._roles_path):
+                self._roles_map = {}
+            else:
+                rows = (
+                    self.spark.read.parquet(self._roles_path)
+                    .select("user_id", "role_id")
+                    .distinct()
+                    .collect()
+                )
+                m: dict[str, set[str]] = {}
+                for r in rows:
+                    m.setdefault(r["user_id"], set()).add(r["role_id"])
+                self._roles_map = {k: sorted(v) for k, v in m.items()}
+        return self._roles_map
 
     def roles_of(self, user_id: str) -> list[str]:
-        if not self.fs.exists(self._roles_path):
-            return []
-        rows = (
-            self.spark.read.parquet(self._roles_path)
-            .filter(F.col("user_id") == user_id)
-            .select("role_id")
-            .distinct()
-            .collect()
-        )
-        return sorted(r["role_id"] for r in rows)
+        return self._role_map().get(user_id, [])
 
     def _principals(self, user_id: str) -> list[str]:
         """The user plus every role they belong to — the ACL principal set."""

@@ -552,6 +552,17 @@ def test_write_clauses_targeted_error(spark, graph):
             pytest.fail(f"write statement not routed to the translator: {q}")
 
 
+def test_write_keywords_as_identifiers_are_reads(spark, graph):
+    # CREATE/SET/DELETE/... are legal Cypher identifiers; queries USING them
+    # as variable names must stay translatable reads (Neo4j accepts these)
+    [r] = rows(spark, graph, "MATCH (set:Customer) RETURN count(set) AS c")
+    assert r["c"] == 2
+    got = rows(spark, graph, "MATCH (delete:Product) RETURN delete.name AS n ORDER BY n")
+    assert [x["n"] for x in got] == ["boots", "sandals"]
+    [r] = rows(spark, graph, "MATCH (n:Product) RETURN {merge: n.name} AS m ORDER BY n.name LIMIT 1")
+    assert r["m"]["merge"] == "boots"
+
+
 def test_undirected_single_hop(spark, graph):
     # '-[r]-' matches either orientation: c1 purchased p1 (outgoing only),
     # so the undirected pattern from p1 must still reach c1

@@ -49,6 +49,10 @@ def test_evaluate_qa_llm_judge(spark, tmp_path):
     assert per["q1"] == pytest.approx(1.0) and per["q2"] == pytest.approx(0.0)
     # direct judge sanity: partial overlap scores fractionally
     assert e.gateway.judge_correctness("q", "spark is fast", "fast spark engine") == pytest.approx(2 / 3)
+    # duplicate question texts must not fan out the judge join (keyed by qid)
+    res2 = evaluate_qa(e, [("q", "mock completion"), ("q", "zebra")], llm_judge=True)
+    assert res2["per_question"].count() == 2
+    assert res2["judge"] == pytest.approx(0.5)
 
 
 def test_permissions_deny_by_default(spark, tmp_path):

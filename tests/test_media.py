@@ -62,6 +62,19 @@ def test_ppm_roundtrip():
     assert m.ppm_pixels(data) == [[_pix(x, y) for x in range(4)] for y in range(3)]
 
 
+def test_ppm_width_255_and_comment():
+    # regression: a dimension containing '255' (or a header comment) must not
+    # confuse the pixel-data offset — the scan tracks position, never searches
+    data = m.ppm_bytes(255, 2, _pix)
+    assert m.parse_ppm(data) == (255, 2)
+    px = m.ppm_pixels(data)
+    assert px[0][0] == _pix(0, 0) and px[1][254] == _pix(254, 1)
+    plain = m.ppm_bytes(4, 3, _pix)
+    body = plain[len(b"P6\n4 3\n255\n") :]
+    with_comment = b"P6\n# a comment\n4 3\n255\n" + body
+    assert m.ppm_pixels(with_comment) == m.ppm_pixels(plain)
+
+
 def test_decode_image_dispatch_and_errors():
     assert m.decode_image(m.bmp_bytes(2, 2, _pix)) == m.decode_image(m.ppm_bytes(2, 2, _pix))
     with pytest.raises(ValueError, match="unsupported image format"):
@@ -130,6 +143,19 @@ def test_extract_features_real_wav_and_bmp(spark):
     feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=4).collect()}
     assert feats["wav1"] == pytest.approx([0.0, 0.0, 0.0, 0.0])  # silence -> zero RMS
     assert feats["img1"] == pytest.approx([1.0, 1.0, 1.0, 1.0])  # white -> full luminance
+
+
+def test_extract_features_malformed_magic_falls_back(spark):
+    # a RIFF-magic AVI or truncated BMP must take the deterministic stand-in
+    # path (pre-existing behavior), never crash the job
+    from cognee_graphdb_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [("avi", "video", b"RIFF....AVI LIST"), ("badbmp", "image", b"BM\x01\x02")],
+        "media_id string, kind string, content binary",
+    )
+    feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=4).collect()}
+    assert len(feats) == 2 and all(len(v) == 4 for v in feats.values())
 
 
 def test_ingest_envelope_real_metadata():
