@@ -229,6 +229,22 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    def cypher_write(self, query: str, params: dict | None = None, user_id: str | None = None) -> dict:
+        """Execute a write-Cypher statement against the store — the three
+        shapes the reference's adapters issue internally (batch node MERGE,
+        endpoint-matched edge MERGE, DETACH DELETE; kuzu/adapter.py:428-442,
+        711-725, 737-755).  The CYPHER *search type* stays read-only, matching
+        cypher_search_retriever.py.  ``user_id`` enforces the ACL: DETACH
+        DELETE needs ``delete``, everything else ``write``."""
+        import re as _re
+
+        from cognee_graphdb_spark.plans.cypher_write import run_cypher_write
+
+        if user_id is not None:
+            needed = "delete" if _re.search(r"(?i)\bDETACH\s+DELETE\b", query) else "write"
+            self.permissions.check_permission(user_id, self.dataset_id, needed)
+        return run_cypher_write(self.store, query, params)
+
     def visualize(self, destination_file_path: str | None = None, max_nodes: int = 200) -> str:
         """api/v1/visualize: render the stored graph (degree-ranked sample) to
         self-contained HTML; writes the file when a path is given."""
@@ -347,8 +363,16 @@ class CogneeSpark:
         nodes = self.store.load("nodes")
         edges = self.store.load("edges")
         embeddings = self.store.load("embeddings")
-        if nodes is None or edges is None or embeddings is None:
+        if nodes is None or edges is None:
             raise RuntimeError("No data found in the system, please add data first.")
+        if embeddings is None:
+            # a graph written through cypher_write / upsert_nodes alone has no
+            # vector index yet: graph-only search types (CYPHER, INSIGHTS by
+            # exact node, NL) must still work; vector types see an empty
+            # collection and return no hits
+            embeddings = self.spark.createDataFrame(
+                [], "collection string, id string, text string, vector array<float>, dataset_id string"
+            )
         if dataset_ids is not None:
             # partition-pruned scan: dataset_id is the store's partition column
             nodes = nodes.filter(F.col("dataset_id").isin(dataset_ids))

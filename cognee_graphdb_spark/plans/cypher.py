@@ -72,9 +72,10 @@ Mapping rules:
   set with its flipped copy; self-loops match once).  Undirected
   variable-length paths are rejected.
 - Write clauses (CREATE / MERGE / SET / DELETE / REMOVE) raise
-  :class:`CypherWriteUnsupported` with a pointer to the GraphStore API —
-  the CYPHER search type is the reference's read surface
-  (cypher_search_retriever.py:29-51).
+  :class:`CypherWriteUnsupported` — the CYPHER search type is the
+  reference's read surface (cypher_search_retriever.py:29-51).  The write
+  shapes the reference's adapters issue internally execute through
+  :mod:`cognee_graphdb_spark.plans.cypher_write` instead.
 """
 
 from __future__ import annotations
@@ -101,8 +102,9 @@ class CypherWriteUnsupported(CypherUnsupported):
 _WRITE_CLAUSES = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"}
 _WRITE_HINT = (
     "Cypher write clauses (CREATE / MERGE / SET / DELETE / REMOVE) are not "
-    "supported by the CYPHER search type; use the GraphStore API instead "
-    "(upsert_nodes / upsert_edges / delete_nodes / delete_document)."
+    "supported by the read-only CYPHER search type; use engine.cypher_write "
+    "(plans/cypher_write.py executes the reference adapters' write shapes) "
+    "or the GraphStore API (upsert_nodes / upsert_edges / delete_nodes)."
 )
 
 

@@ -1,0 +1,166 @@
+"""Write-Cypher subset executor (plans/cypher_write.py) — the three shapes
+the reference's adapters issue internally (kuzu/adapter.py:428-442 node
+MERGE, :711-725 edge MERGE, :737-755 DETACH DELETE), run verbatim against a
+GraphStore."""
+
+import pytest
+
+from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+from cognee_graphdb_spark.plans.cypher_write import run_cypher_write
+from cognee_graphdb_spark.sources.sinks import GraphStore
+
+# the reference's batch node-merge query, verbatim (kuzu/adapter.py:428-442)
+NODE_MERGE = """
+UNWIND $nodes AS node
+MERGE (n:Node {id: node.id})
+ON CREATE SET
+    n.name = node.name,
+    n.type = node.type,
+    n.properties = node.properties,
+    n.created_at = timestamp(node.created_at),
+    n.updated_at = timestamp(node.updated_at)
+ON MATCH SET
+    n.name = node.name,
+    n.type = node.type,
+    n.properties = node.properties,
+    n.updated_at = timestamp(node.updated_at)
+"""
+
+# the reference's batch edge-merge query, verbatim (kuzu/adapter.py:711-725)
+EDGE_MERGE = """
+UNWIND $edges AS edge
+MATCH (from:Node), (to:Node)
+WHERE from.id = edge.from_id AND to.id = edge.to_id
+MERGE (from)-[r:EDGE {
+    relationship_name: edge.relationship_name
+}]->(to)
+ON CREATE SET
+    r.created_at = timestamp(edge.created_at),
+    r.updated_at = timestamp(edge.updated_at),
+    r.properties = edge.properties
+ON MATCH SET
+    r.updated_at = timestamp(edge.updated_at),
+    r.properties = edge.properties
+"""
+
+
+def _node(i, name, type_, **props):
+    import json
+
+    return {"id": i, "name": name, "type": type_, "properties": json.dumps(props),
+            "created_at": "2024-01-01", "updated_at": "2024-01-01"}
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path / "cw"))
+
+
+def test_reference_node_merge_batch(store):
+    out = run_cypher_write(
+        store, NODE_MERGE,
+        {"nodes": [_node("a", "Alice", "Person", city="berlin"), _node("b", "Bob", "Person")]},
+    )
+    assert out == {"nodes_upserted": 2}
+    got = {r["id"]: r for r in store.load("nodes").collect()}
+    assert got["a"]["name"] == "Alice" and got["a"]["properties"]["city"] == "berlin"
+    # ON MATCH path: re-merge updates in place, no duplicate rows
+    run_cypher_write(store, NODE_MERGE, {"nodes": [_node("a", "Alicia", "Person")]})
+    nodes = store.load("nodes")
+    assert nodes.count() == 2
+    assert {r["name"] for r in nodes.collect()} == {"Alicia", "Bob"}
+
+
+def test_reference_edge_merge_matches_endpoints_only(store):
+    run_cypher_write(
+        store, NODE_MERGE, {"nodes": [_node("a", "A", "T"), _node("b", "B", "T")]}
+    )
+    edges = [
+        {"from_id": "a", "to_id": "b", "relationship_name": "likes",
+         "properties": "{}", "created_at": "x", "updated_at": "x"},
+        # missing endpoint: MATCH semantics drop it, exactly like the reference query
+        {"from_id": "a", "to_id": "ghost", "relationship_name": "likes",
+         "properties": "{}", "created_at": "x", "updated_at": "x"},
+    ]
+    out = run_cypher_write(store, EDGE_MERGE, {"edges": edges})
+    assert out == {"edges_upserted": 1}
+    [e] = store.load("edges").collect()
+    assert (e["src"], e["dst"], e["relationship_name"]) == ("a", "b", "likes")
+    # idempotent re-merge: still one edge
+    run_cypher_write(store, EDGE_MERGE, {"edges": edges})
+    assert store.load("edges").count() == 1
+
+
+def test_reference_detach_delete(store):
+    run_cypher_write(
+        store, NODE_MERGE, {"nodes": [_node("a", "A", "T"), _node("b", "B", "T"), _node("c", "C", "T")]}
+    )
+    run_cypher_write(store, EDGE_MERGE, {"edges": [
+        {"from_id": "a", "to_id": "b", "relationship_name": "r", "properties": "{}",
+         "created_at": "x", "updated_at": "x"}]})
+    # single delete (adapter.py:737)
+    out = run_cypher_write(store, "MATCH (n:Node) WHERE n.id = $id DETACH DELETE n", {"id": "b"})
+    assert out == {"nodes_deleted": 1}
+    assert {r["id"] for r in store.load("nodes").collect()} == {"a", "c"}
+    assert store.load("edges").count() == 0  # DETACH removed the incident edge
+    # batch delete (adapter.py:755)
+    out = run_cypher_write(store, "MATCH (n:Node) WHERE n.id IN $ids DETACH DELETE n", {"ids": ["a", "c"]})
+    assert out == {"nodes_deleted": 2}
+    assert store.load("nodes").count() == 0
+
+
+def test_plain_create_and_typed_edge(store):
+    run_cypher_write(store, "CREATE (n:City {id: 'x', name: 'Xi'})")
+    run_cypher_write(store, "MERGE (n:City {id: 'y', name: 'Ypsilon'})")
+    got = {r["id"]: (r["name"], r["type"]) for r in store.load("nodes").collect()}
+    assert got == {"x": ("Xi", "City"), "y": ("Ypsilon", "City")}
+    # typed relationship pattern names the edge when no property map does
+    out = run_cypher_write(
+        store,
+        "MATCH (a:City), (b:City) WHERE a.id = $s AND b.id = $t MERGE (a)-[r:near]->(b)",
+        {"s": "x", "t": "y"},
+    )
+    assert out == {"edges_upserted": 1}
+    [e] = store.load("edges").collect()
+    assert e["relationship_name"] == "near"
+
+
+def test_unsupported_write_shapes_raise(store):
+    for bad in (
+        "MATCH (n) RETURN n",  # not a write
+        "UNWIND $xs AS x CREATE (n {name: x.name})",  # no id
+        "MATCH (n) SET n.name = 'y'",  # bare SET statement is not in the subset
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher_write(store, bad, {"xs": [{"name": "a"}]})
+
+
+def test_write_then_read_roundtrip(spark, tmp_path):
+    # a store populated ONLY through cypher_write is readable via the CYPHER
+    # search type (no vector index exists yet; graph-only reads must work)
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    e = CogneeSpark(spark, str(tmp_path / "cwrt"))
+    e.cypher_write(NODE_MERGE, {"nodes": [_node("a", "A", "T"), _node("b", "B", "T")]})
+    e.cypher_write(EDGE_MERGE, {"edges": [
+        {"from_id": "a", "to_id": "b", "relationship_name": "likes", "properties": "{}",
+         "created_at": "x", "updated_at": "x"}]})
+    [row] = e.search("CYPHER", "MATCH (a)-[r:likes]->(b) RETURN a.name AS a, b.name AS b").collect()
+    assert (row["a"], row["b"]) == ("A", "B")
+    # vector search over the index-less store returns empty, not an error
+    assert e.search("CHUNKS", "anything").count() == 0
+
+
+def test_api_cypher_write_permission_gated(spark, tmp_path):
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    e = CogneeSpark(spark, str(tmp_path / "cwapi"))
+    with pytest.raises(PermissionError, match="'write'"):
+        e.cypher_write("CREATE (n:T {id: 'a', name: 'A'})", user_id="eve")
+    e.permissions.give_permission("eve", "main_dataset", "write")
+    assert e.cypher_write("CREATE (n:T {id: 'a', name: 'A'})", user_id="eve") == {"nodes_upserted": 1}
+    with pytest.raises(PermissionError, match="'delete'"):
+        e.cypher_write("MATCH (n) WHERE n.id = $id DETACH DELETE n", {"id": "a"}, user_id="eve")
+    e.permissions.give_permission("eve", "main_dataset", "delete")
+    out = e.cypher_write("MATCH (n) WHERE n.id = $id DETACH DELETE n", {"id": "a"}, user_id="eve")
+    assert out == {"nodes_deleted": 1}
