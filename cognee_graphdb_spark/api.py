@@ -236,14 +236,13 @@ class CogneeSpark:
         711-725, 737-755).  The CYPHER *search type* stays read-only, matching
         cypher_search_retriever.py.  ``user_id`` enforces the ACL: DETACH
         DELETE needs ``delete``, everything else ``write``."""
-        import re as _re
-
-        from cognee_graphdb_spark.plans.cypher_write import run_cypher_write
+        from cognee_graphdb_spark.plans.cypher_write import classify_cypher_write, run_cypher_write
 
         if user_id is not None:
-            needed = "delete" if _re.search(r"(?i)\bDETACH\s+DELETE\b", query) else "write"
-            self.permissions.check_permission(user_id, self.dataset_id, needed)
-        return run_cypher_write(self.store, query, params)
+            # classification runs on the TOKEN stream (comments stripped), so
+            # it cannot diverge from what the parser executes
+            self.permissions.check_permission(user_id, self.dataset_id, classify_cypher_write(query))
+        return run_cypher_write(self.store, query, params, dataset_id=self.dataset_id)
 
     def visualize(self, destination_file_path: str | None = None, max_nodes: int = 200) -> str:
         """api/v1/visualize: render the stored graph (degree-ranked sample) to
@@ -363,13 +362,17 @@ class CogneeSpark:
         nodes = self.store.load("nodes")
         edges = self.store.load("edges")
         embeddings = self.store.load("embeddings")
-        if nodes is None or edges is None:
+        if nodes is None:
             raise RuntimeError("No data found in the system, please add data first.")
+        # a graph written through cypher_write / upsert_nodes alone may have
+        # no edges or vector index yet: graph-only search types (CYPHER,
+        # INSIGHTS by exact node, NL) must still work; vector types see an
+        # empty collection and return no hits
+        if edges is None:
+            edges = self.spark.createDataFrame(
+                [], "src string, dst string, relationship_name string, dataset_id string"
+            )
         if embeddings is None:
-            # a graph written through cypher_write / upsert_nodes alone has no
-            # vector index yet: graph-only search types (CYPHER, INSIGHTS by
-            # exact node, NL) must still work; vector types see an empty
-            # collection and return no hits
             embeddings = self.spark.createDataFrame(
                 [], "collection string, id string, text string, vector array<float>, dataset_id string"
             )

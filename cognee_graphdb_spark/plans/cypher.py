@@ -217,7 +217,48 @@ class _Sql:
     where: list[str] = field(default_factory=list)
 
 
-class _Parser:
+class _TokenCursor:
+    """Shared token-stream cursor for the read and write parsers; subclasses
+    set ``self.toks`` / ``self.raws`` / ``self.i`` from :func:`_tokenize`."""
+
+    toks: list[tuple[str, str]]
+    raws: list[str]
+    i: int
+
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise CypherUnsupported(f"expected {val or kind}, got {t[1]!r}")
+        return t[1]
+
+    def _ident(self) -> str:
+        """An identifier position: plain names, or keywords used as names
+        ('contains', 'in', ... are legitimate relationship/property names) —
+        raw spelling preserved (the tokenizer uppercases keyword matches)."""
+        t = self.toks[self.i]
+        if t[0] in ("name", "kw"):
+            raw = self.raws[self.i]
+            self.i += 1
+            return raw
+        raise CypherUnsupported(f"expected identifier, got {t[1]!r}")
+
+
+class _Parser(_TokenCursor):
     def __init__(self, query: str, params: dict | None, nodes_view: str, edges_view: str):
         self.toks, self.raws = _tokenize(query)
         self.i = 0
@@ -259,38 +300,6 @@ class _Parser:
                 raise CypherWriteUnsupported(_WRITE_HINT)
             if up in ("SET", "DELETE", "REMOVE", "DETACH") and nxt[0] == "name":
                 raise CypherWriteUnsupported(_WRITE_HINT)
-
-    # -- token helpers ------------------------------------------------------
-    def peek(self, k: int = 0) -> tuple[str, str]:
-        return self.toks[min(self.i + k, len(self.toks) - 1)]
-
-    def next(self) -> tuple[str, str]:
-        t = self.toks[self.i]
-        self.i += 1
-        return t
-
-    def accept(self, kind: str, val: str | None = None) -> bool:
-        t = self.peek()
-        if t[0] == kind and (val is None or t[1] == val):
-            self.i += 1
-            return True
-        return False
-
-    def expect(self, kind: str, val: str | None = None) -> str:
-        t = self.next()
-        if t[0] != kind or (val is not None and t[1] != val):
-            raise CypherUnsupported(f"expected {val or kind}, got {t[1]!r}")
-        return t[1]
-
-    def _ident(self) -> str:
-        """An identifier position: plain names, or keywords used as names
-        ('contains', 'in', ... are legitimate relationship/property names)."""
-        t = self.toks[self.i]
-        if t[0] in ("name", "kw"):
-            raw = self.raws[self.i]
-            self.i += 1
-            return raw
-        raise CypherUnsupported(f"expected identifier, got {t[1]!r}")
 
     def _export_cols(self, var_kind: str, name: str) -> list[str]:
         """Columns a derived table must export for a carried node/edge var;

@@ -32,6 +32,16 @@ whose endpoint is absent is NOT created, exactly like the reference query),
 and DETACH DELETE becomes ``delete_nodes`` (incident edges + vector rows go
 with it, matching DETACH).
 
+Multi-tenancy: pass ``dataset_id`` (``CogneeSpark.cypher_write`` passes its
+own) and the written rows carry it, upserts merge per-dataset, endpoint
+matching sees only that dataset's nodes, and deletes are scoped — the same
+isolation every other mutation path has (the reference runs one graph DB per
+dataset; search.py:322).
+
+Statements parse COMPLETELY before any mutation runs (trailing tokens are an
+error, not silent truncation), and the returned counts reflect rows actually
+written/deleted.
+
 Divergences, documented: ON CREATE SET and ON MATCH SET collapse — the
 store's upsert replaces a matched row with the incoming version, so the union
 of both SET lists is applied unconditionally (the reference's lists differ
@@ -50,26 +60,32 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from cognee_graphdb_spark.plans.cypher import CypherUnsupported, _tokenize
-
-_NODE_COLS = ("id", "name", "type")
+from cognee_graphdb_spark.plans.cypher import CypherUnsupported, _TokenCursor, _tokenize, _unescape
 
 
-class _WriteParser:
+def classify_cypher_write(query: str) -> str:
+    """'delete' for DETACH DELETE statements, 'write' otherwise — decided on
+    the TOKEN stream (comments already stripped by the tokenizer), so the
+    permission class can never diverge from what the parser executes."""
+    toks, _ = _tokenize(query)
+    for j in range(len(toks) - 1):
+        if (
+            toks[j][0] in ("name", "kw")
+            and toks[j][1].upper() == "DETACH"
+            and toks[j + 1][0] in ("name", "kw")
+            and toks[j + 1][1].upper() == "DELETE"
+        ):
+            return "delete"
+    return "write"
+
+
+class _WriteParser(_TokenCursor):
     def __init__(self, query: str, params: dict | None):
         self.toks, self.raws = _tokenize(query)
         self.i = 0
         self.params = params or {}
 
-    # -- token helpers (names are case-insensitive clause words here) --------
-    def peek(self, k: int = 0) -> tuple[str, str]:
-        return self.toks[min(self.i + k, len(self.toks) - 1)]
-
-    def next(self) -> tuple[str, str]:
-        t = self.toks[self.i]
-        self.i += 1
-        return t
-
+    # -- clause words (ON/SET/MERGE/... tokenize as names; case-insensitive) --
     def at_word(self, *words: str) -> bool:
         t = self.peek()
         return t[0] in ("name", "kw") and t[1].upper() in words
@@ -80,54 +96,55 @@ class _WriteParser:
         return self.next()[1].upper()
 
     def accept_op(self, op: str) -> bool:
-        if self.peek() == ("op", op):
-            self.i += 1
-            return True
-        return False
+        return self.accept("op", op)
 
     def expect_op(self, op: str) -> None:
         if not self.accept_op(op):
             raise CypherUnsupported(f"expected {op!r}, got {self.peek()!r}")
 
-    def name(self) -> str:
-        t = self.next()
-        if t[0] not in ("name", "kw"):
-            raise CypherUnsupported(f"expected a name, got {t!r}")
-        return t[1]
+    def expect_end(self) -> None:
+        """The whole statement must have been consumed — trailing clauses
+        would otherwise be silently dropped (partial execution)."""
+        if self.peek()[0] != "end":
+            raise CypherUnsupported(f"trailing tokens near {self.peek()[1]!r}")
 
     # -- expressions over one UNWIND binding ---------------------------------
     def expr(self):
         """-> callable(binding_dict) -> value."""
-        t = self.next()
+        t = self.peek()
         if t[0] == "param":
+            self.next()
             key = t[1][1:]
             if key not in self.params:
                 raise CypherUnsupported(f"missing parameter ${key}")
             val = self.params[key]
             return lambda b, v=val: v
         if t[0] == "str":
-            from cognee_graphdb_spark.plans.cypher import _unescape
-
+            self.next()
             s = _unescape(t[1][1:-1])
             return lambda b, v=s: v
         if t[0] == "num":
+            self.next()
             v = float(t[1]) if "." in t[1] else int(t[1])
             return lambda b, v=v: v
         if t == ("kw", "NULL"):
+            self.next()
             return lambda b: None
         if t == ("kw", "TRUE"):
+            self.next()
             return lambda b: True
         if t == ("kw", "FALSE"):
+            self.next()
             return lambda b: False
         if t[0] in ("name", "kw"):
-            word = t[1]
+            word = self._ident()  # raw spelling, keyword-colliding names intact
             if self.peek() == ("op", "("):  # timestamp(expr) and friends: identity
                 self.next()
                 inner = self.expr()
                 self.expect_op(")")
                 return inner
             if self.accept_op("."):
-                field = self.name()
+                field = self._ident()
                 return lambda b, u=word, f=field: _field(b, u, f)
             raise CypherUnsupported(f"bare identifier {word!r} is not a value")
         raise CypherUnsupported(f"unsupported value token {t!r}")
@@ -137,7 +154,7 @@ class _WriteParser:
         out = {}
         self.expect_op("{")
         while True:
-            key = self.name()
+            key = self._ident()
             self.expect_op(":")
             out[key] = self.expr()
             if not self.accept_op(","):
@@ -145,9 +162,11 @@ class _WriteParser:
         self.expect_op("}")
         return out
 
-    def on_set_clauses(self, var: str) -> dict[str, Any]:
+    def on_set_clauses(self, var: str | None) -> dict[str, Any]:
         """(ON CREATE SET ... | ON MATCH SET ... | SET ...)* -> merged
-        {field: thunk} for assignments on ``var`` (both branches union)."""
+        {field: thunk} for assignments on ``var`` (both branches union).
+        Assignments to any OTHER variable are an error — silently ignoring
+        them would be partial execution."""
         sets: dict[str, Any] = {}
         while True:
             if self.at_word("ON"):
@@ -159,13 +178,16 @@ class _WriteParser:
             else:
                 return sets
             while True:
-                target = self.name()
+                target = self._ident()
                 self.expect_op(".")
-                field = self.name()
+                field = self._ident()
                 self.expect_op("=")
                 thunk = self.expr()
-                if target == var:
-                    sets[field] = thunk
+                if var is None or target != var:
+                    raise CypherUnsupported(
+                        f"SET on {target!r} is outside this statement's merge target"
+                    )
+                sets[field] = thunk
                 if not self.accept_op(","):
                     break
 
@@ -196,15 +218,18 @@ def _coerce_props(value) -> dict[str, str] | None:
     return {"value": str(value)}
 
 
-def run_cypher_write(store, query: str, params: dict | None = None) -> dict[str, int]:
+def run_cypher_write(
+    store, query: str, params: dict | None = None, dataset_id: str | None = None
+) -> dict[str, int]:
     """Parse + execute one write statement against ``store`` (a GraphStore).
 
-    Returns counts: {"nodes_upserted": n} / {"edges_upserted": n} /
-    {"nodes_deleted": n}.  Raises CypherUnsupported outside the subset.
+    Returns counts of rows actually written/deleted: {"nodes_upserted": n} /
+    {"edges_upserted": n} / {"nodes_deleted": n}.  Raises CypherUnsupported
+    outside the subset.  ``dataset_id`` scopes every row and match (see
+    module docstring).
     """
     p = _WriteParser(query, params)
     bindings: list[dict] = [{}]
-    uvar = None
     if p.peek() == ("kw", "UNWIND"):
         p.next()
         t = p.next()
@@ -215,29 +240,38 @@ def run_cypher_write(store, query: str, params: dict | None = None) -> dict[str,
             raise CypherUnsupported("UNWIND parameter must be a list")
         if p.next() != ("kw", "AS"):
             raise CypherUnsupported("UNWIND needs AS")
-        uvar = p.name()
+        uvar = p._ident()
         bindings = [{uvar: item} for item in items]
 
     if p.at_word("CREATE", "MERGE"):
-        return _node_upsert(p, store, bindings)
+        return _node_upsert(p, store, bindings, dataset_id)
     if p.peek() == ("kw", "MATCH"):
-        return _match_statement(p, store, bindings)
+        return _match_statement(p, store, bindings, dataset_id)
     raise CypherUnsupported("write statements start with UNWIND/CREATE/MERGE/MATCH")
 
 
-def _node_upsert(p: _WriteParser, store, bindings: list[dict]) -> dict[str, int]:
+def _with_dataset(df, dataset_id: str | None):
+    if dataset_id is None:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumn("dataset_id", F.lit(dataset_id))
+
+
+def _node_upsert(p: _WriteParser, store, bindings: list[dict], dataset_id: str | None) -> dict[str, int]:
     """(CREATE|MERGE) (n[:Label] {k: v, ...}) [ON ... SET ...]*"""
     p.next()  # CREATE | MERGE
     p.expect_op("(")
-    var = p.name()
+    var = p._ident()
     label = None
     if p.accept_op(":"):
-        label = p.name()
+        label = p._ident()
     pattern = p.prop_map() if p.peek() == ("op", "{") else {}
     p.expect_op(")")
     sets = p.on_set_clauses(var)
+    p.expect_end()  # parse completes BEFORE any mutation
 
-    rows = []
+    rows_by_id: dict[str, tuple] = {}
     for b in bindings:
         fields: dict[str, Any] = {k: thunk(b) for k, thunk in pattern.items()}
         for k, thunk in sets.items():
@@ -246,30 +280,41 @@ def _node_upsert(p: _WriteParser, store, bindings: list[dict]) -> dict[str, int]
             fields["type"] = label
         if "id" not in fields or fields["id"] is None:
             raise CypherUnsupported("node MERGE/CREATE needs an id")
-        rows.append(
-            (
-                str(fields["id"]),
-                None if fields.get("name") is None else str(fields["name"]),
-                None if fields.get("type") is None else str(fields["type"]),
-                _coerce_props(fields.get("properties")),
-            )
+        nid = str(fields["id"])
+        rows_by_id[nid] = (  # last write wins within the batch, like MERGE
+            nid,
+            None if fields.get("name") is None else str(fields["name"]),
+            None if fields.get("type") is None else str(fields["type"]),
+            _coerce_props(fields.get("properties")),
         )
+    if not rows_by_id:
+        return {"nodes_upserted": 0}
     df = store.spark.createDataFrame(
-        rows, "id string, name string, type string, properties map<string,string>"
+        list(rows_by_id.values()),
+        "id string, name string, type string, properties map<string,string>",
     )
-    store.upsert_nodes(df, created_by="cypher_write")
-    return {"nodes_upserted": len(rows)}
+    store.upsert_nodes(_with_dataset(df, dataset_id), created_by="cypher_write")
+    return {"nodes_upserted": len(rows_by_id)}
 
 
-def _match_statement(p: _WriteParser, store, bindings: list[dict]) -> dict[str, int]:
+def _scoped_nodes(store, dataset_id: str | None):
+    from pyspark.sql import functions as F
+
+    nodes = store.load("nodes")
+    if nodes is not None and dataset_id is not None and "dataset_id" in nodes.columns:
+        nodes = nodes.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+    return nodes
+
+
+def _match_statement(p: _WriteParser, store, bindings: list[dict], dataset_id: str | None) -> dict[str, int]:
     """MATCH (a[:L]) [, (b[:L])] [WHERE conds] (DETACH DELETE a | MERGE edge)"""
     p.next()  # MATCH
     node_vars: list[str] = []
     while True:
         p.expect_op("(")
-        node_vars.append(p.name())
+        node_vars.append(p._ident())
         if p.accept_op(":"):
-            p.name()  # label — :Node matches all in this engine
+            p._ident()  # label — :Node matches all in this engine
         p.expect_op(")")
         if not p.accept_op(","):
             break
@@ -278,19 +323,17 @@ def _match_statement(p: _WriteParser, store, bindings: list[dict]) -> dict[str, 
     if p.peek() == ("kw", "WHERE"):
         p.next()
         while True:
-            var = p.name()
+            var = p._ident()
             p.expect_op(".")
-            field = p.name()
+            field = p._ident()
             if field != "id":
                 raise CypherUnsupported("write MATCH filters bind on id only")
             if p.peek() == ("kw", "IN"):
                 p.next()
-                thunk = p.expr()
-                conds[var] = ("in", thunk)
+                conds[var] = ("in", p.expr())
             else:
                 p.expect_op("=")
-                thunk = p.expr()
-                conds[var] = ("eq", thunk)
+                conds[var] = ("eq", p.expr())
             if p.peek() != ("kw", "AND"):
                 break
             p.next()
@@ -298,51 +341,61 @@ def _match_statement(p: _WriteParser, store, bindings: list[dict]) -> dict[str, 
     if p.at_word("DETACH"):
         p.next()
         p.eat_word("DELETE")
-        target = p.name()
+        target = p._ident()
+        p.expect_end()
         if target not in node_vars or target not in conds:
             raise CypherUnsupported("DETACH DELETE needs an id-bound matched variable")
         kind, thunk = conds[target]
-        ids: list[str] = []
+        ids: set[str] = set()
         for b in bindings:
             v = thunk(b)
-            ids.extend(str(x) for x in v) if kind == "in" else ids.append(str(v))
-        ids_df = store.spark.createDataFrame([(i,) for i in sorted(set(ids))], ["id"])
-        store.delete_nodes(ids_df, created_by="cypher_write")
-        return {"nodes_deleted": len(set(ids))}
+            if kind == "in":
+                ids.update(str(x) for x in v)
+            else:
+                ids.add(str(v))
+        if not ids:
+            return {"nodes_deleted": 0}
+        ids_df = store.spark.createDataFrame([(i,) for i in sorted(ids)], "id string")
+        nodes = _scoped_nodes(store, dataset_id)
+        # count what actually exists in scope — Cypher reports real deletions,
+        # not the size of the requested id list
+        n = 0 if nodes is None else nodes.join(ids_df, "id", "leftsemi").count()
+        if n:
+            store.delete_nodes(ids_df, created_by="cypher_write", dataset_id=dataset_id)
+        return {"nodes_deleted": n}
 
     if p.at_word("MERGE"):
-        return _edge_upsert(p, store, bindings, node_vars, conds)
+        return _edge_upsert(p, store, bindings, node_vars, conds, dataset_id)
     raise CypherUnsupported("MATCH in a write statement must end in DETACH DELETE or MERGE")
 
 
-def _edge_upsert(p, store, bindings, node_vars, conds) -> dict[str, int]:
+def _edge_upsert(p, store, bindings, node_vars, conds, dataset_id) -> dict[str, int]:
     """MERGE (a)-[r:TYPE {k: v}]->(b) [ON ... SET ...]*"""
-    from pyspark.sql import functions as F
-
     p.next()  # MERGE
     p.expect_op("(")
-    src_var = p.name()
+    src_var = p._ident()
     p.expect_op(")")
     p.expect_op("-")
     p.expect_op("[")
     rel_var = None
-    if p.peek()[0] == "name" and p.peek(1) == ("op", ":"):
-        rel_var = p.name()
+    if p.peek()[0] in ("name", "kw") and p.peek(1) == ("op", ":"):
+        rel_var = p._ident()
     p.expect_op(":")
-    rtype = p.name()
+    rtype = p._ident()
     rel_map = p.prop_map() if p.peek() == ("op", "{") else {}
     p.expect_op("]")
     if p.next() != ("op", "->"):
         raise CypherUnsupported("edge MERGE must be directed ->")
     p.expect_op("(")
-    dst_var = p.name()
+    dst_var = p._ident()
     p.expect_op(")")
-    sets = p.on_set_clauses(rel_var) if rel_var else {}
+    sets = p.on_set_clauses(rel_var)
+    p.expect_end()
     for v in (src_var, dst_var):
         if v not in node_vars or v not in conds:
             raise CypherUnsupported(f"edge endpoint {v!r} must be a matched, id-bound variable")
 
-    rows = []
+    rows_by_key: dict[tuple, tuple] = {}
     for b in bindings:
         kind_s, src_thunk = conds[src_var]
         kind_d, dst_thunk = conds[dst_var]
@@ -356,11 +409,15 @@ def _edge_upsert(p, store, bindings, node_vars, conds) -> dict[str, int]:
         if rel_name is None:
             raise CypherUnsupported("edge MERGE needs a relationship_name")
         props = _coerce_props(sets["properties"](b)) if "properties" in sets else None
-        rows.append((str(src_thunk(b)), str(dst_thunk(b)), str(rel_name), props))
+        key = (str(src_thunk(b)), str(dst_thunk(b)), str(rel_name))
+        rows_by_key[key] = (*key, props)
+    if not rows_by_key:
+        return {"edges_upserted": 0}
     incoming = store.spark.createDataFrame(
-        rows, "src string, dst string, relationship_name string, properties map<string,string>"
+        list(rows_by_key.values()),
+        "src string, dst string, relationship_name string, properties map<string,string>",
     )
-    nodes = store.load("nodes")
+    nodes = _scoped_nodes(store, dataset_id)
     if nodes is None:
         return {"edges_upserted": 0}
     # MATCH semantics: an edge whose endpoint is missing is NOT created —
@@ -375,5 +432,5 @@ def _edge_upsert(p, store, bindings, node_vars, conds) -> dict[str, int]:
     matched = matched.localCheckpoint(eager=True)
     n = matched.count()
     if n:
-        store.upsert_edges(matched, created_by="cypher_write")
+        store.upsert_edges(_with_dataset(matched, dataset_id), created_by="cypher_write")
     return {"edges_upserted": n}

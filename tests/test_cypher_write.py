@@ -130,9 +130,69 @@ def test_unsupported_write_shapes_raise(store):
         "MATCH (n) RETURN n",  # not a write
         "UNWIND $xs AS x CREATE (n {name: x.name})",  # no id
         "MATCH (n) SET n.name = 'y'",  # bare SET statement is not in the subset
+        "CREATE (n:T {id: 'a'}) CREATE (m:T {id: 'b'})",  # trailing clause: no silent truncation
+        "CREATE (n:T {id: 'a'}) RETURN n",  # trailing RETURN
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher_write(store, bad, {"xs": [{"name": "a"}]})
+
+
+def test_empty_batches_and_accurate_counts(store):
+    # empty UNWIND / empty id list: zero counts, no schema-inference crash
+    assert run_cypher_write(store, NODE_MERGE, {"nodes": []}) == {"nodes_upserted": 0}
+    out = run_cypher_write(store, "MATCH (n:Node) WHERE n.id IN $ids DETACH DELETE n", {"ids": []})
+    assert out == {"nodes_deleted": 0}
+    # deleting ids that do not exist reports 0, not the requested-list size
+    run_cypher_write(store, "CREATE (n:T {id: 'real'})")
+    out = run_cypher_write(
+        store, "MATCH (n:Node) WHERE n.id IN $ids DETACH DELETE n", {"ids": ["nope1", "nope2"]}
+    )
+    assert out == {"nodes_deleted": 0}
+    assert store.load("nodes").count() == 1
+
+
+def test_keyword_colliding_relationship_name_roundtrip(store):
+    # 'contains' tokenizes as a keyword; the write parser must preserve the
+    # raw spelling so a read query matches what was written
+    run_cypher_write(store, "CREATE (n:T {id: 'a'})")
+    run_cypher_write(store, "CREATE (n:T {id: 'b'})")
+    run_cypher_write(
+        store,
+        "MATCH (a), (b) WHERE a.id = $s AND b.id = $t MERGE (a)-[r:contains]->(b)",
+        {"s": "a", "t": "b"},
+    )
+    [e] = store.load("edges").collect()
+    assert e["relationship_name"] == "contains"
+
+
+def test_dataset_scoped_write_and_delete(spark, tmp_path):
+    # same content-addressed id in two datasets: a write/delete through one
+    # engine must not clobber the other tenant's row (sinks merge key adds
+    # dataset_id; delete is dataset-scoped)
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    root = str(tmp_path / "dsw")
+    d1 = CogneeSpark(spark, root, dataset_id="d1")
+    d2 = CogneeSpark(spark, root, dataset_id="d2")
+    d1.cypher_write("CREATE (n:T {id: 'x', name: 'from-d1'})")
+    d2.cypher_write("CREATE (n:T {id: 'x', name: 'from-d2'})")
+    nodes = d1.store.load("nodes")
+    assert nodes.count() == 2  # one row per dataset
+    d1.cypher_write("MATCH (n) WHERE n.id = $id DETACH DELETE n", {"id": "x"})
+    remaining = d1.store.load("nodes").collect()
+    assert [(r["name"], r["dataset_id"]) for r in remaining] == [("from-d2", "d2")]
+
+
+def test_permission_class_survives_comments(spark, tmp_path):
+    # a line comment between DETACH and DELETE must not downgrade the
+    # required permission (classification uses the token stream)
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    e = CogneeSpark(spark, str(tmp_path / "pcc"))
+    e.permissions.give_permission("eve", "main_dataset", "write")
+    e.cypher_write("CREATE (n:T {id: 'a'})", user_id="eve")
+    with pytest.raises(PermissionError, match="'delete'"):
+        e.cypher_write("MATCH (n) WHERE n.id = $id DETACH // x\nDELETE n", {"id": "a"}, user_id="eve")
 
 
 def test_write_then_read_roundtrip(spark, tmp_path):
