@@ -295,10 +295,19 @@ class PipelineRuns:
             raise
         # two-rename swap: the live dir is renamed aside (instant), the
         # validated replacement renamed in, then the old copy reaped — the
-        # loss window is two renames, not a Spark write
+        # loss window is two renames, not a Spark write.  Each rename's
+        # result is CHECKED: proceeding after a failed aside-rename would
+        # make the second rename move tmp INSIDE the still-present live
+        # directory (Hadoop rename-into-dir semantics), corrupting the set.
         old = f"{self.processed_path}.old-{uuid.uuid4().hex[:8]}"
-        self.fs.rename(self.processed_path, old)
-        self.fs.rename(tmp, self.processed_path)
+        if not self.fs.rename(self.processed_path, old):
+            self.fs.delete(tmp)
+            raise IOError(f"could not move {self.processed_path} aside")
+        if not self.fs.rename(tmp, self.processed_path):
+            # restore the live directory before failing
+            self.fs.rename(old, self.processed_path)
+            self.fs.delete(tmp)
+            raise IOError(f"could not install {tmp} as {self.processed_path}")
         self.fs.delete(old)
 
     def unprocessed(self, data: DataFrame) -> DataFrame:
