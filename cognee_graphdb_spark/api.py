@@ -229,6 +229,60 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    # -- dataset management (api/v1/datasets/datasets.py) ---------------------
+
+    def list_datasets(self, user_id: str | None = None) -> list[str]:
+        """Dataset ids present in the store (list_datasets); with ``user_id``,
+        only those the user may read — the authorized_search resolution."""
+        data = self.store.load("data")
+        if data is None or "dataset_id" not in data.columns:
+            found: list[str] = []
+        else:
+            found = sorted(
+                r["dataset_id"]
+                for r in data.select("dataset_id").distinct().collect()
+                if r["dataset_id"] is not None
+            )
+        if user_id is not None:
+            allowed = set(self.permissions.authorized_datasets(user_id, "read"))
+            found = [d for d in found if d in allowed]
+        return found
+
+    def list_data(self, dataset_id: str | None = None) -> DataFrame | None:
+        """The Data rows of one dataset (list_data); defaults to this
+        engine's dataset."""
+        data = self.store.load("data")
+        if data is None:
+            return None
+        ds = self.dataset_id if dataset_id is None else dataset_id
+        if "dataset_id" in data.columns:
+            data = data.filter(F.col("dataset_id").eqNullSafe(ds))
+        return data
+
+    def dataset_status(self, dataset_ids: list[str] | None = None) -> dict[str, str]:
+        """Latest cognify pipeline status per dataset (get_status)."""
+        return self.runs.statuses(dataset_ids, pipeline_name="cognify")
+
+    def delete_dataset(self, dataset_id: str, user_id: str | None = None) -> dict[str, int]:
+        """Remove a whole dataset across every table (delete_dataset); the
+        store-global processed-hash set forgets hashes no other dataset still
+        references, so re-adding the content re-processes.  ``user_id``
+        requires ``delete`` on that dataset."""
+        if user_id is not None:
+            self.permissions.check_permission(user_id, dataset_id, "delete")
+        data = self.store.load("data")
+        hashes: list[str] = []
+        if data is not None and "dataset_id" in data.columns:
+            mine = data.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+            others = data.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
+            orphaned = mine.select("content_hash").distinct().join(
+                others.select("content_hash").distinct(), "content_hash", "left_anti"
+            )
+            hashes = [r["content_hash"] for r in orphaned.collect()]
+        removed = self.store.delete_dataset(dataset_id)
+        self.runs.unmark_processed(hashes)
+        return removed
+
     def cypher_write(self, query: str, params: dict | None = None, user_id: str | None = None) -> dict:
         """Execute a write-Cypher statement against the store — the three
         shapes the reference's adapters issue internally (batch node MERGE,

@@ -244,6 +244,24 @@ class PipelineRuns:
         )
         return row["status"] if row else None
 
+    def statuses(self, dataset_ids: list[str] | None = None, pipeline_name: str = "cognify") -> dict[str, str]:
+        """Latest run status per dataset in ONE pass (api/v1/datasets
+        get_status -> get_pipeline_status): a ranking window over the run
+        log, optionally restricted to ``dataset_ids``."""
+        from pyspark.sql.window import Window
+
+        if not self.fs.exists(self.path):
+            return {}
+        df = self.spark.read.parquet(self.path).filter(F.col("pipeline_name") == pipeline_name)
+        if dataset_ids is not None:
+            df = df.filter(F.col("dataset_id").isin(dataset_ids))
+        order = [F.col("seq").desc()]
+        if "wall_ns" in df.columns:
+            order += [F.col("wall_ns").desc(), F.col("run_id").desc()]
+        w = Window.partitionBy("dataset_id").orderBy(*order)
+        latest = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        return {r["dataset_id"]: r["status"] for r in latest.select("dataset_id", "status").collect()}
+
     def log(self, dataset_id: str, pipeline_name: str, status: str) -> None:
         import time
         import uuid

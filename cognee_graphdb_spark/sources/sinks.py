@@ -296,6 +296,29 @@ class GraphStore:
             self.delete_nodes(delete_set, created_by="delete_document", dataset_id=dataset_id)
         return n
 
+    def delete_dataset(self, dataset_id: str) -> dict[str, int]:
+        """Remove every row of one dataset across nodes/edges/embeddings/data
+        (api/v1/datasets delete_dataset) — a partition-pruned anti-filter per
+        table, other tenants' partitions pass through untouched.  Returns
+        per-table removed-row counts."""
+        removed: dict[str, int] = {}
+        for table in ("nodes", "edges", "embeddings", "data"):
+            df = self.load(table)
+            if df is None or "dataset_id" not in df.columns:
+                removed[table] = 0
+                continue
+            doomed = F.col("dataset_id").eqNullSafe(dataset_id)
+            n = df.filter(doomed).count()
+            removed[table] = n
+            if n:
+                self._swap_write(table, df.filter(~doomed))
+        self.append_ledger(
+            "delete_dataset",
+            self.spark.createDataFrame([(dataset_id,)], ["id"]),
+            "delete_dataset",
+        )
+        return removed
+
     def prune(self) -> None:
         """Full reset (api/v1/prune): drop every table including the ledger
         and ingest/run state."""

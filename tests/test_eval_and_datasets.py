@@ -124,6 +124,37 @@ def test_role_grants_flow_to_members(spark, tmp_path):
     assert not a.permissions.has_permission("bob", "ds_a", "write")
 
 
+def test_dataset_management_api(spark, tmp_path):
+    """api/v1/datasets parity: list/list_data/status/delete_dataset."""
+    root = str(tmp_path / "dsmgmt")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("b.txt", "Beta dataset describes duckdb vectorized scans.")])
+
+    assert a.list_datasets() == ["ds_a", "ds_b"]
+    assert a.list_data().count() == 1 and a.list_data("ds_b").count() == 1
+    st = a.dataset_status()
+    assert st.get("ds_a") == "COMPLETED" and "ds_b" not in st  # b never cognified
+    b.cognify()
+    assert a.dataset_status().get("ds_b") == "COMPLETED"
+    # ACL-scoped listing
+    a.permissions.give_permission("carol", "ds_b", "read")
+    assert a.list_datasets(user_id="carol") == ["ds_b"]
+
+    removed = a.delete_dataset("ds_a")
+    assert removed["data"] == 1 and removed["nodes"] > 0
+    assert a.list_datasets() == ["ds_b"]
+    # the graph kept ds_b intact
+    nodes = a.store.load("nodes")
+    assert {r["dataset_id"] for r in nodes.select("dataset_id").distinct().collect()} == {"ds_b"}
+    # deleted content re-processes on re-add (processed hash forgotten)
+    a2 = CogneeSpark(spark, root, dataset_id="ds_a")
+    a2.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    assert a2.cognify() == 1
+
+
 def test_dataset_scoped_search(spark, tmp_path):
     root = str(tmp_path / "multi")
     a = CogneeSpark(spark, root, dataset_id="ds_a")
