@@ -191,20 +191,10 @@ class CogneeSpark:
         ]
         deleted = sum(self.store.delete_document(nid, dataset_id=self.dataset_id) for nid in node_ids)
         hashes = self.store.delete_data(data_ids, created_by="delete", dataset_id=self.dataset_id)
-        # the processed-hash set is store-global: forget a hash only when NO
-        # dataset still holds a Data row for it (delete.py:202-214 keeps the
-        # Data record while other datasets reference it)
-        remaining: set[str] = set()
-        data_after = self.store.load("data")
-        if data_after is not None and hashes:
-            remaining = {
-                r["content_hash"]
-                for r in data_after.filter(F.col("content_hash").isin(hashes))
-                .select("content_hash")
-                .distinct()
-                .collect()
-            }
-        self.runs.unmark_processed([h for h in hashes if h not in remaining])
+        # processed marks are per dataset (PipelineRuns.mark_processed):
+        # forgetting THIS dataset's marks never touches another dataset that
+        # holds the same content — its own mark (and graph rows) stay intact
+        self.runs.unmark_processed(hashes, dataset_id=self.dataset_id)
         if mode == "hard":
             from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
 
@@ -255,32 +245,37 @@ class CogneeSpark:
         if data is None:
             return None
         ds = self.dataset_id if dataset_id is None else dataset_id
-        if "dataset_id" in data.columns:
-            data = data.filter(F.col("dataset_id").eqNullSafe(ds))
-        return data
+        if "dataset_id" not in data.columns:
+            # legacy table without dataset tags: we cannot scope, and
+            # returning every tenant's rows for a named dataset would leak —
+            # empty, like list_datasets' [] for the same case
+            return data.limit(0)
+        return data.filter(F.col("dataset_id").eqNullSafe(ds))
 
     def dataset_status(self, dataset_ids: list[str] | None = None) -> dict[str, str]:
-        """Latest cognify pipeline status per dataset (get_status)."""
-        return self.runs.statuses(dataset_ids, pipeline_name="cognify")
+        """Latest cognify pipeline status per dataset (get_status) — both
+        the plain and temporal cognify pipelines count as processed."""
+        return self.runs.statuses(dataset_ids)
 
     def delete_dataset(self, dataset_id: str, user_id: str | None = None) -> dict[str, int]:
-        """Remove a whole dataset across every table (delete_dataset); the
-        store-global processed-hash set forgets hashes no other dataset still
-        references, so re-adding the content re-processes.  ``user_id``
-        requires ``delete`` on that dataset."""
+        """Remove a whole dataset across every table (delete_dataset), plus
+        its run-log rows, its processed marks (scoped — other datasets'
+        marks for the same content survive), and its permission grants (a
+        future dataset reusing the name must not inherit the old ACL).
+        ``user_id`` requires ``delete`` on that dataset."""
         if user_id is not None:
             self.permissions.check_permission(user_id, dataset_id, "delete")
         data = self.store.load("data")
-        hashes: list[str] = []
         if data is not None and "dataset_id" in data.columns:
+            # the whole hash SET stays a DataFrame — never collected, the
+            # forget is a distributed join (a dataset can hold 10^8 docs)
             mine = data.filter(F.col("dataset_id").eqNullSafe(dataset_id))
-            others = data.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
-            orphaned = mine.select("content_hash").distinct().join(
-                others.select("content_hash").distinct(), "content_hash", "left_anti"
+            self.runs.unmark_processed(
+                mine.select("content_hash").distinct(), dataset_id=dataset_id
             )
-            hashes = [r["content_hash"] for r in orphaned.collect()]
         removed = self.store.delete_dataset(dataset_id)
-        self.runs.unmark_processed(hashes)
+        self.runs.forget_dataset(dataset_id)
+        self.permissions.revoke_dataset(dataset_id)
         return removed
 
     def cypher_write(self, query: str, params: dict | None = None, user_id: str | None = None) -> dict:

@@ -229,30 +229,28 @@ class PipelineRuns:
         self.processed_path = os.path.join(root, "processed_hashes")
 
     def status(self, dataset_id: str, pipeline_name: str) -> str | None:
-        if not self.fs.exists(self.path):
-            return None
-        df = self.spark.read.parquet(self.path)
-        # two concurrent writers can race to the same seq: break ties with the
-        # monotonic write timestamp, then run_id, so "latest" is deterministic
-        order = [F.col("seq").desc()]
-        if "wall_ns" in df.columns:
-            order += [F.col("wall_ns").desc(), F.col("run_id").desc()]
-        row = (
-            df.filter((F.col("dataset_id") == dataset_id) & (F.col("pipeline_name") == pipeline_name))
-            .orderBy(*order)
-            .first()
-        )
-        return row["status"] if row else None
+        # two concurrent writers can race to the same seq: statuses() breaks
+        # ties deterministically (wall_ns, run_id) — one shared ordering rule
+        return self.statuses([dataset_id], (pipeline_name,)).get(dataset_id)
 
-    def statuses(self, dataset_ids: list[str] | None = None, pipeline_name: str = "cognify") -> dict[str, str]:
+    def statuses(
+        self,
+        dataset_ids: list[str] | None = None,
+        pipeline_names: tuple[str, ...] = ("cognify", "cognify_temporal"),
+    ) -> dict[str, str]:
         """Latest run status per dataset in ONE pass (api/v1/datasets
         get_status -> get_pipeline_status): a ranking window over the run
-        log, optionally restricted to ``dataset_ids``."""
+        log, optionally restricted to ``dataset_ids``.  Both cognify
+        pipelines count by default — a temporal build IS a processed
+        dataset.  This is the ONE home of the latest-run ordering rule
+        (seq desc, wall_ns/run_id tie-break); ``status()`` delegates."""
         from pyspark.sql.window import Window
 
         if not self.fs.exists(self.path):
             return {}
-        df = self.spark.read.parquet(self.path).filter(F.col("pipeline_name") == pipeline_name)
+        df = self.spark.read.parquet(self.path).filter(
+            F.col("pipeline_name").isin(list(pipeline_names))
+        )
         if dataset_ids is not None:
             df = df.filter(F.col("dataset_id").isin(dataset_ids))
         order = [F.col("seq").desc()]
@@ -261,6 +259,33 @@ class PipelineRuns:
         w = Window.partitionBy("dataset_id").orderBy(*order)
         latest = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         return {r["dataset_id"]: r["status"] for r in latest.select("dataset_id", "status").collect()}
+
+    def forget_dataset(self, dataset_id: str) -> None:
+        """Drop a deleted dataset's run-log rows (delete_dataset removes the
+        dataset record in the reference) so it stops appearing in
+        ``statuses()``.  Same write-validate-swap discipline as
+        ``unmark_processed``."""
+        if not self.fs.exists(self.path):
+            return
+        import uuid
+
+        df = self.spark.read.parquet(self.path)
+        kept = df.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
+        tmp = f"{self.path}.swap-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp)
+        if not any(f.startswith("part-") for f in self.fs.listdir(tmp)):
+            self.fs.delete(tmp)
+            self.fs.delete(self.path)
+            return
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if not self.fs.rename(self.path, old):
+            self.fs.delete(tmp)
+            raise IOError(f"could not move {self.path} aside")
+        if not self.fs.rename(tmp, self.path):
+            self.fs.rename(old, self.path)
+            self.fs.delete(tmp)
+            raise IOError(f"could not install {tmp} as {self.path}")
+        self.fs.delete(old)
 
     def log(self, dataset_id: str, pipeline_name: str, status: str) -> None:
         import time
@@ -275,23 +300,58 @@ class PipelineRuns:
         ).write.mode("append").parquet(self.path)
 
     def mark_processed(self, data: DataFrame) -> None:
-        data.select("content_hash").distinct().write.mode("append").parquet(self.processed_path)
+        """Record content as cognified.  Marks are PER DATASET when the rows
+        carry dataset_id: graphs are per-dataset (the reference runs one
+        graph DB per dataset, search.py:322), so dataset B adding content
+        dataset A already cognified must still build B's own graph rows — a
+        store-global mark would silently skip it forever."""
+        cols = ["content_hash"] + (["dataset_id"] if "dataset_id" in data.columns else [])
+        data.select(*cols).distinct().write.mode("append").parquet(self.processed_path)
 
-    def unmark_processed(self, hashes: list[str]) -> None:
-        """Forget content hashes (document delete): re-adding the same content
-        afterwards re-processes instead of hitting the ST2 skip.
+    def _processed(self) -> DataFrame:
+        # mergeSchema: legacy hash-only rows and scoped rows may coexist
+        return self.spark.read.option("mergeSchema", "true").parquet(self.processed_path)
+
+    def unmark_processed(
+        self, hashes: "list[str] | DataFrame", dataset_id: str | None = None
+    ) -> None:
+        """Forget content hashes (document/dataset delete): re-adding the
+        same content afterwards re-processes instead of hitting the ST2 skip.
+        ``hashes`` may be a DataFrame with a content_hash column (dataset
+        deletes pass the whole set without collecting it to the driver);
+        ``dataset_id`` scopes the forget to that dataset's marks.
 
         The processed-hash set is O(corpus), so this never touches the driver:
-        a distributed left_anti against the (small, literal) delete set is
-        written to a fresh snapshot directory first, then swapped in — the
-        same write-new-then-swap discipline as ``GraphStore._swap_write``."""
-        if not hashes or not self.fs.exists(self.processed_path):
+        a distributed join against the delete set is written to a fresh
+        snapshot directory first, then swapped in — the same
+        write-new-then-swap discipline as ``GraphStore._swap_write``."""
+        if not self.fs.exists(self.processed_path):
             return
+        if isinstance(hashes, DataFrame):
+            to_drop = hashes.select("content_hash").distinct()
+        else:
+            if not hashes:
+                return
+            # dedup: the scoped path LEFT-joins this set, and duplicate keys
+            # would multiply the kept rows
+            to_drop = self.spark.createDataFrame(
+                [(h,) for h in sorted(set(hashes))], "content_hash string"
+            )
         import uuid
 
-        seen = self.spark.read.parquet(self.processed_path)
-        to_drop = self.spark.createDataFrame([(h,) for h in hashes], "content_hash string")
-        kept = seen.join(to_drop, "content_hash", "left_anti")
+        seen = self._processed()
+        if dataset_id is not None and "dataset_id" in seen.columns:
+            # scoped forget: other datasets' marks for the same content stay;
+            # legacy hash-only rows (null dataset) go too — they would keep
+            # blocking THIS dataset, which is exactly what the caller is
+            # undoing.  One left join, fully distributed.
+            marked = seen.join(to_drop.withColumn("__drop", F.lit(1)), "content_hash", "left")
+            doomed = F.col("__drop").isNotNull() & (
+                F.col("dataset_id").isNull() | (F.col("dataset_id") == dataset_id)
+            )
+            kept = marked.filter(~doomed).drop("__drop")
+        else:
+            kept = seen.join(to_drop, "content_hash", "left_anti")
         tmp = f"{self.processed_path}.swap-{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").parquet(tmp)
         # validate the replacement BEFORE touching the live directory: a crash
@@ -330,11 +390,18 @@ class PipelineRuns:
 
     def unprocessed(self, data: DataFrame) -> DataFrame:
         """Anti-join new data against the processed-hash set — incremental
-        cognify reprocesses only new content."""
+        cognify reprocesses only new content.  Marks scope per dataset when
+        both sides carry dataset_id (a mark from another dataset does NOT
+        skip this one's build); legacy hash-only marks stay global."""
         if not self.fs.exists(self.processed_path):
             return data
-        seen = self.spark.read.parquet(self.processed_path)
-        return data.join(seen, "content_hash", "left_anti")
+        seen = self._processed()
+        if "dataset_id" in seen.columns and "dataset_id" in data.columns:
+            scoped = seen.filter(F.col("dataset_id").isNotNull()).select("content_hash", "dataset_id")
+            legacy = seen.filter(F.col("dataset_id").isNull()).select("content_hash")
+            out = data.join(scoped, ["content_hash", "dataset_id"], "left_anti")
+            return out.join(legacy, "content_hash", "left_anti")
+        return data.join(seen.select("content_hash"), "content_hash", "left_anti")
 
     def should_run(self, dataset_id: str, pipeline_name: str, incremental: bool = True) -> bool:
         if not incremental:

@@ -114,6 +114,18 @@ class PermissionStore:
         kept.write.mode("overwrite").parquet(tmp)
         self.fs.replace(tmp, self.path)
 
+    def revoke_dataset(self, dataset_id: str) -> None:
+        """Drop every grant on a dataset (dataset deletion): a future dataset
+        reusing the name must start with an empty ACL, not inherit stale
+        grants."""
+        grants = self._load()
+        if grants is None:
+            return
+        kept = grants.filter(~(F.col("dataset_id") == dataset_id))
+        tmp = f"{self.path}.tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        self.fs.replace(tmp, self.path)
+
     def has_permission(self, user_id: str, dataset_id: str, permission: str = "read") -> bool:
         grants = self._load()
         if grants is None:

@@ -143,16 +143,39 @@ def test_dataset_management_api(spark, tmp_path):
     a.permissions.give_permission("carol", "ds_b", "read")
     assert a.list_datasets(user_id="carol") == ["ds_b"]
 
+    a.permissions.give_permission("mallory", "ds_a", "delete")
     removed = a.delete_dataset("ds_a")
     assert removed["data"] == 1 and removed["nodes"] > 0
     assert a.list_datasets() == ["ds_b"]
     # the graph kept ds_b intact
     nodes = a.store.load("nodes")
     assert {r["dataset_id"] for r in nodes.select("dataset_id").distinct().collect()} == {"ds_b"}
+    # the deleted dataset leaves no ghost status row and no stale ACL
+    assert "ds_a" not in a.dataset_status()
+    assert not a.permissions.has_permission("mallory", "ds_a", "delete")
     # deleted content re-processes on re-add (processed hash forgotten)
     a2 = CogneeSpark(spark, root, dataset_id="ds_a")
     a2.add([("a.txt", "Alpha dataset describes apache spark executors.")])
     assert a2.cognify() == 1
+
+
+def test_shared_content_across_datasets(spark, tmp_path):
+    """Processed marks are PER DATASET: content cognified in ds_a must still
+    build ds_b's own graph rows, and deleting ds_a must not orphan ds_b."""
+    root = str(tmp_path / "shared")
+    text = "Shared corpus describes apache spark executors and shuffle."
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("x.txt", text)])
+    assert a.cognify() == 1
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("x.txt", text)])
+    # ds_a's mark must NOT skip ds_b's build (per-dataset graphs)
+    assert b.cognify() == 1
+    assert b.search("CHUNKS", "executors", dataset_ids=["ds_b"]).count() >= 1
+    # deleting ds_a leaves ds_b's graph AND its processed mark intact
+    a.delete_dataset("ds_a")
+    assert b.search("CHUNKS", "executors", dataset_ids=["ds_b"]).count() >= 1
+    assert b.cognify() == 0  # still marked processed for ds_b
 
 
 def test_dataset_scoped_search(spark, tmp_path):
