@@ -193,8 +193,14 @@ class CogneeSpark:
         hashes = self.store.delete_data(data_ids, created_by="delete", dataset_id=self.dataset_id)
         # processed marks are per dataset (PipelineRuns.mark_processed):
         # forgetting THIS dataset's marks never touches another dataset that
-        # holds the same content — its own mark (and graph rows) stay intact
-        self.runs.unmark_processed(hashes, dataset_id=self.dataset_id)
+        # holds the same content.  For LEGACY hash-only marks, rows whose
+        # content another dataset still holds survive (the remaining data
+        # rows after the scoped delete ARE exactly those references).
+        keep = None
+        data_after = self.store.load("data")
+        if data_after is not None and hashes:
+            keep = data_after.filter(F.col("content_hash").isin(hashes)).select("content_hash")
+        self.runs.unmark_processed(hashes, dataset_id=self.dataset_id, keep_legacy_for=keep)
         if mode == "hard":
             from cognee_graphdb_spark.operators.aggregations import degree_one_nodes
 
@@ -268,10 +274,14 @@ class CogneeSpark:
         data = self.store.load("data")
         if data is not None and "dataset_id" in data.columns:
             # the whole hash SET stays a DataFrame — never collected, the
-            # forget is a distributed join (a dataset can hold 10^8 docs)
+            # forget is a distributed join (a dataset can hold 10^8 docs);
+            # other datasets' references protect legacy hash-only marks
             mine = data.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+            others = data.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
             self.runs.unmark_processed(
-                mine.select("content_hash").distinct(), dataset_id=dataset_id
+                mine.select("content_hash").distinct(),
+                dataset_id=dataset_id,
+                keep_legacy_for=others.select("content_hash"),
             )
         removed = self.store.delete_dataset(dataset_id)
         self.runs.forget_dataset(dataset_id)

@@ -215,6 +215,9 @@ def ingest_files(spark: SparkSession, path_glob: str, dataset_id: str = "main_da
 # ---------------------------------------------------------------------------
 
 
+DELETED_MARKER = "__dataset_deleted__"
+
+
 class PipelineRuns:
     """Run-state bookkeeping (check_pipeline_run_qualification.py:17-59):
     a dataset whose latest run is STARTED/COMPLETED is skipped; data rows whose
@@ -248,44 +251,38 @@ class PipelineRuns:
 
         if not self.fs.exists(self.path):
             return {}
-        df = self.spark.read.parquet(self.path).filter(
-            F.col("pipeline_name").isin(list(pipeline_names))
-        )
+        log = self.spark.read.parquet(self.path)
         if dataset_ids is not None:
-            df = df.filter(F.col("dataset_id").isin(dataset_ids))
+            log = log.filter(F.col("dataset_id").isin(dataset_ids))
+        # dataset deletion is an APPEND-ONLY tombstone row (pipeline_name
+        # DELETED_MARKER), so concurrent run appends are never lost to a
+        # rewrite; the latest row ACROSS runs+tombstones decides visibility —
+        # a dataset re-created after deletion logs newer runs and reappears
+        df = log.filter(
+            F.col("pipeline_name").isin(list(pipeline_names) + [DELETED_MARKER])
+        )
         order = [F.col("seq").desc()]
         if "wall_ns" in df.columns:
             order += [F.col("wall_ns").desc(), F.col("run_id").desc()]
         w = Window.partitionBy("dataset_id").orderBy(*order)
         latest = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-        return {r["dataset_id"]: r["status"] for r in latest.select("dataset_id", "status").collect()}
+        return {
+            r["dataset_id"]: r["status"]
+            for r in latest.select("dataset_id", "status", "pipeline_name").collect()
+            if r["pipeline_name"] != DELETED_MARKER
+        }
 
     def forget_dataset(self, dataset_id: str) -> None:
-        """Drop a deleted dataset's run-log rows (delete_dataset removes the
-        dataset record in the reference) so it stops appearing in
-        ``statuses()``.  Same write-validate-swap discipline as
-        ``unmark_processed``."""
+        """Hide a deleted dataset from ``statuses()`` (delete_dataset removes
+        the dataset record in the reference).  Implemented as an APPEND-ONLY
+        tombstone row, NOT a log rewrite: a rewrite's snapshot-swap would
+        silently drop run rows another engine instance appends concurrently,
+        and the run log is the one table every cognify appends to.  A later
+        run for a re-created dataset outranks the tombstone and the dataset
+        reappears."""
         if not self.fs.exists(self.path):
             return
-        import uuid
-
-        df = self.spark.read.parquet(self.path)
-        kept = df.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
-        tmp = f"{self.path}.swap-{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").parquet(tmp)
-        if not any(f.startswith("part-") for f in self.fs.listdir(tmp)):
-            self.fs.delete(tmp)
-            self.fs.delete(self.path)
-            return
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if not self.fs.rename(self.path, old):
-            self.fs.delete(tmp)
-            raise IOError(f"could not move {self.path} aside")
-        if not self.fs.rename(tmp, self.path):
-            self.fs.rename(old, self.path)
-            self.fs.delete(tmp)
-            raise IOError(f"could not install {tmp} as {self.path}")
-        self.fs.delete(old)
+        self.log(dataset_id, DELETED_MARKER, "DELETED")
 
     def log(self, dataset_id: str, pipeline_name: str, status: str) -> None:
         import time
@@ -313,13 +310,21 @@ class PipelineRuns:
         return self.spark.read.option("mergeSchema", "true").parquet(self.processed_path)
 
     def unmark_processed(
-        self, hashes: "list[str] | DataFrame", dataset_id: str | None = None
+        self,
+        hashes: "list[str] | DataFrame",
+        dataset_id: str | None = None,
+        keep_legacy_for: DataFrame | None = None,
     ) -> None:
         """Forget content hashes (document/dataset delete): re-adding the
         same content afterwards re-processes instead of hitting the ST2 skip.
         ``hashes`` may be a DataFrame with a content_hash column (dataset
         deletes pass the whole set without collecting it to the driver);
         ``dataset_id`` scopes the forget to that dataset's marks.
+        ``keep_legacy_for`` (content hashes other datasets still reference)
+        protects LEGACY hash-only marks for shared content: a legacy row has
+        no dataset tag, so scoped forgetting may only drop it when no other
+        dataset still relies on it — the pre-scoping guard, preserved for
+        stores whose marks predate dataset tagging.
 
         The processed-hash set is O(corpus), so this never touches the driver:
         a distributed join against the delete set is written to a fresh
@@ -329,6 +334,9 @@ class PipelineRuns:
             return
         if isinstance(hashes, DataFrame):
             to_drop = hashes.select("content_hash").distinct()
+            if to_drop.isEmpty():
+                # nothing to forget: skip the O(corpus) table rewrite + swap
+                return
         else:
             if not hashes:
                 return
@@ -341,16 +349,31 @@ class PipelineRuns:
 
         seen = self._processed()
         if dataset_id is not None and "dataset_id" in seen.columns:
-            # scoped forget: other datasets' marks for the same content stay;
-            # legacy hash-only rows (null dataset) go too — they would keep
-            # blocking THIS dataset, which is exactly what the caller is
-            # undoing.  One left join, fully distributed.
+            # scoped forget: other datasets' marks for the same content stay.
+            # Legacy hash-only rows (null dataset) blocked EVERY dataset, so
+            # they go too — unless keep_legacy_for says another dataset still
+            # references the content.  One or two left joins, fully
+            # distributed.
             marked = seen.join(to_drop.withColumn("__drop", F.lit(1)), "content_hash", "left")
+            legacy_doomed = F.col("dataset_id").isNull()
+            if keep_legacy_for is not None:
+                protect = keep_legacy_for.select("content_hash").distinct().withColumn(
+                    "__keep", F.lit(1)
+                )
+                marked = marked.join(protect, "content_hash", "left")
+                legacy_doomed = legacy_doomed & F.col("__keep").isNull()
             doomed = F.col("__drop").isNotNull() & (
-                F.col("dataset_id").isNull() | (F.col("dataset_id") == dataset_id)
+                legacy_doomed | (F.col("dataset_id") == dataset_id)
             )
-            kept = marked.filter(~doomed).drop("__drop")
+            kept = marked.filter(~doomed).drop("__drop", "__keep")
         else:
+            # fully legacy table (no dataset column at all): every mark is
+            # global, so the cross-reference guard applies to the whole drop
+            # set — content another dataset still holds stays marked
+            if keep_legacy_for is not None:
+                to_drop = to_drop.join(
+                    keep_legacy_for.select("content_hash").distinct(), "content_hash", "left_anti"
+                )
             kept = seen.join(to_drop, "content_hash", "left_anti")
         tmp = f"{self.processed_path}.swap-{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").parquet(tmp)

@@ -178,6 +178,47 @@ def test_shared_content_across_datasets(spark, tmp_path):
     assert b.cognify() == 0  # still marked processed for ds_b
 
 
+def test_legacy_global_marks_respect_cross_references(spark, tmp_path):
+    """Stores whose processed marks predate dataset tagging: a scoped delete
+    must not forget a hash another dataset still references (the pre-scoping
+    guard), but hashes nobody else holds are forgotten."""
+    from cognee_graphdb_spark.sources.ingest import PipelineRuns, ingest_texts
+
+    root = str(tmp_path / "legacy")
+    pr = PipelineRuns(spark, root)
+    shared = ingest_texts(spark, [("x.txt", "shared alpha")], dataset_id="ds_a")
+    only_a = ingest_texts(spark, [("y.txt", "solo beta")], dataset_id="ds_a")
+    # legacy table: hash-only marks (no dataset column)
+    pr.mark_processed(shared.drop("dataset_id"))
+    pr.mark_processed(only_a.drop("dataset_id"))
+    h_shared = shared.select("content_hash").first()[0]
+    h_solo = only_a.select("content_hash").first()[0]
+    # ds_b still references the shared content
+    refs = spark.createDataFrame([(h_shared,)], "content_hash string")
+    pr.unmark_processed([h_shared, h_solo], dataset_id="ds_a", keep_legacy_for=refs)
+    seen = spark.read.parquet(pr.processed_path)
+    left = {r["content_hash"] for r in seen.collect()}
+    assert h_shared in left and h_solo not in left
+
+
+def test_deleted_dataset_tombstone_and_recreation(spark, tmp_path):
+    """forget_dataset is an append-only tombstone: the dataset vanishes from
+    statuses(), concurrent appends are never lost to a rewrite, and a
+    re-created dataset's newer runs outrank the tombstone."""
+    from cognee_graphdb_spark.sources.ingest import PipelineRuns
+
+    pr = PipelineRuns(spark, str(tmp_path / "tomb"))
+    pr.log("ds_a", "cognify", "COMPLETED")
+    assert pr.statuses() == {"ds_a": "COMPLETED"}
+    pr.forget_dataset("ds_a")
+    assert pr.statuses() == {}
+    assert pr.status("ds_a", "cognify") is None
+    assert pr.should_run("ds_a", "cognify")
+    # recreation: a newer run row wins over the tombstone
+    pr.log("ds_a", "cognify", "STARTED")
+    assert pr.statuses() == {"ds_a": "STARTED"}
+
+
 def test_dataset_scoped_search(spark, tmp_path):
     root = str(tmp_path / "multi")
     a = CogneeSpark(spark, root, dataset_id="ds_a")
