@@ -57,7 +57,9 @@ Supported grammar (clauses compose in any order before RETURN)::
              cannot bind a variable; one row per path, edges unique per path
     expr: = <> < <= > >=, AND/OR/NOT, IN <list|$param>, IS [NOT] NULL,
           CONTAINS / STARTS WITH / ENDS WITH,
-          count/min/max/sum/avg/collect, $params, literals.
+          count/min/max/sum/avg/collect, $params, literals,
+          scalar fns: toLower/toUpper/trim/ltrim/rtrim/size/coalesce/abs/
+          round/replace/reverse/left/right/toString/toInteger/toFloat.
 
 Mapping rules:
 
@@ -116,6 +118,17 @@ _KEYWORDS = {
     "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC", "UNWIND",
 }
 _AGGS = {"COUNT": "count", "MIN": "min", "MAX": "max", "SUM": "sum", "AVG": "avg", "COLLECT": "collect_list"}
+# scalar functions: Cypher name -> Spark SQL function (same arity, args pass
+# through).  size() maps to length() — this dialect's property values are
+# strings (the one array case, labels(n), is a fixed one-element construct).
+_SCALAR_FNS = {
+    "TOLOWER": "lower", "TOUPPER": "upper", "TRIM": "trim", "LTRIM": "ltrim",
+    "RTRIM": "rtrim", "SIZE": "length", "COALESCE": "coalesce", "ABS": "abs",
+    "ROUND": "round", "REPLACE": "replace", "REVERSE": "reverse",
+    "LEFT": "left", "RIGHT": "right",
+}
+# type-conversion functions -> CAST targets
+_CAST_FNS = {"TOSTRING": "STRING", "TOINTEGER": "BIGINT", "TOFLOAT": "DOUBLE"}
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -910,6 +923,12 @@ class _Parser(_TokenCursor):
             if name.upper() in _AGGS and self.peek() == ("op", "("):
                 return self._aggregate(name.upper())
             if (
+                (name.upper() in _SCALAR_FNS or name.upper() in _CAST_FNS)
+                and name not in self.vars
+                and self.peek() == ("op", "(")
+            ):
+                return self._scalar_fn(name.upper())
+            if (
                 name.upper() in ("ID", "TYPE", "LABELS", "PROPERTIES")
                 and name not in self.vars
                 and self.peek() == ("op", "(")
@@ -934,6 +953,22 @@ class _Parser(_TokenCursor):
                 f" 'dst', {var.col('dst')})"
             )
         raise CypherUnsupported(f"unexpected token {t[1]!r}")
+
+    def _scalar_fn(self, fname: str) -> str:
+        """Common Cypher scalar functions (toLower/size/coalesce/round/...):
+        arguments translate recursively and pass straight through to the
+        same-arity Spark SQL function; toString/toInteger/toFloat become
+        CASTs."""
+        self.expect("op", "(")
+        args = [self._comparison()]
+        while self.accept("op", ","):
+            args.append(self._comparison())
+        self.expect("op", ")")
+        if fname in _CAST_FNS:
+            if len(args) != 1:
+                raise CypherUnsupported(f"{fname.lower()}() takes one argument")
+            return f"CAST({args[0]} AS {_CAST_FNS[fname]})"
+        return f"{_SCALAR_FNS[fname]}({', '.join(args)})"
 
     def _builtin(self, fname: str) -> str:
         """Cypher element accessors the reference adapters use

@@ -598,6 +598,24 @@ def test_undirected_varlength_raises():
         cypher_to_sql("MATCH (a)-[*1..2]-(b) RETURN count(*) AS c")
 
 
+def test_scalar_functions(spark, graph):
+    got = rows(
+        spark, graph,
+        "MATCH (n:Customer) WHERE toUpper(n.name) = 'ALICE' "
+        "RETURN toLower(n.id) AS id, size(n.name) AS sz, "
+        "coalesce(n.city, 'unknown') AS city, toString(size(n.name)) AS s",
+    )
+    assert [(r["id"], r["sz"], r["city"], r["s"]) for r in got] == [("c1", 5, "berlin", "5")]
+    # round with two args; replace; coalesce over a missing property
+    [r] = rows(spark, graph, "MATCH (n:Customer {id: 'c1'}) "
+               "RETURN coalesce(n.nonexistent, 'fallback') AS f, "
+               "replace(n.name, 'a', 'o') AS rep")
+    assert (r["f"], r["rep"]) == ("fallback", "olice")
+    # a VARIABLE named like a function still resolves as a variable
+    got = rows(spark, graph, "MATCH (size:Product) RETURN size.name AS n ORDER BY n")
+    assert [x["n"] for x in got] == ["boots", "sandals"]
+
+
 def test_sql_literal_roundtrip_fuzz(spark):
     # every rendered string literal must parse back to the exact value under
     # Spark SQL's escape rules — one batched action over an adversarial corpus
