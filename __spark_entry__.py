@@ -2197,7 +2197,7 @@ GROUP BY n.id ORDER BY part_id"""
     sql["a2_graph_metrics"] = f"""WITH {g},
 n AS (SELECT count(*) AS num_nodes FROM nodes),
 e AS (SELECT count(*) AS num_edges,
-             COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS num_selfloops
+             CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS BIGINT) AS num_selfloops
       FROM edges)
 SELECT num_nodes, num_edges,
        CAST(round(2.0 * CAST(num_edges AS DOUBLE) / num_nodes * 1e6) AS BIGINT) AS mean_degree_ppm,

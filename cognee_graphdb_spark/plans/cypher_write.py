@@ -42,12 +42,16 @@ Statements parse COMPLETELY before any mutation runs (trailing tokens are an
 error, not silent truncation), and the returned counts reflect rows actually
 written/deleted.
 
-Divergences, documented: ON CREATE SET and ON MATCH SET collapse — the
-store's upsert replaces a matched row with the incoming version, so the union
+Divergences, documented: ON CREATE SET and ON MATCH SET collapse — the union
 of both SET lists is applied unconditionally (the reference's lists differ
 only in ``created_at`` preservation).  ``timestamp(expr)`` evaluates to its
 argument.  A ``properties`` assignment whose value is a JSON object string is
-parsed into the engine's ``map<string,string>`` properties column.
+parsed into the engine's ``map<string,string>`` properties column.  MERGE is
+otherwise non-destructive, per openCypher: fields a statement does not assign
+keep the matched row's stored values, and assignments outside the engine's
+node/edge schema (``SET n.score = 5``, a rel-pattern ``{weight: 1}``, the
+reference's own created_at/updated_at) fold into the properties map rather
+than being dropped — assigning NULL removes the key.
 
 The READ dialect stays in plans/cypher.py; the CYPHER search type remains
 read-only (cypher_search_retriever.py forwards reads) — writes come through
@@ -258,8 +262,34 @@ def _with_dataset(df, dataset_id: str | None):
     return df.withColumn("dataset_id", F.lit(dataset_id))
 
 
+_NODE_FIELDS = {"id", "name", "type", "properties"}
+
+
+def _fold_extras(props: dict[str, str] | None, extras: dict[str, Any]) -> dict[str, str] | None:
+    """SET n.x = v outside the engine's node/edge schema lands in the
+    properties map (SET n.x = NULL removes the key, openCypher REMOVE-via-null
+    semantics) — nothing is silently dropped."""
+    if not extras:
+        return props
+    out = dict(props or {})
+    for k, v in extras.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = str(v)
+    return out
+
+
 def _node_upsert(p: _WriteParser, store, bindings: list[dict], dataset_id: str | None) -> dict[str, int]:
-    """(CREATE|MERGE) (n[:Label] {k: v, ...}) [ON ... SET ...]*"""
+    """(CREATE|MERGE) (n[:Label] {k: v, ...}) [ON ... SET ...]*
+
+    openCypher MERGE-on-match is non-destructive: fields NOT assigned by the
+    pattern or a SET keep the matched node's existing values (a bare
+    ``MERGE (n:Node {id:'x'})`` on an existing node is a no-op update), and
+    assignments outside the engine's node schema (id/name/type/properties)
+    fold into the properties map.  Bindings replay in UNWIND order: a later
+    element matching the same id overlays per FIELD, because it matches the
+    row the earlier element just wrote."""
     p.next()  # CREATE | MERGE
     p.expect_op("(")
     var = p._ident()
@@ -271,30 +301,75 @@ def _node_upsert(p: _WriteParser, store, bindings: list[dict], dataset_id: str |
     sets = p.on_set_clauses(var)
     p.expect_end()  # parse completes BEFORE any mutation
 
-    rows_by_id: dict[str, tuple] = {}
+    entries: list[tuple[str, dict[str, Any]]] = []
     for b in bindings:
-        fields: dict[str, Any] = {k: thunk(b) for k, thunk in pattern.items()}
+        assigned: dict[str, Any] = {k: thunk(b) for k, thunk in pattern.items()}
         for k, thunk in sets.items():
-            fields[k] = thunk(b)
-        if label and label != "Node" and "type" not in fields:
-            fields["type"] = label
-        if "id" not in fields or fields["id"] is None:
+            assigned[k] = thunk(b)
+        if label and label != "Node" and "type" not in assigned:
+            assigned["type"] = label
+        if "id" not in assigned or assigned["id"] is None:
             raise CypherUnsupported("node MERGE/CREATE needs an id")
-        nid = str(fields["id"])
-        rows_by_id[nid] = (  # last write wins within the batch, like MERGE
-            nid,
-            None if fields.get("name") is None else str(fields["name"]),
-            None if fields.get("type") is None else str(fields["type"]),
-            _coerce_props(fields.get("properties")),
-        )
-    if not rows_by_id:
+        entries.append((str(assigned["id"]), assigned))
+    if not entries:
         return {"nodes_upserted": 0}
+
+    state = _existing_nodes(store, dataset_id, sorted({nid for nid, _ in entries}))
+    for nid, assigned in entries:
+        cur = state.get(nid) or {"name": None, "type": None, "properties": None}
+        cur = dict(cur)
+        if "name" in assigned:
+            cur["name"] = assigned["name"]
+        if "type" in assigned:
+            cur["type"] = assigned["type"]
+        if "properties" in assigned:
+            cur["properties"] = _coerce_props(assigned["properties"])
+        cur["properties"] = _fold_extras(
+            cur["properties"], {k: v for k, v in assigned.items() if k not in _NODE_FIELDS}
+        )
+        state[nid] = cur
+
+    touched = dict.fromkeys(nid for nid, _ in entries)  # batch order, deduped
+    rows = [
+        (
+            nid,
+            None if state[nid]["name"] is None else str(state[nid]["name"]),
+            None if state[nid]["type"] is None else str(state[nid]["type"]),
+            state[nid]["properties"],
+        )
+        for nid in touched
+    ]
     df = store.spark.createDataFrame(
-        list(rows_by_id.values()),
-        "id string, name string, type string, properties map<string,string>",
+        rows, "id string, name string, type string, properties map<string,string>"
     )
     store.upsert_nodes(_with_dataset(df, dataset_id), created_by="cypher_write")
-    return {"nodes_upserted": len(rows_by_id)}
+    return {"nodes_upserted": len(rows)}
+
+
+def _existing_nodes(store, dataset_id: str | None, ids: list[str]) -> dict[str, dict]:
+    """Current scoped field values for the incoming id batch.  The batch is
+    driver-built and small by contract (the reference MERGEs 10 at a time,
+    kuzu/adapter.py:428), so the collect here is bounded; the store write
+    itself stays distributed."""
+    from pyspark.sql import functions as F
+
+    nodes = _scoped_nodes(store, dataset_id)
+    if nodes is None:
+        return {}
+    ids_df = store.spark.createDataFrame([(i,) for i in ids], "id string")
+    rows = (
+        nodes.select("id", "name", "type", "properties")
+        .join(F.broadcast(ids_df), "id", "leftsemi")
+        .collect()
+    )
+    return {
+        r["id"]: {
+            "name": r["name"],
+            "type": r["type"],
+            "properties": dict(r["properties"]) if r["properties"] is not None else None,
+        }
+        for r in rows
+    }
 
 
 def _scoped_nodes(store, dataset_id: str | None):
@@ -370,7 +445,14 @@ def _match_statement(p: _WriteParser, store, bindings: list[dict], dataset_id: s
 
 
 def _edge_upsert(p, store, bindings, node_vars, conds, dataset_id) -> dict[str, int]:
-    """MERGE (a)-[r:TYPE {k: v}]->(b) [ON ... SET ...]*"""
+    """MERGE (a)-[r:TYPE {k: v}]->(b) [ON ... SET ...]*
+
+    Same non-destructive rules as the node path: rel-pattern map keys beyond
+    the merge key (``relationship_name``) and SET fields beyond ``properties``
+    fold into the edge's properties map, and a matched edge keeps its stored
+    properties where the statement doesn't assign them.  Bindings replay in
+    UNWIND order (a later element matching the same (src, dst,
+    relationship_name) overlays the earlier one's result)."""
     p.next()  # MERGE
     p.expect_op("(")
     src_var = p._ident()
@@ -395,7 +477,7 @@ def _edge_upsert(p, store, bindings, node_vars, conds, dataset_id) -> dict[str, 
         if v not in node_vars or v not in conds:
             raise CypherUnsupported(f"edge endpoint {v!r} must be a matched, id-bound variable")
 
-    rows_by_key: dict[tuple, tuple] = {}
+    entries: list[tuple[tuple, dict[str, Any], dict[str, Any]]] = []
     for b in bindings:
         kind_s, src_thunk = conds[src_var]
         kind_d, dst_thunk = conds[dst_var]
@@ -408,13 +490,30 @@ def _edge_upsert(p, store, bindings, node_vars, conds, dataset_id) -> dict[str, 
             rel_name = rtype  # typed pattern [:likes] names the relationship
         if rel_name is None:
             raise CypherUnsupported("edge MERGE needs a relationship_name")
-        props = _coerce_props(sets["properties"](b)) if "properties" in sets else None
+        assigned: dict[str, Any] = {}
+        if "properties" in sets:
+            assigned["properties"] = sets["properties"](b)
+        extras: dict[str, Any] = {
+            k: thunk(b) for k, thunk in rel_map.items() if k != "relationship_name"
+        }
+        for k, thunk in sets.items():
+            if k != "properties":
+                extras[k] = thunk(b)
         key = (str(src_thunk(b)), str(dst_thunk(b)), str(rel_name))
-        rows_by_key[key] = (*key, props)
-    if not rows_by_key:
+        entries.append((key, assigned, extras))
+    if not entries:
         return {"edges_upserted": 0}
+
+    state = _existing_edge_props(store, dataset_id, sorted({k for k, _, _ in entries}))
+    for key, assigned, extras in entries:
+        props = (
+            _coerce_props(assigned["properties"]) if "properties" in assigned else state.get(key)
+        )
+        state[key] = _fold_extras(props, extras)
+
+    touched = dict.fromkeys(k for k, _, _ in entries)  # batch order, deduped
     incoming = store.spark.createDataFrame(
-        list(rows_by_key.values()),
+        [(*k, state[k]) for k in touched],
         "src string, dst string, relationship_name string, properties map<string,string>",
     )
     nodes = _scoped_nodes(store, dataset_id)
@@ -434,3 +533,29 @@ def _edge_upsert(p, store, bindings, node_vars, conds, dataset_id) -> dict[str, 
     if n:
         store.upsert_edges(_with_dataset(matched, dataset_id), created_by="cypher_write")
     return {"edges_upserted": n}
+
+
+def _existing_edge_props(store, dataset_id: str | None, keys: list[tuple]) -> dict[tuple, dict | None]:
+    """Stored properties for the incoming (src, dst, relationship_name) batch,
+    dataset-scoped — bounded collect, same contract as :func:`_existing_nodes`."""
+    from pyspark.sql import functions as F
+
+    edges = store.load("edges")
+    if edges is None or "properties" not in edges.columns:
+        return {}
+    if dataset_id is not None and "dataset_id" in edges.columns:
+        edges = edges.filter(F.col("dataset_id").eqNullSafe(dataset_id))
+    keys_df = store.spark.createDataFrame(
+        list(keys), "src string, dst string, relationship_name string"
+    )
+    rows = (
+        edges.select("src", "dst", "relationship_name", "properties")
+        .join(F.broadcast(keys_df), ["src", "dst", "relationship_name"], "leftsemi")
+        .collect()
+    )
+    return {
+        (r["src"], r["dst"], r["relationship_name"]): (
+            dict(r["properties"]) if r["properties"] is not None else None
+        )
+        for r in rows
+    }

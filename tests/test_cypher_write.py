@@ -224,3 +224,72 @@ def test_api_cypher_write_permission_gated(spark, tmp_path):
     e.permissions.give_permission("eve", "main_dataset", "delete")
     out = e.cypher_write("MATCH (n) WHERE n.id = $id DETACH DELETE n", {"id": "a"}, user_id="eve")
     assert out == {"nodes_deleted": 1}
+
+
+def test_bare_merge_on_existing_node_is_non_destructive(store):
+    # openCypher MERGE-match must not overwrite fields it doesn't assign:
+    # a bare MERGE on an existing id keeps name/type/properties intact
+    run_cypher_write(store, NODE_MERGE, {"nodes": [_node("a", "Alice", "Person", city="berlin")]})
+    out = run_cypher_write(store, "MERGE (n:Node {id: 'a'})")
+    assert out == {"nodes_upserted": 1}
+    [row] = store.load("nodes").collect()
+    assert row["name"] == "Alice" and row["type"] == "Person"
+    assert row["properties"]["city"] == "berlin"
+
+
+def test_set_outside_schema_folds_into_properties(store):
+    run_cypher_write(store, "CREATE (n:Person {id: 'a', name: 'A'})")
+    # unknown SET field -> properties map, not silently discarded
+    run_cypher_write(store, "MERGE (n:Node {id: 'a'}) SET n.score = 5")
+    [row] = store.load("nodes").collect()
+    assert row["properties"]["score"] == "5"
+    assert row["name"] == "A"  # untouched fields preserved
+    # SET n.x = NULL removes the key (openCypher remove-via-null)
+    run_cypher_write(store, "MERGE (n:Node {id: 'a'}) SET n.score = NULL, n.lang = 'de'")
+    [row] = store.load("nodes").collect()
+    assert "score" not in row["properties"] and row["properties"]["lang"] == "de"
+
+
+def test_reference_created_at_lands_in_properties(store):
+    # the reference's own merge shape SETs created_at/updated_at — they must
+    # survive as properties, not vanish while counts report success
+    run_cypher_write(store, NODE_MERGE, {"nodes": [_node("a", "Alice", "Person")]})
+    [row] = store.load("nodes").collect()
+    assert row["properties"]["created_at"] == "2024-01-01"
+    assert row["properties"]["updated_at"] == "2024-01-01"
+
+
+def test_edge_rel_map_extras_and_preservation(store):
+    run_cypher_write(store, "CREATE (n:T {id: 'a'})")
+    run_cypher_write(store, "CREATE (n:T {id: 'b'})")
+    # rel-pattern keys beyond relationship_name fold into edge properties
+    out = run_cypher_write(
+        store,
+        "MATCH (a:Node), (b:Node) WHERE a.id = 'a' AND b.id = 'b' "
+        "MERGE (a)-[r:EDGE {relationship_name: 'likes', weight: 1}]->(b)",
+    )
+    assert out == {"edges_upserted": 1}
+    [e] = store.load("edges").collect()
+    assert e["properties"]["weight"] == "1"
+    # matched edge MERGE without a properties assignment preserves stored
+    # props and overlays only the extra SET field
+    run_cypher_write(
+        store,
+        "MATCH (a:Node), (b:Node) WHERE a.id = 'a' AND b.id = 'b' "
+        "MERGE (a)-[r:likes]->(b) SET r.confirmed = TRUE",
+    )
+    [e] = store.load("edges").collect()
+    assert e["properties"]["weight"] == "1"
+    assert e["properties"]["confirmed"] == "True"
+
+
+def test_unwind_replays_sequentially_per_field(store):
+    # two UNWIND elements hitting the same id: the second matches the row the
+    # first wrote, so fields accumulate per-field instead of replacing rows
+    run_cypher_write(
+        store,
+        "UNWIND $nodes AS node MERGE (n:Node {id: node.id}) SET n.k = node.k",
+        {"nodes": [{"id": "a", "k": "v1"}, {"id": "a", "k": "v2"}]},
+    )
+    [row] = store.load("nodes").collect()
+    assert row["properties"]["k"] == "v2"
