@@ -1096,6 +1096,31 @@ def _q_mm_bmp_resize(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_png_resize(spark, sf_dir):
+    """REAL PNG decode + nearest-neighbor resize, oracle-checked: each doc
+    synthesizes an 8-bit truecolor PNG ((12 + doc_id%5) x 10, red(x,y) =
+    (doc_id + 5x + 11y) % 256) via sources/media.png_bytes (zlib IDAT), then
+    image_resize runs the full IDAT inflate + filter undo + floor-mapping
+    resample to 4x3, which DuckDB restates analytically."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import synth_png_for_id
+
+        for pdf in batches:
+            rows = [(str(int(d)), synth_png_for_id(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
+
+
 _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
 
 
@@ -1511,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_pack_sequences": _q_td_pack_sequences,
         "mm_wav_decode": _q_mm_wav_decode,
         "mm_bmp_resize": _q_mm_bmp_resize,
+        "mm_png_resize": _q_mm_png_resize,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -2021,6 +2047,25 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(4 AS INTEGER) AS target_width,
        CAST(3 AS INTEGER) AS target_height,
        CAST(SUM((doc_id + 3 * ((tx * w) // 4) + 7 * ((ty * 12) // 3)) % 256) AS BIGINT) AS red_sum
+FROM cells
+GROUP BY doc_id, w"""
+
+    # real PNG decode (zlib inflate + filter undo) + nearest resize: red_sum
+    # restated via sx = tx*w//4, sy = ty*10//3 over the 4x3 target grid
+    sql["mm_png_resize"] = """
+WITH g AS (SELECT doc_id, 12 + doc_id % 5 AS w FROM documents),
+cells AS (
+  SELECT doc_id, w, tx, ty
+  FROM g
+  CROSS JOIN (SELECT unnest(range(4)) AS tx)
+  CROSS JOIN (SELECT unnest(range(3)) AS ty)
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(10 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS target_width,
+       CAST(3 AS INTEGER) AS target_height,
+       CAST(SUM((doc_id + 5 * ((tx * w) // 4) + 11 * ((ty * 10) // 3)) % 256) AS BIGINT) AS red_sum
 FROM cells
 GROUP BY doc_id, w"""
 

@@ -229,16 +229,24 @@ class CogneeSpark:
 
     def list_datasets(self, user_id: str | None = None) -> list[str]:
         """Dataset ids present in the store (list_datasets); with ``user_id``,
-        only those the user may read — the authorized_search resolution."""
-        data = self.store.load("data")
-        if data is None or "dataset_id" not in data.columns:
-            found: list[str] = []
-        else:
-            found = sorted(
-                r["dataset_id"]
-                for r in data.select("dataset_id").distinct().collect()
-                if r["dataset_id"] is not None
-            )
+        only those the user may read — the authorized_search resolution.
+
+        Ids are the UNION of the data and nodes tables plus live run-logged
+        datasets: a dataset populated only through cypher_write/upsert_nodes
+        (graph rows, no Data rows) is visible here exactly as search and
+        delete_dataset see it."""
+        ids: set[str] = set()
+        for table in ("data", "nodes"):
+            df = self.store.load(table)
+            if df is not None and "dataset_id" in df.columns:
+                ids.update(
+                    r["dataset_id"]
+                    for r in df.select("dataset_id").distinct().collect()
+                    if r["dataset_id"] is not None
+                )
+        # run-logged datasets (tombstoned ones already filtered by statuses)
+        ids.update(self.runs.statuses(None).keys())
+        found = sorted(ids)
         if user_id is not None:
             allowed = set(self.permissions.authorized_datasets(user_id, "read"))
             found = [d for d in found if d in allowed]
@@ -258,10 +266,21 @@ class CogneeSpark:
             return data.limit(0)
         return data.filter(F.col("dataset_id").eqNullSafe(ds))
 
-    def dataset_status(self, dataset_ids: list[str] | None = None) -> dict[str, str]:
+    def dataset_status(
+        self, dataset_ids: list[str] | None = None, user_id: str | None = None
+    ) -> dict[str, str]:
         """Latest cognify pipeline status per dataset (get_status) — both
-        the plain and temporal cognify pipelines count as processed."""
-        return self.runs.statuses(dataset_ids)
+        the plain and temporal cognify pipelines count as processed.
+
+        With ``user_id``, the result covers only datasets the user may read
+        (the reference's authorized get_status) — without the gate, any
+        caller could enumerate the existence and pipeline state of every
+        tenant's datasets that list_datasets(user_id) would hide."""
+        statuses = self.runs.statuses(dataset_ids)
+        if user_id is not None:
+            allowed = set(self.permissions.authorized_datasets(user_id, "read"))
+            statuses = {d: s for d, s in statuses.items() if d in allowed}
+        return statuses
 
     def delete_dataset(self, dataset_id: str, user_id: str | None = None) -> dict[str, int]:
         """Remove a whole dataset across every table (delete_dataset), plus
@@ -287,6 +306,25 @@ class CogneeSpark:
         self.runs.forget_dataset(dataset_id)
         self.permissions.revoke_dataset(dataset_id)
         return removed
+
+    def share_dataset(
+        self,
+        granter_id: str,
+        grantee_id: str,
+        dataset_id: str | None = None,
+        permission: str = "read",
+    ) -> None:
+        """A ``share``-holder grants ``grantee_id`` (a user or role principal)
+        access to the dataset — deny by default for granters without
+        ``share`` (the reference's share flow,
+        cognee/modules/users/permissions/methods/).  Defaults to this
+        engine's dataset."""
+        self.permissions.share_dataset(
+            granter_id,
+            grantee_id,
+            self.dataset_id if dataset_id is None else dataset_id,
+            permission,
+        )
 
     def cypher_write(self, query: str, params: dict | None = None, user_id: str | None = None) -> dict:
         """Execute a write-Cypher statement against the store — the three

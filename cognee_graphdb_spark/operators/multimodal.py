@@ -88,7 +88,7 @@ def extract_features(
                     )
                     for i in range(dim)
                 ]
-            if content[:2] in (b"BM", b"P6"):
+            if m.is_image_magic(content):
                 px = m.decode_image(content)
                 h, w = len(px), len(px[0])
                 side = max(1, int(dim**0.5))
@@ -159,7 +159,7 @@ def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
 
 
 def image_resize(media: DataFrame, target_width: int, target_height: int) -> DataFrame:
-    """REAL image resize: decode BMP/PPM pixel rows, nearest-neighbor
+    """REAL image resize: decode BMP/PPM/PNG pixel rows, nearest-neighbor
     resample (sx = tx*w//tw), and emit per-image stats of the RESIZED pixels
     — (media_id, width, height, target_width, target_height, red_sum).
     The integer-exact mapping keeps the output oracle-checkable."""

@@ -25,6 +25,8 @@ Atomicity notes (why the pointer protocol is safe per scheme):
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import SparkSession
 
 
@@ -107,3 +109,37 @@ class Fs:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """``create(path, overwrite=false)`` — atomic exists-check-and-create
+        on local FS and HDFS, the primitive behind the store's cross-process
+        write lease.  Returns False when the path already exists.  (On plain
+        S3A the check-then-create is two requests unless the store supports
+        conditional PUT — mutual exclusion there is best-effort; the
+        production upgrade is a table format's log-based commit, SCALE.md.)"""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def scheme(self) -> str:
+        return str(self._fs.getScheme())
+
+    def flip_pointer(self, path: str, text: str) -> None:
+        """Replace a small pointer file with NO pointer-absent window, per
+        scheme: on the local FS a tmp-file + rename(2) replaces the existing
+        target atomically; stores whose rename refuses an existing file
+        target (HDFS, S3A) instead write the pointer in place — one atomic
+        overwrite PUT on object stores — so a concurrent reader always sees
+        either the old or the new version, never a missing pointer."""
+        if self.scheme() in ("file", ""):
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            self.write_text(tmp, text)
+            self.replace(tmp, path)
+        else:
+            self.write_text(path, text)

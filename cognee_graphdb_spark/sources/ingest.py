@@ -96,10 +96,12 @@ def decode_row(loader: str, content: bytes | None) -> str:
             )
         except Exception:
             pass
-    if loader == "image_loader" and data[:2] in (b"BM", b"P6"):
+    if loader == "image_loader":
         try:
             from cognee_graphdb_spark.sources import media as m
 
+            if not m.is_image_magic(data):
+                raise ValueError("not a stdlib-decodable image")
             px = m.decode_image(data)
             h, w = len(px), len(px[0])
             n = h * w

@@ -1,12 +1,13 @@
-"""Deterministic WAV / BMP / PPM codecs (public-spec parsers, stdlib only).
+"""Deterministic WAV / BMP / PPM / PNG codecs (public-spec parsers, stdlib only).
 
 Mirrors the :mod:`cognee_graphdb_spark.sources.pdf` approach: the reference
 routes audio/image through LLM loaders (transcript / description —
 cognee/infrastructure/loaders/core/audio_loader.py:18, image_loader.py:15;
 dispatch LoaderEngine.py:25-96), so the [LLM] half stays behind the gateway —
-but the BINARY half (RIFF/WAVE chunks, BITMAPINFOHEADER pixel rows, PPM P6)
-is fully specified by public formats and decodes deterministically here,
-feeding the multimodal operators real bytes instead of md5 stand-ins.
+but the BINARY half (RIFF/WAVE chunks, BITMAPINFOHEADER pixel rows, PPM P6,
+PNG IHDR/IDAT with zlib inflate + filter undo) is fully specified by public
+formats and decodes deterministically here, feeding the multimodal operators
+real bytes instead of md5 stand-ins.
 
 Scale note: these run INSIDE Arrow-batched mapInPandas stages — pure
 per-blob Python with no shared state, so they parallelize per partition
@@ -202,13 +203,148 @@ def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB/RGBA truecolor, non-interlaced) — public spec, stdlib zlib
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """Encode ``pixel_fn(x, y) -> (r, g, b)`` as an 8-bit truecolor PNG
+    (filter 0 rows, one zlib IDAT) — synthesis for fixtures and oracles."""
+    import zlib
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            raw += bytes((r & 255, g & 255, b & 255))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunks(data: bytes):
+    """(type, body) pairs with CRC verification."""
+    import zlib
+
+    i = len(_PNG_SIG)
+    while i + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        if i + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        body = data[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, i + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        i += 12 + length
+    raise ValueError("PNG missing IEND")
+
+
+def parse_png(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels); raises ValueError for non-PNG or outside
+    the 8-bit truecolor non-interlaced subset."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    for ctype, body in _png_chunks(data):
+        if ctype != b"IHDR":
+            raise ValueError("PNG must start with IHDR")
+        width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+        if depth != 8 or color not in (2, 6):
+            raise ValueError(f"unsupported PNG: depth={depth} colortype={color} (8-bit RGB/RGBA only)")
+        if comp != 0 or filt != 0:
+            raise ValueError("unsupported PNG compression/filter method")
+        if interlace != 0:
+            raise ValueError("interlaced PNG not supported")
+        return width, height, 3 if color == 2 else 4
+    raise ValueError("PNG missing IHDR")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Pixel rows top-down as (r, g, b) — IDAT inflate + per-row filter undo
+    (filters 0-4: None/Sub/Up/Average/Paeth, the complete public set).  RGBA
+    input drops alpha; anything outside 8-bit truecolor raises ValueError."""
+    import zlib
+
+    width, height, channels = parse_png(data)
+    idat = b"".join(body for ctype, body in _png_chunks(data) if ctype == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    rows: list[list[tuple[int, int, int]]] = []
+    prior = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 255
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 255
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up_left = prior[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prior[i], up_left)) & 255
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prior = line
+        rows.append([tuple(line[x * channels : x * channels + 3]) for x in range(width)])
+    return rows
+
+
+def is_image_magic(data: bytes) -> bool:
+    """True when the blob starts like a format :func:`decode_image` handles —
+    the ONE sniffing rule for loader dispatch and feature extraction."""
+    return data[:2] in (b"BM", b"P6") or data.startswith(_PNG_SIG)
+
+
 def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """BMP or PPM pixel rows top-down; ValueError for anything else."""
+    """BMP, PPM, or PNG pixel rows top-down; ValueError for anything else."""
     if data[:2] == b"BM":
         return bmp_pixels(data)
     if data[:2] == b"P6":
         return ppm_pixels(data)
-    raise ValueError("unsupported image format (BMP 24bpp / PPM P6 supported)")
+    if data.startswith(_PNG_SIG):
+        return png_pixels(data)
+    raise ValueError("unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor supported)")
 
 
 def resize_nearest(
@@ -240,3 +376,10 @@ def synth_bmp_for_id(did: int) -> bytes:
     """24-bpp BMP (16 + did%8) x 12, red(x, y) = (did + 3x + 7y) % 256 —
     widths not divisible by 4 exercise row padding."""
     return bmp_bytes(16 + did % 8, 12, lambda x, y: ((did + 3 * x + 7 * y) % 256, 0, 0))
+
+
+def synth_png_for_id(did: int) -> bytes:
+    """PNG (12 + did%5) x 10, red(x, y) = (did + 5x + 11y) % 256 — same
+    analytic-formula discipline as the BMP/WAV fixtures so the driver oracle
+    can restate the decode + resize exactly."""
+    return png_bytes(12 + did % 5, 10, lambda x, y: ((did + 5 * x + 11 * y) % 256, 0, 0))

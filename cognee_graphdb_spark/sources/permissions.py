@@ -98,6 +98,19 @@ class PermissionStore:
         """The user plus every role they belong to — the ACL principal set."""
         return [user_id, *self.roles_of(user_id)]
 
+    def share_dataset(
+        self, granter_id: str, grantee_id: str, dataset_id: str, permission: str = "read"
+    ) -> None:
+        """A ``share``-holder grants another principal access to the dataset
+        (the reference's share flow: give_permission_on_dataset called by a
+        principal that itself holds ``share``,
+        cognee/modules/users/permissions/methods/).  Deny by default: a
+        granter without ``share`` on the dataset cannot grant anything, and
+        ``share`` itself can only be re-shared by a share-holder (standard
+        delegation semantics)."""
+        self.check_permission(granter_id, dataset_id, "share")
+        self.give_permission(grantee_id, dataset_id, permission)
+
     def revoke_permission(self, user_id: str, dataset_id: str, permission: str = "read") -> None:
         grants = self._load()
         if grants is None:

@@ -19,7 +19,9 @@ data rename.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import random
 import threading
 import time
 import uuid
@@ -34,6 +36,12 @@ EDGE_KEY = ["src", "dst", "relationship_name"]
 EMBEDDING_KEY = ["collection", "id"]
 
 _KEYS = {"nodes": NODE_KEY, "edges": EDGE_KEY, "embeddings": EMBEDDING_KEY, "data": ["id"]}
+
+# a writer that dies holding a table lease is assumed dead after this many
+# seconds and its lock is broken (bound it ABOVE the slowest expected merge
+# job — a live long-running writer whose lease gets broken reintroduces the
+# lost-update race this lock exists to prevent)
+_LOCK_TTL = float(os.environ.get("SPARK_GRAFT_LOCK_TTL", "300"))
 
 
 class GraphStore:
@@ -52,6 +60,52 @@ class GraphStore:
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    @contextlib.contextmanager
+    def _table_lock(self, table: str, timeout: float = _LOCK_TTL + 60.0):
+        """Cross-process write lease for one table's read-merge-flip cycle.
+
+        Two engine processes upserting the same table used to race on the
+        ``_CURRENT`` pointer (both load v1, both write, last flip wins — one
+        merge silently lost; the reference serializes writers through its
+        embedded DB's file lock, kuzu/adapter.py:45).  The lease is a
+        ``_LOCK`` file taken with ``create(path, overwrite=false)`` — atomic
+        on local FS and HDFS — and held across load -> merge -> pointer flip,
+        so read-modify-writes serialize.  A lease older than
+        ``SPARK_GRAFT_LOCK_TTL`` seconds is treated as a dead writer's and
+        broken via rename (only one breaker can win the rename).  Locks are
+        PER TABLE, so concurrent writers of different tables (e.g. cognify's
+        parallel nodes/edges/embeddings writes) never contend, and no code
+        path holds two locks at once — no ordering, no deadlock."""
+        self.fs.mkdirs(self._path(table))
+        lock = os.path.join(self._path(table), "_LOCK")
+        token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        deadline = time.time() + timeout
+        while not self.fs.create_exclusive(lock, f"{time.time()}|{token}"):
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire write lease on {table!r} within {timeout:.0f}s")
+            try:
+                payload = self.fs.read_text(lock)
+                age = time.time() - float(payload.split("|", 1)[0])
+            except Exception:
+                continue  # holder released between attempts — retry create
+            if age > _LOCK_TTL:
+                # break the stale lease: re-read right before renaming so a
+                # fresh lease taken in the meantime survives, and rename so
+                # only ONE breaker wins even if several saw it stale
+                try:
+                    if self.fs.read_text(lock) == payload:
+                        broken = f"{lock}.broken-{uuid.uuid4().hex[:8]}"
+                        if self.fs.rename(lock, broken):
+                            self.fs.delete(broken)
+                except Exception:
+                    pass
+                continue
+            time.sleep(0.05 + random.random() * 0.1)
+        try:
+            yield
+        finally:
+            self.fs.delete(lock)
 
     def _current_version(self, table: str) -> str | None:
         pointer = os.path.join(self._path(table), "_CURRENT")
@@ -86,9 +140,9 @@ class GraphStore:
         if "dataset_id" in df.columns:
             writer = writer.partitionBy("dataset_id")
         writer.parquet(os.path.join(base, version))
-        tmp_pointer = os.path.join(base, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-        self.fs.write_text(tmp_pointer, version)
-        self.fs.replace(tmp_pointer, os.path.join(base, "_CURRENT"))
+        # scheme-aware atomic flip: rename(2) locally, one overwrite PUT on
+        # object stores — a concurrent load() never sees a missing pointer
+        self.fs.flip_pointer(os.path.join(base, "_CURRENT"), version)
 
     def vacuum(self) -> None:
         """Delete every non-current version (callers guarantee no reader
@@ -104,23 +158,24 @@ class GraphStore:
                     self.fs.delete(full)
 
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
-        key = _KEYS[table]
-        existing = self.load(table)
-        # Multi-tenancy: ids are content-addressed, so the SAME entity ingested
-        # into two datasets yields the same id — each dataset must keep its own
-        # row (the reference gives each dataset its own graph DB; search.py:322).
-        # dataset_id therefore joins the merge key whenever both sides carry it.
-        if "dataset_id" in incoming.columns and (existing is None or "dataset_id" in existing.columns):
-            key = key + ["dataset_id"]
-        incoming = incoming.dropDuplicates(key)
-        if existing is None:
-            merged = incoming
-        else:
-            # MERGE: matched rows take the incoming version (update), the rest
-            # of the existing table is kept (the NOT MATCHED ... INSERT half)
-            kept = existing.join(incoming.select(*key), key, "left_anti")
-            merged = kept.unionByName(incoming, allowMissingColumns=True)
-        self._swap_write(table, merged)
+        with self._table_lock(table):
+            key = _KEYS[table]
+            existing = self.load(table)
+            # Multi-tenancy: ids are content-addressed, so the SAME entity ingested
+            # into two datasets yields the same id — each dataset must keep its own
+            # row (the reference gives each dataset its own graph DB; search.py:322).
+            # dataset_id therefore joins the merge key whenever both sides carry it.
+            if "dataset_id" in incoming.columns and (existing is None or "dataset_id" in existing.columns):
+                key = key + ["dataset_id"]
+            incoming = incoming.dropDuplicates(key)
+            if existing is None:
+                merged = incoming
+            else:
+                # MERGE: matched rows take the incoming version (update), the rest
+                # of the existing table is kept (the NOT MATCHED ... INSERT half)
+                kept = existing.join(incoming.select(*key), key, "left_anti")
+                merged = kept.unionByName(incoming, allowMissingColumns=True)
+            self._swap_write(table, merged)
         self.append_ledger(f"upsert_{table}", incoming.select(F.concat_ws("|", *key).alias("id")), created_by)
 
     def upsert_nodes(self, nodes: DataFrame, created_by: str = "add_data_points") -> None:
@@ -225,25 +280,28 @@ class GraphStore:
             out = df.filter(~F.col("dataset_id").eqNullSafe(dataset_id))
             return in_scope, out
 
-        nodes = self.load("nodes")
-        if nodes is not None:
-            hit, rest = split(nodes)
-            kept = hit.join(ids, "id", "left_anti")
-            self._swap_write("nodes", kept if rest is None else kept.unionByName(rest))
-        edges = self.load("edges")
-        if edges is not None:
-            hit, rest = split(edges)
-            kept = (
-                hit.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
-                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
-                .select(*edges.columns)
-            )
-            self._swap_write("edges", kept if rest is None else kept.unionByName(rest))
-        emb = self.load("embeddings")
-        if emb is not None:
-            hit, rest = split(emb)
-            kept = hit.join(ids, "id", "left_anti")
-            self._swap_write("embeddings", kept if rest is None else kept.unionByName(rest))
+        with self._table_lock("nodes"):
+            nodes = self.load("nodes")
+            if nodes is not None:
+                hit, rest = split(nodes)
+                kept = hit.join(ids, "id", "left_anti")
+                self._swap_write("nodes", kept if rest is None else kept.unionByName(rest))
+        with self._table_lock("edges"):
+            edges = self.load("edges")
+            if edges is not None:
+                hit, rest = split(edges)
+                kept = (
+                    hit.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+                    .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                    .select(*edges.columns)
+                )
+                self._swap_write("edges", kept if rest is None else kept.unionByName(rest))
+        with self._table_lock("embeddings"):
+            emb = self.load("embeddings")
+            if emb is not None:
+                hit, rest = split(emb)
+                kept = hit.join(ids, "id", "left_anti")
+                self._swap_write("embeddings", kept if rest is None else kept.unionByName(rest))
         if dataset_id is None:
             self.append_ledger("delete_nodes", ids, created_by)
         else:
@@ -262,15 +320,16 @@ class GraphStore:
         dataset's membership rows — the reference deletes the dataset link
         and keeps the Data record while other datasets still reference it
         (delete.py:188-201)."""
-        data = self.load("data")
-        if data is None or not data_ids:
-            return []
-        doomed = F.col("id").isin(data_ids)
-        if dataset_id is not None and "dataset_id" in data.columns:
-            doomed = doomed & F.col("dataset_id").eqNullSafe(dataset_id)
-        hits = data.filter(doomed)
-        hashes = [r["content_hash"] for r in hits.select("content_hash").distinct().collect()]
-        self._swap_write("data", data.filter(~doomed))
+        with self._table_lock("data"):
+            data = self.load("data")
+            if data is None or not data_ids:
+                return []
+            doomed = F.col("id").isin(data_ids)
+            if dataset_id is not None and "dataset_id" in data.columns:
+                doomed = doomed & F.col("dataset_id").eqNullSafe(dataset_id)
+            hits = data.filter(doomed)
+            hashes = [r["content_hash"] for r in hits.select("content_hash").distinct().collect()]
+            self._swap_write("data", data.filter(~doomed))
         self.append_ledger("delete_data", hits.select("id"), created_by)
         return hashes
 
@@ -303,15 +362,16 @@ class GraphStore:
         per-table removed-row counts."""
         removed: dict[str, int] = {}
         for table in ("nodes", "edges", "embeddings", "data"):
-            df = self.load(table)
-            if df is None or "dataset_id" not in df.columns:
-                removed[table] = 0
-                continue
-            doomed = F.col("dataset_id").eqNullSafe(dataset_id)
-            n = df.filter(doomed).count()
-            removed[table] = n
-            if n:
-                self._swap_write(table, df.filter(~doomed))
+            with self._table_lock(table):
+                df = self.load(table)
+                if df is None or "dataset_id" not in df.columns:
+                    removed[table] = 0
+                    continue
+                doomed = F.col("dataset_id").eqNullSafe(dataset_id)
+                n = df.filter(doomed).count()
+                removed[table] = n
+                if n:
+                    self._swap_write(table, df.filter(~doomed))
         self.append_ledger(
             "delete_dataset",
             self.spark.createDataFrame([(dataset_id,)], ["id"]),
@@ -331,20 +391,21 @@ class GraphStore:
         """Add ``weight`` to the feedback_weight property of every
         used_graph_element_to_answer edge pointing at ``node_ids``
         (kuzu adapter.py:1724-1760)."""
-        edges = self.load("edges")
-        if edges is None:
-            return
-        if "properties" not in edges.columns:
-            edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
-        target = (F.col("relationship_name") == "used_graph_element_to_answer") & F.col("dst").isin(node_ids)
-        props = F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>"))
-        current = F.coalesce(F.element_at(props, "feedback_weight").cast("double"), F.lit(0.0))
-        updated_props = F.map_concat(
-            F.map_filter(props, lambda k, _: k != F.lit("feedback_weight")),
-            F.create_map(F.lit("feedback_weight"), (current + weight).cast("string")),
-        )
-        out = edges.withColumn("properties", F.when(target, updated_props).otherwise(F.col("properties")))
-        self._swap_write("edges", out)
+        with self._table_lock("edges"):
+            edges = self.load("edges")
+            if edges is None:
+                return
+            if "properties" not in edges.columns:
+                edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
+            target = (F.col("relationship_name") == "used_graph_element_to_answer") & F.col("dst").isin(node_ids)
+            props = F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>"))
+            current = F.coalesce(F.element_at(props, "feedback_weight").cast("double"), F.lit(0.0))
+            updated_props = F.map_concat(
+                F.map_filter(props, lambda k, _: k != F.lit("feedback_weight")),
+                F.create_map(F.lit("feedback_weight"), (current + weight).cast("string")),
+            )
+            out = edges.withColumn("properties", F.when(target, updated_props).otherwise(F.col("properties")))
+            self._swap_write("edges", out)
         self.append_ledger(
             "apply_feedback_weight",
             self.spark.createDataFrame([(i,) for i in node_ids], ["id"]),

@@ -314,3 +314,66 @@ def test_combined_context_multi_dataset_search(spark, tmp_path):
     chunks = a.search("CHUNKS", "dataset", top_k=10, user_id="alice", use_combined_context=True)
     texts = [r["text"] for r in chunks.collect()]
     assert any("Alpha" in t for t in texts) and any("Beta" in t for t in texts)
+
+def test_share_dataset_deny_by_default(spark, tmp_path):
+    """Only a 'share'-holder can grant others access (the reference's share
+    flow); a plain read/write-holder cannot — deny by default."""
+    root = str(tmp_path / "share")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+
+    # granter without 'share' — even one holding read+write — cannot grant
+    a.permissions.give_permission("mallory", "ds_a", "read")
+    a.permissions.give_permission("mallory", "ds_a", "write")
+    with pytest.raises(PermissionError, match="'share'"):
+        a.share_dataset("mallory", "eve")
+    assert not a.permissions.has_permission("eve", "ds_a", "read")
+
+    # a share-holder's grant lands on the grantee principal
+    a.permissions.give_permission("owner", "ds_a", "share")
+    a.share_dataset("owner", "eve")
+    assert a.permissions.has_permission("eve", "ds_a", "read")
+    assert a.permissions.authorized_datasets("eve", "read") == ["ds_a"]
+    # and the grantee can actually search now
+    assert a.search("CHUNKS", "dataset", top_k=5, user_id="eve").count() >= 1
+    # share grants only what was asked — read does not imply write
+    assert not a.permissions.has_permission("eve", "ds_a", "write")
+
+    # share can grant to a ROLE principal too
+    a.share_dataset("owner", "analysts", permission="read")
+    a.permissions.add_user_to_role("carol", "analysts")
+    assert a.permissions.has_permission("carol", "ds_a", "read")
+
+
+def test_dataset_status_acl_gate(spark, tmp_path):
+    """dataset_status(user_id=...) hides other tenants' datasets — without
+    the gate any caller could enumerate every dataset's pipeline state."""
+    root = str(tmp_path / "statgate")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+    b = CogneeSpark(spark, root, dataset_id="ds_b")
+    b.add([("b.txt", "Beta dataset describes duckdb vectorized scans.")])
+    b.cognify()
+
+    both = a.dataset_status()
+    assert set(both) == {"ds_a", "ds_b"}  # ungated call still sees all
+    assert a.dataset_status(user_id="alice") == {}  # no grants -> nothing
+    a.permissions.give_permission("alice", "ds_a", "read")
+    gated = a.dataset_status(user_id="alice")
+    assert set(gated) == {"ds_a"}
+    assert gated["ds_a"] == both["ds_a"]
+
+
+def test_list_datasets_sees_graph_only_dataset(spark, tmp_path):
+    """A dataset populated ONLY via cypher_write (graph rows, no Data rows)
+    must appear in list_datasets, matching what search/delete can see."""
+    root = str(tmp_path / "graphonly")
+    a = CogneeSpark(spark, root, dataset_id="ds_a")
+    a.add([("a.txt", "Alpha dataset describes apache spark executors.")])
+    a.cognify()
+    g = CogneeSpark(spark, root, dataset_id="ds_graph")
+    g.cypher_write("CREATE (n:Thing {id: 'x1', name: 'X'})")
+
+    assert a.list_datasets() == ["ds_a", "ds_graph"]

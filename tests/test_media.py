@@ -167,3 +167,107 @@ def test_ingest_envelope_real_metadata():
     assert decode_row("image_loader", bmp) == "[image 5x4 mean_rgb=(10, 20, 30)]"
     # unparseable binary falls back to the content-addressed stand-in
     assert decode_row("audio_loader", b"\xff\xfbmp3data").startswith("[audio_loader:")
+
+
+def test_png_roundtrip_and_filter_undo():
+    # encoder emits filter-0 rows; decode must reproduce the pixel formula
+    data = m.png_bytes(7, 5, lambda x, y: ((x * 37 + y * 91) % 256, x % 256, y % 256))
+    assert m.parse_png(data) == (7, 5, 3)
+    px = m.png_pixels(data)
+    assert px[2][3] == ((3 * 37 + 2 * 91) % 256, 3, 2)
+    # every public filter type (Sub/Up/Average/Paeth) must un-filter exactly
+    import struct
+    import zlib
+
+    W, H = 5, 5
+    want = [[((x * 37 + y * 91) % 256, (x * 3) % 256, (y * 7) % 256) for x in range(W)] for y in range(H)]
+    raw = bytearray()
+    prior = bytes(W * 3)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = b"".join(bytes(p) for p in want[y])
+        out = bytearray(line)
+        if f == 1:
+            for i in range(len(line) - 1, 2, -1):
+                out[i] = (line[i] - line[i - 3]) & 255
+        elif f == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prior[i]) & 255
+        elif f == 3:
+            for i in range(len(line)):
+                left = line[i - 3] if i >= 3 else 0
+                out[i] = (line[i] - ((left + prior[i]) >> 1)) & 255
+        elif f == 4:
+            for i in range(len(line)):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prior[i - 3] if i >= 3 else 0
+                out[i] = (line[i] - m._paeth(left, prior[i], ul)) & 255
+        raw.append(f)
+        raw += out
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    multi = (
+        m._PNG_SIG
+        + m._png_chunk(b"IHDR", ihdr)
+        + m._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + m._png_chunk(b"IEND", b"")
+    )
+    assert m.png_pixels(multi) == want
+
+
+def test_png_rgba_and_errors():
+    import struct
+    import zlib
+
+    # RGBA (colortype 6) decodes with alpha dropped
+    raw = bytearray()
+    for y in range(2):
+        raw.append(0)
+        for x in range(3):
+            raw += bytes((x, y, x + y, 200))
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0)
+    rgba = (
+        m._PNG_SIG
+        + m._png_chunk(b"IHDR", ihdr)
+        + m._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + m._png_chunk(b"IEND", b"")
+    )
+    assert m.parse_png(rgba) == (3, 2, 4)
+    assert m.png_pixels(rgba)[1][2] == (2, 1, 3)
+    # honest errors: palette PNG, corrupted CRC, truncation
+    import pytest as _pytest
+
+    pal_ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    pal = m._PNG_SIG + m._png_chunk(b"IHDR", pal_ihdr)
+    with _pytest.raises(ValueError, match="colortype"):
+        m.parse_png(pal)
+    bad = bytearray(m.png_bytes(3, 2, lambda x, y: (1, 2, 3)))
+    bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        m.parse_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        m.png_pixels(m.png_bytes(3, 2, lambda x, y: (1, 2, 3))[:30])
+
+
+def test_png_in_dispatch_and_envelope(spark):
+    # decode_image dispatch + loader envelope + image_resize operator all
+    # accept PNG now
+    png = m.png_bytes(4, 4, lambda x, y: (100, 50, 25))
+    assert m.is_image_magic(png)
+    assert m.decode_image(png)[0][0] == (100, 50, 25)
+
+    from cognee_graphdb_spark.sources.ingest import decode_row
+
+    assert decode_row("image_loader", png) == "[image 4x4 mean_rgb=(100, 50, 25)]"
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+
+    media = spark.createDataFrame(
+        [("p1", m.synth_png_for_id(3))], "media_id string, content binary"
+    )
+    [row] = image_resize(media, target_width=2, target_height=2).collect()
+    assert (row["width"], row["height"]) == (15, 10)
+    # red_sum matches the synth formula under the floor mapping
+    expect = sum(
+        (3 + 5 * (tx * 15 // 2) + 11 * (ty * 10 // 2)) % 256 for tx in range(2) for ty in range(2)
+    )
+    assert row["red_sum"] == expect
