@@ -734,11 +734,40 @@ def _q_graph_completion_e2e(spark, sf_dir):
 
 
 def _q_a2_components(spark, sf_dir):
+    """A2 connected components, promoted from rows-only to oracle-checked:
+    (a) the region tree (region <- nation <- customer/supplier edges) needs
+    REAL multi-hop label propagation — leaves sit 2 hops from the region hub,
+    one level deeper than a2_component_sizes' 1-hop stars — and its
+    component-size multiset is restated by DuckDB with plain joins; (b) the
+    full graph must collapse to exactly ONE component of exactly count(nodes)
+    rows (every row node reaches its table hub, and FK edges chain the hubs)
+    — the invariant that catches any component-SPLIT bug (the r5 star-test
+    fix class) at full graph scale.  Representatives are engine-internal
+    (min xxhash64), so sizes, not ids, are compared."""
     from cognee_graphdb_spark.operators.graph_metrics import connected_components
 
     nodes, edges = tpch_graph(spark, sf_dir)
-    comp = connected_components(nodes, edges)
-    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    fk = edges.filter(
+        F.col("relationship_name").isin("n_regionkey", "c_nationkey", "s_nationkey")
+    )
+    members = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    def size_hist(comp, scope):
+        return (
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("component_size"))
+            .groupBy("component_size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+            .select(F.lit(scope).alias("scope"), "component_size", "n_components")
+        )
+
+    sub = size_hist(connected_components(members, fk), "region_tree")
+    full = size_hist(connected_components(nodes, edges), "full")
+    return sub.unionByName(full)
 
 
 
@@ -844,6 +873,26 @@ def _q_cypher_translated(spark, sf_dir):
         ctx,
         "MATCH (r:TableRow)-[e:is_part_of]->(t:TableType) "
         "RETURN t.name AS table_name, count(r) AS n ORDER BY table_name",
+    )
+
+
+def _q_cypher_case(spark, sf_dir):
+    """CASE expressions in the read dialect (plans/cypher.py:_case_expr) —
+    both openCypher forms in one query: a generic CASE inside an aggregate
+    (conditional counting, the most common NL->Cypher emission) and a simple
+    CASE bucketing a property value."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "MATCH (n:TableRow) RETURN "
+        "CASE n.name WHEN 'nation' THEN 'geo' WHEN 'region' THEN 'geo' ELSE 'data' END AS bucket, "
+        "count(n) AS n_rows, "
+        "sum(CASE WHEN n.name = 'orders' THEN 1 ELSE 0 END) AS n_orders "
+        "ORDER BY bucket",
     )
 
 
@@ -1470,17 +1519,68 @@ def _q_skew_report(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02/r03/r04 each covered exactly the first 50).  Cumulative
-    # coverage is complete (98/98 through r04); round 5 leads with the fixed
-    # a2_graph_metrics row + flagship e2e + the 48 entries whose driver rows
-    # predate the r04 code changes, re-proving them under current code.
+    # (CORRECTNESS_r02..r05 each covered exactly the first 50).  Cumulative
+    # coverage through r05: 98/102 entries had driver rows; round 6 leads
+    # with the entries that never had an oracle-checked driver row — the 7
+    # added/promoted in r5, the 2 new this round (mm_png_resize,
+    # cypher_case), the newly promoted a2_connected_components — plus the
+    # fixed a2_graph_metrics (r5's one red row, root-caused to the oracle's
+    # HUGEINT selfloops column) and the flagship; the remaining 38 slots
+    # re-prove the block whose driver rows date to r04.
     raw = {
-        # -- round-5 window (first 50): the hash-stabilized A2 row, the
-        #    flagship e2e, then the 48 entries whose last driver rows ran
-        #    against r03 code (k-hop, curation, and the search path changed
-        #    since) — re-proven here under current code ---------------------
+        # -- round-6 window (first 50) ---------------------------------------
         "a2_graph_metrics": _q_a2_graph_metrics,
         "graph_completion_e2e": _q_graph_completion_e2e,
+        "f1_f4_chunking": _q_chunking,
+        "td_pack_sequences": _q_td_pack_sequences,
+        "mm_wav_decode": _q_mm_wav_decode,
+        "mm_bmp_resize": _q_mm_bmp_resize,
+        "mm_png_resize": _q_mm_png_resize,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
+        "cypher_case": _q_cypher_case,
+        "cypher_undirected": _q_cypher_undirected,
+        "td_curate_corpus": _q_td_curate_corpus,
+        "a2_connected_components": _q_a2_components,
+        # ...the r04-green block, oldest driver rows first ------------------
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
+        "u_regex_entities": _q_regex_entities,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "natural_language_search": _q_natural_language,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
+        "td_unigram_logprob": _q_td_unigram_logprob,
+        "td_weighted_sample": _q_td_weighted_sample,
+        "td_shuffle_shards": _q_td_shuffle_shards,
+        "td_duplicate_spans": _q_td_duplicate_spans,
+        "td_c4_line_filter": _q_td_c4_line_filter,
+        "td_quality_score": _q_td_quality_score,
+        "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
+        "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "knn_quantized": _q_knn_quantized,
+        "skew_report": _q_skew_report,
+        "s4_node_counts": _q_s4_node_counts,
+        "a3_node_degrees": _q_a3_node_degrees,
+        # -- window boundary (50): below here, re-proved green in r05 ---------
         "j6_k_hop": _q_j6_k_hop,
         "j5_triplet_scores": _q_j5_triplet_scores,
         "v1_knn": _q_v1_knn,
@@ -1529,59 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_last_k_interactions": _q_w4_last_k,
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
-        # -- window boundary (50): below here, green in r04 -------------------
-        # first two: promoted from rows-only to oracle-checked this round;
-        # verified locally (tools/verify_contract.py), next rotation's leads
-        "f1_f4_chunking": _q_chunking,
-        "td_pack_sequences": _q_td_pack_sequences,
-        "mm_wav_decode": _q_mm_wav_decode,
-        "mm_bmp_resize": _q_mm_bmp_resize,
-        "mm_png_resize": _q_mm_png_resize,
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        "s1_ingest_identify": _q_s1_ingest,
-        "s3_classify_documents": _q_s3_classify,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "u_regex_entities": _q_regex_entities,
-        "edge_weights_flatten": _q_edge_weights_flatten,
-        "mm_frame_sample": _q_frame_sample,
-        "mm_resize_plan": _q_resize_plan,
-        "a2_component_sizes": _q_a2_component_sizes,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
-        "cypher_undirected": _q_cypher_undirected,
-        "natural_language_search": _q_natural_language,
-        "td_hash_sample": _q_td_hash_sample,
-        "td_stratified_sample": _q_td_stratified_sample,
-        "td_decontaminate": _q_td_decontaminate,
-        "td_pii_redact": _q_td_pii_redact,
-        "td_corpus_stats": _q_td_corpus_stats,
-        "td_repetition": _q_td_repetition,
-        "td_gopher_filter": _q_td_gopher_filter,
-        "td_unigram_logprob": _q_td_unigram_logprob,
-        "td_weighted_sample": _q_td_weighted_sample,
-        "td_shuffle_shards": _q_td_shuffle_shards,
-        "td_duplicate_spans": _q_td_duplicate_spans,
-        "td_c4_line_filter": _q_td_c4_line_filter,
-        "td_quality_score": _q_td_quality_score,
-        "td_curate_corpus": _q_td_curate_corpus,
-        "td_mixture_plan": _q_td_mixture_plan,
-        "td_source_report": _q_td_source_report,
-        "bm25_topk": _q_bm25_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "knn_quantized": _q_knn_quantized,
-        "skew_report": _q_skew_report,
-        "s4_node_counts": _q_s4_node_counts,
-        "a3_node_degrees": _q_a3_node_degrees,
-        # rows-only composites (pandas-UDF / iterative plans)
+        # rows-only composites (pandas-UDF / iterative LLM-loop plans)
         "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
-        "a2_connected_components": _q_a2_components,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         "code_graph_counts": _q_code_graph,
@@ -2212,6 +2262,13 @@ GROUP BY t.name ORDER BY table_name"""
     # undirected: union of both orientations (self-loops excluded from the
     # flip); is_part_of only ever points row->type, so the flipped copy is
     # what actually matches
+    sql["cypher_case"] = f"""WITH {g}
+SELECT CASE name WHEN 'nation' THEN 'geo' WHEN 'region' THEN 'geo' ELSE 'data' END AS bucket,
+       count(*) AS n_rows,
+       CAST(SUM(CASE WHEN name = 'orders' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+FROM nodes WHERE type = 'TableRow'
+GROUP BY bucket ORDER BY bucket"""
+
     sql["cypher_undirected"] = f"""WITH {g},
 sym AS (
   SELECT src, dst, relationship_name FROM edges
@@ -2398,6 +2455,25 @@ WITH sizes AS (
   SELECT n_regionkey, count(*) + 1 AS size FROM nation GROUP BY n_regionkey
 )
 SELECT size, count(*) AS n_components FROM sizes GROUP BY size"""
+
+    # a2_connected_components: region-tree component sizes restated by joins
+    # (component(region r) = r + its nations + their customers + their
+    # suppliers), plus the full-graph single-component invariant
+    sql["a2_connected_components"] = f"""WITH {g},
+per_region AS (SELECT n_regionkey AS region, count(*) AS nations FROM nation GROUP BY n_regionkey),
+cust AS (SELECT n.n_regionkey AS region, count(*) AS c
+         FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+supp AS (SELECT n.n_regionkey AS region, count(*) AS s
+         FROM supplier sp JOIN nation n ON sp.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+sizes AS (
+  SELECT p.region, 1 + p.nations + coalesce(cust.c, 0) + coalesce(supp.s, 0) AS component_size
+  FROM per_region p LEFT JOIN cust ON cust.region = p.region LEFT JOIN supp ON supp.region = p.region
+)
+SELECT 'region_tree' AS scope, CAST(component_size AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size
+UNION ALL
+SELECT 'full', CAST((SELECT count(*) FROM nodes) AS BIGINT), CAST(1 AS BIGINT)"""
 
     # --- training-data ops (operators/training_data.py) ----------------------
 

@@ -201,7 +201,7 @@ class _Var:
     prefix: str = ""  # column prefix inside a derived table; for scalar, THE column name
 
     def col(self, name: str) -> str:
-        if self.kind == "scalar":
+        if self.kind in ("scalar", "path"):
             return f"{self.alias}.{self.prefix}"
         return f"{self.alias}.{self.prefix}{name}"
 
@@ -413,11 +413,74 @@ class _Parser(_TokenCursor):
 
     # -- MATCH --------------------------------------------------------------
     def _match_clause(self) -> None:
-        self._inner_path(*self._parse_path())
+        self._match_part()
         while self.accept("op", ","):
-            self._inner_path(*self._parse_path())
+            self._match_part()
         if self.accept("kw", "WHERE"):
             self.sql.where.append(self._expr())
+
+    def _match_part(self) -> None:
+        t, t1, t2 = self.peek(), self.peek(1), self.peek(2)
+        if (
+            t[0] == "name"
+            and t1 == ("op", "=")
+            and t2[0] == "name"
+            and t2[1].upper() == "SHORTESTPATH"
+        ):
+            pvar = self._check_name(self.next()[1])
+            self.next()  # =
+            self.next()  # shortestPath
+            self._shortest_path(pvar)
+            return
+        self._inner_path(*self._parse_path())
+
+    def _shortest_path(self, pvar: str) -> None:
+        """``MATCH p = shortestPath((a)-[:T*..k]->(b))``: the bounded
+        variable-length branches carry their hop count, and MIN(len) per
+        endpoint pair IS the shortest path length — the aggregate joins the
+        endpoints like one widened edge, so Catalyst sees a plain equi-join
+        plus a groupBy (the engine's k_hop operator is the same shape at
+        scale).  ``length(p)`` reads the aggregate; Neo4j's shortestPath
+        yields one PATH value, and its length is the attribute queries
+        consume — RETURN p itself stays unsupported rather than silently
+        returning a number."""
+        self.expect("op", "(")
+        nodes, rels = self._parse_path()
+        self.expect("op", ")")
+        if len(nodes) != 2 or len(rels) != 1:
+            raise CypherUnsupported("shortestPath takes a single (a)-[*..k]->(b) pattern")
+        rp = rels[0]
+        if rp.undirected:
+            raise CypherUnsupported("shortestPath needs a directed pattern")
+        if rp.var is not None:
+            raise CypherUnsupported("the relationship inside shortestPath cannot bind a variable")
+        if rp.lo is None:
+            rp.lo = rp.hi = 1  # single-hop pattern: *1..1
+        if pvar in self.vars:
+            raise CypherUnsupported(f"variable {pvar!r} reused")
+        node_vars: list[_Var] = []
+        for pat in nodes:
+            if pat.var and pat.var in self.vars:
+                v = self.vars[pat.var]
+                if v.kind != "node":
+                    raise CypherUnsupported(f"variable {pat.var!r} used as both node and edge")
+            else:
+                alias = self._check_name(pat.var) if pat.var else self._fresh("n")
+                v = _Var("node", alias)
+                self.vars[alias] = v
+                self.sql.from_tables.append(f"{self.nodes_view} AS {alias}")
+            node_vars.append(v)
+            self.sql.where.extend(self._node_conds(v, pat))
+        left, right = node_vars
+        src, dst = (right, left) if rp.arrow_in else (left, right)
+        alias = self._fresh("sp")
+        body = self._vlp_body(rp, with_len=True)
+        self.sql.from_tables.append(
+            f"(SELECT s, t, MIN(len) AS plen FROM ({body}) GROUP BY s, t) AS {alias}"
+        )
+        self.sql.where.append(f"{alias}.s = {src.col('id')}")
+        self.sql.where.append(f"{alias}.t = {dst.col('id')}")
+        self.vars[pvar] = _Var("path", alias, "plen")
 
     def _optional_clause(self) -> None:
         nodes, rels = self._parse_path()
@@ -712,7 +775,7 @@ class _Parser(_TokenCursor):
             f" FROM {self.edges_view} WHERE src <> dst)"
         )
 
-    def _vlp_body(self, rp: _RelPat) -> str:
+    def _vlp_body(self, rp: _RelPat, with_len: bool = False) -> str:
         """Variable-length path as UNION ALL of fixed-length edge chains.
 
         One output row per PATH (Cypher multiplicity), endpoints only; each
@@ -744,7 +807,10 @@ class _Parser(_TokenCursor):
                         f" AND {es[a]}.relationship_name = {es[b]}.relationship_name)"
                     )
             frm = " CROSS JOIN ".join(f"{self.edges_view} AS {e}" for e in es)
-            sql = f"SELECT {es[0]}.src AS s, {es[-1]}.dst AS t FROM {frm}"
+            cols = f"{es[0]}.src AS s, {es[-1]}.dst AS t"
+            if with_len:
+                cols += f", CAST({length} AS BIGINT) AS len"
+            sql = f"SELECT {cols} FROM {frm}"
             if conds:
                 sql += " WHERE " + " AND ".join(conds)
             branches.append(sql)
@@ -920,8 +986,20 @@ class _Parser(_TokenCursor):
             return f"named_struct({inner})"
         if t[0] == "name":
             name = t[1]
+            if name.upper() == "CASE" and name not in self.vars:
+                return self._case_expr()
             if name.upper() in _AGGS and self.peek() == ("op", "("):
                 return self._aggregate(name.upper())
+            if name.upper() == "LENGTH" and name not in self.vars and self.peek() == ("op", "("):
+                # length(p) on a shortestPath variable -> the MIN-hop aggregate
+                # (Cypher's length() is the PATH length; string length is size())
+                self.next()
+                vn = self.expect("name")
+                var = self.vars.get(vn)
+                self.expect("op", ")")
+                if var is None or var.kind != "path":
+                    raise CypherUnsupported("length() takes a shortestPath variable; use size() for strings")
+                return var.col("")
             if (
                 (name.upper() in _SCALAR_FNS or name.upper() in _CAST_FNS)
                 and name not in self.vars
@@ -937,6 +1015,10 @@ class _Parser(_TokenCursor):
             var = self.vars.get(name)
             if var is None:
                 raise CypherUnsupported(f"unbound variable {name!r}")
+            if var.kind == "path":
+                raise CypherUnsupported(
+                    f"path variable {name!r} has no value form here; RETURN length({name})"
+                )
             if self.accept("op", "."):
                 key = self._ident()
                 return self._prop(var, var.kind, key)
@@ -953,6 +1035,40 @@ class _Parser(_TokenCursor):
                 f" 'dst', {var.col('dst')})"
             )
         raise CypherUnsupported(f"unexpected token {t[1]!r}")
+
+    def _at_case_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t[0] == "name" and t[1].upper() in words and t[1] not in self.vars
+
+    def _case_expr(self) -> str:
+        """CASE expressions, both openCypher forms — generic
+        (``CASE WHEN cond THEN v ... [ELSE v] END``) and simple
+        (``CASE subject WHEN match THEN v ... [ELSE v] END``).  Spark SQL's
+        CASE has identical syntax and semantics, so the pieces translate
+        recursively and reassemble verbatim (WHEN/THEN/ELSE/END are plain
+        name tokens in this dialect, matched case-insensitively)."""
+        parts = ["CASE"]
+        if not self._at_case_word("WHEN"):
+            parts.append(self._comparison())  # simple form's subject
+        saw_when = False
+        while self._at_case_word("WHEN"):
+            saw_when = True
+            self.next()
+            parts.append(f"WHEN {self._expr()}")
+            if not self._at_case_word("THEN"):
+                raise CypherUnsupported("CASE WHEN needs THEN")
+            self.next()
+            parts.append(f"THEN {self._comparison()}")
+        if not saw_when:
+            raise CypherUnsupported("CASE needs at least one WHEN branch")
+        if self._at_case_word("ELSE"):
+            self.next()
+            parts.append(f"ELSE {self._comparison()}")
+        if not self._at_case_word("END"):
+            raise CypherUnsupported("CASE needs END")
+        self.next()
+        parts.append("END")
+        return f"({' '.join(parts)})"
 
     def _scalar_fn(self, fname: str) -> str:
         """Common Cypher scalar functions (toLower/size/coalesce/round/...):

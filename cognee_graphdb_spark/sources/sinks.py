@@ -197,19 +197,31 @@ class GraphStore:
     # -- S9: append-only relationship ledger ---------------------------------
 
     def append_ledger(self, op: str, ids: DataFrame, created_by: str) -> None:
-        """Audit row per mutation (graph_db_interface.py:22-134)."""
+        """Audit row per mutation (graph_db_interface.py:22-134).
+
+        Serialized twice: the thread lock keeps THIS process's concurrent
+        upserts (cognify's parallel table writes) from sharing one append
+        job's ``_temporary`` staging, and the cross-process lease extends the
+        same guarantee to other engine processes on the same store."""
         rows = ids.select(
             F.lit(op).alias("op"),
             F.col("id").cast("string").alias("id"),
             F.lit(created_by).alias("created_by"),
             F.lit(int(time.time())).alias("at"),
         )
-        with self._ledger_lock:
+        with self._ledger_lock, self._table_lock("ledger"):
             rows.write.mode("append").parquet(os.path.join(self.root, "ledger"))
 
     def ledger(self) -> DataFrame | None:
         p = os.path.join(self.root, "ledger")
-        return self.spark.read.parquet(p) if self.fs.exists(p) else None
+        if not self.fs.exists(p):
+            return None
+        try:
+            return self.spark.read.parquet(p)
+        except Exception:
+            # the lease's mkdirs can precede the first append: an empty
+            # ledger directory is the same as no ledger
+            return None
 
     def ledger_with_deletions(self) -> DataFrame | None:
         """The ledger with a ``deleted_at`` column, reference-parity with

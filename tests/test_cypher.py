@@ -645,3 +645,131 @@ def test_literal_group_by_ordinal(spark, graph):
     # select-list position, not emit GROUP BY <literal> (ordinal collision)
     [r] = rows(spark, graph, "MATCH (n) RETURN count(n) AS c, 1 AS x")
     assert (r["c"], r["x"]) == (5, 1)
+
+
+# -- CASE expressions ---------------------------------------------------------
+
+
+def test_case_generic_form(spark, graph):
+    out = rows(
+        spark,
+        graph,
+        "MATCH (n:Customer) RETURN n.name AS name, "
+        "CASE WHEN n.city = 'berlin' THEN 'de' WHEN n.city = 'paris' THEN 'fr' "
+        "ELSE 'other' END AS country ORDER BY name",
+    )
+    assert [(r["name"], r["country"]) for r in out] == [("alice", "de"), ("bob", "fr")]
+
+
+def test_case_simple_form_and_no_else(spark, graph):
+    out = rows(
+        spark,
+        graph,
+        "MATCH (n) RETURN n.id AS id, CASE n.type WHEN 'Customer' THEN 1 "
+        "WHEN 'Product' THEN 2 END AS kind ORDER BY id",
+    )
+    kinds = {r["id"]: r["kind"] for r in out}
+    assert kinds["c1"] == 1 and kinds["p1"] == 2
+    assert kinds["pref1"] is None  # no ELSE -> NULL, openCypher semantics
+
+
+def test_case_in_where_and_aggregate(spark, graph):
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (n:Customer) WHERE CASE WHEN n.city = 'berlin' THEN TRUE ELSE FALSE END "
+        "RETURN count(n) AS c",
+    )
+    assert r["c"] == 1
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (n) RETURN sum(CASE WHEN n.type = 'Product' THEN 1 ELSE 0 END) AS products",
+    )
+    assert r["products"] == 2
+
+
+def test_case_errors(spark, graph):
+    with pytest.raises(CypherUnsupported, match="THEN"):
+        rows(spark, graph, "MATCH (n) RETURN CASE WHEN n.id = 'c1' END AS x")
+    with pytest.raises(CypherUnsupported, match="END"):
+        rows(spark, graph, "MATCH (n) RETURN CASE WHEN n.id = 'c1' THEN 1 AS x")
+    with pytest.raises(CypherUnsupported, match="WHEN"):
+        rows(spark, graph, "MATCH (n) RETURN CASE n.id END AS x")
+
+
+# -- shortestPath -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # a -> b -> c -> d, plus a direct a -> c shortcut
+    nodes = spark.createDataFrame(
+        [(i, i.upper(), "T", None) for i in "abcd"],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "next"), ("b", "c", "next"), ("c", "d", "next"), ("a", "c", "skip")],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def test_shortest_path_min_length(spark, chain_graph):
+    # a->c: the 1-hop skip beats the 2-hop chain
+    [r] = rows(
+        spark,
+        chain_graph,
+        "MATCH p = shortestPath((a {id: 'a'})-[*..4]->(b {id: 'c'})) RETURN length(p) AS l",
+    )
+    assert r["l"] == 1
+    # a->d: skip + next = 2 hops, beats next*3
+    [r] = rows(
+        spark,
+        chain_graph,
+        "MATCH p = shortestPath((a {id: 'a'})-[*..4]->(b {id: 'd'})) RETURN length(p) AS l",
+    )
+    assert r["l"] == 2
+    # typed pattern restricts to 'next' edges only -> 3 hops
+    [r] = rows(
+        spark,
+        chain_graph,
+        "MATCH p = shortestPath((a {id: 'a'})-[:next*..5]->(b {id: 'd'})) RETURN length(p) AS l",
+    )
+    assert r["l"] == 3
+
+
+def test_shortest_path_per_pair_and_no_path(spark, chain_graph):
+    # free endpoints: one row per reachable ordered pair, each with min length
+    out = rows(
+        spark,
+        chain_graph,
+        "MATCH p = shortestPath((a)-[*..4]->(b)) RETURN a.id AS s, b.id AS t, length(p) AS l",
+    )
+    got = {(r["s"], r["t"]): r["l"] for r in out}
+    assert got[("a", "d")] == 2 and got[("b", "d")] == 2 and got[("a", "b")] == 1
+    assert ("d", "a") not in got  # unreachable pair -> no row, like Cypher
+    # unreachable bound pair: zero rows, not an error
+    assert (
+        rows(
+            spark,
+            chain_graph,
+            "MATCH p = shortestPath((a {id: 'd'})-[*..4]->(b {id: 'a'})) RETURN length(p) AS l",
+        )
+        == []
+    )
+
+
+def test_shortest_path_errors(spark, chain_graph):
+    with pytest.raises(CypherUnsupported, match="length"):
+        rows(spark, chain_graph, "MATCH p = shortestPath((a)-[*..3]->(b)) RETURN p")
+    with pytest.raises(CypherUnsupported, match="upper bound|explicit"):
+        rows(spark, chain_graph, "MATCH p = shortestPath((a)-[*]->(b)) RETURN length(p) AS l")
+    with pytest.raises(CypherUnsupported, match="shortestPath|direct"):
+        rows(spark, chain_graph, "MATCH p = shortestPath((a)-[*..3]-(b)) RETURN length(p) AS l")
+    with pytest.raises(CypherUnsupported, match="shortestPath"):
+        rows(
+            spark,
+            chain_graph,
+            "MATCH p = shortestPath((a)-[*..2]->(b)-[*..2]->(c)) RETURN length(p) AS l",
+        )

@@ -377,3 +377,140 @@ def test_list_datasets_sees_graph_only_dataset(spark, tmp_path):
     g.cypher_write("CREATE (n:Thing {id: 'x1', name: 'X'})")
 
     assert a.list_datasets() == ["ds_a", "ds_graph"]
+
+
+def _hotpot_fixture(tmp_path):
+    import json
+
+    items = [
+        {
+            "_id": "h1",
+            "question": "Which engine processes large datasets?",
+            "answer": "Apache Spark",
+            "level": "easy",
+            "context": [
+                ["Spark", ["Apache Spark processes large datasets.", "It uses executors."]],
+                ["DuckDB", ["DuckDB is an embedded analytical database."]],
+            ],
+            "supporting_facts": [["Spark", 0], ["Spark", 5], ["Missing", 0]],
+        },
+        {
+            "_id": "h2",
+            "question": "What is DuckDB?",
+            "answer": "An Embedded Database",
+            "level": "medium",
+            "context": [["DuckDB", ["DuckDB is an embedded analytical database."]]],
+            "supporting_facts": [["DuckDB", 0]],
+        },
+        {
+            "_id": "h3",
+            "question": "What do executors do?",
+            "answer": "run tasks",
+            "level": "hard",
+            "context": [["Executors", ["Executors run tasks for Spark jobs."]]],
+            "supporting_facts": [["Executors", 0]],
+        },
+    ]
+    p = tmp_path / "hotpot_fixture.json"
+    p.write_text(json.dumps(items))
+    return str(p)
+
+
+def test_hotpot_adapter_field_mapping(spark, tmp_path):
+    """load_qa_corpus mirrors hotpot_qa_adapter.py: corpus entries join each
+    context's sentences, answers lowercase, 'level' metadata carried, golden
+    context keeps only VALID supporting facts."""
+    from cognee_graphdb_spark.plans.eval_corpus import eval_pairs, load_qa_corpus
+
+    path = _hotpot_fixture(tmp_path)
+    corpus, pairs = load_qa_corpus(path, fmt="hotpot", load_golden_context=True)
+    assert len(corpus) == 4  # 2 + 1 + 1 context entries
+    assert corpus[0] == "Apache Spark processes large datasets. It uses executors."
+    assert pairs[0]["answer"] == "apache spark"  # lowercased like the reference
+    assert pairs[0]["level"] == "easy"
+    # invalid supporting facts (index 5, unknown title) are skipped
+    assert pairs[0]["golden_context"] == "Spark: Apache Spark processes large datasets."
+    assert eval_pairs(pairs)[2] == ("What do executors do?", "run tasks")
+
+    # instance filtering by string id and by index, like _filter_instances
+    _, by_id = load_qa_corpus(path, fmt="hotpot", instance_filter=["h2"])
+    assert [p["question"] for p in by_id] == ["What is DuckDB?"]
+    _, by_idx = load_qa_corpus(path, fmt="hotpot", instance_filter=[0, 2])
+    assert [p["level"] for p in by_idx] == ["easy", "hard"]
+    # deterministic seeded sampling under limit
+    _, s1 = load_qa_corpus(path, fmt="hotpot", limit=2, seed=7)
+    _, s2 = load_qa_corpus(path, fmt="hotpot", limit=2, seed=7)
+    assert [p["question"] for p in s1] == [p["question"] for p in s2]
+
+
+def test_hotpot_corpus_runs_full_eval_protocol(spark, tmp_path):
+    """The reference protocol end-to-end: load corpus file -> add corpus ->
+    cognify -> evaluate_qa(llm_judge=True) with the mock gateway."""
+    from cognee_graphdb_spark.plans.eval_corpus import eval_pairs, load_qa_corpus
+    from cognee_graphdb_spark.plans.eval_qa import evaluate_qa
+
+    corpus, pairs = load_qa_corpus(_hotpot_fixture(tmp_path), fmt="hotpot")
+    e = CogneeSpark(spark, str(tmp_path / "hotpot_ev"))
+    e.add([(f"doc{i}.txt", text) for i, text in enumerate(corpus)])
+    assert e.cognify() > 0
+    res = evaluate_qa(e, eval_pairs(pairs), llm_judge=True)
+    assert res["n"] == 3
+    assert 0.0 <= res["em"] <= 1.0 and 0.0 <= res["f1"] <= 1.0
+    assert 0.0 <= res["judge"] <= 1.0
+    assert res["per_question"].count() == 3
+
+
+def test_musique_adapter_jsonl(tmp_path):
+    import json
+
+    items = [
+        {
+            "id": "m1",
+            "question": "Where is the lab?",
+            "answer": "Berlin",
+            "paragraphs": [
+                {"title": "Lab", "paragraph_text": "The lab is in Berlin."},
+                {"title": "Other", "paragraph_text": "Unrelated text."},
+            ],
+            "question_decomposition": [
+                {"question": "Which lab?", "answer": "the lab", "paragraph_support_idx": 0},
+                {"question": "Where?", "answer": "Berlin", "paragraph_support_idx": 9},
+            ],
+        }
+    ]
+    p = tmp_path / "musique.jsonl"
+    p.write_text("\n".join(json.dumps(i) for i in items))
+
+    from cognee_graphdb_spark.plans.eval_corpus import load_qa_corpus
+
+    corpus, pairs = load_qa_corpus(str(p), fmt="musique", load_golden_context=True)
+    assert corpus == ["The lab is in Berlin.", "Unrelated text."]
+    assert pairs[0]["answer"] == "berlin" and pairs[0]["id"] == "m1"
+    gc = pairs[0]["golden_context"]
+    assert "Lab: The lab is in Berlin." in gc and "Q: Which lab?" in gc
+    assert "paragraph_support_idx" not in gc  # out-of-range idx 9 skipped
+
+
+def test_twowiki_adapter_evidences(tmp_path):
+    import json
+
+    items = [
+        {
+            "_id": "w1",
+            "question": "q",
+            "answer": "A",
+            "type": "comparison",
+            "context": [["T", ["s0"]]],
+            "supporting_facts": [["T", 0]],
+            "evidences": [["spark", "is", "fast"]],
+        }
+    ]
+    p = tmp_path / "2wiki.json"
+    p.write_text(json.dumps(items))
+
+    from cognee_graphdb_spark.plans.eval_corpus import load_qa_corpus
+
+    _, pairs = load_qa_corpus(str(p), fmt="2wikimultihop", load_golden_context=True)
+    assert pairs[0]["type"] == "comparison"
+    assert "Evidence fact triplets:" in pairs[0]["golden_context"]
+    assert "spark - is - fast" in pairs[0]["golden_context"]
