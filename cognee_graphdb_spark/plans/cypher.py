@@ -136,7 +136,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><>|<=|>=|<-|->|[()\[\]{}:,.\-=<>*])
+      | (?P<op><>|<=|>=|<-|->|[()\[\]{}:,.\-=<>*+/%])
     )""",
     re.VERBOSE,
 )
@@ -910,14 +910,85 @@ class _Parser(_TokenCursor):
     def _not_expr(self) -> str:
         if self.accept("kw", "NOT"):
             return f"(NOT {self._not_expr()})"
+        if self.peek() == ("op", "("):
+            # pattern-existence predicate: WHERE (a)-[:T]->(b).  Attempt the
+            # path grammar with backtracking — a parenthesized EXPRESSION
+            # fails _node_pat immediately (or parses as a lone node with no
+            # relationship) and falls through untouched.
+            save = self.i
+            try:
+                nodes, rels = self._parse_path()
+            except CypherUnsupported:
+                self.i = save
+            else:
+                if rels:
+                    return self._pattern_predicate(nodes, rels)
+                self.i = save
         return self._comparison()
 
+    def _pattern_predicate(self, nodes: list[_NodePat], rels: list[_RelPat]) -> str:
+        """``(a)-[:T]->(b)`` as a boolean -> correlated EXISTS subquery.
+
+        Bound node variables correlate to their OUTER alias; unbound ones
+        live only inside the subquery (openCypher pattern-predicate scoping —
+        they introduce no bindings).  A free unlabeled endpoint needs no
+        nodes table at all: its identity IS the edge column, and chained
+        hops equate adjacent edge columns directly.  Catalyst rewrites the
+        EXISTS to a semi-join (anti-join under NOT), so the predicate costs
+        one join against the edge set, not a subplan per row."""
+        tables: list[str] = []
+        where: list[str] = []
+        exprs: list[str | None] = []
+        for pat in nodes:
+            if pat.var and pat.var in self.vars:
+                v = self.vars[pat.var]
+                if v.kind != "node":
+                    raise CypherUnsupported(f"variable {pat.var!r} used as both node and edge")
+                exprs.append(v.col("id"))
+                where.extend(self._node_conds(v, pat))
+            elif pat.label or pat.props:
+                alias = self._fresh("exn")
+                tables.append(f"{self.nodes_view} AS {alias}")
+                v = _Var("node", alias)
+                where.extend(self._node_conds(v, pat))
+                exprs.append(v.col("id"))
+            else:
+                exprs.append(None)  # free endpoint: defined by its first edge
+        for idx, rp in enumerate(rels):
+            if rp.var is not None:
+                raise CypherUnsupported(
+                    "pattern predicates cannot bind variables (openCypher scoping)"
+                )
+            alias = self._fresh("exr")
+            if rp.lo is not None:
+                tables.append(f"({self._vlp_body(rp)}) AS {alias}")
+                src_col, dst_col = "s", "t"
+            else:
+                tables.append(f"{self._edges_source(rp)} AS {alias}")
+                src_col, dst_col = "src", "dst"
+                if rp.rtype and rp.rtype != "EDGE":
+                    where.append(
+                        f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}"
+                    )
+            li, ri = idx, idx + 1
+            si, di = (ri, li) if rp.arrow_in else (li, ri)
+            for node_i, col in ((si, src_col), (di, dst_col)):
+                colexpr = f"{alias}.{col}"
+                if exprs[node_i] is None:
+                    exprs[node_i] = colexpr
+                else:
+                    where.append(f"{colexpr} = {exprs[node_i]}")
+        body = f"SELECT 1 FROM {' CROSS JOIN '.join(tables)}"
+        if where:
+            body += f" WHERE {' AND '.join(where)}"
+        return f"EXISTS ({body})"
+
     def _comparison(self) -> str:
-        left = self._primary()
+        left = self._additive()
         t = self.peek()
         if t[0] == "op" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             op = self.next()[1]
-            return f"{left} {op} {self._primary()}"
+            return f"{left} {op} {self._additive()}"
         if t == ("kw", "IN"):
             self.next()
             if self.peek()[0] == "param":
@@ -943,16 +1014,40 @@ class _Parser(_TokenCursor):
             return f"{left} IS {'NOT ' if neg else ''}NULL"
         if t == ("kw", "CONTAINS"):
             self.next()
-            return f"contains({left}, {self._primary()})"
+            return f"contains({left}, {self._additive()})"
         if t == ("kw", "STARTS"):
             self.next()
             self.expect("kw", "WITH")
-            return f"startswith({left}, {self._primary()})"
+            return f"startswith({left}, {self._additive()})"
         if t == ("kw", "ENDS"):
             self.next()
             self.expect("kw", "WITH")
-            return f"endswith({left}, {self._primary()})"
+            return f"endswith({left}, {self._additive()})"
         return left
+
+    def _additive(self) -> str:
+        """``+ -`` over ``* / %`` over unary minus — Cypher's arithmetic
+        precedence, reassembled verbatim (Spark SQL operators are identical;
+        ``+`` also concatenates strings in Cypher, which Spark spells
+        concat — numeric arithmetic is what NL->Cypher models emit)."""
+        left = self._mult()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            left = f"({left} {op} {self._mult()})"
+        return left
+
+    def _mult(self) -> str:
+        left = self._unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            left = f"({left} {op} {self._unary()})"
+        return left
+
+    def _unary(self) -> str:
+        if self.peek() == ("op", "-"):
+            self.next()
+            return f"(- {self._unary()})"
+        return self._primary()
 
     def _primary(self) -> str:
         t = self.next()
@@ -990,6 +1085,23 @@ class _Parser(_TokenCursor):
                 return self._case_expr()
             if name.upper() in _AGGS and self.peek() == ("op", "("):
                 return self._aggregate(name.upper())
+            if name.upper() == "EXISTS" and name not in self.vars and self.peek() == ("op", "("):
+                # exists((a)-[:T]->(b)) -> the pattern predicate;
+                # exists(n.prop) -> IS NOT NULL (the legacy property form)
+                self.next()
+                save = self.i
+                try:
+                    pnodes, prels = self._parse_path()
+                except CypherUnsupported:
+                    self.i = save
+                    inner = self._comparison()
+                    self.expect("op", ")")
+                    return f"({inner} IS NOT NULL)"
+                if not prels:
+                    raise CypherUnsupported("exists() takes a pattern or a property")
+                out = self._pattern_predicate(pnodes, prels)
+                self.expect("op", ")")
+                return out
             if name.upper() == "LENGTH" and name not in self.vars and self.peek() == ("op", "("):
                 # length(p) on a shortestPath variable -> the MIN-hop aggregate
                 # (Cypher's length() is the PATH length; string length is size())

@@ -773,3 +773,93 @@ def test_shortest_path_errors(spark, chain_graph):
             chain_graph,
             "MATCH p = shortestPath((a)-[*..2]->(b)-[*..2]->(c)) RETURN length(p) AS l",
         )
+
+
+# -- arithmetic ---------------------------------------------------------------
+
+
+def test_arithmetic_in_return_and_where(spark, graph):
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (n {id: 'pref1'}) RETURN toInteger(n.value) * 2 + 1 AS x, "
+        "toInteger(n.value) % 5 AS m, -toInteger(n.value) AS neg",
+    )
+    assert (r["x"], r["m"], r["neg"]) == (85, 2, -42)
+    # precedence: * binds tighter than +
+    [r] = rows(spark, graph, "MATCH (n {id: 'c1'}) RETURN 2 + 3 * 4 AS v, (2 + 3) * 4 AS w")
+    assert (r["v"], r["w"]) == (14, 20)
+    # arithmetic over aggregates and in WHERE
+    [r] = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer)-[r:purchased]->(p) WHERE toInteger('1') + 1 = 2 "
+        "RETURN count(r) * 10 AS c10",
+    )
+    assert r["c10"] == 30
+    # negative literals compare correctly
+    [r] = rows(spark, graph, "MATCH (n) WHERE 1 - 2 < 0 RETURN count(n) AS c")
+    assert r["c"] == 5
+
+
+# -- pattern-existence predicates --------------------------------------------
+
+
+def test_pattern_predicate_positive_and_negative(spark, graph):
+    # customers who purchased something
+    out = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WHERE (c)-[:purchased]->() RETURN c.name AS n ORDER BY n",
+    )
+    assert [r["n"] for r in out] == ["alice", "bob"]
+    # NOT pattern: customers without a preference
+    out = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WHERE NOT (c)-[:has_preference]->() RETURN c.name AS n",
+    )
+    assert [r["n"] for r in out] == ["bob"]
+    # labeled inner endpoint constrains the subquery without binding a var
+    out = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WHERE (c)-[:purchased]->(:Product {name: 'sandals'}) "
+        "RETURN c.name AS n",
+    )
+    assert [r["n"] for r in out] == ["alice"]
+    # incoming orientation: products someone purchased
+    out = rows(
+        spark,
+        graph,
+        "MATCH (p:Product) WHERE (p)<-[:purchased]-(:Customer) RETURN p.name AS n ORDER BY n",
+    )
+    assert [r["n"] for r in out] == ["boots", "sandals"]
+
+
+def test_pattern_predicate_chain_and_exists_fn(spark, graph):
+    # two-hop chain through a free intermediate node (no bindings introduced)
+    out = rows(
+        spark,
+        graph,
+        "MATCH (a:Customer) WHERE (a)-[:purchased]->()<-[:purchased]-(b:Customer) "
+        "AND a.name = 'alice' RETURN a.name AS n",
+    )
+    assert [r["n"] for r in out] == ["alice"]  # shares p1 with bob
+    # exists() function forms
+    out = rows(
+        spark,
+        graph,
+        "MATCH (c:Customer) WHERE exists((c)-[:has_preference]->()) RETURN c.name AS n",
+    )
+    assert [r["n"] for r in out] == ["alice"]
+    out = rows(
+        spark,
+        graph,
+        "MATCH (n:Customer) WHERE exists(n.city) RETURN count(n) AS c",
+    )
+    assert out[0]["c"] == 2
+    # pattern predicates introduce NO bindings: inner anonymous labels are
+    # not visible afterwards, and binding a rel var inside is an error
+    with pytest.raises(CypherUnsupported, match="bind"):
+        rows(spark, graph, "MATCH (c) WHERE (c)-[r:purchased]->() RETURN count(r) AS x")
