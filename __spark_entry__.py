@@ -913,6 +913,27 @@ def _q_cypher_undirected(spark, sf_dir):
     )
 
 
+def _q_cypher_union_having(spark, sf_dir):
+    """Round-6 dialect extensions in one query (plans/cypher.py): a WITH
+    ... WHERE post-aggregation filter (SQL HAVING), an anchored ``=~`` regex
+    predicate, and UNION (distinct) across two full query branches — the
+    'nation' row qualifies under BOTH branches, so the dedup is observable."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "MATCH (r:TableRow)-[e:is_part_of]->(t:TableType) "
+        "WITH t.name AS table_name, count(r) AS n WHERE n >= 25 "
+        "RETURN table_name, n "
+        "UNION "
+        "MATCH (r2:TableRow)-[e2:is_part_of]->(t2:TableType) WHERE t2.name =~ 'nat.*' "
+        "RETURN t2.name AS table_name, count(r2) AS n",
+    ).orderBy("table_name")
+
+
 def _q_cypher_pipeline(spark, sf_dir):
     """UNWIND -> MATCH/WHERE -> WITH aggregation pipeline (the
     product_recommendation.py:126-145 shape) translated to nested subqueries
@@ -1539,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
+        "cypher_union_having": _q_cypher_union_having,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         # ...the r04-green block, oldest driver rows first ------------------
@@ -2279,6 +2301,18 @@ SELECT t.name AS table_name, count(r.id) AS n
 FROM sym e JOIN nodes t ON e.src = t.id JOIN nodes r ON e.dst = r.id
 WHERE e.relationship_name = 'is_part_of' AND t.type = 'TableType' AND r.type = 'TableRow'
 GROUP BY t.name ORDER BY table_name"""
+
+    sql["cypher_union_having"] = f"""WITH {g},
+counts AS (
+  SELECT t.name AS table_name, count(r.id) AS n
+  FROM edges e JOIN nodes r ON e.src = r.id JOIN nodes t ON e.dst = t.id
+  WHERE e.relationship_name = 'is_part_of' AND r.type = 'TableRow' AND t.type = 'TableType'
+  GROUP BY t.name
+)
+SELECT table_name, n FROM counts WHERE n >= 25
+UNION
+SELECT table_name, n FROM counts WHERE regexp_full_match(table_name, 'nat.*')
+ORDER BY table_name"""
 
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))

@@ -44,10 +44,13 @@ Supported grammar (clauses compose in any order before RETURN)::
     OPTIONAL MATCH <path> [WHERE <expr>]               clauses may re-use vars
     WITH [DISTINCT] item (',' item)*                -- pipeline stage: collapses
          [ORDER BY ...] [SKIP n] [LIMIT n]             to a subquery, implicit
-                                                       GROUP BY around aggs
+         [WHERE <expr>]                                GROUP BY around aggs;
+                                                       WHERE filters the stage
     RETURN [DISTINCT] item (',' item)*              -- implicit GROUP BY;
     [ORDER BY expr [ASC|DESC] (',' ...)*] [SKIP n] [LIMIT n]
-    -- '//' line comments allowed; { k: expr, ... } map projections in RETURN.
+    [UNION [ALL] <query>]*                          -- same column names per branch
+    -- '//' line comments allowed; { k: expr, ... } map projections in RETURN,
+       plus variable map projections n { .name, k: expr }.
     -- The reference's product_recommendation.py example query (UNWIND ->
        MATCH/WHERE -> WITH agg ORDER BY LIMIT -> MATCH -> RETURN) runs as-is.
 
@@ -56,7 +59,7 @@ Supported grammar (clauses compose in any order before RETURN)::
           -- variable-length hops need an explicit upper bound ([*1..3]) and
              cannot bind a variable; one row per path, edges unique per path
     expr: = <> < <= > >=, AND/OR/NOT, IN <list|$param>, IS [NOT] NULL,
-          CONTAINS / STARTS WITH / ENDS WITH,
+          CONTAINS / STARTS WITH / ENDS WITH, =~ (anchored regex),
           count/min/max/sum/avg/collect, $params, literals,
           scalar fns: toLower/toUpper/trim/ltrim/rtrim/size/coalesce/abs/
           round/replace/reverse/left/right/toString/toInteger/toFloat.
@@ -115,7 +118,7 @@ _EDGE_COLS = ("src", "dst", "relationship_name")
 _KEYWORDS = {
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "ORDER", "BY", "LIMIT", "SKIP",
     "DISTINCT", "AS", "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
-    "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC", "UNWIND",
+    "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC", "UNWIND", "UNION",
 }
 _AGGS = {"COUNT": "count", "MIN": "min", "MAX": "max", "SUM": "sum", "AVG": "avg", "COLLECT": "collect_list"}
 # scalar functions: Cypher name -> Spark SQL function (same arity, args pass
@@ -136,7 +139,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><>|<=|>=|<-|->|[()\[\]{}:,.\-=<>*+/%])
+      | (?P<op><>|<=|>=|=~|<-|->|[()\[\]{}:,.\-=<>*+/%])
     )""",
     re.VERBOSE,
 )
@@ -294,6 +297,14 @@ class _Parser(_TokenCursor):
                 and self.toks[j + 2][0] in ("name", "kw")
             ):
                 self._prop_refs.setdefault(self.toks[j][1], set()).add(self.raws[j + 2])
+            # properties(x) reads the whole map without a dotted reference
+            if (
+                self.toks[j][0] == "name"
+                and self.toks[j][1].upper() == "PROPERTIES"
+                and self.toks[j + 1] == ("op", "(")
+                and self.toks[j + 2][0] == "name"
+            ):
+                self._prop_refs.setdefault(self.toks[j + 2][1], set()).add("properties")
         # write-clause scan: a CREATE/MERGE/SET/DELETE/... token in CLAUSE
         # position gets a TARGETED error up front instead of an opaque parse
         # failure deeper in, pointing the user at the GraphStore API (the
@@ -318,10 +329,11 @@ class _Parser(_TokenCursor):
         """Columns a derived table must export for a carried node/edge var;
         nodes include the properties map only when the query reads a key
         outside the fixed columns (views without one stay queryable)."""
-        if var_kind == "edge":
-            return list(_EDGE_COLS)
-        cols = ["id", "name", "type"]
         refs = self._prop_refs.get(name, set())
+        if var_kind == "edge":
+            cols = list(_EDGE_COLS)
+        else:
+            cols = ["id", "name", "type"]
         if "properties" in refs or any(k not in cols for k in refs):
             cols.append("properties")
         return cols
@@ -368,10 +380,45 @@ class _Parser(_TokenCursor):
             return "FALSE"
         if t == ("kw", "NULL"):
             return "NULL"
+        if t[0] == "name":
+            var = self.vars.get(t[1])
+            if var is not None and var.kind == "scalar":
+                # a bound UNWIND/WITH scalar: (n {id: x}) joins on the value
+                return var.col("")
         raise CypherUnsupported(f"inline property values must be literals, got {t[1]!r}")
 
     # -- top level ----------------------------------------------------------
     def parse(self) -> str:
+        sql, aliases = self._single_query()
+        parts = [sql]
+        mode: str | None = None  # Cypher forbids mixing UNION and UNION ALL
+        while self.accept("kw", "UNION"):
+            this = "UNION"
+            if self.peek()[0] == "name" and self.peek()[1].upper() == "ALL":
+                self.next()
+                this = "UNION ALL"
+            if mode is not None and this != mode:
+                raise CypherUnsupported("cannot mix UNION and UNION ALL")
+            mode = this
+            # each branch is an independent query over fresh bindings
+            self.sql = _Sql()
+            self.vars = {}
+            self._saw_agg = False
+            branch_sql, branch_aliases = self._single_query()
+            if branch_aliases != aliases:
+                raise CypherUnsupported(
+                    "all UNION branches must return the same column names"
+                )
+            parts.append(branch_sql)
+        if self.peek()[0] != "end":
+            raise CypherUnsupported(f"trailing tokens near {self.peek()[1]!r}")
+        if len(parts) == 1:
+            return parts[0]
+        # parenthesize branches: a per-branch LIMIT must bind to its branch,
+        # not to the union (Spark SQL reads a bare trailing LIMIT as global)
+        return f"\n{mode}\n".join(f"({p})" for p in parts)
+
+    def _single_query(self) -> tuple[str, list[str]]:
         while True:
             if self.accept("kw", "MATCH"):
                 self._match_clause()
@@ -407,9 +454,7 @@ class _Parser(_TokenCursor):
             skip = int(self.expect("num"))
         if self.accept("kw", "LIMIT"):
             limit = int(self.expect("num"))
-        if self.peek()[0] != "end":
-            raise CypherUnsupported(f"trailing tokens near {self.peek()[1]!r}")
-        return self._emit(items, distinct, order, limit, skip)
+        return self._emit(items, distinct, order, limit, skip), [a for _, a, _ in items]
 
     # -- MATCH --------------------------------------------------------------
     def _match_clause(self) -> None:
@@ -550,6 +595,7 @@ class _Parser(_TokenCursor):
                 and t[1] in self.vars
                 and self.vars[t[1]].kind != "scalar"
                 and self.peek(1) != ("op", ".")
+                and self.peek(1) != ("op", "{")  # map projection -> expression branch
             ):
                 var = self.vars[self.next()[1]]
                 name = t[1]
@@ -609,6 +655,12 @@ class _Parser(_TokenCursor):
         w = self._fresh("with")
         self.sql = _Sql(from_tables=[f"({body}) AS {w}"])
         self.vars = {name: _Var(kind, w, prefix) for name, (kind, prefix) in rebind.items()}
+        if self.accept("kw", "WHERE"):
+            # openCypher: a WHERE trailing WITH filters the projected rows
+            # (post-aggregation — SQL's HAVING) AFTER any ORDER BY/SKIP/LIMIT
+            # inside the stage; predicates see only the WITH bindings, which
+            # is exactly the derived table just built
+            self.sql.where.append(self._expr())
 
     def _skip_expr_tokens(self) -> None:
         """Advance past one expression without evaluating (vars not yet bound)."""
@@ -769,9 +821,17 @@ class _Parser(_TokenCursor):
         the edge var's src/dst read back in traversal orientation."""
         if not rp.undirected:
             return self.edges_view
+        # export the properties map only when this hop's variable reads a
+        # non-fixed key, so edges views without the column stay queryable
+        refs = self._prop_refs.get(rp.var, set()) if rp.var else set()
+        props = (
+            ", properties"
+            if "properties" in refs or any(k not in _EDGE_COLS for k in refs)
+            else ""
+        )
         return (
-            f"(SELECT src, dst, relationship_name FROM {self.edges_view}"
-            f" UNION ALL SELECT dst AS src, src AS dst, relationship_name"
+            f"(SELECT src, dst, relationship_name{props} FROM {self.edges_view}"
+            f" UNION ALL SELECT dst AS src, src AS dst, relationship_name{props}"
             f" FROM {self.edges_view} WHERE src <> dst)"
         )
 
@@ -868,7 +928,7 @@ class _Parser(_TokenCursor):
                 conds.append(f"{alias}.relationship_name = {self._sql_literal(rp.rtype)}")
             if rp.var:
                 name = self._check_name(rp.var)
-                for c in _EDGE_COLS:
+                for c in self._export_cols("edge", name):
                     exports.append(f"{alias}.{c} AS {name}__{c}")
                 self.vars[name] = _Var("edge", derived, f"{name}__")
 
@@ -892,7 +952,10 @@ class _Parser(_TokenCursor):
             return f"{var.col('properties')}['{key}']"
         if key in _EDGE_COLS:
             return var.col(key)
-        raise CypherUnsupported(f"edges have no property {key!r}")
+        # edges carry a properties map too (the reference stores e.g.
+        # feedback_weight / flattened Edge weights on relationships —
+        # expand_with_nodes_and_edges.py:53-74, kuzu adapter.py:1724-1760)
+        return f"{var.col('properties')}['{key}']"
 
     # -- expressions --------------------------------------------------------
     def _expr(self) -> str:
@@ -989,6 +1052,13 @@ class _Parser(_TokenCursor):
         if t[0] == "op" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             op = self.next()[1]
             return f"{left} {op} {self._additive()}"
+        if t == ("op", "=~"):
+            # Cypher regex match is ANCHORED (whole-string); RLIKE is a
+            # substring search, so wrap the pattern in ^(?:...)$ — built with
+            # concat so $param / expression patterns work; Catalyst
+            # constant-folds the literal case
+            self.next()
+            return f"({left} RLIKE concat('^(?:', {self._additive()}, ')$'))"
         if t == ("kw", "IN"):
             self.next()
             if self.peek()[0] == "param":
@@ -1134,6 +1204,23 @@ class _Parser(_TokenCursor):
             if self.accept("op", "."):
                 key = self._ident()
                 return self._prop(var, var.kind, key)
+            if var.kind in ("node", "edge") and self.peek() == ("op", "{"):
+                # map projection: a { .name, .type, k: expr } -> named_struct
+                self.next()
+                pairs: list[tuple[str, str]] = []
+                while True:
+                    if self.accept("op", "."):
+                        key = self._ident()
+                        pairs.append((key, self._prop(var, var.kind, key)))
+                    else:
+                        key = self._ident()
+                        self.expect("op", ":")
+                        pairs.append((key, self._comparison()))
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", "}")
+                inner = ", ".join(f"'{k}', {v}" for k, v in pairs)
+                return f"named_struct({inner})"
             if var.kind == "scalar":
                 return var.col("")
             if var.kind == "node":
@@ -1219,6 +1306,8 @@ class _Parser(_TokenCursor):
             raise CypherUnsupported("type() takes a relationship")
         if fname == "TYPE":
             return var.col("relationship_name")
+        if fname == "PROPERTIES":
+            return var.col("properties")
         raise CypherUnsupported(f"{fname.lower()}() takes a node")
 
     def _aggregate(self, fname: str) -> str:
@@ -1331,6 +1420,12 @@ def run_cypher(
     params: dict | None = None,
 ) -> DataFrame:
     """Register the graph views and execute a translated Cypher query."""
+    from pyspark.sql import functions as F
+
     nodes.createOrReplaceTempView("nodes")
+    if "properties" not in edges.columns:
+        # edge property reads (r.weight) compile to properties['weight'];
+        # give property-less edge sets an empty map so they stay queryable
+        edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
     edges.createOrReplaceTempView("edges")
     return spark.sql(cypher_to_sql(query, params))

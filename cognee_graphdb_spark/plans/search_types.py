@@ -320,7 +320,11 @@ def cypher_search(
     from cognee_graphdb_spark.plans.cypher import cypher_to_sql, looks_like_cypher
 
     ctx.nodes.createOrReplaceTempView("nodes")
-    ctx.edges.createOrReplaceTempView("edges")
+    edges = ctx.edges
+    if "properties" not in edges.columns:
+        # edge property reads (r.weight) compile to properties['key']
+        edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
+    edges.createOrReplaceTempView("edges")
     if looks_like_cypher(raw_query):
         return spark.sql(cypher_to_sql(raw_query, params))
     return spark.sql(raw_query)

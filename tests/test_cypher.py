@@ -863,3 +863,178 @@ def test_pattern_predicate_chain_and_exists_fn(spark, graph):
     # not visible afterwards, and binding a rel var inside is an error
     with pytest.raises(CypherUnsupported, match="bind"):
         rows(spark, graph, "MATCH (c) WHERE (c)-[r:purchased]->() RETURN count(r) AS x")
+
+
+# -- round-6 dialect extensions ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted_graph(spark):
+    """Edges WITH a properties map (feedback_weight / flattened Edge weights,
+    expand_with_nodes_and_edges.py:53-74, kuzu adapter.py:1724-1760)."""
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "alice", "Person", {"age": "30"}),
+            ("n2", "bob", "Person", {"age": "25"}),
+            ("n3", "acme", "Company", {}),
+        ],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("n1", "n3", "works_at", {"weight": "0.9", "feedback_weight": "2"}),
+            ("n2", "n3", "works_at", {"weight": "0.5"}),
+            ("n1", "n2", "knows", None),
+        ],
+        "src string, dst string, relationship_name string, properties map<string,string>",
+    )
+    return nodes, edges
+
+
+def test_edge_property_read(spark, weighted_graph):
+    out = rows(
+        spark, weighted_graph,
+        "MATCH (a)-[r:works_at]->(b) RETURN a.name AS n, r.weight AS w ORDER BY w DESC",
+    )
+    assert [(r["n"], r["w"]) for r in out] == [("alice", "0.9"), ("bob", "0.5")]
+
+
+def test_edge_property_in_where_and_properties_fn(spark, weighted_graph):
+    out = rows(
+        spark, weighted_graph,
+        "MATCH (a)-[r]->(b) WHERE r.feedback_weight IS NOT NULL RETURN a.name AS n",
+    )
+    assert [r["n"] for r in out] == ["alice"]
+    [r] = rows(
+        spark, weighted_graph,
+        "MATCH (a)-[r:knows]->(b) RETURN properties(r) AS p",
+    )
+    assert r["p"] is None  # stored NULL map passes through
+
+
+def test_edge_property_undirected_hop(spark, weighted_graph):
+    out = rows(
+        spark, weighted_graph,
+        "MATCH (a)-[r]-(b) WHERE r.weight = '0.9' RETURN a.name AS n ORDER BY n",
+    )
+    # both binding orientations of the one matching edge
+    assert [r["n"] for r in out] == ["acme", "alice"]
+
+
+def test_edge_property_through_with_and_optional(spark, weighted_graph):
+    out = rows(
+        spark, weighted_graph,
+        "MATCH (a)-[r]->(b) WITH r, count(*) AS c RETURN r.weight AS w, c ORDER BY w",
+    )
+    assert [r["w"] for r in out] == [None, "0.5", "0.9"]
+    out = rows(
+        spark, weighted_graph,
+        "MATCH (a) OPTIONAL MATCH (a)-[r:works_at]->(b)"
+        " RETURN a.name AS n, r.weight AS w ORDER BY n",
+    )
+    assert [(r["n"], r["w"]) for r in out] == [
+        ("acme", None), ("alice", "0.9"), ("bob", "0.5")]
+
+
+def test_edge_property_on_propertyless_view(spark, graph):
+    # run_cypher normalizes a missing edge properties column to an empty map
+    out = rows(
+        spark, graph,
+        "MATCH (a)-[r:purchased]->(b) RETURN a.name AS n, r.weight AS w ORDER BY n LIMIT 1",
+    )
+    assert [(r["n"], r["w"]) for r in out] == [("alice", None)]
+
+
+def test_with_where_filters_aggregate(spark, graph):
+    # HAVING shape: only customers with >= 2 purchases survive
+    out = rows(
+        spark, graph,
+        "MATCH (c:Customer)-[:purchased]->(p) WITH c.name AS n, count(*) AS c"
+        " WHERE c >= 2 RETURN n, c",
+    )
+    assert [(r["n"], r["c"]) for r in out] == [("alice", 2)]
+
+
+def test_with_where_applies_after_order_limit(spark, graph):
+    # openCypher: ORDER BY/LIMIT run inside the WITH stage, WHERE filters after
+    out = rows(
+        spark, graph,
+        "MATCH (c:Customer) WITH c ORDER BY c.name LIMIT 1"
+        " WHERE c.name <> 'alice' RETURN c.name AS n",
+    )
+    assert out == []  # LIMIT 1 keeps alice; WHERE then drops her
+
+
+def test_regex_match_is_anchored(spark, graph):
+    out = rows(spark, graph, "MATCH (a) WHERE a.name =~ 'b.*s' RETURN a.name AS n ORDER BY n")
+    assert [r["n"] for r in out] == ["boots"]
+    # substring without full match does NOT hit (Cypher =~ anchors)
+    assert rows(spark, graph, "MATCH (a) WHERE a.name =~ 'oot' RETURN a.name AS n") == []
+
+
+def test_regex_from_param(spark, graph):
+    out = rows(
+        spark, graph,
+        "MATCH (a) WHERE a.name =~ $pat RETURN a.name AS n ORDER BY n",
+        {"pat": "s.*s"},
+    )
+    assert [r["n"] for r in out] == ["sandals"]
+
+
+def test_union_distinct_and_all(spark, graph):
+    out = rows(
+        spark, graph,
+        "MATCH (n:Customer) RETURN n.type AS t UNION MATCH (m:Customer) RETURN m.type AS t",
+    )
+    assert [r["t"] for r in out] == ["Customer"]
+    out = rows(
+        spark, graph,
+        "MATCH (n:Customer) RETURN n.type AS t UNION ALL MATCH (m:Customer) RETURN m.type AS t",
+    )
+    assert [r["t"] for r in out] == ["Customer"] * 4
+
+
+def test_union_combines_labels(spark, graph):
+    out = rows(
+        spark, graph,
+        "MATCH (n:Product) RETURN n.name AS name"
+        " UNION MATCH (m:Preference) RETURN m.name AS name",
+    )
+    assert sorted(r["name"] for r in out) == ["ShoeSize", "boots", "sandals"]
+
+
+def test_union_branch_limit_binds_to_branch(spark, graph):
+    out = rows(
+        spark, graph,
+        "MATCH (n:Product) RETURN n.name AS name ORDER BY n.name LIMIT 1"
+        " UNION ALL MATCH (m:Customer) RETURN m.name AS name",
+    )
+    assert sorted(r["name"] for r in out) == ["alice", "bob", "boots"]
+
+
+def test_union_errors(spark, graph):
+    with pytest.raises(CypherUnsupported, match="same column names"):
+        cypher_to_sql("MATCH (n) RETURN n.name AS x UNION MATCH (m) RETURN m.type AS y")
+    with pytest.raises(CypherUnsupported, match="mix UNION"):
+        cypher_to_sql(
+            "MATCH (n) RETURN n.name AS x UNION MATCH (m) RETURN m.name AS x"
+            " UNION ALL MATCH (o) RETURN o.name AS x"
+        )
+
+
+def test_unwind_scalar_as_inline_property(spark, graph):
+    out = rows(
+        spark, graph,
+        "UNWIND $ids AS x MATCH (n {id: x}) RETURN n.name AS nm ORDER BY nm",
+        {"ids": ["c1", "p2"]},
+    )
+    assert [r["nm"] for r in out] == ["alice", "sandals"]
+
+
+def test_variable_map_projection(spark, weighted_graph):
+    [r] = rows(
+        spark, weighted_graph,
+        "MATCH (a:Person) RETURN a { .name, .age, up: toUpper(a.name) } AS m"
+        " ORDER BY a.name LIMIT 1",
+    )
+    assert r["m"].asDict() == {"name": "alice", "age": "30", "up": "ALICE"}
