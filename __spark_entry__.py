@@ -1191,6 +1191,31 @@ def _q_mm_png_resize(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_gif_resize(spark, sf_dir):
+    """REAL GIF decode + nearest-neighbor resize, oracle-checked: each doc
+    synthesizes a single-frame GIF ((14 + doc_id%6) x 9, red(x,y) =
+    (doc_id + 7x + 13y) % 256) via sources/media.gif_bytes (palette + LZW),
+    then image_resize runs the full LZW decode + palette lookup +
+    floor-mapping resample to 4x3, which DuckDB restates analytically."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import synth_gif_for_id
+
+        for pdf in batches:
+            rows = [(str(int(d)), synth_gif_for_id(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
+
+
 _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
 
 
@@ -1557,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_decode": _q_mm_wav_decode,
         "mm_bmp_resize": _q_mm_bmp_resize,
         "mm_png_resize": _q_mm_png_resize,
+        "mm_gif_resize": _q_mm_gif_resize,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
@@ -2138,6 +2164,23 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(4 AS INTEGER) AS target_width,
        CAST(3 AS INTEGER) AS target_height,
        CAST(SUM((doc_id + 5 * ((tx * w) // 4) + 11 * ((ty * 10) // 3)) % 256) AS BIGINT) AS red_sum
+FROM cells
+GROUP BY doc_id, w"""
+
+    sql["mm_gif_resize"] = """
+WITH g AS (SELECT doc_id, 14 + doc_id % 6 AS w FROM documents),
+cells AS (
+  SELECT doc_id, w, tx, ty
+  FROM g
+  CROSS JOIN (SELECT unnest(range(4)) AS tx)
+  CROSS JOIN (SELECT unnest(range(3)) AS ty)
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(9 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS target_width,
+       CAST(3 AS INTEGER) AS target_height,
+       CAST(SUM((doc_id + 7 * ((tx * w) // 4) + 13 * ((ty * 9) // 3)) % 256) AS BIGINT) AS red_sum
 FROM cells
 GROUP BY doc_id, w"""
 

@@ -36,6 +36,7 @@ EXTENSION_TYPES: dict[str, str] = {
     "mp3": "AudioDocument",
     "wav": "AudioDocument",
     "png": "ImageDocument",
+    "gif": "ImageDocument",
     "jpg": "ImageDocument",
     "jpeg": "ImageDocument",
     "mp4": "VideoDocument",

@@ -330,21 +330,219 @@ def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, single frame, non-interlaced) — public spec, pure-stdlib LZW
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, 12-bit cap)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, width)  # leading CLEAR, per spec recommendation
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: reset, exactly as decoders expect
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        put(table[run], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no END code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError(f"GIF LZW bad code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """Encode ``pixel_fn(x, y) -> (r, g, b)`` as a single-frame GIF89a with a
+    256-entry palette built from the image's distinct colors (<= 256 required)
+    — synthesis for fixtures and oracles, same discipline as png_bytes."""
+    pixels = [[pixel_fn(x, y) for x in range(width)] for y in range(height)]
+    palette: dict[tuple[int, int, int], int] = {}
+    for row in pixels:
+        for px in row:
+            if px not in palette:
+                if len(palette) == 256:
+                    raise ValueError("gif_bytes supports at most 256 distinct colors")
+                palette[px] = len(palette)
+    indices = bytes(palette[px] for row in pixels for px in row)
+    table = bytearray()
+    for (r, g, b), _ in sorted(palette.items(), key=lambda kv: kv[1]):
+        table += bytes((r, g, b))
+    table += b"\x00" * (768 - len(table))  # pad to 256 entries
+    out = bytearray(b"GIF89a")
+    # logical screen: global color table flag, 8-bit color, 256-entry table
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += table
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)  # image descriptor
+    min_code = 8
+    out.append(min_code)
+    lzw = _gif_lzw_compress(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(data: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor; raises ValueError
+    for non-GIF input."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", data, 6)
+    return width, height
+
+
+def gif_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Pixel rows top-down as (r, g, b) for the FIRST frame: palette lookup
+    over the LZW-decoded index stream.  Interlaced frames raise ValueError
+    (honest subset boundary, same policy as the PNG decoder)."""
+    width, height = parse_gif(data)
+    flags = data[10]
+    pos = 13
+    gct: bytes | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decompress(bytes(lzw), min_code)
+        if len(indices) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        return [
+            [
+                tuple(pal[3 * indices[y * w + x] : 3 * indices[y * w + x] + 3])
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+    raise ValueError("GIF contains no image frame")
+
+
 def is_image_magic(data: bytes) -> bool:
     """True when the blob starts like a format :func:`decode_image` handles —
     the ONE sniffing rule for loader dispatch and feature extraction."""
-    return data[:2] in (b"BM", b"P6") or data.startswith(_PNG_SIG)
+    return (
+        data[:2] in (b"BM", b"P6")
+        or data.startswith(_PNG_SIG)
+        or data[:6] in (b"GIF87a", b"GIF89a")
+    )
 
 
 def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """BMP, PPM, or PNG pixel rows top-down; ValueError for anything else."""
+    """BMP, PPM, PNG, or GIF pixel rows top-down; ValueError for anything else."""
     if data[:2] == b"BM":
         return bmp_pixels(data)
     if data[:2] == b"P6":
         return ppm_pixels(data)
     if data.startswith(_PNG_SIG):
         return png_pixels(data)
-    raise ValueError("unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor supported)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(data)
+    raise ValueError(
+        "unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor / GIF supported)"
+    )
 
 
 def resize_nearest(
@@ -383,3 +581,9 @@ def synth_png_for_id(did: int) -> bytes:
     analytic-formula discipline as the BMP/WAV fixtures so the driver oracle
     can restate the decode + resize exactly."""
     return png_bytes(12 + did % 5, 10, lambda x, y: ((did + 5 * x + 11 * y) % 256, 0, 0))
+
+
+def synth_gif_for_id(did: int) -> bytes:
+    """GIF (14 + did%6) x 9, red(x, y) = (did + 7x + 13y) % 256 — same
+    analytic-formula discipline; exercises the LZW decode path."""
+    return gif_bytes(14 + did % 6, 9, lambda x, y: ((did + 7 * x + 13 * y) % 256, 0, 0))

@@ -271,3 +271,75 @@ def test_png_in_dispatch_and_envelope(spark):
         (3 + 5 * (tx * 15 // 2) + 11 * (ty * 10 // 2)) % 256 for tx in range(2) for ty in range(2)
     )
     assert row["red_sum"] == expect
+
+
+# -- GIF (87a/89a 1-frame, stdlib LZW) ---------------------------------------
+
+
+def test_gif_roundtrip_lzw():
+    f = lambda x, y: ((5 + 5 * x + 11 * y) % 256, 0, 0)  # noqa: E731
+    data = m.gif_bytes(13, 10, f)
+    assert data[:6] == b"GIF89a"
+    assert m.parse_gif(data) == (13, 10)
+    assert m.gif_pixels(data) == [[f(x, y) for x in range(13)] for y in range(10)]
+
+
+def test_gif_lzw_code_width_growth_and_table_reset():
+    # enough distinct phrases to push the LZW table past successive width
+    # bumps and through a 4096-entry reset
+    import random
+
+    rng = random.Random(7)
+    vals = [[(rng.randrange(256), 0, 0) for _ in range(200)] for _ in range(120)]
+    data = m.gif_bytes(200, 120, lambda x, y: vals[y][x])
+    assert m.gif_pixels(data) == vals
+
+
+def test_gif_extension_blocks_skipped():
+    data = m.gif_bytes(3, 2, lambda x, y: (x * 10 + y, 0, 0))
+    # splice a graphic-control extension between the GCT and the image
+    head = 13 + 768
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    spliced = data[:head] + gce + data[head:]
+    assert m.gif_pixels(spliced) == m.gif_pixels(data)
+
+
+def test_gif_errors_are_honest():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        m.gif_pixels(b"NOTGIF" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        m.parse_gif(b"GIF89a\x01")
+    # interlace flag on the image descriptor
+    data = bytearray(m.gif_bytes(3, 2, lambda x, y: (1, 0, 0)))
+    idesc = 13 + 768  # image separator position
+    assert data[idesc] == 0x2C
+    data[idesc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        m.gif_pixels(bytes(data))
+    with _pytest.raises(ValueError, match="256 distinct"):
+        m.gif_bytes(32, 32, lambda x, y: (x * 8, y * 8, 0))
+
+
+def test_gif_in_dispatch_and_envelope(spark):
+    gif = m.gif_bytes(4, 4, lambda x, y: (100, 50, 25))
+    assert m.is_image_magic(gif)
+    assert m.decode_image(gif)[0][0] == (100, 50, 25)
+
+    from cognee_graphdb_spark.sources.ingest import EXTENSION_TYPES, decode_row
+
+    assert EXTENSION_TYPES["gif"] == "ImageDocument"
+    assert decode_row("image_loader", gif) == "[image 4x4 mean_rgb=(100, 50, 25)]"
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+
+    media = spark.createDataFrame(
+        [("g1", m.synth_gif_for_id(3))], "media_id string, content binary"
+    )
+    [row] = image_resize(media, target_width=2, target_height=2).collect()
+    assert (row["width"], row["height"]) == (17, 9)
+    expect = sum(
+        (3 + 7 * (tx * 17 // 2) + 13 * (ty * 9 // 2)) % 256 for tx in range(2) for ty in range(2)
+    )
+    assert row["red_sum"] == expect
