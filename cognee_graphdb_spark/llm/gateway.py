@@ -70,6 +70,14 @@ class LLMGateway(Protocol):
         eval_framework/evaluation/deep_eval_adapter.py)."""
         ...
 
+    def judge_context_coverage(self, golden_context: str, retrieval_context: str) -> float:
+        """LLM-judged coverage of the golden context by the retrieved
+        context, in [0, 1] (the reference's ContextCoverageMetric maps
+        input=golden context, actual_output=retrieval context over a
+        summarization-coverage rubric,
+        eval_framework/evaluation/metrics/context_coverage.py:9-32)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
@@ -204,3 +212,15 @@ class MockLLMGateway:
             return 1.0 if not split.findall(answer.lower()) else 0.0
         ans_toks = set(split.findall(answer.lower()))
         return len(gold_toks & ans_toks) / len(gold_toks)
+
+    def judge_context_coverage(self, golden_context: str, retrieval_context: str) -> float:
+        """Mock coverage judge: fraction of the golden context's distinct
+        alnum tokens present in the retrieved context — deterministic proxy
+        with the reference metric's signature and [0, 1] range
+        (ContextCoverageMetric, context_coverage.py:9-32)."""
+        split = re.compile(r"[a-z0-9]+")
+        gold_toks = set(split.findall(golden_context.lower()))
+        if not gold_toks:
+            return 1.0
+        got_toks = set(split.findall(retrieval_context.lower()))
+        return len(gold_toks & got_toks) / len(gold_toks)

@@ -144,3 +144,14 @@ def load_qa_corpus(
 def eval_pairs(qa_pairs: list[dict[str, Any]]) -> list[tuple[str, str]]:
     """The (question, gold) tuples :func:`evaluate_qa` takes."""
     return [(p["question"], p["answer"]) for p in qa_pairs]
+
+
+def golden_contexts(qa_pairs: list[dict[str, Any]]) -> list[str]:
+    """One golden-context string per pair, for ``evaluate_qa``'s context
+    coverage metric — requires ``load_qa_corpus(load_golden_context=True)``."""
+    try:
+        return [p["golden_context"] for p in qa_pairs]
+    except KeyError:
+        raise ValueError(
+            "pairs carry no golden_context; load the corpus with load_golden_context=True"
+        ) from None

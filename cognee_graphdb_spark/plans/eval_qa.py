@@ -36,7 +36,11 @@ def score_answers(answers: DataFrame, pred_col: str = "answer", gold_col: str = 
 
 
 def evaluate_qa(
-    engine, pairs: list[tuple[str, str]], search_type: str = "RAG_COMPLETION", llm_judge: bool = False
+    engine,
+    pairs: list[tuple[str, str]],
+    search_type: str = "RAG_COMPLETION",
+    llm_judge: bool = False,
+    golden_contexts: list[str] | None = None,
 ) -> dict:
     """Run each question through ``engine.search`` and score against gold.
 
@@ -45,6 +49,14 @@ def evaluate_qa(
     from ``gateway.judge_correctness`` — the reference's LLM-judged
     correctness metric (eval_framework/evaluation/deep_eval_adapter.py),
     behind the same pluggable gateway as every other [LLM] operator.
+
+    ``golden_contexts`` (one golden-context string per pair, e.g. from
+    ``load_qa_corpus(..., load_golden_context=True)``) enables the
+    reference's fourth metric: per-row ``coverage_score`` and a ``coverage``
+    mean from ``gateway.judge_context_coverage`` over the RETRIEVED context
+    (``only_context=True`` re-retrieval) vs the golden one
+    (eval_framework/evaluation/metrics/context_coverage.py:9-32).
+
     Driver-side loop over questions mirrors the reference's
     answer_generation_executor (one engine query per question); deterministic
     scoring is a single Spark job.
@@ -66,8 +78,19 @@ def evaluate_qa(
         ]
         jdf = engine.spark.createDataFrame(judged, ["qid", "judge_score"])
         scored = scored.join(jdf, "qid", "left")
-        out["per_question"] = scored
         out["judge"] = sum(s for _, s in judged) / max(1, len(judged))
+    if golden_contexts is not None:
+        if len(golden_contexts) != len(pairs):
+            raise ValueError("golden_contexts must have one entry per QA pair")
+        covered = []
+        for (qid, question, _a, _g), golden in zip(rows, golden_contexts):
+            ctx = engine.search(search_type, question, only_context=True)
+            ctx_text = ctx if isinstance(ctx, str) else " ".join(str(r) for r in ctx.collect())
+            covered.append((qid, float(engine.gateway.judge_context_coverage(golden, ctx_text))))
+        cdf = engine.spark.createDataFrame(covered, ["qid", "coverage_score"])
+        scored = scored.join(cdf, "qid", "left")
+        out["coverage"] = sum(s for _, s in covered) / max(1, len(covered))
+    out["per_question"] = scored
     agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1")).first()
     out["em"], out["f1"] = float(agg["em"]), float(agg["f1"])
     return out

@@ -514,3 +514,42 @@ def test_twowiki_adapter_evidences(tmp_path):
     assert pairs[0]["type"] == "comparison"
     assert "Evidence fact triplets:" in pairs[0]["golden_context"]
     assert "spark - is - fast" in pairs[0]["golden_context"]
+
+
+def test_context_coverage_metric(spark, tmp_path):
+    """The reference's fourth eval metric (ContextCoverageMetric,
+    context_coverage.py:9-32): retrieved context judged against the golden
+    context, per-row coverage_score + a coverage mean in [0, 1]."""
+    from cognee_graphdb_spark.plans.eval_corpus import (
+        eval_pairs,
+        golden_contexts,
+        load_qa_corpus,
+    )
+    from cognee_graphdb_spark.plans.eval_qa import evaluate_qa
+
+    corpus, pairs = load_qa_corpus(
+        _hotpot_fixture(tmp_path), fmt="hotpot", load_golden_context=True
+    )
+    e = CogneeSpark(spark, str(tmp_path / "hotpot_cov"))
+    e.add([(f"doc{i}.txt", text) for i, text in enumerate(corpus)])
+    assert e.cognify() > 0
+    res = evaluate_qa(
+        e, eval_pairs(pairs), llm_judge=True, golden_contexts=golden_contexts(pairs)
+    )
+    assert 0.0 <= res["coverage"] <= 1.0
+    rows = {r["qid"]: r for r in res["per_question"].collect()}
+    assert len(rows) == 3 and all(r["coverage_score"] is not None for r in rows.values())
+
+    # mock judge math: full containment scores 1.0, disjoint scores 0.0
+    g = e.gateway
+    assert g.judge_context_coverage("alpha beta", "ALPHA beta gamma") == 1.0
+    assert g.judge_context_coverage("alpha beta", "gamma delta") == 0.0
+    assert g.judge_context_coverage("", "anything") == 1.0
+
+    # one golden context per pair is required
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one entry per QA pair"):
+        evaluate_qa(e, eval_pairs(pairs), golden_contexts=["only-one"])
+    with _pytest.raises(ValueError, match="golden_context"):
+        golden_contexts([{"question": "q", "answer": "a"}])
