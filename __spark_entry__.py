@@ -1216,6 +1216,33 @@ def _q_mm_gif_resize(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_jpeg_resize(spark, sf_dir):
+    """REAL baseline-JPEG decode + nearest-neighbor resize, oracle-checked:
+    each doc synthesizes a grayscale JPEG ((24 + 8*(doc_id%3)) x 16,
+    block-constant gray = 2*((doc_id*5 + 3*bx + 7*by) % 128)) via
+    sources/jpeg.jpeg_bytes (Annex K tables), then image_resize runs the
+    full Huffman + dequant + IDCT decode and floor-mapping resample to 4x3.
+    DC-only blocks with even luma decode bit-exactly (see synth_jpeg_for_id),
+    so DuckDB restates the lossy codec's output analytically."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import synth_jpeg_for_id
+
+        for pdf in batches:
+            rows = [(str(int(d)), synth_jpeg_for_id(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
+
+
 _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
 
 
@@ -1583,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bmp_resize": _q_mm_bmp_resize,
         "mm_png_resize": _q_mm_png_resize,
         "mm_gif_resize": _q_mm_gif_resize,
+        "mm_jpeg_resize": _q_mm_jpeg_resize,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
@@ -2181,6 +2209,27 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(4 AS INTEGER) AS target_width,
        CAST(3 AS INTEGER) AS target_height,
        CAST(SUM((doc_id + 7 * ((tx * w) // 4) + 13 * ((ty * 9) // 3)) % 256) AS BIGINT) AS red_sum
+FROM cells
+GROUP BY doc_id, w"""
+
+    # real baseline-JPEG decode (Huffman + dequant + IDCT) + nearest resize:
+    # the synth image is block-constant with even luma, so the lossy codec is
+    # bit-exact (DC-only blocks, Annex K DC quantizer divides 8*(gray-128))
+    # and red_sum restates via the block coordinates of the floor mapping
+    sql["mm_jpeg_resize"] = """
+WITH g AS (SELECT doc_id, 24 + 8 * (doc_id % 3) AS w FROM documents),
+cells AS (
+  SELECT doc_id, w, tx, ty
+  FROM g
+  CROSS JOIN (SELECT unnest(range(4)) AS tx)
+  CROSS JOIN (SELECT unnest(range(3)) AS ty)
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS target_width,
+       CAST(3 AS INTEGER) AS target_height,
+       CAST(SUM(2 * ((doc_id * 5 + 3 * (((tx * w) // 4) // 8) + 7 * (((ty * 16) // 3) // 8)) % 128)) AS BIGINT) AS red_sum
 FROM cells
 GROUP BY doc_id, w"""
 

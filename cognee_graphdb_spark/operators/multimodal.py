@@ -6,12 +6,12 @@ image_loader.py:15).  For a 100 TB training-data pipeline the engine
 additionally needs decode / feature-extract / resize / frame-sample as
 DATA-PARALLEL operators.
 
-WAV (RIFF PCM), BMP (24bpp) and PPM (P6) decode for REAL via the public-spec
+WAV (RIFF PCM), BMP (24bpp), PPM (P6), PNG, GIF and baseline JPEG decode for REAL via the public-spec
 parsers in :mod:`cognee_graphdb_spark.sources.media` (stdlib only, same
 approach as sources/pdf.py): ``audio_frame_sample`` samples actual PCM
 amplitudes, ``image_resize`` resamples actual pixel rows, and
 ``extract_features`` computes real signal/pixel statistics for those formats.
-Formats needing heavyweight codecs (mp3/mp4/jpeg — PIL/ffmpeg are not in this
+Formats needing heavyweight codecs (mp3/mp4 — ffmpeg is not in this
 container) keep the md5-seeded stand-in behind ``deterministic_fake=True``
 (or raise NotImplementedError), exactly where the real codec call would plug
 in.  Everything Spark-side — schema, Arrow batching, partition layout — is
@@ -159,7 +159,7 @@ def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
 
 
 def image_resize(media: DataFrame, target_width: int, target_height: int) -> DataFrame:
-    """REAL image resize: decode BMP/PPM/PNG pixel rows, nearest-neighbor
+    """REAL image resize: decode BMP/PPM/PNG/GIF/JPEG pixel rows, nearest-neighbor
     resample (sx = tx*w//tw), and emit per-image stats of the RESIZED pixels
     — (media_id, width, height, target_width, target_height, red_sum).
     The integer-exact mapping keeps the output oracle-checkable."""

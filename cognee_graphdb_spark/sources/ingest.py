@@ -76,7 +76,7 @@ def decode_row(loader: str, content: bytes | None) -> str:
       channels/rate/duration/RMS or dimensions/mean-RGB.  The
       transcript/description half is [LLM] in the reference
       (core/audio_loader.py:18, core/image_loader.py:15) and stays behind
-      the gateway.  Unparseable formats (mp3/jpeg — codecs not in this
+      the gateway.  Unparseable formats (mp3/mp4 — codecs not in this
       container) fall back to the content-addressed stand-in.
     - ``video_loader``: container parsing (mp4) needs ffmpeg — stand-in.
     """

@@ -1,0 +1,639 @@
+"""Baseline JPEG (JFIF) codec — pure stdlib, public spec (ITU-T T.81).
+
+The reference routes images through an LLM description loader
+(infrastructure/loaders/core/image_loader.py:15) and never decodes pixels;
+this engine's multimodal operators (operators/multimodal.py) need real
+pixel access for feature extraction and resize at corpus scale.  BMP, PPM,
+PNG, and GIF already decode via :mod:`cognee_graphdb_spark.sources.media`;
+JPEG is the most common training-corpus image format, so it gets the same
+treatment: a from-spec baseline codec with no third-party dependency.
+
+Scope (honest boundaries, enforced with targeted ValueError):
+  decode — baseline sequential DCT (SOF0), Huffman entropy coding, 8-bit
+  samples, 1 or 3 components, sampling factors 1 or 2 per axis (covers
+  grayscale, 4:4:4, 4:2:2, 4:2:0), restart intervals, JFIF/EXIF APPn and
+  COM segments skipped.  Progressive (SOF2), arithmetic coding, 12-bit,
+  and CMYK are rejected, not mis-decoded.
+  encode — grayscale or 4:4:4 YCbCr, Annex K quantization + Huffman
+  tables, no subsampling (keeps the encoder ~100 lines; the decoder
+  handles subsampled inputs from elsewhere).
+
+Everything here runs executor-side inside Arrow-batched ``mapInPandas``
+(operators/multimodal.py) — one blob never crosses a partition boundary,
+so decode throughput scales with executor count, which is the property
+that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K — example tables, the de-facto
+# interchange defaults every encoder ships).
+# --------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural order).
+QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman tables: (BITS counts for lengths 1..16, HUFFVAL).
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from a canonical BITS/HUFFVAL pair."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol; Python dicts are fast enough for the small
+    fixture/envelope blobs this decodes — the scale axis is executor count,
+    not per-blob speed."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# DCT pair (separable, float — exact to <1e-13 for the integer inputs the
+# oracle fixtures use, see synth_jpeg_for_id in sources/media.py)
+# --------------------------------------------------------------------------
+
+
+def _fdct_quant(block: list[int], quant: list[int]) -> list[int]:
+    """Forward 8x8 DCT of level-shifted samples, quantized, natural order."""
+    shifted = [v - 128 for v in block]
+    tmp = [[0.0] * 8 for _ in range(8)]  # tmp[v][x] = sum_y f(x,y) cos_y_v
+    for v in range(8):
+        for x in range(8):
+            tmp[v][x] = sum(shifted[y * 8 + x] * _COS[y][v] for y in range(8))
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = sum(tmp[v][x] * _COS[x][u] for x in range(8))
+            val = 0.25 * _C[u] * _C[v] * s
+            out[v * 8 + u] = int(round(val / quant[v * 8 + u]))
+    return out
+
+
+def _dequant_idct(coeffs: list[int], quant: list[int]) -> list[int]:
+    """Dequantize + inverse 8x8 DCT + level shift, clamped to [0, 255]."""
+    deq = [coeffs[i] * quant[i] for i in range(64)]
+    tmp = [[0.0] * 8 for _ in range(8)]  # tmp[u][y] = sum_v C(v) F cos_y_v
+    for u in range(8):
+        for y in range(8):
+            tmp[u][y] = sum(_C[v] * deq[v * 8 + u] * _COS[y][v] for v in range(8))
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = sum(_C[u] * tmp[u][y] * _COS[x][u] for u in range(8))
+            v = int(round(0.25 * s + 128))
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Encoder (grayscale or 4:4:4 YCbCr; Annex K tables)
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = v.bit_length() if v > 0 else (-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(
+    w: _BitWriter,
+    coeffs: list[int],
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    zz = [coeffs[ZIGZAG[i]] for i in range(64)]
+    size, bits = _magnitude(zz[0] - pred)
+    code, length = dc_tab[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_tab[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        code, length = ac_tab[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def jpeg_bytes(
+    width: int,
+    height: int,
+    pixel_fn,
+    gray: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a baseline JFIF image; ``pixel_fn(x, y) -> (r, g, b)`` (the
+    red channel doubles as the gray value when ``gray=True``).  Grayscale,
+    4:4:4, or 4:2:0 (``subsample=True``) color, Annex K tables, optional
+    DRI/RSTn restart markers — the fixture-side counterpart of
+    :func:`jpeg_pixels`, same role as png_bytes/gif_bytes in sources/media.
+    """
+    ncomp = 1 if gray else 3
+    # sampling factors per component: 4:2:0 keeps luma at (2,2) and halves
+    # chroma; everything else is (1,1) across the board
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) else [(1, 1)] * 3
+    hmax = max(h for h, _ in samp[:ncomp])
+    vmax = max(v for _, v in samp[:ncomp])
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # full-resolution YCbCr planes, edge-replicated to the MCU grid so
+    # partial-edge blocks stay flat (keeps quantization error small there)
+    fw, fh = mcus_x * hmax * 8, mcus_y * vmax * 8
+    full: list[list[list[int]]] = [[[0] * fw for _ in range(fh)] for _ in range(ncomp)]
+    for y in range(fh):
+        sy = min(y, height - 1)
+        for x in range(fw):
+            sx = min(x, width - 1)
+            r, g, b = pixel_fn(sx, sy)
+            if gray:
+                full[0][y][x] = r
+            else:
+                yy = round(0.299 * r + 0.587 * g + 0.114 * b)
+                cb = round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+                cr = round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+                for ci, v in enumerate((yy, cb, cr)):
+                    full[ci][y][x] = 0 if v < 0 else (255 if v > 255 else v)
+
+    # per-component encode planes: box-filter down to each component's
+    # sampling resolution (identity when h=v=hmax=vmax)
+    planes: list[list[list[int]]] = []
+    for ci in range(ncomp):
+        h_i, v_i = samp[ci]
+        if (h_i, v_i) == (hmax, vmax):
+            planes.append(full[ci])
+            continue
+        sx_f, sy_f = hmax // h_i, vmax // v_i
+        pw, ph = fw // sx_f, fh // sy_f
+        plane = [[0] * pw for _ in range(ph)]
+        for y in range(ph):
+            for x in range(pw):
+                acc = 0
+                for dy in range(sy_f):
+                    for dx in range(sx_f):
+                        acc += full[ci][y * sy_f + dy][x * sx_f + dx]
+                plane[y][x] = (acc + sx_f * sy_f // 2) // (sx_f * sy_f)
+        planes.append(plane)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(QUANT_LUM[ZIGZAG[i]] for i in range(64)))
+    if ncomp == 3:
+        out += _seg(0xDB, bytes([1]) + bytes(QUANT_CHROM[ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i = samp[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    )[: 2 * ncomp if ncomp == 1 else 4]:
+        out += _seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    w = _BitWriter()
+    dc_tabs = [
+        _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS),
+        _huff_encode_table(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tabs = [
+        _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS),
+        _huff_encode_table(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+    quants = [QUANT_LUM, QUANT_CHROM]
+    preds = [0] * ncomp
+    since_restart = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                w.flush()
+                out += w.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                preds = [0] * ncomp
+                since_restart = 0
+            since_restart += 1
+            for ci in range(ncomp):
+                h_i, v_i = samp[ci]
+                ti = 0 if ci == 0 else 1
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        oy, ox = (my * v_i + by) * 8, (mx * h_i + bx) * 8
+                        block = [
+                            planes[ci][oy + y][ox + x] for y in range(8) for x in range(8)
+                        ]
+                        coeffs = _fdct_quant(block, quants[ti])  # natural order
+                        preds[ci] = _encode_block(
+                            w, coeffs, preds[ci], dc_tabs[ti], ac_tabs[ti]
+                        )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder (baseline SOF0, generic sampling factors)
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker inside entropy data (EOI / RSTn handled upstream)
+                    raise ValueError("unexpected marker in entropy stream")
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume padding + a RSTn marker at a restart boundary."""
+        self._nbits = 0
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            m = self.data[self.pos + 1]
+            if 0xD0 <= m <= 0xD7:
+                self.pos += 2
+                return
+        raise ValueError("expected restart marker")
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[list[int], int]:
+    coeffs = [0] * 64
+    size = r.decode_huff(dc_tab)
+    diff = _extend(r.read_bits(size), size) if size else 0
+    dc = pred + diff
+    coeffs[0] = dc
+    i = 1
+    while i < 64:
+        sym = r.decode_huff(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        coeffs[ZIGZAG[i]] = _extend(r.read_bits(size), size)
+        i += 1
+    return coeffs, dc
+
+
+def _parse_segments(data: bytes):
+    """Yield (marker, body_start, body_end) for every pre-SOS segment, then
+    ('SOS', sos_start, entropy_start) and stop."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body_start, body_end = pos + 4, pos + 2 + length
+        if length < 2 or body_end > len(data):
+            raise ValueError("JPEG segment truncated")
+        yield marker, body_start, body_end
+        if marker == 0xDA:
+            return
+        pos = body_end
+    raise ValueError("JPEG truncated before SOS")
+
+
+def parse_jpeg(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF header — the metadata
+    envelope half (ingest's ImageDocument dims without a full decode)."""
+    for marker, s, e in _parse_segments(data):
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _prec, h, w, n = struct.unpack(">BHHB", data[s : s + 6])
+            return w, h, n
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def jpeg_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full baseline decode to RGB rows (top-down) — Huffman + dequant +
+    IDCT + chroma upsample + YCbCr->RGB, from the public spec."""
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, quant_id)
+    width = height = 0
+    restart_interval = 0
+    sos_end = None
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+
+    for marker, s, e in _parse_segments(data):
+        body = data[s:e]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = [0] * 64
+                for i in range(64):
+                    tab[ZIGZAG[i]] = body[p + i]
+                quant[tq] = tab
+                p += 64
+        elif marker in (0xC0, 0xC1):
+            prec, height, width, n = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit samples supported")
+            if n not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            p = 6
+            for _ in range(n):
+                cid, hv, tq = body[p], body[p + 1], body[p + 2]
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError("sampling factors beyond 2 unsupported")
+                comps.append((cid, h_i, v_i, tq))
+                p += 3
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nvals])
+                table = _huff_decode_table(bits, vals)
+                (huff_ac if cls else huff_dc)[tid] = table
+                p += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            p = 1
+            for _ in range(ns):
+                cid, tabs = body[p], body[p + 1]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+                p += 2
+            sos_end = e
+        # APPn / COM / others: skipped
+
+    if sos_end is None or not comps:
+        raise ValueError("JPEG has no scan")
+    if len(scan_comps) != len(comps):
+        # a partial scan means a non-interleaved multi-scan file; decoding
+        # only its first scan would yield garbage chroma — reject instead
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component block planes (sized in whole MCUs, so interleaved block
+    # writes below never need bounds checks)
+    plane_w = [mcus_x * c[1] * 8 for c in comps]
+    plane_h = [mcus_y * c[2] * 8 for c in comps]
+    planes = [[[0] * plane_w[i] for _ in range(plane_h[i])] for i in range(len(comps))]
+
+    r = _BitReader(data, sos_end)
+    preds = [0] * len(comps)
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                r.align_restart()
+                preds = [0] * len(comps)
+                since_restart = 0
+            since_restart += 1
+            for ci, dc_id, ac_id in scan_comps:
+                _cid, h_i, v_i, tq = comps[ci]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        coeffs, preds[ci] = _decode_block(
+                            r, huff_dc[dc_id], huff_ac[ac_id], preds[ci]
+                        )
+                        block = _dequant_idct(coeffs, quant[tq])
+                        oy = (my * v_i + by) * 8
+                        ox = (mx * h_i + bx) * 8
+                        row_plane = planes[ci]
+                        for y in range(8):
+                            dst = row_plane[oy + y]
+                            for x in range(8):
+                                dst[ox + x] = block[y * 8 + x]
+
+    # upsample (nearest) + color convert + crop
+    out: list[list[tuple[int, int, int]]] = []
+    if len(comps) == 1:
+        for y in range(height):
+            row = planes[0][y]
+            out.append([(row[x], row[x], row[x]) for x in range(width)])
+        return out
+    _, hy, vy, _ = comps[0]
+    for y in range(height):
+        row_out: list[tuple[int, int, int]] = []
+        yy_row = planes[0][y * vy // vmax]
+        cb_row = planes[1][y * comps[1][2] // vmax]
+        cr_row = planes[2][y * comps[2][2] // vmax]
+        for x in range(width):
+            yy = yy_row[x * hy // hmax]
+            cb = cb_row[x * comps[1][1] // hmax]
+            cr = cr_row[x * comps[2][1] // hmax]
+            r_ = int(round(yy + 1.402 * (cr - 128)))
+            g_ = int(round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
+            b_ = int(round(yy + 1.772 * (cb - 128)))
+            row_out.append(
+                (
+                    0 if r_ < 0 else (255 if r_ > 255 else r_),
+                    0 if g_ < 0 else (255 if g_ > 255 else g_),
+                    0 if b_ < 0 else (255 if b_ > 255 else b_),
+                )
+            )
+        out.append(row_out)
+    return out

@@ -527,11 +527,13 @@ def is_image_magic(data: bytes) -> bool:
         data[:2] in (b"BM", b"P6")
         or data.startswith(_PNG_SIG)
         or data[:6] in (b"GIF87a", b"GIF89a")
+        or data[:3] == b"\xff\xd8\xff"
     )
 
 
 def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """BMP, PPM, PNG, or GIF pixel rows top-down; ValueError for anything else."""
+    """BMP, PPM, PNG, GIF, or baseline JPEG pixel rows top-down; ValueError
+    for anything else."""
     if data[:2] == b"BM":
         return bmp_pixels(data)
     if data[:2] == b"P6":
@@ -540,8 +542,13 @@ def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
         return png_pixels(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from cognee_graphdb_spark.sources.jpeg import jpeg_pixels
+
+        return jpeg_pixels(data)
     raise ValueError(
-        "unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor / GIF supported)"
+        "unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor / GIF / "
+        "baseline JPEG supported)"
     )
 
 
@@ -587,3 +594,21 @@ def synth_gif_for_id(did: int) -> bytes:
     """GIF (14 + did%6) x 9, red(x, y) = (did + 7x + 13y) % 256 — same
     analytic-formula discipline; exercises the LZW decode path."""
     return gif_bytes(14 + did % 6, 9, lambda x, y: ((did + 7 * x + 13 * y) % 256, 0, 0))
+
+
+def synth_jpeg_for_id(did: int) -> bytes:
+    """Grayscale baseline JPEG, (24 + 8*(did%3)) x 16, block-constant luma
+    gray(x, y) = 2*((did*5 + 3*(x//8) + 7*(y//8)) % 128).  JPEG is lossy in
+    general, but an 8x8-constant block with an EVEN level is DC-only and the
+    Annex K DC quantizer (16) divides 8*(gray-128) exactly, so the full
+    Huffman + dequant + IDCT decode reproduces every pixel bit-exactly —
+    which is what lets the driver's DuckDB oracle restate the decode +
+    resize analytically despite the lossy format."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes
+
+    return jpeg_bytes(
+        24 + 8 * (did % 3),
+        16,
+        lambda x, y: (2 * ((did * 5 + 3 * (x // 8) + 7 * (y // 8)) % 128),) * 3,
+        gray=True,
+    )

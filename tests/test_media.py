@@ -343,3 +343,95 @@ def test_gif_in_dispatch_and_envelope(spark):
         (3 + 7 * (tx * 17 // 2) + 13 * (ty * 9 // 2)) % 256 for tx in range(2) for ty in range(2)
     )
     assert row["red_sum"] == expect
+
+
+def test_jpeg_gray_block_constant_exact():
+    """DC-only blocks with even luma decode bit-exactly through the full
+    Huffman + dequant + IDCT path (the property the driver oracle relies
+    on, sources/jpeg.py)."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes, jpeg_pixels, parse_jpeg
+
+    for did in (0, 7, 42):
+        w, h = 8 * (3 + did % 3), 16
+        gray = lambda x, y: 2 * ((did * 5 + 3 * (x // 8) + 7 * (y // 8)) % 128)
+        data = jpeg_bytes(w, h, lambda x, y: (gray(x, y),) * 3, gray=True)
+        assert parse_jpeg(data) == (w, h, 1)
+        px = jpeg_pixels(data)
+        assert all(
+            px[y][x] == (gray(x, y),) * 3 for y in range(h) for x in range(w)
+        )
+
+
+def test_jpeg_color_roundtrip_tolerance():
+    """4:4:4 and 4:2:0 color with restart markers: lossy round-trip stays
+    within quantization tolerance on a smooth gradient."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes, jpeg_pixels, parse_jpeg
+
+    w, h = 37, 23  # non-multiple-of-8 dims exercise edge-block crop
+    grad = lambda x, y: ((x * 6) % 256, (y * 9) % 256, (x * 3 + y * 4) % 256)
+    for kw, tol in (
+        ({}, 14),
+        ({"subsample": True}, 40),
+        ({"restart_interval": 2}, 14),
+        ({"subsample": True, "restart_interval": 1}, 40),
+    ):
+        data = jpeg_bytes(w, h, grad, **kw)
+        assert parse_jpeg(data) == (w, h, 3)
+        px = jpeg_pixels(data)
+        maxerr = max(
+            abs(px[y][x][c] - grad(x, y)[c])
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert maxerr <= tol, (kw, maxerr)
+
+
+def test_jpeg_errors_are_honest():
+    import pytest as _pytest
+
+    from cognee_graphdb_spark.sources import jpeg as j
+
+    with _pytest.raises(ValueError, match="SOI"):
+        j.jpeg_pixels(b"notajpeg")
+    with _pytest.raises(ValueError, match="truncated"):
+        j.parse_jpeg(b"\xff\xd8\xff\xe0\x00\x04ab")
+    # progressive (SOF2) is rejected, not mis-decoded
+    data = bytearray(j.jpeg_bytes(8, 8, lambda x, y: (4, 4, 4), gray=True))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        j.jpeg_pixels(bytes(data))
+    with _pytest.raises(ValueError, match="baseline"):
+        j.parse_jpeg(bytes(data))
+    # truncated entropy stream
+    good = j.jpeg_bytes(24, 16, lambda x, y: (100, 3, 7))
+    with _pytest.raises(ValueError):
+        j.jpeg_pixels(good[:-20])
+
+
+def test_jpeg_in_dispatch_and_envelope(spark):
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes
+
+    blob = jpeg_bytes(8, 8, lambda x, y: (100, 100, 100), gray=True)
+    assert m.is_image_magic(blob)
+    assert m.decode_image(blob)[0][0] == (100, 100, 100)
+
+    from cognee_graphdb_spark.sources.ingest import EXTENSION_TYPES, decode_row
+
+    assert EXTENSION_TYPES["jpg"] == "ImageDocument"
+    assert decode_row("image_loader", blob) == "[image 8x8 mean_rgb=(100, 100, 100)]"
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+
+    media = spark.createDataFrame(
+        [("j1", m.synth_jpeg_for_id(3))], "media_id string, content binary"
+    )
+    [row] = image_resize(media, target_width=4, target_height=3).collect()
+    assert (row["width"], row["height"]) == (24, 16)
+    expect = sum(
+        2 * ((3 * 5 + 3 * ((tx * 24 // 4) // 8) + 7 * ((ty * 16 // 3) // 8)) % 128)
+        for tx in range(4)
+        for ty in range(3)
+    )
+    assert row["red_sum"] == expect
