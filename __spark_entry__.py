@@ -1243,6 +1243,38 @@ def _q_mm_jpeg_resize(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_media_info(spark, sf_dir):
+    """REAL container-metadata sniff (operators/multimodal.media_info):
+    each doc synthesizes one MP3 (frame-header walk gives the exact
+    duration) and one MP4 (ISO BMFF box tree gives duration/dims/codec) via
+    sources/container.py, and the typed-metadata rows restate analytically
+    from the fixture formulas (synth_mp3_for_id / synth_mp4_for_id)."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import media_info
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.container import (
+            synth_mp3_for_id,
+            synth_mp4_for_id,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                rows.append((f"{did}:a", synth_mp3_for_id(did)))
+                rows.append((f"{did}:v", synth_mp4_for_id(did)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return media_info(media)
+
+
 _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equipment", "house": "Structure"}
 
 
@@ -1611,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_resize": _q_mm_png_resize,
         "mm_gif_resize": _q_mm_gif_resize,
         "mm_jpeg_resize": _q_mm_jpeg_resize,
+        "mm_media_info": _q_mm_media_info,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
@@ -2232,6 +2265,30 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(SUM(2 * ((doc_id * 5 + 3 * (((tx * w) // 4) // 8) + 7 * (((ty * 16) // 3) // 8)) % 128)) AS BIGINT) AS red_sum
 FROM cells
 GROUP BY doc_id, w"""
+
+    # real container-metadata sniff: MP3 frame-header walk (duration =
+    # frames*1152/44100) and MP4 box-tree walk (mvhd/tkhd/stsd), restated
+    # from the synth_mp3_for_id / synth_mp4_for_id fixture formulas
+    sql["mm_media_info"] = """
+SELECT CAST(doc_id AS VARCHAR) || ':a' AS media_id,
+       'audio' AS kind,
+       CAST((5 + doc_id % 7) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+       CAST(44100 AS INTEGER) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       'mp3' AS codec
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) || ':v' AS media_id,
+       'video' AS kind,
+       CAST(1000 + (doc_id * 37) % 5000 AS BIGINT) AS duration_ms,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS channels,
+       CAST(16 * (1 + doc_id % 10) AS INTEGER) AS width,
+       CAST(9 * (1 + doc_id % 10) AS INTEGER) AS height,
+       'avc1' AS codec
+FROM documents"""
 
     # F1-F3 exact reconstruction: reassembled chunks == the original document
     sql["f1_f4_chunking"] = """

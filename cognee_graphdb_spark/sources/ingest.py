@@ -72,13 +72,15 @@ def decode_row(loader: str, content: bytes | None) -> str:
       else a pure-Python parser; reference pypdf_loader.py:19-97).
     - ``audio_loader`` / ``image_loader``: the BINARY half decodes for REAL
       when the blob is a stdlib-parseable format (WAV via sources/media.py
-      RIFF parse; BMP/PPM pixel rows) — the envelope carries genuine
+      RIFF parse; BMP/PPM/PNG/GIF/JPEG pixel rows; MP3 via the
+      sources/container.py frame-header walk) — the envelope carries genuine
       channels/rate/duration/RMS or dimensions/mean-RGB.  The
       transcript/description half is [LLM] in the reference
       (core/audio_loader.py:18, core/image_loader.py:15) and stays behind
-      the gateway.  Unparseable formats (mp3/mp4 — codecs not in this
-      container) fall back to the content-addressed stand-in.
-    - ``video_loader``: container parsing (mp4) needs ffmpeg — stand-in.
+      the gateway.
+    - ``video_loader``: MP4 box-tree metadata parses for REAL
+      (sources/container.py) — dimensions/duration/codec in the envelope;
+      frame DECODE needs ffmpeg and stays a content-addressed stand-in.
     """
     data = bytes(content) if content is not None else b""
     if loader == "pdf_loader":
@@ -95,6 +97,26 @@ def decode_row(loader: str, content: bytes | None) -> str:
                 f"[audio {info.channels}ch {info.sample_rate}Hz "
                 f"{info.duration_ms}ms rms={rms:.4f}]"
             )
+        except Exception:
+            pass
+    if loader == "audio_loader":
+        try:
+            from cognee_graphdb_spark.sources.container import parse_mp3
+
+            info = parse_mp3(data)
+            return (
+                f"[audio {info.channels}ch {info.sample_rate}Hz "
+                f"{info.duration_ms}ms {info.bitrate_kbps}kbps mp3]"
+            )
+        except Exception:
+            pass
+    if loader == "video_loader":
+        try:
+            from cognee_graphdb_spark.sources.container import parse_mp4
+
+            info = parse_mp4(data)
+            codec = info.codecs[0] if info.codecs else "?"
+            return f"[video {info.width}x{info.height} {info.duration_ms}ms {codec}]"
         except Exception:
             pass
     if loader == "image_loader":
