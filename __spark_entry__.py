@@ -934,6 +934,28 @@ def _q_cypher_union_having(spark, sf_dir):
     ).orderBy("table_name")
 
 
+def _q_cypher_list_ops(spark, sf_dir):
+    """The list/lambda dialect family in one query (plans/cypher.py): UNWIND
+    over range(), a list comprehension nested inside reduce() (Spark SQL
+    filter/aggregate higher-order functions — whole-stage codegen, no UDF),
+    0-based substring(), and an all() list predicate.  even_sum is the sum
+    of even numbers <= month, which DuckDB restates in closed form."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    ctx = GraphContext(nodes=nodes, edges=edges, embeddings=nodes.limit(0))
+    return cypher_search(
+        spark,
+        ctx,
+        "UNWIND range(1, 12) AS m "
+        "RETURN toInteger(m) AS month, "
+        "toInteger(reduce(acc = 0, x IN [y IN range(1, m) WHERE y % 2 = 0] | acc + x)) AS even_sum, "
+        "substring('abcdefghijkl', 0, m) AS prefix, "
+        "all(x IN [m, 6] WHERE x >= 6) AS ge6 "
+        "ORDER BY month",
+    )
+
+
 def _q_cypher_pipeline(spark, sf_dir):
     """UNWIND -> MATCH/WHERE -> WITH aggregation pipeline (the
     product_recommendation.py:126-145 shape) translated to nested subqueries
@@ -1648,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
+        "cypher_list_ops": _q_cypher_list_ops,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         # ...the r04-green block, oldest driver rows first ------------------
@@ -2462,6 +2485,17 @@ SELECT table_name, n FROM counts WHERE n >= 25
 UNION
 SELECT table_name, n FROM counts WHERE regexp_full_match(table_name, 'nat.*')
 ORDER BY table_name"""
+
+    # list/lambda family: closed-form restatement of the comprehension-in-
+    # reduce (sum of evens <= m is k*(k+1) with k = m//2), 1-based substring,
+    # and the all() predicate collapsing to m >= 6
+    sql["cypher_list_ops"] = """
+SELECT CAST(m AS BIGINT) AS month,
+       CAST((m // 2) * (m // 2 + 1) AS BIGINT) AS even_sum,
+       substring('abcdefghijkl', 1, CAST(m AS INTEGER)) AS prefix,
+       m >= 6 AS ge6
+FROM (SELECT unnest(range(1, 13)) AS m)
+ORDER BY month"""
 
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))

@@ -121,6 +121,13 @@ _KEYWORDS = {
     "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC", "UNWIND", "UNION",
 }
 _AGGS = {"COUNT": "count", "MIN": "min", "MAX": "max", "SUM": "sum", "AVG": "avg", "COLLECT": "collect_list"}
+# multi-arg / renamed aggregates (neo4j statistics family)
+_AGGS_EXTRA = {
+    "PERCENTILECONT": "percentile",
+    "PERCENTILEDISC": "percentile_approx",
+    "STDEV": "stddev_samp",
+    "STDEVP": "stddev_pop",
+}
 # scalar functions: Cypher name -> Spark SQL function (same arity, args pass
 # through).  size() maps to length() — this dialect's property values are
 # strings (the one array case, labels(n), is a fixed one-element construct).
@@ -128,10 +135,16 @@ _SCALAR_FNS = {
     "TOLOWER": "lower", "TOUPPER": "upper", "TRIM": "trim", "LTRIM": "ltrim",
     "RTRIM": "rtrim", "SIZE": "length", "COALESCE": "coalesce", "ABS": "abs",
     "ROUND": "round", "REPLACE": "replace", "REVERSE": "reverse",
-    "LEFT": "left", "RIGHT": "right",
+    "LEFT": "left", "RIGHT": "right", "SPLIT": "split", "SQRT": "sqrt",
+    "FLOOR": "floor", "CEIL": "ceiling", "SIGN": "sign", "EXP": "exp",
+    "LOG": "ln", "LOG10": "log10", "SIN": "sin", "COS": "cos", "TAN": "tan",
+    "ASIN": "asin", "ACOS": "acos", "ATAN": "atan", "ATAN2": "atan2",
+    "PI": "pi", "RAND": "rand",
 }
+# Cypher fns whose SQL shape differs (handled case-by-case in _scalar_fn)
+_SPECIAL_FNS = {"SUBSTRING", "HEAD", "LAST", "TAIL", "ISEMPTY", "E"}
 # type-conversion functions -> CAST targets
-_CAST_FNS = {"TOSTRING": "STRING", "TOINTEGER": "BIGINT", "TOFLOAT": "DOUBLE"}
+_CAST_FNS = {"TOSTRING": "STRING", "TOINTEGER": "BIGINT", "TOFLOAT": "DOUBLE", "TOBOOLEAN": "BOOLEAN"}
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -139,7 +152,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
       | (?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><>|<=|>=|=~|<-|->|[()\[\]{}:,.\-=<>*+/%])
+      | (?P<op><>|<=|>=|=~|<-|->|[()\[\]{}:,.\-=<>*+/%|])
     )""",
     re.VERBOSE,
 )
@@ -199,11 +212,14 @@ def _tokenize(q: str) -> tuple[list[tuple[str, str]], list[str]]:
 
 @dataclass
 class _Var:
-    kind: str  # "node" | "edge" | "scalar"
+    kind: str  # "node" | "edge" | "scalar" | "path" | "lambda"
     alias: str  # SQL table alias (inner table, or the derived table for optional/WITH vars)
     prefix: str = ""  # column prefix inside a derived table; for scalar, THE column name
 
     def col(self, name: str) -> str:
+        if self.kind == "lambda":
+            # a comprehension/reduce binder: bare SQL lambda argument, no table
+            return self.prefix
         if self.kind in ("scalar", "path"):
             return f"{self.alias}.{self.prefix}"
         return f"{self.alias}.{self.prefix}{name}"
@@ -297,10 +313,11 @@ class _Parser(_TokenCursor):
                 and self.toks[j + 2][0] in ("name", "kw")
             ):
                 self._prop_refs.setdefault(self.toks[j][1], set()).add(self.raws[j + 2])
-            # properties(x) reads the whole map without a dotted reference
+            # properties(x) / keys(x) read the whole map without a dotted
+            # reference
             if (
                 self.toks[j][0] == "name"
-                and self.toks[j][1].upper() == "PROPERTIES"
+                and self.toks[j][1].upper() in ("PROPERTIES", "KEYS")
                 and self.toks[j + 1] == ("op", "(")
                 and self.toks[j + 2][0] == "name"
             ):
@@ -436,8 +453,10 @@ class _Parser(_TokenCursor):
                 self._with_clause()
             else:
                 break
-        if not self.sql.from_tables:
+        if not self.sql.from_tables and self.peek() != ("kw", "RETURN"):
             raise CypherUnsupported("query must contain MATCH or UNWIND before RETURN")
+        # a standalone RETURN (no MATCH/UNWIND) is a FROM-less SELECT —
+        # the openCypher expression-evaluation query (RETURN 1 + 1)
         self.expect("kw", "RETURN")
         distinct = self.accept("kw", "DISTINCT")
         items = [self._return_item()]
@@ -552,22 +571,45 @@ class _Parser(_TokenCursor):
 
     # -- UNWIND / WITH ------------------------------------------------------
     def _unwind_clause(self) -> None:
-        """UNWIND $param AS x over a literal parameter list
-        (product_recommendation.py:126): an inline VALUES table, cross-joined
-        like any other pattern element."""
-        if self.peek()[0] != "param":
-            raise CypherUnsupported("UNWIND supports $param lists only")
-        vals = self.params.get(self.next()[1][1:])
-        if not isinstance(vals, (list, tuple)) or not vals:
-            raise CypherUnsupported("UNWIND parameter must be a non-empty list")
+        """UNWIND over a constant list — ``$param`` (the reference's
+        product_recommendation.py:126 shape, an inline VALUES table), a
+        literal ``[...]``, or ``range(a, b[, step])`` — cross-joined like any
+        other pattern element.  Unwinding an expression over bound variables
+        (``UNWIND keys(n) AS k``) would need a correlated lateral join and
+        stays a targeted unsupported."""
+        if self.peek()[0] == "param":
+            vals = self.params.get(self.next()[1][1:])
+            if not isinstance(vals, (list, tuple)) or not vals:
+                raise CypherUnsupported("UNWIND parameter must be a non-empty list")
+            self.expect("kw", "AS")
+            name = self._check_name(self.expect("name"))
+            alias = self._fresh("unw")
+            rows = ", ".join(f"({self._sql_literal(v)})" for v in vals)
+            self.sql.from_tables.append(f"(VALUES {rows}) AS {alias}({name})")
+            self.vars[name] = _Var("scalar", alias, name)
+            return
+        # constant expression: parse with no variables in scope, so a bound
+        # reference raises the targeted error instead of mistranslating
+        saved_vars = self.vars
+        self.vars = {}
+        try:
+            src = self._comparison()
+        except CypherUnsupported as exc:
+            raise CypherUnsupported(
+                "UNWIND supports $param lists, literal lists, and range(); "
+                f"({exc})"
+            ) from None
+        finally:
+            self.vars = saved_vars
         self.expect("kw", "AS")
         name = self._check_name(self.expect("name"))
         alias = self._fresh("unw")
-        rows = ", ".join(f"({self._sql_literal(v)})" for v in vals)
-        self.sql.from_tables.append(f"(VALUES {rows}) AS {alias}({name})")
+        self.sql.from_tables.append(f"(SELECT explode({src}) AS {name}) AS {alias}")
         self.vars[name] = _Var("scalar", alias, name)
 
     def _from_sql(self) -> str:
+        if not self.sql.from_tables:
+            return ""  # standalone RETURN: FROM-less SELECT
         sql = "FROM " + "\nCROSS JOIN ".join(self.sql.from_tables)
         for lj in self.sql.left_joins:
             sql += "\n" + lj
@@ -989,7 +1031,9 @@ class _Parser(_TokenCursor):
                 self.i = save
         return self._comparison()
 
-    def _pattern_predicate(self, nodes: list[_NodePat], rels: list[_RelPat]) -> str:
+    def _pattern_predicate(
+        self, nodes: list[_NodePat], rels: list[_RelPat], bind_inner: bool = False
+    ) -> str:
         """``(a)-[:T]->(b)`` as a boolean -> correlated EXISTS subquery.
 
         Bound node variables correlate to their OUTER alias; unbound ones
@@ -1002,6 +1046,7 @@ class _Parser(_TokenCursor):
         tables: list[str] = []
         where: list[str] = []
         exprs: list[str | None] = []
+        inner_binds: dict[str, _Var] = {}
         for pat in nodes:
             if pat.var and pat.var in self.vars:
                 v = self.vars[pat.var]
@@ -1009,12 +1054,17 @@ class _Parser(_TokenCursor):
                     raise CypherUnsupported(f"variable {pat.var!r} used as both node and edge")
                 exprs.append(v.col("id"))
                 where.extend(self._node_conds(v, pat))
-            elif pat.label or pat.props:
+            elif pat.label or pat.props or (bind_inner and pat.var):
+                # EXISTS { } can reference inner names in its WHERE, so every
+                # NAMED endpoint gets a nodes table under bind_inner (a free
+                # anonymous one still rides its edge column)
                 alias = self._fresh("exn")
                 tables.append(f"{self.nodes_view} AS {alias}")
                 v = _Var("node", alias)
                 where.extend(self._node_conds(v, pat))
                 exprs.append(v.col("id"))
+                if bind_inner and pat.var:
+                    inner_binds[pat.var] = v
             else:
                 exprs.append(None)  # free endpoint: defined by its first edge
         for idx, rp in enumerate(rels):
@@ -1041,6 +1091,19 @@ class _Parser(_TokenCursor):
                     exprs[node_i] = colexpr
                 else:
                     where.append(f"{colexpr} = {exprs[node_i]}")
+        if bind_inner and self.accept("kw", "WHERE"):
+            # inner names resolve to the subquery aliases; outer bindings
+            # shadowed by an inner name are restored after the parse
+            saved = {k: self.vars.get(k) for k in inner_binds}
+            self.vars.update(inner_binds)
+            try:
+                where.append(self._expr())
+            finally:
+                for k, old in saved.items():
+                    if old is None:
+                        del self.vars[k]
+                    else:
+                        self.vars[k] = old
         body = f"SELECT 1 FROM {' CROSS JOIN '.join(tables)}"
         if where:
             body += f" WHERE {' AND '.join(where)}"
@@ -1120,6 +1183,29 @@ class _Parser(_TokenCursor):
         return self._primary()
 
     def _primary(self) -> str:
+        """A primary expression plus postfix accessors: ``expr[idx]`` map or
+        list indexing (n.properties['age'], split(s, ' ')[0]) and — after a
+        function/struct-producing form — ``.field`` (startNode(r).id)."""
+        expr = self._primary_inner()
+        while True:
+            if self.peek() == ("op", "[") and self.peek(1) != ("op", "]"):
+                self.next()
+                idx = self._comparison()
+                self.expect("op", "]")
+                expr = f"{expr}[{idx}]"
+            elif (
+                self.peek() == ("op", ".")
+                and self.peek(1)[0] in ("name", "kw")
+                and expr.endswith(")")
+            ):
+                self.next()
+                key = self._ident()
+                expr = f"{expr}.{key}"
+            else:
+                break
+        return expr
+
+    def _primary_inner(self) -> str:
         t = self.next()
         if t[0] == "num":
             return t[1]
@@ -1137,6 +1223,17 @@ class _Parser(_TokenCursor):
             inner = self._expr()
             self.expect("op", ")")
             return f"({inner})"
+        if t == ("op", "["):
+            # list literal [a, b, ...] or comprehension [x IN list WHERE p | e]
+            if self.peek()[0] == "name" and self.peek(1) == ("kw", "IN"):
+                return self._list_comprehension()
+            if self.accept("op", "]"):
+                return "array()"
+            items = [self._comparison()]
+            while self.accept("op", ","):
+                items.append(self._comparison())
+            self.expect("op", "]")
+            return f"array({', '.join(items)})"
         if t == ("op", "{"):
             # map projection (kuzu adapter.py:500-510: RETURN { id: n.id, ... })
             pairs = []
@@ -1155,6 +1252,18 @@ class _Parser(_TokenCursor):
                 return self._case_expr()
             if name.upper() in _AGGS and self.peek() == ("op", "("):
                 return self._aggregate(name.upper())
+            if name.upper() == "EXISTS" and name not in self.vars and self.peek() == ("op", "{"):
+                # EXISTS { [MATCH] pattern [WHERE ...] } — the openCypher
+                # existential subquery; same correlated-EXISTS translation as
+                # exists(pattern), with inner names visible to the inner WHERE
+                self.next()
+                self.accept("kw", "MATCH")
+                pnodes, prels = self._parse_path()
+                if not prels:
+                    raise CypherUnsupported("EXISTS { } needs a relationship pattern")
+                out = self._pattern_predicate(pnodes, prels, bind_inner=True)
+                self.expect("op", "}")
+                return out
             if name.upper() == "EXISTS" and name not in self.vars and self.peek() == ("op", "("):
                 # exists((a)-[:T]->(b)) -> the pattern predicate;
                 # exists(n.prop) -> IS NOT NULL (the legacy property form)
@@ -1183,17 +1292,37 @@ class _Parser(_TokenCursor):
                     raise CypherUnsupported("length() takes a shortestPath variable; use size() for strings")
                 return var.col("")
             if (
-                (name.upper() in _SCALAR_FNS or name.upper() in _CAST_FNS)
+                name.upper() in ("ALL", "ANY", "NONE", "SINGLE")
+                and name not in self.vars
+                and self.peek() == ("op", "(")
+            ):
+                return self._list_predicate(name.upper())
+            if name.upper() == "REDUCE" and name not in self.vars and self.peek() == ("op", "("):
+                return self._reduce_expr()
+            if name.upper() in _AGGS_EXTRA and name not in self.vars and self.peek() == ("op", "("):
+                return self._aggregate(name.upper())
+            if (
+                (name.upper() in _SCALAR_FNS or name.upper() in _CAST_FNS or name.upper() in _SPECIAL_FNS)
                 and name not in self.vars
                 and self.peek() == ("op", "(")
             ):
                 return self._scalar_fn(name.upper())
             if (
-                name.upper() in ("ID", "TYPE", "LABELS", "PROPERTIES")
+                name.upper() in ("ID", "TYPE", "LABELS", "PROPERTIES", "STARTNODE", "ENDNODE", "KEYS")
                 and name not in self.vars
                 and self.peek() == ("op", "(")
             ):
                 return self._builtin(name.upper())
+            if name.upper() == "RANGE" and name not in self.vars and self.peek() == ("op", "("):
+                # range(a, b[, step]) is INCLUSIVE of b, same as Spark sequence()
+                self.next()
+                args = [self._comparison()]
+                while self.accept("op", ","):
+                    args.append(self._comparison())
+                self.expect("op", ")")
+                if len(args) not in (2, 3):
+                    raise CypherUnsupported("range() takes (start, end[, step])")
+                return f"sequence({', '.join(args)})"
             var = self.vars.get(name)
             if var is None:
                 raise CypherUnsupported(f"unbound variable {name!r}")
@@ -1221,7 +1350,7 @@ class _Parser(_TokenCursor):
                 self.expect("op", "}")
                 inner = ", ".join(f"'{k}', {v}" for k, v in pairs)
                 return f"named_struct({inner})"
-            if var.kind == "scalar":
+            if var.kind in ("scalar", "lambda"):
                 return var.col("")
             if var.kind == "node":
                 return (
@@ -1269,20 +1398,125 @@ class _Parser(_TokenCursor):
         parts.append("END")
         return f"({' '.join(parts)})"
 
+    def _bind_lambda(self, name: str) -> _Var | None:
+        """Bind a comprehension/reduce variable for the lambda body; returns
+        the shadowed binding (restored by :meth:`_unbind_lambda`)."""
+        self._check_name(name)
+        old = self.vars.get(name)
+        self.vars[name] = _Var("lambda", "", name)
+        return old
+
+    def _unbind_lambda(self, name: str, old: _Var | None) -> None:
+        if old is None:
+            del self.vars[name]
+        else:
+            self.vars[name] = old
+
+    def _list_comprehension(self) -> str:
+        """``[x IN list WHERE p | e]`` -> Spark SQL higher-order functions:
+        filter() for the predicate, transform() for the projection — both
+        run inside whole-stage codegen, no UDF."""
+        lam = self.expect("name")
+        self.expect("kw", "IN")
+        src = self._comparison()
+        old = self._bind_lambda(lam)
+        try:
+            out = src
+            if self.accept("kw", "WHERE"):
+                out = f"filter({out}, {lam} -> {self._expr()})"
+            if self.accept("op", "|"):
+                out = f"transform({out}, {lam} -> {self._comparison()})"
+        finally:
+            self._unbind_lambda(lam, old)
+        self.expect("op", "]")
+        return out
+
+    def _list_predicate(self, fname: str) -> str:
+        """``all/any/none/single(x IN list WHERE p)`` -> forall / exists /
+        NOT exists / size(filter(...)) = 1."""
+        self.expect("op", "(")
+        lam = self.expect("name")
+        self.expect("kw", "IN")
+        src = self._comparison()
+        self.expect("kw", "WHERE")
+        old = self._bind_lambda(lam)
+        try:
+            pred = self._expr()
+        finally:
+            self._unbind_lambda(lam, old)
+        self.expect("op", ")")
+        if fname == "ALL":
+            return f"forall({src}, {lam} -> {pred})"
+        if fname == "ANY":
+            return f"exists({src}, {lam} -> {pred})"
+        if fname == "NONE":
+            return f"(NOT exists({src}, {lam} -> {pred}))"
+        return f"(size(filter({src}, {lam} -> {pred})) = 1)"
+
+    def _reduce_expr(self) -> str:
+        """``reduce(acc = init, x IN list | expr)`` -> aggregate(list, init,
+        (acc, x) -> expr)."""
+        self.expect("op", "(")
+        acc = self.expect("name")
+        self.expect("op", "=")
+        init = self._comparison()
+        self.expect("op", ",")
+        lam = self.expect("name")
+        self.expect("kw", "IN")
+        src = self._comparison()
+        self.expect("op", "|")
+        old_acc = self._bind_lambda(acc)
+        old_lam = self._bind_lambda(lam)
+        try:
+            body = self._comparison()
+        finally:
+            self._unbind_lambda(lam, old_lam)
+            self._unbind_lambda(acc, old_acc)
+        self.expect("op", ")")
+        return f"aggregate({src}, {init}, ({acc}, {lam}) -> {body})"
+
     def _scalar_fn(self, fname: str) -> str:
         """Common Cypher scalar functions (toLower/size/coalesce/round/...):
         arguments translate recursively and pass straight through to the
-        same-arity Spark SQL function; toString/toInteger/toFloat become
-        CASTs."""
+        same-arity Spark SQL function; toString/toInteger/toFloat/toBoolean
+        become CASTs; the list/offset functions whose SQL shape differs
+        (substring's 0-base, head/last/tail, isEmpty) are rewritten here."""
         self.expect("op", "(")
-        args = [self._comparison()]
-        while self.accept("op", ","):
+        args: list[str] = []
+        if not self.accept("op", ")"):
             args.append(self._comparison())
-        self.expect("op", ")")
+            while self.accept("op", ","):
+                args.append(self._comparison())
+            self.expect("op", ")")
         if fname in _CAST_FNS:
             if len(args) != 1:
                 raise CypherUnsupported(f"{fname.lower()}() takes one argument")
             return f"CAST({args[0]} AS {_CAST_FNS[fname]})"
+        if fname == "SUBSTRING":
+            # Cypher offsets are 0-based, SQL's substring is 1-based
+            if len(args) not in (2, 3):
+                raise CypherUnsupported("substring() takes (string, start[, length])")
+            start = f"({args[1]}) + 1"
+            if len(args) == 3:
+                return f"substring({args[0]}, {start}, {args[2]})"
+            return f"substring({args[0]}, {start})"
+        if fname in ("HEAD", "LAST", "TAIL", "ISEMPTY"):
+            if len(args) != 1:
+                raise CypherUnsupported(f"{fname.lower()}() takes one list argument")
+            a = args[0]
+            if fname == "HEAD":
+                return f"get({a}, 0)"  # NULL on empty, matching Cypher
+            if fname == "LAST":
+                return f"get({a}, size({a}) - 1)"
+            if fname == "TAIL":
+                return f"slice({a}, 2, greatest(size({a}) - 1, 0))"
+            return f"(size({a}) = 0)"  # isEmpty; size() of NULL stays NULL-safe below
+        if fname == "E":
+            if args:
+                raise CypherUnsupported("e() takes no arguments")
+            return "exp(1)"
+        if fname in ("PI", "RAND") and args:
+            raise CypherUnsupported(f"{fname.lower()}() takes no arguments")
         return f"{_SCALAR_FNS[fname]}({', '.join(args)})"
 
     def _builtin(self, fname: str) -> str:
@@ -1298,6 +1532,20 @@ class _Parser(_TokenCursor):
         self.expect("op", ")")
         if fname == "ID":
             return var.col("id" if var.kind == "node" else "src")
+        if fname == "KEYS":
+            # property names: the fixed entity columns plus the map's keys
+            fixed = "'id', 'name', 'type'" if var.kind == "node" else "'src', 'dst', 'relationship_name'"
+            return (
+                f"array_union(array({fixed}),"
+                f" map_keys(coalesce({var.col('properties')}, map())))"
+            )
+        if fname in ("STARTNODE", "ENDNODE"):
+            if var.kind != "edge":
+                raise CypherUnsupported(f"{fname.lower()}() takes a relationship")
+            end = "src" if fname == "STARTNODE" else "dst"
+            # the endpoint as an id-only entity; bind the node in the MATCH
+            # pattern to read its other properties
+            return f"named_struct('id', {var.col(end)})"
         if var.kind == "node":
             if fname == "LABELS":
                 return f"array({var.col('type')})"
@@ -1325,6 +1573,15 @@ class _Parser(_TokenCursor):
             arg = var.col("id" if var.kind == "node" else "src")
         else:
             arg = self._expr()
+        if fname in _AGGS_EXTRA:
+            # percentileCont/percentileDisc carry the percentile as a second
+            # argument; stdev/stdevP are single-arg renames
+            args = [arg]
+            while self.accept("op", ","):
+                args.append(self._comparison())
+            self.expect("op", ")")
+            self._saw_agg = True
+            return f"{_AGGS_EXTRA[fname]}({', '.join(args)})"
         self.expect("op", ")")
         self._saw_agg = True
         return f"{_AGGS[fname]}({'DISTINCT ' if distinct else ''}{arg})"

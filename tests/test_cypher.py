@@ -1038,3 +1038,92 @@ def test_variable_map_projection(spark, weighted_graph):
         " ORDER BY a.name LIMIT 1",
     )
     assert r["m"].asDict() == {"name": "alice", "age": "30", "up": "ALICE"}
+
+
+# -- round-6 dialect extensions: lists, lambdas, subqueries, containers -----
+
+
+def test_standalone_return(spark, graph):
+    [r] = rows(spark, graph, "RETURN 1 + 1 AS two, toUpper('ab') AS s")
+    assert (r["two"], r["s"]) == (2, "AB")
+
+
+def test_list_literal_and_index(spark, graph):
+    # Cypher list indexing is 0-based, matching Spark SQL's [] on arrays
+    [r] = rows(spark, graph, "RETURN [10, 20, 30][1] AS v, head([7]) AS h, last([7, 8]) AS l, tail([1, 2, 3]) AS t")
+    assert (r["v"], r["h"], r["l"]) == (20, 7, 8)
+    assert list(r["t"]) == [2, 3]
+    [r] = rows(spark, graph, "RETURN head([]) AS h, isEmpty([]) AS e")
+    assert r["h"] is None and r["e"] is True
+
+
+def test_list_comprehension_and_reduce(spark, graph):
+    [r] = rows(spark, graph, "RETURN [x IN range(1, 4) WHERE x % 2 = 0 | x * 10] AS xs")
+    assert list(r["xs"]) == [20, 40]
+    [r] = rows(spark, graph, "RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s")
+    assert r["s"] == 6
+    # the binder shadows and restores an outer variable of the same name
+    [r] = rows(spark, graph, "MATCH (n {id: 'c1'}) RETURN [n IN [1, 2] | n * 2] AS xs, n.name AS name")
+    assert list(r["xs"]) == [2, 4] and r["name"] == "alice"
+
+
+def test_list_predicates(spark, graph):
+    [r] = rows(
+        spark, graph,
+        "RETURN all(x IN [1, 2] WHERE x > 0) AS a, any(x IN [1, 2] WHERE x > 1) AS b, "
+        "none(x IN [1] WHERE x > 5) AS c, single(x IN [1, 2] WHERE x = 1) AS d",
+    )
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, True, True)
+
+
+def test_unwind_literal_and_range(spark, graph):
+    got = [r["x"] for r in rows(spark, graph, "UNWIND range(1, 5, 2) AS x RETURN x ORDER BY x")]
+    assert got == [1, 3, 5]
+    got = [r["x"] for r in rows(spark, graph, "UNWIND ['a', 'b'] AS x RETURN x ORDER BY x")]
+    assert got == ["a", "b"]
+    with pytest.raises(CypherUnsupported, match="UNWIND supports"):
+        cypher_to_sql("MATCH (n) UNWIND keys(n) AS k RETURN k")
+
+
+def test_exists_subquery(spark, graph):
+    # EXISTS { MATCH ... WHERE ... }: inner names visible to the inner WHERE
+    got = sorted(
+        r["name"]
+        for r in rows(
+            spark, graph,
+            "MATCH (c:Customer) WHERE EXISTS { MATCH (c)-[:purchased]->(p:Product) "
+            "WHERE p.name = 'sandals' } RETURN c.name AS name",
+        )
+    )
+    assert got == ["alice"]
+    got = sorted(
+        r["name"]
+        for r in rows(
+            spark, graph,
+            "MATCH (c:Customer) WHERE EXISTS { (c)-[:has_preference]->() } RETURN c.name AS name",
+        )
+    )
+    assert got == ["alice"]
+
+
+def test_string_and_math_functions(spark, graph):
+    # Cypher substring is 0-based; SQL's is 1-based — the translator shifts
+    [r] = rows(spark, graph, "MATCH (n {id: 'c1'}) RETURN substring(n.name, 0, 3) AS s3, substring(n.name, 2) AS s2")
+    assert (r["s3"], r["s2"]) == ("ali", "ice")
+    [r] = rows(spark, graph, "MATCH (n {id: 'c1'}) RETURN split(n.name, 'l')[0] AS p")
+    assert r["p"] == "a"
+    [r] = rows(spark, graph, "RETURN sqrt(4.0) AS q, floor(1.7) AS f, ceil(1.2) AS c, toBoolean('true') AS b, round(e(), 3) AS ee")
+    assert (r["q"], r["f"], r["c"], r["b"], r["ee"]) == (2.0, 1, 2, True, 2.718)
+
+
+def test_entity_accessors_and_stats(spark, graph):
+    [r] = rows(spark, graph, "MATCH (a {id: 'c1'})-[r:has_preference]->(b) RETURN startNode(r).id AS s, endNode(r).id AS e")
+    assert (r["s"], r["e"]) == ("c1", "pref1")
+    with pytest.raises(CypherUnsupported, match="relationship"):
+        cypher_to_sql("MATCH (n) RETURN startNode(n) AS x")
+    [r] = rows(spark, graph, "MATCH (n {id: 'c1'}) RETURN keys(n) AS k")
+    assert list(r["k"]) == ["id", "name", "type", "city"]
+    [r] = rows(spark, graph, "MATCH (p:Preference) RETURN percentileCont(toInteger(p.value), 0.5) AS m")
+    assert r["m"] == 42.0
+    [r] = rows(spark, graph, "MATCH (c:Customer) RETURN round(stDev(size(c.name)), 3) AS sd")
+    assert r["sd"] == 1.414  # sample stddev over name lengths {5, 3}
