@@ -225,6 +225,18 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    def maintain(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Store maintenance in one call: compact small snapshot files
+        toward ``target_file_bytes``, reclaim superseded versions, and
+        return before/after :meth:`GraphStore.table_stats`.  The reference's
+        embedded DBs compact internally; a parquet snapshot store must do it
+        as an explicit (schedulable) job — at corpus scale, file count
+        bounds scan task count and object-store LIST cost."""
+        before = self.store.table_stats()
+        compacted = self.store.compact(target_file_bytes)
+        self.store.vacuum()
+        return {"before": before, "compacted": compacted, "after": self.store.table_stats()}
+
     # -- dataset management (api/v1/datasets/datasets.py) ---------------------
 
     def list_datasets(self, user_id: str | None = None) -> list[str]:

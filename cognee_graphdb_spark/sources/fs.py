@@ -68,6 +68,27 @@ class Fs:
         ignore_errors semantics)."""
         self._fs.delete(self._p(path), True)
 
+    def file_stats(self, path: str) -> tuple[int, int]:
+        """(data_file_count, total_bytes) under a path, recursive — the
+        input to compaction decisions.  Marker/hidden files (_SUCCESS,
+        _started_*, dot-files — Spark's own convention for non-data files)
+        are excluded, so the count compares directly against a target
+        partition count.  Metadata-only: one listing RPC stream (a single
+        LIST per 1000 keys on S3A), no data reads."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return (0, 0)
+        it = self._fs.listFiles(p, True)
+        n = total = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            n += 1
+            total += st.getLen()
+        return (n, total)
+
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs.rename(self._p(src), self._p(dst)))
 

@@ -157,6 +157,67 @@ class GraphStore:
                 if entry.startswith("v-") and full != current:
                     self.fs.delete(full)
 
+    def table_stats(self) -> dict[str, dict]:
+        """Per-table maintenance stats of the CURRENT snapshots (plus the
+        append-only ledger): {table: {files, bytes, versions}}.  Metadata
+        RPCs only — this is what an operator (or a scheduled maintenance
+        job) reads to decide when to :meth:`compact` / :meth:`vacuum`."""
+        out: dict[str, dict] = {}
+        for table in list(_KEYS):
+            base = self._path(table)
+            current = self._current_version(table)
+            files, nbytes = self.fs.file_stats(current) if current else (0, 0)
+            versions = sum(1 for e in self.fs.listdir(base) if e.startswith("v-"))
+            out[table] = {"files": files, "bytes": nbytes, "versions": versions}
+        lfiles, lbytes = self.fs.file_stats(os.path.join(self.root, "ledger"))
+        out["ledger"] = {"files": lfiles, "bytes": lbytes, "versions": 1}
+        return out
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        """Rewrite each table's current snapshot (and the ledger) with
+        file sizes near ``target_file_bytes`` — the small-files maintenance
+        every snapshot store needs: N incremental upserts each add a
+        shuffle.partitions-wide version, and at 100 TB a scan's task count
+        (and S3 LIST cost) is bounded by file count, not data size.
+
+        Same MVCC discipline as every write: the compacted copy is a NEW
+        version under the table lock, the pointer flips atomically, old
+        versions remain for in-flight readers until :meth:`vacuum`.  The
+        ledger (plain append-only, no versions) compacts in place via a
+        staging directory + rename, under both ledger locks.  Returns
+        {table: files_after}."""
+        out: dict[str, int] = {}
+        for table in list(_KEYS):
+            with self._table_lock(table):
+                current = self._current_version(table)
+                if current is None:
+                    continue
+                files, nbytes = self.fs.file_stats(current)
+                n = max(1, -(-nbytes // target_file_bytes))  # ceil
+                if files <= n:
+                    out[table] = files
+                    continue
+                df = self.load(table)
+                if df is None:
+                    continue
+                # coalesce is narrow (no shuffle): fine for merging small
+                # files; partitionBy tables re-split per dataset on write
+                self._swap_write(table, df.coalesce(int(n)))
+                out[table] = self.fs.file_stats(self._current_version(table))[0]
+        ledger_path = os.path.join(self.root, "ledger")
+        with self._ledger_lock, self._table_lock("ledger"):
+            files, nbytes = self.fs.file_stats(ledger_path)
+            n = max(1, -(-nbytes // target_file_bytes))
+            if self.fs.exists(ledger_path) and files > n:
+                df = self.ledger()
+                if df is not None:
+                    staged = ledger_path + ".compacting"
+                    df.coalesce(int(n)).write.mode("overwrite").parquet(staged)
+                    self.fs.delete(ledger_path)
+                    self.fs.rename(staged, ledger_path)
+                    out["ledger"] = self.fs.file_stats(ledger_path)[0]
+        return out
+
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
         with self._table_lock(table):
             key = _KEYS[table]

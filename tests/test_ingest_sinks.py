@@ -217,3 +217,61 @@ def test_multimodal_plumbing(spark):
     assert rs["m1"] == (512, 384)
     with pytest.raises(Exception):
         extract_features(media, dim=8, deterministic_fake=False).collect()
+
+
+def test_compaction_and_table_stats(spark, tmp_path):
+    """compact() rewrites many-small-file snapshots into few files with the
+    same rows (MVCC: new version + pointer flip), table_stats() reports the
+    maintenance inputs, and the append-only ledger compacts in place."""
+    store = GraphStore(spark, str(tmp_path / "store"))
+    # 5 incremental upserts, each a shuffle-wide version + a ledger append
+    for i in range(5):
+        nodes = spark.createDataFrame(
+            [(f"n{i}-{j}", f"name{j}", "T", None) for j in range(20)],
+            "id string, name string, type string, properties map<string,string>",
+        ).repartition(8)
+        store.upsert_nodes(nodes)
+
+    # force a many-small-file current version (AQE coalesces the merge
+    # output on tiny data, so build the fragmentation explicitly — exactly
+    # what N wide incremental writes produce at real scale)
+    store._swap_write("nodes", store.load("nodes").repartition(8))
+
+    before = store.table_stats()
+    assert before["nodes"]["files"] == 8
+    assert before["nodes"]["versions"] == 6
+    assert before["ledger"]["files"] >= 5
+    rows_before = sorted(r["id"] for r in store.load("nodes").collect())
+    ledger_before = store.ledger().count()
+
+    result = store.compact()
+    store.vacuum()
+    after = store.table_stats()
+    # one ~tiny table -> a single data file, one surviving version
+    assert after["nodes"]["files"] == 1
+    assert after["nodes"]["versions"] == 1
+    assert after["ledger"]["files"] < before["ledger"]["files"]
+    assert result["nodes"] <= 2
+
+    # byte-identical content after the rewrite
+    assert sorted(r["id"] for r in store.load("nodes").collect()) == rows_before
+    assert store.ledger().count() == ledger_before
+
+    # idempotent: a second compact is a no-op (already at target)
+    again = store.compact()
+    assert again.get("nodes", 0) == after["nodes"]["files"]
+
+
+def test_engine_maintain(spark, tmp_path):
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    e = CogneeSpark(spark, str(tmp_path / "m"))
+    e.add([("a.txt", "alpha beta gamma. delta epsilon."), ("b.txt", "zeta eta theta.")])
+    assert e.cognify() == 2
+    chunks_before = e.search("CHUNKS", "alpha").count()
+    rep = e.maintain()
+    assert set(rep) == {"before", "compacted", "after"}
+    for t, st in rep["after"].items():
+        assert st["versions"] <= 1, t
+    # search still works over the compacted store
+    assert e.search("CHUNKS", "alpha").count() == chunks_before
