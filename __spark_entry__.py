@@ -956,6 +956,31 @@ def _q_cypher_list_ops(spark, sf_dir):
     )
 
 
+def _q_v5_embed_knn(spark, sf_dir):
+    """V5 end-to-end, oracle-checked: the hash embedder (llm/embedder.py —
+    feature-hashing bag of words, Arrow-batched pandas UDF) embeds every
+    document, then V1 knn ranks them against an embedded query string.
+    DuckDB restates the ENTIRE path in SQL: bucket = first-4-bytes-of-md5
+    via CAST(concat('0x', substr(md5(tok),1,8)) AS UBIGINT) % dim, counts,
+    L2 normalization, cosine distance — so the embedding operator itself is
+    value-checked, not just the search on precomputed vectors.  Scores are
+    rounded to 3 decimals (doc vectors are float32 at rest; the oracle
+    computes in double)."""
+    from cognee_graphdb_spark.llm.embedder import HashEmbedder, embed_column
+    from cognee_graphdb_spark.operators.vector_search import knn
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = docs.select("doc_id", embed_column("text", 64).alias("vector"))
+    qv = HashEmbedder(64).embed("fast vector scan of a big table")
+    out = knn(emb, qv, k=10, id_cols=("doc_id",))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("distance").cast("double"), 3).alias("dist_r"),
+    )
+
+
 def _q_cypher_pipeline(spark, sf_dir):
     """UNWIND -> MATCH/WHERE -> WITH aggregation pipeline (the
     product_recommendation.py:126-145 shape) translated to nested subqueries
@@ -1671,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
+        "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         # ...the r04-green block, oldest driver rows first ------------------
@@ -2496,6 +2522,39 @@ SELECT CAST(m AS BIGINT) AS month,
        m >= 6 AS ge6
 FROM (SELECT unnest(range(1, 13)) AS m)
 ORDER BY month"""
+
+    # the FULL V5 embedding path restated: feature-hash buckets (first 4
+    # bytes of md5, big-endian — CAST of the '0x'-prefixed hex prefix),
+    # per-bucket counts, L2 norms, cosine distance, top-10
+    sql["v5_embed_knn"] = """
+WITH dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+db AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS b,
+         count(*) AS c
+  FROM dt GROUP BY doc_id, b
+),
+dn AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM db GROUP BY doc_id),
+qt AS (
+  SELECT unnest(regexp_extract_all(lower('fast vector scan of a big table'), '[a-z0-9]+')) AS tok
+),
+qb AS (
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS b, count(*) AS c
+  FROM qt GROUP BY b
+),
+qn AS (SELECT sqrt(sum(c * c)) AS n FROM qb),
+dots AS (
+  SELECT db.doc_id, sum(db.c * qb.c) AS d FROM db JOIN qb ON db.b = qb.b GROUP BY db.doc_id
+),
+scored AS (
+  SELECT dn.doc_id,
+         1.0 - coalesce(dots.d, 0) / (dn.n * (SELECT n FROM qn)) AS dist
+  FROM dn LEFT JOIN dots ON dots.doc_id = dn.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(dist, 3) AS dist_r
+FROM scored ORDER BY dist ASC, doc_id ASC LIMIT 10"""
 
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))
