@@ -2556,6 +2556,52 @@ scored AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(dist, 3) AS dist_r
 FROM scored ORDER BY dist ASC, doc_id ASC LIMIT 10"""
 
+    # the cognify build restated: the test corpus has no sentence enders, so
+    # the F1-F3 chunker degenerates to exact 256-word blocks (sentences()
+    # flushes at max_size; packing emits one chunk per flushed run), and the
+    # mock extraction (gateway.extract_graph: first 8 distinct words with
+    # len>=5 per chunk, typed by first letter) + per-type node dedup are
+    # plain SQL.  Promotes the flagship build's node counts from rows-only.
+    sql["cognify_node_counts"] = """
+WITH d AS (SELECT doc_id, text FROM documents LIMIT 100),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM d
+),
+ch AS (
+  SELECT doc_id, k,
+         ws[k * 256 + 1 : least((k + 1) * 256, nw)] AS cws,
+         (k + 1) * 256 >= nw AS is_last
+  FROM w, unnest(range(0, CAST(ceil(nw / 256.0) AS BIGINT))) AS ks(k)
+),
+chunk_texts AS (
+  SELECT doc_id, k, cws,
+         array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END AS ctext
+  FROM ch
+),
+tok AS (
+  SELECT doc_id, k, cws[i] AS tok, i
+  FROM chunk_texts, unnest(range(1, len(cws) + 1)) AS u(i)
+  WHERE length(cws[i]) >= 5
+),
+firsts AS (
+  SELECT doc_id, k, tok, min(i) AS first_i FROM tok GROUP BY doc_id, k, tok
+),
+ents AS (
+  SELECT doc_id, k, tok
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, k ORDER BY first_i) AS rn FROM firsts)
+  WHERE rn <= 8
+)
+SELECT 'TextDocument' AS type, (SELECT count(*) FROM d) AS n
+UNION ALL
+SELECT 'DocumentChunk', (SELECT count(DISTINCT ctext) FROM chunk_texts)
+UNION ALL
+SELECT 'TextSummary', (SELECT count(DISTINCT ctext) FROM chunk_texts)
+UNION ALL
+SELECT 'Entity', (SELECT count(DISTINCT tok) FROM ents)
+UNION ALL
+SELECT 'EntityType', (SELECT count(DISTINCT 'Type_' || tok[1]) FROM ents)"""
+
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))
 SELECT w.tn AS table_name, count(r.id) AS n
