@@ -159,3 +159,94 @@ def test_corpus_op_invariants_batched(spark):
     sh = deterministic_shuffle(docs, n_shards=8, seed=5)
     assert sh.count() == 300
     assert sh.select("doc_id").distinct().count() == 300
+
+
+# -- round-6 codec properties ------------------------------------------------
+
+_dims = st.tuples(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(min_value=0, max_value=2**31 - 1))
+def test_jpeg_block_constant_roundtrip_exact(dims, seed):
+    """Any block-constant grayscale image with even luma decodes bit-exactly
+    through the full baseline JPEG path (the driver-oracle property)."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes, jpeg_pixels, parse_jpeg
+
+    w, h = dims
+    gray = lambda x, y: 2 * ((seed + 3 * (x // 8) + 7 * (y // 8)) % 128)
+    data = jpeg_bytes(w, h, lambda x, y: (gray(x, y),) * 3, gray=True)
+    assert parse_jpeg(data) == (w, h, 1)
+    px = jpeg_pixels(data)
+    assert len(px) == h and len(px[0]) == w
+    assert all(px[y][x] == (gray(x, y),) * 3 for y in range(h) for x in range(w))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_dims, st.integers(min_value=1, max_value=9), st.booleans())
+def test_jpeg_gradient_roundtrip_bounded_error(dims, slope, subsample):
+    """Lossy color round-trip stays within quantization error on smooth
+    gradients — for 4:4:4 and 4:2:0, any dims (edge-block crop)."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes, jpeg_pixels
+
+    w, h = dims
+    grad = lambda x, y: ((x * slope) % 256, (y * slope) % 256, (x + y * slope) % 256)
+    px = jpeg_pixels(jpeg_bytes(w, h, grad, subsample=subsample))
+    maxerr = max(
+        abs(px[y][x][c] - grad(x, y)[c]) for y in range(h) for x in range(w) for c in range(3)
+    )
+    assert maxerr <= (60 if subsample else 25), maxerr
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([32000, 44100, 48000]),
+    st.sampled_from([32, 64, 128, 320]),
+    st.integers(min_value=1, max_value=2),
+    st.binary(max_size=64),
+)
+def test_mp3_frame_walk_roundtrip(n_frames, rate, kbps, channels, id3):
+    from cognee_graphdb_spark.sources.container import mp3_bytes, parse_mp3
+
+    data = mp3_bytes(n_frames, sample_rate=rate, bitrate_kbps=kbps, channels=channels, id3_payload=id3)
+    info = parse_mp3(data)
+    assert info.frames == n_frames
+    assert info.sample_rate == rate
+    assert info.channels == channels
+    assert info.duration_ms == n_frames * 1152 * 1000 // rate
+    assert not info.vbr
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**7),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=2160),
+    st.sampled_from(["avc1", "hvc1", "vp09"]),
+)
+def test_mp4_box_walk_roundtrip(dur, w, h, codec):
+    # 0-dim tracks are treated as undimensioned (audio-style), hence >= 1 here
+    from cognee_graphdb_spark.sources.container import mp4_bytes, parse_mp4
+
+    info = parse_mp4(mp4_bytes(dur, width=w, height=h, video_codec=codec))
+    assert info.duration_ms == dur
+    assert (info.width, info.height) == (w, h)
+    assert info.codecs[0] == codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_codec_parsers_never_crash_on_garbage(blob):
+    """Malformed input raises ValueError (or decodes, for the rare blob that
+    happens to be valid) — never an unhandled exception; the corpus-job
+    contract that one bad blob cannot kill a 100 TB decode stage."""
+    from cognee_graphdb_spark.sources import media as m
+    from cognee_graphdb_spark.sources.container import parse_mp3, parse_mp4
+    from cognee_graphdb_spark.sources.jpeg import jpeg_pixels, parse_jpeg
+
+    for fn in (jpeg_pixels, parse_jpeg, parse_mp3, parse_mp4, m.decode_image):
+        try:
+            fn(blob)
+        except ValueError:
+            pass
