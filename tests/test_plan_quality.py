@@ -270,3 +270,28 @@ def test_cypher_varlength_is_union_of_joins(spark, toy_graph):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_media_info_is_single_stage_map_only(spark):
+    """media_info is one Arrow-batched mapInPandas projection: no Exchange,
+    no join — at 100 TB the sniff pass costs exactly one scan."""
+    from cognee_graphdb_spark.operators.multimodal import media_info
+
+    media = spark.createDataFrame([("a", b"\x00")], "media_id string, content binary")
+    plan = plan_of(media_info(media))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_embed_knn_is_scan_udf_take_ordered(spark):
+    """The V5+V1 chain (embed every row, top-k by cosine) compiles to scan ->
+    pandas UDF -> TakeOrderedAndProject: one pass, no global sort, no join."""
+    from cognee_graphdb_spark.llm.embedder import HashEmbedder, embed_column
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    emb = docs.select("doc_id", embed_column("text", 16).alias("vector"))
+    plan = plan_of(knn(emb, HashEmbedder(16).embed("alpha"), k=5, id_cols=("doc_id",)))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert "Exchange hashpartitioning" not in plan, plan
