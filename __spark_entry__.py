@@ -1673,11 +1673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
     # (CORRECTNESS_r02..r05 each covered exactly the first 50).  Cumulative
     # coverage through r05: 98/102 entries had driver rows; round 6 leads
-    # with the entries that never had an oracle-checked driver row — the 7
-    # added/promoted in r5, the 2 new this round (mm_png_resize,
-    # cypher_case), the newly promoted a2_connected_components — plus the
+    # with every entry that never had an oracle-checked driver row — the 7
+    # added/promoted in r5, the r6 additions (mm_png/gif/jpeg_resize,
+    # mm_media_info, cypher_case/union_having/list_ops, v5_embed_knn), the
+    # promotions (a2_connected_components, cognify_node_counts) — plus the
     # fixed a2_graph_metrics (r5's one red row, root-caused to the oracle's
-    # HUGEINT selfloops column) and the flagship; the remaining 38 slots
+    # HUGEINT selfloops column) and the flagship; the remaining slots
     # re-prove the block whose driver rows date to r04.
     raw = {
         # -- round-6 window (first 50) ---------------------------------------
@@ -1699,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
+        "cognify_node_counts": _q_cognify_counts,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -1788,7 +1790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
         # rows-only composites (pandas-UDF / iterative LLM-loop plans)
-        "cognify_node_counts": _q_cognify_counts,
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
