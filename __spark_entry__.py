@@ -705,6 +705,27 @@ def _q_cognify_counts(spark, sf_dir):
     return res.nodes.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_chunk_classification(spark, sf_dir):
+    """The chunk_naive_llm_classifier task (plans/chunk_classify.py): the
+    mock classifier labels every chunk (type TextContent + first-2 distinct
+    words len>=6 as subclasses), and the content-addressed
+    ``is_classified_as`` edges count distinct chunks per subclass — DuckDB
+    restates chunking + first-2 extraction + dedup analytically."""
+    from cognee_graphdb_spark.plans.chunk_classify import classify_chunks
+
+    res = _cognify_memo(spark, sf_dir, 100)
+    cr = classify_chunks(res.chunks)
+    subs = cr.nodes.filter(F.col("type") == "ClassificationSubtype").select(
+        F.col("id").alias("dst"), F.col("name").alias("subclass")
+    )
+    return (
+        cr.edges.filter(F.col("relationship_name") == "is_classified_as")
+        .join(subs, "dst")
+        .groupBy("subclass")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+
+
 def _q_graph_completion_context(spark, sf_dir):
     from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
 
@@ -1701,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
+        "chunk_classification": _q_chunk_classification,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -2602,6 +2624,39 @@ UNION ALL
 SELECT 'Entity', (SELECT count(DISTINCT tok) FROM ents)
 UNION ALL
 SELECT 'EntityType', (SELECT count(DISTINCT 'Type_' || tok[1]) FROM ents)"""
+
+    # chunk classification: same 256-word-block chunk restatement, first-2
+    # distinct words len>=6 per DISTINCT chunk text (content-addressed edge
+    # dedup), counted per subclass
+    sql["chunk_classification"] = """
+WITH d AS (SELECT doc_id, text FROM documents LIMIT 100),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM d
+),
+ch AS (
+  SELECT doc_id, k,
+         ws[k * 256 + 1 : least((k + 1) * 256, nw)] AS cws,
+         (k + 1) * 256 >= nw AS is_last
+  FROM w, unnest(range(0, CAST(ceil(nw / 256.0) AS BIGINT))) AS ks(k)
+),
+chunk_texts AS (
+  SELECT DISTINCT array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END AS ctext,
+         cws
+  FROM ch
+),
+tok6 AS (
+  SELECT ctext, cws[i] AS tok, i
+  FROM chunk_texts, unnest(range(1, len(cws) + 1)) AS u(i)
+  WHERE length(cws[i]) >= 6
+),
+firsts AS (SELECT ctext, tok, min(i) AS fi FROM tok6 GROUP BY ctext, tok),
+subs AS (
+  SELECT ctext, tok
+  FROM (SELECT *, row_number() OVER (PARTITION BY ctext ORDER BY fi) AS rn FROM firsts)
+  WHERE rn <= 2
+)
+SELECT tok AS subclass, count(*) AS n_chunks FROM subs GROUP BY tok"""
 
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))

@@ -78,6 +78,12 @@ class LLMGateway(Protocol):
         eval_framework/evaluation/metrics/context_coverage.py:9-32)."""
         ...
 
+    def classify_chunk(self, text: str) -> dict:
+        """Chunk classification: text -> {"type": label, "subclasses": [...]}
+        (the reference's extract_categories call in
+        tasks/chunk_naive_llm_classifier/chunk_naive_llm_classifier.py:43)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
@@ -224,3 +230,17 @@ class MockLLMGateway:
             return 1.0
         got_toks = set(split.findall(retrieval_context.lower()))
         return len(gold_toks & got_toks) / len(gold_toks)
+
+    def classify_chunk(self, text: str) -> dict:
+        """Mock classifier: type 'TextContent', subclasses = the first two
+        distinct words of length >= 6 in appearance order — deterministic,
+        same first-N-distinct shape as extract_graph, and restatable in SQL
+        for the driver oracle (chunk_naive_llm_classifier.py:43-53's
+        label.type / label.subclass structure)."""
+        subs: list[str] = []
+        for w in _WORD_RE.findall((text or "").lower()):
+            if len(w) >= 6 and w not in subs:
+                subs.append(w)
+            if len(subs) >= 2:
+                break
+        return {"type": "TextContent", "subclasses": subs}

@@ -173,3 +173,39 @@ def test_temporal_context_via_extraction(spark):
     # fallback path: no interval in the query -> triplet search shape
     fb = temporal_context(ctx, "tell me about the launch")
     assert "triplet_score" in fb.columns
+
+
+def test_chunk_classification_graph(spark):
+    """chunk_naive_llm_classifier parity (plans/chunk_classify.py): the three
+    reference edge kinds, content-addressed dedup, and the `classification`
+    vector collection (chunk_naive_llm_classifier.py:27-37)."""
+    from cognee_graphdb_spark.plans.chunk_classify import classify_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "d1", "massive dataset pipeline runs smooth"),
+            ("c2", "d1", "tiny rows only"),
+            ("c3", "d2", "massive dataset pipeline runs smooth"),  # dup text of c1? no: distinct id
+        ],
+        "chunk_id string, doc_id string, text string",
+    )
+    res = classify_chunks(chunks)
+
+    nodes = {(r["name"], r["type"]) for r in res.nodes.collect()}
+    assert ("TextContent", "ClassificationType") in nodes
+    assert ("massive", "ClassificationSubtype") in nodes
+    assert ("dataset", "ClassificationSubtype") in nodes  # first-2 cap: 'pipeline' excluded
+    assert ("pipeline", "ClassificationSubtype") not in nodes
+
+    rels = {r["relationship_name"] for r in res.edges.collect()}
+    assert rels == {"is_media_type", "is_subtype_of", "is_classified_as"}
+    # every chunk points at its type; only chunks with subclasses classify
+    media = res.edges.filter("relationship_name = 'is_media_type'").count()
+    assert media == 3
+    classified = res.edges.filter("relationship_name = 'is_classified_as'").count()
+    assert classified == 4  # c1, c3 x {massive, dataset}; c2 has no len>=6 word
+
+    emb = res.embeddings.collect()
+    assert all(r["collection"] == "classification" for r in emb)
+    assert {r["text"] for r in emb} == {"massive", "dataset"}
+    assert all(len(r["vector"]) == 64 and r["document_id"] for r in emb)
