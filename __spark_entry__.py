@@ -1723,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
+        "memify_rules": _q_memify_rules,
+        "code_graph_counts": _q_code_graph,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -1811,12 +1813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_last_k_interactions": _q_w4_last_k,
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
-        # rows-only composites (pandas-UDF / iterative LLM-loop plans)
+        # rows-only composites (float-ranked retrieval / iterative LLM loops)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
-        "code_graph_counts": _q_code_graph,
-        "memify_rules": _q_memify_rules,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -2657,6 +2657,29 @@ subs AS (
   WHERE rn <= 2
 )
 SELECT tok AS subclass, count(*) AS n_chunks FROM subs GROUP BY tok"""
+
+    # memify rules: the synthetic imperative texts are single-sentence-per-
+    # marker by construction, so the mock's sentence-split + whitespace-
+    # normalize + rstrip('.;!?') collapses to closed string forms ('Never '
+    # absorbs B's leading space via ltrim; a trailing space in A/B survives
+    # the strip, which the concat reproduces)
+    sql["memify_rules"] = """
+WITH d AS (SELECT doc_id, text FROM documents LIMIT 200),
+r AS (
+  SELECT 'You should ' || substr(text, 1, 40) AS rule_text FROM d
+  UNION ALL
+  SELECT 'Never ' || ltrim(substr(text, 41, 40)) AS rule_text FROM d
+)
+SELECT rule_text, count(*) AS n FROM r GROUP BY rule_text"""
+
+    # code graph: each synthetic module is exactly one handler function and
+    # one Worker class, so the ast-extraction node counts are closed-form —
+    # the oracle pins that extract_definitions finds exactly those
+    sql["code_graph_counts"] = """
+WITH d AS (SELECT count(*) AS c FROM (SELECT 1 FROM documents LIMIT 40))
+SELECT 'CodeFile' AS type, c AS n FROM d
+UNION ALL SELECT 'FunctionDefinition', c FROM d
+UNION ALL SELECT 'ClassDefinition', c FROM d"""
 
     sql["cypher_pipeline"] = f"""WITH {g},
 wanted AS (SELECT * FROM (VALUES ('nation'), ('region'), ('customer')) AS t(tn))
