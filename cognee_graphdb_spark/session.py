@@ -22,6 +22,44 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SHIPPED: set[int] = set()
 
 
+_NON_SCAN_NODES = ("Join", "Aggregate", "Repartition", "Window", "Sort", "Deduplicate", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def _scan_partition_estimate(df) -> int | None:
+    """Partition count of a PURE file scan, from file metadata alone —
+    the ``df.rdd.getNumPartitions()`` probe costs a full throwaway physical
+    planning pass (~1s cold on the driver), while Spark's own file-split
+    rule (size/maxPartitionBytes with per-file open cost) is computable
+    from listing RPCs.  None when the plan is not scan-shaped or the
+    estimate would be unreliable — callers fall back to the exact probe."""
+    try:
+        logical = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        return None
+    if any(node in logical for node in _NON_SCAN_NODES):
+        return None  # partitioning is shuffle-determined, not file-determined
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 64:
+        return None  # many files: listing RPCs cost more than the probe saves
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jutils = jvm.org.apache.spark.network.util.JavaUtils
+    mpb = jutils.byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = jutils.byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    try:
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+    except Exception:
+        return None
+    return max(1, -(-total // mpb))
+
+
 def fan_out(df, target: int | None = None):
     """Repartition a NARROW input up to cluster parallelism before per-row
     heavy work (tokenize/shingle/chunk/extract stages).
@@ -31,8 +69,15 @@ def fan_out(df, target: int | None = None):
     work).  At real scale the input is already wider than the cluster and this
     is a no-op — the repartition only fires when the partition count is BELOW
     parallelism, so it never adds a shuffle to a 100 TB scan.
+
+    Pure file scans answer the narrow/wide question from file metadata
+    (see :func:`_scan_partition_estimate`); everything else pays the exact
+    ``.rdd`` probe once.
     """
     target = target or df.sparkSession.sparkContext.defaultParallelism
+    est = _scan_partition_estimate(df)
+    if est is not None:
+        return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
