@@ -89,19 +89,52 @@ def _probe_lists(centroids: list[list[float]], query_vector: list[float], nprobe
     return [int(i) for i in order[:nprobe]]
 
 
+def save_ivf_index(
+    assigned: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index: the assigned rows land PARTITIONED BY list_id
+    (so a probe is an nprobe-partition scan — Spark prunes the other
+    directories at planning time) and the centroids land as a tiny parquet.
+    Build once, query many — rebuilding KMeans per query is the anti-pattern
+    this removes at corpus scale."""
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(assigned, centroids) back from :func:`save_ivf_index`.  The
+    centroids table is n_lists rows — driver-side by construction."""
+    assigned = spark.read.parquet(f"{path}/lists")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["list_id"])]
+    return assigned, centroids
+
+
 def ivf_topk(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query_vector: list[float],
     k: int = 10,
     n_lists: int = 16,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: scan only the ``nprobe`` lists whose centroids are closest to
     the query; exact cosine re-rank within them.  recall < 1 by design; raise
-    nprobe toward n_lists for exactness."""
-    assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
+    nprobe toward n_lists for exactness.
+
+    Pass ``index`` (from :func:`ivf_index` or :func:`load_ivf_index`) to
+    reuse a built index across queries — with a persisted index the filter
+    below becomes partition pruning, so each query reads only its nprobe
+    list directories."""
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
     probe = _probe_lists(centroids, query_vector, nprobe)
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     return (

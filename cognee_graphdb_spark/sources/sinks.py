@@ -136,6 +136,13 @@ class GraphStore:
         base = self._path(table)
         self.fs.mkdirs(base)
         version = f"v-{uuid.uuid4().hex[:12]}"
+        # sort by merge key WITHIN partitions (no shuffle): parquet row-group
+        # min/max stats become disjoint, so point lookups and id-range merge
+        # probes skip row groups instead of scanning the table — the data-
+        # skipping half of what an embedded DB's primary index provides
+        key = [c for c in _KEYS.get(table, []) if c in df.columns]
+        if key:
+            df = df.sortWithinPartitions(*key)
         writer = df.write.mode("overwrite")
         if "dataset_id" in df.columns:
             writer = writer.partitionBy("dataset_id")

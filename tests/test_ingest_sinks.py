@@ -275,3 +275,28 @@ def test_engine_maintain(spark, tmp_path):
         assert st["versions"] <= 1, t
     # search still works over the compacted store
     assert e.search("CHUNKS", "alpha").count() == chunks_before
+
+
+def test_snapshot_files_are_key_sorted(spark, tmp_path):
+    """_swap_write sorts by merge key within partitions, so every data file's
+    row-group min/max stats are disjoint — the data-skipping property point
+    lookups rely on (verified per-file via the parquet footers)."""
+    import pyarrow.parquet as pq
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+    nodes = spark.createDataFrame(
+        [(f"n{i:04d}", f"name{i}", "T", None) for i in range(500)],
+        "id string, name string, type string, properties map<string,string>",
+    ).repartition(4)
+    store.upsert_nodes(nodes)
+
+    current = store._current_version("nodes")
+    files = [
+        os.path.join(current, f)
+        for f in os.listdir(current)
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids), f

@@ -55,3 +55,41 @@ def test_delete_document_and_prune(spark, tmp_path):
 
     store.prune()
     assert store.load("nodes") is None and store.ledger() is None
+
+
+def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):
+    """save/load_ivf_index round-trip: a persisted index answers queries
+    identically to a fresh build (same seed), and the probe over the
+    list_id-partitioned layout prunes partitions at planning time."""
+    import contextlib
+    import io
+
+    from cognee_graphdb_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float((i * 7) % 13) / 13.0 for i in range(len(emb.first()["embedding"]))]
+
+    built = ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(*built, path)
+    loaded = load_ivf_index(spark, path)
+    assert [[round(x, 9) for x in c] for c in loaded[1]] == [
+        [round(x, 9) for x in c] for c in built[1]
+    ]
+
+    fresh = [(r["vec_id"], round(r["distance"], 9)) for r in ivf_topk(emb, q, k=5, n_lists=8).collect()]
+    reused = [(r["vec_id"], round(r["distance"], 9)) for r in ivf_topk(None, q, k=5, index=loaded).collect()]
+    assert fresh == reused
+
+    # probe plan prunes the non-probed list_id partitions at the scan
+    probed = ivf_topk(None, q, k=5, nprobe=2, index=loaded)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
