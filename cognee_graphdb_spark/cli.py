@@ -44,6 +44,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("prune", help="drop all stored data")
 
+    p_m = sub.add_parser("maintain", help="compact snapshot files + vacuum old versions")
+    p_m.add_argument("--target-file-mb", type=int, default=128,
+                     help="target data-file size for compaction (MiB)")
+
     p_cfg = sub.add_parser("config", help="show effective configuration")
     p_cfg.add_argument("--json", action="store_true")
     return p
@@ -99,6 +103,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.command == "prune":
             engine.prune()
             print("pruned")
+        elif args.command == "maintain":
+            rep = engine.maintain(target_file_bytes=args.target_file_mb * 1024 * 1024)
+            for table, st in sorted(rep["after"].items()):
+                before = rep["before"].get(table, {})
+                print(
+                    f"{table}: files {before.get('files', 0)} -> {st['files']}, "
+                    f"versions {before.get('versions', 0)} -> {st['versions']}, "
+                    f"{st['bytes']} bytes"
+                )
     except (ValueError, RuntimeError) as exc:
         # the reference CLI maps domain errors to exit code 1 with a message
         print(f"error: {exc}", file=sys.stderr)

@@ -46,3 +46,15 @@ def test_cli_errors_and_config(spark, tmp_path, capsys):
     assert main(["config", "--json"], spark=spark) == 0
     cfg = json.loads(capsys.readouterr().out)
     assert len(cfg["search_types"]) == 16
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    store = str(tmp_path / "m_store")
+    assert main(["--store", store, "add", "--text", "alpha beta gamma delta.", "--name", "a.txt"], spark=spark) == 0
+    assert main(["--store", store, "cognify"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "maintain"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "nodes: files" in out and "versions" in out
+    # post-maintenance store still answers queries
+    assert main(["--store", store, "search", "alpha", "--type", "CHUNKS"], spark=spark) == 0
