@@ -1692,15 +1692,17 @@ def _q_skew_report(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02..r05 each covered exactly the first 50).  Cumulative
-    # coverage through r05: 98/102 entries had driver rows; round 6 leads
-    # with every entry that never had an oracle-checked driver row — the 7
-    # added/promoted in r5, the r6 additions (mm_png/gif/jpeg_resize,
-    # mm_media_info, cypher_case/union_having/list_ops, v5_embed_knn), the
-    # promotions (a2_connected_components, cognify_node_counts) — plus the
-    # fixed a2_graph_metrics (r5's one red row, root-caused to the oracle's
-    # HUGEINT selfloops column) and the flagship; the remaining slots
-    # re-prove the block whose driver rows date to r04.
+    # (CORRECTNESS_r02..r05 each covered exactly the first 50).  Round 6
+    # leads with every entry that never had an oracle-checked driver row —
+    # the 7 added/promoted in r5, the r6 additions (mm_png/gif/jpeg_resize,
+    # mm_media_info, cypher_case/union_having/list_ops, v5_embed_knn,
+    # chunk_classification), the promotions (a2_connected_components,
+    # cognify_node_counts, memify_rules, code_graph_counts) — plus the fixed
+    # a2_graph_metrics (r5's red row) and the flagship: 24 entries, leaving
+    # ~26 window slots that re-prove the OLDEST-rowed part of the r04 block.
+    # The r04-era entries pushed past position ~50 keep their existing
+    # driver rows (cumulative coverage is unaffected) and rotate to the
+    # front of the re-proof block next round.
     raw = {
         # -- round-6 window (first 50) ---------------------------------------
         "a2_graph_metrics": _q_a2_graph_metrics,

@@ -232,11 +232,26 @@ def media_info(media: DataFrame) -> DataFrame:
                 codec = v.codecs[0] if v.codecs else None
                 return (mid, "video", v.duration_ms, None, None, v.width, v.height, codec)
             if m.is_image_magic(data):
-                px = m.decode_image(data)
-                fmt = {b"B": "bmp", b"P": "ppm", b"\x89": "png", b"G": "gif", b"\xff": "jpeg"}[
-                    data[:1]
-                ]
-                return (mid, "image", None, None, None, len(px[0]), len(px), fmt)
+                # HEADER-ONLY dims — the sniff pass must never pay a pixel
+                # decode (that's the expensive fan-out this pass precedes)
+                if data[:2] == b"BM":
+                    w, h = m.parse_bmp(data)[:2]
+                    fmt = "bmp"
+                elif data[:2] == b"P6":
+                    w, h = m.parse_ppm(data)
+                    fmt = "ppm"
+                elif data[:1] == b"\x89":
+                    w, h = m.parse_png(data)[:2]
+                    fmt = "png"
+                elif data[:1] == b"G":
+                    w, h = m.parse_gif(data)
+                    fmt = "gif"
+                else:
+                    from cognee_graphdb_spark.sources.jpeg import parse_jpeg
+
+                    w, h = parse_jpeg(data)[:2]
+                    fmt = "jpeg"
+                return (mid, "image", None, None, None, w, h, fmt)
             if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF and data[1] & 0xE0 == 0xE0):
                 a = parse_mp3(data)
                 return (mid, "audio", a.duration_ms, a.sample_rate, a.channels, None, None, "mp3")

@@ -1575,13 +1575,14 @@ class _Parser(_TokenCursor):
             arg = self._expr()
         if fname in _AGGS_EXTRA:
             # percentileCont/percentileDisc carry the percentile as a second
-            # argument; stdev/stdevP are single-arg renames
+            # argument; stdev/stdevP are single-arg renames.  DISTINCT passes
+            # through (Spark's percentile/stddev accept it on the value arg)
             args = [arg]
             while self.accept("op", ","):
                 args.append(self._comparison())
             self.expect("op", ")")
             self._saw_agg = True
-            return f"{_AGGS_EXTRA[fname]}({', '.join(args)})"
+            return f"{_AGGS_EXTRA[fname]}({'DISTINCT ' if distinct else ''}{', '.join(args)})"
         self.expect("op", ")")
         self._saw_agg = True
         return f"{_AGGS[fname]}({'DISTINCT ' if distinct else ''}{arg})"

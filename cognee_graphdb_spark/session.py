@@ -57,7 +57,13 @@ def _scan_partition_estimate(df) -> int | None:
             total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
     except Exception:
         return None
-    return max(1, -(-total // mpb))
+    # Spark's own split rule (FilePartition.maxSplitBytes): the bytes-per-core
+    # term means a mid-size scan already splits to ~parallelism partitions —
+    # omitting it would call such scans narrow and add a pointless shuffle
+    parallelism = spark.sparkContext.defaultParallelism
+    min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum", str(parallelism)))
+    split = min(mpb, max(open_cost, -(-total // max(1, min_pn))))
+    return max(1, -(-total // max(1, split)))
 
 
 def fan_out(df, target: int | None = None):

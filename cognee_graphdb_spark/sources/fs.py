@@ -132,12 +132,28 @@ class Fs:
             out.close()
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        """``create(path, overwrite=false)`` — atomic exists-check-and-create
-        on local FS and HDFS, the primitive behind the store's cross-process
-        write lease.  Returns False when the path already exists.  (On plain
-        S3A the check-then-create is two requests unless the store supports
+        """Atomic exists-check-and-create — the primitive behind the store's
+        cross-process write lease.  Returns False when the path exists.
+
+        Per scheme: the LOCAL path uses ``os.open(O_CREAT|O_EXCL)`` — a real
+        kernel-level exclusive create — because Hadoop's RawLocalFileSystem
+        ``create(overwrite=false)`` is a non-atomic exists()-then-open (two
+        racing processes can both pass the check).  HDFS keeps the Hadoop
+        call (create is atomic at the NameNode).  On plain S3A the
+        check-then-create is two requests unless the store supports
         conditional PUT — mutual exclusion there is best-effort; the
-        production upgrade is a table format's log-based commit, SCALE.md.)"""
+        production upgrade is a table format's log-based commit, SCALE.md."""
+        if self.scheme() in ("file", ""):
+            import os as _os
+
+            local = path[len("file://"):] if path.startswith("file://") else path
+            try:
+                fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with _os.fdopen(fd, "wb") as f:
+                f.write(text.encode("utf-8"))
+            return True
         try:
             out = self._fs.create(self._p(path), False)
         except Exception:
@@ -156,8 +172,11 @@ class Fs:
         scheme: on the local FS a tmp-file + rename(2) replaces the existing
         target atomically; stores whose rename refuses an existing file
         target (HDFS, S3A) instead write the pointer in place — one atomic
-        overwrite PUT on object stores — so a concurrent reader always sees
-        either the old or the new version, never a missing pointer."""
+        overwrite PUT on object stores.  On HDFS an in-place overwrite
+        truncates at create and becomes visible at close, so a reader in
+        that window can observe an EMPTY (not missing) pointer — readers
+        must treat empty content as transient and retry
+        (GraphStore._current_version does)."""
         if self.scheme() in ("file", ""):
             tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
             self.write_text(tmp, text)

@@ -111,7 +111,15 @@ class GraphStore:
         pointer = os.path.join(self._path(table), "_CURRENT")
         if not self.fs.exists(pointer):
             return None
-        return os.path.join(self._path(table), self.fs.read_text(pointer).strip())
+        # an in-place pointer overwrite (HDFS path of Fs.flip_pointer) has a
+        # truncate-to-visible window where the file exists but is EMPTY —
+        # transient by construction, so retry briefly before giving up
+        for _ in range(5):
+            version = self.fs.read_text(pointer).strip()
+            if version:
+                return os.path.join(self._path(table), version)
+            time.sleep(0.05)
+        return None
 
     def load(self, table: str) -> DataFrame | None:
         p = self._current_version(table)
@@ -213,6 +221,7 @@ class GraphStore:
                 out[table] = self.fs.file_stats(self._current_version(table))[0]
         ledger_path = os.path.join(self.root, "ledger")
         with self._ledger_lock, self._table_lock("ledger"):
+            self._ledger_recover(ledger_path)
             files, nbytes = self.fs.file_stats(ledger_path)
             n = max(1, -(-nbytes // target_file_bytes))
             if self.fs.exists(ledger_path) and files > n:
@@ -220,10 +229,39 @@ class GraphStore:
                 if df is not None:
                     staged = ledger_path + ".compacting"
                     df.coalesce(int(n)).write.mode("overwrite").parquet(staged)
-                    self.fs.delete(ledger_path)
-                    self.fs.rename(staged, ledger_path)
+                    self._ledger_swap(ledger_path, staged)
                     out["ledger"] = self.fs.file_stats(ledger_path)[0]
         return out
+
+    def _ledger_data_files(self, path: str) -> list[str]:
+        return [e for e in self.fs.listdir(path) if not e.startswith(("_", "."))]
+
+    def _ledger_swap(self, ledger_path: str, staged: str) -> None:
+        """Replace the ledger's data files with the staged compacted copy
+        WITHOUT deleting/renaming the directory itself — the held ``_LOCK``
+        lease lives inside it (deleting the dir would destroy mutual
+        exclusion mid-critical-section), and a rename onto an existing dir
+        nests instead of replacing.  The staged snapshot holds the FULL
+        history, so an interruption at any point is recoverable from it
+        (:meth:`_ledger_recover`)."""
+        for e in self._ledger_data_files(ledger_path):
+            self.fs.delete(os.path.join(ledger_path, e))
+        for e in self._ledger_data_files(staged):
+            self.fs.rename(os.path.join(staged, e), os.path.join(ledger_path, e))
+        self.fs.delete(staged)
+
+    def _ledger_recover(self, ledger_path: str) -> None:
+        """Crash recovery for an interrupted ledger compaction, run under
+        the ledger locks: a staged dir WITH ``_SUCCESS`` is a complete
+        snapshot of the full history — finish the swap; without it the
+        write never completed — discard the staging."""
+        staged = ledger_path + ".compacting"
+        if not self.fs.exists(staged):
+            return
+        if self.fs.exists(os.path.join(staged, "_SUCCESS")):
+            self._ledger_swap(ledger_path, staged)
+        else:
+            self.fs.delete(staged)
 
     def _upsert(self, table: str, incoming: DataFrame, created_by: str) -> None:
         with self._table_lock(table):

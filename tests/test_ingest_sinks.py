@@ -300,3 +300,40 @@ def test_snapshot_files_are_key_sorted(spark, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_ledger_compaction_crash_recovery(spark, tmp_path):
+    """The ledger swap never deletes the directory holding the _LOCK lease,
+    and an interrupted swap recovers from the staged snapshot: completed
+    staging (has _SUCCESS) finishes the swap, incomplete staging is
+    discarded."""
+    store = GraphStore(spark, str(tmp_path / "store"))
+    for i in range(3):
+        store.upsert_nodes(
+            spark.createDataFrame([(f"n{i}", "N", "T")], ["id", "name", "type"])
+        )
+    total = store.ledger().count()
+    ledger_path = os.path.join(str(tmp_path / "store"), "ledger")
+    staged = ledger_path + ".compacting"
+
+    # simulate a crash AFTER staging completed and old files were deleted
+    store.ledger().coalesce(1).write.mode("overwrite").parquet(staged)
+    for f in os.listdir(ledger_path):
+        if not f.startswith(("_", ".")):
+            os.remove(os.path.join(ledger_path, f))
+    assert store.ledger() is None or store.ledger().count() == 0
+    store.compact()
+    assert store.ledger().count() == total
+    assert not os.path.exists(staged)
+
+    # incomplete staging (no _SUCCESS) is discarded, ledger untouched
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    store.compact()
+    assert not os.path.exists(staged)
+    assert store.ledger().count() == total
+
+    # the lease file's directory survived every swap: appends still serialize
+    store.upsert_nodes(spark.createDataFrame([("n9", "N", "T")], ["id", "name", "type"]))
+    assert store.ledger().count() == total + 1
