@@ -527,6 +527,28 @@ def _q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5, hasher="md5_64")
 
 
+def _q_dedup_incremental_index(spark, sf_dir):
+    """The persisted near-dup registry (operators/dedup.py:
+    minhash_index_build/minhash_index_dedup): even doc_ids build the index,
+    odd doc_ids arrive as the 'new batch' and dedup against it.  Sharing a
+    band bucket is pairwise, so the cross-batch pairs equal a full-corpus
+    run's pairs restricted to opposite parity — which is exactly how the
+    DuckDB oracle restates it."""
+    import tempfile
+
+    from cognee_graphdb_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mhidx_")
+    minhash_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0), path, num_hashes=16, bands=8, hasher="md5_64"
+    )
+    return minhash_index_dedup(docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.5)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from cognee_graphdb_spark.operators.dedup import simhash
 
@@ -1727,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
+        "dedup_incremental_index": _q_dedup_incremental_index,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -2219,6 +2242,15 @@ SELECT a AS id, min(b) AS keeper_id FROM reach GROUP BY a"""
 
     sql["dedup_minhash_lsh"] = _minhash_sql(16, 8, 0.5)
     sql["dedup_simhash"] = _simhash_sql(16)
+
+    # incremental registry: cross-batch pairs == full-run pairs of opposite
+    # parity (band-bucket sharing is pairwise), normalized old-first
+    sql["dedup_incremental_index"] = f"""
+WITH fp AS ({_minhash_sql(16, 8, 0.5)})
+SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_old,
+       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_new,
+       est_jaccard
+FROM fp WHERE (id_a % 2) <> (id_b % 2)"""
 
     coss = "(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
     sql["dedup_embedding_exact"] = f"""

@@ -159,6 +159,31 @@ def minhash_signatures(
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int, hasher: str) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a signature frame — the ONE
+    banding definition, shared by the in-run pair join and the persisted
+    incremental index."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _hash64(
+                            F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]),
+                            b,
+                            hasher,
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -181,7 +206,6 @@ def minhash_lsh_pairs(
     """
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(f"bands must divide num_hashes: got bands={bands}, num_hashes={num_hashes}")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, hasher)
     # Materialize signatures ONCE.  The frame is referenced three times below
     # (two band-join sides + the verify joins); relying on Catalyst's
@@ -190,24 +214,7 @@ def minhash_lsh_pairs(
     # silently computes twice.  One row per doc (id + num_hashes longs), spills
     # to executor disk at scale — the same trade Spark ML's MinHashLSH makes.
     sig = sig.localCheckpoint(eager=True)
-    bands_df = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _hash64(
-                            F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]),
-                            b,
-                            hasher,
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands_df = _band_rows(sig, num_hashes, bands, hasher)
 
     # The hot shuffle carries only (id, band, bucket) — signatures join back in
     # AFTER pair dedup, so the band exchange stays ~24 bytes/row regardless of
@@ -231,6 +238,95 @@ def minhash_lsh_pairs(
         ),
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> None:
+    """Persist a near-dup REGISTRY: band buckets (partitioned by band),
+    signatures, and the hashing parameters.  The daily-ingest workflow at
+    corpus scale is "dedup today's batch against everything ever seen",
+    which an in-run pair join cannot do — the registry makes it one
+    band-bucket join against yesterday's index (:func:`minhash_index_dedup`)
+    instead of re-minhashing the whole corpus."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes: got bands={bands}, num_hashes={num_hashes}")
+    sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, hasher)
+    sig = sig.localCheckpoint(eager=True)  # one compute for both writes
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    _band_rows(sig, num_hashes, bands, hasher).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k, hasher)],
+        "num_hashes int, bands int, shingle_k int, hasher string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def minhash_index_dedup(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    update: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against the persisted registry:
+    (id_old, id_new, est_jaccard), verified on full signatures exactly like
+    :func:`minhash_lsh_pairs` — sharing a band bucket is a pairwise
+    criterion, so cross-batch candidates match what one big run would have
+    produced.  ``update=True`` appends the batch's bands + signatures, so
+    the registry accumulates the corpus over successive ingests.
+
+    The incoming batch is small relative to the registry by construction;
+    the band join shuffles (id, band, bucket) rows only and AQE broadcasts
+    the batch side when it fits."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    num_hashes, bands, shingle_k, hasher = (
+        meta["num_hashes"], meta["bands"], meta["shingle_k"], meta["hasher"],
+    )
+    new_sig = minhash_signatures(
+        new_docs, num_hashes, shingle_k, text_col, id_col, hasher
+    ).localCheckpoint(eager=True)
+    new_bands = _band_rows(new_sig, num_hashes, bands, hasher).localCheckpoint(eager=True)
+
+    old_bands = spark.read.parquet(f"{path}/bands")
+    old_sigs = spark.read.parquet(f"{path}/signatures")
+    cands = (
+        old_bands.select(F.col("id").alias("id_old"), "band", "bucket")
+        .join(new_bands.select(F.col("id").alias("id_new"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_old") != F.col("id_new"))  # re-ingest of a known id
+        .select("id_old", "id_new")
+        .dropDuplicates(["id_old", "id_new"])
+        .join(old_sigs.select(F.col("id").alias("id_old"), F.col("signature").alias("sig_a")), "id_old")
+        .join(new_sig.select(F.col("id").alias("id_new"), F.col("signature").alias("sig_b")), "id_new")
+    )
+    pairs = (
+        cands.withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)).cast("double")
+                / F.lit(int(num_hashes)),
+                6,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_old", "id_new", "est_jaccard")
+    )
+    if update:
+        pairs = pairs.localCheckpoint(eager=True)  # materialize before the index grows
+        new_sig.write.mode("append").parquet(f"{path}/signatures")
+        new_bands.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    return pairs
 
 
 def simhash(

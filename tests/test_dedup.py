@@ -108,3 +108,48 @@ def test_embedding_lsh_dim_inferred(spark):
 
     b = df.select(hyperplane_bucket(F.col("embedding"), 4, 4).alias("b")).collect()
     assert len({r["b"] for r in b}) > 1
+
+
+def test_minhash_index_accumulates(spark, tmp_path):
+    """The persisted registry grows with each update=True batch: batch 2
+    matches docs from BOTH the initial build and batch 1 — the
+    dedup-today-against-everything-seen workflow."""
+    from cognee_graphdb_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+
+    minhash_index_build(mk([(1, base), (2, "completely unrelated words about spark shuffles")]), path, num_hashes=16, bands=8)
+    p1 = minhash_index_dedup(mk([(10, base + " extra")]), path, threshold=0.3)
+    assert {(r["id_old"], r["id_new"]) for r in p1.collect()} == {(1, 10)}
+
+    # batch 2 near-dups BATCH 1's doc (10), which only exists via the update
+    p2 = minhash_index_dedup(mk([(20, base + " extra bit")]), path, threshold=0.3)
+    olds = {r["id_old"] for r in p2.collect()}
+    assert 10 in olds and 1 in olds
+
+    # update=False leaves the registry unchanged
+    p3 = minhash_index_dedup(mk([(30, base)]), path, threshold=0.3, update=False)
+    assert {r["id_new"] for r in p3.collect()} == {30}
+    p4 = minhash_index_dedup(mk([(40, base)]), path, threshold=0.3)
+    assert 30 not in {r["id_old"] for r in p4.collect()}
+
+    # parity with one big run: cross pairs equal the full-run pairs filtered
+    # to (index side, batch side)
+    docs = mk([(1, base), (2, "unrelated entirely different content here"), (11, base + " more")])
+    full = minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.3)
+    idx2 = str(tmp_path / "idx2")
+    minhash_index_build(docs.filter("doc_id < 10"), idx2, num_hashes=16, bands=8)
+    inc = minhash_index_dedup(docs.filter("doc_id >= 10"), idx2, threshold=0.3, update=False)
+    full_cross = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["est_jaccard"])
+        for r in full.collect()
+        if (r["id_a"] < 10) != (r["id_b"] < 10)
+    }
+    inc_pairs = {(r["id_old"], r["id_new"], r["est_jaccard"]) for r in inc.collect()}
+    assert inc_pairs == full_cross
