@@ -324,9 +324,27 @@ def minhash_index_dedup(
     )
     if update:
         pairs = pairs.localCheckpoint(eager=True)  # materialize before the index grows
-        new_sig.write.mode("append").parquet(f"{path}/signatures")
-        new_bands.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+        _index_append(new_sig, new_bands, path)
     return pairs
+
+
+def _index_append(sig: DataFrame, bands_df: DataFrame, path: str) -> None:
+    sig.write.mode("append").parquet(f"{path}/signatures")
+    bands_df.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+
+
+def minhash_index_append(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Add documents to an existing registry without querying it — e.g. the
+    SURVIVORS of a near-dedup pass (appending the dropped duplicates too
+    would only bloat the index)."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    sig = minhash_signatures(
+        df, meta["num_hashes"], meta["shingle_k"], text_col, id_col, meta["hasher"]
+    ).localCheckpoint(eager=True)
+    _index_append(sig, _band_rows(sig, meta["num_hashes"], meta["bands"], meta["hasher"]), path)
 
 
 def simhash(

@@ -167,3 +167,50 @@ def test_quality_filters_compose_with_streams(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.sql("SELECT * FROM stream_c4").count() == 2
+
+
+def test_near_dedup_stream_against_registry(spark, tmp_path):
+    """foreachBatch near-dedup over a file stream: batch 2's near-dup of a
+    batch-1 survivor is dropped via the REGISTRY (not operator state), and
+    only survivors accumulate in the index."""
+    from cognee_graphdb_spark.operators.dedup import minhash_index_build
+    from cognee_graphdb_spark.streaming.dedup import near_dedup_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    minhash_index_build(seed, idx, num_hashes=16, bands=8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out: list = []
+
+    def sink(batch, batch_id):
+        kept = near_dedup_batch(batch, idx, threshold=0.3)
+        out.extend(r["doc_id"] for r in kept.collect())
+
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base + " extra"}) + "\n")       # near-dup of 1
+        f.write(json.dumps({"doc_id": 11, "text": "totally different spark shuffle words here"}) + "\n")
+        f.write(json.dumps({"doc_id": 12, "text": "totally different spark shuffle words here friend"}) + "\n")  # in-batch near-dup of 11
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert sorted(out) == [11]  # 10 dropped vs registry, 12 dropped in-batch
+
+    # a later batch near-duplicating survivor 11 is dropped via the registry
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": "totally different spark shuffle words here pal"}) + "\n")
+        f.write(json.dumps({"doc_id": 21, "text": "yet another unrelated corpus document entirely"}) + "\n")
+    out.clear()
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(out) == [21]
