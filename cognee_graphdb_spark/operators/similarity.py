@@ -145,6 +145,55 @@ def ivf_topk(
     )
 
 
+def ivf_batch_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """MANY queries against one (persisted) IVF index, fully declarative:
+    probe selection is a broadcast join against the tiny centroids table
+    (rank L2 per query, keep nprobe), candidate generation an equi-join on
+    list_id, and the per-query top-k a ranking window — no driver-side loop
+    over queries, so a million-query batch plans like any other join tree.
+    Output: (query_id, vec_id, distance), k rows per query."""
+    from pyspark.sql.window import Window
+
+    assigned, centroids = index
+    spark = queries.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col(query_vec_col).cast("array<double>"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .withColumn("_cd", l2)
+        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("_cd").asc(), F.col("list_id").asc())))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "list_id")
+    )
+    scored = probes.join(assigned, "list_id").select(
+        query_id_col,
+        id_col,
+        cosine_distance(F.col(vector_col), F.col(query_vec_col)).alias("distance"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -93,3 +93,37 @@ def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):
         probed.explain(mode="formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+
+def test_ivf_batch_topk_matches_single(spark, tmp_path):
+    """ivf_batch_topk over a persisted index returns, per query, exactly
+    what single-query ivf_topk returns against the same index."""
+    from cognee_graphdb_spark.operators.similarity import (
+        ivf_batch_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    index = ivf_index(emb, n_lists=8)
+    index = (index[0].localCheckpoint(eager=True), index[1])
+
+    qs = {
+        "q0": [float((i * 7) % 13) / 13.0 for i in range(dim)],
+        "q1": [float((i * 3) % 5) / 5.0 for i in range(dim)],
+    }
+    queries = spark.createDataFrame(
+        [(qid, v) for qid, v in qs.items()], "query_id string, query_vec array<double>"
+    )
+    batch = ivf_batch_topk(queries, index, k=5, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["distance"], 9)))
+    assert set(got) == set(qs)
+    for qid, v in qs.items():
+        single = [
+            (r["vec_id"], round(r["distance"], 9))
+            for r in ivf_topk(None, v, k=5, nprobe=2, index=index).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
