@@ -534,6 +534,7 @@ def _q_dedup_incremental_index(spark, sf_dir):
     band bucket is pairwise, so the cross-batch pairs equal a full-corpus
     run's pairs restricted to opposite parity — which is exactly how the
     DuckDB oracle restates it."""
+    import hashlib
     import tempfile
 
     from cognee_graphdb_spark.operators.dedup import (
@@ -542,11 +543,17 @@ def _q_dedup_incremental_index(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="mhidx_")
+    # fixed per-sf_dir path, rebuilt (overwritten) each invocation — a fresh
+    # mkdtemp per call would leak an abandoned index dir every run
+    path = os.path.join(
+        tempfile.gettempdir(), f"mhidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
     minhash_index_build(
         docs.filter(F.col("doc_id") % 2 == 0), path, num_hashes=16, bands=8, hasher="md5_64"
     )
-    return minhash_index_dedup(docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.5)
+    return minhash_index_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.5, update=False
+    )
 
 
 def _q_dedup_simhash(spark, sf_dir):

@@ -321,6 +321,9 @@ def minhash_index_dedup(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_old", "id_new", "est_jaccard")
+        # a registry holding a signature row twice (e.g. a replayed append)
+        # re-expands the candidate through the sig join — dedup AFTER it
+        .dropDuplicates(["id_old", "id_new"])
     )
     if update:
         pairs = pairs.localCheckpoint(eager=True)  # materialize before the index grows
@@ -345,6 +348,84 @@ def minhash_index_append(
         df, meta["num_hashes"], meta["shingle_k"], text_col, id_col, meta["hasher"]
     ).localCheckpoint(eager=True)
     _index_append(sig, _band_rows(sig, meta["num_hashes"], meta["bands"], meta["hasher"]), path)
+
+
+def minhash_index_ingest(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One ingest batch through the registry, end to end, with ONE minhash
+    pass: drop documents whose id is already registered (exact re-delivery —
+    this is what makes a replayed micro-batch a no-op), documents
+    near-duplicating the registry, and documents near-duplicating an
+    earlier id of the same batch (greedy: the larger id of a pair drops);
+    append the SURVIVORS' precomputed signatures/bands; return the
+    survivors.
+
+    The batch shingles and min-hashes exactly once — the registry join, the
+    in-batch self-join, and the append all reuse the same checkpointed
+    signature frame."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    num_hashes, bands, hasher = meta["num_hashes"], meta["bands"], meta["hasher"]
+
+    new_sig = minhash_signatures(
+        batch, num_hashes, meta["shingle_k"], text_col, id_col, hasher
+    ).localCheckpoint(eager=True)
+    new_bands = _band_rows(new_sig, num_hashes, bands, hasher).localCheckpoint(eager=True)
+    old_sigs = spark.read.parquet(f"{path}/signatures")
+    old_bands = spark.read.parquet(f"{path}/bands")
+
+    def _verified(cands: DataFrame, left: str, right: str, left_sigs: DataFrame) -> DataFrame:
+        withsig = cands.join(
+            left_sigs.select(F.col("id").alias(left), F.col("signature").alias("sig_a")), left
+        ).join(new_sig.select(F.col("id").alias(right), F.col("signature").alias("sig_b")), right)
+        est = F.round(
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)).cast("double")
+            / F.lit(int(num_hashes)),
+            6,
+        )
+        return withsig.withColumn("est", est).filter(F.col("est") >= threshold)
+
+    known = old_sigs.select(F.col("id").alias("_known")).distinct()
+    reg_cands = (
+        old_bands.select(F.col("id").alias("id_old"), "band", "bucket")
+        .join(new_bands.select(F.col("id").alias("id_new"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_old") != F.col("id_new"))
+        .select("id_old", "id_new")
+        .dropDuplicates(["id_old", "id_new"])
+    )
+    drops_vs_registry = _verified(reg_cands, "id_old", "id_new", old_sigs).select(
+        F.col("id_new").alias("drop_id")
+    )
+    batch_cands = (
+        new_bands.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(new_bands.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    drops_in_batch = _verified(batch_cands, "id_a", "id_b", new_sig).select(
+        F.col("id_b").alias("drop_id")
+    )
+    drops = (
+        drops_vs_registry.unionByName(drops_in_batch)
+        .unionByName(known.select(F.col("_known").alias("drop_id")))
+        .distinct()
+    )
+    survivor_ids = (
+        new_sig.select("id").join(drops, new_sig["id"] == drops["drop_id"], "left_anti").select("id")
+    ).localCheckpoint(eager=True)
+    if not survivor_ids.isEmpty():
+        _index_append(
+            new_sig.join(survivor_ids, "id", "leftsemi"),
+            new_bands.join(survivor_ids, "id", "leftsemi"),
+            path,
+        )
+    return batch.join(survivor_ids.withColumnRenamed("id", id_col), id_col, "leftsemi")
 
 
 def simhash(

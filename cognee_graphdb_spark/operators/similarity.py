@@ -71,11 +71,7 @@ def ivf_index(
     dists = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col(vector_col).cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        d = _l2(F.col(vector_col).cast("array<double>"), lit)
         dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     assigned = embeddings.withColumn("list_id", F.array_min(F.array(*dists))["i"])
     return assigned, centroids
@@ -83,10 +79,39 @@ def ivf_index(
 
 def _probe_lists(centroids: list[list[float]], query_vector: list[float], nprobe: int) -> list[int]:
     """The nprobe list ids whose centroids are L2-closest to the query — the
-    ONE definition of probe selection, shared by every IVF variant."""
-    q = np.asarray(query_vector, dtype=np.float64)
-    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
-    return [int(i) for i in order[:nprobe]]
+    ONE definition of probe selection, shared by every IVF variant.
+
+    Distances accumulate as a LEFT FOLD over dimensions in float64 and ties
+    break by list id — bit-identical to the SQL ``aggregate(zip_with(...))``
+    + ``ORDER BY dist, list_id`` that :func:`ivf_batch_topk` plans, so the
+    single-query and batch paths can never pick different probe sets on a
+    near-tie (numpy's pairwise summation could)."""
+    dists = [
+        sum((float(ci) - float(qi)) ** 2 for ci, qi in zip(c, query_vector))
+        for c in centroids
+    ]
+    order = sorted(range(len(centroids)), key=lambda i: (dists[i], i))
+    return order[:nprobe]
+
+
+def _centroids_df(spark, centroids: list[list[float]]):
+    """(list_id, centroid) frame — the one construction shared by index
+    persistence and batch probe selection."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns, accumulated as
+    a left fold over dimensions (see :func:`_probe_lists` on why the fold
+    order is load-bearing)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def save_ivf_index(
@@ -99,9 +124,9 @@ def save_ivf_index(
     this removes at corpus scale."""
     spark = assigned.sparkSession
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _centroids_df(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
@@ -165,18 +190,10 @@ def ivf_batch_topk(
 
     assigned, centroids = index
     spark = queries.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<double>",
-    )
-    l2 = F.aggregate(
-        F.zip_with(F.col(query_vec_col).cast("array<double>"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    cent = _centroids_df(spark, centroids)
     probes = (
         queries.join(F.broadcast(cent))
-        .withColumn("_cd", l2)
+        .withColumn("_cd", _l2(F.col(query_vec_col).cast("array<double>"), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("_cd").asc(), F.col("list_id").asc())))
         .filter(F.col("_rn") <= nprobe)
         .select(query_id_col, query_vec_col, "list_id")

@@ -46,44 +46,18 @@ def near_dedup_batch(
     text_col: str = "text",
 ) -> DataFrame:
     """One micro-batch of STREAMING NEAR-dedup against the persisted MinHash
-    registry (operators/dedup.py): drop documents near-duplicating anything
-    the registry has ever seen OR an earlier document of the same batch,
-    then append only the SURVIVORS to the registry.
+    registry: drop documents near-duplicating anything the registry has ever
+    seen OR an earlier document of the same batch, then append only the
+    SURVIVORS to the registry.  Thin ``writeStream.foreachBatch`` wrapper
+    over :func:`cognee_graphdb_spark.operators.dedup.minhash_index_ingest`
+    — one minhash pass per batch; state lives in the registry parquet, not
+    in streaming operator state, so this is unbounded-history near-dedup
+    with bounded executor memory (the exact-dup layer, :func:`dedup_stream`,
+    stays watermark-bounded upstream).  A REDELIVERED micro-batch is a
+    no-op: its survivors' ids are already registered, so they drop on the
+    replay and nothing re-appends."""
+    from cognee_graphdb_spark.operators.dedup import minhash_index_ingest
 
-    Designed for ``writeStream.foreachBatch`` — state lives in the registry
-    parquet, not in streaming operator state, so it is unbounded-history
-    near-dedup with bounded executor memory (the exact-dup layer,
-    :func:`dedup_stream`, stays watermark-bounded upstream).  A redelivered
-    micro-batch re-appends its survivors' rows — duplicate REGISTRY rows are
-    benign (candidates dedup before verification), the survivors themselves
-    are still dropped as near-dups of their first delivery's append."""
-    from cognee_graphdb_spark.operators.dedup import (
-        minhash_index_append,
-        minhash_index_dedup,
-        minhash_lsh_pairs,
+    return minhash_index_ingest(
+        batch, index_path, threshold, text_col=text_col, id_col=id_col
     )
-
-    spark = batch.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").first()
-
-    vs_registry = minhash_index_dedup(
-        batch, index_path, threshold, update=False, text_col=text_col, id_col=id_col
-    ).select(F.col("id_new").alias("drop_id"))
-    in_batch = minhash_lsh_pairs(
-        batch,
-        num_hashes=meta["num_hashes"],
-        bands=meta["bands"],
-        shingle_k=meta["shingle_k"],
-        threshold=threshold,
-        text_col=text_col,
-        id_col=id_col,
-        hasher=meta["hasher"],
-    ).select(F.greatest("id_a", "id_b").alias("drop_id"))  # keep the first-id of each pair
-
-    drops = vs_registry.unionByName(in_batch).distinct()
-    survivors = batch.join(
-        drops, batch[id_col] == drops["drop_id"], "left_anti"
-    ).localCheckpoint(eager=True)
-    if survivors.count() > 0:
-        minhash_index_append(survivors, index_path, text_col=text_col, id_col=id_col)
-    return survivors

@@ -214,3 +214,27 @@ def test_near_dedup_stream_against_registry(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert sorted(out) == [21]
+
+
+def test_near_dedup_redelivery_is_noop(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch at-least-once) is a no-op: its
+    survivors' ids are already registered, so the replay emits nothing and
+    appends nothing (registry row counts unchanged)."""
+    from cognee_graphdb_spark.operators.dedup import minhash_index_build
+    from cognee_graphdb_spark.streaming.dedup import near_dedup_batch
+
+    idx = str(tmp_path / "idx")
+    minhash_index_build(
+        spark.createDataFrame([(1, "seed document about nothing in particular")], "doc_id long, text string"),
+        idx, num_hashes=16, bands=8,
+    )
+    batch = spark.createDataFrame(
+        [(10, "totally different spark shuffle words here")], "doc_id long, text string"
+    )
+    first = near_dedup_batch(batch, idx, threshold=0.3)
+    assert [r["doc_id"] for r in first.collect()] == [10]
+    sig_rows = spark.read.parquet(f"{idx}/signatures").count()
+
+    replay = near_dedup_batch(batch, idx, threshold=0.3)
+    assert replay.isEmpty()
+    assert spark.read.parquet(f"{idx}/signatures").count() == sig_rows
