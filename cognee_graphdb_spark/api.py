@@ -225,6 +225,76 @@ class CogneeSpark:
     def prune(self) -> None:
         self.store.prune()
 
+    def sync(
+        self,
+        remote_root: str,
+        direction: str = "both",
+        run_cognify: bool = True,
+        user_id: str | None = None,
+    ) -> dict:
+        """Sync THIS dataset's raw data with another store root — the
+        reference's cloud sync (api/v1/sync/sync.py: diff local vs remote
+        files by content hash, upload the missing ones, download the new
+        ones, then cognify what arrived), re-expressed store-to-store: the
+        remote root is any Hadoop URI (s3a://, hdfs://, file://), the hash
+        diff is two anti-joins, and transfer is a distributed MERGE upsert
+        into the other store — no driver-side file loop.
+
+        ``direction``: ``push`` / ``pull`` / ``both``.  ``run_cognify=True``
+        builds the graph for pulled data locally (incremental marks make it
+        a no-op when nothing arrived), mirroring sync.py's post-download
+        cognify.  Progress lands in the pipeline-run log on both sides
+        (operation ``sync``, the reference's sync_operation record).
+        Returns {"run_id", "pushed", "pulled", "cognified"}."""
+        import uuid as _uuid
+
+        if direction not in ("push", "pull", "both"):
+            raise ValueError("direction must be push, pull, or both")
+        if user_id is not None:
+            self.permissions.check_permission(user_id, self.dataset_id, "write")
+        run_id = f"sync-{_uuid.uuid4().hex[:12]}"
+        remote = CogneeSpark(
+            self.spark, remote_root, dataset_id=self.dataset_id,
+            gateway=self.gateway, embed_dim=self.embed_dim,
+        )
+        self.runs.log(self.dataset_id, "sync", "STARTED")
+
+        def _dataset_rows(engine: "CogneeSpark") -> DataFrame | None:
+            data = engine.store.load("data")
+            if data is None:
+                return None
+            if "dataset_id" in data.columns:
+                data = data.filter(F.col("dataset_id") == self.dataset_id)
+            return data
+
+        pushed = pulled = cognified = 0
+        local = _dataset_rows(self)
+        rmt = _dataset_rows(remote)
+        if direction in ("push", "both") and local is not None:
+            to_push = (
+                local.join(rmt.select("content_hash"), "content_hash", "left_anti")
+                if rmt is not None
+                else local
+            ).localCheckpoint(eager=True)
+            pushed = to_push.count()
+            if pushed:
+                remote.store.upsert_data(to_push, created_by=run_id)
+            rmt = _dataset_rows(remote)
+        if direction in ("pull", "both") and rmt is not None:
+            to_pull = (
+                rmt.join(local.select("content_hash"), "content_hash", "left_anti")
+                if local is not None
+                else rmt
+            ).localCheckpoint(eager=True)
+            pulled = to_pull.count()
+            if pulled:
+                self.store.upsert_data(to_pull, created_by=run_id)
+                if run_cognify:
+                    cognified = self.cognify()
+        self.runs.log(self.dataset_id, "sync", "COMPLETED")
+        remote.runs.log(self.dataset_id, "sync", "COMPLETED")
+        return {"run_id": run_id, "pushed": pushed, "pulled": pulled, "cognified": cognified}
+
     def maintain(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Store maintenance in one call: compact small snapshot files
         toward ``target_file_bytes``, reclaim superseded versions, and

@@ -217,3 +217,45 @@ def test_visualize_renders_bounded_html(spark, tmp_path):
     assert {"id", "name", "type", "degree"} <= set(payload[0])
     with open(out) as f:
         assert f.read() == html
+
+
+def test_sync_between_stores(spark, tmp_path):
+    """Reference cloud-sync parity (api/v1/sync/sync.py) store-to-store:
+    content-hash diff, push/pull via MERGE upserts, cognify of pulled data,
+    idempotent re-sync, and run-log records on both sides."""
+    from cognee_graphdb_spark.api import CogneeSpark
+
+    a = CogneeSpark(spark, str(tmp_path / "a"))
+    b = CogneeSpark(spark, f"file://{tmp_path / 'b'}")  # scheme-generic remote
+    a.add([("x.txt", "Alpha document about spark engines and shuffles.")])
+    a.cognify()
+    b.add([("y.txt", "Beta document about graphs and vector search.")])
+
+    rep = a.sync(f"file://{tmp_path / 'b'}")
+    assert rep["pushed"] == 1 and rep["pulled"] == 1
+    assert rep["cognified"] == 1  # the pulled doc built locally
+
+    # both stores now hold both content hashes
+    assert a.store.load("data").select("content_hash").distinct().count() == 2
+    assert b.store.load("data").select("content_hash").distinct().count() == 2
+
+    # idempotent: nothing moves on re-sync
+    rep2 = a.sync(f"file://{tmp_path / 'b'}")
+    assert (rep2["pushed"], rep2["pulled"], rep2["cognified"]) == (0, 0, 0)
+
+    # push-only from an empty third store is a no-op pull-side
+    c = CogneeSpark(spark, str(tmp_path / "c"))
+    rep3 = c.sync(str(tmp_path / "a"), direction="push")
+    assert (rep3["pushed"], rep3["pulled"]) == (0, 0)
+    rep4 = c.sync(str(tmp_path / "a"), direction="pull", run_cognify=False)
+    assert rep4["pulled"] == 2 and rep4["cognified"] == 0
+
+    # the sync operation is recorded in both run logs
+    assert not a.runs.should_run(a.dataset_id, "sync")
+    assert not b.runs.should_run(b.dataset_id, "sync")
+
+    # ACL: a user without write cannot sync
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        a.sync(str(tmp_path / "b"), user_id="nobody")
