@@ -820,6 +820,48 @@ def _q_a2_components(spark, sf_dir):
     return sub.unionByName(full)
 
 
+def _q_a9_pagerank(spark, sf_dir):
+    """PageRank (graph_metrics.py:pagerank) over the region-tree FK subgraph
+    (customer/supplier -> nation -> region): 10 power iterations, damping
+    0.85, dangling mass from the region sinks redistributed uniformly.  The
+    oracle unrolls the same 10 iterations as chained CTEs with identical
+    double arithmetic (same operand order per edge term), and both sides
+    quantize to ppm BIGINTs and select the top-100 by (rank_ppm, id), so the
+    comparison is float-hash-safe while still pinning every hub's mass."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(ids, fk, damping=0.85, n_iter=10)
+    return (
+        pr.select(
+            "id", F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm")
+        )
+        .orderBy(F.desc("rank_ppm"), "id")
+        .limit(100)
+    )
+
+
+def _q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
+    md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
+    threshold is tuned to this synthetic corpus (max pairwise cos ~0.51) so
+    the drop branch actually fires; the result carries only id/cluster/keep,
+    no floats, so every branch decision is pinned by the hash."""
+    from cognee_graphdb_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k=8, threshold=0.35, n_iter=1, hasher="md5_64")
+    return out.select("id", F.col("cluster").cast("long").alias("cluster"), "keep")
+
+
 
 def _q_a2_graph_metrics(spark, sf_dir):
     """A2 scalar metric row (graph_metrics.py:graph_metrics, the
@@ -1757,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
         "dedup_incremental_index": _q_dedup_incremental_index,
+        "a9_pagerank": _q_a9_pagerank,
+        "dedup_semdedup": _q_dedup_semdedup,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -1794,9 +1838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
         "skew_report": _q_skew_report,
+        # -- window boundary (50): below here, re-proved green in r05 ---------
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
-        # -- window boundary (50): below here, re-proved green in r05 ---------
         "j6_k_hop": _q_j6_k_hop,
         "j5_triplet_scores": _q_j5_triplet_scores,
         "v1_knn": _q_v1_knn,
@@ -2916,6 +2960,97 @@ SELECT 'region_tree' AS scope, CAST(component_size AS BIGINT) AS component_size,
 FROM sizes GROUP BY component_size
 UNION ALL
 SELECT 'full', CAST((SELECT count(*) FROM nodes) AS BIGINT), CAST(1 AS BIGINT)"""
+
+    # --- a9 PageRank: 10 unrolled power iterations, same double arithmetic ---
+    # (operand order mirrored from graph_metrics.py:pagerank so the ppm
+    # quantization can't straddle a rounding boundary)
+    _d = "CAST(0.85 AS DOUBLE)"
+    _pr_iters = []
+    _prev_r = "r0"
+    for _i in range(1, 11):
+        _pr_iters.append(f"""c{_i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+  FROM fk e JOIN {_prev_r} r ON e.src = r.id JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), d{_i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM {_prev_r} r LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL
+), r{_i} AS MATERIALIZED (
+  SELECT a.id,
+         (CAST(1.0 AS DOUBLE) - {_d}) / nn.n
+         + {_d} * (COALESCE(c.c, CAST(0 AS DOUBLE)) + (SELECT dm FROM d{_i}) / nn.n) AS rank
+  FROM allnodes a CROSS JOIN nn LEFT JOIN c{_i} c ON a.id = c.id
+)""")
+        _prev_r = f"r{_i}"
+    sql["a9_pagerank"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+allnodes AS MATERIALIZED (SELECT src AS id FROM fk UNION SELECT dst FROM fk),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM fk GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes CROSS JOIN nn),
+{", ".join(_pr_iters)}
+SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
+FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # --- SemDeDup: seeded spherical k-means + within-cluster prune -----------
+    # mirrors dedup.py:semdedup(k=8, threshold=0.35, n_iter=1, hasher=md5_64);
+    # unit vectors and pairwise dots are bit-identical (sequential folds), so
+    # only the centroid means carry engine-side fp noise — far below every
+    # branch margin
+    _sd_h = _md5_64("id", 41)
+    _sd_unit = (
+        "CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v "
+        "ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END"
+    )
+    _sd_renorm = (
+        "CASE WHEN sqrt(list_dot_product(r.raw, r.raw)) = 0 THEN r.raw "
+        "ELSE list_transform(r.raw, x -> x / sqrt(list_dot_product(r.raw, r.raw))) END"
+    )
+    sql["dedup_semdedup"] = f"""WITH base AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+unitv AS (SELECT id, {_sd_unit} AS u FROM base),
+seeds AS (
+  SELECT id, u, rn - 1 AS cluster FROM (
+    SELECT id, u, row_number() OVER (ORDER BY {_sd_h}, id) AS rn FROM unitv) s
+  WHERE rn <= 8
+),
+c0 AS (SELECT cluster, u AS c FROM seeds),
+asg0 AS (
+  SELECT id, u, cluster, sim FROM (
+    SELECT t.id, t.u, c.cluster, list_dot_product(t.u, c.c) AS sim,
+           row_number() OVER (PARTITION BY t.id
+                              ORDER BY list_dot_product(t.u, c.c) DESC, c.cluster) AS rn
+    FROM unitv t CROSS JOIN c0 c) s
+  WHERE rn = 1
+),
+m1 AS (
+  SELECT cluster, pos, avg(x) AS m FROM (
+    SELECT cluster, unnest(u) AS x, unnest(range(1, len(u) + 1)) AS pos FROM asg0) z
+  GROUP BY cluster, pos
+),
+raw1 AS (SELECT cluster, list(m ORDER BY pos) AS raw FROM m1 GROUP BY cluster),
+c1 AS (
+  SELECT c0.cluster, COALESCE({_sd_renorm}, c0.c) AS c
+  FROM c0 LEFT JOIN raw1 r ON c0.cluster = r.cluster
+),
+final AS (
+  SELECT id, u, cluster, sim FROM (
+    SELECT t.id, t.u, c.cluster, list_dot_product(t.u, c.c) AS sim,
+           row_number() OVER (PARTITION BY t.id
+                              ORDER BY list_dot_product(t.u, c.c) DESC, c.cluster) AS rn
+    FROM unitv t CROSS JOIN c1 c) s
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.id
+  FROM final a JOIN final b ON a.cluster = b.cluster AND a.id != b.id
+  WHERE list_dot_product(a.u, b.u) > 0.35
+    AND (b.sim < a.sim OR (b.sim = a.sim AND b.id < a.id))
+)
+SELECT f.id, CAST(f.cluster AS BIGINT) AS cluster, (d.id IS NULL) AS keep
+FROM final f LEFT JOIN dropped d ON f.id = d.id"""
 
     # --- training-data ops (operators/training_data.py) ----------------------
 

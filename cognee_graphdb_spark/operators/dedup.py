@@ -502,3 +502,139 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    hasher: str = "xxhash64",
+    seed: int = 41,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning near-duplicate pairs WITHIN each
+    cluster — the trick that makes embedding dedup sub-quadratic at corpus
+    scale without an index (pairs are only ever formed inside a cluster).
+
+    Deterministic spherical k-means, end to end reproducible across engines:
+
+    - seeds = the ``k`` rows with the smallest (seeded hash(id), id) — no RNG;
+    - each round: assign every unit vector to the centroid with the highest
+      dot product (tie -> lowest cluster index), then recenter each cluster at
+      the renormalized elementwise mean of its members (an emptied cluster
+      keeps its previous centroid);
+    - after ``n_iter`` rounds, one final assignment fixes membership, and a
+      doc is DROPPED when its cluster holds another doc with pairwise cosine
+      > ``threshold`` whose centroid-similarity is lower (tie -> lower id):
+      the paper's keep-the-farthest-from-centroid rule, expressed as a
+      per-pair EXISTS instead of a transitive closure.
+
+    Returns (id, cluster, keep) — integer/string/boolean only, so the result
+    is float-hash-stable for the correctness oracle.
+
+    Scale shape: the assignment is a crossJoin against a ``k``-row broadcast
+    (k is small by construction — the paper uses n/k in the thousands), the
+    recenter is one groupBy(cluster, pos) partial agg, and the prune
+    self-joins on cluster id, whose size the clustering itself bounds.  All
+    dot products run as codegen'd sequential folds (functions/vectors.py:dot)
+    — bit-identical to DuckDB's list_dot_product, which is what lets the
+    oracle restate every branch decision exactly.
+    """
+    e = embeddings.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    unit = e.select(
+        "id",
+        F.when(nrm == 0, F.col("v"))
+        .otherwise(F.transform("v", lambda x: x / nrm))
+        .alias("u"),
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql.window import Window
+
+    h = _hash64(F.col("id"), seed, hasher)
+    centroids = (
+        unit.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(Window.orderBy("h", "id")))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("cluster"), F.col("u").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        sim = F.aggregate(
+            F.zip_with("u", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        scored = unit.crossJoin(F.broadcast(cents)).select(
+            "id", "u", "cluster", sim.alias("sim")
+        )
+        # max sim, tie -> lowest cluster: one partial-aggregatable max_by
+        return scored.groupBy("id").agg(
+            F.max_by(
+                F.struct("u", "cluster", "sim"),
+                F.struct(F.col("sim"), (-F.col("cluster")).alias("nc")),
+            ).alias("b")
+        ).select("id", "b.u", "b.cluster", "b.sim")
+
+    for _ in range(n_iter):
+        members = _assign(centroids)
+        mean = (
+            members.select("cluster", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("raw")
+            )
+        )
+        cn = F.sqrt(
+            F.aggregate(
+                F.zip_with("raw", "raw", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        updated = mean.select(
+            "cluster",
+            F.when(cn == 0, F.col("raw")).otherwise(F.transform("raw", lambda x: x / cn)).alias("c"),
+        )
+        centroids = (
+            centroids.select("cluster", F.col("c").alias("c0"))
+            .join(updated, "cluster", "left")
+            .select("cluster", F.coalesce("c", "c0").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    final = _assign(centroids).localCheckpoint(eager=True)
+    a = final.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("u").alias("u_a"), F.col("sim").alias("cs_a"))
+    b = final.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("u").alias("u_b"), F.col("sim").alias("cs_b"))
+    pair_sim = F.aggregate(
+        F.zip_with("u_a", "u_b", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("ps", pair_sim)
+        .filter(F.col("ps") > threshold)
+        # keep the member FARTHEST from the centroid (paper rule): a is
+        # dropped when some near-dup b sits farther out — lower centroid-sim
+        # (tie broken toward the lower id)
+        .filter(
+            (F.col("cs_b") < F.col("cs_a"))
+            | ((F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("drop", F.lit(True))
+    )
+    return (
+        final.join(dropped, "id", "left")
+        .select("id", "cluster", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
+    )

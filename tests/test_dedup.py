@@ -153,3 +153,48 @@ def test_minhash_index_accumulates(spark, tmp_path):
     }
     inc_pairs = {(r["id_old"], r["id_new"], r["est_jaccard"]) for r in inc.collect()}
     assert inc_pairs == full_cross
+
+
+def test_semdedup_drops_planted_near_duplicates(spark):
+    """Three exact-duplicate groups planted among orthogonal-ish vectors:
+    within each group exactly one survivor remains, and it is the lowest-id
+    member (exact dups tie on centroid-sim, so the id breaks it); singleton
+    vectors are all kept."""
+    import numpy as np
+
+    from cognee_graphdb_spark.operators.dedup import semdedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for g in range(3):  # duplicate groups of 3
+        v = rng.randn(16).tolist()
+        for _ in range(3):
+            rows.append((vid, v))
+            vid += 1
+    for _ in range(20):  # background singletons
+        rows.append((vid, rng.randn(16).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in semdedup(emb, k=4, threshold=0.99, n_iter=2).collect()}
+    for g in range(3):
+        members = [str(3 * g), str(3 * g + 1), str(3 * g + 2)]
+        kept = [m for m in members if out[m]["keep"]]
+        assert kept == [members[0]]
+        # exact duplicates always land in the same cluster
+        assert len({out[m]["cluster"] for m in members}) == 1
+    for i in range(9, vid):
+        assert out[str(i)]["keep"]
+
+
+def test_semdedup_deterministic_and_total(spark):
+    """Same input twice -> identical (id, cluster, keep) rows; every input id
+    appears exactly once."""
+    from cognee_graphdb_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, semdedup(emb, k=4, threshold=0.35, n_iter=1).collect()))
+    b = sorted(map(tuple, semdedup(emb, k=4, threshold=0.35, n_iter=1).collect()))
+    assert a == b
+    assert len(a) == emb.count()
+    assert len({t[0] for t in a}) == len(a)

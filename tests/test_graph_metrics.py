@@ -177,3 +177,63 @@ def test_triangle_clustering_hub_safe_star(spark):
     assert out["hub"] == pytest.approx(2 * 1 / (deg_hub * (deg_hub - 1)))
     assert out["x"] == 1.0 and out["y"] == 1.0
     assert out["leaf0"] == 0.0
+
+
+def test_pagerank_cycle_with_dangling(spark):
+    """3-cycle plus a dangling feeder: ranks sum to 1, the cycle nodes beat
+    the feeder, and the node receiving the feeder's edge ranks highest."""
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "a", "r"), ("d", "c", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    out = {r["id"]: r["rank"] for r in pagerank(nodes, edges, n_iter=10).collect()}
+    assert sum(out.values()) == pytest.approx(1.0)
+    assert out["c"] == max(out.values())  # gets the cycle AND the feeder
+    assert out["d"] == min(out.values())  # no in-edges: (1-d)/n + dangling share
+    assert all(v > 0 for v in out.values())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Same formula as the dense-matrix power iteration on a small random
+    digraph (parallel edges collapsed, dangling mass uniform)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    rng = [(f"n{(7 * i) % 23}", f"n{(11 * i + 3) % 23}") for i in range(60)]
+    pairs = sorted({(s, d) for s, d in rng})
+    edges = spark.createDataFrame(
+        [(s, d, "r") for s, d in pairs], ["src", "dst", "relationship_name"]
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    ids = sorted(r["id"] for r in nodes.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = {}
+    for s, d in pairs:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    damping = 0.85
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / out_deg[s]
+        dangling = sum(r[idx[v]] for v in ids if v not in out_deg)
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    got = {row["id"]: row["rank"] for row in pagerank(nodes, edges, n_iter=10).collect()}
+    for v in ids:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    nodes = spark.createDataFrame([], "id string")
+    edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
+    assert pagerank(nodes, edges).count() == 0
