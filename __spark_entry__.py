@@ -862,6 +862,19 @@ def _q_dedup_semdedup(spark, sf_dir):
     return out.select("id", F.col("cluster").cast("long").alias("cluster"), "keep")
 
 
+def _q_td_dsir_resample(spark, sf_dir):
+    """DSIR (training_data.py:dsir_resample): hashed-ngram importance weights
+    of the non-English docs against the English target distribution, then
+    deterministic Gumbel top-50.  Weights and scores are rounded to 6 dp on
+    both sides so engine-side summation order can't skew the hash."""
+    from cognee_graphdb_spark.operators.training_data import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return dsir_resample(raw, target, k=50, buckets=1024, seed=17, hasher="md5_64")
+
+
 
 def _q_a2_graph_metrics(spark, sf_dir):
     """A2 scalar metric row (graph_metrics.py:graph_metrics, the
@@ -1801,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_index": _q_dedup_incremental_index,
         "a9_pagerank": _q_a9_pagerank,
         "dedup_semdedup": _q_dedup_semdedup,
+        "td_dsir_resample": _q_td_dsir_resample,
         # ...the r04-green block, oldest driver rows first ------------------
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -1837,8 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
-        "skew_report": _q_skew_report,
         # -- window boundary (50): below here, re-proved green in r05 ---------
+        "skew_report": _q_skew_report,
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
         "j6_k_hop": _q_j6_k_hop,
@@ -3051,6 +3065,53 @@ dropped AS (
 )
 SELECT f.id, CAST(f.cluster AS BIGINT) AS cluster, (d.id IS NULL) AS keep
 FROM final f LEFT JOIN dropped d ON f.id = d.id"""
+
+    # --- DSIR importance resampling (training_data.py:dsir_resample) ---------
+    # every literal is CAST to DOUBLE so DuckDB's DECIMAL literal arithmetic
+    # can't diverge from Spark's double math; log-weights and scores round to
+    # 6 dp on both sides (summation-order-safe)
+    _ds_h = _md5_64("gram", 0)
+    _ds_u = (
+        f"(({_md5_64('CAST(id AS VARCHAR)', 17)} % 1048576) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1048576 AS DOUBLE)"
+    )
+    sql["td_dsir_resample"] = f"""WITH toks AS (
+  SELECT doc_id, lang, {tok} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, gram FROM (
+    SELECT doc_id, lang, unnest(t) AS gram FROM toks
+    UNION ALL
+    SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM toks
+  ) u
+),
+bucketed AS (SELECT doc_id, lang, {_ds_h} % 1024 AS bucket FROM grams),
+ct AS (SELECT bucket, count(*) AS ct FROM bucketed WHERE lang = 'en' GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS cr FROM bucketed WHERE lang != 'en' GROUP BY bucket),
+allb AS (SELECT unnest(range(1024)) AS bucket),
+j AS (
+  SELECT a.bucket, COALESCE(ct.ct, 0) AS ct, COALESCE(cr.cr, 0) AS cr
+  FROM allb a LEFT JOIN ct ON a.bucket = ct.bucket LEFT JOIN cr ON a.bucket = cr.bucket
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM j),
+ratio AS (
+  SELECT bucket,
+         ln((ct + CAST(0.5 AS DOUBLE)) / (tt + CAST(512.0 AS DOUBLE)))
+         - ln((cr + CAST(0.5 AS DOUBLE)) / (tr + CAST(512.0 AS DOUBLE))) AS logratio
+  FROM j CROSS JOIN tot
+),
+w AS (
+  SELECT doc_id, round(SUM(logratio), 6) AS log_weight
+  FROM bucketed b JOIN ratio r ON b.bucket = r.bucket
+  WHERE b.lang != 'en' GROUP BY doc_id
+),
+wall AS (
+  SELECT d.doc_id AS id, COALESCE(w.log_weight, CAST(0 AS DOUBLE)) AS log_weight
+  FROM (SELECT doc_id FROM documents WHERE lang != 'en') d LEFT JOIN w ON d.doc_id = w.doc_id
+)
+SELECT id, log_weight, round(log_weight - ln(-ln({_ds_u})), 6) AS score
+FROM wall ORDER BY score DESC, id LIMIT 50"""
 
     # --- training-data ops (operators/training_data.py) ----------------------
 

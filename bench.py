@@ -160,6 +160,12 @@ def main() -> None:
     def _a2():
         connected_components(nodes, edges).groupBy("component").count().collect()
 
+    @step("a9_pagerank")
+    def _a9():
+        from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+        pagerank(nodes, edges, n_iter=5).agg(F.sum("rank")).collect()
+
     @step("j6_k_hop")
     def _j6():
         seeds = spark.createDataFrame([("region:0",), ("region:1",)], ["id"])
@@ -191,6 +197,10 @@ def main() -> None:
     @step("dedup_embedding_lsh")
     def _embdup():
         dedup.embedding_near_duplicates(emb, threshold=0.4, lsh_bits=4, dim=64).count()
+
+    @step("dedup_semdedup")
+    def _semdedup():
+        dedup.semdedup(emb, k=16, threshold=0.35, n_iter=2).filter(~F.col("keep")).count()
 
     @step("bm25_topk")
     def _bm25():

@@ -290,6 +290,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     checkpoint_every: int = 3,
+    ids_distinct: bool = False,
 ) -> DataFrame:
     """(id, rank): PageRank by power iteration over the directed simple graph
     (distinct (src, dst) pairs; self-loops kept as ordinary edges).
@@ -316,33 +317,63 @@ def pagerank(
     initial residual — callers wanting tolerance-based stopping can loop over
     this function reading the returned ranks (each call resumes in one job).
     """
-    n = nodes.select("id").distinct().count()
+    # everything static is hoisted out of the loop and iterates on 8-byte
+    # keys: per round only ONE join (pre-weighted edges ⋈ ranks), one
+    # partial-agg sum, and one left join against the static node frame —
+    # the per-round deg join and dangling anti-join a naive layout pays are
+    # precomputed as an edge weight and an is_sink flag.  Each static frame
+    # is checkpointed exactly once and every later step reads the
+    # materialized copy, so setup is 4 shuffles total regardless of rounds.
+    ids = nodes.select("id")
+    if not ids_distinct:  # pass True when the caller guarantees uniqueness
+        ids = ids.distinct()
+    nh = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
+    n = nh.count()
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    if n >= 50_000_000:
+        # same collision-probe rationale as connected_components: a 64-bit
+        # collision would silently merge two nodes' mass
+        probe = nh.agg((F.count_distinct("id") - F.count_distinct("h")).alias("c")).first()
+        if probe["c"] != 0:
+            raise ValueError("xxhash64 collision among node ids; pagerank needs distinct keys")
+    e = (
+        edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    # deg is node-sized; AQE broadcast-joins it when it fits, else shuffles —
+    # either way this runs ONCE, not once per round
+    ew = e.join(deg, "hs").localCheckpoint(eager=True)
+    base_frame = (
+        nh.select("h")
+        .join(deg.select(F.col("hs").alias("h"), F.lit(False).alias("is_sink")), "h", "left")
+        .select("h", F.coalesce("is_sink", F.lit(True)).alias("is_sink"))
+        .localCheckpoint(eager=True)
+    )
     # (1.0 - damping) / n mirrors the oracle's CAST(... AS DOUBLE) arithmetic
     # bit-for-bit: same operand order, all doubles.
     base = (1.0 - damping) / n
-    ranks = nodes.select("id").distinct().select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = base_frame.select("h", "is_sink", F.lit(1.0 / n).alias("rank"))
     for it in range(n_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("t"))
-            .groupBy("dst")
+            ew.join(ranks.select(F.col("h").alias("hs"), "rank"), "hs")
+            .select(F.col("hd").alias("h"), (F.col("rank") / F.col("deg")).alias("t"))
+            .groupBy("h")
             .agg(F.sum("t").alias("c"))
         )
-        dangling = (
-            ranks.join(deg.select(F.col("src").alias("id")), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # sinks have no ew rows, so the contrib join skips them naturally;
+        # their parked mass is this 1-row broadcast aggregate
+        dangling = ranks.filter("is_sink").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            ranks.select("id")
-            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            base_frame.join(contrib, "h", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "id",
+                "h",
+                "is_sink",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -352,7 +383,7 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return nh.join(ranks.select("h", "rank"), "h").select("id", "rank")
 
 
 def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:

@@ -803,3 +803,118 @@ def pack_sequences(
         yield pdf
 
     return counted.mapInPandas(pack, "doc_id string, n_tokens int, seq_id string, seq_pos int")
+
+
+def _dsir_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) with one row per unigram/bigram OCCURRENCE (multiset, the
+    paper's hashed n-gram feature counts)."""
+    toks = tokenize(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(word_shingles(toks, 1), word_shingles(toks, 2))).alias("gram"),
+    )
+
+
+def dsir_bucket_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) bucket model: hashed
+    unigram+bigram bag-of-ngrams over ``buckets`` buckets, with per-bucket
+    log(p_target / q_raw) under add-``alpha`` smoothing.
+
+    Returns one row per bucket id in [0, buckets) — a dense, broadcastable
+    table (buckets is small by construction), so scoring a 100 TB raw corpus
+    is one explode + broadcast-join + partial-agg sum, no shuffle of text.
+    """
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _dsir_grams(df, text_col, id_col)
+            .select(F.pmod(_hash64(F.col("gram"), 0, hasher), F.lit(buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    all_b = spark.range(buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        all_b.join(counts(target, "ct"), "bucket", "left")
+        .join(counts(raw, "cr"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    tot = joined.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + F.lit(alpha)) / (F.col("tt") + F.lit(alpha * buckets)))
+                - F.log((F.col("cr") + F.lit(alpha)) / (F.col("tr") + F.lit(alpha * buckets)))
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, log_weight): each raw doc's DSIR log importance weight — the sum
+    of its gram occurrences' bucket log-ratios (rounded to 6 dp so the value
+    is stable under engine-side summation order).  Docs with no grams weigh
+    0.0.  The ratio table broadcasts; the raw corpus is scanned once."""
+    ratio = dsir_bucket_logratio(raw, target, buckets, alpha, text_col, id_col, hasher)
+    per_gram = (
+        _dsir_grams(raw, text_col, id_col)
+        .select("id", F.pmod(_hash64(F.col("gram"), 0, hasher), F.lit(buckets)).alias("bucket"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(F.round(F.sum("logratio"), 6).alias("log_weight"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per_gram, "id", "left")
+        .select("id", F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    seed: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Importance resampling WITHOUT replacement via deterministic Gumbel
+    top-k (the paper's sampler, derandomized): score = log_weight + g where
+    g = -ln(-ln(u)) and u is a seeded hash of the id mapped into (0, 1) —
+    reproducible across engines and runs, no RNG state.  Returns the k
+    selected rows as (id, log_weight, score), ordered by the plan's
+    TakeOrderedAndProject (top-k merge, no full sort)."""
+    m = 1 << 20
+    w = dsir_importance_weights(raw, target, buckets, alpha, text_col, id_col, hasher)
+    u = (F.pmod(_hash64(F.col("id").cast("string"), seed, hasher), F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
+    return (
+        w.withColumn("score", F.round(F.col("log_weight") - F.log(-F.log(u)), 6))
+        .orderBy(F.desc("score"), "id")
+        .limit(k)
+    )

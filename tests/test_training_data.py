@@ -351,3 +351,45 @@ def test_source_quality_report_keep_rates(spark):
     assert out["clean"]["gopher_keep_rate"] == 1.0
     assert out["junk"]["gopher_keep_rate"] == 0.0
     assert out["clean"]["n_docs"] == 4 and out["clean"]["total_tokens"] == 4 * 130
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """Raw docs written in the target's vocabulary must outweigh raw docs in
+    a disjoint vocabulary, and an empty doc weighs exactly 0."""
+    from cognee_graphdb_spark.operators.training_data import dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "beta alpha alpha"),
+         (200, "zulu yankee xray"), (201, "quebec victor whiskey"),
+         (300, "")],
+        "doc_id long, text string",
+    )
+    w = {r["id"]: r["log_weight"] for r in dsir_importance_weights(raw, target, buckets=512).collect()}
+    assert len(w) == 5
+    assert min(w[100], w[101]) > max(w[200], w[201])
+    assert w[300] == 0.0
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    """Gumbel top-k is a deterministic function of (id, seed): same call
+    twice -> identical selection; different seed -> same weights, different
+    tie-broken ordering allowed; k bounds the output."""
+    from cognee_graphdb_spark.operators.training_data import dsir_resample
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta token{i % 7} gamma") for i in range(100, 140)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in dsir_resample(raw, target, k=10, buckets=512, seed=17).collect()]
+    b = [tuple(r) for r in dsir_resample(raw, target, k=10, buckets=512, seed=17).collect()]
+    assert a == b and len(a) == 10
+    ids = {t[0] for t in a}
+    assert ids <= set(range(100, 140))
+    c = {t[0] for t in dsir_resample(raw, target, k=10, buckets=512, seed=99).collect()}
+    assert c <= set(range(100, 140)) and len(c) == 10
