@@ -327,7 +327,14 @@ def minhash_index_dedup(
     )
     if update:
         pairs = pairs.localCheckpoint(eager=True)  # materialize before the index grows
-        _index_append(new_sig, new_bands, path)
+        # register each id at most once: a replayed batch (at-least-once
+        # delivery) must not grow the registry — anti-join the batch against
+        # the ids already present, materialized BEFORE the append touches
+        # the same path (mirrors minhash_index_ingest's survivors-only append)
+        registered = old_sigs.select("id").distinct()
+        fresh_sig = new_sig.join(registered, "id", "left_anti").localCheckpoint(eager=True)
+        fresh_bands = new_bands.join(registered, "id", "left_anti").localCheckpoint(eager=True)
+        _index_append(fresh_sig, fresh_bands, path)
     return pairs
 
 
@@ -560,10 +567,13 @@ def semdedup(
     from pyspark.sql.window import Window
 
     h = _hash64(F.col("id"), seed, hasher)
+    # seed selection: top-k smallest (hash, id) via orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heaps + a k-row driver merge) — a
+    # global row_number window here would funnel EVERY row through one task.
+    # The window below then ranks only the k seed rows.
+    seeds = unit.withColumn("h", h).orderBy("h", "id").limit(k)
     centroids = (
-        unit.withColumn("h", h)
-        .withColumn("rn", F.row_number().over(Window.orderBy("h", "id")))
-        .filter(F.col("rn") <= k)
+        seeds.withColumn("rn", F.row_number().over(Window.orderBy("h", "id")))
         .select((F.col("rn") - 1).alias("cluster"), F.col("u").alias("c"))
         .localCheckpoint(eager=True)
     )

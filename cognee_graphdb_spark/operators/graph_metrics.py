@@ -337,9 +337,15 @@ def pagerank(
         probe = nh.agg((F.count_distinct("id") - F.count_distinct("h")).alias("c")).first()
         if probe["c"] != 0:
             raise ValueError("xxhash64 collision among node ids; pagerank needs distinct keys")
+    # edges referencing ids absent from `nodes` would otherwise leak rank
+    # mass (their contrib rows fall out of the base_frame left join below),
+    # so ranks would no longer sum to 1 — restrict to the induced subgraph.
+    # Two one-time semi-joins; at scale AQE broadcasts nh when it fits.
     e = (
         edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd"))
         .distinct()
+        .join(nh.select(F.col("h").alias("hs")), "hs", "left_semi")
+        .join(nh.select(F.col("h").alias("hd")), "hd", "left_semi")
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)

@@ -1582,6 +1582,18 @@ class _Parser(_TokenCursor):
                 args.append(self._comparison())
             self.expect("op", ")")
             self._saw_agg = True
+            if fname == "PERCENTILEDISC" and len(args) == 2:
+                # exact discrete percentile (Neo4j's nearest-rank rule:
+                # the value at rank ceil(p*n), minimum 1) — Spark's
+                # percentile_approx is an approximate sketch and can return
+                # a neighboring value on moderate data.  collect_list sorts
+                # the group in memory, which exact-disc inherently requires.
+                d = "DISTINCT " if distinct else ""
+                val, p = args
+                return (
+                    f"element_at(array_sort(collect_list({d}{val})), "
+                    f"greatest(1, CAST(ceil(({p}) * count({d}{val})) AS INT)))"
+                )
             return f"{_AGGS_EXTRA[fname]}({'DISTINCT ' if distinct else ''}{', '.join(args)})"
         self.expect("op", ")")
         self._saw_agg = True

@@ -22,7 +22,14 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SHIPPED: set[int] = set()
 
 
-_NON_SCAN_NODES = ("Join", "Aggregate", "Repartition", "Window", "Sort", "Deduplicate", "MapInPandas", "FlatMapGroupsInPandas")
+_NON_SCAN_NODES = (
+    "Join", "Aggregate", "Repartition", "Window", "Sort", "Deduplicate",
+    "MapInPandas", "FlatMapGroupsInPandas",
+    # Filter: df.inputFiles() is NOT partition-pruned, so a partition-filtered
+    # scan would be estimated at its pre-pruning width and fan_out would skip
+    # a needed repartition — filtered plans pay the exact probe instead
+    "Filter",
+)
 
 
 def _scan_partition_estimate(df) -> int | None:

@@ -1127,3 +1127,18 @@ def test_entity_accessors_and_stats(spark, graph):
     assert r["m"] == 42.0
     [r] = rows(spark, graph, "MATCH (c:Customer) RETURN round(stDev(size(c.name)), 3) AS sd")
     assert r["sd"] == 1.414  # sample stddev over name lengths {5, 3}
+
+
+def test_percentile_disc_is_exact_nearest_rank(spark, graph):
+    """percentileDisc follows Neo4j's nearest-rank rule (value at rank
+    ceil(p*n), min 1) EXACTLY — not percentile_approx's sketch: over the
+    name-length multiset the answer must be an element of the set, picked
+    by rank, for every p including the boundaries."""
+    # UNWIND gives a controlled multiset: [1, 2, 3, 4] -> p=0.5 ⇒ rank 2 ⇒ 2
+    q = "UNWIND [1, 2, 3, 4] AS x RETURN percentileDisc(x, {p}) AS v"
+    for p, want in ((0.25, 1), (0.5, 2), (0.51, 3), (0.75, 3), (1.0, 4), (0.0, 1)):
+        [r] = rows(spark, graph, q.format(p=p))
+        assert r["v"] == want, (p, r["v"])
+    # odd count: [10, 20, 30] -> median is the middle element, no interpolation
+    [r] = rows(spark, graph, "UNWIND [10, 20, 30] AS x RETURN percentileDisc(x, 0.5) AS v")
+    assert r["v"] == 20

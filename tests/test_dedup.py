@@ -155,6 +155,30 @@ def test_minhash_index_accumulates(spark, tmp_path):
     assert inc_pairs == full_cross
 
 
+def test_minhash_index_replayed_batch_does_not_grow_registry(spark, tmp_path):
+    """At-least-once delivery: re-running the SAME update=True batch must
+    leave the registry row counts unchanged (ids are registered at most
+    once), and the pair output must stay identical across redeliveries."""
+    from cognee_graphdb_spark.operators.dedup import minhash_index_build, minhash_index_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    minhash_index_build(mk([(1, base)]), path, num_hashes=16, bands=8)
+
+    batch = [(10, base + " extra"), (11, "totally unrelated shuffle partition text")]
+    p1 = {(r["id_old"], r["id_new"]) for r in minhash_index_dedup(mk(batch), path, threshold=0.3).collect()}
+    sig_n = spark.read.parquet(f"{path}/signatures").count()
+    band_n = spark.read.parquet(f"{path}/bands").count()
+    assert sig_n == 3  # 1 built + 2 appended, no duplicates
+
+    # replay the identical batch: pairs re-reported, registry unchanged
+    p2 = {(r["id_old"], r["id_new"]) for r in minhash_index_dedup(mk(batch), path, threshold=0.3).collect()}
+    assert p1 == p2 == {(1, 10)}
+    assert spark.read.parquet(f"{path}/signatures").count() == sig_n
+    assert spark.read.parquet(f"{path}/bands").count() == band_n
+
+
 def test_semdedup_drops_planted_near_duplicates(spark):
     """Three exact-duplicate groups planted among orthogonal-ish vectors:
     within each group exactly one survivor remains, and it is the lowest-id

@@ -231,6 +231,31 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[v] == pytest.approx(r[idx[v]], rel=1e-12)
 
 
+def test_pagerank_edges_to_unknown_ids_conserve_mass(spark):
+    """Edges whose src/dst is NOT in the node frame are ignored (induced
+    subgraph): ranks still sum to 1 and equal the run without those edges —
+    previously the unknown-dst contribution silently leaked rank mass."""
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    clean = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "a", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    noisy = clean.union(
+        spark.createDataFrame(
+            [("a", "ghost", "r"), ("ghost", "b", "r")],
+            ["src", "dst", "relationship_name"],
+        )
+    )
+    want = {r["id"]: r["rank"] for r in pagerank(nodes, clean, n_iter=8).collect()}
+    got = {r["id"]: r["rank"] for r in pagerank(nodes, noisy, n_iter=8).collect()}
+    assert got == want
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
 def test_pagerank_empty_graph(spark):
     from cognee_graphdb_spark.operators.graph_metrics import pagerank
 
