@@ -756,10 +756,21 @@ def _q_chunk_classification(spark, sf_dir):
 
 
 def _q_graph_completion_context(spark, sf_dir):
+    """GRAPH_COMPLETION's retrieval half, oracle-checked end to end (promoted
+    from rows-only in r7): cognify 100 docs -> hash-embed every collection ->
+    cosine distances -> per-collection min-max normalize -> triplet score ->
+    top-10.  The a9_pagerank technique makes the floats checkable: the DuckDB
+    oracle rebuilds the SAME float32 vectors (CAST(c/n AS FLOAT) per element,
+    dense 64-lists so list_dot_product folds in the same index order as
+    functions/vectors.py:dot) and both sides quantize the score to ppm."""
     from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
 
     res = _cognify_memo(spark, sf_dir, 100)
-    return brute_force_triplet_search(res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10)
+    top = brute_force_triplet_search(res.nodes, res.edges, res.embeddings, "fast table scan merge join", k=10)
+    return top.select(
+        "src", "src_name", "relationship_name", "dst", "dst_name",
+        F.round(F.col("triplet_score") * 1e6).cast("bigint").alias("score_ppm"),
+    )
 
 
 def _q_graph_completion_e2e(spark, sf_dir):
@@ -1452,12 +1463,20 @@ def _q_s4_column_values(spark, sf_dir):
 
 
 def _q_u7_cot_triplets(spark, sf_dir):
+    """U7 CoT loop, oracle-checked (promoted from rows-only in r7): the mock
+    follow-up question depends only on the query (gateway.py:
+    followup_question -> 'what else relates to scan?'), so the 2-iteration
+    loop's triplet set is exactly dedup(top5(query) ∪ top5(followup)) — the
+    DuckDB oracle runs both searches and unions the keys.  The per-key score
+    is dropped: dropDuplicates keeps an arbitrary survivor when the same
+    triplet ranks under both queries, so the SET is the deterministic part
+    (reference: graph_completion_cot_retriever.py:57-142)."""
     from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_cot
 
     res = _cognify_memo(spark, sf_dir, 60)
     ctx = GraphContext(nodes=res.nodes, edges=res.edges, embeddings=res.embeddings)
     _, triplets = graph_completion_cot(ctx, "fast table scan merge", k=5, max_iter=2)
-    return triplets
+    return triplets.select("src", "src_name", "relationship_name", "dst", "dst_name")
 
 
 def _q_u8_context_extension_triplets(spark, sf_dir):
@@ -1776,70 +1795,24 @@ def _q_skew_report(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02..r05 each covered exactly the first 50).  Round 6
-    # leads with every entry that never had an oracle-checked driver row —
-    # the 7 added/promoted in r5, the r6 additions (mm_png/gif/jpeg_resize,
-    # mm_media_info, cypher_case/union_having/list_ops, v5_embed_knn,
-    # chunk_classification), the promotions (a2_connected_components,
-    # cognify_node_counts, memify_rules, code_graph_counts) — plus the fixed
-    # a2_graph_metrics (r5's red row) and the flagship: 24 entries, leaving
-    # ~26 window slots that re-prove the OLDEST-rowed part of the r04 block.
-    # The r04-era entries pushed past position ~50 keep their existing
-    # driver rows (cumulative coverage is unaffected) and rotate to the
-    # front of the re-proof block next round.
+    # (CORRECTNESS_r02..r06 each covered exactly the first 50).  Round 7
+    # rotates the window to RE-PROVE the oldest driver rows under current
+    # code (the r6 window re-proved the r4-era block + landed the r6
+    # additions; everything below position 50 was last driver-validated on
+    # r5 code).  Window layout: new r7 entries + the two promoted composites
+    # (graph_completion_context / u7_cot_triplets gained ppm-quantized /
+    # set-valued oracles this round) + the flagship, then the 11 entries
+    # whose last row predates r5, then the oldest 36 of the r5-green block.
+    # Entries past position 50 keep their cumulative rows and lead the r8
+    # window.
     raw = {
-        # -- round-6 window (first 50) ---------------------------------------
-        "a2_graph_metrics": _q_a2_graph_metrics,
+        # -- round-7 window (first 50) ---------------------------------------
+        # promoted from rows-only this round (first oracle-checked rows)
+        "graph_completion_context": _q_graph_completion_context,
+        "u7_cot_triplets": _q_u7_cot_triplets,
+        # flagship (rows-only by design: mock-LLM prose output)
         "graph_completion_e2e": _q_graph_completion_e2e,
-        "f1_f4_chunking": _q_chunking,
-        "td_pack_sequences": _q_td_pack_sequences,
-        "mm_wav_decode": _q_mm_wav_decode,
-        "mm_bmp_resize": _q_mm_bmp_resize,
-        "mm_png_resize": _q_mm_png_resize,
-        "mm_gif_resize": _q_mm_gif_resize,
-        "mm_jpeg_resize": _q_mm_jpeg_resize,
-        "mm_media_info": _q_mm_media_info,
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        "cypher_case": _q_cypher_case,
-        "cypher_undirected": _q_cypher_undirected,
-        "cypher_union_having": _q_cypher_union_having,
-        "cypher_list_ops": _q_cypher_list_ops,
-        "v5_embed_knn": _q_v5_embed_knn,
-        "td_curate_corpus": _q_td_curate_corpus,
-        "a2_connected_components": _q_a2_components,
-        "cognify_node_counts": _q_cognify_counts,
-        "chunk_classification": _q_chunk_classification,
-        "memify_rules": _q_memify_rules,
-        "code_graph_counts": _q_code_graph,
-        "dedup_incremental_index": _q_dedup_incremental_index,
-        "a9_pagerank": _q_a9_pagerank,
-        "dedup_semdedup": _q_dedup_semdedup,
-        "td_dsir_resample": _q_td_dsir_resample,
-        # ...the r04-green block, oldest driver rows first ------------------
-        "s1_ingest_identify": _q_s1_ingest,
-        "s3_classify_documents": _q_s3_classify,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "u_regex_entities": _q_regex_entities,
-        "edge_weights_flatten": _q_edge_weights_flatten,
-        "mm_frame_sample": _q_frame_sample,
-        "mm_resize_plan": _q_resize_plan,
-        "a2_component_sizes": _q_a2_component_sizes,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
-        "natural_language_search": _q_natural_language,
-        "td_hash_sample": _q_td_hash_sample,
-        "td_stratified_sample": _q_td_stratified_sample,
-        "td_decontaminate": _q_td_decontaminate,
-        "td_pii_redact": _q_td_pii_redact,
-        "td_corpus_stats": _q_td_corpus_stats,
-        "td_repetition": _q_td_repetition,
-        "td_gopher_filter": _q_td_gopher_filter,
+        # oldest driver rows first: the r4-era block that sat past the r6 cut
         "td_unigram_logprob": _q_td_unigram_logprob,
         "td_weighted_sample": _q_td_weighted_sample,
         "td_shuffle_shards": _q_td_shuffle_shards,
@@ -1851,7 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
-        # -- window boundary (50): below here, re-proved green in r05 ---------
+        # ...then the r5-green block, in its r5 window order
         "skew_report": _q_skew_report,
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
@@ -1888,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "quality_features": _q_quality_features,
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        # rest of the r5-green block (leads the r8 window)
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
@@ -1903,9 +1878,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_last_k_interactions": _q_w4_last_k,
         "w1_topk_smallest": _q_w1_topk_smallest,
         "w3_null_inf_sort": _q_w3_null_inf_sort,
-        # rows-only composites (float-ranked retrieval / iterative LLM loops)
-        "graph_completion_context": _q_graph_completion_context,
-        "u7_cot_triplets": _q_u7_cot_triplets,
+        # the r6-validated block (freshest rows)
+        "a2_graph_metrics": _q_a2_graph_metrics,
+        "f1_f4_chunking": _q_chunking,
+        "td_pack_sequences": _q_td_pack_sequences,
+        "mm_wav_decode": _q_mm_wav_decode,
+        "mm_bmp_resize": _q_mm_bmp_resize,
+        "mm_png_resize": _q_mm_png_resize,
+        "mm_gif_resize": _q_mm_gif_resize,
+        "mm_jpeg_resize": _q_mm_jpeg_resize,
+        "mm_media_info": _q_mm_media_info,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
+        "cypher_case": _q_cypher_case,
+        "cypher_undirected": _q_cypher_undirected,
+        "cypher_union_having": _q_cypher_union_having,
+        "cypher_list_ops": _q_cypher_list_ops,
+        "v5_embed_knn": _q_v5_embed_knn,
+        "td_curate_corpus": _q_td_curate_corpus,
+        "a2_connected_components": _q_a2_components,
+        "cognify_node_counts": _q_cognify_counts,
+        "chunk_classification": _q_chunk_classification,
+        "memify_rules": _q_memify_rules,
+        "code_graph_counts": _q_code_graph,
+        "dedup_incremental_index": _q_dedup_incremental_index,
+        "a9_pagerank": _q_a9_pagerank,
+        "dedup_semdedup": _q_dedup_semdedup,
+        "td_dsir_resample": _q_td_dsir_resample,
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
+        "u_regex_entities": _q_regex_entities,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "natural_language_search": _q_natural_language,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
+        # rows-only composite (completion-length feedback loop; see docstring)
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
@@ -1979,6 +2002,131 @@ hashed AS (SELECT id, {_md5_64('token', 0)} AS h FROM toks),
 bitsums AS (SELECT id, {bitsums} FROM hashed GROUP BY id)
 SELECT id, CAST({total} AS BIGINT) AS simhash FROM bitsums
 """
+
+
+def _cognify_graph_sql(limit: int) -> str:
+    """CTE chain restating the FULL cognify build (plans/cognify.py) over the
+    first ``limit`` documents: chunks (exact 256-word blocks — the corpus has
+    no sentence enders), the mock extraction (first 8 distinct words len>=5
+    per chunk, typed by first letter, consecutive-pair co_occurs edges),
+    content-addressed ids (md5 over chr(31)-joined parts, ids.py:content_id),
+    summaries (first 200 chars of the stripped chunk text), the deduped edge
+    set, the (id, name) node lookup, and the five embedding collections as
+    DENSE 64-element hash vectors with float32-cast elements — dense so
+    DuckDB's list_dot_product folds in the same index order as
+    functions/vectors.py:dot, making every downstream double bit-identical."""
+    return f"""cg_d AS (SELECT doc_id, text FROM documents LIMIT {limit}),
+cg_w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM cg_d
+),
+cg_ch AS (
+  SELECT doc_id, k,
+         ws[k * 256 + 1 : least((k + 1) * 256, nw)] AS cws,
+         (k + 1) * 256 >= nw AS is_last
+  FROM cg_w, unnest(range(0, CAST(ceil(nw / 256.0) AS BIGINT))) AS ks(k)
+),
+cg_chunk AS (
+  SELECT doc_id, k, cws,
+         array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END AS ctext,
+         md5(array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END) AS chunk_id
+  FROM cg_ch
+),
+cg_tok AS (
+  SELECT chunk_id, cws[i] AS tok, i
+  FROM (SELECT DISTINCT chunk_id, cws FROM cg_chunk) c, unnest(range(1, len(cws) + 1)) AS u(i)
+  WHERE length(cws[i]) >= 5
+),
+cg_first AS (SELECT chunk_id, tok, min(i) AS fi FROM cg_tok GROUP BY chunk_id, tok),
+cg_ent8 AS (
+  SELECT chunk_id, tok, rn
+  FROM (SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY fi) AS rn FROM cg_first)
+  WHERE rn <= 8
+),
+cg_cooc AS (
+  SELECT a.chunk_id, a.tok AS sname, b.tok AS dname
+  FROM cg_ent8 a JOIN cg_ent8 b ON a.chunk_id = b.chunk_id AND b.rn = a.rn + 1
+),
+cg_edges AS (
+  SELECT DISTINCT src, dst, relationship_name FROM (
+    SELECT chunk_id AS src, 'doc:' || CAST(doc_id AS VARCHAR) AS dst, 'is_part_of' AS relationship_name FROM cg_chunk
+    UNION ALL SELECT chunk_id, md5('Entity' || chr(31) || tok), 'contains' FROM cg_ent8
+    UNION ALL SELECT md5('Entity' || chr(31) || tok), md5('EntityType' || chr(31) || 'Type_' || substr(tok, 1, 1)), 'is_a' FROM cg_ent8
+    UNION ALL SELECT md5('TextSummary' || chr(31) || chunk_id), chunk_id, 'made_from' FROM (SELECT DISTINCT chunk_id FROM cg_chunk)
+    UNION ALL SELECT md5('Entity' || chr(31) || sname), md5('Entity' || chr(31) || dname), 'co_occurs' FROM cg_cooc
+  ) u
+),
+cg_nodes AS (
+  SELECT DISTINCT id, name FROM (
+    SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS VARCHAR) AS name FROM cg_d
+    UNION ALL SELECT DISTINCT chunk_id, chunk_id FROM cg_chunk
+    UNION ALL SELECT DISTINCT md5('Entity' || chr(31) || tok), tok FROM cg_ent8
+    UNION ALL SELECT DISTINCT md5('EntityType' || chr(31) || 'Type_' || substr(tok, 1, 1)), 'Type_' || substr(tok, 1, 1) FROM cg_ent8
+    UNION ALL SELECT DISTINCT md5('TextSummary' || chr(31) || chunk_id), substr(trim(ctext), 1, 200) FROM cg_chunk
+  ) u
+),
+cg_embrows AS (
+  SELECT 'DocumentChunk_text' AS collection, chunk_id AS id, ctext AS txt FROM (SELECT DISTINCT chunk_id, ctext FROM cg_chunk)
+  UNION ALL SELECT 'Entity_name', md5('Entity' || chr(31) || tok), tok FROM (SELECT DISTINCT tok FROM cg_ent8)
+  UNION ALL SELECT 'EntityType_name', md5('EntityType' || chr(31) || tname), tname FROM (SELECT DISTINCT 'Type_' || substr(tok, 1, 1) AS tname FROM cg_ent8)
+  UNION ALL SELECT 'TextSummary_text', md5('TextSummary' || chr(31) || chunk_id), substr(trim(ctext), 1, 200) FROM (SELECT DISTINCT chunk_id, ctext FROM cg_chunk)
+  UNION ALL SELECT 'EdgeType_relationship_name', md5('EdgeType' || chr(31) || relationship_name), relationship_name FROM (SELECT DISTINCT relationship_name FROM cg_edges)
+),
+cg_vb AS (
+  SELECT collection, id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS b, count(*) AS c
+  FROM (SELECT collection, id, unnest(list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9]+'), x -> x != '')) AS tok FROM cg_embrows) t
+  GROUP BY collection, id, b
+),
+cg_vec AS (
+  SELECT collection, id,
+         list_transform(range(0, 64), i -> CAST(CAST(CAST(coalesce(mp[i][1], 0) AS DOUBLE) / n AS FLOAT) AS DOUBLE)) AS v
+  FROM (SELECT collection, id, map(list(b), list(c)) AS mp, sqrt(sum(c * c)) AS n FROM cg_vb GROUP BY collection, id)
+)"""
+
+
+def _triplet_search_sql(prefix: str, query_text: str, k: int) -> str:
+    """Per-query CTEs over the _cognify_graph_sql frames: query vector
+    (HashEmbedder doubles inlined as literals — the Spark side embeds the
+    query driver-side in Python, so the literal IS the same doubles), cosine
+    distances, per-collection min-max normalize (vector/utils.py semantics:
+    all-equal -> 0.0), per-node min across collections, edge-type scores, and
+    the top-k by (raw score, src, dst, relationship_name) — the
+    triplet_score_join total order."""
+    from cognee_graphdb_spark.llm.embedder import HashEmbedder
+
+    qv = HashEmbedder(64).embed(query_text)
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    return f"""{prefix}q AS (SELECT {lit} AS qv),
+{prefix}dist AS (
+  SELECT collection, id,
+         1.0 - list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS d
+  FROM cg_vec, {prefix}q
+),
+{prefix}norm AS (
+  SELECT collection, id,
+         CASE WHEN maxd = mind THEN 0.0 ELSE (d - mind) / (maxd - mind) END AS score
+  FROM (SELECT *, min(d) OVER (PARTITION BY collection) AS mind,
+               max(d) OVER (PARTITION BY collection) AS maxd FROM {prefix}dist)
+),
+{prefix}ns AS (
+  SELECT id, min(score) AS score FROM {prefix}norm
+  WHERE collection <> 'EdgeType_relationship_name' GROUP BY id
+),
+{prefix}ets AS (
+  SELECT e.txt AS relationship_name, n.score
+  FROM {prefix}norm n JOIN cg_embrows e ON n.collection = e.collection AND n.id = e.id
+  WHERE n.collection = 'EdgeType_relationship_name'
+),
+{prefix}top AS (
+  SELECT e.src, e.dst, e.relationship_name,
+         coalesce(s1.score, 1.0) + coalesce(s2.score, 1.0) + coalesce(t.score, 1.0) AS raw
+  FROM cg_edges e
+  LEFT JOIN {prefix}ns s1 ON e.src = s1.id
+  LEFT JOIN {prefix}ns s2 ON e.dst = s2.id
+  LEFT JOIN {prefix}ets t ON e.relationship_name = t.relationship_name
+  ORDER BY raw, e.src, e.dst, e.relationship_name LIMIT {k}
+)"""
 
 
 def _hyperplane_bucket_sql(vec_expr: str, bits: int, dim: int) -> str:
@@ -2723,6 +2871,36 @@ UNION ALL
 SELECT 'Entity', (SELECT count(DISTINCT tok) FROM ents)
 UNION ALL
 SELECT 'EntityType', (SELECT count(DISTINCT 'Type_' || tok[1]) FROM ents)"""
+
+    # GRAPH_COMPLETION retrieval promoted to oracle-checked: the whole
+    # cognify + embed + normalize + triplet-score chain restated (dense
+    # float32 vectors, same fold order), score quantized to ppm
+    sql["graph_completion_context"] = f"""
+WITH {_cognify_graph_sql(100)},
+{_triplet_search_sql('gc_', 'fast table scan merge join', 10)}
+SELECT t.src, ns.name AS src_name, t.relationship_name, t.dst, nd.name AS dst_name,
+       CAST(round(t.raw * 1e6) AS BIGINT) AS score_ppm
+FROM gc_top t
+LEFT JOIN cg_nodes ns ON t.src = ns.id
+LEFT JOIN cg_nodes nd ON t.dst = nd.id"""
+
+    # U7 CoT promoted: the mock follow-up depends only on the query text
+    # ('what else relates to scan?'), so the loop's triplet set is exactly
+    # dedup(top5(query) ∪ top5(followup))
+    sql["u7_cot_triplets"] = f"""
+WITH {_cognify_graph_sql(60)},
+{_triplet_search_sql('u7a_', 'fast table scan merge', 5)},
+{_triplet_search_sql('u7b_', 'what else relates to scan?', 5)},
+u7_keys AS (
+  SELECT DISTINCT src, dst, relationship_name FROM (
+    SELECT src, dst, relationship_name FROM u7a_top
+    UNION ALL SELECT src, dst, relationship_name FROM u7b_top
+  ) u
+)
+SELECT k.src, ns.name AS src_name, k.relationship_name, k.dst, nd.name AS dst_name
+FROM u7_keys k
+LEFT JOIN cg_nodes ns ON k.src = ns.id
+LEFT JOIN cg_nodes nd ON k.dst = nd.id"""
 
     # chunk classification: same 256-word-block chunk restatement, first-2
     # distinct words len>=6 per DISTINCT chunk text (content-addressed edge
