@@ -13,6 +13,15 @@ the standard low-variance estimator of the true plan cost.  Build steps that
 create caches get a reset hook that unpersists exactly what they cached, so
 every iteration measures the same cold build, and the caches downstream steps
 rely on are left in place by the final iteration.
+
+Cross-round comparability: min-of-N kills within-session noise but not
+week-to-week drift of the shared VM (round 6 recorded a uniform 1.4-1.9x
+slowdown on byte-identical code).  The ``calibration`` field is a FIXED
+JVM-only workload (a 2e9-row codegen'd sum + a 2e7-row shuffle) measured the
+same way; it depends on the machine, never on this repo's code, so
+``value_normalized`` = value / calibration is the drift-corrected total — a
+regression in value_normalized is a plan regression, a uniform move in both
+value and calibration is environment drift.
 """
 
 from __future__ import annotations
@@ -79,6 +88,18 @@ def main() -> None:
             return fn
 
         return deco
+
+    # --- calibration (code-independent, measures the machine) -----------------
+    # NOT included in "value"/"queries" so per-query comparisons stay aligned
+    # across rounds; min-of-3 like the steps.
+    cal = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr("sum(id)").collect()
+        spark.range(20_000_000).selectExpr("id % 1000 AS k").groupBy("k").count().collect()
+        dt = time.perf_counter() - t0
+        cal = dt if cal is None else min(cal, dt)
+    calibration = round(cal, 3)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -291,6 +312,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "calibration": calibration,
+                "value_normalized": round(total / calibration, 3),
             }
         )
     )
