@@ -41,9 +41,15 @@ class HashEmbedder:
         return texts.map(lambda t: self.embed(t or ""))
 
 
-def embed_column(text_col: Column | str, dim: int = 64) -> Column:
-    """Arrow-batched pandas UDF producing array<float> embeddings."""
-    embedder = HashEmbedder(dim)
+def embed_column(text_col: Column | str, dim: int = 64, embedder=None) -> Column:
+    """Arrow-batched pandas UDF producing array<float> embeddings.
+
+    ``embedder`` is any picklable object with ``embed_batch(pd.Series) ->
+    pd.Series[list[float]]`` — the deterministic :class:`HashEmbedder` by
+    default, or :class:`~cognee_graphdb_spark.llm.http_gateway.HttpEmbedder`
+    for a real endpoint (which coalesces each Arrow batch into
+    ``batch_size``-sized HTTP requests worker-side)."""
+    embedder = embedder or HashEmbedder(dim)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
