@@ -755,6 +755,38 @@ def _q_chunk_classification(spark, sf_dir):
     )
 
 
+def _q_mm_llm_media_text(spark, sf_dir):
+    """S2 [LLM] media loader path, oracle-checked: WAV/BMP blobs synthesize
+    from doc ids, decode for REAL (PCM rms / pixel means), and the mock
+    gateway turns the feature envelope into deterministic transcript /
+    description text — the reference's audio_loader.py:18 /
+    image_loader.py:15 -> LLMGateway.create_transcript / transcribe_image
+    shape, where media is stored as text for downstream chunk/embed.  DuckDB
+    restates the decoded features analytically from the synthesis formulas
+    (integer-exact sums, bit-identical sqrt/div doubles, truncating ppm)."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.sources.ingest import decode_documents
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    _ship_package(spark)
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import synth_bmp_for_id, synth_wav_for_id
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows.append((f"a:{d}", "AudioDocument", synth_wav_for_id(d)))
+                rows.append((f"i:{d}", "ImageDocument", synth_bmp_for_id(d)))
+            yield pd.DataFrame(rows, columns=["id", "document_type", "content"])
+
+    media = docs.mapInPandas(synth, "id string, document_type string, content binary")
+    return decode_documents(media, gateway=MockLLMGateway())
+
+
 def _q_graph_completion_context(spark, sf_dir):
     """GRAPH_COMPLETION's retrieval half, oracle-checked end to end (promoted
     from rows-only in r7): cognify 100 docs -> hash-embed every collection ->
@@ -1807,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.
     raw = {
         # -- round-7 window (first 50) ---------------------------------------
+        # new this round ([LLM] media loader path)
+        "mm_llm_media_text": _q_mm_llm_media_text,
         # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
@@ -1860,9 +1894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "quality_features": _q_quality_features,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r5-green block (leads the r8 window)
+        "quality_features": _q_quality_features,
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
@@ -2871,6 +2905,35 @@ UNION ALL
 SELECT 'Entity', (SELECT count(DISTINCT tok) FROM ents)
 UNION ALL
 SELECT 'EntityType', (SELECT count(DISTINCT 'Type_' || tok[1]) FROM ents)"""
+
+    # [LLM] media loaders: transcript/description strings rebuilt from the
+    # synthesis formulas — rms via integer-exact sums then bit-identical
+    # sqrt/div, mean red via integer floor division, ppm truncation (int()
+    # toward zero == floor for positives)
+    sql["mm_llm_media_text"] = """
+WITH arms AS (
+  SELECT doc_id, n, sqrt(SUM(CAST(sq AS DOUBLE)) / n) / 255.0 AS rms
+  FROM (
+    SELECT doc_id, n, ((doc_id * 7 + i * 3) % 256 - 128) * ((doc_id * 7 + i * 3) % 256 - 128) AS sq
+    FROM (SELECT doc_id, 200 + doc_id % 100 AS n, unnest(range(0, 200 + doc_id % 100)) AS i FROM documents) t
+  ) s
+  GROUP BY doc_id, n
+),
+img AS (
+  SELECT doc_id, w, CAST(SUM((doc_id + 3 * x + 7 * y) % 256) // (w * 12) AS BIGINT) AS mr
+  FROM (SELECT doc_id, 16 + doc_id % 8 AS w, unnest(range(0, 16 + doc_id % 8)) AS x FROM documents) gx,
+       (SELECT unnest(range(0, 12)) AS y)
+  GROUP BY doc_id, w
+)
+SELECT 'a:' || CAST(doc_id AS VARCHAR) AS id,
+       'audio transcript: 1 channel 1000 hz ' || CAST(n AS VARCHAR)
+         || ' ms rms_ppm ' || CAST(CAST(floor(rms * 1000000) AS BIGINT) AS VARCHAR) AS text
+FROM arms
+UNION ALL
+SELECT 'i:' || CAST(doc_id AS VARCHAR),
+       'image description: ' || CAST(w AS VARCHAR) || 'x12 pixels mean rgb '
+         || CAST(mr AS VARCHAR) || ' 0 0'
+FROM img"""
 
     # GRAPH_COMPLETION retrieval promoted to oracle-checked: the whole
     # cognify + embed + normalize + triplet-score chain restated (dense

@@ -84,6 +84,21 @@ class LLMGateway(Protocol):
         tasks/chunk_naive_llm_classifier/chunk_naive_llm_classifier.py:43)."""
         ...
 
+    def create_transcript(self, features: dict) -> str:
+        """S2 [LLM] audio loader: decoded signal features -> transcript text
+        (the reference sends the audio to the LLM and stores the transcript
+        as a text document, loaders/core/audio_loader.py:18 ->
+        LLMGateway.create_transcript).  Here the engine decodes REAL PCM
+        first (sources/media.py) and the gateway turns the feature envelope
+        into text — the mock deterministically, an HTTP gateway via a real
+        model."""
+        ...
+
+    def transcribe_image(self, features: dict) -> str:
+        """S2 [LLM] image loader: decoded pixel features -> description text
+        (loaders/core/image_loader.py:15 -> LLMGateway.transcribe_image)."""
+        ...
+
 
 _WORD_RE = re.compile(r"[A-Za-z][a-z]+")
 _SENT_SPLIT = re.compile(r"(?<=[.;!?])\s+")
@@ -230,6 +245,24 @@ class MockLLMGateway:
             return 1.0
         got_toks = set(split.findall(retrieval_context.lower()))
         return len(gold_toks & got_toks) / len(gold_toks)
+
+    def create_transcript(self, features: dict) -> str:
+        """Mock transcript: deterministic prose from the REAL decoded signal
+        features (integer-quantized rms so the driver oracle can rebuild the
+        exact string in SQL).  Same input -> same text, like every mock."""
+        return (
+            f"audio transcript: {features['channels']} channel "
+            f"{features['sample_rate']} hz {features['duration_ms']} ms "
+            f"rms_ppm {int(features['rms'] * 1e6)}"
+        )
+
+    def transcribe_image(self, features: dict) -> str:
+        """Mock image description from REAL decoded pixel features."""
+        r, g, b = features["mean_rgb"]
+        return (
+            f"image description: {features['width']}x{features['height']} "
+            f"pixels mean rgb {r} {g} {b}"
+        )
 
     def classify_chunk(self, text: str) -> dict:
         """Mock classifier: type 'TextContent', subclasses = the first two

@@ -369,7 +369,7 @@ class HttpLLMGateway:
     def create_transcript(self, features: dict) -> str:
         return self.complete(f"Transcribe the audio with these decoded signal features: {features!r}")
 
-    def describe_image(self, features: dict) -> str:
+    def transcribe_image(self, features: dict) -> str:
         return self.complete(f"Describe the image with these decoded pixel features: {features!r}")
 
 

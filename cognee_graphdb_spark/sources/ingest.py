@@ -64,7 +64,7 @@ def loader_for(document_type: str) -> str:
     }.get(document_type, "text_loader")
 
 
-def decode_row(loader: str, content: bytes | None) -> str:
+def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
     """Per-row binary decode, dispatched by loader name.
 
     - ``pdf_loader``: REAL deterministic text extraction
@@ -81,8 +81,45 @@ def decode_row(loader: str, content: bytes | None) -> str:
     - ``video_loader``: MP4 box-tree metadata parses for REAL
       (sources/container.py) — dimensions/duration/codec in the envelope;
       frame DECODE needs ffmpeg and stays a content-addressed stand-in.
+
+    ``gateway`` enables the reference's [LLM] media path: audio/image blobs
+    still decode for REAL, but the feature envelope routes through
+    ``gateway.create_transcript`` / ``gateway.transcribe_image`` so the
+    stored text is the transcript/description the reference's loaders
+    produce (audio_loader.py:18, image_loader.py:15).  Formats the engine
+    can't decode (mp3 PCM, mp4 frames) keep the non-LLM metadata envelope —
+    an honest boundary, not a silent fallthrough.
     """
     data = bytes(content) if content is not None else b""
+    if gateway is not None and loader == "audio_loader" and data[:4] == b"RIFF":
+        try:
+            from cognee_graphdb_spark.sources import media as m
+
+            info = m.parse_wav(data)
+            return gateway.create_transcript(
+                {
+                    "channels": info.channels,
+                    "sample_rate": info.sample_rate,
+                    "duration_ms": info.duration_ms,
+                    "rms": m.wav_rms(data),
+                }
+            )
+        except Exception:
+            pass
+    if gateway is not None and loader == "image_loader":
+        try:
+            from cognee_graphdb_spark.sources import media as m
+
+            if m.is_image_magic(data):
+                px = m.decode_image(data)
+                h, w = len(px), len(px[0])
+                n = h * w
+                mean = tuple(sum(p[c] for row in px for p in row) // n for c in range(3))
+                return gateway.transcribe_image(
+                    {"width": w, "height": h, "mean_rgb": mean}
+                )
+        except Exception:
+            pass
     if loader == "pdf_loader":
         from cognee_graphdb_spark.sources.pdf import extract_pdf_text
 
@@ -138,10 +175,12 @@ def decode_row(loader: str, content: bytes | None) -> str:
     return f"[{loader}:{digest[:12]}]"
 
 
-def _decode_map(df: DataFrame) -> DataFrame:
+def _decode_map(df: DataFrame, gateway=None) -> DataFrame:
     """(id, document_type, content) -> (id, text): ONE Arrow-batched
     mapInPandas pass dispatching per row — every binary type decodes in the
-    same stage, so N document types cost one plan, not a union of N."""
+    same stage, so N document types cost one plan, not a union of N.
+    ``gateway`` (picklable) switches audio/image rows to the [LLM]
+    transcript/description path (see :func:`decode_row`)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -155,7 +194,7 @@ def _decode_map(df: DataFrame) -> DataFrame:
     def _decode(batches):
         for pdf in batches:
             rows = [
-                (i, decode_row(loader_for(dtype), content))
+                (i, decode_row(loader_for(dtype), content, gateway=gateway))
                 for i, dtype, content in zip(pdf["id"], pdf["document_type"], pdf["content"])
             ]
             yield pd.DataFrame(rows, columns=["id", "text"])
@@ -163,13 +202,23 @@ def _decode_map(df: DataFrame) -> DataFrame:
     return df.select("id", "document_type", "content").mapInPandas(_decode, out_schema)
 
 
-def load_binary_as_text(df: DataFrame, document_type: str) -> DataFrame:
+def load_binary_as_text(df: DataFrame, document_type: str, gateway=None) -> DataFrame:
     """S2 loader dispatch for one document type (LoaderEngine.py:25-96):
     text loads natively (codegen cast, no Python); binary types decode via
     :func:`decode_row` inside an Arrow-batched stage."""
     if loader_for(document_type) == "text_loader":
         return df.withColumn("text", F.col("content").cast("string"))
-    return _decode_map(df.withColumn("document_type", F.lit(document_type)))
+    return _decode_map(df.withColumn("document_type", F.lit(document_type)), gateway=gateway)
+
+
+def decode_documents(df: DataFrame, gateway=None) -> DataFrame:
+    """Public mixed-type decode: (id, document_type, content) rows of ANY
+    document types through the per-row loader dispatch in one Arrow stage.
+    With ``gateway`` set this is the reference's media ingestion shape —
+    audio becomes its transcript, images their description, stored as text
+    for downstream chunk/embed (audio_loader.py / image_loader.py both write
+    ``text_<hash>.txt`` via the LLM)."""
+    return _decode_map(df, gateway=gateway)
 
 
 def ingest_texts(

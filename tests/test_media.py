@@ -169,6 +169,44 @@ def test_ingest_envelope_real_metadata():
     assert decode_row("audio_loader", b"\xff\xfbmp3data").startswith("[audio_loader:")
 
 
+def test_llm_media_loader_path():
+    """With a gateway, audio/image decode routes through create_transcript /
+    transcribe_image (the reference's [LLM] loader shape) — fed by the REAL
+    decoded features; undecodable formats keep the metadata envelope."""
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.sources.ingest import decode_row
+
+    gw = MockLLMGateway()
+    wav = m.wav_bytes(bytes([128] * 250), sample_rate=1000)
+    assert decode_row("audio_loader", wav, gateway=gw) == (
+        "audio transcript: 1 channel 1000 hz 250 ms rms_ppm 0"
+    )
+    bmp = m.bmp_bytes(5, 4, lambda x, y: (10, 20, 30))
+    assert decode_row("image_loader", bmp, gateway=gw) == (
+        "image description: 5x4 pixels mean rgb 10 20 30"
+    )
+    # text/pdf and undecodable media are untouched by the gateway flag
+    assert decode_row("audio_loader", b"\xff\xfbmp3data", gateway=gw).startswith("[audio")
+    assert decode_row("image_loader", b"junk", gateway=gw).startswith("[image_loader:")
+
+
+def test_decode_documents_mixed_types_with_gateway(spark):
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.sources.ingest import decode_documents
+
+    wav = m.wav_bytes(bytes([128] * 100), sample_rate=1000)
+    bmp = m.bmp_bytes(2, 2, lambda x, y: (7, 0, 0))
+    df = spark.createDataFrame(
+        [("a1", "AudioDocument", bytearray(wav)), ("i1", "ImageDocument", bytearray(bmp))],
+        "id string, document_type string, content binary",
+    )
+    got = {r["id"]: r["text"] for r in decode_documents(df, gateway=MockLLMGateway()).collect()}
+    assert got == {
+        "a1": "audio transcript: 1 channel 1000 hz 100 ms rms_ppm 0",
+        "i1": "image description: 2x2 pixels mean rgb 7 0 0",
+    }
+
+
 def test_png_roundtrip_and_filter_undo():
     # encoder emits filter-0 rows; decode must reproduce the pixel formula
     data = m.png_bytes(7, 5, lambda x, y: ((x * 37 + y * 91) % 256, x % 256, y % 256))
