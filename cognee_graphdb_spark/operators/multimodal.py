@@ -163,10 +163,11 @@ def image_resize(media: DataFrame, target_width: int, target_height: int) -> Dat
     resample (sx = tx*w//tw), and emit per-image stats of the RESIZED pixels
     — (media_id, width, height, target_width, target_height, red_sum).
     The integer-exact mapping keeps the output oracle-checkable."""
+    import numpy as np
     import pandas as pd
 
     from cognee_graphdb_spark.session import ship_package
-    from cognee_graphdb_spark.sources.media import decode_image, resize_nearest
+    from cognee_graphdb_spark.sources.media import decode_image_np, resize_nearest_np
 
     ship_package(media.sparkSession)
     schema = (
@@ -179,12 +180,12 @@ def image_resize(media: DataFrame, target_width: int, target_height: int) -> Dat
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    px = decode_image(bytes(content))
-                    small = resize_nearest(px, target_width, target_height)
+                    px = decode_image_np(bytes(content))
+                    small = resize_nearest_np(px, target_width, target_height)
                 except Exception:
                     continue  # malformed blob: skip, don't fail the corpus job
-                h, w = len(px), len(px[0])
-                red_sum = sum(p[0] for row in small for p in row)
+                h, w = px.shape[0], px.shape[1]
+                red_sum = int(small[:, :, 0].astype(np.int64).sum())
                 rows.append((mid, w, h, target_width, target_height, red_sum))
             yield pd.DataFrame(
                 rows,

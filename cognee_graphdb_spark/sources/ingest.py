@@ -108,13 +108,15 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
             pass
     if gateway is not None and loader == "image_loader":
         try:
+            import numpy as np
+
             from cognee_graphdb_spark.sources import media as m
 
             if m.is_image_magic(data):
-                px = m.decode_image(data)
-                h, w = len(px), len(px[0])
-                n = h * w
-                mean = tuple(sum(p[c] for row in px for p in row) // n for c in range(3))
+                px = m.decode_image_np(data)
+                h, w = px.shape[0], px.shape[1]
+                sums = px.astype(np.int64).sum(axis=(0, 1))  # integer-exact
+                mean = tuple(int(s) // (h * w) for s in sums)
                 return gateway.transcribe_image(
                     {"width": w, "height": h, "mean_rgb": mean}
                 )
@@ -158,14 +160,16 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
             pass
     if loader == "image_loader":
         try:
+            import numpy as np
+
             from cognee_graphdb_spark.sources import media as m
 
             if not m.is_image_magic(data):
                 raise ValueError("not a stdlib-decodable image")
-            px = m.decode_image(data)
-            h, w = len(px), len(px[0])
-            n = h * w
-            mean = tuple(sum(p[c] for row in px for p in row) // n for c in range(3))
+            px = m.decode_image_np(data)
+            h, w = px.shape[0], px.shape[1]
+            sums = px.astype(np.int64).sum(axis=(0, 1))  # integer-exact
+            mean = tuple(int(s) // (h * w) for s in sums)
             return f"[image {w}x{h} mean_rgb={mean}]"
         except Exception:
             pass

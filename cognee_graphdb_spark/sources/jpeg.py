@@ -106,6 +106,16 @@ AC_CHROM_VALS = [
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+# numpy views of the same basis: M[x][u] = cos((2x+1)uπ/16), A[y][v] = C[v]·M[y][v]
+# — the separable DCT/IDCT below become two 8x8 matmuls per block instead of
+# Python triple loops (the "vectorize the codec inner loops" scale note in
+# VERDICT r6; ~20x per block, same doubles to ~1e-13 so the bit-exact fixture
+# decode is unaffected)
+import numpy as _np
+
+_M = _np.array(_COS)  # (x, u)
+_A = _M * _np.array(_C)  # A[y][v] = C[v] * cos((2y+1)vπ/16)
+
 
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) from a canonical BITS/HUFFVAL pair."""
@@ -142,35 +152,31 @@ def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int]
 
 
 def _fdct_quant(block: list[int], quant: list[int]) -> list[int]:
-    """Forward 8x8 DCT of level-shifted samples, quantized, natural order."""
-    shifted = [v - 128 for v in block]
-    tmp = [[0.0] * 8 for _ in range(8)]  # tmp[v][x] = sum_y f(x,y) cos_y_v
-    for v in range(8):
-        for x in range(8):
-            tmp[v][x] = sum(shifted[y * 8 + x] * _COS[y][v] for y in range(8))
-    out = [0] * 64
-    for v in range(8):
-        for u in range(8):
-            s = sum(tmp[v][x] * _COS[x][u] for x in range(8))
-            val = 0.25 * _C[u] * _C[v] * s
-            out[v * 8 + u] = int(round(val / quant[v * 8 + u]))
-    return out
+    """Forward 8x8 DCT of level-shifted samples, quantized, natural order.
+
+    tmp = Mᵀ·shifted folds the y axis, tmp·M the x axis; 0.25·C(u)C(v)
+    scales — the same separable sums as the spec's triple loop, as two
+    matmuls.  np.rint rounds half-to-even exactly like Python round()."""
+    shifted = _np.asarray(block, dtype=_np.float64).reshape(8, 8) - 128.0
+    s = (_M.T @ shifted) @ _M  # s[v][u]
+    val = 0.25 * _np.outer(_np.array(_C), _np.array(_C)) * s
+    return _np.rint(val / _np.asarray(quant, dtype=_np.float64).reshape(8, 8)).astype(int).reshape(64).tolist()
+
+
+def _dequant_idct_np(coeffs, quant) -> "_np.ndarray":
+    """Dequantize + inverse 8x8 DCT + level shift, clamped — (8, 8) int array.
+
+    tmp = Aᵀ·deq folds v (A carries the C(v) weights), A·tmpᵀ... expressed
+    directly: out[y][x] = 0.25 · Σ_u C(u)·cos_x_u · Σ_v C(v)·deq[v][u]·cos_y_v
+    = 0.25 · A @ deq @ Aᵀ."""
+    deq = (_np.asarray(coeffs, dtype=_np.float64) * _np.asarray(quant, dtype=_np.float64)).reshape(8, 8)
+    s = 0.25 * (_A @ deq @ _A.T) + 128.0
+    return _np.clip(_np.rint(s), 0, 255).astype(_np.int64)
 
 
 def _dequant_idct(coeffs: list[int], quant: list[int]) -> list[int]:
-    """Dequantize + inverse 8x8 DCT + level shift, clamped to [0, 255]."""
-    deq = [coeffs[i] * quant[i] for i in range(64)]
-    tmp = [[0.0] * 8 for _ in range(8)]  # tmp[u][y] = sum_v C(v) F cos_y_v
-    for u in range(8):
-        for y in range(8):
-            tmp[u][y] = sum(_C[v] * deq[v * 8 + u] * _COS[y][v] for v in range(8))
-    out = [0] * 64
-    for y in range(8):
-        for x in range(8):
-            s = sum(_C[u] * tmp[u][y] * _COS[x][u] for u in range(8))
-            v = int(round(0.25 * s + 128))
-            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
-    return out
+    """List-of-64 API over :func:`_dequant_idct_np` (natural order)."""
+    return _dequant_idct_np(coeffs, quant).reshape(64).tolist()
 
 
 # --------------------------------------------------------------------------
@@ -500,8 +506,18 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int]:
 
 
 def jpeg_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """Full baseline decode to RGB rows (top-down) — Huffman + dequant +
-    IDCT + chroma upsample + YCbCr->RGB, from the public spec."""
+    """Full baseline decode to RGB rows (top-down) as tuples — the legacy
+    list API over :func:`jpeg_pixels_np`."""
+    arr = jpeg_pixels_np(data)
+    return [[tuple(int(v) for v in p) for p in row] for row in arr]
+
+
+def jpeg_pixels_np(data: bytes):
+    """Full baseline decode to an (h, w, 3) uint8 RGB array — Huffman +
+    dequant + IDCT + chroma upsample + YCbCr->RGB, from the public spec.
+    The Huffman bit walk is inherently sequential Python; everything after a
+    block's coefficients (IDCT, plane writes, upsample, color convert) is
+    numpy — the vectorized-codec path VERDICT r6 asked for."""
     quant: dict[int, list[int]] = {}
     huff_dc: dict[int, dict[tuple[int, int], int]] = {}
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
@@ -578,9 +594,9 @@ def jpeg_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
 
     # per-component block planes (sized in whole MCUs, so interleaved block
     # writes below never need bounds checks)
-    plane_w = [mcus_x * c[1] * 8 for c in comps]
-    plane_h = [mcus_y * c[2] * 8 for c in comps]
-    planes = [[[0] * plane_w[i] for _ in range(plane_h[i])] for i in range(len(comps))]
+    planes = [
+        _np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=_np.int64) for c in comps
+    ]
 
     r = _BitReader(data, sos_end)
     preds = [0] * len(comps)
@@ -599,41 +615,23 @@ def jpeg_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
                         coeffs, preds[ci] = _decode_block(
                             r, huff_dc[dc_id], huff_ac[ac_id], preds[ci]
                         )
-                        block = _dequant_idct(coeffs, quant[tq])
                         oy = (my * v_i + by) * 8
                         ox = (mx * h_i + bx) * 8
-                        row_plane = planes[ci]
-                        for y in range(8):
-                            dst = row_plane[oy + y]
-                            for x in range(8):
-                                dst[ox + x] = block[y * 8 + x]
+                        planes[ci][oy : oy + 8, ox : ox + 8] = _dequant_idct_np(coeffs, quant[tq])
 
-    # upsample (nearest) + color convert + crop
-    out: list[list[tuple[int, int, int]]] = []
+    # upsample (nearest, integer index maps) + color convert + crop — all numpy
     if len(comps) == 1:
-        for y in range(height):
-            row = planes[0][y]
-            out.append([(row[x], row[x], row[x]) for x in range(width)])
-        return out
-    _, hy, vy, _ = comps[0]
-    for y in range(height):
-        row_out: list[tuple[int, int, int]] = []
-        yy_row = planes[0][y * vy // vmax]
-        cb_row = planes[1][y * comps[1][2] // vmax]
-        cr_row = planes[2][y * comps[2][2] // vmax]
-        for x in range(width):
-            yy = yy_row[x * hy // hmax]
-            cb = cb_row[x * comps[1][1] // hmax]
-            cr = cr_row[x * comps[2][1] // hmax]
-            r_ = int(round(yy + 1.402 * (cr - 128)))
-            g_ = int(round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
-            b_ = int(round(yy + 1.772 * (cb - 128)))
-            row_out.append(
-                (
-                    0 if r_ < 0 else (255 if r_ > 255 else r_),
-                    0 if g_ < 0 else (255 if g_ > 255 else g_),
-                    0 if b_ < 0 else (255 if b_ > 255 else b_),
-                )
-            )
-        out.append(row_out)
-    return out
+        gray = planes[0][:height, :width].astype(_np.uint8)
+        return _np.repeat(gray[:, :, _np.newaxis], 3, axis=2)
+
+    ys, xs = _np.arange(height), _np.arange(width)
+
+    def sample(i: int):
+        _cid, h_i, v_i, _tq = comps[i]
+        return planes[i][(ys * v_i // vmax)[:, None], (xs * h_i // hmax)[None, :]].astype(_np.float64)
+
+    yy, cb, cr = sample(0), sample(1), sample(2)
+    r_ = _np.rint(yy + 1.402 * (cr - 128.0))
+    g_ = _np.rint(yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b_ = _np.rint(yy + 1.772 * (cb - 128.0))
+    return _np.clip(_np.stack([r_, g_, b_], axis=2), 0, 255).astype(_np.uint8)

@@ -23,6 +23,13 @@ import struct
 import wave
 from dataclasses import dataclass
 
+import numpy as np
+
+
+def _rows_from_np(arr) -> list[list[tuple[int, int, int]]]:
+    """(h, w, 3) array -> the legacy list-of-tuple-rows API."""
+    return [[tuple(int(v) for v in p) for p in row] for row in arr]
+
 # ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE PCM) — stdlib `wave`
 # ---------------------------------------------------------------------------
@@ -57,42 +64,49 @@ def parse_wav(data: bytes) -> WavInfo:
         return WavInfo(w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes())
 
 
-def wav_samples(data: bytes) -> list[int]:
-    """First-channel sample values: unsigned for 8-bit (WAV stores 8-bit PCM
-    unsigned), signed little-endian for 16-bit."""
+def wav_samples_np(data: bytes) -> np.ndarray:
+    """First-channel sample values as an int array: unsigned for 8-bit (WAV
+    stores 8-bit PCM unsigned), signed little-endian for 16-bit."""
     with wave.open(io.BytesIO(data), "rb") as w:
         info = WavInfo(w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes())
         raw = w.readframes(info.n_frames)
-    step = info.sample_width * info.channels
     if info.sample_width == 1:
-        return [raw[i] for i in range(0, len(raw), step)]
-    if info.sample_width == 2:
-        return [struct.unpack_from("<h", raw, i)[0] for i in range(0, len(raw), step)]
-    raise ValueError(f"unsupported sample width {info.sample_width}")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+    elif info.sample_width == 2:
+        arr = np.frombuffer(raw, dtype="<i2")
+    else:
+        raise ValueError(f"unsupported sample width {info.sample_width}")
+    return arr[:: info.channels].astype(np.int64)
+
+
+def wav_samples(data: bytes) -> list[int]:
+    """List API over :func:`wav_samples_np`."""
+    return wav_samples_np(data).tolist()
 
 
 def wav_sample_at_offsets(data: bytes, every_ms: int) -> list[tuple[int, int]]:
     """(offset_ms, amplitude) at each every_ms step — the audio analogue of
     video frame sampling, on REAL decoded PCM."""
     info = parse_wav(data)
-    samples = wav_samples(data)
-    out = []
-    for off in range(0, info.duration_ms, every_ms):
-        idx = off * info.sample_rate // 1000
-        if idx < len(samples):
-            out.append((off, samples[idx]))
-    return out
+    samples = wav_samples_np(data)
+    offs = np.arange(0, info.duration_ms, every_ms)
+    idx = offs * info.sample_rate // 1000
+    keep = idx < len(samples)
+    return [(int(o), int(s)) for o, s in zip(offs[keep], samples[idx[keep]])]
 
 
 def wav_rms(data: bytes) -> float:
-    """Root-mean-square amplitude of the first channel, normalized to [0,1]."""
+    """Root-mean-square amplitude of the first channel, normalized to [0,1].
+
+    Integer sums are exact (int64 accumulator), so the doubles that follow
+    are bit-identical to the scalar formulation the oracles restate."""
     info = parse_wav(data)
-    samples = wav_samples(data)
-    if not samples:
+    samples = wav_samples_np(data)
+    if samples.size == 0:
         return 0.0
     full = 255.0 if info.sample_width == 1 else 32768.0
-    centered = [s - 128 for s in samples] if info.sample_width == 1 else samples
-    return (sum(s * s for s in centered) / len(centered)) ** 0.5 / full
+    centered = samples - 128 if info.sample_width == 1 else samples
+    return float((int(np.dot(centered, centered)) / samples.size) ** 0.5 / full)
 
 
 # ---------------------------------------------------------------------------
@@ -128,9 +142,10 @@ def parse_bmp(data: bytes) -> tuple[int, int, int]:
     return width, abs(height), bpp
 
 
-def bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """Pixel rows TOP-DOWN as (r, g, b); 24-bpp uncompressed only (the
-    baseline every writer emits), honoring negative-height top-down files."""
+def bmp_pixels_np(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB, rows TOP-DOWN; 24-bpp uncompressed only (the
+    baseline every writer emits), honoring negative-height top-down files.
+    One frombuffer + reshape + channel flip — no per-pixel Python."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", data, 10)[0]
@@ -142,16 +157,14 @@ def bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
     top_down = height < 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
-    rows = []
-    for i in range(height):
-        stored = i if top_down else height - 1 - i
-        base = offset + stored * row_size
-        row = [
-            (data[base + 3 * x + 2], data[base + 3 * x + 1], data[base + 3 * x])
-            for x in range(width)
-        ]
-        rows.append(row)
-    return rows
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=offset)
+    arr = arr.reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+    return arr if top_down else arr[::-1]
+
+
+def bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Legacy list-of-tuple-rows API over :func:`bmp_pixels_np`."""
+    return _rows_from_np(bmp_pixels_np(data))
 
 
 def ppm_bytes(width: int, height: int, pixel_fn) -> bytes:
@@ -192,15 +205,17 @@ def parse_ppm(data: bytes) -> tuple[int, int]:
     return width, height
 
 
-def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+def ppm_pixels_np(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB — P6 stores RGB already, one frombuffer."""
     width, height, header_end = _parse_ppm_header(data)
-    rows = []
-    for y in range(height):
-        base = header_end + y * width * 3
-        rows.append(
-            [(data[base + 3 * x], data[base + 3 * x + 1], data[base + 3 * x + 2]) for x in range(width)]
-        )
-    return rows
+    return np.frombuffer(
+        data, dtype=np.uint8, count=width * height * 3, offset=header_end
+    ).reshape(height, width, 3)
+
+
+def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Legacy list-of-tuple-rows API over :func:`ppm_pixels_np`."""
+    return _rows_from_np(ppm_pixels_np(data))
 
 
 # ---------------------------------------------------------------------------
@@ -289,10 +304,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """Pixel rows top-down as (r, g, b) — IDAT inflate + per-row filter undo
-    (filters 0-4: None/Sub/Up/Average/Paeth, the complete public set).  RGBA
-    input drops alpha; anything outside 8-bit truecolor raises ValueError."""
+def png_pixels_np(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB — IDAT inflate + per-row filter undo (filters
+    0-4: None/Sub/Up/Average/Paeth, the complete public set).  None/Up are
+    pure elementwise adds; Sub is a per-lane cumulative sum (mod-256
+    addition is linear, so cumsum%256 IS the sequential recurrence); the
+    nonlinear Average/Paeth rows keep the scalar spec loop.  RGBA drops
+    alpha; anything outside 8-bit truecolor raises ValueError."""
     import zlib
 
     width, height, channels = parse_png(data)
@@ -301,33 +319,43 @@ def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG pixel data truncated")
-    rows: list[list[tuple[int, int, int]]] = []
-    prior = bytearray(stride)
-    pos = 0
-    for _ in range(height):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 255
+    scan = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ftype = int(scan[r, 0])
+        line = scan[r, 1:]
+        if ftype == 0:
+            recon = line.copy()
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] == lane cumsum
+            recon = (
+                np.cumsum(line.reshape(width, channels), axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
+            recon = (line.astype(np.int16) + prior).astype(np.uint8)
+        elif ftype in (3, 4):  # Average / Paeth: left-recon recurrence, scalar
+            buf = bytearray(line.tobytes())
+            pr = prior
             for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 255
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                up_left = prior[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prior[i], up_left)) & 255
-        elif ftype != 0:
+                left = buf[i - channels] if i >= channels else 0
+                if ftype == 3:
+                    buf[i] = (buf[i] + ((left + int(pr[i])) >> 1)) & 255
+                else:
+                    up_left = int(pr[i - channels]) if i >= channels else 0
+                    buf[i] = (buf[i] + _paeth(left, int(pr[i]), up_left)) & 255
+            recon = np.frombuffer(bytes(buf), dtype=np.uint8)
+        else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        prior = line
-        rows.append([tuple(line[x * channels : x * channels + 3]) for x in range(width)])
-    return rows
+        out[r] = recon
+        prior = recon
+    return out.reshape(height, width, channels)[:, :, :3]
+
+
+def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Legacy list-of-tuple-rows API over :func:`png_pixels_np`."""
+    return _rows_from_np(png_pixels_np(data))
 
 
 # ---------------------------------------------------------------------------
@@ -531,25 +559,32 @@ def is_image_magic(data: bytes) -> bool:
     )
 
 
-def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
-    """BMP, PPM, PNG, GIF, or baseline JPEG pixel rows top-down; ValueError
-    for anything else."""
+def decode_image_np(data: bytes) -> np.ndarray:
+    """BMP, PPM, PNG, GIF, or baseline JPEG as an (h, w, 3) uint8 array —
+    the vectorized decode path the hot operators consume; ValueError for
+    anything else."""
     if data[:2] == b"BM":
-        return bmp_pixels(data)
+        return bmp_pixels_np(data)
     if data[:2] == b"P6":
-        return ppm_pixels(data)
+        return ppm_pixels_np(data)
     if data.startswith(_PNG_SIG):
-        return png_pixels(data)
+        return png_pixels_np(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
-        return gif_pixels(data)
+        # palette lookup after the (inherently sequential) LZW decode
+        return np.asarray(gif_pixels(data), dtype=np.uint8)
     if data[:3] == b"\xff\xd8\xff":
-        from cognee_graphdb_spark.sources.jpeg import jpeg_pixels
+        from cognee_graphdb_spark.sources.jpeg import jpeg_pixels_np
 
-        return jpeg_pixels(data)
+        return jpeg_pixels_np(data)
     raise ValueError(
         "unsupported image format (BMP 24bpp / PPM P6 / PNG truecolor / GIF / "
         "baseline JPEG supported)"
     )
+
+
+def decode_image(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Legacy list-of-tuple-rows API over :func:`decode_image_np`."""
+    return _rows_from_np(decode_image_np(data))
 
 
 def resize_nearest(
@@ -559,6 +594,15 @@ def resize_nearest(
     ``sx = tx * w // tw`` — integer-exact, so oracles can restate it."""
     h, w = len(pixels), len(pixels[0])
     return [[pixels[ty * h // th][tx * w // tw] for tx in range(tw)] for ty in range(th)]
+
+
+def resize_nearest_np(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """:func:`resize_nearest` over an (h, w, 3) array — two integer index
+    maps, same floor mapping, no Python per pixel."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return arr[ys[:, None], xs[None, :]]
 
 
 # ---------------------------------------------------------------------------
