@@ -1438,6 +1438,33 @@ def _q_mm_jpeg_resize(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode + resize, oracle-checked: the
+    synth_jpeg_for_id pixel formula encoded via the r7 progressive encoder
+    (spectral-selection bands, successive approximation Al=1 -> refinement,
+    EOB runs — sources/jpeg.py:jpeg_progressive_bytes), decoded through the
+    multi-scan coefficient accumulator.  Progressive is a lossless re-coding
+    of the same quantized coefficients, so the oracle is literally the
+    baseline restatement (same SQL as mm_jpeg_resize)."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import synth_jpeg_progressive_for_id
+
+        for pdf in batches:
+            rows = [(str(int(d)), synth_jpeg_progressive_for_id(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
+
+
 def _q_mm_media_info(spark, sf_dir):
     """REAL container-metadata sniff (operators/multimodal.media_info):
     each doc synthesizes one MP3 (frame-header walk gives the exact
@@ -1839,8 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.
     raw = {
         # -- round-7 window (first 50) ---------------------------------------
-        # new this round ([LLM] media loader path)
+        # new this round ([LLM] media loader path, progressive JPEG decode)
         "mm_llm_media_text": _q_mm_llm_media_text,
+        "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
@@ -1893,9 +1921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_exact": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r5-green block (leads the r8 window)
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
@@ -2618,6 +2646,10 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(SUM(2 * ((doc_id * 5 + 3 * (((tx * w) // 4) // 8) + 7 * (((ty * 16) // 3) // 8)) % 128)) AS BIGINT) AS red_sum
 FROM cells
 GROUP BY doc_id, w"""
+
+    # progressive JPEG re-encodes the SAME quantized coefficients losslessly,
+    # so its decode is pinned by the identical baseline restatement
+    sql["mm_jpeg_progressive"] = sql["mm_jpeg_resize"]
 
     # real container-metadata sniff: MP3 frame-header walk (duration =
     # frames*1152/44100) and MP4 box-tree walk (mvhd/tkhd/stsd), restated

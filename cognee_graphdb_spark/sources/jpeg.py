@@ -252,31 +252,17 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def jpeg_bytes(
-    width: int,
-    height: int,
-    pixel_fn,
-    gray: bool = False,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode a baseline JFIF image; ``pixel_fn(x, y) -> (r, g, b)`` (the
-    red channel doubles as the gray value when ``gray=True``).  Grayscale,
-    4:4:4, or 4:2:0 (``subsample=True``) color, Annex K tables, optional
-    DRI/RSTn restart markers — the fixture-side counterpart of
-    :func:`jpeg_pixels`, same role as png_bytes/gif_bytes in sources/media.
-    """
+def _prep_planes(width: int, height: int, pixel_fn, gray: bool, subsample: bool):
+    """Shared encoder front half: RGB->YCbCr full planes edge-replicated to
+    the MCU grid, then box-filtered down to each component's sampling
+    resolution.  Returns (ncomp, samp, hmax, vmax, mcus_x, mcus_y, planes)."""
     ncomp = 1 if gray else 3
-    # sampling factors per component: 4:2:0 keeps luma at (2,2) and halves
-    # chroma; everything else is (1,1) across the board
     samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) else [(1, 1)] * 3
     hmax = max(h for h, _ in samp[:ncomp])
     vmax = max(v for _, v in samp[:ncomp])
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
 
-    # full-resolution YCbCr planes, edge-replicated to the MCU grid so
-    # partial-edge blocks stay flat (keeps quantization error small there)
     fw, fh = mcus_x * hmax * 8, mcus_y * vmax * 8
     full: list[list[list[int]]] = [[[0] * fw for _ in range(fh)] for _ in range(ncomp)]
     for y in range(fh):
@@ -293,8 +279,6 @@ def jpeg_bytes(
                 for ci, v in enumerate((yy, cb, cr)):
                     full[ci][y][x] = 0 if v < 0 else (255 if v > 255 else v)
 
-    # per-component encode planes: box-filter down to each component's
-    # sampling resolution (identity when h=v=hmax=vmax)
     planes: list[list[list[int]]] = []
     for ci in range(ncomp):
         h_i, v_i = samp[ci]
@@ -312,6 +296,26 @@ def jpeg_bytes(
                         acc += full[ci][y * sy_f + dy][x * sx_f + dx]
                 plane[y][x] = (acc + sx_f * sy_f // 2) // (sx_f * sy_f)
         planes.append(plane)
+    return ncomp, samp, hmax, vmax, mcus_x, mcus_y, planes
+
+
+def jpeg_bytes(
+    width: int,
+    height: int,
+    pixel_fn,
+    gray: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a baseline JFIF image; ``pixel_fn(x, y) -> (r, g, b)`` (the
+    red channel doubles as the gray value when ``gray=True``).  Grayscale,
+    4:4:4, or 4:2:0 (``subsample=True``) color, Annex K tables, optional
+    DRI/RSTn restart markers — the fixture-side counterpart of
+    :func:`jpeg_pixels`, same role as png_bytes/gif_bytes in sources/media.
+    """
+    ncomp, samp, hmax, vmax, mcus_x, mcus_y, planes = _prep_planes(
+        width, height, pixel_fn, gray, subsample
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -383,7 +387,257 @@ def jpeg_bytes(
 
 
 # --------------------------------------------------------------------------
-# Decoder (baseline SOF0, generic sampling factors)
+# Progressive encoder (SOF2: spectral selection + successive approximation,
+# T.81 G.1.2).  Fixed flat AC Huffman table: the Annex K AC tables lack the
+# EOBn (n>0) and (r,1)-refinement symbol coverage progressive needs, so a
+# canonical all-length-8 table carrying every symbol this encoder can emit
+# is used instead (176 codes <= 256, Kraft-valid; real encoders build
+# optimized tables per scan — the DECODER reads whatever DHT the file
+# carries, so this choice only affects fixture compression ratio).
+# --------------------------------------------------------------------------
+
+_PROG_AC_VALS = sorted(
+    {n << 4 for n in range(15)}  # EOB0..EOB14
+    | {0xF0}  # ZRL
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _EobState:
+    """Pending end-of-band run + the refinement correction bits that must be
+    emitted right after its EOBn symbol (libjpeg's BE buffer)."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(w: _BitWriter, ac_tab, st: _EobState) -> None:
+    if st.run > 0:
+        nbits = st.run.bit_length() - 1
+        code, length = ac_tab[nbits << 4]
+        w.write(code, length)
+        if nbits:
+            w.write(st.run & ((1 << nbits) - 1), nbits)
+        st.run = 0
+    for b in st.bits:
+        w.write(b, 1)
+    st.bits = []
+
+
+def _enc_ac_first_block(w: _BitWriter, blk: list[int], ss: int, se: int, al: int, ac_tab, st: _EobState) -> None:
+    """One block of an AC first scan (Ah=0): point-transformed band,
+    run-length + magnitude coding, EOB runs accumulated across blocks."""
+    vals = []
+    for k in range(ss, se + 1):
+        c = blk[ZIGZAG[k]]
+        a = (c if c >= 0 else -c) >> al
+        vals.append(a if c >= 0 else -a)
+    if not any(vals):
+        st.run += 1
+        if st.run == 0x7FFF:
+            _flush_eobrun(w, ac_tab, st)
+        return
+    _flush_eobrun(w, ac_tab, st)
+    r = 0
+    for v in vals:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_tab[0xF0]
+            w.write(code, length)
+            r -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(r << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        r = 0
+    if r:
+        st.run += 1
+        if st.run == 0x7FFF:
+            _flush_eobrun(w, ac_tab, st)
+
+
+def _enc_ac_refine_block(w: _BitWriter, blk: list[int], ss: int, se: int, al: int, ac_tab, st: _EobState) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients get (r,1)+sign, history coefficients ride as buffered
+    correction bits, zeros accumulate into ZRLs / the EOB run — the
+    bit-interleaving contract of T.81 G.1.2.3 (mirrored by _ac_refine)."""
+    absv = []
+    sgn = []
+    for k in range(ss, se + 1):
+        c = blk[ZIGZAG[k]]
+        absv.append((c if c >= 0 else -c) >> al)
+        sgn.append(1 if c >= 0 else 0)
+    eob = -1  # index (into the band) of the last newly-nonzero coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _flush_eobrun(w, ac_tab, st)
+            code, length = ac_tab[0xF0]
+            w.write(code, length)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if a > 1:  # history coefficient: one correction bit, rides along
+            br.append(a & 1)
+            continue
+        _flush_eobrun(w, ac_tab, st)
+        code, length = ac_tab[(r << 4) | 1]
+        w.write(code, length)
+        w.write(sgn[i], 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.run += 1
+        st.bits.extend(br)
+        if st.run == 0x7FFF:
+            _flush_eobrun(w, ac_tab, st)
+
+
+def jpeg_progressive_bytes(
+    width: int,
+    height: int,
+    pixel_fn,
+    gray: bool = False,
+    subsample: bool = False,
+) -> bytes:
+    """Encode a progressive (SOF2) JFIF image — same pixel/plane/DCT front
+    half as :func:`jpeg_bytes`, then a fixed scan script covering every
+    progressive decode path: interleaved DC first (Al=1), per-component AC
+    band first scans (Al=1), a per-component AC refinement (Ah=1, Al=0),
+    and a DC refinement.  Because progressive re-encodes the SAME quantized
+    coefficients losslessly, decoding this equals decoding the baseline
+    encode of the same pixels — the cross-check the tests pin."""
+    ncomp, samp, hmax, vmax, mcus_x, mcus_y, planes = _prep_planes(
+        width, height, pixel_fn, gray, subsample
+    )
+    quants = [QUANT_LUM, QUANT_CHROM]
+    coef: list[list[list[list[int]]]] = []
+    for ci in range(ncomp):
+        h_i, v_i = samp[ci]
+        ti = 0 if ci == 0 else 1
+        rows = []
+        for by in range(mcus_y * v_i):
+            rowb = []
+            for bx in range(mcus_x * h_i):
+                block = [planes[ci][by * 8 + y][bx * 8 + x] for y in range(8) for x in range(8)]
+                rowb.append(_fdct_quant(block, quants[ti]))
+            rows.append(rowb)
+        coef.append(rows)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(QUANT_LUM[ZIGZAG[i]] for i in range(64)))
+    if ncomp == 3:
+        out += _seg(0xDB, bytes([1]) + bytes(QUANT_CHROM[ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i = samp[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00] + DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    if ncomp == 3:
+        out += _seg(0xC4, bytes([0x01] + DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+    out += _seg(0xC4, bytes([0x10] + _PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+
+    dc_tabs = [
+        _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS),
+        _huff_encode_table(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tab = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos_header(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            dc_id = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (dc_id << 4) | 0])  # AC table 0 (the flat one)
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def comp_blocks(ci: int) -> list[list[int]]:
+        """Raster-order ACTUAL blocks of a component (non-interleaved scans
+        cover ceil(comp_dim/8), not the MCU-padded grid — T.81 A.2.2)."""
+        h_i, v_i = samp[ci]
+        wb = (-(-width * h_i // hmax) + 7) // 8
+        hb = (-(-height * v_i // vmax) + 7) // 8
+        return [coef[ci][by][bx] for by in range(hb) for bx in range(wb)]
+
+    # --- scan 1: DC first, interleaved, Al=1 ---------------------------------
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                h_i, v_i = samp[ci]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        dc = coef[ci][my * v_i + by][mx * h_i + bx][0] >> 1  # Al=1
+                        size, bits = _magnitude(dc - preds[ci])
+                        code, length = dc_tabs[0 if ci == 0 else 1][size]
+                        w.write(code, length)
+                        if size:
+                            w.write(bits, size)
+                        preds[ci] = dc
+    w.flush()
+    out += w.out
+
+    # --- AC first scans per component (two spectral bands, Al=1) -------------
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci], ss, se, 0, 1)
+            w = _BitWriter()
+            st = _EobState()
+            for blk in comp_blocks(ci):
+                _enc_ac_first_block(w, blk, ss, se, 1, ac_tab, st)
+            _flush_eobrun(w, ac_tab, st)
+            w.flush()
+            out += w.out
+
+    # --- AC refinement per component (Ah=1 -> Al=0) ---------------------------
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, 63, 1, 0)
+        w = _BitWriter()
+        st = _EobState()
+        for blk in comp_blocks(ci):
+            _enc_ac_refine_block(w, blk, 1, 63, 0, ac_tab, st)
+        _flush_eobrun(w, ac_tab, st)
+        w.flush()
+        out += w.out
+
+    # --- DC refinement, interleaved (Ah=1 -> Al=0): one raw bit per block ----
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                h_i, v_i = samp[ci]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        w.write(coef[ci][my * v_i + by][mx * h_i + bx][0] & 1, 1)
+    w.flush()
+    out += w.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder (baseline SOF0/SOF1 + progressive SOF2, generic sampling factors)
 # --------------------------------------------------------------------------
 
 
@@ -442,32 +696,87 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_block(
-    r: _BitReader,
-    dc_tab: dict[tuple[int, int], int],
-    ac_tab: dict[tuple[int, int], int],
-    pred: int,
-) -> tuple[list[int], int]:
-    coeffs = [0] * 64
-    size = r.decode_huff(dc_tab)
+def _dc_first_scan(r: _BitReader, tab, blk: list[int], pred: int, al: int) -> int:
+    size = r.decode_huff(tab)
     diff = _extend(r.read_bits(size), size) if size else 0
-    dc = pred + diff
-    coeffs[0] = dc
-    i = 1
-    while i < 64:
-        sym = r.decode_huff(ac_tab)
-        if sym == 0x00:  # EOB
-            break
-        if sym == 0xF0:  # ZRL
-            i += 16
-            continue
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine_scan(r: _BitReader, blk: list[int], al: int) -> None:
+    if r.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_scan(r: _BitReader, tab, blk: list[int], ss: int, se: int, al: int, st: dict) -> None:
+    """AC first scan (Ah=0) for one block — with al=0 and band 1..63 this IS
+    the baseline AC decode (EOB == EOB0, ZRL == skip 16), which is how the
+    baseline path reuses it."""
+    if st["eobrun"] > 0:
+        st["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = r.decode_huff(tab)
         run, size = sym >> 4, sym & 0x0F
-        i += run
-        if i > 63:
-            raise ValueError("AC run past end of block")
-        coeffs[ZIGZAG[i]] = _extend(r.read_bits(size), size)
-        i += 1
-    return coeffs, dc
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            st["eobrun"] = (1 << run) - 1
+            if run:
+                st["eobrun"] += r.read_bits(run)
+            return
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[ZIGZAG[k]] = _extend(r.read_bits(size), size) << al
+        k += 1
+
+
+def _ac_refine_scan(r: _BitReader, tab, blk: list[int], ss: int, se: int, al: int, st: dict) -> None:
+    """AC refinement (Ah=Al+1): T.81 G.1.2.3 — newly-nonzero via (r,1)+sign,
+    correction bits for every nonzero-history coefficient passed, EOB runs
+    still consuming correction bits over the rest of the band."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if st["eobrun"] == 0:
+        while k <= se:
+            sym = r.decode_huff(tab)
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    st["eobrun"] = 1 << run
+                    if run:
+                        st["eobrun"] += r.read_bits(run)
+                    break
+                # run == 15 (ZRL): pass over 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    if r.read_bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if st["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0 and r.read_bit() and (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        st["eobrun"] -= 1
 
 
 def _parse_segments(data: bytes):
@@ -497,11 +806,11 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the SOF header — the metadata
     envelope half (ingest's ImageDocument dims without a full decode)."""
     for marker, s, e in _parse_segments(data):
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / extended / progressive
             _prec, h, w, n = struct.unpack(">BHHB", data[s : s + 6])
             return w, h, n
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported")
     raise ValueError("JPEG has no SOF frame header")
 
 
@@ -518,17 +827,32 @@ def jpeg_pixels_np(data: bytes):
     The Huffman bit walk is inherently sequential Python; everything after a
     block's coefficients (IDCT, plane writes, upsample, color convert) is
     numpy — the vectorized-codec path VERDICT r6 asked for."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
     quant: dict[int, list[int]] = {}
     huff_dc: dict[int, dict[tuple[int, int], int]] = {}
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, quant_id)
     width = height = 0
+    progressive = False
     restart_interval = 0
-    sos_end = None
-    scan_comps: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    coef: list[list[list[list[int]]]] | None = None
+    hmax = vmax = mcus_x = mcus_y = 0
+    n_scans = 0
 
-    for marker, s, e in _parse_segments(data):
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        s, e = pos + 4, pos + 2 + length
+        if length < 2 or e > len(data):
+            raise ValueError("JPEG segment truncated")
         body = data[s:e]
+        pos = e
         if marker == 0xDB:
             p = 0
             while p < len(body):
@@ -541,7 +865,8 @@ def jpeg_pixels_np(data: bytes):
                     tab[ZIGZAG[i]] = body[p + i]
                 quant[tq] = tab
                 p += 64
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, height, width, n = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit samples supported")
@@ -555,8 +880,12 @@ def jpeg_pixels_np(data: bytes):
                     raise ValueError("sampling factors beyond 2 unsupported")
                 comps.append((cid, h_i, v_i, tq))
                 p += 3
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported")
         elif marker == 0xC4:
             p = 0
             while p < len(body):
@@ -570,56 +899,60 @@ def jpeg_pixels_np(data: bytes):
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG scan before frame header")
             ns = body[0]
             p = 1
+            scan_comps: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
             for _ in range(ns):
                 cid, tabs = body[p], body[p + 1]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
                 p += 2
-            sos_end = e
+            ss, se, ahal = body[p], body[p + 1], body[p + 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive scan with Ss=0 must be DC-only (Se=0)")
+                if ss > 0 and len(scan_comps) != 1:
+                    raise ValueError("progressive AC scans must be single-component")
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("invalid baseline scan header")
+            if coef is None:
+                # coefficient accumulators on the MCU-padded grid; scans
+                # (this one, and for progressive the later ones) add
+                # precision into the SAME blocks before one final IDCT
+                coef = [
+                    [
+                        [[0] * 64 for _ in range(mcus_x * c[1])]
+                        for _ in range(mcus_y * c[2])
+                    ]
+                    for c in comps
+                ]
+            n_scans += 1
+            pos = _decode_scan_into(
+                data, e, comps, scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, coef, restart_interval,
+                mcus_x, mcus_y, hmax, vmax, width, height,
+            )
         # APPn / COM / others: skipped
 
-    if sos_end is None or not comps:
+    if coef is None or n_scans == 0:
         raise ValueError("JPEG has no scan")
-    if len(scan_comps) != len(comps):
-        # a partial scan means a non-interleaved multi-scan file; decoding
-        # only its first scan would yield garbage chroma — reject instead
-        raise ValueError("non-interleaved multi-scan JPEG unsupported")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    # dequant + IDCT every accumulated block, then upsample + color convert
+    planes = []
+    for ci, (_cid, h_i, v_i, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        plane = _np.zeros((mcus_y * v_i * 8, mcus_x * h_i * 8), dtype=_np.int64)
+        for by in range(mcus_y * v_i):
+            for bx in range(mcus_x * h_i):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _dequant_idct_np(
+                    coef[ci][by][bx], quant[tq]
+                )
+        planes.append(plane)
 
-    # per-component block planes (sized in whole MCUs, so interleaved block
-    # writes below never need bounds checks)
-    planes = [
-        _np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=_np.int64) for c in comps
-    ]
-
-    r = _BitReader(data, sos_end)
-    preds = [0] * len(comps)
-    since_restart = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and since_restart == restart_interval:
-                r.align_restart()
-                preds = [0] * len(comps)
-                since_restart = 0
-            since_restart += 1
-            for ci, dc_id, ac_id in scan_comps:
-                _cid, h_i, v_i, tq = comps[ci]
-                for by in range(v_i):
-                    for bx in range(h_i):
-                        coeffs, preds[ci] = _decode_block(
-                            r, huff_dc[dc_id], huff_ac[ac_id], preds[ci]
-                        )
-                        oy = (my * v_i + by) * 8
-                        ox = (mx * h_i + bx) * 8
-                        planes[ci][oy : oy + 8, ox : ox + 8] = _dequant_idct_np(coeffs, quant[tq])
-
-    # upsample (nearest, integer index maps) + color convert + crop — all numpy
     if len(comps) == 1:
         gray = planes[0][:height, :width].astype(_np.uint8)
         return _np.repeat(gray[:, :, _np.newaxis], 3, axis=2)
@@ -635,3 +968,85 @@ def jpeg_pixels_np(data: bytes):
     g_ = _np.rint(yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
     b_ = _np.rint(yy + 1.772 * (cb - 128.0))
     return _np.clip(_np.stack([r_, g_, b_], axis=2), 0, 255).astype(_np.uint8)
+
+
+def _decode_scan_into(
+    data: bytes,
+    pos: int,
+    comps,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc,
+    huff_ac,
+    coef,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode ONE scan's entropy data into the coefficient accumulators and
+    return the offset of the next marker.  Interleaved scans walk the MCU
+    grid; single-component scans walk the component's ACTUAL block grid
+    (ceil(comp_dim/8), T.81 A.2.2 — narrower than the MCU-padded plane when
+    subsampled).  Baseline scans route through the same block functions with
+    (Ss, Se, Ah, Al) = (0, 63, 0, 0)."""
+    r = _BitReader(data, pos)
+    st = {"eobrun": 0}
+    preds = [0] * len(comps)
+
+    def decode_block(blk, ci, dc_id, ac_id):
+        if ss == 0:
+            if ah == 0:
+                preds[ci] = _dc_first_scan(r, huff_dc[dc_id], blk, preds[ci], al)
+            else:
+                _dc_refine_scan(r, blk, al)
+            if se > 0:  # baseline full scan: AC follows DC in the same pass
+                _ac_first_scan(r, huff_ac[ac_id], blk, 1, se, 0, st)
+        elif ah == 0:
+            _ac_first_scan(r, huff_ac[ac_id], blk, ss, se, al, st)
+        else:
+            _ac_refine_scan(r, huff_ac[ac_id], blk, ss, se, al, st)
+
+    since_restart = 0
+
+    def maybe_restart():
+        nonlocal since_restart, preds
+        if restart_interval and since_restart == restart_interval:
+            r.align_restart()
+            preds = [0] * len(comps)
+            st["eobrun"] = 0
+            since_restart = 0
+        since_restart += 1
+
+    if len(scan_comps) > 1:  # interleaved: MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for ci, dc_id, ac_id in scan_comps:
+                    _cid, h_i, v_i, _tq = comps[ci]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            decode_block(coef[ci][my * v_i + by][mx * h_i + bx], ci, dc_id, ac_id)
+    else:  # single component: raster over its actual block grid
+        ci, dc_id, ac_id = scan_comps[0]
+        _cid, h_i, v_i, _tq = comps[ci]
+        wb = (-(-(width * h_i) // hmax) + 7) // 8
+        hb = (-(-(height * v_i) // vmax) + 7) // 8
+        for by in range(hb):
+            for bx in range(wb):
+                maybe_restart()
+                decode_block(coef[ci][by][bx], ci, dc_id, ac_id)
+
+    # skip any trailing padding/RSTs to the next true marker
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p

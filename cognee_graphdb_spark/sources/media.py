@@ -656,3 +656,18 @@ def synth_jpeg_for_id(did: int) -> bytes:
         lambda x, y: (2 * ((did * 5 + 3 * (x // 8) + 7 * (y // 8)) % 128),) * 3,
         gray=True,
     )
+
+
+def synth_jpeg_progressive_for_id(did: int) -> bytes:
+    """The same pixel formula as :func:`synth_jpeg_for_id` encoded as a
+    PROGRESSIVE (SOF2) JPEG — progressive re-encodes the identical quantized
+    coefficients losslessly, so the decoded pixels (and therefore the DuckDB
+    oracle restatement) are byte-for-byte those of the baseline fixture."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_progressive_bytes
+
+    return jpeg_progressive_bytes(
+        24 + 8 * (did % 3),
+        16,
+        lambda x, y: (2 * ((did * 5 + 3 * (x // 8) + 7 * (y // 8)) % 128),) * 3,
+        gray=True,
+    )

@@ -434,18 +434,78 @@ def test_jpeg_errors_are_honest():
         j.jpeg_pixels(b"notajpeg")
     with _pytest.raises(ValueError, match="truncated"):
         j.parse_jpeg(b"\xff\xd8\xff\xe0\x00\x04ab")
-    # progressive (SOF2) is rejected, not mis-decoded
+    # a baseline stream mislabeled SOF2 is an INVALID progressive file (its
+    # single scan is (0, 63), but progressive DC scans must have Se=0) —
+    # rejected, not mis-decoded
     data = bytearray(j.jpeg_bytes(8, 8, lambda x, y: (4, 4, 4), gray=True))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="DC-only"):
         j.jpeg_pixels(bytes(data))
-    with _pytest.raises(ValueError, match="baseline"):
+    # SOF markers outside {C0, C1, C2} (lossless, arithmetic, hierarchical)
+    # stay honestly rejected
+    data[sof + 1] = 0xC3
+    with _pytest.raises(ValueError, match="progressive"):
+        j.jpeg_pixels(bytes(data))
+    with _pytest.raises(ValueError, match="progressive"):
         j.parse_jpeg(bytes(data))
     # truncated entropy stream
     good = j.jpeg_bytes(24, 16, lambda x, y: (100, 3, 7))
     with _pytest.raises(ValueError):
         j.jpeg_pixels(good[:-20])
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) re-encodes the SAME quantized coefficients
+    losslessly, so its decode must equal the baseline decode of the same
+    pixels bit-for-bit — a cross-check that the spectral-selection,
+    successive-approximation, EOBRUN and correction-bit paths all land the
+    exact coefficient array (T.81 G.1/G.2)."""
+    import numpy as np
+
+    from cognee_graphdb_spark.sources import jpeg as j
+
+    def grad(x, y):
+        return ((x * 17 + y * 3) % 256, (x * 5 + y * 29) % 256, (x * 11 + y * 7) % 256)
+
+    for w, h, kw in [
+        (24, 16, {}),
+        (13, 9, {}),  # partial-edge blocks
+        (20, 12, {"subsample": True}),  # 4:2:0: AC scans walk the ACTUAL grid
+        (31, 17, {"gray": True}),
+        (33, 18, {"subsample": True}),
+    ]:
+        base = j.jpeg_pixels_np(j.jpeg_bytes(w, h, grad, **kw))
+        prog_bytes = j.jpeg_progressive_bytes(w, h, grad, **kw)
+        assert j.parse_jpeg(prog_bytes) == (w, h, 1 if kw.get("gray") else 3)
+        assert np.array_equal(base, j.jpeg_pixels_np(prog_bytes)), (w, h, kw)
+
+
+def test_jpeg_progressive_sparse_blocks_exercise_eobrun():
+    """Mostly-empty images produce long EOB runs (the EOBn > EOB0 symbols)
+    plus refinement correction bits riding on them — decode must still be
+    bit-identical to baseline."""
+    import numpy as np
+
+    from cognee_graphdb_spark.sources import jpeg as j
+
+    def sparse(x, y):  # flat background, a few isolated features
+        v = 200 if (x, y) in ((3, 3), (40, 10), (70, 20)) else 32
+        return (v, v, v)
+
+    base = j.jpeg_pixels_np(j.jpeg_bytes(80, 24, sparse, gray=True))
+    prog = j.jpeg_pixels_np(j.jpeg_progressive_bytes(80, 24, sparse, gray=True))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_truncated_is_honest():
+    import pytest as _pytest
+
+    from cognee_graphdb_spark.sources import jpeg as j
+
+    good = j.jpeg_progressive_bytes(24, 16, lambda x, y: (100, 3, 7))
+    with _pytest.raises(ValueError):
+        j.jpeg_pixels(good[:40])
 
 
 def test_jpeg_in_dispatch_and_envelope(spark):
