@@ -29,13 +29,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cognee_graphdb_spark.sources.backends import (
+    EDGE_KEY,
+    EMBEDDING_KEY,
+    NODE_KEY,
+    TABLE_KEYS,
+    ParquetSnapshotBackend,
+    TableBackend,
+)
 from cognee_graphdb_spark.sources.fs import Fs
 
-NODE_KEY = ["id"]
-EDGE_KEY = ["src", "dst", "relationship_name"]
-EMBEDDING_KEY = ["collection", "id"]
-
-_KEYS = {"nodes": NODE_KEY, "edges": EDGE_KEY, "embeddings": EMBEDDING_KEY, "data": ["id"]}
+_KEYS = TABLE_KEYS
 
 # a writer that dies holding a table lease is assumed dead after this many
 # seconds and its lock is broken (bound it ABOVE the slowest expected merge
@@ -45,13 +49,19 @@ _LOCK_TTL = float(os.environ.get("SPARK_GRAFT_LOCK_TTL", "300"))
 
 
 class GraphStore:
-    """Persistent nodes/edges/embeddings with MERGE-upsert + audit ledger."""
+    """Persistent nodes/edges/embeddings with MERGE-upsert + audit ledger.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Storage is a :class:`~cognee_graphdb_spark.sources.backends.TableBackend`
+    (default: MVCC parquet snapshots; ``DeltaLakeBackend`` drops in where
+    the jars exist).  Locking, the ledger, multi-tenancy key augmentation,
+    and cascade semantics live HERE — identical across backends."""
+
+    def __init__(self, spark: SparkSession, root: str, backend: TableBackend | None = None):
         self.spark = spark
         self.root = root
         self.fs = Fs(spark, root)
         self.fs.mkdirs(root)
+        self.backend = backend or ParquetSnapshotBackend(spark, root, self.fs)
         # ledger appends share ONE output dir, and concurrent Spark append
         # jobs share its _temporary staging — serialize them so table upserts
         # may run from a thread pool (api.cognify) while the audit trail
@@ -107,83 +117,25 @@ class GraphStore:
         finally:
             self.fs.delete(lock)
 
-    def _current_version(self, table: str) -> str | None:
-        pointer = os.path.join(self._path(table), "_CURRENT")
-        if not self.fs.exists(pointer):
-            return None
-        # an in-place pointer overwrite (HDFS path of Fs.flip_pointer) has a
-        # truncate-to-visible window where the file exists but is EMPTY —
-        # transient by construction, so retry briefly before giving up
-        for _ in range(5):
-            version = self.fs.read_text(pointer).strip()
-            if version:
-                return os.path.join(self._path(table), version)
-            time.sleep(0.05)
-        return None
-
     def load(self, table: str) -> DataFrame | None:
-        p = self._current_version(table)
-        if p is None or not self.fs.exists(p):
-            return None
-        try:
-            return self.spark.read.parquet(p)
-        except Exception:
-            # a snapshot of an emptied table has no parquet footers (a
-            # partitioned write of 0 rows emits only _SUCCESS) — an empty
-            # table and a missing one behave identically downstream
-            return None
+        return self.backend.load(table)
 
     def _swap_write(self, table: str, df: DataFrame) -> None:
-        """MVCC snapshot write (Delta-MERGE stand-in): each version is an
-        immutable directory; the ``_CURRENT`` pointer flips atomically, so a
-        lazy plan that captured an old version keeps reading files that never
-        move (Delta's versioned-files model).  ``vacuum()`` reclaims
-        superseded versions.  Tables carrying ``dataset_id`` are partitioned
-        by it — the reference's DB-per-dataset multi-tenancy becomes partition
-        pruning (search.py:322)."""
-        base = self._path(table)
-        self.fs.mkdirs(base)
-        version = f"v-{uuid.uuid4().hex[:12]}"
-        # sort by merge key WITHIN partitions (no shuffle): parquet row-group
-        # min/max stats become disjoint, so point lookups and id-range merge
-        # probes skip row groups instead of scanning the table — the data-
-        # skipping half of what an embedded DB's primary index provides
-        key = [c for c in _KEYS.get(table, []) if c in df.columns]
-        if key:
-            df = df.sortWithinPartitions(*key)
-        writer = df.write.mode("overwrite")
-        if "dataset_id" in df.columns:
-            writer = writer.partitionBy("dataset_id")
-        writer.parquet(os.path.join(base, version))
-        # scheme-aware atomic flip: rename(2) locally, one overwrite PUT on
-        # object stores — a concurrent load() never sees a missing pointer
-        self.fs.flip_pointer(os.path.join(base, "_CURRENT"), version)
+        """Atomic full-table replace via the backend (MVCC snapshot flip on
+        the parquet default, ``overwrite`` on Delta)."""
+        self.backend.write_snapshot(table, df)
 
     def vacuum(self) -> None:
-        """Delete every non-current version (callers guarantee no reader
-        still holds a plan over them — Delta's VACUUM contract)."""
-        for table in list(_KEYS):
-            base = self._path(table)
-            current = self._current_version(table)
-            if not self.fs.is_dir(base):
-                continue
-            for entry in self.fs.listdir(base):
-                full = os.path.join(base, entry)
-                if entry.startswith("v-") and full != current:
-                    self.fs.delete(full)
+        """Reclaim superseded storage (callers guarantee no reader still
+        holds a plan over it — Delta's VACUUM contract)."""
+        self.backend.vacuum(list(_KEYS))
 
     def table_stats(self) -> dict[str, dict]:
-        """Per-table maintenance stats of the CURRENT snapshots (plus the
+        """Per-table maintenance stats of the CURRENT table states (plus the
         append-only ledger): {table: {files, bytes, versions}}.  Metadata
         RPCs only — this is what an operator (or a scheduled maintenance
         job) reads to decide when to :meth:`compact` / :meth:`vacuum`."""
-        out: dict[str, dict] = {}
-        for table in list(_KEYS):
-            base = self._path(table)
-            current = self._current_version(table)
-            files, nbytes = self.fs.file_stats(current) if current else (0, 0)
-            versions = sum(1 for e in self.fs.listdir(base) if e.startswith("v-"))
-            out[table] = {"files": files, "bytes": nbytes, "versions": versions}
+        out: dict[str, dict] = {table: self.backend.stats(table) for table in _KEYS}
         lfiles, lbytes = self.fs.file_stats(os.path.join(self.root, "ledger"))
         out["ledger"] = {"files": lfiles, "bytes": lbytes, "versions": 1}
         return out
@@ -204,21 +156,9 @@ class GraphStore:
         out: dict[str, int] = {}
         for table in list(_KEYS):
             with self._table_lock(table):
-                current = self._current_version(table)
-                if current is None:
-                    continue
-                files, nbytes = self.fs.file_stats(current)
-                n = max(1, -(-nbytes // target_file_bytes))  # ceil
-                if files <= n:
-                    out[table] = files
-                    continue
-                df = self.load(table)
-                if df is None:
-                    continue
-                # coalesce is narrow (no shuffle): fine for merging small
-                # files; partitionBy tables re-split per dataset on write
-                self._swap_write(table, df.coalesce(int(n)))
-                out[table] = self.fs.file_stats(self._current_version(table))[0]
+                n = self.backend.compact(table, target_file_bytes)
+                if n is not None:
+                    out[table] = n
         ledger_path = os.path.join(self.root, "ledger")
         with self._ledger_lock, self._table_lock("ledger"):
             self._ledger_recover(ledger_path)
@@ -274,14 +214,11 @@ class GraphStore:
             if "dataset_id" in incoming.columns and (existing is None or "dataset_id" in existing.columns):
                 key = key + ["dataset_id"]
             incoming = incoming.dropDuplicates(key)
-            if existing is None:
-                merged = incoming
-            else:
-                # MERGE: matched rows take the incoming version (update), the rest
-                # of the existing table is kept (the NOT MATCHED ... INSERT half)
-                kept = existing.join(incoming.select(*key), key, "left_anti")
-                merged = kept.unionByName(incoming, allowMissingColumns=True)
-            self._swap_write(table, merged)
+            # MERGE: matched rows take the incoming version (update), the rest
+            # of the existing table is kept (the NOT MATCHED ... INSERT half) —
+            # anti-join + union on the parquet backend, native MERGE INTO on a
+            # lakehouse backend
+            self.backend.merge(table, incoming, key)
         self.append_ledger(f"upsert_{table}", incoming.select(F.concat_ws("|", *key).alias("id")), created_by)
 
     def upsert_nodes(self, nodes: DataFrame, created_by: str = "add_data_points") -> None:

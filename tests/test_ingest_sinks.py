@@ -290,7 +290,7 @@ def test_snapshot_files_are_key_sorted(spark, tmp_path):
     ).repartition(4)
     store.upsert_nodes(nodes)
 
-    current = store._current_version("nodes")
+    current = store.backend.current_version("nodes")
     files = [
         os.path.join(current, f)
         for f in os.listdir(current)
