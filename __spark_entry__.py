@@ -892,6 +892,35 @@ def _q_a9_pagerank(spark, sf_dir):
     )
 
 
+def _q_a9_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (graph_metrics.py:pagerank(personalized=...)):
+    the reset vector AND the dangling mass return to the seed set (the
+    nation hub rows) instead of all nodes — the GDS variant a memory layer
+    ranks entities around a query's seeds with.  Oracle: the same 10
+    iterations unrolled with p-weighted arithmetic in the same operand
+    order, ppm-quantized."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = ids.filter(F.col("id").startswith("nation:"))
+    pr = pagerank(ids, fk, damping=0.85, n_iter=10, personalized=seeds)
+    return (
+        pr.select(
+            "id", F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm")
+        )
+        .orderBy(F.desc("rank_ppm"), "id")
+        .limit(100)
+    )
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -1866,9 +1895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.
     raw = {
         # -- round-7 window (first 50) ---------------------------------------
-        # new this round ([LLM] media loader path, progressive JPEG decode)
+        # new this round ([LLM] media loaders, progressive JPEG, PPR)
         "mm_llm_media_text": _q_mm_llm_media_text,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
+        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
         # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
@@ -1920,9 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_exact": _q_dedup_embedding,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r5-green block (leads the r8 window)
+        "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
@@ -3277,6 +3307,42 @@ nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM fk GROUP BY src),
 r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes CROSS JOIN nn),
 {", ".join(_pr_iters)}
+SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
+FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # personalized variant: reset vector + dangling mass over the nation
+    # seeds; rank = (1-d)·p + d·(contrib + dm·p), same operand order as
+    # graph_metrics.py:pagerank(personalized=...)
+    _pp_iters = []
+    _prev_r = "r0"
+    for _i in range(1, 11):
+        _pp_iters.append(f"""c{_i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+  FROM fk e JOIN {_prev_r} r ON e.src = r.id JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), d{_i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM {_prev_r} r LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL
+), r{_i} AS MATERIALIZED (
+  SELECT pv.id,
+         (CAST(1.0 AS DOUBLE) - {_d}) * pv.p
+         + {_d} * (COALESCE(c.c, CAST(0 AS DOUBLE)) + (SELECT dm FROM d{_i}) * pv.p) AS rank
+  FROM pvec pv LEFT JOIN c{_i} c ON pv.id = c.id
+)""")
+        _prev_r = f"r{_i}"
+    sql["a9_pagerank_personalized"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+allnodes AS MATERIALIZED (SELECT src AS id FROM fk UNION SELECT dst FROM fk),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM fk GROUP BY src),
+ns AS MATERIALIZED (SELECT count(*) AS n FROM allnodes WHERE id LIKE 'nation:%'),
+pvec AS MATERIALIZED (
+  SELECT id, CASE WHEN id LIKE 'nation:%' THEN CAST(1.0 AS DOUBLE) / ns.n
+                  ELSE CAST(0 AS DOUBLE) END AS p
+  FROM allnodes CROSS JOIN ns
+),
+r0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec),
+{", ".join(_pp_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
 

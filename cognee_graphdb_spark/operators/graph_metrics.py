@@ -291,6 +291,9 @@ def pagerank(
     n_iter: int = 10,
     checkpoint_every: int = 3,
     ids_distinct: bool = False,
+    personalized: DataFrame | None = None,
+    tol: float | None = None,
+    return_iterations: bool = False,
 ) -> DataFrame:
     """(id, rank): PageRank by power iteration over the directed simple graph
     (distinct (src, dst) pairs; self-loops kept as ordinary edges).
@@ -314,8 +317,16 @@ def pagerank(
     the same key every round, so AQE reuses the exchange; a billion-edge graph
     iterates at the cost of one co-partitioned join + partial agg per round.
     Convergence-wise 10 rounds bounds the error by damping^10 ≈ 0.2 of the
-    initial residual — callers wanting tolerance-based stopping can loop over
-    this function reading the returned ranks (each call resumes in one job).
+    initial residual; ``tol`` adds in-loop tolerance stopping — the L1 delta
+    between consecutive CHECKPOINTS (so the check costs one aggregate per
+    ``checkpoint_every`` rounds, not per round), stop when below ``tol``.
+
+    ``personalized`` (a node-id frame) switches to personalized PageRank
+    (the GDS variant a memory layer ranks entities AROUND a query's seed
+    set with): the reset vector becomes uniform over the SEED SET instead
+    of all nodes — p_i = 1/|S| for seeds else 0 — and dangling mass
+    likewise returns to the seeds: rank = (1-d)·p + d·(contrib + dm·p).
+    ``return_iterations`` returns (ranks, iterations_run) instead of ranks.
     """
     # everything static is hoisted out of the loop and iterates on 8-byte
     # keys: per round only ONE join (pre-weighted edges ⋈ ranks), one
@@ -330,7 +341,8 @@ def pagerank(
     nh = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
     n = nh.count()
     if n == 0:
-        return nodes.select("id", F.lit(0.0).alias("rank"))
+        empty = nodes.select("id", F.lit(0.0).alias("rank"))
+        return (empty, 0) if return_iterations else empty
     if n >= 50_000_000:
         # same collision-probe rationale as connected_components: a 64-bit
         # collision would silently merge two nodes' mass
@@ -356,12 +368,27 @@ def pagerank(
         nh.select("h")
         .join(deg.select(F.col("hs").alias("h"), F.lit(False).alias("is_sink")), "h", "left")
         .select("h", F.coalesce("is_sink", F.lit(True)).alias("is_sink"))
-        .localCheckpoint(eager=True)
     )
+    if personalized is not None:
+        seeds = personalized.select("id").distinct()
+        ns = seeds.count()
+        if ns == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        sh = seeds.select(F.xxhash64("id").alias("h"), F.lit(1.0 / ns).alias("p"))
+        base_frame = (
+            base_frame.join(sh, "h", "left")
+            .select("h", "is_sink", F.coalesce("p", F.lit(0.0)).alias("p"))
+        )
+    base_frame = base_frame.localCheckpoint(eager=True)
     # (1.0 - damping) / n mirrors the oracle's CAST(... AS DOUBLE) arithmetic
     # bit-for-bit: same operand order, all doubles.
     base = (1.0 - damping) / n
-    ranks = base_frame.select("h", "is_sink", F.lit(1.0 / n).alias("rank"))
+    if personalized is None:
+        ranks = base_frame.select("h", "is_sink", F.lit(1.0 / n).alias("rank"))
+    else:
+        ranks = base_frame.select("h", "is_sink", "p", F.col("p").alias("rank"))
+    prev_ck = ranks
+    done = 0
     for it in range(n_iter):
         contrib = (
             ew.join(ranks.select(F.col("h").alias("hs"), "rank"), "hs")
@@ -374,22 +401,39 @@ def pagerank(
         dangling = ranks.filter("is_sink").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        ranks = (
-            base_frame.join(contrib, "h", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "h",
-                "is_sink",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
-                ).alias("rank"),
+        joined = base_frame.join(contrib, "h", "left").crossJoin(F.broadcast(dangling))
+        if personalized is None:
+            new_rank = (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
             )
-        )
+            ranks = joined.select("h", "is_sink", new_rank.alias("rank"))
+        else:
+            # rank = (1-d)·p + d·(contrib + dm·p): teleport AND dangling mass
+            # return to the seed distribution (same operand order as the
+            # personalized oracle)
+            new_rank = (
+                (F.lit(1.0) - F.lit(damping)) * F.col("p")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("p"))
+            )
+            ranks = joined.select("h", "is_sink", "p", new_rank.alias("rank"))
+        done = it + 1
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return nh.join(ranks.select("h", "rank"), "h").select("id", "rank")
+            if tol is not None:
+                delta = (
+                    ranks.select("h", "rank")
+                    .join(prev_ck.select("h", F.col("rank").alias("prev")), "h")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                    .first()["d"]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_ck = ranks
+    out = nh.join(ranks.select("h", "rank"), "h").select("id", "rank")
+    return (out, done) if return_iterations else out
 
 
 def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:

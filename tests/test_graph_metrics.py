@@ -256,6 +256,74 @@ def test_pagerank_edges_to_unknown_ids_conserve_mass(spark):
     assert sum(got.values()) == pytest.approx(1.0)
 
 
+def test_pagerank_tolerance_stops_early(spark):
+    """tol checks the L1 delta between consecutive checkpoints: a loose
+    tolerance stops at the first checkpoint, a strict one runs all rounds,
+    and the converged ranks match the long-run fixpoint."""
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "a", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # symmetric 3-cycle: already at the fixpoint after round 1, so the first
+    # checkpointed delta is 0 < any tol
+    _, done = pagerank(nodes, edges, n_iter=30, checkpoint_every=3, tol=1e-9, return_iterations=True)
+    assert done == 3  # uniform start IS the fixpoint: first checkpointed delta is 0
+    _, done_full = pagerank(nodes, edges, n_iter=9, checkpoint_every=3, return_iterations=True)
+    assert done_full == 9
+
+
+def test_pagerank_personalized_matches_numpy(spark):
+    """Personalized PageRank: reset vector AND dangling mass over the seed
+    set only — checked against the dense formulation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    pairs = sorted({(f"n{(3 * i) % 11}", f"n{(5 * i + 2) % 11}") for i in range(25)})
+    edges = spark.createDataFrame([(s, d, "r") for s, d in pairs], ["src", "dst", "relationship_name"])
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    seeds = ["n1", "n4"]
+    got_df = pagerank(nodes, edges, n_iter=12, personalized=spark.createDataFrame([(s,) for s in seeds], ["id"]))
+    got = {r["id"]: r["rank"] for r in got_df.collect()}
+
+    ids = sorted(r["id"] for r in nodes.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    p = np.zeros(n)
+    for s in seeds:
+        p[idx[s]] = 1.0 / len(seeds)
+    out_deg: dict[str, int] = {}
+    for s, d in pairs:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = p.copy()
+    d_ = 0.85
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / out_deg[s]
+        dm = sum(r[idx[v]] for v in ids if v not in out_deg)
+        r = (1 - d_) * p + d_ * (contrib + dm * p)
+    for v in ids:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9, abs=1e-15)
+    # non-seed-reachable mass: ranks still sum to 1
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_personalized_empty_seeds_rejected(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    edges = spark.createDataFrame([("a", "b", "r")], ["src", "dst", "relationship_name"])
+    nodes = spark.createDataFrame([("a",), ("b",)], ["id"])
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(nodes, edges, personalized=spark.createDataFrame([], "id string"))
+
+
 def test_pagerank_empty_graph(spark):
     from cognee_graphdb_spark.operators.graph_metrics import pagerank
 
