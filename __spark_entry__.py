@@ -1568,12 +1568,22 @@ def _q_u7_cot_triplets(spark, sf_dir):
 
 
 def _q_u8_context_extension_triplets(spark, sf_dir):
+    """U8 context extension, oracle-checked (promoted in r7 — the last
+    LLM-loop composite): the mock completion echoes the prompt LENGTH, so
+    the feedback query of each round is 'MOCK_COMPLETION[n]' with n fully
+    determined by the rendered context of the current triplet set.  The
+    DuckDB oracle restates render_triplets' length char-exactly (per-node
+    titles via the Counter.most_common tie rule), hash-embeds the dynamic
+    query, and reproduces the break-on-fixpoint branch (reference:
+    graph_completion_context_extension_retriever.py:46-131).  Keys + names
+    only: dropDuplicates keeps an arbitrary score survivor (same rationale
+    as u7)."""
     from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_context_extension
 
     res = _cognify_memo(spark, sf_dir, 60)
     ctx = GraphContext(nodes=res.nodes, edges=res.edges, embeddings=res.embeddings)
     _, triplets = graph_completion_context_extension(ctx, "fast table scan merge", k=5, max_iter=2)
-    return triplets
+    return triplets.select("src", "src_name", "relationship_name", "dst", "dst_name")
 
 
 def _q_code_graph(spark, sf_dir):
@@ -1902,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
+        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
         # flagship (rows-only by design: mock-LLM prose output)
         "graph_completion_e2e": _q_graph_completion_e2e,
         # oldest driver rows first: the r4-era block that sat past the r6 cut
@@ -1949,9 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r5-green block (leads the r8 window)
+        "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "quality_features": _q_quality_features,
@@ -2020,8 +2031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_corpus_stats": _q_td_corpus_stats,
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
-        # rows-only composite (completion-length feedback loop; see docstring)
-        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -2118,28 +2127,28 @@ cg_ch AS (
          (k + 1) * 256 >= nw AS is_last
   FROM cg_w, unnest(range(0, CAST(ceil(nw / 256.0) AS BIGINT))) AS ks(k)
 ),
-cg_chunk AS (
+cg_chunk AS MATERIALIZED (
   SELECT doc_id, k, cws,
          array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END AS ctext,
          md5(array_to_string(cws, ' ') || CASE WHEN is_last THEN '' ELSE ' ' END) AS chunk_id
   FROM cg_ch
 ),
-cg_tok AS (
+cg_tok AS MATERIALIZED (
   SELECT chunk_id, cws[i] AS tok, i
   FROM (SELECT DISTINCT chunk_id, cws FROM cg_chunk) c, unnest(range(1, len(cws) + 1)) AS u(i)
   WHERE length(cws[i]) >= 5
 ),
 cg_first AS (SELECT chunk_id, tok, min(i) AS fi FROM cg_tok GROUP BY chunk_id, tok),
-cg_ent8 AS (
+cg_ent8 AS MATERIALIZED (
   SELECT chunk_id, tok, rn
   FROM (SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY fi) AS rn FROM cg_first)
   WHERE rn <= 8
 ),
-cg_cooc AS (
+cg_cooc AS MATERIALIZED (
   SELECT a.chunk_id, a.tok AS sname, b.tok AS dname
   FROM cg_ent8 a JOIN cg_ent8 b ON a.chunk_id = b.chunk_id AND b.rn = a.rn + 1
 ),
-cg_edges AS (
+cg_edges AS MATERIALIZED (
   SELECT DISTINCT src, dst, relationship_name FROM (
     SELECT chunk_id AS src, 'doc:' || CAST(doc_id AS VARCHAR) AS dst, 'is_part_of' AS relationship_name FROM cg_chunk
     UNION ALL SELECT chunk_id, md5('Entity' || chr(31) || tok), 'contains' FROM cg_ent8
@@ -2148,7 +2157,7 @@ cg_edges AS (
     UNION ALL SELECT md5('Entity' || chr(31) || sname), md5('Entity' || chr(31) || dname), 'co_occurs' FROM cg_cooc
   ) u
 ),
-cg_nodes AS (
+cg_nodes AS MATERIALIZED (
   SELECT DISTINCT id, name FROM (
     SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS VARCHAR) AS name FROM cg_d
     UNION ALL SELECT DISTINCT chunk_id, chunk_id FROM cg_chunk
@@ -2157,7 +2166,7 @@ cg_nodes AS (
     UNION ALL SELECT DISTINCT md5('TextSummary' || chr(31) || chunk_id), substr(trim(ctext), 1, 200) FROM cg_chunk
   ) u
 ),
-cg_embrows AS (
+cg_embrows AS MATERIALIZED (
   SELECT 'DocumentChunk_text' AS collection, chunk_id AS id, ctext AS txt FROM (SELECT DISTINCT chunk_id, ctext FROM cg_chunk)
   UNION ALL SELECT 'Entity_name', md5('Entity' || chr(31) || tok), tok FROM (SELECT DISTINCT tok FROM cg_ent8)
   UNION ALL SELECT 'EntityType_name', md5('EntityType' || chr(31) || tname), tname FROM (SELECT DISTINCT 'Type_' || substr(tok, 1, 1) AS tname FROM cg_ent8)
@@ -2170,26 +2179,32 @@ cg_vb AS (
   FROM (SELECT collection, id, unnest(list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9]+'), x -> x != '')) AS tok FROM cg_embrows) t
   GROUP BY collection, id, b
 ),
-cg_vec AS (
+cg_vec AS MATERIALIZED (
   SELECT collection, id,
          list_transform(range(0, 64), i -> CAST(CAST(CAST(coalesce(mp[i][1], 0) AS DOUBLE) / n AS FLOAT) AS DOUBLE)) AS v
   FROM (SELECT collection, id, map(list(b), list(c)) AS mp, sqrt(sum(c * c)) AS n FROM cg_vb GROUP BY collection, id)
 )"""
 
 
-def _triplet_search_sql(prefix: str, query_text: str, k: int) -> str:
+def _triplet_search_sql(prefix: str, query_text: str | None, k: int, qv_from: str | None = None) -> str:
     """Per-query CTEs over the _cognify_graph_sql frames: query vector
     (HashEmbedder doubles inlined as literals — the Spark side embeds the
-    query driver-side in Python, so the literal IS the same doubles), cosine
+    query driver-side in Python, so the literal IS the same doubles; or,
+    with ``qv_from``, taken from a previously computed CTE for
+    data-dependent queries like U8's completion feedback), cosine
     distances, per-collection min-max normalize (vector/utils.py semantics:
     all-equal -> 0.0), per-node min across collections, edge-type scores, and
     the top-k by (raw score, src, dst, relationship_name) — the
     triplet_score_join total order."""
     from cognee_graphdb_spark.llm.embedder import HashEmbedder
 
-    qv = HashEmbedder(64).embed(query_text)
-    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
-    return f"""{prefix}q AS (SELECT {lit} AS qv),
+    if qv_from is not None:
+        q_cte = f"{prefix}q AS (SELECT qv FROM {qv_from})"
+    else:
+        qv = HashEmbedder(64).embed(query_text)
+        lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+        q_cte = f"{prefix}q AS (SELECT {lit} AS qv)"
+    return f"""{q_cte},
 {prefix}dist AS (
   SELECT collection, id,
          1.0 - list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS d
@@ -2218,6 +2233,91 @@ def _triplet_search_sql(prefix: str, query_text: str, k: int) -> str:
   LEFT JOIN {prefix}ns s2 ON e.dst = s2.id
   LEFT JOIN {prefix}ets t ON e.relationship_name = t.relationship_name
   ORDER BY raw, e.src, e.dst, e.relationship_name LIMIT {k}
+)"""
+
+
+def _u8_title_ctes() -> str:
+    """Per-node rendered-title/content LENGTHS for render_triplets
+    (plans/triplet_search.py:render_triplets + _py_title): text nodes get
+    title = first-7-words + '... [' + top-7 non-stopword tokens by
+    (count desc, first occurrence) + ']' (Counter.most_common tie order) and
+    content = the text; doc nodes (no embedding text) use their name for
+    both.  Only LENGTHS are needed (the mock completion echoes the prompt
+    length), so node order inside the render never matters."""
+    from cognee_graphdb_spark.functions.text import STOP_WORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    return f"""u8_node_text AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS VARCHAR) AS name, NULL AS txt FROM cg_d
+  UNION ALL SELECT chunk_id, chunk_id, ctext FROM (SELECT DISTINCT chunk_id, ctext FROM cg_chunk)
+  UNION ALL SELECT md5('Entity' || chr(31) || tok), tok, tok FROM (SELECT DISTINCT tok FROM cg_ent8)
+  UNION ALL SELECT md5('EntityType' || chr(31) || tname), tname, tname FROM (SELECT DISTINCT 'Type_' || substr(tok, 1, 1) AS tname FROM cg_ent8)
+  UNION ALL SELECT md5('TextSummary' || chr(31) || chunk_id), substr(trim(ctext), 1, 200), substr(trim(ctext), 1, 200) FROM (SELECT DISTINCT chunk_id, ctext FROM cg_chunk)
+),
+u8_toks AS (
+  SELECT id, list_filter(string_split(txt, ' '), x -> x != '') AS toks
+  FROM u8_node_text WHERE txt IS NOT NULL
+),
+u8_first AS (SELECT id, length(array_to_string(toks[1:7], ' ')) AS first_len FROM u8_toks),
+u8_tw AS (
+  SELECT id, lower(toks[i]) AS w, i
+  FROM u8_toks, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE lower(toks[i]) NOT IN ({sw})
+),
+u8_wc AS (SELECT id, w, count(*) AS cnt, min(i) AS fi FROM u8_tw GROUP BY id, w),
+u8_top AS (
+  SELECT id, SUM(length(w)) + 2 * (count(*) - 1) AS top_len
+  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, fi ASC) AS rn FROM u8_wc)
+  WHERE rn <= 7 GROUP BY id
+),
+u8_title AS MATERIALIZED (
+  SELECT nt.id,
+         CASE WHEN nt.txt IS NULL THEN length(nt.name)
+              ELSE f.first_len + 5 + coalesce(tp.top_len, 0) + 1 END AS title_len,
+         CASE WHEN nt.txt IS NULL THEN length(nt.name) ELSE length(nt.txt) END AS content_len
+  FROM u8_node_text nt
+  LEFT JOIN u8_first f ON nt.id = f.id
+  LEFT JOIN u8_top tp ON nt.id = tp.id
+)"""
+
+
+def _u8_prompt_len_cte(name: str, keys_cte: str) -> str:
+    """``{name}`` = one row (n) with the mock-completion prompt length for
+    the triplet set ``keys_cte``: 38 (the 'Answer 'q' using:\\n' prefix for
+    U8's query) + len(render_triplets(...)) — Nodes section (52 fixed chars
+    + title + content per distinct node, newline-joined) + the fixed
+    'Nodes:'/'Connections:' scaffolding (7 + 15) + one connection line per
+    triplet row (9 fixed chars + titles + relationship name)."""
+    return f"""{name}_nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM {keys_cte} UNION ALL SELECT dst FROM {keys_cte}) u
+),
+{name} AS (
+  SELECT CAST(38 + 7
+       + (SELECT SUM(52 + t.title_len + t.content_len) + COUNT(*) - 1
+          FROM u8_title t JOIN {name}_nodes n ON t.id = n.id)
+       + 15
+       + (SELECT SUM(9 + ts.title_len + length(e.relationship_name) + td.title_len) + COUNT(*) - 1
+          FROM {keys_cte} e
+          JOIN u8_title ts ON e.src = ts.id
+          JOIN u8_title td ON e.dst = td.id) AS BIGINT) AS n
+)"""
+
+
+def _u8_dyn_qv_ctes(prefix: str, n_from: str) -> str:
+    """Hash-embed the data-dependent query 'MOCK_COMPLETION[n]' (lowercased
+    tokens: mock, completion, str(n)) as a dense 64-vector — exact-integer
+    counts and norms, so the doubles match the Spark driver's HashEmbedder
+    bit-for-bit."""
+    return f"""{prefix}tok AS (
+  SELECT unnest(['mock', 'completion', CAST((SELECT n FROM {n_from}) AS VARCHAR)]) AS tok
+),
+{prefix}b AS (
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS b, count(*) AS c
+  FROM {prefix}tok GROUP BY b
+),
+{prefix}qv AS (
+  SELECT list_transform(range(0, 64), i -> CAST(coalesce(mp[i][1], 0) AS DOUBLE) / n) AS qv
+  FROM (SELECT map(list(b), list(c)) AS mp, sqrt(sum(c * c)) AS n FROM {prefix}b)
 )"""
 
 
@@ -3024,6 +3124,47 @@ u7_keys AS (
 )
 SELECT k.src, ns.name AS src_name, k.relationship_name, k.dst, nd.name AS dst_name
 FROM u7_keys k
+LEFT JOIN cg_nodes ns ON k.src = ns.id
+LEFT JOIN cg_nodes nd ON k.dst = nd.id"""
+
+    # U8 context extension promoted to oracle-checked (the last LLM-loop
+    # composite): the mock completion is 'MOCK_COMPLETION[len(prompt)]', so
+    # each feedback round's query is fully determined by the RENDERED
+    # CONTEXT LENGTH of the current triplet set — restated via the per-node
+    # title/content length CTEs (validated char-exact against
+    # render_triplets), a data-dependent hash-embedded query vector, and a
+    # conditional third round (the loop breaks when round 2 adds nothing)
+    sql["u8_context_extension_triplets"] = f"""
+WITH {_cognify_graph_sql(60)},
+{_triplet_search_sql('u8a_', 'fast table scan merge', 5)},
+{_u8_title_ctes()},
+u8a_keys AS (SELECT src, dst, relationship_name FROM u8a_top),
+{_u8_prompt_len_cte('u8_n0', 'u8a_keys')},
+{_u8_dyn_qv_ctes('u8q2', 'u8_n0')},
+{_triplet_search_sql('u8b_', None, 5, qv_from='u8q2qv')},
+u8_t1 AS (
+  SELECT DISTINCT src, dst, relationship_name FROM (
+    SELECT src, dst, relationship_name FROM u8a_keys
+    UNION ALL SELECT src, dst, relationship_name FROM u8b_top
+  ) u
+),
+u8_c1 AS (SELECT count(*) AS n FROM u8_t1),
+{_u8_prompt_len_cte('u8_n1', 'u8_t1')},
+{_u8_dyn_qv_ctes('u8q3', 'u8_n1')},
+{_triplet_search_sql('u8c_', None, 5, qv_from='u8q3qv')},
+u8_t2 AS (
+  SELECT DISTINCT src, dst, relationship_name FROM (
+    SELECT src, dst, relationship_name FROM u8_t1
+    UNION ALL SELECT src, dst, relationship_name FROM u8c_top
+  ) u
+),
+u8_final AS (
+  SELECT * FROM u8_t1 WHERE (SELECT n FROM u8_c1) = (SELECT count(*) FROM u8a_keys)
+  UNION ALL
+  SELECT * FROM u8_t2 WHERE (SELECT n FROM u8_c1) <> (SELECT count(*) FROM u8a_keys)
+)
+SELECT k.src, ns.name AS src_name, k.relationship_name, k.dst, nd.name AS dst_name
+FROM u8_final k
 LEFT JOIN cg_nodes ns ON k.src = ns.id
 LEFT JOIN cg_nodes nd ON k.dst = nd.id"""
 
