@@ -808,11 +808,12 @@ def _q_graph_completion_context(spark, sf_dir):
 def _q_graph_completion_e2e(spark, sf_dir):
     """Flagship SURVEY §7 Phase 0 composite, end to end: ingest -> cognify
     (U1/U2 extraction, embeddings) -> embed query (V5) -> brute-force triplet
-    scoring (J5/W1) -> F11 render -> completion (U6).  Rows-only: the
-    extraction stage is mapInPandas and the render is the reference's exact
-    driver-side string format (resolve_edges_to_text.py:46-71) — one output
-    row per rendered context line plus one 'completion' row, so the row count
-    is a stable per-round signal for the whole composite plan."""
+    scoring (J5/W1) -> F11 render -> completion (U6).  Oracle-checked as of
+    r7 (formerly the one rows-only entry): every output row is a literal
+    string — the context lines are the reference's exact render format
+    (resolve_edges_to_text.py:46-71) rebuilt in SQL with first-seen node
+    ordering and ordered-string_agg titles, and the completion row is the
+    mock gateway's prompt-length echo."""
     from cognee_graphdb_spark.plans.search_types import GraphContext, graph_completion_context
     from cognee_graphdb_spark.plans.triplet_search import render_triplets
 
@@ -3126,6 +3127,68 @@ SELECT k.src, ns.name AS src_name, k.relationship_name, k.dst, nd.name AS dst_na
 FROM u7_keys k
 LEFT JOIN cg_nodes ns ON k.src = ns.id
 LEFT JOIN cg_nodes nd ON k.dst = nd.id"""
+
+    # THE FLAGSHIP, promoted to oracle-checked (r7): every output row is a
+    # literal string DuckDB can rebuild — the context lines are
+    # render_triplets' exact render (node first-seen order = (2*row_idx +
+    # side) over the deterministic top-10 ordering; titles via ordered
+    # string_agg of the Counter.most_common rank) and the completion row is
+    # the mock's prompt-length echo.  Nothing in the contract is rows-only
+    # any more.
+    _fl_q = "fast table scan merge join"
+    _fl_prefix = len(f"Answer {_fl_q!r} using:\n")
+    sql["graph_completion_e2e"] = f"""
+WITH {_cognify_graph_sql(100)},
+{_triplet_search_sql('fl_', _fl_q, 10)},
+{_u8_title_ctes()},
+fl_rows AS MATERIALIZED (
+  SELECT src, dst, relationship_name,
+         row_number() OVER (ORDER BY raw, src, dst, relationship_name) AS idx
+  FROM fl_top
+),
+fl_tops AS (
+  SELECT id, string_agg(w, ', ' ORDER BY cnt DESC, fi) AS top
+  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, fi ASC) AS rn FROM u8_wc)
+  WHERE rn <= 7 GROUP BY id
+),
+fl_titles AS MATERIALIZED (
+  SELECT nt.id,
+         CASE WHEN nt.txt IS NULL THEN nt.name
+              ELSE f7.first || '... [' || coalesce(tp.top, '') || ']' END AS title,
+         CASE WHEN nt.txt IS NULL THEN nt.name ELSE nt.txt END AS content
+  FROM u8_node_text nt
+  LEFT JOIN (SELECT id, array_to_string(toks[1:7], ' ') AS first FROM u8_toks) f7 ON nt.id = f7.id
+  LEFT JOIN fl_tops tp ON nt.id = tp.id
+),
+fl_node_order AS (
+  SELECT id, min(pos) AS pos FROM (
+    SELECT src AS id, idx * 2 AS pos FROM fl_rows
+    UNION ALL SELECT dst, idx * 2 + 1 FROM fl_rows
+  ) u GROUP BY id
+),
+fl_nodesec AS (
+  SELECT string_agg(
+           'Node: ' || t.title || chr(10) || '__node_content_start__' || chr(10)
+             || t.content || chr(10) || '__node_content_end__' || chr(10),
+           chr(10) ORDER BY o.pos) AS s
+  FROM fl_node_order o JOIN fl_titles t ON o.id = t.id
+),
+fl_conn AS (
+  SELECT string_agg(ts.title || ' --[' || r.relationship_name || ']--> ' || td.title,
+                    chr(10) ORDER BY r.idx) AS s
+  FROM fl_rows r JOIN fl_titles ts ON r.src = ts.id JOIN fl_titles td ON r.dst = td.id
+),
+fl_ctx AS MATERIALIZED (
+  SELECT 'Nodes:' || chr(10) || (SELECT s FROM fl_nodesec) || chr(10) || chr(10)
+         || 'Connections:' || chr(10) || (SELECT s FROM fl_conn) AS ctx
+)
+SELECT 'context' AS kind, CAST(i - 1 AS INTEGER) AS line_no, parts[i] AS line
+FROM (SELECT string_split(ctx, chr(10)) AS parts FROM fl_ctx),
+     unnest(range(1, len(parts) + 1)) AS u(i)
+UNION ALL
+SELECT 'completion', CAST(0 AS INTEGER),
+       'MOCK_COMPLETION[' || CAST({_fl_prefix} + length(ctx) AS VARCHAR) || ']'
+FROM fl_ctx"""
 
     # U8 context extension promoted to oracle-checked (the last LLM-loop
     # composite): the mock completion is 'MOCK_COMPLETION[len(prompt)]', so
