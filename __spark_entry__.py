@@ -883,7 +883,7 @@ def _q_a9_pagerank(spark, sf_dir):
         .unionByName(fk.select(F.col("dst").alias("id")))
         .distinct()
     )
-    pr = pagerank(ids, fk, damping=0.85, n_iter=10)
+    pr = pagerank(ids, fk, damping=0.85, n_iter=10, edges_within_nodes=True)
     return (
         pr.select(
             "id", F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm")
@@ -912,7 +912,7 @@ def _q_a9_pagerank_personalized(spark, sf_dir):
         .distinct()
     )
     seeds = ids.filter(F.col("id").startswith("nation:"))
-    pr = pagerank(ids, fk, damping=0.85, n_iter=10, personalized=seeds)
+    pr = pagerank(ids, fk, damping=0.85, n_iter=10, personalized=seeds, edges_within_nodes=True)
     return (
         pr.select(
             "id", F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm")

@@ -185,7 +185,7 @@ def main() -> None:
     def _a9():
         from cognee_graphdb_spark.operators.graph_metrics import pagerank
 
-        pagerank(nodes, edges, n_iter=5).agg(F.sum("rank")).collect()
+        pagerank(nodes, edges, n_iter=5, edges_within_nodes=True).agg(F.sum("rank")).collect()
 
     @step("j6_k_hop")
     def _j6():

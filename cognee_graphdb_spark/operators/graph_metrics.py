@@ -294,6 +294,7 @@ def pagerank(
     personalized: DataFrame | None = None,
     tol: float | None = None,
     return_iterations: bool = False,
+    edges_within_nodes: bool = False,
 ) -> DataFrame:
     """(id, rank): PageRank by power iteration over the directed simple graph
     (distinct (src, dst) pairs; self-loops kept as ordinary edges).
@@ -352,14 +353,16 @@ def pagerank(
     # edges referencing ids absent from `nodes` would otherwise leak rank
     # mass (their contrib rows fall out of the base_frame left join below),
     # so ranks would no longer sum to 1 — restrict to the induced subgraph.
-    # Two one-time semi-joins; at scale AQE broadcasts nh when it fits.
-    e = (
-        edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd"))
-        .distinct()
-        .join(nh.select(F.col("h").alias("hs")), "hs", "left_semi")
-        .join(nh.select(F.col("h").alias("hd")), "hd", "left_semi")
-        .localCheckpoint(eager=True)
-    )
+    # Two one-time semi-joins; at scale AQE broadcasts nh when it fits, but a
+    # caller GUARANTEEING edges ⊆ nodes×nodes (e.g. nodes derived from the
+    # edge list) passes edges_within_nodes=True and skips both shuffles.
+    e = edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")).distinct()
+    if not edges_within_nodes:
+        e = (
+            e.join(nh.select(F.col("h").alias("hs")), "hs", "left_semi")
+            .join(nh.select(F.col("h").alias("hd")), "hd", "left_semi")
+        )
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     # deg is node-sized; AQE broadcast-joins it when it fits, else shuffles —
     # either way this runs ONCE, not once per round
