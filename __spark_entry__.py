@@ -1495,6 +1495,45 @@ def _q_mm_jpeg_progressive(spark, sf_dir):
     return image_resize(media, target_width=4, target_height=3)
 
 
+def _q_mm_image_variants(spark, sf_dir):
+    """The image-format variants real web corpora actually carry, decoded
+    for REAL and oracle-checked per variant: grayscale PNG at depth 4
+    (sub-byte unpack + 255/(2^d-1) sample scaling), palette PNG at depth 4
+    (PLTE lookup), Adam7-INTERLACED truecolor PNG (7-pass scatter), and an
+    interlaced GIF (4-pass row reorder).  Each decodes + resizes through
+    the same image_resize operator; DuckDB restates every pixel from the
+    synthesis formulas."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.operators.multimodal import image_resize
+    from cognee_graphdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.media import (
+            gif_bytes,
+            png_bytes,
+            png_gray_bytes,
+            png_palette_bytes,
+        )
+
+        pal = [(17 * i, 0, 0) for i in range(16)]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows.append((f"g:{d}", png_gray_bytes(10 + d % 4, 7, lambda x, y, d=d: (d + 2 * x + 3 * y) % 16, depth=4)))
+                rows.append((f"p:{d}", png_palette_bytes(12 + d % 3, 6, lambda x, y, d=d: (d + x + 2 * y) % 16, pal, depth=4)))
+                rows.append((f"i:{d}", png_bytes(12 + d % 5, 10, lambda x, y, d=d: ((d + 5 * x + 11 * y) % 256, 0, 0), interlace=True)))
+                rows.append((f"gi:{d}", gif_bytes(14 + d % 6, 9, lambda x, y, d=d: ((d + 7 * x + 13 * y) % 256, 0, 0), interlace=True)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id string, content binary")
+    return image_resize(media, target_width=4, target_height=3)
+
+
 def _q_mm_media_info(spark, sf_dir):
     """REAL container-metadata sniff (operators/multimodal.media_info):
     each doc synthesizes one MP3 (frame-header walk gives the exact
@@ -1910,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_llm_media_text": _q_mm_llm_media_text,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         "a9_pagerank_personalized": _q_a9_pagerank_personalized,
+        "mm_image_variants": _q_mm_image_variants,
         # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
@@ -1960,9 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r5-green block (leads the r8 window)
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -2781,6 +2821,39 @@ GROUP BY doc_id, w"""
     # progressive JPEG re-encodes the SAME quantized coefficients losslessly,
     # so its decode is pinned by the identical baseline restatement
     sql["mm_jpeg_progressive"] = sql["mm_jpeg_resize"]
+
+    # image-format variants: gray@4 scales samples by 255/15, palette@4
+    # looks up red = 17*index, interlaced PNG/GIF must equal their
+    # sequential layouts — all four restated via the floor resize mapping
+    sql["mm_image_variants"] = """
+WITH cells AS (
+  SELECT doc_id, tx, ty FROM documents
+  CROSS JOIN (SELECT unnest(range(4)) AS tx)
+  CROSS JOIN (SELECT unnest(range(3)) AS ty)
+)
+SELECT 'g:' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(10 + doc_id % 4 AS INTEGER) AS width, CAST(7 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS target_width, CAST(3 AS INTEGER) AS target_height,
+       CAST(SUM(((doc_id + 2 * ((tx * (10 + doc_id % 4)) // 4) + 3 * ((ty * 7) // 3)) % 16) * 255 // 15) AS BIGINT) AS red_sum
+FROM cells GROUP BY doc_id
+UNION ALL
+SELECT 'p:' || CAST(doc_id AS VARCHAR),
+       CAST(12 + doc_id % 3 AS INTEGER), CAST(6 AS INTEGER),
+       CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+       CAST(SUM(17 * ((doc_id + ((tx * (12 + doc_id % 3)) // 4) + 2 * ((ty * 6) // 3)) % 16)) AS BIGINT)
+FROM cells GROUP BY doc_id
+UNION ALL
+SELECT 'i:' || CAST(doc_id AS VARCHAR),
+       CAST(12 + doc_id % 5 AS INTEGER), CAST(10 AS INTEGER),
+       CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+       CAST(SUM((doc_id + 5 * ((tx * (12 + doc_id % 5)) // 4) + 11 * ((ty * 10) // 3)) % 256) AS BIGINT)
+FROM cells GROUP BY doc_id
+UNION ALL
+SELECT 'gi:' || CAST(doc_id AS VARCHAR),
+       CAST(14 + doc_id % 6 AS INTEGER), CAST(9 AS INTEGER),
+       CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+       CAST(SUM((doc_id + 7 * ((tx * (14 + doc_id % 6)) // 4) + 13 * ((ty * 9) // 3)) % 256) AS BIGINT)
+FROM cells GROUP BY doc_id"""
 
     # real container-metadata sniff: MP3 frame-header walk (duration =
     # frames*1152/44100) and MP4 box-tree walk (mvhd/tkhd/stsd), restated

@@ -219,7 +219,7 @@ def ppm_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit RGB/RGBA truecolor, non-interlaced) — public spec, stdlib zlib
+# PNG (RGB/RGBA@8, gray/palette@1/2/4/8, Adam7 interlace) — public spec, stdlib zlib
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -236,24 +236,87 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def png_bytes(width: int, height: int, pixel_fn) -> bytes:
-    """Encode ``pixel_fn(x, y) -> (r, g, b)`` as an 8-bit truecolor PNG
-    (filter 0 rows, one zlib IDAT) — synthesis for fixtures and oracles."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_wrap(width: int, height: int, depth: int, color: int, interlace: int,
+              raw: bytes, plte: bytes | None = None) -> bytes:
     import zlib
 
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def _png_pack_row(samples: list[int], depth: int) -> bytes:
+    """One scanline of single-channel samples packed at ``depth`` bits."""
+    if depth == 8:
+        return bytes(s & 255 for s in samples)
+    row = bytearray()
+    acc = nbits = 0
+    for s in samples:
+        acc = (acc << depth) | (s & ((1 << depth) - 1))
+        nbits += depth
+        while nbits >= 8:
+            nbits -= 8
+            row.append((acc >> nbits) & 255)
+    if nbits:
+        row.append((acc << (8 - nbits)) & 255)
+    return bytes(row)
+
+
+def _png_raw_pass(width: int, height: int, x0: int, y0: int, dx: int, dy: int,
+                  sample_fn, depth: int, channels: int) -> bytes:
+    """Filter-0 scanlines of one (sub)image over the given pixel lattice."""
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        for x in range(width):
-            r, g, b = pixel_fn(x, y)
-            raw += bytes((r & 255, g & 255, b & 255))
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
+    for y in range(y0, height, dy):
+        line: list[int] = []
+        for x in range(x0, width, dx):
+            v = sample_fn(x, y)
+            line.extend(v if channels > 1 else (v,))
+        raw.append(0)
+        raw += _png_pack_row(line, depth)
+    return bytes(raw)
+
+
+def png_bytes(width: int, height: int, pixel_fn, interlace: bool = False) -> bytes:
+    """Encode ``pixel_fn(x, y) -> (r, g, b)`` as an 8-bit truecolor PNG
+    (filter 0 rows, one zlib IDAT; optional Adam7 interlacing) — synthesis
+    for fixtures and oracles."""
+    fn = lambda x, y: tuple(v & 255 for v in pixel_fn(x, y))
+    if not interlace:
+        raw = _png_raw_pass(width, height, 0, 0, 1, 1, fn, 8, 3)
+        return _png_wrap(width, height, 8, 2, 0, raw)
+    raw = b"".join(
+        _png_raw_pass(width, height, x0, y0, dx, dy, fn, 8, 3)
+        for x0, y0, dx, dy in _ADAM7
+        if x0 < width and y0 < height
     )
+    return _png_wrap(width, height, 8, 2, 1, raw)
+
+
+def png_gray_bytes(width: int, height: int, gray_fn, depth: int = 8) -> bytes:
+    """Grayscale PNG (color type 0) at depth 1/2/4/8 — ``gray_fn`` returns a
+    sample already in [0, 2^depth)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("gray depth must be 1/2/4/8")
+    raw = _png_raw_pass(width, height, 0, 0, 1, 1, gray_fn, depth, 1)
+    return _png_wrap(width, height, depth, 0, 0, raw)
+
+
+def png_palette_bytes(width: int, height: int, index_fn, palette: list[tuple[int, int, int]], depth: int = 8) -> bytes:
+    """Indexed-color PNG (color type 3, PLTE) at depth 1/2/4/8."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    if len(palette) > (1 << depth):
+        raise ValueError("palette larger than depth allows")
+    plte = b"".join(bytes((r & 255, g & 255, b & 255)) for r, g, b in palette)
+    raw = _png_raw_pass(width, height, 0, 0, 1, 1, index_fn, depth, 1)
+    return _png_wrap(width, height, depth, 3, 0, raw, plte=plte)
 
 
 def _png_chunks(data: bytes):
@@ -277,23 +340,37 @@ def _png_chunks(data: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def parse_png(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels); raises ValueError for non-PNG or outside
-    the 8-bit truecolor non-interlaced subset."""
+def _png_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """Validated (width, height, depth, color, interlace).  Supported
+    subset: truecolor/RGBA at depth 8, grayscale and palette at depth
+    1/2/4/8, interlace methods 0 (none) and 1 (Adam7) — the complete set of
+    layouts common web PNGs actually use; 16-bit samples and gray+alpha
+    raise honestly."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     for ctype, body in _png_chunks(data):
         if ctype != b"IHDR":
             raise ValueError("PNG must start with IHDR")
         width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-        if depth != 8 or color not in (2, 6):
-            raise ValueError(f"unsupported PNG: depth={depth} colortype={color} (8-bit RGB/RGBA only)")
+        ok = (color in (2, 6) and depth == 8) or (color in (0, 3) and depth in (1, 2, 4, 8))
+        if not ok:
+            raise ValueError(
+                f"unsupported PNG: depth={depth} colortype={color} "
+                "(RGB/RGBA@8, gray/palette@1/2/4/8 supported)"
+            )
         if comp != 0 or filt != 0:
             raise ValueError("unsupported PNG compression/filter method")
-        if interlace != 0:
-            raise ValueError("interlaced PNG not supported")
-        return width, height, 3 if color == 2 else 4
+        if interlace not in (0, 1):
+            raise ValueError(f"unknown PNG interlace method {interlace}")
+        return width, height, depth, color, interlace
     raise ValueError("PNG missing IHDR")
+
+
+def parse_png(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels); raises ValueError outside the supported
+    subset (see :func:`_png_header`)."""
+    width, height, _depth, color, _interlace = _png_header(data)
+    return width, height, {0: 1, 2: 3, 3: 1, 6: 4}[color]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -304,53 +381,124 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_pixels_np(data: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB — IDAT inflate + per-row filter undo (filters
-    0-4: None/Sub/Up/Average/Paeth, the complete public set).  None/Up are
-    pure elementwise adds; Sub is a per-lane cumulative sum (mod-256
-    addition is linear, so cumsum%256 IS the sequential recurrence); the
-    nonlinear Average/Paeth rows keep the scalar spec loop.  RGBA drops
-    alpha; anything outside 8-bit truecolor raises ValueError."""
-    import zlib
-
-    width, height, channels = parse_png(data)
-    idat = b"".join(body for ctype, body in _png_chunks(data) if ctype == b"IDAT")
-    raw = zlib.decompress(idat)
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+def _png_undo_filters(raw: bytes, offset: int, nrows: int, stride: int, bpp: int) -> tuple[np.ndarray, int]:
+    """Undo scanline filters for one (sub)image: (``nrows`` x ``stride``
+    reconstructed bytes, bytes consumed).  Filters 0-4 (None/Sub/Up/Average/
+    Paeth, the complete public set): None/Up are pure elementwise adds; Sub
+    is a per-lane cumulative sum (mod-256 addition is linear, so cumsum%256
+    IS the sequential recurrence); the nonlinear Average/Paeth rows keep the
+    scalar spec loop.  ``bpp`` is the filter unit — whole bytes per pixel,
+    min 1 (sub-byte depths filter at byte granularity, per spec)."""
+    need = nrows * (stride + 1)
+    if len(raw) - offset < need:
         raise ValueError("PNG pixel data truncated")
-    scan = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
-        height, stride + 1
+    scan = np.frombuffer(raw, dtype=np.uint8, count=need, offset=offset).reshape(
+        nrows, stride + 1
     )
-    out = np.zeros((height, stride), dtype=np.uint8)
+    out = np.zeros((nrows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
-    for r in range(height):
+    lanes = stride // bpp
+    for r in range(nrows):
         ftype = int(scan[r, 0])
         line = scan[r, 1:]
         if ftype == 0:
             recon = line.copy()
-        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] == lane cumsum
-            recon = (
-                np.cumsum(line.reshape(width, channels), axis=0, dtype=np.int64) % 256
-            ).astype(np.uint8).reshape(stride)
+        elif ftype == 1:  # Sub
+            if lanes * bpp == stride:
+                recon = (
+                    np.cumsum(line.reshape(lanes, bpp), axis=0, dtype=np.int64) % 256
+                ).astype(np.uint8).reshape(stride)
+            else:  # stride not a bpp multiple (never for the supported set)
+                buf = bytearray(line.tobytes())
+                for i in range(bpp, stride):
+                    buf[i] = (buf[i] + buf[i - bpp]) & 255
+                recon = np.frombuffer(bytes(buf), dtype=np.uint8)
         elif ftype == 2:  # Up
             recon = (line.astype(np.int16) + prior).astype(np.uint8)
         elif ftype in (3, 4):  # Average / Paeth: left-recon recurrence, scalar
             buf = bytearray(line.tobytes())
             pr = prior
             for i in range(stride):
-                left = buf[i - channels] if i >= channels else 0
+                left = buf[i - bpp] if i >= bpp else 0
                 if ftype == 3:
                     buf[i] = (buf[i] + ((left + int(pr[i])) >> 1)) & 255
                 else:
-                    up_left = int(pr[i - channels]) if i >= channels else 0
+                    up_left = int(pr[i - bpp]) if i >= bpp else 0
                     buf[i] = (buf[i] + _paeth(left, int(pr[i]), up_left)) & 255
             recon = np.frombuffer(bytes(buf), dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[r] = recon
         prior = recon
-    return out.reshape(height, width, channels)[:, :, :3]
+    return out, need
+
+
+def _png_unpack_samples(recon: np.ndarray, w: int, depth: int, channels: int) -> np.ndarray:
+    """(nrows, stride) filtered bytes -> (nrows, w, channels) raw samples."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * channels].reshape(h, w, channels)
+    bits = np.unpackbits(recon, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, np.newaxis]
+
+
+def png_pixels_np(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB for the full common-web subset: truecolor/RGBA
+    at depth 8, grayscale and palette (PLTE) at depth 1/2/4/8, interlace
+    none or Adam7.  RGBA drops alpha; sub-byte gray scales by
+    255/(2^depth-1) per spec; palette indexes PLTE."""
+    import zlib
+
+    width, height, depth, color, interlace = _png_header(data)
+    plte = None
+    idat_parts = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IDAT":
+            idat_parts.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8)
+            if len(plte) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = plte.reshape(-1, 3)
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(b"".join(idat_parts))
+
+    if interlace == 0:
+        stride = (width * bits_pp + 7) // 8
+        recon, _ = _png_undo_filters(raw, 0, height, stride, bpp)
+        samples = _png_unpack_samples(recon, width, depth, channels)
+    else:  # Adam7: seven independently filtered subimages, scattered back
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits_pp + 7) // 8
+            recon, used = _png_undo_filters(raw, pos, ph, stride, bpp)
+            pos += used
+            samples[y0::dy, x0::dx] = _png_unpack_samples(recon, pw, depth, channels)
+
+    if color == 2:
+        return samples
+    if color == 6:
+        return samples[:, :, :3]
+    if color == 0:
+        g = samples[:, :, 0]
+        if depth < 8:
+            g = (g.astype(np.int64) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, np.newaxis], 3, axis=2)
+    # color == 3: palette lookup
+    idx = samples[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    return plte[idx]
 
 
 def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
@@ -359,7 +507,7 @@ def png_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
 
 
 # ---------------------------------------------------------------------------
-# GIF (87a/89a, single frame, non-interlaced) — public spec, pure-stdlib LZW
+# GIF (87a/89a, single frame, incl. interlaced) — public spec, pure-stdlib LZW
 # ---------------------------------------------------------------------------
 
 
@@ -448,10 +596,22 @@ def _gif_lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         prev = entry
 
 
-def gif_bytes(width: int, height: int, pixel_fn) -> bytes:
+def _gif_interlace_order(height: int) -> list[int]:
+    """Row order of an interlaced GIF's LZW stream (4 passes: every 8th row
+    from 0, every 8th from 4, every 4th from 2, every 2nd from 1)."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def gif_bytes(width: int, height: int, pixel_fn, interlace: bool = False) -> bytes:
     """Encode ``pixel_fn(x, y) -> (r, g, b)`` as a single-frame GIF89a with a
     256-entry palette built from the image's distinct colors (<= 256 required)
-    — synthesis for fixtures and oracles, same discipline as png_bytes."""
+    — synthesis for fixtures and oracles, same discipline as png_bytes.
+    ``interlace`` writes the 4-pass row order with the descriptor flag set."""
     pixels = [[pixel_fn(x, y) for x in range(width)] for y in range(height)]
     palette: dict[tuple[int, int, int], int] = {}
     for row in pixels:
@@ -460,7 +620,8 @@ def gif_bytes(width: int, height: int, pixel_fn) -> bytes:
                 if len(palette) == 256:
                     raise ValueError("gif_bytes supports at most 256 distinct colors")
                 palette[px] = len(palette)
-    indices = bytes(palette[px] for row in pixels for px in row)
+    row_order = _gif_interlace_order(height) if interlace else range(height)
+    indices = bytes(palette[px] for y in row_order for px in pixels[y])
     table = bytearray()
     for (r, g, b), _ in sorted(palette.items(), key=lambda kv: kv[1]):
         table += bytes((r, g, b))
@@ -469,7 +630,8 @@ def gif_bytes(width: int, height: int, pixel_fn) -> bytes:
     # logical screen: global color table flag, 8-bit color, 256-entry table
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += table
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)  # image descriptor
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
     min_code = 8
     out.append(min_code)
     lzw = _gif_lzw_compress(indices, min_code)
@@ -519,8 +681,6 @@ def gif_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -538,12 +698,18 @@ def gif_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
         indices = _gif_lzw_decompress(bytes(lzw), min_code)
         if len(indices) < w * h:
             raise ValueError("GIF pixel data truncated")
+        # interlaced frames store rows in 4-pass order; map stream row i to
+        # its display row
+        if iflags & 0x40:
+            order = _gif_interlace_order(h)
+            rows_by_display = [b""] * h
+            for i, disp in enumerate(order):
+                rows_by_display[disp] = indices[i * w : (i + 1) * w]
+        else:
+            rows_by_display = [indices[y * w : (y + 1) * w] for y in range(h)]
         return [
-            [
-                tuple(pal[3 * indices[y * w + x] : 3 * indices[y * w + x] + 3])
-                for x in range(w)
-            ]
-            for y in range(h)
+            [tuple(pal[3 * ix : 3 * ix + 3]) for ix in row]
+            for row in rows_by_display
         ]
     raise ValueError("GIF contains no image frame")
 

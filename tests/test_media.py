@@ -271,13 +271,26 @@ def test_png_rgba_and_errors():
     )
     assert m.parse_png(rgba) == (3, 2, 4)
     assert m.png_pixels(rgba)[1][2] == (2, 1, 3)
-    # honest errors: palette PNG, corrupted CRC, truncation
+    # honest errors: 16-bit samples, gray+alpha, corrupted CRC, truncation
     import pytest as _pytest
 
+    for depth, color in ((16, 2), (8, 4)):
+        ihdr16 = struct.pack(">IIBBBBB", 3, 2, depth, color, 0, 0, 0)
+        bad16 = m._PNG_SIG + m._png_chunk(b"IHDR", ihdr16)
+        with _pytest.raises(ValueError, match="colortype"):
+            m.parse_png(bad16)
+    # palette PNG without its PLTE is rejected, not mis-decoded
     pal_ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
-    pal = m._PNG_SIG + m._png_chunk(b"IHDR", pal_ihdr)
-    with _pytest.raises(ValueError, match="colortype"):
-        m.parse_png(pal)
+    import zlib as _zlib
+
+    no_plte = (
+        m._PNG_SIG
+        + m._png_chunk(b"IHDR", pal_ihdr)
+        + m._png_chunk(b"IDAT", _zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00\x00"))
+        + m._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        m.png_pixels(no_plte)
     bad = bytearray(m.png_bytes(3, 2, lambda x, y: (1, 2, 3)))
     bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
     with _pytest.raises(ValueError, match="CRC"):
@@ -349,15 +362,61 @@ def test_gif_errors_are_honest():
         m.gif_pixels(b"NOTGIF" + b"\x00" * 20)
     with _pytest.raises(ValueError, match="truncated"):
         m.parse_gif(b"GIF89a\x01")
-    # interlace flag on the image descriptor
-    data = bytearray(m.gif_bytes(3, 2, lambda x, y: (1, 0, 0)))
-    idesc = 13 + 768  # image separator position
-    assert data[idesc] == 0x2C
-    data[idesc + 9] |= 0x40
-    with _pytest.raises(ValueError, match="interlaced"):
-        m.gif_pixels(bytes(data))
     with _pytest.raises(ValueError, match="256 distinct"):
         m.gif_bytes(32, 32, lambda x, y: (x * 8, y * 8, 0))
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced frames store rows in the 4-pass order; decode must map
+    them back so the pixels equal the non-interlaced encode."""
+    for w, h in [(3, 2), (14, 9), (8, 16), (5, 1)]:
+        fn = lambda x, y: ((x * 7 + y * 13) % 256, 0, 0)
+        assert m.gif_pixels(m.gif_bytes(w, h, fn, interlace=True)) == m.gif_pixels(
+            m.gif_bytes(w, h, fn)
+        )
+
+
+def test_png_adam7_interlaced_equals_sequential():
+    import numpy as np
+
+    def fn(x, y):
+        return ((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256, (x + y) % 256)
+
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 9), (17, 5)]:
+        a = m.png_pixels_np(m.png_bytes(w, h, fn))
+        b = m.png_pixels_np(m.png_bytes(w, h, fn, interlace=True))
+        assert np.array_equal(a, b), (w, h)
+
+
+def test_png_gray_all_depths():
+    """Gray samples scale by 255/(2^depth - 1) per spec, all packed depths."""
+    for depth in (1, 2, 4, 8):
+        mx = (1 << depth) - 1
+        fn = lambda x, y: (x * 3 + y) % (mx + 1)
+        data = m.png_gray_bytes(11, 6, fn, depth=depth)
+        assert m.parse_png(data) == (11, 6, 1)
+        px = m.png_pixels(data)
+        for y in range(6):
+            for x in range(11):
+                v = fn(x, y) * 255 // mx
+                assert px[y][x] == (v, v, v), (depth, x, y)
+
+
+def test_png_palette_all_depths():
+    pal = [(10, 20, 30), (200, 0, 50), (0, 255, 1), (7, 7, 7)]
+    for depth in (2, 4, 8):
+        fn = lambda x, y: (x + 2 * y) % 4
+        data = m.png_palette_bytes(9, 5, fn, pal, depth=depth)
+        assert m.parse_png(data) == (9, 5, 1)
+        px = m.png_pixels(data)
+        for y in range(5):
+            for x in range(9):
+                assert px[y][x] == pal[fn(x, y)], (depth, x, y)
+    # out-of-range index is rejected, not wrapped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="palette index"):
+        m.png_pixels(m.png_palette_bytes(2, 1, lambda x, y: 7, pal, depth=8))
 
 
 def test_gif_in_dispatch_and_envelope(spark):
