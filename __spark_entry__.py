@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from cognee_graphdb_spark.sources.migration import TPCH_FK_SPECS, TPCH_PKS
 from cognee_graphdb_spark.sources.migration import tpch_graph as _tpch_graph_raw
 
+from cognee_graphdb_spark.session import fan_out as _fan_out
 from cognee_graphdb_spark.session import ship_package as _ship_package
 
 # ---------------------------------------------------------------------------
@@ -783,7 +784,7 @@ def _q_mm_llm_media_text(spark, sf_dir):
                 rows.append((f"i:{d}", "ImageDocument", synth_bmp_for_id(d)))
             yield pd.DataFrame(rows, columns=["id", "document_type", "content"])
 
-    media = docs.mapInPandas(synth, "id string, document_type string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "id string, document_type string, content binary")
     return decode_documents(media, gateway=MockLLMGateway())
 
 
@@ -1362,7 +1363,7 @@ def _q_mm_wav_decode(spark, sf_dir):
             rows = [(str(int(d)), synth_wav_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return audio_frame_sample(media, every_ms=50)
 
 
@@ -1387,7 +1388,7 @@ def _q_mm_bmp_resize(spark, sf_dir):
             rows = [(str(int(d)), synth_bmp_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1412,7 +1413,7 @@ def _q_mm_png_resize(spark, sf_dir):
             rows = [(str(int(d)), synth_png_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1437,7 +1438,7 @@ def _q_mm_gif_resize(spark, sf_dir):
             rows = [(str(int(d)), synth_gif_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1464,7 +1465,7 @@ def _q_mm_jpeg_resize(spark, sf_dir):
             rows = [(str(int(d)), synth_jpeg_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1491,7 +1492,7 @@ def _q_mm_jpeg_progressive(spark, sf_dir):
             rows = [(str(int(d)), synth_jpeg_progressive_for_id(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1530,7 +1531,7 @@ def _q_mm_image_variants(spark, sf_dir):
                 rows.append((f"gi:{d}", gif_bytes(14 + d % 6, 9, lambda x, y, d=d: ((d + 7 * x + 13 * y) % 256, 0, 0), interlace=True)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return image_resize(media, target_width=4, target_height=3)
 
 
@@ -1562,7 +1563,7 @@ def _q_mm_media_info(spark, sf_dir):
                 rows.append((f"{did}:v", synth_mp4_for_id(did)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, "media_id string, content binary")
+    media = _fan_out(docs).mapInPandas(synth, "media_id string, content binary")
     return media_info(media)
 
 

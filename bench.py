@@ -296,7 +296,9 @@ def main() -> None:
                 ]
                 yield pd.DataFrame(rows, columns=["media_id", "wav", "bmp"])
 
-        media = ids.mapInPandas(synth, "media_id string, wav binary, bmp binary").cache()
+        from cognee_graphdb_spark.session import fan_out
+
+        media = fan_out(ids).mapInPandas(synth, "media_id string, wav binary, bmp binary").cache()
         audio_frame_sample(media.select("media_id", F.col("wav").alias("content")), every_ms=50).count()
         image_resize(media.select("media_id", F.col("bmp").alias("content")), 4, 3).count()
         media.unpersist()
