@@ -40,6 +40,16 @@ EXTENSION_TYPES: dict[str, str] = {
     "jpg": "ImageDocument",
     "jpeg": "ImageDocument",
     "mp4": "VideoDocument",
+    # the reference's optional unstructured_loader surface
+    # (loaders/external/unstructured_loader.py:19-45), decoded for real by
+    # sources/office.py (ZIP+XML / html.parser / email — pure stdlib)
+    "docx": "OfficeDocument",
+    "xlsx": "OfficeDocument",
+    "pptx": "OfficeDocument",
+    "odt": "OfficeDocument",
+    "html": "HtmlDocument",
+    "htm": "HtmlDocument",
+    "eml": "EmailDocument",
 }
 
 
@@ -61,6 +71,9 @@ def loader_for(document_type: str) -> str:
         "AudioDocument": "audio_loader",
         "ImageDocument": "image_loader",
         "VideoDocument": "video_loader",
+        "OfficeDocument": "office_loader",
+        "HtmlDocument": "html_loader",
+        "EmailDocument": "email_loader",
     }.get(document_type, "text_loader")
 
 
@@ -126,6 +139,27 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
         from cognee_graphdb_spark.sources.pdf import extract_pdf_text
 
         return extract_pdf_text(data or None)
+    if loader == "office_loader" and data[:4] == b"PK\x03\x04":
+        try:
+            from cognee_graphdb_spark.sources.office import office_text
+
+            return office_text(data)
+        except Exception:
+            pass  # malformed container: content-addressed stand-in below
+    if loader == "html_loader":
+        try:
+            from cognee_graphdb_spark.sources.office import html_text
+
+            return html_text(data)
+        except Exception:
+            pass
+    if loader == "email_loader":
+        try:
+            from cognee_graphdb_spark.sources.office import eml_text
+
+            return eml_text(data)
+        except Exception:
+            pass
     if loader == "audio_loader" and data[:4] == b"RIFF":
         try:
             from cognee_graphdb_spark.sources import media as m
