@@ -66,7 +66,7 @@ def parse_wav(data: bytes) -> WavInfo:
 
 def wav_samples_np(data: bytes) -> np.ndarray:
     """First-channel sample values as an int array: unsigned for 8-bit (WAV
-    stores 8-bit PCM unsigned), signed little-endian for 16-bit."""
+    stores 8-bit PCM unsigned), signed little-endian for 16- and 24-bit."""
     with wave.open(io.BytesIO(data), "rb") as w:
         info = WavInfo(w.getnchannels(), w.getframerate(), w.getsampwidth(), w.getnframes())
         raw = w.readframes(info.n_frames)
@@ -74,6 +74,11 @@ def wav_samples_np(data: bytes) -> np.ndarray:
         arr = np.frombuffer(raw, dtype=np.uint8)
     elif info.sample_width == 2:
         arr = np.frombuffer(raw, dtype="<i2")
+    elif info.sample_width == 3:
+        # 24-bit little-endian: widen each triple to int32 with sign extension
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = arr - ((arr & 0x800000) << 1)  # sign-extend bit 23
     else:
         raise ValueError(f"unsupported sample width {info.sample_width}")
     return arr[:: info.channels].astype(np.int64)
@@ -104,7 +109,7 @@ def wav_rms(data: bytes) -> float:
     samples = wav_samples_np(data)
     if samples.size == 0:
         return 0.0
-    full = 255.0 if info.sample_width == 1 else 32768.0
+    full = {1: 255.0, 2: 32768.0, 3: 8388608.0}[info.sample_width]
     centered = samples - 128 if info.sample_width == 1 else samples
     return float((int(np.dot(centered, centered)) / samples.size) ** 0.5 / full)
 
@@ -143,22 +148,26 @@ def parse_bmp(data: bytes) -> tuple[int, int, int]:
 
 
 def bmp_pixels_np(data: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB, rows TOP-DOWN; 24-bpp uncompressed only (the
-    baseline every writer emits), honoring negative-height top-down files.
-    One frombuffer + reshape + channel flip — no per-pixel Python."""
+    """(h, w, 3) uint8 RGB, rows TOP-DOWN; 24-bpp and 32-bpp (BGRA, alpha
+    dropped) uncompressed, honoring negative-height top-down files.  One
+    frombuffer + reshape + channel flip — no per-pixel Python."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", data, 10)[0]
     width, height = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or compression != 0:
+    # compression 3 (BI_BITFIELDS) with 32bpp is the common BGRA layout
+    ok = (bpp == 24 and compression == 0) or (bpp == 32 and compression in (0, 3))
+    if not ok:
         raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
     top_down = height < 0
     height = abs(height)
-    row_size = (width * 3 + 3) & ~3
+    nch = bpp // 8
+    row_size = (width * nch + 3) & ~3
     arr = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=offset)
-    arr = arr.reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+    arr = arr.reshape(height, row_size)[:, : width * nch].reshape(height, width, nch)
+    arr = arr[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
     return arr if top_down else arr[::-1]
 
 

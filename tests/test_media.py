@@ -366,6 +366,37 @@ def test_gif_errors_are_honest():
         m.gif_bytes(32, 32, lambda x, y: (x * 8, y * 8, 0))
 
 
+def test_bmp_32bpp_bgra_decodes_alpha_dropped():
+    import struct as _struct
+
+    import numpy as np
+
+    w, h = 3, 2
+    row_size = w * 4  # already 4-byte aligned
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + row_size * h, 0, 0, 14 + 40)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, row_size * h, 2835, 2835, 0, 0)
+    px = lambda x, y: (x * 10, y * 20, x + y, 200)  # (r, g, b, a)
+    body = b"".join(
+        bytes((px(x, y)[2], px(x, y)[1], px(x, y)[0], px(x, y)[3]))
+        for y in range(h - 1, -1, -1)
+        for x in range(w)
+    )
+    arr = m.bmp_pixels_np(header + info + body)
+    assert arr.shape == (2, 3, 3)
+    assert tuple(arr[1, 2]) == (20, 20, 3)  # (r, g, b) of (x=2, y=1), alpha gone
+
+
+def test_wav_24bit_samples_and_rms():
+    import struct as _struct
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    pcm = b"".join(_struct.pack("<i", v)[:3] for v in vals)
+    data = m.wav_bytes(pcm, sample_rate=1000, sample_width=3)
+    assert m.wav_samples(data) == vals
+    expect = (sum(v * v for v in vals) / len(vals)) ** 0.5 / 8388608.0
+    assert m.wav_rms(data) == pytest.approx(expect, rel=1e-12)
+
+
 def test_gif_interlaced_roundtrip():
     """Interlaced frames store rows in the 4-pass order; decode must map
     them back so the pixels equal the non-interlaced encode."""
