@@ -373,10 +373,17 @@ def pagerank(
         .select("h", F.coalesce("is_sink", F.lit(True)).alias("is_sink"))
     )
     if personalized is not None:
-        seeds = personalized.select("id").distinct()
+        # seeds outside `nodes` would fall out of the base_frame left join
+        # below, shrinking the teleport vector's sum below 1 and biasing every
+        # rank low with no signal — the same mass-leak class the edge
+        # semi-joins above guard against.  Restrict to known nodes and
+        # renormalize over the survivors; all-unknown seeds raise.
+        seeds = personalized.select("id").distinct().join(ids, "id", "left_semi")
         ns = seeds.count()
         if ns == 0:
-            raise ValueError("personalized pagerank needs a non-empty seed set")
+            raise ValueError(
+                "personalized pagerank needs a non-empty seed set drawn from `nodes`"
+            )
         sh = seeds.select(F.xxhash64("id").alias("h"), F.lit(1.0 / ns).alias("p"))
         base_frame = (
             base_frame.join(sh, "h", "left")

@@ -1590,8 +1590,10 @@ class _Parser(_TokenCursor):
                 # the group in memory, which exact-disc inherently requires.
                 d = "DISTINCT " if distinct else ""
                 val, p = args
+                # try_element_at: over zero rows the list is empty and ANSI
+                # element_at would raise; Neo4j returns null there.
                 return (
-                    f"element_at(array_sort(collect_list({d}{val})), "
+                    f"try_element_at(array_sort(collect_list({d}{val})), "
                     f"greatest(1, CAST(ceil(({p}) * count({d}{val})) AS INT)))"
                 )
             return f"{_AGGS_EXTRA[fname]}({'DISTINCT ' if distinct else ''}{', '.join(args)})"

@@ -205,10 +205,15 @@ class DeltaLakeBackend(TableBackend):
         return DeltaTable.forPath(self.spark, p) if DeltaTable.isDeltaTable(self.spark, p) else None
 
     def load(self, table: str) -> DataFrame | None:
-        if self._delta(table) is None:
+        dt = self._delta(table)
+        if dt is None:
             return None
-        df = self.spark.read.format("delta").load(self._path(table))
-        return df if df.head(1) else None
+        # empty-table normalization via transaction-log metadata (numFiles
+        # after an overwrite-to-empty is 0) — df.head(1) here would run a
+        # full scan job on EVERY load, and load fronts every upsert
+        if dt.detail().select("numFiles").first()["numFiles"] == 0:
+            return None
+        return self.spark.read.format("delta").load(self._path(table))
 
     def write_snapshot(self, table: str, df: DataFrame) -> None:
         writer = df.write.format("delta").mode("overwrite").option("overwriteSchema", "true")

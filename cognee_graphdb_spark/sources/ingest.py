@@ -104,22 +104,28 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
     an honest boundary, not a silent fallthrough.
     """
     data = bytes(content) if content is not None else b""
+    # Decode failures fall through to the non-LLM metadata envelope (an
+    # undecodable blob is not an error); gateway TRANSPORT failures propagate
+    # — a 5xx that exhausts retries must not silently turn the stored corpus
+    # nondeterministic by swapping transcript text for the envelope.
     if gateway is not None and loader == "audio_loader" and data[:4] == b"RIFF":
+        features = None
         try:
             from cognee_graphdb_spark.sources import media as m
 
             info = m.parse_wav(data)
-            return gateway.create_transcript(
-                {
-                    "channels": info.channels,
-                    "sample_rate": info.sample_rate,
-                    "duration_ms": info.duration_ms,
-                    "rms": m.wav_rms(data),
-                }
-            )
+            features = {
+                "channels": info.channels,
+                "sample_rate": info.sample_rate,
+                "duration_ms": info.duration_ms,
+                "rms": m.wav_rms(data),
+            }
         except Exception:
             pass
+        if features is not None:
+            return gateway.create_transcript(features)
     if gateway is not None and loader == "image_loader":
+        features = None
         try:
             import numpy as np
 
@@ -130,11 +136,11 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
                 h, w = px.shape[0], px.shape[1]
                 sums = px.astype(np.int64).sum(axis=(0, 1))  # integer-exact
                 mean = tuple(int(s) // (h * w) for s in sums)
-                return gateway.transcribe_image(
-                    {"width": w, "height": h, "mean_rgb": mean}
-                )
+                features = {"width": w, "height": h, "mean_rgb": mean}
         except Exception:
             pass
+        if features is not None:
+            return gateway.transcribe_image(features)
     if loader == "pdf_loader":
         from cognee_graphdb_spark.sources.pdf import extract_pdf_text
 

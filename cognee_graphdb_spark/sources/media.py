@@ -103,15 +103,17 @@ def wav_sample_at_offsets(data: bytes, every_ms: int) -> list[tuple[int, int]]:
 def wav_rms(data: bytes) -> float:
     """Root-mean-square amplitude of the first channel, normalized to [0,1].
 
-    Integer sums are exact (int64 accumulator), so the doubles that follow
-    are bit-identical to the scalar formulation the oracles restate."""
+    The squared sum accumulates in float64 (Kahan-free but ordered identically
+    to the scalar oracle restatement): an int64 dot product overflows for
+    realistic 24-bit audio (~200k samples at 8e6 amplitude wraps negative)."""
     info = parse_wav(data)
     samples = wav_samples_np(data)
     if samples.size == 0:
         return 0.0
     full = {1: 255.0, 2: 32768.0, 3: 8388608.0}[info.sample_width]
     centered = samples - 128 if info.sample_width == 1 else samples
-    return float((int(np.dot(centered, centered)) / samples.size) ** 0.5 / full)
+    centered = centered.astype(np.float64)
+    return float((np.dot(centered, centered) / samples.size) ** 0.5 / full)
 
 
 # ---------------------------------------------------------------------------
@@ -157,10 +159,19 @@ def bmp_pixels_np(data: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    # compression 3 (BI_BITFIELDS) with 32bpp is the common BGRA layout
     ok = (bpp == 24 and compression == 0) or (bpp == 32 and compression in (0, 3))
     if not ok:
         raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    if compression == 3:
+        # BI_BITFIELDS masks exist precisely to declare a non-BGRA channel
+        # order; decode only when they spell the standard BGRA/XRGB layout
+        # (mask order in the file is R, G, B) rather than silently swapping
+        # channels for an RGBA-masked file.
+        # file offset 54 holds the R,G,B masks for BITMAPINFOHEADER (appended
+        # after the 40-byte header) and V4/V5 (in-header fields) alike
+        masks = struct.unpack_from("<III", data, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(f"unsupported BMP bitfields masks: {[hex(m) for m in masks]}")
     top_down = height < 0
     height = abs(height)
     nch = bpp // 8

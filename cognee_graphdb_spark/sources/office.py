@@ -40,7 +40,11 @@ def _local(tag: str) -> str:
 
 def docx_text(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        root = ElementTree.fromstring(z.read("word/document.xml"))
+        return docx_text_zip(z)
+
+
+def docx_text_zip(z: zipfile.ZipFile) -> str:
+    root = ElementTree.fromstring(z.read("word/document.xml"))
     paras = []
     for p in root.iter():
         if _local(p.tag) == "p":
@@ -72,31 +76,35 @@ def docx_bytes(paragraphs: list[str]) -> bytes:
 
 def xlsx_text(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        names = z.namelist()
-        shared: list[str] = []
-        if "xl/sharedStrings.xml" in names:
-            sroot = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
-            for si in sroot:
-                shared.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
-        lines = []
-        for name in sorted(n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)):
-            root = ElementTree.fromstring(z.read(name))
-            for row in root.iter():
-                if _local(row.tag) != "row":
+        return xlsx_text_zip(z)
+
+
+def xlsx_text_zip(z: zipfile.ZipFile) -> str:
+    names = z.namelist()
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sroot = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in sroot:
+            shared.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
+    lines = []
+    for name in sorted(n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)):
+        root = ElementTree.fromstring(z.read(name))
+        for row in root.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells = []
+            for c in row:
+                if _local(c.tag) != "c":
                     continue
-                cells = []
-                for c in row:
-                    if _local(c.tag) != "c":
-                        continue
-                    kind = c.get("t")
-                    v = next((e.text or "" for e in c.iter() if _local(e.tag) == "v"), None)
-                    if kind == "s" and v is not None:
-                        cells.append(shared[int(v)])
-                    elif kind == "inlineStr":
-                        cells.append("".join(t.text or "" for t in c.iter() if _local(t.tag) == "t"))
-                    elif v is not None:
-                        cells.append(v)
-                lines.append("\t".join(cells))
+                kind = c.get("t")
+                v = next((e.text or "" for e in c.iter() if _local(e.tag) == "v"), None)
+                if kind == "s" and v is not None:
+                    cells.append(shared[int(v)])
+                elif kind == "inlineStr":
+                    cells.append("".join(t.text or "" for t in c.iter() if _local(t.tag) == "t"))
+                elif v is not None:
+                    cells.append(v)
+            lines.append("\t".join(cells))
     return "\n".join(lines)
 
 
@@ -139,14 +147,18 @@ def xlsx_bytes(rows: list[list[str]]) -> bytes:
 
 def pptx_text(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        slide_names = sorted(
-            (n for n in z.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
-        )
-        slides = []
-        for name in slide_names:
-            root = ElementTree.fromstring(z.read(name))
-            slides.append("\n".join(t.text or "" for t in root.iter() if _local(t.tag) == "t"))
+        return pptx_text_zip(z)
+
+
+def pptx_text_zip(z: zipfile.ZipFile) -> str:
+    slide_names = sorted(
+        (n for n in z.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+    slides = []
+    for name in slide_names:
+        root = ElementTree.fromstring(z.read(name))
+        slides.append("\n".join(t.text or "" for t in root.iter() if _local(t.tag) == "t"))
     return "\n\n".join(slides)
 
 
@@ -169,7 +181,11 @@ def pptx_bytes(slides: list[list[str]]) -> bytes:
 
 def odt_text(data: bytes) -> str:
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        root = ElementTree.fromstring(z.read("content.xml"))
+        return odt_text_zip(z)
+
+
+def odt_text_zip(z: zipfile.ZipFile) -> str:
+    root = ElementTree.fromstring(z.read("content.xml"))
     paras = []
     for el in root.iter():
         if _local(el.tag) in ("p", "h"):
@@ -254,14 +270,14 @@ def office_text(data: bytes) -> str:
     sniff — extensions lie): docx / xlsx / pptx / odt."""
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         names = set(z.namelist())
-    if "word/document.xml" in names:
-        return docx_text(data)
-    if any(re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n) for n in names):
-        return xlsx_text(data)
-    if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
-        return pptx_text(data)
-    if "content.xml" in names:
-        return odt_text(data)
+        if "word/document.xml" in names:
+            return docx_text_zip(z)
+        if any(re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n) for n in names):
+            return xlsx_text_zip(z)
+        if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
+            return pptx_text_zip(z)
+        if "content.xml" in names:
+            return odt_text_zip(z)
     raise ValueError("unrecognized office container layout")
 
 

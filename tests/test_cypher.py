@@ -1142,3 +1142,13 @@ def test_percentile_disc_is_exact_nearest_rank(spark, graph):
     # odd count: [10, 20, 30] -> median is the middle element, no interpolation
     [r] = rows(spark, graph, "UNWIND [10, 20, 30] AS x RETURN percentileDisc(x, 0.5) AS v")
     assert r["v"] == 20
+
+
+def test_percentile_disc_empty_match_returns_null(spark, graph):
+    """Zero-row aggregate: Neo4j returns null; under Spark ANSI mode a bare
+    element_at([], 1) would raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    [r] = rows(
+        spark, graph,
+        "MATCH (x:NoSuchLabel) RETURN percentileDisc(size(x.name), 0.5) AS v",
+    )
+    assert r["v"] is None

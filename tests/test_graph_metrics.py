@@ -324,6 +324,26 @@ def test_pagerank_personalized_empty_seeds_rejected(spark):
         pagerank(nodes, edges, personalized=spark.createDataFrame([], "id string"))
 
 
+def test_pagerank_personalized_unknown_seeds_renormalized(spark):
+    """Seeds absent from `nodes` must not leak teleport mass: the matched
+    seeds carry the full distribution (ranks sum to 1), and an all-unknown
+    seed set raises instead of silently returning all-zero ranks."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    edges = spark.createDataFrame([("a", "b", "r"), ("b", "a", "r")], ["src", "dst", "relationship_name"])
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    seeds = spark.createDataFrame([("a",), ("ghost",)], ["id"])
+    got = {r["id"]: r["rank"] for r in pagerank(nodes, edges, n_iter=8, personalized=seeds).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    only_a = {r["id"]: r["rank"] for r in pagerank(
+        nodes, edges, n_iter=8, personalized=spark.createDataFrame([("a",)], ["id"])
+    ).collect()}
+    for k in got:
+        assert got[k] == pytest.approx(only_a[k], rel=1e-12)
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(nodes, edges, personalized=spark.createDataFrame([("ghost",)], ["id"]))
+
+
 def test_pagerank_empty_graph(spark):
     from cognee_graphdb_spark.operators.graph_metrics import pagerank
 

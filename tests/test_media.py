@@ -190,6 +190,31 @@ def test_llm_media_loader_path():
     assert decode_row("image_loader", b"junk", gateway=gw).startswith("[image_loader:")
 
 
+def test_llm_media_gateway_transport_errors_propagate():
+    """A gateway transport failure (e.g. 5xx after retries) must NOT be
+    swallowed into the metadata envelope — that would silently make the
+    stored corpus text nondeterministic across runs.  Only decode failures
+    fall through."""
+    import pytest as _pytest
+
+    from cognee_graphdb_spark.sources.ingest import decode_row
+
+    class DownGateway:
+        def create_transcript(self, features):
+            raise ConnectionError("gateway down")
+
+        def transcribe_image(self, features):
+            raise ConnectionError("gateway down")
+
+    wav = m.wav_bytes(bytes([128] * 250), sample_rate=1000)
+    bmp = m.bmp_bytes(5, 4, lambda x, y: (10, 20, 30))
+    for loader, blob in (("audio_loader", wav), ("image_loader", bmp)):
+        with _pytest.raises(ConnectionError):
+            decode_row(loader, blob, gateway=DownGateway())
+    # undecodable blob: gateway never called, envelope fallback intact
+    assert decode_row("image_loader", b"junk", gateway=DownGateway()).startswith("[image_loader:")
+
+
 def test_decode_documents_mixed_types_with_gateway(spark):
     from cognee_graphdb_spark.llm.gateway import MockLLMGateway
     from cognee_graphdb_spark.sources.ingest import decode_documents
@@ -395,6 +420,39 @@ def test_wav_24bit_samples_and_rms():
     assert m.wav_samples(data) == vals
     expect = (sum(v * v for v in vals) / len(vals)) ** 0.5 / 8388608.0
     assert m.wav_rms(data) == pytest.approx(expect, rel=1e-12)
+
+
+def test_wav_rms_loud_24bit_no_overflow():
+    """Regression: ~4.5s of loud 24-bit audio overflows an int64 sum of
+    squares (200k samples at 8e6 amplitude wraps negative → complex sqrt)."""
+    import struct as _struct
+
+    vals = [8_000_000 if i % 2 == 0 else -8_000_000 for i in range(200_000)]
+    pcm = b"".join(_struct.pack("<i", v)[:3] for v in vals)
+    data = m.wav_bytes(pcm, sample_rate=44_100, sample_width=3)
+    got = m.wav_rms(data)
+    assert got == pytest.approx(8_000_000 / 8_388_608.0, rel=1e-9)
+
+
+def test_bmp_bitfields_nonstandard_masks_rejected():
+    """BI_BITFIELDS with RGBA-order masks must raise, not silently decode
+    with red/blue swapped; BGRA-masked files decode normally."""
+    import struct as _struct
+
+    def v4_bmp(masks):
+        w, h = 2, 1
+        px = bytes((1, 2, 3, 255, 4, 5, 6, 255))  # two BGRA pixels
+        header = _struct.pack("<2sIHHI", b"BM", 14 + 108 + len(px), 0, 0, 14 + 108)
+        info = _struct.pack(
+            "<IiiHHIIiiII", 108, w, h, 1, 32, 3, len(px), 2835, 2835, 0, 0
+        ) + _struct.pack("<IIII", *masks, 0xFF000000) + b"\x00" * (108 - 40 - 16)
+        return header + info + px
+
+    ok = v4_bmp((0x00FF0000, 0x0000FF00, 0x000000FF))
+    arr = m.bmp_pixels_np(ok)
+    assert tuple(arr[0, 0]) == (3, 2, 1)
+    with pytest.raises(ValueError, match="masks"):
+        m.bmp_pixels_np(v4_bmp((0x000000FF, 0x0000FF00, 0x00FF0000)))
 
 
 def test_gif_interlaced_roundtrip():
