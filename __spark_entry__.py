@@ -923,6 +923,30 @@ def _q_a9_pagerank_personalized(spark, sf_dir):
     )
 
 
+def _q_a2_kcore(spark, sf_dir):
+    """k-core decomposition (graph_metrics.py:k_core, gds.kcore family): the
+    3-core of the FK row graph, summarized per table as (member count, total
+    within-core degree).  k=3 forces a REAL multi-round cascade on this data
+    (4 peel rounds at sf0.01: orders with <2 lineitem rows drop, their
+    lineitems follow, parts/suppliers lose degree next) — a depth-1 peel
+    would only pin the initial degree filter.  The oracle unrolls 8 peel
+    rounds as chained CTEs (monotone: rounds past the fixpoint are no-ops)
+    over the same DISTINCT undirected simple-graph view."""
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(F.col("relationship_name") != "is_part_of")
+    core = k_core(nodes, fk, k=3)
+    return (
+        core.join(nodes.select("id", "name"), "id")
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_core_nodes"),
+            F.sum("core_degree").alias("total_core_degree"),
+        )
+    )
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -1992,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_llm_media_text": _q_mm_llm_media_text,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         "a9_pagerank_personalized": _q_a9_pagerank_personalized,
+        "a2_kcore": _q_a2_kcore,
         "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
         # promoted from rows-only this round (first oracle-checked rows)
@@ -2042,9 +2067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
-        "dedup_exact": _q_dedup_exact,
         # -- window boundary (50): below here, rows stay green cumulatively --
-        # rest of the r5-green block (leads the r8 window)
+        # rest of the r5-green block (leads the r8 window; dedup_exact moved
+        # here to make room for a2_kcore — it is pass-r5 + pytest-covered)
+        "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
@@ -3686,6 +3712,30 @@ r0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec),
 {", ".join(_pp_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # --- a2 k-core: 8 unrolled Matula–Beck peel rounds (fixpoint at sf0.01
+    # is round 4; later rounds are monotone no-ops) over the same DISTINCT
+    # undirected simple-graph view graph_metrics.py:k_core peels -------------
+    _kc_rounds = []
+    _prev_e = "e0"
+    for _i in range(1, 9):
+        _kc_rounds.append(f"""k{_i} AS MATERIALIZED (
+  SELECT u FROM {_prev_e} GROUP BY u HAVING count(*) >= 3
+), e{_i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {_prev_e} e JOIN k{_i} a ON e.u = a.u JOIN k{_i} b ON e.v = b.u
+)""")
+        _prev_e = f"e{_i}"
+    sql["a2_kcore"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT src, dst FROM edges WHERE relationship_name != 'is_part_of'),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM fk UNION SELECT dst, src FROM fk) s
+  WHERE u != v
+),
+{", ".join(_kc_rounds)},
+core AS (SELECT u, count(*) AS deg FROM e8 GROUP BY u HAVING count(*) >= 3)
+SELECT n.name, CAST(count(*) AS BIGINT) AS n_core_nodes,
+       CAST(sum(core.deg) AS BIGINT) AS total_core_degree
+FROM core JOIN nodes n ON core.u = n.id GROUP BY n.name"""
 
     # --- SemDeDup: seeded spherical k-means + within-cluster prune -----------
     # mirrors dedup.py:semdedup(k=8, threshold=0.35, n_iter=1, hasher=md5_64);

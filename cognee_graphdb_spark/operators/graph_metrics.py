@@ -446,6 +446,74 @@ def pagerank(
     return (out, done) if return_iterations else out
 
 
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """(id, core_degree): the k-core — the maximal subgraph in which every
+    node has degree >= k under the undirected simple-graph view — with each
+    member's degree inside that core.  GDS-family companion to
+    :func:`pagerank` / :func:`connected_components` (gds.kcore; the reference
+    exposes the Neo4j GDS metric family via neo4j_metrics_utils.py:8-190).
+
+    Synchronous Matula–Beck peel: each round drops EVERY node whose current
+    degree is below k at once, then restricts the edge set to survivors;
+    fixpoint when a round removes nothing.  Round count is the graph's "peel
+    depth", typically a handful on real graphs (each round is one groupBy
+    shuffle + two semi-joins on 8-byte hashed keys, lineage truncated per
+    round) — but chain-shaped graphs degrade to O(n) rounds, which is what
+    ``max_rounds`` guards (RuntimeError, not a silent partial core).
+
+    Scale notes: ids are relabeled to xxhash64 longs once up front (same
+    rationale and collision maths as connected_components); survivors stay
+    partitioned by node key across rounds so consecutive groupBys reuse the
+    exchange; isolated nodes carry no degree rows and fall out in round one.
+    """
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    nh = nodes.select("id", F.xxhash64("id").alias("h")).distinct().localCheckpoint(eager=True)
+    und = (
+        _sym_edges(edges)
+        .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+        # edges referencing ids outside `nodes` would otherwise anchor phantom
+        # degree mass (same guard class as pagerank's induced-subgraph filter)
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    rounds = 0
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+    for _ in range(max_rounds):
+        keep = deg.filter(F.col("core_degree") >= k).select("u")
+        n_keep = keep.count()
+        if n_keep == 0:
+            out = nh.select("id").limit(0).withColumn("core_degree", F.lit(0).cast("long"))
+            return (out, rounds) if return_rounds else out
+        if n_keep == prev_n:
+            break
+        prev_n = n_keep
+        rounds += 1
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} rounds (deep peel chain); "
+            "raise max_rounds"
+        )
+    out = nh.join(deg.filter(F.col("core_degree") >= k), nh.h == F.col("u")).select(
+        "id", "core_degree"
+    )
+    return (out, rounds) if return_rounds else out
+
+
 def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:
     """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424)."""
     num_nodes = nodes.count()

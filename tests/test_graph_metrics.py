@@ -350,3 +350,79 @@ def test_pagerank_empty_graph(spark):
     nodes = spark.createDataFrame([], "id string")
     edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
     assert pagerank(nodes, edges).count() == 0
+
+
+# --- k-core (gds.kcore family; graph_metrics.py:k_core) ----------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame([(a, b, "r") for a, b in pairs], ["src", "dst", "relationship_name"])
+
+
+def _nodes_df(spark, ids):
+    return spark.createDataFrame([(i, i, "t") for i in ids], ["id", "name", "type"])
+
+
+def test_kcore_clique_with_cascade(spark):
+    """K4 plus q→{x,y,p1} and pendant p1: p1 peels in round 1 (deg 1), which
+    drops q to deg 2 so it peels in round 2 — a genuine multi-round cascade.
+    The 3-core is exactly the K4 with in-core degree 3 each."""
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    clique = [("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"), ("y", "z")]
+    extra = [("q", "x"), ("q", "y"), ("q", "p1")]
+    nodes = _nodes_df(spark, ["w", "x", "y", "z", "q", "p1"])
+    out, rounds = k_core(nodes, _edges_df(spark, clique + extra), k=3, return_rounds=True)
+    got = {r["id"]: r["core_degree"] for r in out.collect()}
+    assert got == {"w": 3, "x": 3, "y": 3, "z": 3}
+    assert rounds >= 2
+
+
+def test_kcore_triangle_empty_for_k3(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    nodes = _nodes_df(spark, ["a", "b", "c"])
+    out = k_core(nodes, _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")]), k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "core_degree"]
+
+
+def test_kcore_cycle_sheds_chain_one_round_per_link(spark):
+    """Cycle of 4 with a 3-link tail, k=2: the tail peels one node per round
+    (t3 then t2 then t1) while the cycle survives with degree 2."""
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    cyc = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    tail = [("c1", "t1"), ("t1", "t2"), ("t2", "t3")]
+    nodes = _nodes_df(spark, ["c1", "c2", "c3", "c4", "t1", "t2", "t3"])
+    out, rounds = k_core(nodes, _edges_df(spark, cyc + tail), k=2, return_rounds=True)
+    got = {r["id"]: r["core_degree"] for r in out.collect()}
+    assert got == {"c1": 2, "c2": 2, "c3": 2, "c4": 2}
+    assert rounds >= 3
+    with pytest.raises(RuntimeError, match="converge"):
+        k_core(nodes, _edges_df(spark, cyc + tail), k=2, max_rounds=2)
+
+
+def test_kcore_simple_graph_view(spark):
+    """Duplicate edges, reverse duplicates, self-loops, and edges to ids
+    outside `nodes` all collapse out of the undirected simple-graph view."""
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"),   # one undirected edge
+        ("a", "a"),                            # self-loop: dropped
+        ("a", "ghost"), ("ghost2", "b"),      # phantom endpoints: dropped
+        ("a", "c"), ("b", "c"),
+    ]
+    nodes = _nodes_df(spark, ["a", "b", "c"])
+    out = k_core(nodes, _edges_df(spark, pairs), k=2)
+    got = {r["id"]: r["core_degree"] for r in out.collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_k_validation(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    nodes = _nodes_df(spark, ["a"])
+    with pytest.raises(ValueError, match="k >= 1"):
+        k_core(nodes, _edges_df(spark, [("a", "a")]), k=0)
