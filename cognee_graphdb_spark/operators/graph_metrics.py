@@ -514,6 +514,146 @@ def k_core(
     return (out, rounds) if return_rounds else out
 
 
+def node_similarity(
+    nodes: DataFrame,
+    edges: DataFrame,
+    top_k: int = 10,
+    similarity_cutoff: float = 0.0,
+    degree_cutoff: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, intersection, union_size, jaccard): neighborhood Jaccard
+    similarity between every node pair sharing >= 1 neighbor, top_k most
+    similar partners per node.  GDS-family metric (gds.nodeSimilarity; the
+    reference exposes the GDS family via neo4j_metrics_utils.py:8-190) over
+    the same undirected simple-graph view as :func:`k_core` — GDS defaults to
+    OUT-neighbors, but every traversal in this engine is bidirectional
+    (graph_joins.py:undirected), so the undirected view is the consistent one.
+
+    Shape: postings self-join on the shared neighbor (the same
+    inverted-index trick as dedup.py:jaccard_pairs — pair candidates are
+    generated per shared neighbor, never all-pairs), partial-agg count for
+    the intersection, degrees joined back for |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Skew: a hub neighbor with degree d fans out d² candidate rows.
+    ``max_neighbor_degree`` drops postings THROUGH such hubs (the max_df
+    analog — at web scale a "shares the homepage" neighbor carries no
+    similarity signal anyway); documented approximation, default exact.
+    ``degree_cutoff`` is GDS's own knob: nodes with fewer neighbors than
+    this produce no output rows.  Ties at equal jaccard break by partner id
+    (ascending) so top_k is deterministic.
+    """
+    nh = nodes.select("id", F.xxhash64("id").alias("h")).distinct().localCheckpoint(eager=True)
+    und = (
+        _sym_edges(edges)
+        .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    post = und.join(deg.filter(F.col("deg") >= degree_cutoff).select("u"), "u", "left_semi")
+    if max_neighbor_degree is not None:
+        thin = deg.filter(F.col("deg") <= max_neighbor_degree).select(F.col("u").alias("v"))
+        post = post.join(F.broadcast(thin) if max_neighbor_degree < 1000 else thin, "v", "left_semi")
+    a = post.select(F.col("u").alias("ua"), "v")
+    b = post.select(F.col("u").alias("ub"), "v")
+    inter = (
+        a.join(b, "v")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sized = (
+        inter.join(deg.select(F.col("u").alias("ua"), F.col("deg").alias("da")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("deg").alias("db")), "ub")
+        .select(
+            "ua", "ub", "intersection",
+            (F.col("da") + F.col("db") - F.col("intersection")).alias("union_size"),
+        )
+        .withColumn("jaccard", F.col("intersection") / F.col("union_size"))
+        .filter(F.col("jaccard") >= similarity_cutoff)
+    )
+    # emit both directions (GDS does), map hashes back to ids, then top_k per
+    # source — the window ranks only the cutoff survivors
+    both = sized.unionByName(
+        sized.select(
+            F.col("ub").alias("ua"), F.col("ua").alias("ub"),
+            "intersection", "union_size", "jaccard",
+        )
+    )
+    named = (
+        both.join(nh.select(F.col("h").alias("ua"), F.col("id").alias("id_a")), "ua")
+        .join(nh.select(F.col("h").alias("ub"), F.col("id").alias("id_b")), "ub")
+        .select("id_a", "id_b", "intersection", "union_size", "jaccard")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b"))
+    return (
+        named.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_rounds: int = 5,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, label): synchronous label propagation community detection for a
+    FIXED number of rounds — GDS-family (gds.labelPropagation) companion to
+    :func:`connected_components` (which finds connectivity, not density
+    communities).
+
+    Each round every node adopts the most frequent label among its neighbors
+    (undirected simple-graph view), ties broken by smallest label value;
+    isolated nodes keep their own label.  Synchronous LPA can oscillate on
+    bipartite structures, so the round count is a PARAMETER of the result,
+    not a convergence heuristic — fixed rounds is also what makes the output
+    deterministic enough to oracle-check (the DuckDB restatement unrolls the
+    same rounds over the same seeded labels).
+
+    Labels start as seeded 64-bit hashes of the node id (``hasher`` as in
+    operators/dedup.py:_hash64 — ``md5_64`` has a bit-identical DuckDB
+    mirror; ``xxhash64`` is the faster production default).  Per round: one
+    join (neighbor label lookup), one partial-agg count, one min_by pick —
+    all on 8-byte keys, lineage truncated per round.
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        _sym_edges(edges)
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    labels = nh.select(F.col("h").alias("u"), F.col("h").alias("label"))
+    for _ in range(n_rounds):
+        nbr = und.join(labels.select(F.col("u").alias("v"), "label"), "v").select("u", "label")
+        cnt = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        # most frequent neighbor label, tie -> smallest label value
+        pick = cnt.groupBy("u").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("nl")
+        )
+        labels = (
+            labels.join(pick, "u", "left")
+            .select("u", F.coalesce("nl", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return nh.join(labels, nh.h == labels.u).select("id", "label")
+
+
 def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:
     """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424)."""
     num_nodes = nodes.count()

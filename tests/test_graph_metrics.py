@@ -426,3 +426,103 @@ def test_kcore_k_validation(spark):
     nodes = _nodes_df(spark, ["a"])
     with pytest.raises(ValueError, match="k >= 1"):
         k_core(nodes, _edges_df(spark, [("a", "a")]), k=0)
+
+
+# --- node similarity (gds.nodeSimilarity) ------------------------------------
+
+
+def test_node_similarity_jaccard_values(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z"), ("c", "z")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+    out = {
+        (r["id_a"], r["id_b"]): (r["intersection"], r["union_size"], r["jaccard"])
+        for r in node_similarity(nodes, _edges_df(spark, pairs), top_k=10).collect()
+    }
+    assert out[("a", "b")] == (2, 3, pytest.approx(2 / 3))
+    assert out[("b", "a")] == (2, 3, pytest.approx(2 / 3))
+    assert out[("x", "y")] == (2, 2, pytest.approx(1.0))
+    assert out[("b", "c")] == (1, 3, pytest.approx(1 / 3))
+    assert ("a", "c") not in out  # no shared neighbor
+
+
+def test_node_similarity_topk_and_ties(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z"), ("c", "z")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+    top1 = {
+        r["id_a"]: r["id_b"]
+        for r in node_similarity(nodes, _edges_df(spark, pairs), top_k=1).collect()
+    }
+    assert top1["x"] == "y"  # J=1 beats J(x,z)=1/3
+    assert top1["z"] == "x"  # J(z,x)=J(z,y)=1/3 tie -> smallest partner id
+
+
+def test_node_similarity_degree_cutoff_excludes_node(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z"), ("c", "z")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+    out = node_similarity(nodes, _edges_df(spark, pairs), degree_cutoff=2).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert "c" not in ids  # deg(c)=1 < cutoff: excluded from the computation
+
+
+def test_node_similarity_hub_cap_drops_hub_mediated_pairs(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+    hub = [(f"n{i}", "hub") for i in range(6)]
+    pairs = hub + [("n0", "w"), ("n1", "w")]
+    nodes = _nodes_df(spark, [f"n{i}" for i in range(6)] + ["hub", "w"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in node_similarity(
+            nodes, _edges_df(spark, pairs), max_neighbor_degree=3
+        ).collect()
+    }
+    # pairs sharing only the degree-6 hub vanish; the w-mediated pair stays
+    assert ("n0", "n1") in capped
+    assert ("n2", "n3") not in capped
+
+
+# --- label propagation (gds.labelPropagation) --------------------------------
+
+
+def test_label_propagation_two_triangles_stay_separate(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import label_propagation
+
+    t1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    t2 = [("p", "q"), ("q", "r"), ("r", "p")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "p", "q", "r"])
+    out = {r["id"]: r["label"] for r in label_propagation(nodes, _edges_df(spark, t1 + t2), n_rounds=4).collect()}
+    assert len({out["a"], out["b"], out["c"]}) == 1  # triangle converges
+    assert len({out["p"], out["q"], out["r"]}) == 1
+    assert out["a"] != out["p"]  # communities never bleed across components
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import label_propagation
+
+    nodes = _nodes_df(spark, ["a", "b", "lone"])
+    out = {r["id"]: r["label"] for r in label_propagation(nodes, _edges_df(spark, [("a", "b")]), n_rounds=3).collect()}
+    assert len(out) == 3
+    assert out["lone"] not in (out["a"], out["b"])
+
+
+def test_label_propagation_hashers_agree_on_partition(spark):
+    """md5_64 (oracle) and xxhash64 (production) give different label VALUES
+    but the same community co-membership structure."""
+    from cognee_graphdb_spark.operators.graph_metrics import label_propagation
+
+    t1 = [("a", "b"), ("b", "c"), ("c", "a"), ("p", "q"), ("q", "r"), ("r", "p")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "p", "q", "r"])
+    def parts(hasher):
+        out = {r["id"]: r["label"] for r in label_propagation(
+            nodes, _edges_df(spark, t1), n_rounds=4, hasher=hasher).collect()}
+        groups = {}
+        for nid, lab in out.items():
+            groups.setdefault(lab, set()).add(nid)
+        return {frozenset(g) for g in groups.values()}
+    assert parts("md5_64") == parts("xxhash64")
