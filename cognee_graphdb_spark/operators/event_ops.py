@@ -50,7 +50,17 @@ def asof_join(
     pre-split by coarse time bucket and asof-join per bucket with the
     previous bucket's tail broadcast).
     """
+    if right_ts == on:
+        raise ValueError(
+            "asof_join: right_ts must differ from the join key `on` — the "
+            "timestamp is carried in the match payload keyed by name"
+        )
     rcols = [c for c in right.columns if c != on]
+    if not rcols:
+        raise ValueError(
+            "asof_join: right frame has no payload columns besides the join "
+            "key; nothing to join (an empty struct is not constructible)"
+        )
     payload = F.struct(*[F.col(c).alias(c) for c in rcols])
     l = left.select(
         F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),

@@ -504,10 +504,20 @@ def k_core(
         )
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
     else:
-        raise RuntimeError(
-            f"k_core did not converge in {max_rounds} rounds (deep peel chain); "
-            "raise max_rounds"
-        )
+        # one extra verification pass beyond max_rounds: a graph that
+        # converges in EXACTLY max_rounds prune rounds is converged, not
+        # stuck — the fixpoint is only observable on the round after the
+        # last prune (r7 ADVICE boundary finding)
+        keep = deg.filter(F.col("core_degree") >= k).select("u")
+        n_keep = keep.count()
+        if n_keep == 0:
+            out = nh.select("id").limit(0).withColumn("core_degree", F.lit(0).cast("long"))
+            return (out, rounds) if return_rounds else out
+        if n_keep != prev_n:
+            raise RuntimeError(
+                f"k_core did not converge in {max_rounds} rounds (deep peel chain); "
+                "raise max_rounds"
+            )
     out = nh.join(deg.filter(F.col("core_degree") >= k), nh.h == F.col("u")).select(
         "id", "core_degree"
     )
@@ -553,8 +563,12 @@ def node_similarity(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     post = und.join(deg.filter(F.col("deg") >= degree_cutoff).select("u"), "u", "left_semi")
     if max_neighbor_degree is not None:
+        # no explicit broadcast hint: the threshold VALUE says nothing about
+        # how many nodes fall under it (most nodes on a power-law graph do),
+        # so `thin` can be node-sized — let AQE pick the join strategy from
+        # the actual runtime size (r7 ADVICE finding)
         thin = deg.filter(F.col("deg") <= max_neighbor_degree).select(F.col("u").alias("v"))
-        post = post.join(F.broadcast(thin) if max_neighbor_degree < 1000 else thin, "v", "left_semi")
+        post = post.join(thin, "v", "left_semi")
     a = post.select(F.col("u").alias("ua"), "v")
     b = post.select(F.col("u").alias("ub"), "v")
     inter = (

@@ -788,6 +788,9 @@ def _parse_segments(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             return
@@ -844,6 +847,9 @@ def jpeg_pixels_np(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1043,10 +1049,15 @@ def _decode_scan_into(
                 maybe_restart()
                 decode_block(coef[ci][by][bx], ci, dc_id, ac_id)
 
-    # skip any trailing padding/RSTs to the next true marker
+    # skip any trailing padding/RSTs/0xFF fill bytes to the next true marker
+    # (0xFF 0xFF is T.81 fill padding, not a marker — keep advancing)
     p = r.pos
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
             break
         p += 1
     return p

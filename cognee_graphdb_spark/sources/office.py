@@ -87,7 +87,13 @@ def xlsx_text_zip(z: zipfile.ZipFile) -> str:
         for si in sroot:
             shared.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
     lines = []
-    for name in sorted(n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)):
+    # numeric sheet order — lexicographic would put sheet10 before sheet2
+    # (same rule as pptx_text_zip's slide sort; r7 ADVICE finding)
+    sheet_names = sorted(
+        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+    for name in sheet_names:
         root = ElementTree.fromstring(z.read(name))
         for row in root.iter():
             if _local(row.tag) != "row":

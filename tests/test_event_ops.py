@@ -127,3 +127,19 @@ def test_sessionize_batch_matches_streaming_operator(spark, tmp_path):
         tuple(r) for r in sessionize_batch(batch_df, gap_seconds=1800).collect()
     )
     assert batch == streamed
+
+
+def test_asof_join_validates_degenerate_right(spark):
+    """right_ts == on and payload-less right frames fail fast with a clear
+    message instead of an opaque struct error (r7 ADVICE finding)."""
+    import pytest
+
+    from cognee_graphdb_spark.operators.event_ops import asof_join
+
+    left = spark.createDataFrame([("k1", 5)], ["k", "ts"])
+    with pytest.raises(ValueError, match="right_ts"):
+        asof_join(left, spark.createDataFrame([("k1", 1)], ["k", "v"]),
+                  on="k", left_ts="ts", right_ts="k")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, spark.createDataFrame([("k1",)], ["k"]),
+                  on="k", left_ts="ts", right_ts="k")

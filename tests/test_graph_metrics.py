@@ -526,3 +526,18 @@ def test_label_propagation_hashers_agree_on_partition(spark):
             groups.setdefault(lab, set()).add(nid)
         return {frozenset(g) for g in groups.values()}
     assert parts("md5_64") == parts("xxhash64")
+
+
+def test_kcore_exact_boundary_convergence(spark):
+    """A graph whose peel takes EXACTLY max_rounds prune rounds has converged
+    — the fixpoint is only observable one iteration later, so the else-branch
+    must verify instead of raising (r7 ADVICE finding)."""
+    from cognee_graphdb_spark.operators.graph_metrics import k_core
+
+    cyc = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    tail = [("c1", "t1"), ("t1", "t2"), ("t2", "t3")]
+    nodes = _nodes_df(spark, ["c1", "c2", "c3", "c4", "t1", "t2", "t3"])
+    # peel drops t3, t2, t1 over exactly 3 rounds
+    out = k_core(nodes, _edges_df(spark, cyc + tail), k=2, max_rounds=3)
+    got = {r["id"]: r["core_degree"] for r in out.collect()}
+    assert got == {"c1": 2, "c2": 2, "c3": 2, "c4": 2}

@@ -681,3 +681,17 @@ def test_jpeg_in_dispatch_and_envelope(spark):
         for ty in range(3)
     )
     assert row["red_sum"] == expect
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows 0xFF fill padding before any marker: parsing and
+    decoding must skip consecutive 0xFFs in the segment walk, and the
+    trailing skip must not stop on a fill byte (r7 ADVICE finding)."""
+    from cognee_graphdb_spark.sources.jpeg import jpeg_bytes, jpeg_pixels, parse_jpeg
+
+    plain = jpeg_bytes(16, 8, lambda x, y: (90, 40, 200))
+    # fill bytes right after SOI, and before the trailing EOI
+    assert plain[-2:] == b"\xff\xd9"
+    padded = plain[:2] + b"\xff\xff\xff" + plain[2:-2] + b"\xff\xff" + plain[-2:]
+    assert parse_jpeg(padded) == parse_jpeg(plain)
+    assert jpeg_pixels(padded) == jpeg_pixels(plain)

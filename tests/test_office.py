@@ -80,3 +80,21 @@ def test_ingest_dispatch_routes_office_formats():
     # malformed container falls back to the content-addressed stand-in
     assert decode_row("office_loader", b"PK\x03\x04junk").startswith("[office_loader:")
     assert decode_row("office_loader", b"notazip").startswith("[office_loader:")
+
+
+def test_xlsx_numeric_sheet_order():
+    """sheet10.xml must come AFTER sheet2.xml (numeric sort, not lexicographic
+    — the pptx slide rule; r7 ADVICE finding)."""
+    from cognee_graphdb_spark.sources.office import _NS_SS, _zip_bytes
+
+    def sheet_xml(text):
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_NS_SS}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{text}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    files = {f"xl/worksheets/sheet{i}.xml": sheet_xml(f"s{i}") for i in range(1, 12)}
+    text = o.xlsx_text(_zip_bytes(files))
+    assert text.split("\n") == [f"s{i}" for i in range(1, 12)]
