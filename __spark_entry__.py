@@ -947,6 +947,71 @@ def _q_a2_kcore(spark, sf_dir):
     )
 
 
+def _q_a2_coreness(spark, sf_dir):
+    """Full k-core decomposition (graph_metrics.py:coreness, gds.kcore's
+    per-node coreValue): every FK-graph node's core number via distributed
+    h-index iteration, summarized per (table, coreness) — the decomposition
+    spans coreness 0 (type nodes, no FK edges) through 4 (lineitem spine) at
+    sf0.01.  The oracle unrolls 16 h-index rounds as chained CTEs (the
+    update is monotone non-increasing, so rounds past the fixpoint — 14 at
+    sf0.01 — are no-ops) from the same degree initialization."""
+    from cognee_graphdb_spark.operators.graph_metrics import coreness
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(F.col("relationship_name") != "is_part_of")
+    core = coreness(nodes, fk, max_rounds=64)
+    return (
+        core.join(nodes.select("id", "name"), "id")
+        .groupBy("name", "coreness")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def _q_a2_label_propagation(spark, sf_dir):
+    """Label propagation communities (graph_metrics.py:label_propagation,
+    gds.labelPropagation) over the nation-family FK subgraph: 3 synchronous
+    rounds from md5-seeded labels, full (id, label) rows.  Fixed rounds make
+    the result a pure function of the seeds, so the oracle unrolls the same
+    3 rounds (most-frequent neighbor label, ties to the smallest value) over
+    the same DISTINCT undirected view."""
+    from cognee_graphdb_spark.operators.graph_metrics import label_propagation
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return label_propagation(ids, fk, n_rounds=3, hasher="md5_64")
+
+
+def _q_a2_node_similarity(spark, sf_dir):
+    """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
+    gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
+    per node; jaccard emitted ppm-quantized so the only doubles cross the
+    hash as integers (the rank itself compares IEEE-identical i/u ratios).
+    """
+    from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sim = node_similarity(ids, fk, top_k=5)
+    return sim.select(
+        "id_a", "id_b", "intersection", "union_size",
+        F.round(F.col("jaccard") * F.lit(1000000.0)).cast("long").alias("jaccard_ppm"),
+    )
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -2017,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         "a9_pagerank_personalized": _q_a9_pagerank_personalized,
         "a2_kcore": _q_a2_kcore,
+        "a2_coreness": _q_a2_coreness,
+        "a2_label_propagation": _q_a2_label_propagation,
+        "a2_node_similarity": _q_a2_node_similarity,
         "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
         # promoted from rows-only this round (first oracle-checked rows)
@@ -3736,6 +3804,98 @@ core AS (SELECT u, count(*) AS deg FROM e8 GROUP BY u HAVING count(*) >= 3)
 SELECT n.name, CAST(count(*) AS BIGINT) AS n_core_nodes,
        CAST(sum(core.deg) AS BIGINT) AS total_core_degree
 FROM core JOIN nodes n ON core.u = n.id GROUP BY n.name"""
+
+    # --- a2 coreness: 16 unrolled h-index rounds (Lü et al.; fixpoint at
+    # sf0.01 is round 14, later rounds are monotone no-ops) from the same
+    # degree initialization graph_metrics.py:coreness starts at --------------
+    _cn_rounds = []
+    _prev_c = "c0"
+    for _i in range(1, 17):
+        _cn_rounds.append(f"""h{_i} AS MATERIALIZED (
+  SELECT u, max(least(rn, cv)) AS h FROM (
+    SELECT e.u, c.c AS cv,
+           row_number() OVER (PARTITION BY e.u ORDER BY c.c DESC) AS rn
+    FROM e0 e JOIN {_prev_c} c ON e.v = c.u) s
+  GROUP BY u
+), c{_i} AS MATERIALIZED (SELECT u, h AS c FROM h{_i})""")
+        _prev_c = f"c{_i}"
+    sql["a2_coreness"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT src, dst FROM edges WHERE relationship_name != 'is_part_of'),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM fk UNION SELECT dst, src FROM fk) s
+  WHERE u != v
+),
+c0 AS MATERIALIZED (SELECT u, count(*) AS c FROM e0 GROUP BY u),
+{", ".join(_cn_rounds)}
+SELECT n.name, CAST(COALESCE(c.c, 0) AS BIGINT) AS coreness,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM nodes n LEFT JOIN c16 c ON n.id = c.u
+GROUP BY n.name, coreness"""
+
+    # --- a2 label propagation: 3 unrolled synchronous rounds over md5-seeded
+    # labels (graph_metrics.py:label_propagation; most-frequent neighbor
+    # label, ties to the smallest value) ------------------------------------
+    _lp_rounds = []
+    _prev_l = "l0"
+    for _i in range(1, 4):
+        _lp_rounds.append(f"""ct{_i} AS MATERIALIZED (
+  SELECT e.u, l.label, count(*) AS c
+  FROM nfe e JOIN {_prev_l} l ON e.v = l.u GROUP BY e.u, l.label
+), pk{_i} AS MATERIALIZED (
+  SELECT u, label AS nl FROM (
+    SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM ct{_i}) s
+  WHERE rn = 1
+), l{_i} AS MATERIALIZED (
+  SELECT l.u, COALESCE(p.nl, l.label) AS label
+  FROM {_prev_l} l LEFT JOIN pk{_i} p ON l.u = p.u
+)""")
+        _prev_l = f"l{_i}"
+    sql["a2_label_propagation"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM nf UNION SELECT dst, src FROM nf) s
+  WHERE u != v
+),
+l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
+{", ".join(_lp_rounds)}
+SELECT u AS id, label FROM l3"""
+
+    # --- a2 node similarity: Jaccard over neighbor sets, top-5 per node;
+    # pair candidates per shared neighbor, both directions emitted, rank by
+    # IEEE-identical i/u ratio then partner id --------------------------------
+    sql["a2_node_similarity"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM nf UNION SELECT dst, src FROM nf) s
+  WHERE u != v
+),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM nfe GROUP BY u),
+inter AS MATERIALIZED (
+  SELECT a.u AS ua, b.u AS ub, count(*) AS i
+  FROM nfe a JOIN nfe b ON a.v = b.v AND a.u < b.u
+  GROUP BY a.u, b.u
+),
+sized AS MATERIALIZED (
+  SELECT ua, ub, i, da.deg + db.deg - i AS un
+  FROM inter JOIN deg da ON inter.ua = da.u JOIN deg db ON inter.ub = db.u
+),
+bidir AS (
+  SELECT ua, ub, i, un FROM sized
+  UNION ALL SELECT ub, ua, i, un FROM sized
+)
+SELECT ua AS id_a, ub AS id_b, CAST(i AS BIGINT) AS intersection,
+       CAST(un AS BIGINT) AS union_size,
+       CAST(ROUND((CAST(i AS DOUBLE) / un) * 1000000.0) AS BIGINT) AS jaccard_ppm
+FROM (
+  SELECT ua, ub, i, un,
+         row_number() OVER (PARTITION BY ua
+                            ORDER BY (CAST(i AS DOUBLE) / un) DESC, ub) AS rn
+  FROM bidir) s
+WHERE rn <= 5"""
 
     # --- SemDeDup: seeded spherical k-means + within-cluster prune -----------
     # mirrors dedup.py:semdedup(k=8, threshold=0.35, n_iter=1, hasher=md5_64);

@@ -524,6 +524,81 @@ def k_core(
     return (out, rounds) if return_rounds else out
 
 
+def coreness(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 100,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """(id, coreness): every node's core NUMBER — the largest k for which the
+    node belongs to the k-core — under the same undirected simple-graph view
+    as :func:`k_core`.  This is the full decomposition the GDS call returns
+    (gds.kcore gives per-node coreValue; the reference exposes the GDS family
+    via neo4j_metrics_utils.py:8-190) where :func:`k_core` answers only
+    membership at a single k.
+
+    Algorithm: distributed h-index iteration (Lü et al., "The H-index of a
+    network node"; Montresor et al., "Distributed k-core decomposition") —
+    start every node at its degree, then repeatedly set
+    ``c(v) = H({c(u) : u ~ v})``, the largest h such that at least h
+    neighbors currently have value >= h.  The sequence is monotone
+    non-increasing (H of a list never exceeds its length) and its fixpoint
+    is exactly the coreness, so extra rounds past convergence are no-ops —
+    which is what makes the DuckDB oracle a fixed unroll of the same update.
+    Isolated nodes have coreness 0.
+
+    Per round: one join (neighbor value lookup), one window (descending rank
+    within each node's neighbor list), one partial-agg max of
+    ``least(rank, value)`` — all on 8-byte hashed keys, lineage truncated per
+    round.  Rounds needed is the graph's "h-index depth", empirically a
+    handful on real graphs (vs one full peel PER k for the naive
+    k_core-sweep formulation, which at 100 TB would rescan the edge set
+    k_max times).
+    """
+    from pyspark.sql.window import Window
+
+    nh = nodes.select("id", F.xxhash64("id").alias("h")).distinct().localCheckpoint(eager=True)
+    und = (
+        _sym_edges(edges)
+        .select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    c = und.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    w = Window.partitionBy("u").orderBy(F.col("cv").desc())
+    rounds = 0
+    for _ in range(max_rounds):
+        nbr = und.join(c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v").select(
+            "u", "cv"
+        )
+        newc = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            newc.join(c.select("u", F.col("c").alias("prev")), "u")
+            .filter(F.col("c") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        c = newc
+        rounds += 1
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"coreness did not converge in {max_rounds} rounds; raise max_rounds"
+        )
+    out = (
+        nh.join(c, nh.h == c.u, "left")
+        .select("id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("coreness"))
+    )
+    return (out, rounds) if return_rounds else out
+
+
 def node_similarity(
     nodes: DataFrame,
     edges: DataFrame,

@@ -541,3 +541,49 @@ def test_kcore_exact_boundary_convergence(spark):
     out = k_core(nodes, _edges_df(spark, cyc + tail), k=2, max_rounds=3)
     got = {r["id"]: r["core_degree"] for r in out.collect()}
     assert got == {"c1": 2, "c2": 2, "c3": 2, "c4": 2}
+
+
+def test_coreness_clique_tail_and_isolate(spark):
+    """K4 (coreness 3) + pendant chain q–p1 (q touches the clique twice →
+    coreness 2, p1 → 1) + an isolated node (0) — the full decomposition in
+    one call, vs k_core's single-k membership."""
+    from cognee_graphdb_spark.operators.graph_metrics import coreness
+
+    clique = [("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"), ("y", "z")]
+    extra = [("q", "x"), ("q", "y"), ("q", "p1")]
+    nodes = _nodes_df(spark, ["w", "x", "y", "z", "q", "p1", "lonely"])
+    out = coreness(nodes, _edges_df(spark, clique + extra))
+    got = {r["id"]: r["coreness"] for r in out.collect()}
+    assert got == {"w": 3, "x": 3, "y": 3, "z": 3, "q": 2, "p1": 1, "lonely": 0}
+
+
+def test_coreness_agrees_with_kcore_membership(spark):
+    """coreness(v) >= k  <=>  v in k_core(k) — checked for every k on a mixed
+    graph (cycle + tail + clique bridge)."""
+    from cognee_graphdb_spark.operators.graph_metrics import coreness, k_core
+
+    pairs = [
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1"),
+        ("c1", "t1"), ("t1", "t2"),
+        ("c2", "w"), ("w", "x"), ("w", "y"), ("x", "y"), ("w", "z"), ("x", "z"), ("y", "z"),
+    ]
+    ids = sorted({a for p in pairs for a in p})
+    nodes = _nodes_df(spark, ids)
+    edges = _edges_df(spark, pairs)
+    core_num = {r["id"]: r["coreness"] for r in coreness(nodes, edges).collect()}
+    for k in (1, 2, 3):
+        members = {r["id"] for r in k_core(nodes, edges, k=k).collect()}
+        assert members == {i for i, c in core_num.items() if c >= k}, f"k={k}"
+
+
+def test_coreness_simple_graph_view_and_rounds(spark):
+    """Duplicates/self-loops/phantom endpoints collapse; h-index converges
+    and reports its round count."""
+    from cognee_graphdb_spark.operators.graph_metrics import coreness
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "a"), ("a", "ghost"), ("a", "c"), ("b", "c")]
+    nodes = _nodes_df(spark, ["a", "b", "c"])
+    out, rounds = coreness(nodes, _edges_df(spark, pairs), return_rounds=True)
+    got = {r["id"]: r["coreness"] for r in out.collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert 1 <= rounds <= 3
