@@ -788,6 +788,38 @@ def _q_mm_llm_media_text(spark, sf_dir):
     return decode_documents(media, gateway=MockLLMGateway())
 
 
+def _q_mm_llm_media_av(spark, sf_dir):
+    """S2 [LLM] media path for COMPRESSED audio/video (the r7 gap): MP3/MP4
+    blobs synthesize from doc ids, the container layer parses for REAL
+    (MPEG frame-header walk / ISO BMFF box tree, sources/container.py), and
+    the gateway turns the container-feature envelope into transcript text —
+    the reference sends compressed media to transcription WITHOUT local
+    sample decode (core/audio_loader.py:18), so no MDCT decoder is needed
+    for parity.  DuckDB restates duration/bitrate from the synthesis
+    formulas with the same integer arithmetic."""
+    import pandas as pd
+
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.sources.ingest import decode_documents
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    _ship_package(spark)
+
+    def synth(batches):
+        from cognee_graphdb_spark.sources.container import synth_mp3_for_id, synth_mp4_for_id
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows.append((f"m3:{d}", "AudioDocument", synth_mp3_for_id(d)))
+                rows.append((f"m4:{d}", "VideoDocument", synth_mp4_for_id(d)))
+            yield pd.DataFrame(rows, columns=["id", "document_type", "content"])
+
+    media = _fan_out(docs).mapInPandas(synth, "id string, document_type string, content binary")
+    return decode_documents(media, gateway=MockLLMGateway())
+
+
 def _q_graph_completion_context(spark, sf_dir):
     """GRAPH_COMPLETION's retrieval half, oracle-checked end to end (promoted
     from rows-only in r7): cognify 100 docs -> hash-embed every collection ->
@@ -2079,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-7 window (first 50) ---------------------------------------
         # new this round ([LLM] media loaders, progressive JPEG, PPR)
         "mm_llm_media_text": _q_mm_llm_media_text,
+        "mm_llm_media_av": _q_mm_llm_media_av,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         "a9_pagerank_personalized": _q_a9_pagerank_personalized,
         "a2_kcore": _q_a2_kcore,
@@ -3328,6 +3361,33 @@ SELECT 'i:' || CAST(doc_id AS VARCHAR),
        'image description: ' || CAST(w AS VARCHAR) || 'x12 pixels mean rgb '
          || CAST(mr AS VARCHAR) || ' 0 0'
 FROM img"""
+
+    # [LLM] media path for compressed av: the mock transcript restated from
+    # the synth_mp3_for_id / synth_mp4_for_id formulas (container.py:285-295)
+    # with the same integer arithmetic parse_mp3 folds per frame —
+    # per-frame bits = 128000*1152//44100 = 3343, duration = samples*1000//sr
+    sql["mm_llm_media_av"] = """
+WITH mp3 AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 5 + doc_id % 7 AS frames,
+         (5 + doc_id % 7) * 1152 * 1000 // 44100 AS dur
+  FROM documents
+),
+mp4 AS (
+  SELECT doc_id, 16 * (1 + doc_id % 10) AS w, 9 * (1 + doc_id % 10) AS h,
+         1000 + (doc_id * 37) % 5000 AS dur
+  FROM documents
+)
+SELECT 'm3:' || CAST(doc_id AS VARCHAR) AS id,
+       'audio transcript: ' || CAST(ch AS VARCHAR) || ' channel 44100 hz '
+         || CAST(dur AS VARCHAR) || ' ms '
+         || CAST(frames * 3343 // greatest(1, dur) AS VARCHAR) || ' kbps '
+         || CAST(frames AS VARCHAR) || ' frames' AS text
+FROM mp3
+UNION ALL
+SELECT 'm4:' || CAST(doc_id AS VARCHAR),
+       'video transcript: ' || CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR)
+         || ' pixels ' || CAST(dur AS VARCHAR) || ' ms codecs avc1+mp4a'
+FROM mp4"""
 
     # GRAPH_COMPLETION retrieval promoted to oracle-checked: the whole
     # cognify + embed + normalize + triplet-score chain restated (dense

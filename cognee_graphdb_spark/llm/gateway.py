@@ -249,11 +249,33 @@ class MockLLMGateway:
     def create_transcript(self, features: dict) -> str:
         """Mock transcript: deterministic prose from the REAL decoded signal
         features (integer-quantized rms so the driver oracle can rebuild the
-        exact string in SQL).  Same input -> same text, like every mock."""
+        exact string in SQL).  Same input -> same text, like every mock.
+
+        Three envelope shapes, keyed by which features the loader could
+        decode (the reference sends the raw file to transcription either way,
+        loaders/core/audio_loader.py:18 — the envelope is this engine's
+        decoded stand-in for the waveform):
+        - PCM (WAV): full signal stats including rms.
+        - compressed audio (MP3): container/frame-walk stats — no PCM decode,
+          so frames + bitrate stand in for rms.
+        - video (MP4): box-tree stats — dimensions, duration, codecs.
+        """
+        if "rms" in features:
+            return (
+                f"audio transcript: {features['channels']} channel "
+                f"{features['sample_rate']} hz {features['duration_ms']} ms "
+                f"rms_ppm {int(features['rms'] * 1e6)}"
+            )
+        if "codecs" in features:
+            return (
+                f"video transcript: {features['width']}x{features['height']} "
+                f"pixels {features['duration_ms']} ms "
+                f"codecs {'+'.join(features['codecs'])}"
+            )
         return (
             f"audio transcript: {features['channels']} channel "
             f"{features['sample_rate']} hz {features['duration_ms']} ms "
-            f"rms_ppm {int(features['rms'] * 1e6)}"
+            f"{features['bitrate_kbps']} kbps {features['frames']} frames"
         )
 
     def transcribe_image(self, features: dict) -> str:

@@ -124,6 +124,43 @@ def decode_row(loader: str, content: bytes | None, gateway=None) -> str:
             pass
         if features is not None:
             return gateway.create_transcript(features)
+    if gateway is not None and loader == "audio_loader" and data[:4] != b"RIFF":
+        # compressed audio (MP3): no from-spec PCM decode here, but the
+        # reference sends the file to transcription WITHOUT local decode
+        # (core/audio_loader.py:18) — feed the gateway the frame-walk
+        # container features (sources/container.py) as the envelope
+        features = None
+        try:
+            from cognee_graphdb_spark.sources.container import parse_mp3
+
+            info = parse_mp3(data)
+            features = {
+                "channels": info.channels,
+                "sample_rate": info.sample_rate,
+                "duration_ms": info.duration_ms,
+                "frames": info.frames,
+                "bitrate_kbps": info.bitrate_kbps,
+            }
+        except Exception:
+            pass
+        if features is not None:
+            return gateway.create_transcript(features)
+    if gateway is not None and loader == "video_loader":
+        features = None
+        try:
+            from cognee_graphdb_spark.sources.container import parse_mp4
+
+            info = parse_mp4(data)
+            features = {
+                "width": info.width,
+                "height": info.height,
+                "duration_ms": info.duration_ms,
+                "codecs": list(info.codecs),
+            }
+        except Exception:
+            pass
+        if features is not None:
+            return gateway.create_transcript(features)
     if gateway is not None and loader == "image_loader":
         features = None
         try:

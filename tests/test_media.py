@@ -695,3 +695,26 @@ def test_jpeg_fill_bytes_between_segments():
     padded = plain[:2] + b"\xff\xff\xff" + plain[2:-2] + b"\xff\xff" + plain[-2:]
     assert parse_jpeg(padded) == parse_jpeg(plain)
     assert jpeg_pixels(padded) == jpeg_pixels(plain)
+
+
+def test_llm_media_loader_compressed_av():
+    """MP3/MP4 route through create_transcript fed by the container-level
+    features (sources/container.py) — the reference sends compressed media
+    to transcription WITHOUT local decode (core/audio_loader.py:18), so the
+    frame-walk/box-tree envelope is the decoded stand-in."""
+    from cognee_graphdb_spark.llm.gateway import MockLLMGateway
+    from cognee_graphdb_spark.sources.container import mp3_bytes, mp4_bytes
+
+    from cognee_graphdb_spark.sources.ingest import decode_row
+
+    gw = MockLLMGateway()
+    mp3 = mp3_bytes(5, channels=2)  # 5 frames @44100, 128 kbps -> 130 ms
+    assert decode_row("audio_loader", mp3, gateway=gw) == (
+        "audio transcript: 2 channel 44100 hz 130 ms 128 kbps 5 frames"
+    )
+    mp4 = mp4_bytes(2000, width=32, height=18)
+    assert decode_row("video_loader", mp4, gateway=gw) == (
+        "video transcript: 32x18 pixels 2000 ms codecs avc1+mp4a"
+    )
+    # undecodable video keeps the content-addressed stand-in
+    assert decode_row("video_loader", b"junk", gateway=gw).startswith("[video_loader:")
