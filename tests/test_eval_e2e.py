@@ -1,0 +1,31 @@
+"""The reference's eval protocol end to end THROUGH THE HTTP GATEWAY
+(tools/eval_e2e.py): corpus -> cognify -> GRAPH_COMPLETION / COT -> EM/F1 +
+LLM-judge, every [LLM] hop an actual HTTP round trip to the in-process
+deterministic OpenAI-compatible double.  Pinned metric values: any break in
+the gateway -> cognify -> search -> metrics wiring moves them."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def test_eval_protocol_through_http_gateway(spark, tmp_path):
+    from eval_e2e import run_eval
+
+    res = run_eval(spark, str(tmp_path / "ev"))
+    assert res["n_documents"] == 3 and res["n_questions"] == 3
+    gc = res["graph_completion"]
+    assert gc["em"] == pytest.approx(1 / 3, abs=1e-6)
+    assert gc["f1"] == pytest.approx(0.555556, abs=1e-4)
+    assert gc["judge"] == pytest.approx(0.187879, abs=1e-4)
+    cot = res["graph_completion_cot"]
+    assert cot["em"] == pytest.approx(1 / 3, abs=1e-6)
+    assert cot["f1"] == pytest.approx(1 / 3, abs=1e-4)
+    assert cot["judge"] == pytest.approx(0.121212, abs=1e-4)
+    # every hop is HTTP: 3 docs x (graph+summary+classify) + 2 eval passes
+    # x 3 questions x (complete [+followup] + judge)
+    assert res["n_http_requests"] == 42
