@@ -1044,6 +1044,30 @@ def _q_a2_node_similarity(spark, sf_dir):
     )
 
 
+def _q_a2_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood function (graph_metrics.py:
+    approx_neighborhood_function, Boldi–Rosa–Vigna WWW'11): 5 sketch-merge
+    rounds over the nation-family FK subgraph, m=16 registers, md5 seeding —
+    the scale-honest estimator behind A2's diameter/avg-path metrics.
+    Oracle mode pins the integer-exact raw-estimator sums and empty-register
+    counts per hop; the DuckDB restatement unrolls the same register-wise
+    max rounds over the same list sketches."""
+    from cognee_graphdb_spark.operators.graph_metrics import approx_neighborhood_function
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return approx_neighborhood_function(
+        ids, fk, n_rounds=5, m=16, hasher="md5_64", output="stats"
+    )
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -2118,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_coreness": _q_a2_coreness,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
+        "a2_hyperanf": _q_a2_hyperanf,
         "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
         # promoted from rows-only this round (first oracle-checked rows)
@@ -3922,6 +3947,63 @@ nfe AS MATERIALIZED (
 l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
 {", ".join(_lp_rounds)}
 SELECT u AS id, label FROM l3"""
+
+    # --- a2 HyperANF: 5 unrolled register-wise-max rounds over m=16 HLL
+    # sketches seeded from md5_64(id); raw-estimator sums are one correctly-
+    # rounded division from exact-integer register masses (2^(56-r)), so the
+    # per-hop totals hash-match.  c_num repr()s the Python-folded
+    # alpha*m^2*2^56 double graph_metrics.py:approx_neighborhood_function
+    # divides by. ------------------------------------------------------------
+    _ha_c = "1.241465876160653e+19"
+    _ha_est = (
+        "CAST(SUM(CAST(ROUND({c} / CAST(list_sum(list_transform(sk, "
+        "r -> CAST(1 AS BIGINT) << (56 - r))) AS BIGINT)) AS BIGINT)) AS BIGINT)"
+    ).format(c=_ha_c)
+    _ha_zero = (
+        "CAST(SUM(CAST(list_sum(list_transform(sk, "
+        "r -> CASE WHEN r = 0 THEN 1 ELSE 0 END)) AS BIGINT)) AS BIGINT)"
+    )
+    _ha_rounds = []
+    _prev_s = "s0"
+    for _i in range(1, 6):
+        _ha_rounds.append(f"""x{_i} AS MATERIALIZED (
+  SELECT u, idx, max(val) AS val FROM (
+    SELECT u, unnest(range(0, 16)) AS idx, unnest(sk) AS val FROM (
+      SELECT u, sk FROM {_prev_s}
+      UNION ALL
+      SELECT e.u, s.sk FROM nfe e JOIN {_prev_s} s ON e.v = s.u) a
+  ) z GROUP BY u, idx
+), s{_i} AS MATERIALIZED (SELECT u, list(val ORDER BY idx) AS sk FROM x{_i} GROUP BY u)""")
+        _prev_s = f"s{_i}"
+    _ha_h = _md5_64("id", 0)
+    sql["a2_hyperanf"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
+nfh AS MATERIALIZED (SELECT {_ha_h} AS u FROM nfn),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT {_md5_64("src", 0)} AS u, {_md5_64("dst", 0)} AS v FROM nf
+    UNION SELECT {_md5_64("dst", 0)}, {_md5_64("src", 0)} FROM nf) s
+  WHERE u != v
+),
+seed AS MATERIALIZED (
+  SELECT u, u & 15 AS idx,
+         CASE WHEN (u >> 4) = 0 THEN 56
+              ELSE least(56, CAST(log2(CAST(((u >> 4) & -(u >> 4)) AS DOUBLE)) AS BIGINT) + 1)
+         END AS rho
+  FROM nfh
+),
+s0 AS MATERIALIZED (
+  SELECT u, list_transform(range(0, 16),
+         i -> CAST(CASE WHEN i = idx THEN rho ELSE 0 END AS INTEGER)) AS sk
+  FROM seed
+),
+{", ".join(_ha_rounds)}
+{" UNION ALL ".join(
+    f'SELECT CAST({_t} AS INTEGER) AS hop, {_ha_est} AS raw_est_sum, {_ha_zero} AS zero_regs FROM s{_t}'
+    for _t in range(6)
+)}"""
 
     # --- a2 node similarity: Jaccard over neighbor sets, top-5 per node;
     # pair candidates per shared neighbor, both directions emitted, rank by

@@ -316,6 +316,12 @@ def main() -> None:
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "calibration": calibration,
                 "value_normalized": round(total / calibration, 3),
+                # per-query drift correction: a regression in a single
+                # queries_normalized entry is a plan regression in THAT step,
+                # without judge-side arithmetic against the calibration field
+                "queries_normalized": {
+                    k: round(v / calibration, 3) for k, v in timings.items()
+                },
             }
         )
     )

@@ -743,6 +743,161 @@ def label_propagation(
     return nh.join(labels, nh.h == labels.u).select("id", "label")
 
 
+def approx_neighborhood_function(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_rounds: int = 8,
+    m: int = 16,
+    hasher: str = "xxhash64",
+    output: str = "estimate",
+) -> DataFrame:
+    """(round, nf_est): HyperANF (Boldi, Rosa & Vigna, "HyperANF:
+    approximating the neighbourhood function of very large graphs on a
+    budget", WWW'11) — the neighborhood function N(t) = |{(u,v): d(u,v)<=t}|
+    estimated with per-node HyperLogLog sketches, the 100 TB-honest variant
+    of A2's diameter / average-path metrics (exact BFS is O(V·E),
+    :func:`_bfs_path_stats`; this is O(t·E·m) with m tiny).
+
+    Per node: an m-register HLL sketch seeded with the node's own hashed id;
+    per round every sketch becomes the register-wise max of itself and its
+    neighbors' sketches (undirected simple-graph view), so after t rounds a
+    node's sketch summarizes its t-ball.  N(t) is the sum of per-node raw
+    HLL estimates.  Effective diameter at q: the smallest t with
+    N(t) >= q * N(t_max).
+
+    Determinism & oracle parity: register index = low-log2(m) bits of the
+    seeded hash, rank = 1 + trailing zeros of the remaining bits (capped at
+    56; exact via ``x & -x`` + log2 of a power of two — both engines IEEE),
+    per-register mass 2^(56-r) summed as EXACT integers, and the raw
+    estimate alpha·m²·2^56 / S rounded to a BIGINT per node BEFORE the final
+    sum — so the output is integer-exact and the DuckDB oracle unrolls the
+    same rounds.  Error bounds: raw HLL with m=16 has ~1.04/sqrt(16) = 26%
+    relative stddev per node (better after summing over nodes); this is the
+    documented approximation, not a bug — raise m for tighter bounds.
+
+    Scale notes: each round is one join + one posexplode + two partial-agg
+    shuffles on (8-byte key, tinyint register) rows — E·m explode width, the
+    standard HyperANF layout; lineage truncated per round.  ``m`` must be a
+    power of two (register index via bit mask, exact at any hash width).
+
+    ``output="stats"`` returns (hop, raw_est_sum, zero_regs) instead — the
+    integer-exact evolution of the RAW estimator (per-node round before sum;
+    only one correctly-rounded division from the register state) plus total
+    empty registers, which is what the driver oracle hash-checks: the
+    user-facing estimate crosses ln(), which libm does not correctly round,
+    so cross-engine equality is only guaranteed for the raw path.  The
+    estimate path carries the standard linear-counting small-range
+    correction (est <= 2.5m and empty registers -> m·ln(m/zeros)).
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    # alpha_m * m^2 * 2^56 with the constant folded in Python once; the
+    # oracle embeds repr() of the same double so both sides divide the same C
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    c_num = alpha * m * m * float(1 << 56)
+
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        _sym_edges(edges)
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    bits = m.bit_length() - 1
+    hpos = F.abs(F.col("h"))
+    idx = hpos.bitwiseAND(F.lit(m - 1))
+    suf = F.shiftright(hpos, bits)
+    lowbit = suf.bitwiseAND(-suf)
+    rho = (
+        F.when(suf == 0, F.lit(56))
+        .otherwise(F.least(F.lit(56), (F.log2(lowbit.cast("double")) + 1).cast("long")))
+        .cast("int")
+    )
+    sk = nh.select(
+        F.col("h").alias("u"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.when(i == idx, rho).otherwise(F.lit(0)).cast("int"),
+        ).alias("sk"),
+    ).localCheckpoint(eager=True)
+
+    def nf_of(frame: DataFrame, t: int) -> DataFrame:
+        # 2^(56-r) via pow: doubles hold powers of two <= 2^56 exactly, and
+        # the cast back to long is exact, so S stays an exact integer
+        s = F.aggregate(
+            F.col("sk"),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.pow(F.lit(2.0), (F.lit(56) - r).cast("double")).cast("long"),
+        )
+        zeros = F.aggregate(
+            F.col("sk"),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.when(r == 0, 1).otherwise(0),
+        )
+        raw = F.lit(c_num) / s
+        if output == "stats":
+            # oracle mode, exact by construction: the RAW estimator only
+            # crosses one IEEE-correctly-rounded division (ln() in the
+            # linear-counting branch below is libm, NOT correctly rounded,
+            # so the corrected estimate can differ across engines by 1 after
+            # rounding); per-node round-to-long before the sum keeps the
+            # output integer-exact
+            return frame.select(
+                F.round(raw).cast("long").alias("re"), zeros.alias("z")
+            ).agg(
+                F.lit(t).cast("int").alias("hop"),
+                F.sum("re").alias("raw_est_sum"),
+                F.sum("z").alias("zero_regs"),
+            )
+        # HLL small-range correction (Flajolet et al. §4): linear counting
+        # when the raw estimate is <= 2.5m and empty registers remain
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw)
+        return frame.select(F.round(est).cast("long").alias("est")).agg(
+            F.lit(t).cast("int").alias("round"), F.sum("est").alias("nf_est")
+        )
+
+    out = nf_of(sk, 0)
+    for t in range(1, n_rounds + 1):
+        nbr = und.join(sk.select(F.col("u").alias("v"), "sk"), "v").select("u", "sk")
+        ex = sk.unionByName(nbr).select("u", F.posexplode("sk").alias("idx", "val"))
+        mx = ex.groupBy("u", "idx").agg(F.max("val").alias("val"))
+        sk = (
+            mx.groupBy("u")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "val"))), lambda s: s.val
+                ).alias("sk")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(nf_of(sk, t))
+    return out
+
+
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> int:
+    """Smallest round t with N(t) >= q * N(t_max), from
+    :func:`approx_neighborhood_function` output."""
+    rows = sorted(nf.collect(), key=lambda r: r["round"])
+    target = q * rows[-1]["nf_est"]
+    for r in rows:
+        if r["nf_est"] >= target:
+            return int(r["round"])
+    return int(rows[-1]["round"])
+
+
 def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:
     """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424)."""
     num_nodes = nodes.count()

@@ -587,3 +587,39 @@ def test_coreness_simple_graph_view_and_rounds(spark):
     got = {r["id"]: r["coreness"] for r in out.collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
     assert 1 <= rounds <= 3
+
+
+def test_hyperanf_path_cumulative_and_monotone(spark):
+    """On a 5-path, N(t) grows monotonically and saturates at the diameter
+    (4 hops); the t_max estimate approximates all 25 reachable pairs within
+    the documented raw-HLL error, and effective_diameter lands in [1, 4]."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        approx_neighborhood_function,
+        effective_diameter,
+    )
+
+    ids = ["p1", "p2", "p3", "p4", "p5"]
+    pairs = [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5")]
+    nf = approx_neighborhood_function(
+        _nodes_df(spark, ids), _edges_df(spark, pairs), n_rounds=6, m=64
+    )
+    got = {r["round"]: r["nf_est"] for r in nf.collect()}
+    assert sorted(got) == list(range(7))
+    vals = [got[t] for t in range(7)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))  # monotone
+    assert vals[4] == vals[5] == vals[6]  # saturated at the diameter
+    assert vals[0] < vals[4]
+    # 25 true pairs; m=64 raw HLL ~13% per-node stddev -> generous band
+    assert 12 <= vals[6] <= 50
+    assert 1 <= effective_diameter(nf) <= 4
+
+
+def test_hyperanf_validates_m(spark):
+    import pytest as _p
+
+    from cognee_graphdb_spark.operators.graph_metrics import approx_neighborhood_function
+
+    with _p.raises(ValueError, match="power of two"):
+        approx_neighborhood_function(
+            _nodes_df(spark, ["a"]), _edges_df(spark, [("a", "a")]), m=12
+        )
