@@ -2132,26 +2132,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past position 50 keep their cumulative rows and lead the r8
     # window.
     raw = {
-        # -- round-7 window (first 50) ---------------------------------------
-        # new this round ([LLM] media loaders, progressive JPEG, PPR)
-        "mm_llm_media_text": _q_mm_llm_media_text,
-        "mm_llm_media_av": _q_mm_llm_media_av,
-        "mm_jpeg_progressive": _q_mm_jpeg_progressive,
-        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
-        "a2_kcore": _q_a2_kcore,
+        # -- round-8 window (first 50) ---------------------------------------
+        # new this round (coreness/LPA/node-similarity/HyperANF GDS family,
+        # compressed-av [LLM] media path)
         "a2_coreness": _q_a2_coreness,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
+        "mm_llm_media_av": _q_mm_llm_media_av,
+        # the 22 entries whose last driver row was r5-vintage (the r7
+        # VERDICT's top item): re-proved under current code this round
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_exact": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f10_title_synthesis": _q_f10_title,
+        "f7_calendar_fields": _q_f7_calendar,
+        "p6_json_extract": _q_p6_json_extract,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
+        # the oldest 23 of the r6-validated block, in their r6 order
+        "a2_graph_metrics": _q_a2_graph_metrics,
+        "f1_f4_chunking": _q_chunking,
+        "td_pack_sequences": _q_td_pack_sequences,
+        "mm_wav_decode": _q_mm_wav_decode,
+        "mm_bmp_resize": _q_mm_bmp_resize,
+        "mm_png_resize": _q_mm_png_resize,
+        "mm_gif_resize": _q_mm_gif_resize,
+        "mm_jpeg_resize": _q_mm_jpeg_resize,
+        "mm_media_info": _q_mm_media_info,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
+        "cypher_case": _q_cypher_case,
+        "cypher_undirected": _q_cypher_undirected,
+        "cypher_union_having": _q_cypher_union_having,
+        "cypher_list_ops": _q_cypher_list_ops,
+        "v5_embed_knn": _q_v5_embed_knn,
+        "td_curate_corpus": _q_td_curate_corpus,
+        "a2_connected_components": _q_a2_components,
+        "cognify_node_counts": _q_cognify_counts,
+        "chunk_classification": _q_chunk_classification,
+        "memify_rules": _q_memify_rules,
+        "code_graph_counts": _q_code_graph,
+        "dedup_incremental_index": _q_dedup_incremental_index,
+        "a9_pagerank": _q_a9_pagerank,
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        # rest of the r6 block (leads the r9 window together with the oldest
+        # r7 rows below)
+        "dedup_semdedup": _q_dedup_semdedup,
+        "td_dsir_resample": _q_td_dsir_resample,
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
+        "u_regex_entities": _q_regex_entities,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "natural_language_search": _q_natural_language,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
+        # the r7-validated window (freshest rows)
+        "mm_llm_media_text": _q_mm_llm_media_text,
+        "mm_jpeg_progressive": _q_mm_jpeg_progressive,
+        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
+        "a2_kcore": _q_a2_kcore,
         "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
-        # promoted from rows-only this round (first oracle-checked rows)
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
         "u8_context_extension_triplets": _q_u8_context_extension_triplets,
-        # flagship (rows-only by design: mock-LLM prose output)
         "graph_completion_e2e": _q_graph_completion_e2e,
-        # oldest driver rows first: the r4-era block that sat past the r6 cut
         "td_unigram_logprob": _q_td_unigram_logprob,
         "td_weighted_sample": _q_td_weighted_sample,
         "td_shuffle_shards": _q_td_shuffle_shards,
@@ -2163,7 +2239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "knn_quantized": _q_knn_quantized,
-        # ...then the r5-green block, in its r5 window order
         "skew_report": _q_skew_report,
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
@@ -2193,81 +2268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
-        # -- window boundary (50): below here, rows stay green cumulatively --
-        # rest of the r5-green block (leads the r8 window; dedup_exact moved
-        # here to make room for a2_kcore — it is pass-r5 + pytest-covered)
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_exact": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "quality_features": _q_quality_features,
-        "language_id": _q_language_id,
-        "doc_fingerprint": _q_fingerprint,
-        "token_counts": _q_token_counts,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "a5_top_words": _q_a5_top_words,
-        "a7_token_f1": _q_a7_token_f1,
-        "f4_unicode_tokens": _q_f4_unicode_tokens,
-        "f5_content_id": _q_f5_content_id,
-        "f6_normalize_name": _q_f6_normalize,
-        "f10_title_synthesis": _q_f10_title,
-        "f7_calendar_fields": _q_f7_calendar,
-        "p6_json_extract": _q_p6_json_extract,
-        "w4_last_k_interactions": _q_w4_last_k,
-        "w1_topk_smallest": _q_w1_topk_smallest,
-        "w3_null_inf_sort": _q_w3_null_inf_sort,
-        # the r6-validated block (freshest rows)
-        "a2_graph_metrics": _q_a2_graph_metrics,
-        "f1_f4_chunking": _q_chunking,
-        "td_pack_sequences": _q_td_pack_sequences,
-        "mm_wav_decode": _q_mm_wav_decode,
-        "mm_bmp_resize": _q_mm_bmp_resize,
-        "mm_png_resize": _q_mm_png_resize,
-        "mm_gif_resize": _q_mm_gif_resize,
-        "mm_jpeg_resize": _q_mm_jpeg_resize,
-        "mm_media_info": _q_mm_media_info,
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        "cypher_case": _q_cypher_case,
-        "cypher_undirected": _q_cypher_undirected,
-        "cypher_union_having": _q_cypher_union_having,
-        "cypher_list_ops": _q_cypher_list_ops,
-        "v5_embed_knn": _q_v5_embed_knn,
-        "td_curate_corpus": _q_td_curate_corpus,
-        "a2_connected_components": _q_a2_components,
-        "cognify_node_counts": _q_cognify_counts,
-        "chunk_classification": _q_chunk_classification,
-        "memify_rules": _q_memify_rules,
-        "code_graph_counts": _q_code_graph,
-        "dedup_incremental_index": _q_dedup_incremental_index,
-        "a9_pagerank": _q_a9_pagerank,
-        "dedup_semdedup": _q_dedup_semdedup,
-        "td_dsir_resample": _q_td_dsir_resample,
-        "s1_ingest_identify": _q_s1_ingest,
-        "s3_classify_documents": _q_s3_classify,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "u_regex_entities": _q_regex_entities,
-        "edge_weights_flatten": _q_edge_weights_flatten,
-        "mm_frame_sample": _q_frame_sample,
-        "mm_resize_plan": _q_resize_plan,
-        "a2_component_sizes": _q_a2_component_sizes,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
-        "natural_language_search": _q_natural_language,
-        "td_hash_sample": _q_td_hash_sample,
-        "td_stratified_sample": _q_td_stratified_sample,
-        "td_decontaminate": _q_td_decontaminate,
-        "td_pii_redact": _q_td_pii_redact,
-        "td_corpus_stats": _q_td_corpus_stats,
-        "td_repetition": _q_td_repetition,
-        "td_gopher_filter": _q_td_gopher_filter,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 

@@ -568,26 +568,40 @@ def coreness(
     c = und.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     w = Window.partitionBy("u").orderBy(F.col("cv").desc())
     rounds = 0
+    # delta iteration: a node's h-index can only change when a NEIGHBOR's
+    # value changed last round, so after round 1 only the frontier of such
+    # nodes recomputes — on long-tailed peel chains the late rounds touch a
+    # tiny fraction of the graph instead of re-sorting every posting list
+    affected = None  # None = all nodes (first round)
     for _ in range(max_rounds):
-        nbr = und.join(c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v").select(
+        rounds += 1
+        scope = und if affected is None else und.join(affected, "u", "left_semi")
+        nbr = scope.join(c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v").select(
             "u", "cv"
         )
-        newc = (
+        upd = (
             nbr.withColumn("rn", F.row_number().over(w))
             .groupBy("u")
-            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("nc"))
+            .join(c, "u")
+            .filter(F.col("nc") != F.col("c"))
+            .select("u", F.col("nc").alias("c"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            newc.join(c.select("u", F.col("c").alias("prev")), "u")
-            .filter(F.col("c") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        c = newc
-        rounds += 1
-        if changed == 0:
+        if upd.limit(1).count() == 0:
             break
+        # lineage: upd is checkpointed above (it is also counted), so c's
+        # plan only deepens by one cheap anti-join+union per round —
+        # consolidate with a checkpoint every 3rd round instead of paying a
+        # full-frame materialization per round (the pagerank cadence)
+        c = c.join(upd.select("u"), "u", "left_anti").unionByName(upd)
+        if rounds % 3 == 0:
+            c = c.localCheckpoint(eager=True)
+        affected = (
+            und.join(upd.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u")
+            .distinct()
+        )
     else:
         raise RuntimeError(
             f"coreness did not converge in {max_rounds} rounds; raise max_rounds"
