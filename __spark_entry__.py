@@ -1020,6 +1020,32 @@ def _q_a2_label_propagation(spark, sf_dir):
     return label_propagation(ids, fk, n_rounds=3, hasher="md5_64")
 
 
+def _q_a2_random_walks(spark, sf_dir):
+    """Deterministic random walks (graph_metrics.py:random_walks,
+    gds.randomWalk / node2vec sampling family) over the nation-family FK
+    subgraph: 2 walks of length 4 from every node, neighbor choice =
+    md5_64(start|walk|step|cur) mod degree — a pure function of the seed, so
+    the oracle unrolls the same 4 steps over the same ranked adjacency and
+    the full trajectory hash-matches as a path string per (start, walk)."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    walks = random_walks(fk, walk_length=4, num_walks=2, seed=3, hasher="md5_64")
+    return walks.groupBy("start", F.col("walk").cast("long").alias("walk")).agg(
+        F.concat_ws(
+            "->",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("step", "node"))),
+                lambda s: s["node"],
+            ),
+        ).alias("path"),
+        F.max("step").cast("long").alias("n_steps"),
+    )
+
+
 def _q_a2_node_similarity(spark, sf_dir):
     """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
     gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
@@ -2136,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (coreness/LPA/node-similarity/HyperANF GDS family,
         # compressed-av [LLM] media path)
         "a2_coreness": _q_a2_coreness,
+        "a2_random_walks": _q_a2_random_walks,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2187,10 +2214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
         "dedup_incremental_index": _q_dedup_incremental_index,
-        "a9_pagerank": _q_a9_pagerank,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below)
+        # r7 rows below; a9_pagerank displaced by the new a2_random_walks)
+        "a9_pagerank": _q_a9_pagerank,
         "dedup_semdedup": _q_dedup_semdedup,
         "td_dsir_resample": _q_td_dsir_resample,
         "s1_ingest_identify": _q_s1_ingest,
@@ -3947,6 +3974,55 @@ nfe AS MATERIALIZED (
 l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
 {", ".join(_lp_rounds)}
 SELECT u AS id, label FROM l3"""
+
+    # --- a2 random walks: 4 unrolled hash-guided steps (graph_metrics.py:
+    # random_walks; neighbor = md5_64(start|walk|step|cur, seed 3) mod degree
+    # over the rank-ordered DISTINCT undirected adjacency) -------------------
+    _rw_steps = []
+    for _i in range(1, 5):
+        _rw_hash = _md5_64(
+            f"concat(f.start, '|', f.walk, '|', {_i}, '|', f.cur)", 3
+        )
+        _rw_steps.append(f"""f{_i} AS MATERIALIZED (
+  SELECT f.start, f.walk, a.v AS cur
+  FROM f{_i - 1} f JOIN rwadj a
+    ON a.u = f.cur AND a.rnk = {_rw_hash} % a.degree
+)""")
+    sql["a2_random_walks"] = f"""WITH {g},
+rwnf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+rwnn AS MATERIALIZED (
+  SELECT id, {_md5_64("id", 0)} AS h
+  FROM (SELECT src AS id FROM rwnf UNION SELECT dst FROM rwnf)
+),
+rwe AS MATERIALIZED (
+  SELECT DISTINCT a.h AS u, b.h AS v
+  FROM (SELECT src, dst FROM rwnf UNION ALL SELECT dst AS src, src AS dst FROM rwnf) s
+  JOIN rwnn a ON s.src = a.id JOIN rwnn b ON s.dst = b.id
+  WHERE s.src != s.dst
+),
+rwadj AS MATERIALIZED (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         count(*) OVER (PARTITION BY u) AS degree
+  FROM rwe
+),
+f0 AS MATERIALIZED (
+  SELECT h AS start, w.walk, h AS cur
+  FROM rwnn CROSS JOIN (SELECT UNNEST([0, 1]) AS walk) w
+),
+{", ".join(_rw_steps)},
+rwres AS (
+  SELECT start, walk, 0 AS step, cur AS node FROM f0
+  UNION ALL SELECT start, walk, 1, cur FROM f1
+  UNION ALL SELECT start, walk, 2, cur FROM f2
+  UNION ALL SELECT start, walk, 3, cur FROM f3
+  UNION ALL SELECT start, walk, 4, cur FROM f4
+)
+SELECT n1.id AS start, CAST(r.walk AS BIGINT) AS walk,
+       string_agg(n2.id, '->' ORDER BY r.step) AS path,
+       CAST(max(r.step) AS BIGINT) AS n_steps
+FROM rwres r JOIN rwnn n1 ON r.start = n1.h JOIN rwnn n2 ON r.node = n2.h
+GROUP BY n1.id, r.walk"""
 
     # --- a2 HyperANF: 5 unrolled register-wise-max rounds over m=16 HLL
     # sketches seeded from md5_64(id); raw-estimator sums are one correctly-

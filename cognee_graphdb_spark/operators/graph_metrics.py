@@ -757,6 +757,126 @@ def label_propagation(
     return nh.join(labels, nh.h == labels.u).select("id", "label")
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    symmetric: bool = True,
+) -> DataFrame:
+    """(walk, start, step, node): DeepWalk-style deterministic random walks —
+    GDS-family companion (gds.randomWalk / gds.node2vec's sampling stage) and
+    the corpus generator a graph-embedding training pipeline feeds off.
+
+    ``num_walks`` walks begin at EVERY endpoint node of the (optionally
+    undirected) simple-graph view and take up to ``walk_length`` steps; a walk
+    that reaches a node with no out-neighbors truncates (only possible with
+    ``symmetric=False`` — sinks).  Step 0 is the start node itself, so every
+    walk contributes at least one row.
+
+    The "random" neighbor choice is a seeded 64-bit hash of
+    ``start|walk|step|current`` taken mod the current node's degree, selecting
+    the rank-th neighbor in neighbor-hash order (operators/dedup.py:_hash64;
+    ``md5_64`` has a bit-identical DuckDB mirror, ``xxhash64`` is the faster
+    production default).  A hash is a uniform choice that is REPRODUCIBLE —
+    the property an exactly-restartable 100 TB corpus build needs and
+    ``rand()`` cannot give — and because the choice at step t depends on the
+    whole (start, walk, t, node) tuple, revisiting a node mid-walk re-rolls
+    rather than looping deterministically.
+
+    Scale: node ids are dictionary-hashed to 8 bytes once; the adjacency gets
+    (rank, degree) via two window functions over ONE hash-partition of the
+    edge set; each step is two co-partitioned equi-joins on bigint keys
+    (frontier x degree on node, then (node, idx) x (node, rank)) — no
+    crossJoin, no RNG, no driver loop over rows, and the frontier never
+    exceeds |nodes| x num_walks rows.  Lineage is checkpoint-truncated every
+    3 steps.  Reference family: neo4j gds procedures the adapter projects
+    graphs for (neo4j_driver/adapter.py:1155-1196).
+    """
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if walk_length < 1 or num_walks < 1:
+        raise ValueError("walk_length and num_walks must be >= 1")
+
+    base = edges.select("src", "dst")
+    if symmetric:
+        pairs = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    else:
+        pairs = base
+    eh = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .distinct()
+    )
+    pw = Window.partitionBy("u")
+    adj = (
+        eh.select(
+            "u",
+            "v",
+            (F.row_number().over(pw.orderBy("v")) - F.lit(1)).alias("rank"),
+            F.count(F.lit(1)).over(pw).alias("degree"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
+    # start a walk at every endpoint node (the id<->hash map doubles as the
+    # final hash->name join frame)
+    names = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = names.select(
+        F.col("h").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk"),
+        F.col("h").alias("cur"),
+    )
+    steps = [frontier.select("start", "walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    for t in range(1, walk_length + 1):
+        pick = frontier.join(deg, frontier.cur == deg.u).select(
+            "start",
+            "walk",
+            "cur",
+            F.pmod(
+                _hash64(
+                    F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(t), F.col("cur")),
+                    seed,
+                    hasher,
+                ),
+                F.col("degree"),
+            ).alias("idx"),
+        )
+        frontier = pick.join(
+            adj, (pick.cur == adj.u) & (pick.idx == adj.rank)
+        ).select("start", "walk", F.col("v").alias("cur"))
+        if t % 3 == 0 and t < walk_length:
+            frontier = frontier.localCheckpoint(eager=True)
+        steps.append(
+            frontier.select("start", "walk", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return (
+        out.join(names.select(F.col("h").alias("start"), F.col("id").alias("start_id")), "start")
+        .join(names.select(F.col("h").alias("node"), F.col("id").alias("node_id")), "node")
+        .select(
+            "walk",
+            F.col("start_id").alias("start"),
+            "step",
+            F.col("node_id").alias("node"),
+        )
+    )
+
+
 def approx_neighborhood_function(
     nodes: DataFrame,
     edges: DataFrame,

@@ -623,3 +623,64 @@ def test_hyperanf_validates_m(spark):
         approx_neighborhood_function(
             _nodes_df(spark, ["a"]), _edges_df(spark, [("a", "a")]), m=12
         )
+
+
+def test_random_walks_edges_real_and_deterministic(spark):
+    """Every consecutive (node, next) pair in a walk must be a real edge of
+    the undirected view, every start emits num_walks x (walk_length+1) rows
+    on a sink-free graph, and two invocations agree bit-for-bit."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    edges = _edges_df(spark, pairs)
+    out = random_walks(edges, walk_length=4, num_walks=2, seed=7).collect()
+    und = {(u, v) for u, v in pairs} | {(v, u) for u, v in pairs}
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    assert len(by_walk) == 4 * 2  # 4 nodes x 2 walks
+    for (start, _), path in by_walk.items():
+        assert sorted(path) == [0, 1, 2, 3, 4]  # undirected 4-cycle+chord: no sinks
+        assert path[0] == start
+        for t in range(4):
+            assert (path[t], path[t + 1]) in und
+    again = random_walks(edges, walk_length=4, num_walks=2, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed must change at least one trajectory on this graph
+    other = random_walks(edges, walk_length=4, num_walks=2, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_random_walks_directed_sink_truncates(spark):
+    """symmetric=False: walks follow edge direction and truncate at sinks —
+    a->b->c stops at c (step <= 2), walks from c emit only step 0."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c")])
+    out = random_walks(edges, walk_length=5, num_walks=1, symmetric=False).collect()
+    by_start = {}
+    for r in out:
+        by_start.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert by_start["a"] == {0: "a", 1: "b", 2: "c"}
+    assert by_start["b"] == {0: "b", 1: "c"}
+    assert by_start["c"] == {0: "c"}
+
+
+def test_random_walks_hashers_both_run(spark):
+    """md5_64 (oracle mirror) and xxhash64 (production) both produce full
+    valid walks; trajectories may differ but shape must match."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    for hasher in ("xxhash64", "md5_64"):
+        rows = random_walks(edges, walk_length=3, num_walks=1, hasher=hasher).collect()
+        assert len(rows) == 3 * 4  # 3 starts x steps 0..3
+
+
+def test_random_walks_validates_params(spark):
+    import pytest as _p
+
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    with _p.raises(ValueError, match=">= 1"):
+        random_walks(_edges_df(spark, [("a", "b")]), walk_length=0)
