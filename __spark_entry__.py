@@ -1046,6 +1046,25 @@ def _q_a2_random_walks(spark, sf_dir):
     )
 
 
+def _q_a2_walk_skipgrams(spark, sf_dir):
+    """Skip-gram corpus from the same deterministic walks
+    (graph_metrics.py:walk_skipgram_pairs — DeepWalk/node2vec's training-pair
+    stage): ordered (center, context) pairs within 2 steps of each
+    trajectory, aggregated to counts.  The oracle re-derives the walks and
+    restates the windowed self-join in SQL."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    walks = random_walks(fk, walk_length=4, num_walks=2, seed=3, hasher="md5_64")
+    return walk_skipgram_pairs(walks, window=2)
+
+
 def _q_a2_node_similarity(spark, sf_dir):
     """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
     gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
@@ -2163,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compressed-av [LLM] media path)
         "a2_coreness": _q_a2_coreness,
         "a2_random_walks": _q_a2_random_walks,
+        "a2_walk_skipgrams": _q_a2_walk_skipgrams,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2213,10 +2233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
-        "dedup_incremental_index": _q_dedup_incremental_index,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; a9_pagerank displaced by the new a2_random_walks)
+        # r7 rows below; dedup_incremental_index + a9_pagerank displaced by
+        # the new a2_random_walks + a2_walk_skipgrams)
+        "dedup_incremental_index": _q_dedup_incremental_index,
         "a9_pagerank": _q_a9_pagerank,
         "dedup_semdedup": _q_dedup_semdedup,
         "td_dsir_resample": _q_td_dsir_resample,
@@ -3988,8 +4009,7 @@ SELECT u AS id, label FROM l3"""
   FROM f{_i - 1} f JOIN rwadj a
     ON a.u = f.cur AND a.rnk = {_rw_hash} % a.degree
 )""")
-    sql["a2_random_walks"] = f"""WITH {g},
-rwnf AS MATERIALIZED (SELECT src, dst FROM edges
+    _rw_core = f"""rwnf AS MATERIALIZED (SELECT src, dst FROM edges
       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
 rwnn AS MATERIALIZED (
   SELECT id, {_md5_64("id", 0)} AS h
@@ -4017,12 +4037,28 @@ rwres AS (
   UNION ALL SELECT start, walk, 2, cur FROM f2
   UNION ALL SELECT start, walk, 3, cur FROM f3
   UNION ALL SELECT start, walk, 4, cur FROM f4
-)
+)"""
+    sql["a2_random_walks"] = f"""WITH {g},
+{_rw_core}
 SELECT n1.id AS start, CAST(r.walk AS BIGINT) AS walk,
        string_agg(n2.id, '->' ORDER BY r.step) AS path,
        CAST(max(r.step) AS BIGINT) AS n_steps
 FROM rwres r JOIN rwnn n1 ON r.start = n1.h JOIN rwnn n2 ON r.node = n2.h
 GROUP BY n1.id, r.walk"""
+
+    # --- a2 walk skip-grams: the DeepWalk corpus stage (graph_metrics.py:
+    # walk_skipgram_pairs over the same walks): ordered pairs within window 2
+    # of the same trajectory, aggregated to counts -----------------------------
+    sql["a2_walk_skipgrams"] = f"""WITH {g},
+{_rw_core},
+sgn AS MATERIALIZED (
+  SELECT r.start, r.walk, r.step, n.id AS node
+  FROM rwres r JOIN rwnn n ON r.node = n.h
+)
+SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM sgn a JOIN sgn b ON a.start = b.start AND a.walk = b.walk
+WHERE abs(a.step - b.step) <= 2 AND a.step != b.step
+GROUP BY center, context"""
 
     # --- a2 HyperANF: 5 unrolled register-wise-max rounds over m=16 HLL
     # sketches seeded from md5_64(id); raw-estimator sums are one correctly-

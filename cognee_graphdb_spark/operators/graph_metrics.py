@@ -877,6 +877,42 @@ def random_walks(
     )
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs): skip-gram co-occurrence pairs from
+    :func:`random_walks` output — the corpus stage of DeepWalk/node2vec (the
+    walks ARE the sentences; pairs within ``window`` steps are the training
+    examples a graph-embedding job consumes).
+
+    Directional and position-free like word2vec's window: every ordered
+    (center, context) with 1 <= |step_center - step_context| <= window inside
+    the same (start, walk) trajectory, aggregated to counts (the multiplicity
+    IS the training weight — emitting counts instead of raw pairs shrinks the
+    corpus by the average multiplicity with no information loss for the
+    sampled-softmax objectives that consume it).
+
+    Scale: one self-equi-join on (start, walk) — co-partitioned, and each
+    trajectory is at most walk_length+1 rows, so the join fans out by at most
+    2*window per row, never quadratic in graph size — then one partial-agg
+    count.  Negative sampling is left to the trainer: it needs the trainer's
+    vocabulary distribution, not the graph's.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select("start", "walk", "step", F.col("node").alias("center"))
+    b = walks.select(
+        "start", "walk", F.col("step").alias("step2"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, ["start", "walk"])
+        .filter(
+            (F.abs(F.col("step") - F.col("step2")) <= window)
+            & (F.col("step") != F.col("step2"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def approx_neighborhood_function(
     nodes: DataFrame,
     edges: DataFrame,

@@ -684,3 +684,31 @@ def test_random_walks_validates_params(spark):
 
     with _p.raises(ValueError, match=">= 1"):
         random_walks(_edges_df(spark, [("a", "b")]), walk_length=0)
+
+
+def test_walk_skipgram_pairs_counts(spark):
+    """Hand-checkable: one fixed 3-step trajectory (built directly, not via
+    random_walks) a->b->c->d with window=1 gives exactly the 6 adjacent
+    ordered pairs once each; window=2 adds the 4 distance-2 pairs."""
+    from cognee_graphdb_spark.operators.graph_metrics import walk_skipgram_pairs
+
+    rows = [("a", 0, t, n) for t, n in enumerate(["a", "b", "c", "d"])]
+    walks = spark.createDataFrame(rows, ["start", "walk", "step", "node"])
+    w1 = {(r["center"], r["context"]): r["n_pairs"] for r in walk_skipgram_pairs(walks, 1).collect()}
+    assert w1 == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1,
+    }
+    w2 = walk_skipgram_pairs(walks, 2).collect()
+    assert sum(r["n_pairs"] for r in w2) == 6 + 4
+    # revisits aggregate: a->b->a with window=1 -> (a,b) twice, (b,a) twice
+    loop = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "a")],
+        ["start", "walk", "step", "node"],
+    )
+    wl = {(r["center"], r["context"]): r["n_pairs"] for r in walk_skipgram_pairs(loop, 1).collect()}
+    assert wl == {("a", "b"): 2, ("b", "a"): 2}
+    import pytest as _p
+
+    with _p.raises(ValueError, match=">= 1"):
+        walk_skipgram_pairs(walks, 0)
