@@ -596,6 +596,25 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_term_cooccurrence(spark, sf_dir):
+    """Windowed PMI co-occurrence (text_analysis.py:term_cooccurrence — the
+    word2vec/GloVe corpus statistic): stopword-filtered positions, window 3,
+    max_df 400 hot-term cap, pairs seen >= 3 times.  Hashes n_pairs plus
+    lift ppm-quantized (lift = c*N/(m1*m2) is integer products + ONE IEEE
+    division, bit-identical across engines; pmi = ln(lift) is not)."""
+    from cognee_graphdb_spark.operators.text_analysis import term_cooccurrence
+
+    out = term_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=3, min_pair_count=3, max_df=400
+    )
+    return out.select(
+        "t1",
+        "t2",
+        "n_pairs",
+        F.round(F.col("lift") * F.lit(1000000.0)).cast("long").alias("lift_ppm"),
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     from cognee_graphdb_spark.operators.text_analysis import token_count
 
@@ -2198,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
+        "term_cooccurrence": _q_term_cooccurrence,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "a5_top_words": _q_a5_top_words,
@@ -2232,11 +2252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
-        "code_graph_counts": _q_code_graph,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; dedup_incremental_index + a9_pagerank displaced by
-        # the new a2_random_walks + a2_walk_skipgrams)
+        # r7 rows below; code_graph_counts + dedup_incremental_index +
+        # a9_pagerank displaced by the new a2_random_walks +
+        # a2_walk_skipgrams + term_cooccurrence)
+        "code_graph_counts": _q_code_graph,
         "dedup_incremental_index": _q_dedup_incremental_index,
         "a9_pagerank": _q_a9_pagerank,
         "dedup_semdedup": _q_dedup_semdedup,
@@ -2974,6 +2995,30 @@ SELECT doc_id, CASE WHEN best = 0 THEN 'und' {lang_case} END AS pred_lang FROM b
 
     sql["doc_fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents"""
+
+    # windowed PMI co-occurrence (text_analysis.py:term_cooccurrence):
+    # stopword-filtered re-indexed positions, banded self-join, marginals and
+    # N from the FULL pair multiset, min-count filter only on output; lift
+    # restated with the identical operand order so the ppm hash crosses
+    sql["term_cooccurrence"] = f"""
+WITH tf AS (SELECT doc_id, list_filter({tok}, x -> x NOT IN ({stop_in})) AS toks FROM documents),
+tt AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tf),
+keep AS (SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tt GROUP BY term) WHERE df <= 400),
+tk AS (SELECT tt.* FROM tt JOIN keep USING (term)),
+pr AS MATERIALIZED (
+  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2, count(*) AS c
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND 3 AND a.term != b.term
+  GROUP BY 1, 2
+),
+nt AS (SELECT sum(c) AS n FROM pr),
+mg AS (SELECT term, sum(c) AS m FROM (SELECT t1 AS term, c FROM pr UNION ALL SELECT t2, c FROM pr) GROUP BY term)
+SELECT p.t1, p.t2, CAST(p.c AS BIGINT) AS n_pairs,
+       CAST(ROUND(((CAST(p.c AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                   / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE))) * 1000000.0) AS BIGINT) AS lift_ppm
+FROM pr p CROSS JOIN nt
+JOIN mg m1 ON p.t1 = m1.term JOIN mg m2 ON p.t2 = m2.term
+WHERE p.c >= 3"""
 
     sql["token_counts"] = f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents"
 

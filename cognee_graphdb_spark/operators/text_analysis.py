@@ -97,3 +97,89 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     punctuation-insensitive content identity (cheap near-exact dedup key)."""
     fp = F.md5(F.concat_ws(" ", tokenize(F.col(text_col))))
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+def term_cooccurrence(
+    df: DataFrame,
+    window: int = 4,
+    min_pair_count: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(t1, t2, n_pairs, lift, pmi): windowed term co-occurrence with PMI —
+    the statistic embedding-training pipelines (word2vec/GloVe-style) and
+    collocation mining consume.
+
+    Terms are :func:`~cognee_graphdb_spark.functions.text.tokenize` tokens
+    with stopwords removed, positions re-indexed on the FILTERED stream (so
+    "the big red dog" pairs big-red at distance 1).  An unordered pair is
+    counted once per co-occurrence within ``window`` positions; self-pairs
+    (repeated term) are excluded.  ``lift`` = c(a,b) * N / (m(a) * m(b)) over
+    pair-multiset marginals — pure integer products and ONE correctly-rounded
+    IEEE division, so it crosses engines bit-identically (ppm-quantizable by
+    an oracle); ``pmi`` = ln(lift) for human use (ln is not guaranteed
+    correctly rounded across engines, so oracles should hash lift, not pmi).
+
+    Scale: positions explode linearly (one row per kept token); the pair
+    stage is a self-equi-join on doc_id with a band predicate that fans out
+    at most ``window`` per token — never quadratic in document length.
+    ``max_df`` drops terms present in more than that many documents BEFORE
+    pairing (the hot-token cap: corpus-wide terms otherwise dominate the
+    shuffle exactly like the jaccard max_df cap in dedup.py).  N and the
+    marginals are one partial-agg pass each; N joins back as a 1-row
+    broadcast.
+    """
+    from cognee_graphdb_spark.functions.text import filter_stopwords
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(filter_stopwords(tokenize(F.col(text_col)))).alias("pos", "term"),
+    )
+    if max_df is not None:
+        keep = (
+            toks.groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("term")
+        )
+        toks = toks.join(keep, "term", "left_semi")
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") - F.col("pa") >= 1)
+            & (F.col("pb") - F.col("pa") <= window)
+            & (F.col("ta") != F.col("tb"))
+        )
+        .groupBy(
+            F.least("ta", "tb").alias("t1"), F.greatest("ta", "tb").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    total = pairs.agg(F.sum("n_pairs").alias("n_total"))
+    marg = (
+        pairs.select(F.col("t1").alias("term"), "n_pairs")
+        .unionByName(pairs.select(F.col("t2").alias("term"), "n_pairs"))
+        .groupBy("term")
+        .agg(F.sum("n_pairs").alias("m"))
+    )
+    lift = (
+        F.col("n_pairs").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("m1").cast("double") * F.col("m2").cast("double"))
+    return (
+        pairs.filter(F.col("n_pairs") >= min_pair_count)
+        .crossJoin(F.broadcast(total))
+        .join(marg.select(F.col("term").alias("t1"), F.col("m").alias("m1")), "t1")
+        .join(marg.select(F.col("term").alias("t2"), F.col("m").alias("m2")), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_pairs",
+            lift.alias("lift"),
+            F.log(lift).alias("pmi"),
+        )
+    )
