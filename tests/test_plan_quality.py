@@ -295,3 +295,28 @@ def test_embed_knn_is_scan_udf_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_random_walks_steps_are_equi_joins(spark, toy_graph):
+    """Every walk step must plan as hash equi-joins on the 8-byte node
+    hash — no cartesian/nested-loop fallback — and the neighbor-pick hash
+    must stay JVM-side (no Python worker)."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    _, edges = toy_graph
+    plan = plan_of(random_walks(edges, walk_length=3, num_walks=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_term_cooccurrence_pair_join_is_banded_equi_join(spark):
+    """The pair stage must join on doc_id (equi) with the window as a band
+    FILTER, never a cross join; all expressions stay JVM-side."""
+    from cognee_graphdb_spark.operators.text_analysis import term_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = plan_of(term_cooccurrence(docs, window=3, min_pair_count=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
