@@ -1065,6 +1065,29 @@ def _q_a2_random_walks(spark, sf_dir):
     )
 
 
+def _q_a2_harmonic_closeness(spark, sf_dir):
+    """Approximate harmonic closeness (graph_metrics.py:
+    approx_harmonic_closeness, gds.closeness.harmonic family) over the
+    nation-family FK subgraph: raw-estimator mode, 3 hops, m=16 —
+    h_scaled = sum_t (ball_t - ball_{t-1}) * lcm(1..3)/t is integer-exact,
+    so the oracle re-derives the same sketch rounds and per-node deltas."""
+    from cognee_graphdb_spark.operators.graph_metrics import approx_harmonic_closeness
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = approx_harmonic_closeness(
+        ids, fk, n_rounds=3, m=16, hasher="md5_64", output="raw"
+    )
+    return out.select("id", "h_scaled")
+
+
 def _q_a2_walk_skipgrams(spark, sf_dir):
     """Skip-gram corpus from the same deterministic walks
     (graph_metrics.py:walk_skipgram_pairs — DeepWalk/node2vec's training-pair
@@ -2202,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_coreness": _q_a2_coreness,
         "a2_random_walks": _q_a2_random_walks,
         "a2_walk_skipgrams": _q_a2_walk_skipgrams,
+        "a2_harmonic_closeness": _q_a2_harmonic_closeness,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2251,12 +2275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
-        "memify_rules": _q_memify_rules,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; code_graph_counts + dedup_incremental_index +
-        # a9_pagerank displaced by the new a2_random_walks +
-        # a2_walk_skipgrams + term_cooccurrence)
+        # r7 rows below; memify_rules + code_graph_counts +
+        # dedup_incremental_index + a9_pagerank displaced by the new
+        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
+        # term_cooccurrence)
+        "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
         "dedup_incremental_index": _q_dedup_incremental_index,
         "a9_pagerank": _q_a9_pagerank,
@@ -4133,8 +4158,7 @@ GROUP BY center, context"""
 ), s{_i} AS MATERIALIZED (SELECT u, list(val ORDER BY idx) AS sk FROM x{_i} GROUP BY u)""")
         _prev_s = f"s{_i}"
     _ha_h = _md5_64("id", 0)
-    sql["a2_hyperanf"] = f"""WITH {g},
-nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+    _ha_prefix = f"""nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
 nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
 nfh AS MATERIALIZED (SELECT {_ha_h} AS u FROM nfn),
@@ -4155,12 +4179,32 @@ s0 AS MATERIALIZED (
   SELECT u, list_transform(range(0, 16),
          i -> CAST(CASE WHEN i = idx THEN rho ELSE 0 END AS INTEGER)) AS sk
   FROM seed
-),
+)"""
+    sql["a2_hyperanf"] = f"""WITH {g},
+{_ha_prefix},
 {", ".join(_ha_rounds)}
 {" UNION ALL ".join(
     f'SELECT CAST({_t} AS INTEGER) AS hop, {_ha_est} AS raw_est_sum, {_ha_zero} AS zero_regs FROM s{_t}'
     for _t in range(6)
 )}"""
+
+    # --- a2 harmonic closeness: per-node raw-estimator deltas over the SAME
+    # sketch rounds (graph_metrics.py:approx_harmonic_closeness, raw mode);
+    # h_scaled = sum_t delta_t * lcm(1..3)/t — integer once each per-round
+    # estimate is rounded to BIGINT -------------------------------------------
+    _hc_e = (
+        "CAST(ROUND({c} / CAST(list_sum(list_transform(sk, "
+        "r -> CAST(1 AS BIGINT) << (56 - r))) AS BIGINT)) AS BIGINT)"
+    ).format(c=_ha_c)
+    sql["a2_harmonic_closeness"] = f"""WITH {g},
+{_ha_prefix},
+{", ".join(_ha_rounds[:3])},
+{", ".join(f"est{_t} AS MATERIALIZED (SELECT u, {_hc_e} AS e FROM s{_t})" for _t in range(4))},
+idm AS (SELECT id, {_ha_h} AS u FROM nfn)
+SELECT idm.id,
+       CAST((e1.e - e0.e) * 6 + (e2.e - e1.e) * 3 + (e3.e - e2.e) * 2 AS BIGINT) AS h_scaled
+FROM est0 e0 JOIN est1 e1 USING (u) JOIN est2 e2 USING (u) JOIN est3 e3 USING (u)
+JOIN idm USING (u)"""
 
     # --- a2 node similarity: Jaccard over neighbor sets, top-5 per node;
     # pair candidates per shared neighbor, both directions emitted, rank by

@@ -913,6 +913,68 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def _hll_seed_sketches(nodes: DataFrame, edges: DataFrame, m: int, hasher: str):
+    """Shared HyperANF state builder: (nh id<->hash map, undirected hashed
+    edge view, seeded per-node m-register HLL sketches) — ONE definition for
+    :func:`approx_neighborhood_function` and
+    :func:`approx_harmonic_closeness`, or their register semantics desync
+    from the driver oracles.  Register index = low-log2(m) bits of the seeded
+    hash; rank = 1 + trailing zeros of the remaining bits, capped at 56."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        _sym_edges(edges)
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    bits = m.bit_length() - 1
+    hpos = F.abs(F.col("h"))
+    idx = hpos.bitwiseAND(F.lit(m - 1))
+    suf = F.shiftright(hpos, bits)
+    lowbit = suf.bitwiseAND(-suf)
+    rho = (
+        F.when(suf == 0, F.lit(56))
+        .otherwise(F.least(F.lit(56), (F.log2(lowbit.cast("double")) + 1).cast("long")))
+        .cast("int")
+    )
+    sk = nh.select(
+        F.col("h").alias("u"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.when(i == idx, rho).otherwise(F.lit(0)).cast("int"),
+        ).alias("sk"),
+    ).localCheckpoint(eager=True)
+    return nh, und, sk
+
+
+def _hll_round(und: DataFrame, sk: DataFrame) -> DataFrame:
+    """One HyperANF round: every sketch becomes the register-wise max of
+    itself and its neighbors' sketches (the other half of the shared
+    definition; see :func:`_hll_seed_sketches`)."""
+    nbr = und.join(sk.select(F.col("u").alias("v"), "sk"), "v").select("u", "sk")
+    ex = sk.unionByName(nbr).select("u", F.posexplode("sk").alias("idx", "val"))
+    mx = ex.groupBy("u", "idx").agg(F.max("val").alias("val"))
+    return (
+        mx.groupBy("u")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "val"))), lambda s: s.val
+            ).alias("sk")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def approx_neighborhood_function(
     nodes: DataFrame,
     edges: DataFrame,
@@ -961,45 +1023,13 @@ def approx_neighborhood_function(
     """
     if m & (m - 1) or m < 2:
         raise ValueError("m must be a power of two >= 2")
-    from cognee_graphdb_spark.operators.dedup import _hash64
 
     # alpha_m * m^2 * 2^56 with the constant folded in Python once; the
     # oracle embeds repr() of the same double so both sides divide the same C
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     c_num = alpha * m * m * float(1 << 56)
 
-    nh = (
-        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        _sym_edges(edges)
-        .select(
-            _hash64(F.col("src"), 0, hasher).alias("u"),
-            _hash64(F.col("dst"), 0, hasher).alias("v"),
-        )
-        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
-        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    bits = m.bit_length() - 1
-    hpos = F.abs(F.col("h"))
-    idx = hpos.bitwiseAND(F.lit(m - 1))
-    suf = F.shiftright(hpos, bits)
-    lowbit = suf.bitwiseAND(-suf)
-    rho = (
-        F.when(suf == 0, F.lit(56))
-        .otherwise(F.least(F.lit(56), (F.log2(lowbit.cast("double")) + 1).cast("long")))
-        .cast("int")
-    )
-    sk = nh.select(
-        F.col("h").alias("u"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda i: F.when(i == idx, rho).otherwise(F.lit(0)).cast("int"),
-        ).alias("sk"),
-    ).localCheckpoint(eager=True)
+    nh, und, sk = _hll_seed_sketches(nodes, edges, m, hasher)
 
     def nf_of(frame: DataFrame, t: int) -> DataFrame:
         # 2^(56-r) via pow: doubles hold powers of two <= 2^56 exactly, and
@@ -1041,20 +1071,94 @@ def approx_neighborhood_function(
 
     out = nf_of(sk, 0)
     for t in range(1, n_rounds + 1):
-        nbr = und.join(sk.select(F.col("u").alias("v"), "sk"), "v").select("u", "sk")
-        ex = sk.unionByName(nbr).select("u", F.posexplode("sk").alias("idx", "val"))
-        mx = ex.groupBy("u", "idx").agg(F.max("val").alias("val"))
-        sk = (
-            mx.groupBy("u")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "val"))), lambda s: s.val
-                ).alias("sk")
-            )
-            .localCheckpoint(eager=True)
-        )
+        sk = _hll_round(und, sk)
         out = out.unionByName(nf_of(sk, t))
     return out
+
+
+def approx_harmonic_closeness(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_rounds: int = 3,
+    m: int = 16,
+    hasher: str = "xxhash64",
+    output: str = "corrected",
+) -> DataFrame:
+    """(id, h_scaled, closeness): approximate harmonic closeness centrality
+    (gds.closeness.harmonic family) from the same HyperANF per-node sketches
+    as :func:`approx_neighborhood_function` — the 100 TB-honest centrality:
+    exact closeness is all-pairs BFS, O(V·E); this is O(t·E·m).
+
+    Harmonic closeness H(v) = sum over u != v of 1/d(v,u), truncated at
+    ``n_rounds`` hops (Boldi & Vigna, "Axioms for centrality": harmonic
+    handles disconnected graphs where classic closeness degenerates).
+    Estimated per node as sum_t (|ball(v,t)| - |ball(v,t-1)|) / t with ball
+    sizes read off the node's HLL sketch each round; register-wise max is
+    monotone, so the per-node estimates never decrease and every delta is
+    >= 0.
+
+    Exactness contract: ``h_scaled`` = sum_t delta_t * (L/t) with
+    L = lcm(1..n_rounds) — ALL integer arithmetic once each per-round
+    estimate is rounded to a BIGINT, so an oracle can restate it;
+    ``closeness`` = h_scaled / L (one correctly-rounded IEEE division).
+    ``output="raw"`` uses the raw HLL estimator per round (integer-exact
+    cross-engine, what the driver oracle hashes); ``output="corrected"``
+    (default) applies linear-counting small-range correction per node —
+    far more accurate at the tiny ball sizes early hops see (a 1-element
+    ball reads ~0.7m raw but ~1 corrected), at the cost of crossing libm
+    ln(), which is not correctly rounded across engines.
+
+    Scale: the sketch rounds are the HyperANF layout (one join + E·m-wide
+    posexplode + two partial-agg shuffles per round, lineage truncated);
+    the per-round estimate frames then chain-join on the 8-byte node hash —
+    n_rounds+1 co-partitioned equi-joins on node-sized frames.
+    """
+    import math
+
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    if output not in ("corrected", "raw"):
+        raise ValueError("output must be 'corrected' or 'raw'")
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    c_num = alpha * m * m * float(1 << 56)
+
+    def est_col():
+        s = F.aggregate(
+            F.col("sk"),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.pow(F.lit(2.0), (F.lit(56) - r).cast("double")).cast("long"),
+        )
+        raw = F.lit(c_num) / s
+        if output == "raw":
+            return F.round(raw).cast("long")
+        zeros = F.aggregate(
+            F.col("sk"),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.when(r == 0, 1).otherwise(0),
+        )
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw)
+        return F.round(est).cast("long")
+
+    nh, und, sk = _hll_seed_sketches(nodes, edges, m, hasher)
+    cur = sk.select("u", est_col().alias("e0"))
+    for t in range(1, n_rounds + 1):
+        sk = _hll_round(und, sk)
+        cur = cur.join(sk.select("u", est_col().alias(f"e{t}")), "u")
+    big_l = math.lcm(*range(1, n_rounds + 1))
+    h_scaled = sum(
+        (F.col(f"e{t}") - F.col(f"e{t - 1}")) * F.lit(big_l // t)
+        for t in range(1, n_rounds + 1)
+    )
+    return cur.join(nh, cur.u == nh.h).select(
+        "id",
+        h_scaled.cast("long").alias("h_scaled"),
+        (h_scaled.cast("double") / F.lit(float(big_l))).alias("closeness"),
+    )
 
 
 def effective_diameter(nf: DataFrame, q: float = 0.9) -> int:

@@ -712,3 +712,60 @@ def test_walk_skipgram_pairs_counts(spark):
 
     with _p.raises(ValueError, match=">= 1"):
         walk_skipgram_pairs(walks, 0)
+
+
+def test_harmonic_closeness_star_center_wins(spark):
+    """6-leaf star: center H = 6 (all at distance 1), each leaf
+    H = 1 + 5/2 = 3.5 at 2 hops — the corrected estimator must rank the
+    center strictly above every leaf and be deterministic."""
+    from cognee_graphdb_spark.operators.graph_metrics import approx_harmonic_closeness
+
+    ids = ["hub"] + [f"l{i}" for i in range(6)]
+    pairs = [("hub", f"l{i}") for i in range(6)]
+    out = approx_harmonic_closeness(
+        _nodes_df(spark, ids), _edges_df(spark, pairs), n_rounds=2, m=64
+    )
+    got = {r["id"]: r["closeness"] for r in out.collect()}
+    assert set(got) == set(ids)
+    assert all(got["hub"] > got[f"l{i}"] for i in range(6)), got
+    # ballpark accuracy: center ~6, leaves ~3.5 (HLL m=64 noise band)
+    assert 4.0 <= got["hub"] <= 8.5
+    assert all(2.0 <= got[f"l{i}"] <= 5.5 for i in range(6)), got
+    again = {
+        r["id"]: r["closeness"]
+        for r in approx_harmonic_closeness(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_rounds=2, m=64
+        ).collect()
+    }
+    assert got == again
+
+
+def test_harmonic_closeness_raw_mode_and_scaling(spark):
+    """raw mode returns integer h_scaled with closeness = h_scaled / lcm;
+    deltas are non-negative (register-wise max is monotone)."""
+    from cognee_graphdb_spark.operators.graph_metrics import approx_harmonic_closeness
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    rows = approx_harmonic_closeness(
+        _nodes_df(spark, ["a", "b", "c", "d"]),
+        _edges_df(spark, pairs),
+        n_rounds=3,
+        m=16,
+        output="raw",
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["h_scaled"] >= 0
+        assert r["closeness"] == pytest.approx(r["h_scaled"] / 6.0)  # lcm(1,2,3)
+
+
+def test_harmonic_closeness_validates_params(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import approx_harmonic_closeness
+
+    n, e = _nodes_df(spark, ["a"]), _edges_df(spark, [("a", "a")])
+    with pytest.raises(ValueError, match="power of two"):
+        approx_harmonic_closeness(n, e, m=12)
+    with pytest.raises(ValueError, match="n_rounds"):
+        approx_harmonic_closeness(n, e, n_rounds=0)
+    with pytest.raises(ValueError, match="output"):
+        approx_harmonic_closeness(n, e, output="nope")
