@@ -1088,6 +1088,27 @@ def _q_a2_harmonic_closeness(spark, sf_dir):
     return out.select("id", "h_scaled")
 
 
+def _q_a2_shortest_path_counts(spark, sf_dir):
+    """BFS distances + shortest-path counts from the 5 region nodes
+    (graph_metrics.py:shortest_path_counts, gds.allShortestPaths.stream +
+    Brandes' forward pass) over the nation-family FK subgraph, 4-hop cap.
+    All-integer output; the oracle unrolls the same hops with a settled-set
+    anti-join per round."""
+    from cognee_graphdb_spark.operators.graph_metrics import shortest_path_counts
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    srcs = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id").startswith("region:"))
+    )
+    return shortest_path_counts(fk, srcs, max_hops=4, hasher="md5_64")
+
+
 def _q_a2_walk_skipgrams(spark, sf_dir):
     """Skip-gram corpus from the same deterministic walks
     (graph_metrics.py:walk_skipgram_pairs — DeepWalk/node2vec's training-pair
@@ -2226,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_random_walks": _q_a2_random_walks,
         "a2_walk_skipgrams": _q_a2_walk_skipgrams,
         "a2_harmonic_closeness": _q_a2_harmonic_closeness,
+        "a2_shortest_path_counts": _q_a2_shortest_path_counts,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2274,13 +2296,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
-        "chunk_classification": _q_chunk_classification,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; memify_rules + code_graph_counts +
-        # dedup_incremental_index + a9_pagerank displaced by the new
-        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
+        # r7 rows below; chunk_classification + memify_rules +
+        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
+        # by the new a2_random_walks + a2_walk_skipgrams +
+        # a2_harmonic_closeness + a2_shortest_path_counts +
         # term_cooccurrence)
+        "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
         "dedup_incremental_index": _q_dedup_incremental_index,
@@ -4079,7 +4102,7 @@ SELECT u AS id, label FROM l3"""
   FROM f{_i - 1} f JOIN rwadj a
     ON a.u = f.cur AND a.rnk = {_rw_hash} % a.degree
 )""")
-    _rw_core = f"""rwnf AS MATERIALIZED (SELECT src, dst FROM edges
+    _rw_graph = f"""rwnf AS MATERIALIZED (SELECT src, dst FROM edges
       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
 rwnn AS MATERIALIZED (
   SELECT id, {_md5_64("id", 0)} AS h
@@ -4090,7 +4113,8 @@ rwe AS MATERIALIZED (
   FROM (SELECT src, dst FROM rwnf UNION ALL SELECT dst AS src, src AS dst FROM rwnf) s
   JOIN rwnn a ON s.src = a.id JOIN rwnn b ON s.dst = b.id
   WHERE s.src != s.dst
-),
+)"""
+    _rw_core = f"""{_rw_graph},
 rwadj AS MATERIALIZED (
   SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
          count(*) OVER (PARTITION BY u) AS degree
@@ -4115,6 +4139,29 @@ SELECT n1.id AS start, CAST(r.walk AS BIGINT) AS walk,
        CAST(max(r.step) AS BIGINT) AS n_steps
 FROM rwres r JOIN rwnn n1 ON r.start = n1.h JOIN rwnn n2 ON r.node = n2.h
 GROUP BY n1.id, r.walk"""
+
+    # --- a2 shortest-path counts: 4 unrolled BFS hops from the region nodes
+    # with per-hop settled-set anti-join and sigma accumulation
+    # (graph_metrics.py:shortest_path_counts) --------------------------------
+    _sp_hops = []
+    for _i in range(1, 5):
+        _sp_hops.append(f"""d{_i} AS MATERIALIZED (
+  SELECT f.s, e.v AS n, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM d{_i - 1} f JOIN rwe e ON f.n = e.u
+  WHERE NOT EXISTS (SELECT 1 FROM st{_i - 1} x WHERE x.s = f.s AND x.n = e.v)
+  GROUP BY f.s, e.v
+), st{_i} AS MATERIALIZED (
+  SELECT * FROM st{_i - 1} UNION ALL SELECT s, n, {_i} AS dist, sigma FROM d{_i}
+)""")
+    sql["a2_shortest_path_counts"] = f"""WITH {g},
+{_rw_graph},
+d0 AS MATERIALIZED (
+  SELECT h AS s, h AS n, CAST(1 AS BIGINT) AS sigma FROM rwnn WHERE id LIKE 'region:%'
+),
+st0 AS MATERIALIZED (SELECT s, n, 0 AS dist, sigma FROM d0),
+{", ".join(_sp_hops)}
+SELECT n1.id AS source, n2.id AS node, CAST(st.dist AS INTEGER) AS dist, st.sigma
+FROM st4 st JOIN rwnn n1 ON st.s = n1.h JOIN rwnn n2 ON st.n = n2.h"""
 
     # --- a2 walk skip-grams: the DeepWalk corpus stage (graph_metrics.py:
     # walk_skipgram_pairs over the same walks): ordered pairs within window 2

@@ -877,6 +877,94 @@ def random_walks(
     )
 
 
+def shortest_path_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    symmetric: bool = True,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(source, node, dist, sigma): BFS hop distance AND number of distinct
+    shortest paths from every source node — gds.allShortestPaths.stream's
+    per-pair distances (neo4j_metrics_utils.py:140-168) extended with the
+    path-count forward pass of Brandes' betweenness algorithm.  All integers,
+    so the result crosses a SQL oracle exactly.
+
+    ``sources`` is an (id) frame; distances are truncated at ``max_hops``
+    (unreached pairs are absent, the reference's bounded-path convention —
+    its own Cypher caps paths at 1..3 hops, kuzu adapter.py:1426-1451).
+    sigma(s, v) = number of distinct shortest s→v paths; sigma(s, s) = 1.
+
+    Scale: node ids dictionary-hashed to 8 bytes; per hop ONE frontier × adj
+    equi-join, one (source, node) anti-join against the settled set, one
+    partial-agg sum — frontier-sized shuffles, never edge-set-sized state.
+    The settled set grows to the reached ball and is checkpoint-truncated
+    per hop.  Cost is O(hops · frontier · avg_degree) per source — run with
+    a sampled source set at 100 TB (the standard Brandes-sampling layout),
+    exactly how gds.betweenness's samplingSize works.
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    base = edges.select("src", "dst")
+    if symmetric:
+        pairs = base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        pairs = base
+    eh = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    names = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    src_h = (
+        sources.select(_hash64(F.col("id"), 0, hasher).alias("s"))
+        .distinct()
+        .join(names.select(F.col("h").alias("s")), "s", "left_semi")
+    )
+    frontier = src_h.select(
+        "s", F.col("s").alias("n"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    settled = frontier.select("s", "n", F.lit(0).alias("dist"), "sigma")
+    out = [settled]
+    for t in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(eh, frontier.n == eh.u)
+            .select("s", F.col("v").alias("n"), "sigma")
+            .join(settled.select("s", "n"), ["s", "n"], "left_anti")
+            .groupBy("s", "n")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        step = nxt.select("s", "n", F.lit(t).alias("dist"), "sigma")
+        out.append(step)
+        settled = settled.unionByName(step).localCheckpoint(eager=True)
+        frontier = nxt
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return (
+        res.join(names.select(F.col("h").alias("s"), F.col("id").alias("source")), "s")
+        .join(names.select(F.col("h").alias("n"), F.col("id").alias("node")), "n")
+        .select("source", "node", F.col("dist").cast("int").alias("dist"), "sigma")
+    )
+
+
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, n_pairs): skip-gram co-occurrence pairs from
     :func:`random_walks` output — the corpus stage of DeepWalk/node2vec (the

@@ -769,3 +769,52 @@ def test_harmonic_closeness_validates_params(spark):
         approx_harmonic_closeness(n, e, n_rounds=0)
     with pytest.raises(ValueError, match="output"):
         approx_harmonic_closeness(n, e, output="nope")
+
+
+def test_shortest_path_counts_diamond(spark):
+    """Diamond a-{b,c}-d plus tail d-e: sigma(a,d) = 2 (two 2-hop paths),
+    sigma(a,e) = 2 at dist 3; b and c at dist 1 with sigma 1."""
+    from cognee_graphdb_spark.operators.graph_metrics import shortest_path_counts
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    srcs = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        (r["source"], r["node"]): (r["dist"], r["sigma"])
+        for r in shortest_path_counts(_edges_df(spark, pairs), srcs, max_hops=5).collect()
+    }
+    assert got == {
+        ("a", "a"): (0, 1),
+        ("a", "b"): (1, 1),
+        ("a", "c"): (1, 1),
+        ("a", "d"): (2, 2),
+        ("a", "e"): (3, 2),
+    }
+
+
+def test_shortest_path_counts_multi_source_and_cap(spark):
+    """Two sources on a path a-b-c-d: each settles its own ball; max_hops=1
+    truncates; directed mode respects orientation."""
+    from cognee_graphdb_spark.operators.graph_metrics import shortest_path_counts
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = _edges_df(spark, pairs)
+    srcs = spark.createDataFrame([("a",), ("d",)], ["id"])
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in shortest_path_counts(edges, srcs, max_hops=1).collect()
+    }
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("d", "d"): 0, ("d", "c"): 1}
+    directed = {
+        (r["source"], r["node"]): r["dist"]
+        for r in shortest_path_counts(
+            edges, srcs, max_hops=5, symmetric=False
+        ).collect()
+    }
+    assert directed == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+        ("d", "d"): 0,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError, match=">= 1"):
+        shortest_path_counts(edges, srcs, max_hops=0)
