@@ -1109,6 +1109,35 @@ def _q_a2_shortest_path_counts(spark, sf_dir):
     return shortest_path_counts(fk, srcs, max_hops=4, hasher="md5_64")
 
 
+def _q_a2_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness (graph_metrics.py:betweenness_sampled,
+    gds.betweenness with samplingSize) from the 5 region nodes over the
+    region→nation→supplier→lineitem→part FK subgraph — the lineitem diamond
+    layer gives real sigma multiplicities (a part is reached through every
+    lineitem of a region's suppliers), so the backward pass divides genuine
+    path counts.  The doubles hash-match because BOTH engines reduce the
+    same sorted contribution lists sequentially (F.aggregate vs list_reduce
+    over list(... ORDER BY ...)) — IEEE addition order is a pure function of
+    the data.  Top-500: doubles are bit-identical, so the (betweenness DESC,
+    node) order is too."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin(
+            "n_regionkey", "s_nationkey", "l_suppkey", "l_partkey"
+        )
+    )
+    srcs = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id").startswith("region:"))
+    )
+    bt = betweenness_sampled(fk, srcs, max_hops=4, hasher="md5_64")
+    return bt.orderBy(F.desc("betweenness"), "node").limit(500)
+
+
 def _q_a2_walk_skipgrams(spark, sf_dir):
     """Skip-gram corpus from the same deterministic walks
     (graph_metrics.py:walk_skipgram_pairs — DeepWalk/node2vec's training-pair
@@ -2248,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_walk_skipgrams": _q_a2_walk_skipgrams,
         "a2_harmonic_closeness": _q_a2_harmonic_closeness,
         "a2_shortest_path_counts": _q_a2_shortest_path_counts,
+        "a2_betweenness": _q_a2_betweenness,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2295,14 +2325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
-        "cognify_node_counts": _q_cognify_counts,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; chunk_classification + memify_rules +
-        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
-        # by the new a2_random_walks + a2_walk_skipgrams +
-        # a2_harmonic_closeness + a2_shortest_path_counts +
-        # term_cooccurrence)
+        # r7 rows below; cognify_node_counts + chunk_classification +
+        # memify_rules + code_graph_counts + dedup_incremental_index +
+        # a9_pagerank displaced by the new a2_random_walks +
+        # a2_walk_skipgrams + a2_harmonic_closeness +
+        # a2_shortest_path_counts + a2_betweenness + term_cooccurrence)
+        "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
@@ -4162,6 +4192,74 @@ st0 AS MATERIALIZED (SELECT s, n, 0 AS dist, sigma FROM d0),
 {", ".join(_sp_hops)}
 SELECT n1.id AS source, n2.id AS node, CAST(st.dist AS INTEGER) AS dist, st.sigma
 FROM st4 st JOIN rwnn n1 ON st.s = n1.h JOIN rwnn n2 ON st.n = n2.h"""
+
+    # --- a2 betweenness: Brandes forward (4 unrolled BFS hops with sigma)
+    # then backward (3 unrolled dependency levels) from the region nodes over
+    # the region-nation-supplier-partsupp-part subgraph; every float sum is a
+    # list_reduce over an ORDER BY list — the exact sequential IEEE order
+    # graph_metrics.py:betweenness_sampled uses --------------------------------
+    _bt_hops = []
+    for _i in range(1, 5):
+        _bt_hops.append(f"""bd{_i} AS MATERIALIZED (
+  SELECT f.s, e.v AS n, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM bd{_i - 1} f JOIN bte e ON f.n = e.u
+  WHERE NOT EXISTS (SELECT 1 FROM bst{_i - 1} x WHERE x.s = f.s AND x.n = e.v)
+  GROUP BY f.s, e.v
+), bst{_i} AS MATERIALIZED (
+  SELECT * FROM bst{_i - 1} UNION ALL SELECT s, n, {_i} AS dist, sigma FROM bd{_i}
+)""")
+    _bt_lvls = []
+    for _t in range(3, -1, -1):
+        _prev_dl = (
+            f"LEFT JOIN dl{_t + 1} d ON d.s = nx.s AND d.n = nx.n"
+            if _t < 3
+            else "LEFT JOIN (SELECT NULL AS s, NULL AS n, NULL AS delta WHERE 1=0) d ON d.s = nx.s AND d.n = nx.n"
+        )
+        _bt_lvls.append(f"""dl{_t} AS MATERIALIZED (
+  SELECT c.s, c.n, list_reduce(list(c.c ORDER BY c.wid), (a, b) -> a + b) AS delta
+  FROM (
+    SELECT cur.s, cur.n, wn.id AS wid,
+           (CAST(cur.sigma AS DOUBLE) / CAST(nx.sigma AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) + COALESCE(d.delta, CAST(0.0 AS DOUBLE))) AS c
+    FROM bst4 cur
+    JOIN bte e ON cur.n = e.u
+    JOIN bst4 nx ON nx.s = cur.s AND nx.n = e.v AND nx.dist = {_t + 1}
+    {_prev_dl}
+    JOIN btnn wn ON e.v = wn.h
+    WHERE cur.dist = {_t}
+  ) c GROUP BY c.s, c.n
+)""")
+    sql["a2_betweenness"] = f"""WITH {g},
+btnf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('n_regionkey', 's_nationkey', 'l_suppkey', 'l_partkey')),
+btnn AS MATERIALIZED (
+  SELECT id, {_md5_64("id", 0)} AS h
+  FROM (SELECT src AS id FROM btnf UNION SELECT dst FROM btnf)
+),
+bte AS MATERIALIZED (
+  SELECT DISTINCT a.h AS u, b.h AS v
+  FROM (SELECT src, dst FROM btnf UNION ALL SELECT dst AS src, src AS dst FROM btnf) s
+  JOIN btnn a ON s.src = a.id JOIN btnn b ON s.dst = b.id
+  WHERE s.src != s.dst
+),
+bd0 AS MATERIALIZED (
+  SELECT h AS s, h AS n, CAST(1 AS BIGINT) AS sigma FROM btnn WHERE id LIKE 'region:%'
+),
+bst0 AS MATERIALIZED (SELECT s, n, 0 AS dist, sigma FROM bd0),
+{", ".join(_bt_hops)},
+{", ".join(_bt_lvls)},
+alld AS (
+  SELECT d.s, d.n, d.delta, sn.id AS source_id
+  FROM (SELECT * FROM dl0 UNION ALL SELECT * FROM dl1
+        UNION ALL SELECT * FROM dl2 UNION ALL SELECT * FROM dl3) d
+  JOIN btnn sn ON d.s = sn.h
+  WHERE d.n != d.s
+)
+SELECT nn.id AS node,
+       list_reduce(list(a.delta ORDER BY a.source_id), (x, y) -> x + y) AS betweenness
+FROM alld a JOIN btnn nn ON a.n = nn.h
+GROUP BY nn.id
+ORDER BY betweenness DESC, node LIMIT 500"""
 
     # --- a2 walk skip-grams: the DeepWalk corpus stage (graph_metrics.py:
     # walk_skipgram_pairs over the same walks): ordered pairs within window 2

@@ -965,6 +965,117 @@ def shortest_path_counts(
     )
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    symmetric: bool = True,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(node, betweenness): Brandes betweenness centrality accumulated from a
+    SAMPLED source set — gds.betweenness with samplingSize, the 100 TB-honest
+    layout (exact betweenness is all-sources Brandes, O(V·E); sampling gives
+    an unbiased estimate scaled by V/|sources|, Brandes & Pich 2007).
+
+    Forward pass: :func:`shortest_path_counts` (hop distance + path counts
+    sigma per source).  Backward pass, per level t from the deepest frontier
+    down: delta(s,v) = sum over DAG successors w (dist t+1) of
+    sigma(s,v)/sigma(s,w) * (1 + delta(s,w)); betweenness(v) =
+    sum over sources s != v of delta(s,v).  Unreached/leaf nodes contribute
+    implicit zeros.  For undirected graphs each unordered pair is seen from
+    both endpoints when both are sampled — divide by 2 for the classic
+    normalization if the source set is all nodes.
+
+    Determinism contract (what makes a float result oracle-checkable): both
+    inner sums are STRICTLY ORDERED sequential reductions — successor
+    contributions sorted by successor id, per-node source deltas sorted by
+    source id — via array_sort + F.aggregate, never a shuffle-order groupBy
+    sum, so the IEEE addition order is a pure function of the data and a SQL
+    oracle (list(... ORDER BY ...) + sequential reduce) reproduces the exact
+    bits.  The memory bound is one successor array per (source, node) —
+    max-DAG-out-degree elements, the same bound node_similarity carries.
+
+    Scale: each level is two co-partitioned equi-joins (settled level t x
+    edge view x settled level t+1) + one grouped ordered reduction; levels
+    are bounded by max_hops; state is frontier-sized per source.  Join keys
+    are the string node ids shortest_path_counts emits — dictionary-encode
+    upstream at extreme scale.
+    """
+    sp = shortest_path_counts(
+        edges, sources, max_hops=max_hops, symmetric=symmetric, hasher=hasher
+    ).localCheckpoint(eager=True)
+    base = edges.select("src", "dst")
+    if symmetric:
+        pairs = base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        pairs = base
+    ev = pairs.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    deepest = sp.agg(F.max("dist")).collect()[0][0]  # bounded: one scalar
+    if deepest is None:
+        return sp.select(
+            F.col("node"), F.lit(0.0).alias("betweenness")
+        ).limit(0)
+    levels = []  # (source, node, delta) frames, deepest level first
+    prev = None  # delta frame at level t+1
+    for t in range(int(deepest) - 1, -1, -1):
+        cur = sp.filter(F.col("dist") == t).select(
+            "source", F.col("node").alias("v"), F.col("sigma").alias("sv")
+        )
+        nxt = sp.filter(F.col("dist") == t + 1).select(
+            "source", F.col("node").alias("w"), F.col("sigma").alias("sw")
+        )
+        if prev is not None:
+            nxt = nxt.join(
+                prev.select("source", F.col("node").alias("w"), "delta"),
+                ["source", "w"],
+                "left",
+            ).select("source", "w", "sw", F.coalesce("delta", F.lit(0.0)).alias("dw"))
+        else:
+            nxt = nxt.select("source", "w", "sw", F.lit(0.0).alias("dw"))
+        contrib = (
+            cur.join(ev, cur.v == ev.src)
+            .join(nxt, (F.col("dst") == nxt.w) & (cur.source == nxt.source))
+            .select(
+                cur.source.alias("source"),
+                "v",
+                "w",
+                (
+                    (F.col("sv").cast("double") / F.col("sw").cast("double"))
+                    * (F.lit(1.0) + F.col("dw"))
+                ).alias("c"),
+            )
+        )
+        dt = (
+            contrib.groupBy("source", F.col("v").alias("node"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("w", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels.append(dt)
+        prev = dt
+    acc_levels = levels[0]
+    for frame in levels[1:]:
+        acc_levels = acc_levels.unionByName(frame)
+    return (
+        acc_levels.filter(F.col("node") != F.col("source"))
+        .groupBy("node")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("source", "delta"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["delta"],
+            ).alias("betweenness")
+        )
+    )
+
+
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, n_pairs): skip-gram co-occurrence pairs from
     :func:`random_walks` output — the corpus stage of DeepWalk/node2vec (the

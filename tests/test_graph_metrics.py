@@ -818,3 +818,52 @@ def test_shortest_path_counts_multi_source_and_cap(spark):
 
     with _p.raises(ValueError, match=">= 1"):
         shortest_path_counts(edges, srcs, max_hops=0)
+
+
+def test_betweenness_diamond_hand_computed(spark):
+    """Diamond a-{b,c}-d with tail d-e, single source a: Brandes deltas are
+    delta(d) = 1 (from e), delta(b) = delta(c) = (1/2)*(1+1) = 1 — so
+    betweenness {b: 1, c: 1, d: 1, e: 0}; e and the source itself
+    accumulate nothing (e has no successors, a is excluded)."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    srcs = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(_edges_df(spark, pairs), srcs, max_hops=5).collect()
+    }
+    assert got == pytest.approx({"b": 1.0, "c": 1.0, "d": 1.0})
+
+
+def test_betweenness_path_center(spark):
+    """Path a-b-c, sources {a, c}: b lies on the single a-c shortest path,
+    seen from both endpoints -> betweenness(b) = 2 (the classic /2-per-pair
+    convention is the caller's when sampling all nodes).  a and c are BFS
+    leaves of each other's trees — no successors, no delta row, absent from
+    the output (implicit zero)."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    pairs = [("a", "b"), ("b", "c")]
+    srcs = spark.createDataFrame([("a",), ("c",)], ["id"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(_edges_df(spark, pairs), srcs, max_hops=4).collect()
+    }
+    assert got == pytest.approx({"b": 2.0})
+
+
+def test_betweenness_deterministic_bits(spark):
+    """Two invocations produce bit-identical doubles (the ordered-reduction
+    contract that makes the driver oracle possible)."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 11}") for i in range(11)] + [
+        ("n0", "n5"),
+        ("n2", "n7"),
+    ]
+    srcs = spark.createDataFrame([("n0",), ("n1",), ("n2",)], ["id"])
+    e = _edges_df(spark, pairs)
+    a = sorted(map(tuple, betweenness_sampled(e, srcs, max_hops=6).collect()))
+    b = sorted(map(tuple, betweenness_sampled(e, srcs, max_hops=6).collect()))
+    assert a == b  # exact float equality, not approx
