@@ -320,3 +320,23 @@ def test_term_cooccurrence_pair_join_is_banded_equi_join(spark):
     plan = plan_of(term_cooccurrence(docs, window=3, min_pair_count=1))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_shortest_path_and_betweenness_plans_stay_jvm_side(spark, toy_graph):
+    """BFS hops and Brandes levels must plan as hash equi-joins with no
+    cartesian fallback and no Python worker; the ordered reductions are
+    higher-order Catalyst expressions, not UDFs."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        betweenness_sampled,
+        shortest_path_counts,
+    )
+
+    _, edges = toy_graph
+    srcs = spark.createDataFrame([("n0",), ("n1",)], ["id"])
+    for df in (
+        shortest_path_counts(edges, srcs, max_hops=3),
+        betweenness_sampled(edges, srcs, max_hops=3),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
