@@ -867,3 +867,84 @@ def test_betweenness_deterministic_bits(spark):
     a = sorted(map(tuple, betweenness_sampled(e, srcs, max_hops=6).collect()))
     b = sorted(map(tuple, betweenness_sampled(e, srcs, max_hops=6).collect()))
     assert a == b  # exact float equality, not approx
+
+
+def _py_bfs_sigma(und, src, max_hops):
+    """Reference BFS with path counting (dict-based Brandes forward pass)."""
+    from collections import defaultdict, deque
+
+    dist, sigma = {src: 0}, defaultdict(int)
+    sigma[src] = 1
+    q = deque([src])
+    order = [src]
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_hops:
+            continue
+        for w in sorted(und.get(v, ())):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+                order.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+    return dist, dict(sigma), order
+
+
+def test_shortest_path_and_betweenness_vs_python_brandes(spark):
+    """Adversarial parity: on 3 seeded random graphs, shortest_path_counts
+    must equal a dict-based BFS/sigma reimplementation, and
+    betweenness_sampled must equal textbook Brandes dependency accumulation
+    from the same sources (float tolerance only — summation order differs
+    by design in the reference implementation)."""
+    import random as _r
+
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        betweenness_sampled,
+        shortest_path_counts,
+    )
+
+    for seed in (11, 23, 47):
+        rng = _r.Random(seed)
+        n = rng.randint(9, 13)
+        ids = [f"v{i}" for i in range(n)]
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(ids, 2)))
+                for _ in range(rng.randint(n, 2 * n))
+            }
+        )
+        und = {}
+        for a, b in pairs:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        sources = sorted(rng.sample(ids, 3))
+        max_hops = 5
+        edges = _edges_df(spark, pairs)
+        srcs = spark.createDataFrame([(s,) for s in sources], ["id"])
+        got_sp = {
+            (r["source"], r["node"]): (r["dist"], r["sigma"])
+            for r in shortest_path_counts(edges, srcs, max_hops=max_hops).collect()
+        }
+        exp_sp, exp_delta = {}, {}
+        for s in sources:
+            dist, sigma, order = _py_bfs_sigma(und, s, max_hops)
+            for v, d in dist.items():
+                exp_sp[(s, v)] = (d, sigma[v])
+            # Brandes backward pass, truncated to the same hop cap
+            delta = {v: 0.0 for v in dist}
+            for w in reversed(order):
+                for v in und.get(w, ()):
+                    if dist.get(v) == dist[w] - 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            for v, dv in delta.items():
+                if v != s and dv > 0:
+                    exp_delta[v] = exp_delta.get(v, 0.0) + dv
+        assert got_sp == exp_sp, (seed, got_sp, exp_sp)
+        got_b = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_sampled(edges, srcs, max_hops=max_hops).collect()
+        }
+        assert set(got_b) == set(exp_delta), (seed, got_b, exp_delta)
+        for v, dv in exp_delta.items():
+            assert got_b[v] == pytest.approx(dv), (seed, v)
