@@ -100,6 +100,21 @@ def main() -> None:
         dt = time.perf_counter() - t0
         cal = dt if cal is None else min(cal, dt)
     calibration = round(cal, 3)
+    # second machine probe, checkpoint-IO-flavored: the iterative graph steps
+    # (pagerank / connected components) are bounded by localCheckpoint write+
+    # read, which the CPU-bound probe above does not model — two probes let a
+    # judge separate "CPU drift" from "disk drift" without re-running anything.
+    # Kept as a SEPARATE field so `calibration`/`value_normalized` stay
+    # comparable with rounds <= 7.
+    cal_io = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "id", "id % 97 AS a", "CAST(id AS STRING) AS s"
+        ).localCheckpoint(eager=True).count()
+        dt = time.perf_counter() - t0
+        cal_io = dt if cal_io is None else min(cal_io, dt)
+    calibration_io = round(cal_io, 3)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -315,6 +330,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "calibration": calibration,
+                "calibration_io": calibration_io,
                 "value_normalized": round(total / calibration, 3),
                 # per-query drift correction: a regression in a single
                 # queries_normalized entry is a plan regression in THAT step,
