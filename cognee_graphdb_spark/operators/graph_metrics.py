@@ -1013,7 +1013,9 @@ def betweenness_sampled(
         pairs = base
     ev = pairs.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     deepest = sp.agg(F.max("dist")).collect()[0][0]  # bounded: one scalar
-    if deepest is None:
+    if deepest is None or int(deepest) < 1:
+        # no sources in the graph, or every source isolated: no intermediate
+        # nodes exist, so betweenness is empty (implicit zeros)
         return sp.select(
             F.col("node"), F.lit(0.0).alias("betweenness")
         ).limit(0)

@@ -948,3 +948,16 @@ def test_shortest_path_and_betweenness_vs_python_brandes(spark):
         assert set(got_b) == set(exp_delta), (seed, got_b, exp_delta)
         for v, dv in exp_delta.items():
             assert got_b[v] == pytest.approx(dv), (seed, v)
+
+
+def test_betweenness_isolated_sources_empty(spark):
+    """All-isolated source set (deepest ball = the sources themselves) must
+    return an empty frame, not crash — and a source absent from the graph is
+    silently dropped."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    edges = _edges_df(spark, [("x", "y")])
+    srcs = spark.createDataFrame([("ghost",)], ["id"])  # not in the graph
+    out = betweenness_sampled(edges, srcs, max_hops=3)
+    assert out.count() == 0
+    assert out.columns == ["node", "betweenness"]
