@@ -1138,6 +1138,34 @@ def _q_a2_betweenness(spark, sf_dir):
     return bt.orderBy(F.desc("betweenness"), "node").limit(500)
 
 
+def _q_a2_node2vec_walks(spark, sf_dir):
+    """node2vec biased walks (graph_metrics.py:node2vec_walks, gds.node2vec
+    sampling; p=2 discourages backtracking, q=0.5 favors outward hops) over
+    the nation-family FK subgraph, full trajectories as path strings.  The
+    cumulative pick weights are integer prefix-counts × {0.5, 1, 2}, so the
+    oracle's window sums are exact under any evaluation order and the same
+    candidate wins in both engines."""
+    from cognee_graphdb_spark.operators.graph_metrics import node2vec_walks
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    walks = node2vec_walks(
+        fk, walk_length=3, num_walks=2, p=2.0, q=0.5, seed=3, hasher="md5_64"
+    )
+    return walks.groupBy("start", F.col("walk").cast("long").alias("walk")).agg(
+        F.concat_ws(
+            "->",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("step", "node"))),
+                lambda s: s["node"],
+            ),
+        ).alias("path"),
+        F.max("step").cast("long").alias("n_steps"),
+    )
+
+
 def _q_a2_walk_skipgrams(spark, sf_dir):
     """Skip-gram corpus from the same deterministic walks
     (graph_metrics.py:walk_skipgram_pairs — DeepWalk/node2vec's training-pair
@@ -2278,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_harmonic_closeness": _q_a2_harmonic_closeness,
         "a2_shortest_path_counts": _q_a2_shortest_path_counts,
         "a2_betweenness": _q_a2_betweenness,
+        "a2_node2vec_walks": _q_a2_node2vec_walks,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2324,14 +2353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
-        "a2_connected_components": _q_a2_components,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; cognify_node_counts + chunk_classification +
-        # memify_rules + code_graph_counts + dedup_incremental_index +
-        # a9_pagerank displaced by the new a2_random_walks +
-        # a2_walk_skipgrams + a2_harmonic_closeness +
-        # a2_shortest_path_counts + a2_betweenness + term_cooccurrence)
+        # r7 rows below; a2_connected_components + cognify_node_counts +
+        # chunk_classification + memify_rules + code_graph_counts +
+        # dedup_incremental_index + a9_pagerank displaced by the new
+        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
+        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
+        # term_cooccurrence)
+        "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
@@ -4144,12 +4174,13 @@ rwe AS MATERIALIZED (
   JOIN rwnn a ON s.src = a.id JOIN rwnn b ON s.dst = b.id
   WHERE s.src != s.dst
 )"""
-    _rw_core = f"""{_rw_graph},
+    _rw_adj = f"""{_rw_graph},
 rwadj AS MATERIALIZED (
   SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
          count(*) OVER (PARTITION BY u) AS degree
   FROM rwe
-),
+)"""
+    _rw_core = f"""{_rw_adj},
 f0 AS MATERIALIZED (
   SELECT h AS start, w.walk, h AS cur
   FROM rwnn CROSS JOIN (SELECT UNNEST([0, 1]) AS walk) w
@@ -4260,6 +4291,70 @@ SELECT nn.id AS node,
 FROM alld a JOIN btnn nn ON a.n = nn.h
 GROUP BY nn.id
 ORDER BY betweenness DESC, node LIMIT 500"""
+
+    # --- a2 node2vec walks: step 1 uniform (hash mod degree), steps 2..3
+    # second-order biased — integer prefix-count cumulative weights x
+    # {1/p=0.5, 1, 1/q=2}, last-candidate fallback for the r*W==W edge
+    # (graph_metrics.py:node2vec_walks, p=2 q=0.5 seed=3) ---------------------
+    _n2_steps = []
+    for _t in (2, 3):
+        _n2_thr_h = _md5_64(
+            f"concat(s.start, '|', s.walk, '|', {_t}, '|', s.prev, '|', s.cur)", 3
+        )
+        _n2_steps.append(f"""c{_t} AS MATERIALIZED (
+  SELECT f.start, f.walk, f.prev, f.cur, a.v, a.rnk, a.degree,
+         CASE WHEN a.v = f.prev THEN 0
+              WHEN EXISTS (SELECT 1 FROM rwe pe WHERE pe.u = f.prev AND pe.v = a.v) THEN 1
+              ELSE 2 END AS cls
+  FROM n2f{_t - 1} f JOIN rwadj a ON f.cur = a.u
+), s{_t}w AS MATERIALIZED (
+  SELECT *,
+    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+    SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk) AS ta,
+    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk) AS tb,
+    SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) OVER (PARTITION BY start, walk) AS tc
+  FROM c{_t}
+), n2f{_t} AS MATERIALIZED (
+  SELECT start, walk, cur AS prev, v AS cur FROM (
+    SELECT s.*,
+      ((CAST(s.ca - CASE WHEN s.cls = 0 THEN 1 ELSE 0 END AS DOUBLE) * 0.5
+        + CAST(s.cb - CASE WHEN s.cls = 1 THEN 1 ELSE 0 END AS DOUBLE))
+        + CAST(s.cc - CASE WHEN s.cls = 2 THEN 1 ELSE 0 END AS DOUBLE) * 2.0) AS cum_prev,
+      ((CAST(s.ca AS DOUBLE) * 0.5 + CAST(s.cb AS DOUBLE)) + CAST(s.cc AS DOUBLE) * 2.0) AS cum,
+      (CAST({_n2_thr_h} % 4503599627370496 AS DOUBLE) / 4503599627370496.0)
+        * ((CAST(s.ta AS DOUBLE) * 0.5 + CAST(s.tb AS DOUBLE)) + CAST(s.tc AS DOUBLE) * 2.0) AS thr
+    FROM s{_t}w s) z
+  WHERE z.cum_prev <= z.thr AND (z.thr < z.cum OR z.rnk = z.degree - 1)
+)""")
+    _n2_h1 = _md5_64("concat(f.start, '|', f.walk, '|', 1, '|', f.cur)", 3)
+    sql["a2_node2vec_walks"] = f"""WITH {g},
+{_rw_adj},
+n2f0 AS MATERIALIZED (
+  SELECT h AS start, w.walk, h AS prev, h AS cur
+  FROM rwnn CROSS JOIN (SELECT UNNEST([0, 1]) AS walk) w
+),
+n2f1 AS MATERIALIZED (
+  SELECT f.start, f.walk, f.cur AS prev, a.v AS cur
+  FROM n2f0 f JOIN rwadj a
+    ON a.u = f.cur AND a.rnk = {_n2_h1} % a.degree
+),
+{", ".join(_n2_steps)},
+n2res AS (
+  SELECT start, walk, 0 AS step, cur AS node FROM n2f0
+  UNION ALL SELECT start, walk, 1, cur FROM n2f1
+  UNION ALL SELECT start, walk, 2, cur FROM n2f2
+  UNION ALL SELECT start, walk, 3, cur FROM n2f3
+)
+SELECT n1.id AS start, CAST(r.walk AS BIGINT) AS walk,
+       string_agg(n2.id, '->' ORDER BY r.step) AS path,
+       CAST(max(r.step) AS BIGINT) AS n_steps
+FROM n2res r JOIN rwnn n1 ON r.start = n1.h JOIN rwnn n2 ON r.node = n2.h
+GROUP BY n1.id, r.walk"""
 
     # --- a2 walk skip-grams: the DeepWalk corpus stage (graph_metrics.py:
     # walk_skipgram_pairs over the same walks): ordered pairs within window 2

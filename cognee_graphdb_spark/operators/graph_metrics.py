@@ -757,6 +757,50 @@ def label_propagation(
     return nh.join(labels, nh.h == labels.u).select("id", "label")
 
 
+def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
+    """Shared walk-sampler state: (hashed distinct edge view, rank-ordered
+    adjacency with degree, id<->hash map over every endpoint) — ONE
+    definition for :func:`random_walks` and :func:`node2vec_walks`, or their
+    neighbor order desyncs from the driver oracles."""
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    base = edges.select("src", "dst")
+    if symmetric:
+        pairs = base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        pairs = base
+    eh = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pw = Window.partitionBy("u")
+    adj = eh.select(
+        "u",
+        "v",
+        (F.row_number().over(pw.orderBy("v")) - F.lit(1)).alias("rank"),
+        F.count(F.lit(1)).over(pw).alias("degree"),
+    ).localCheckpoint(eager=True)
+    # the id<->hash map doubles as the final hash->name join frame; walks
+    # start at every endpoint node
+    names = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    return eh, adj, names
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 4,
@@ -794,46 +838,13 @@ def random_walks(
     3 steps.  Reference family: neo4j gds procedures the adapter projects
     graphs for (neo4j_driver/adapter.py:1155-1196).
     """
-    from pyspark.sql.window import Window
-
-    from cognee_graphdb_spark.operators.dedup import _hash64
-
     if walk_length < 1 or num_walks < 1:
         raise ValueError("walk_length and num_walks must be >= 1")
 
-    base = edges.select("src", "dst")
-    if symmetric:
-        pairs = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    else:
-        pairs = base
-    eh = (
-        pairs.filter(F.col("src") != F.col("dst"))
-        .select(
-            _hash64(F.col("src"), 0, hasher).alias("u"),
-            _hash64(F.col("dst"), 0, hasher).alias("v"),
-        )
-        .distinct()
-    )
-    pw = Window.partitionBy("u")
-    adj = (
-        eh.select(
-            "u",
-            "v",
-            (F.row_number().over(pw.orderBy("v")) - F.lit(1)).alias("rank"),
-            F.count(F.lit(1)).over(pw).alias("degree"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    eh, adj, names = _walk_graph(edges, symmetric, hasher)
     deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
-    # start a walk at every endpoint node (the id<->hash map doubles as the
-    # final hash->name join frame)
-    names = (
-        pairs.select(F.col("src").alias("id"))
-        .unionByName(pairs.select(F.col("dst").alias("id")))
-        .distinct()
-        .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
-        .localCheckpoint(eager=True)
-    )
     frontier = names.select(
         F.col("h").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk"),
@@ -1075,6 +1086,165 @@ def betweenness_sampled(
                 lambda acc, x: acc + x["delta"],
             ).alias("betweenness")
         )
+    )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    symmetric: bool = True,
+) -> DataFrame:
+    """(walk, start, step, node): node2vec second-order biased walks (Grover
+    & Leskovec, KDD'16; gds.node2vec's sampling stage) — the return
+    parameter ``p`` and in-out parameter ``q`` bias each step toward
+    backtracking (weight 1/p), staying in the triangle neighborhood
+    (weight 1 for candidates adjacent to the PREVIOUS node), or exploring
+    outward (weight 1/q).  ``p = q = 1`` degenerates to uniform
+    (:func:`random_walks` is the cheaper first-order sampler for that case —
+    it needs no per-candidate weighting joins).
+
+    Determinism & cross-engine exactness: the weighted pick draws
+    r = hash(start|walk|step|prev|cur) / 2^52 in [0, 1) and selects the
+    candidate whose cumulative-weight interval contains r·W.  Cumulative
+    weights are NOT float running sums (window float aggregation is
+    implementation-ordered — DuckDB evaluates frames as segment trees):
+    they are three INTEGER prefix-counts (how many prior candidates were
+    return/triangle/outward) combined as (a·(1/p) + b) + c·(1/q) with fixed
+    parenthesization — integer window sums are exact under any evaluation
+    order, so both engines compute identical doubles.  The last candidate
+    absorbs the r·W == W rounding edge.
+
+    Step 1 has no previous node and uses :func:`random_walks`' uniform
+    hash-mod-degree rule.  Scale per step: one frontier×adjacency equi-join
+    (fan-out = degree), one (prev, candidate) equi-join against the edge set
+    for the triangle flag, one window pass over candidates keyed by the walk
+    — all co-partitioned on 8-byte hashes; frontier never exceeds
+    |nodes| × num_walks.
+    """
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if walk_length < 1 or num_walks < 1:
+        raise ValueError("walk_length and num_walks must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    eh, adj, names = _walk_graph(edges, symmetric, hasher)
+    deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
+    w0 = names.select(
+        F.col("h").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk"),
+        F.col("h").alias("cur"),
+    )
+    steps = [w0.select("start", "walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    # step 1: uniform, no previous node (random_walks' rule, t=1)
+    pick1 = w0.join(deg, w0.cur == deg.u).select(
+        "start",
+        "walk",
+        "cur",
+        F.pmod(
+            _hash64(
+                F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(1), F.col("cur")),
+                seed,
+                hasher,
+            ),
+            F.col("degree"),
+        ).alias("idx"),
+    )
+    frontier = (
+        pick1.join(adj, (pick1.cur == adj.u) & (pick1.idx == adj.rank))
+        .select("start", "walk", F.col("cur").alias("prev"), F.col("v").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    steps.append(
+        frontier.select("start", "walk", F.lit(1).alias("step"), F.col("cur").alias("node"))
+    )
+    tri = eh.select(F.col("u").alias("pu"), F.col("v").alias("pv"), F.lit(1).alias("tri"))
+    two52 = 1 << 52
+    for t in range(2, walk_length + 1):
+        cands = (
+            frontier.join(adj, frontier.cur == adj.u)
+            .select("start", "walk", "prev", "cur", "v", "rank", "degree")
+            .join(tri, (F.col("prev") == F.col("pu")) & (F.col("v") == F.col("pv")), "left")
+        )
+        cls = (
+            F.when(F.col("v") == F.col("prev"), F.lit(0))
+            .when(F.col("tri").isNotNull(), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        win = Window.partitionBy("start", "walk").orderBy("v")
+        run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        a = F.sum(F.when(cls == 0, 1).otherwise(0)).over(run)
+        b = F.sum(F.when(cls == 1, 1).otherwise(0)).over(run)
+        c = F.sum(F.when(cls == 2, 1).otherwise(0)).over(run)
+        at = F.sum(F.when(cls == 0, 1).otherwise(0)).over(full)
+        bt = F.sum(F.when(cls == 1, 1).otherwise(0)).over(full)
+        ct = F.sum(F.when(cls == 2, 1).otherwise(0)).over(full)
+
+        def _cum(x, y, z):
+            return (
+                x.cast("double") * F.lit(inv_p) + y.cast("double")
+            ) + z.cast("double") * F.lit(inv_q)
+
+        ind0 = F.when(cls == 0, 1).otherwise(0)
+        ind1 = F.when(cls == 1, 1).otherwise(0)
+        ind2 = F.when(cls == 2, 1).otherwise(0)
+        thr = (
+            F.pmod(
+                _hash64(
+                    F.concat_ws(
+                        "|",
+                        F.col("start"),
+                        F.col("walk"),
+                        F.lit(t),
+                        F.col("prev"),
+                        F.col("cur"),
+                    ),
+                    seed,
+                    hasher,
+                ),
+                F.lit(two52),
+            ).cast("double")
+            / F.lit(float(two52))
+        ) * _cum(at, bt, ct)
+        scored = cands.select(
+            "start",
+            "walk",
+            "cur",
+            "v",
+            "rank",
+            "degree",
+            _cum(a, b, c).alias("cum"),
+            _cum(a - ind0, b - ind1, c - ind2).alias("cum_prev"),
+            thr.alias("thr"),
+        )
+        frontier = (
+            scored.filter(
+                (F.col("cum_prev") <= F.col("thr"))
+                & ((F.col("thr") < F.col("cum")) | (F.col("rank") == F.col("degree") - 1))
+            )
+            .select("start", "walk", F.col("cur").alias("prev"), F.col("v").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        steps.append(
+            frontier.select(
+                "start", "walk", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return (
+        out.join(names.select(F.col("h").alias("start"), F.col("id").alias("start_id")), "start")
+        .join(names.select(F.col("h").alias("node"), F.col("id").alias("node_id")), "node")
+        .select("walk", F.col("start_id").alias("start"), "step", F.col("node_id").alias("node"))
     )
 
 

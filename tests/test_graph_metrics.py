@@ -961,3 +961,99 @@ def test_betweenness_isolated_sources_empty(spark):
     out = betweenness_sampled(edges, srcs, max_hops=3)
     assert out.count() == 0
     assert out.columns == ["node", "betweenness"]
+
+
+def _py_md5_64(x, seed):
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{x}".encode()).hexdigest()[:15], 16)
+
+
+def test_node2vec_matches_python_mirror(spark):
+    """Exact-trajectory parity with a from-scratch Python reimplementation of
+    the sampler (same md5 hashing, same integer-prefix-count cumulative
+    weights, same last-candidate fallback) on a seeded random graph — this
+    pins every detail an SQL oracle needs."""
+    import random as _r
+
+    from cognee_graphdb_spark.operators.graph_metrics import node2vec_walks
+
+    rng = _r.Random(5)
+    ids = [f"v{i}" for i in range(9)]
+    pairs = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(16)})
+    seed, p, q, L = 3, 2.0, 0.5, 4
+    got = {}
+    rows = node2vec_walks(
+        _edges_df(spark, pairs), walk_length=L, num_walks=2, p=p, q=q,
+        seed=seed, hasher="md5_64",
+    ).collect()
+    for r in rows:
+        got.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+
+    # --- python mirror ---
+    h = {i: _py_md5_64(i, 0) for i in ids}
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    adj = {n: sorted(und[n], key=lambda x: h[x]) for n in und}
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    exp = {}
+    for s in ids:
+        if s not in adj:
+            continue
+        for w in range(2):
+            path = {0: s}
+            cur = s
+            nbrs = adj[cur]
+            idx = _py_md5_64(f"{h[s]}|{w}|1|{h[cur]}", seed) % len(nbrs)
+            prev, cur = cur, nbrs[idx]
+            path[1] = cur
+            for t in range(2, L + 1):
+                cands = adj[cur]
+                cls = [
+                    0 if x == prev else (1 if x in und[prev] else 2) for x in cands
+                ]
+                wts = {0: inv_p, 1: 1.0, 2: inv_q}
+                a_c = b_c = c_c = 0
+                cums = []
+                for k in cls:
+                    a_c += k == 0
+                    b_c += k == 1
+                    c_c += k == 2
+                    cums.append((a_c * inv_p + b_c) + c_c * inv_q)
+                W = cums[-1]
+                r01 = (_py_md5_64(f"{h[s]}|{w}|{t}|{h[prev]}|{h[cur]}", seed) % (1 << 52)) / float(1 << 52)
+                thr = r01 * W
+                pick = len(cands) - 1  # last-candidate fallback
+                for i, cm in enumerate(cums):
+                    prev_cm = cums[i - 1] if i else 0.0
+                    if prev_cm <= thr < cm:
+                        pick = i
+                        break
+                prev, cur = cur, cands[pick]
+                path[t] = cur
+            exp[(s, w)] = path
+    assert got == exp
+
+
+def test_node2vec_high_p_avoids_backtrack(spark):
+    """Triangle abc + pendant c-d, huge p: from d the walk goes to c and then
+    must NOT return to d (return weight ~0 while a/b have weight 1/q)."""
+    from cognee_graphdb_spark.operators.graph_metrics import node2vec_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    rows = node2vec_walks(
+        _edges_df(spark, pairs), walk_length=3, num_walks=2, p=1e9, q=1.0, seed=1
+    ).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    for (s, w), path in by_walk.items():
+        if path[0] == "d":
+            assert path[1] == "c"
+            assert path[2] in ("a", "b"), path  # never back to d
+    import pytest as _p
+
+    with _p.raises(ValueError, match="> 0"):
+        node2vec_walks(_edges_df(spark, pairs), p=0.0)
