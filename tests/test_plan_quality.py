@@ -340,3 +340,14 @@ def test_shortest_path_and_betweenness_plans_stay_jvm_side(spark, toy_graph):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_node2vec_steps_are_equi_joins(spark, toy_graph):
+    """The biased steps add a (prev, candidate) triangle-flag join and a
+    window pass — still hash equi-joins, no cartesian, no Python worker."""
+    from cognee_graphdb_spark.operators.graph_metrics import node2vec_walks
+
+    _, edges = toy_graph
+    plan = plan_of(node2vec_walks(edges, walk_length=3, num_walks=1, p=2.0, q=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
