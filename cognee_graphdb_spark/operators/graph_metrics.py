@@ -1124,7 +1124,12 @@ def node2vec_walks(
     (fan-out = degree), one (prev, candidate) equi-join against the edge set
     for the triangle flag, one window pass over candidates keyed by the walk
     — all co-partitioned on 8-byte hashes; frontier never exceeds
-    |nodes| × num_walks.
+    |nodes| × num_walks.  The honest cost of EXACT second-order bias is the
+    per-step candidate fan-out: walks parked on a hub materialize
+    (walks-on-hub × hub-degree) candidate rows through a spillable WindowExec
+    sort (GDS pays the equivalent as O(E) alias tables).  On hub-heavy
+    graphs where that row count is prohibitive, :func:`random_walks` is the
+    first-order sampler whose picks never materialize candidates.
     """
     from pyspark.sql.window import Window
 
