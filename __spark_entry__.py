@@ -1185,6 +1185,30 @@ def _q_a2_walk_skipgrams(spark, sf_dir):
     return walk_skipgram_pairs(walks, window=2)
 
 
+def _q_a2_modularity(spark, sf_dir):
+    """Newman modularity of the 3-round LPA communities
+    (graph_metrics.py:modularity ∘ label_propagation — the gds community
+    metrics family): per-community exact-integer contributions
+    contrib_scaled = S*S_c - d_c², so Q = Σ/S² needs one division AFTER the
+    hash.  Composes two oracle-checked pieces; the oracle restates both."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        label_propagation,
+        modularity,
+    )
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = label_propagation(ids, fk, n_rounds=3, hasher="md5_64")
+    return modularity(fk, labels)
+
+
 def _q_a2_node_similarity(spark, sf_dir):
     """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
     gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
@@ -2307,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_shortest_path_counts": _q_a2_shortest_path_counts,
         "a2_betweenness": _q_a2_betweenness,
         "a2_node2vec_walks": _q_a2_node2vec_walks,
+        "a2_modularity": _q_a2_modularity,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2352,15 +2377,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
-        "td_curate_corpus": _q_td_curate_corpus,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; a2_connected_components + cognify_node_counts +
-        # chunk_classification + memify_rules + code_graph_counts +
-        # dedup_incremental_index + a9_pagerank displaced by the new
-        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
-        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
-        # term_cooccurrence)
+        # r7 rows below; td_curate_corpus + a2_connected_components +
+        # cognify_node_counts + chunk_classification + memify_rules +
+        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
+        # by the new a2_random_walks + a2_walk_skipgrams +
+        # a2_harmonic_closeness + a2_shortest_path_counts + a2_betweenness +
+        # a2_node2vec_walks + a2_modularity + term_cooccurrence)
+        "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
         "chunk_classification": _q_chunk_classification,
@@ -4137,8 +4162,7 @@ GROUP BY n.name, coreness"""
   FROM {_prev_l} l LEFT JOIN pk{_i} p ON l.u = p.u
 )""")
         _prev_l = f"l{_i}"
-    sql["a2_label_propagation"] = f"""WITH {g},
-nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+    _lp_core = f"""nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
 nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
 nfe AS MATERIALIZED (
@@ -4146,8 +4170,35 @@ nfe AS MATERIALIZED (
   WHERE u != v
 ),
 l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
-{", ".join(_lp_rounds)}
+{", ".join(_lp_rounds)}"""
+    sql["a2_label_propagation"] = f"""WITH {g},
+{_lp_core}
 SELECT u AS id, label FROM l3"""
+
+    # --- a2 modularity: Newman Q contributions of the 3-round LPA
+    # communities over the SAME undirected simple-graph view, exact integers:
+    # contrib_scaled = S*S_c - d_c^2 with S = |sym pairs|
+    # (graph_metrics.py:modularity over label_propagation output) ------------
+    sql["a2_modularity"] = f"""WITH {g},
+{_lp_core},
+tg AS MATERIALIZED (
+  SELECT a.label AS lu, b.label AS lv
+  FROM nfe e JOIN l3 a ON e.u = a.u JOIN l3 b ON e.v = b.u
+),
+stot AS (SELECT count(*) AS s_total FROM tg),
+win AS (SELECT lu AS label, count(*) AS sym_within FROM tg WHERE lu = lv GROUP BY lu),
+dgr AS (SELECT lu AS label, count(*) AS total_degree FROM tg GROUP BY lu),
+siz AS (SELECT label, count(*) AS n_nodes FROM l3 GROUP BY label)
+SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(win.sym_within, 0) AS BIGINT) AS sym_within,
+       CAST(COALESCE(dgr.total_degree, 0) AS BIGINT) AS total_degree,
+       CAST(stot.s_total AS BIGINT) AS s_total,
+       CAST(stot.s_total * COALESCE(win.sym_within, 0)
+            - COALESCE(dgr.total_degree, 0) * COALESCE(dgr.total_degree, 0) AS BIGINT)
+         AS contrib_scaled
+FROM siz LEFT JOIN win ON siz.label = win.label
+LEFT JOIN dgr ON siz.label = dgr.label
+CROSS JOIN stot"""
 
     # --- a2 random walks: 4 unrolled hash-guided steps (graph_metrics.py:
     # random_walks; neighbor = md5_64(start|walk|step|cur, seed 3) mod degree

@@ -801,6 +801,78 @@ def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
     return eh, adj, names
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, sym_within, total_degree, contrib_scaled): Newman
+    modularity contributions per community, in EXACT integer arithmetic —
+    the quality score that tells you whether :func:`label_propagation` (or
+    any clustering) found real structure (gds community metrics family).
+
+    Over the DISTINCT undirected simple-graph view with S = 2m directed
+    pairs: Q = sum_c [ S_c/S - (d_c/S)^2 ] where S_c counts within-community
+    pairs (both directions) and d_c the community's total degree.  Rather
+    than summing per-community FLOATS (order-dependent), this returns
+    contrib_scaled = S*S_c - d_c^2 per community, so
+    Q = sum(contrib_scaled) / S^2 with ONE division at the very end —
+    bit-exact in any engine, any partitioning.  ``s_total`` rides along on
+    every row for that final division.  Communities with no internal edges
+    (or no edges at all) still get a row with zeros via the label frame.
+
+    ``labels`` is an (id, label) frame, e.g. :func:`label_propagation`
+    output.  Scale: two label-lookup equi-joins on the edge view + three
+    partial aggregations — one pass over edges, label-sized results; S joins
+    back as a 1-row broadcast.
+    """
+    sym = _sym_edges(edges)
+    lab = labels.select(F.col("id").alias("u"), "label").distinct()
+    lu = lab.select("u", F.col("label").alias("lu"))
+    lv = lab.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+    tagged = sym.join(lu, sym.src == lu.u).join(lv, sym.dst == lv.v)
+    within = (
+        tagged.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("sym_within"))
+    )
+    degree = tagged.groupBy(F.col("lu").alias("label")).agg(
+        F.count(F.lit(1)).alias("total_degree")
+    )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    s_total = sym.agg(F.count(F.lit(1)).alias("s_total"))
+    out = (
+        sizes.join(within, "label", "left")
+        .join(degree, "label", "left")
+        .crossJoin(F.broadcast(s_total))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("sym_within", F.lit(0)).alias("sym_within"),
+            F.coalesce("total_degree", F.lit(0)).alias("total_degree"),
+            "s_total",
+        )
+    )
+    contrib = F.col("s_total") * F.col("sym_within") - F.col("total_degree") * F.col(
+        "total_degree"
+    )
+    return out.select(
+        "label",
+        "n_nodes",
+        "sym_within",
+        "total_degree",
+        "s_total",
+        contrib.cast("long").alias("contrib_scaled"),
+    )
+
+
+def modularity_score(per_community: DataFrame) -> float:
+    """Scalar Q from :func:`modularity` output — sum the exact integer
+    contributions, divide once (bounded collect: one row)."""
+    row = per_community.agg(
+        F.sum("contrib_scaled").alias("num"), F.first("s_total").alias("s")
+    ).collect()[0]
+    if not row["s"]:
+        return 0.0
+    return float(row["num"]) / float(row["s"] * row["s"])
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 4,

@@ -1057,3 +1057,32 @@ def test_node2vec_high_p_avoids_backtrack(spark):
 
     with _p.raises(ValueError, match="> 0"):
         node2vec_walks(_edges_df(spark, pairs), p=0.0)
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge, true communities: the
+    textbook value — m = 7, each community: L_c = 3, d_c = 7, so
+    Q = 2*(3/7 - (7/14)^2) = 5/14."""
+    from cognee_graphdb_spark.operators.graph_metrics import modularity, modularity_score
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    labels = spark.createDataFrame(
+        [(n, 1) for n in "abc"] + [(n, 2) for n in "xyz"], ["id", "label"]
+    )
+    per = modularity(_edges_df(spark, pairs), labels)
+    rows = {r["label"]: r for r in per.collect()}
+    assert rows[1]["n_nodes"] == 3 and rows[2]["n_nodes"] == 3
+    assert rows[1]["sym_within"] == 6 and rows[2]["sym_within"] == 6  # 2*L_c
+    assert rows[1]["total_degree"] == 7 and rows[2]["total_degree"] == 7
+    assert rows[1]["s_total"] == 14
+    assert rows[1]["contrib_scaled"] == 14 * 6 - 49 == 35
+    assert modularity_score(per) == pytest.approx(5 / 14)
+    # everything in one community: Q = 1 - 1 = 0
+    one = spark.createDataFrame([(n, 9) for n in "abcxyz"], ["id", "label"])
+    assert modularity_score(modularity(_edges_df(spark, pairs), one)) == pytest.approx(0.0)
+    # isolated-community row: a label with no edges gets zeros
+    labels_iso = labels.union(spark.createDataFrame([("ghost", 3)], ["id", "label"]))
+    per_iso = {r["label"]: r for r in modularity(_edges_df(spark, pairs), labels_iso).collect()}
+    assert per_iso[3]["sym_within"] == 0 and per_iso[3]["total_degree"] == 0
+    assert per_iso[3]["contrib_scaled"] == 0
