@@ -1185,6 +1185,26 @@ def _q_a2_walk_skipgrams(spark, sf_dir):
     return walk_skipgram_pairs(walks, window=2)
 
 
+def _q_a2_wl_refinement(spark, sf_dir):
+    """Weisfeiler–Lehman color refinement (graph_metrics.py:wl_refinement,
+    WL kernel family / structural dedup key): 2 rounds of
+    md5(own | sorted neighbor labels) over the nation-family FK subgraph
+    from the structural seed.  Pure string hashing over sorted multisets —
+    the oracle restates it with list(... ORDER BY) + array_to_string + md5."""
+    from cognee_graphdb_spark.operators.graph_metrics import wl_refinement
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return wl_refinement(ids, fk, n_rounds=2)
+
+
 def _q_a2_modularity(spark, sf_dir):
     """Newman modularity of the 3-round LPA communities
     (graph_metrics.py:modularity ∘ label_propagation — the gds community
@@ -2332,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_betweenness": _q_a2_betweenness,
         "a2_node2vec_walks": _q_a2_node2vec_walks,
         "a2_modularity": _q_a2_modularity,
+        "a2_wl_refinement": _q_a2_wl_refinement,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2376,15 +2397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
-        "v5_embed_knn": _q_v5_embed_knn,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; td_curate_corpus + a2_connected_components +
-        # cognify_node_counts + chunk_classification + memify_rules +
-        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
-        # by the new a2_random_walks + a2_walk_skipgrams +
-        # a2_harmonic_closeness + a2_shortest_path_counts + a2_betweenness +
-        # a2_node2vec_walks + a2_modularity + term_cooccurrence)
+        # r7 rows below; v5_embed_knn + td_curate_corpus +
+        # a2_connected_components + cognify_node_counts +
+        # chunk_classification + memify_rules + code_graph_counts +
+        # dedup_incremental_index + a9_pagerank displaced by the new
+        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
+        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
+        # a2_modularity + a2_wl_refinement + term_cooccurrence)
+        "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
         "cognify_node_counts": _q_cognify_counts,
@@ -4174,6 +4196,30 @@ l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
     sql["a2_label_propagation"] = f"""WITH {g},
 {_lp_core}
 SELECT u AS id, label FROM l3"""
+
+    # --- a2 WL refinement: 2 unrolled color-refinement rounds,
+    # md5(own '#' sorted-joined neighbor labels), structural seed md5('·')
+    # (graph_metrics.py:wl_refinement) ---------------------------------------
+    _wl_rounds = []
+    for _i in (1, 2):
+        _wl_rounds.append(f"""wc{_i} AS MATERIALIZED (
+  SELECT e.u AS id, array_to_string(list(l.wl ORDER BY l.wl), '|') AS ns
+  FROM nfe e JOIN w{_i - 1} l ON e.v = l.u GROUP BY e.u
+), w{_i} AS MATERIALIZED (
+  SELECT w.u, md5(concat(w.wl, '#', COALESCE(c.ns, ''))) AS wl
+  FROM w{_i - 1} w LEFT JOIN wc{_i} c ON w.u = c.id
+)""")
+    sql["a2_wl_refinement"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM nf UNION SELECT dst, src FROM nf) s
+  WHERE u != v
+),
+w0 AS MATERIALIZED (SELECT id AS u, md5('·') AS wl FROM nfn),
+{", ".join(_wl_rounds)}
+SELECT u AS id, wl AS wl_label FROM w2"""
 
     # --- a2 modularity: Newman Q contributions of the 3-round LPA
     # communities over the SAME undirected simple-graph view, exact integers:

@@ -801,6 +801,57 @@ def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
     return eh, adj, names
 
 
+def wl_refinement(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_rounds: int = 3,
+    label_col: str | None = None,
+) -> DataFrame:
+    """(id, wl_label): Weisfeiler–Lehman color refinement — each round every
+    node's label becomes md5(own label | sorted neighbor labels) over the
+    undirected simple-graph view.  After t rounds two nodes share a label
+    only if their t-hop rooted neighborhoods are (WL-)indistinguishable —
+    the classic structural-role fingerprint (WL graph kernels,
+    Shervashidze et al., JMLR'11) and a structural dedup key: hash the
+    sorted multiset of final labels and two graphs with different hashes are
+    guaranteed non-isomorphic.
+
+    Seeds from ``label_col`` (e.g. a type column) or the constant "·" for
+    pure structure.  Deterministic by construction — the neighbor multiset
+    is sorted before hashing, so the result is independent of partitioning
+    and restatable in SQL (md5 + list(... ORDER BY ...) + string concat).
+
+    Scale: per round one label-lookup equi-join + one grouped sorted-list
+    aggregation; rows are (8-byte-joinable id, 32-char label).  The
+    collect_list is per-node neighbor-sized — the same max-degree memory
+    bound node_similarity carries; lineage checkpoint-truncated per round.
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    seed = F.col(label_col).cast("string") if label_col else F.lit("·")
+    labels = nodes.select("id", F.md5(seed).alias("wl_label")).distinct()
+    sym = _sym_edges(edges).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), F.col("wl_label").alias("nl")), "dst"
+        ).select(F.col("src").alias("id"), "nl")
+        combined = (
+            nbr.groupBy("id")
+            .agg(F.concat_ws("|", F.array_sort(F.collect_list("nl"))).alias("ns"))
+        )
+        labels = (
+            labels.join(combined, "id", "left")
+            .select(
+                "id",
+                F.md5(
+                    F.concat(F.col("wl_label"), F.lit("#"), F.coalesce("ns", F.lit("")))
+                ).alias("wl_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """(label, n_nodes, sym_within, total_degree, contrib_scaled): Newman
     modularity contributions per community, in EXACT integer arithmetic —

@@ -1086,3 +1086,42 @@ def test_modularity_two_triangles_bridge(spark):
     per_iso = {r["label"]: r for r in modularity(_edges_df(spark, pairs), labels_iso).collect()}
     assert per_iso[3]["sym_within"] == 0 and per_iso[3]["total_degree"] == 0
     assert per_iso[3]["contrib_scaled"] == 0
+
+
+def test_wl_refinement_distinguishes_roles(spark):
+    """Path a-b-c-d-e after 2 rounds: ends {a,e} share a label, their
+    neighbors {b,d} share another, the center c is distinct from both —
+    WL color classes equal the structural orbits of the path."""
+    from cognee_graphdb_spark.operators.graph_metrics import wl_refinement
+
+    ids = list("abcde")
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = {
+        r["id"]: r["wl_label"]
+        for r in wl_refinement(_nodes_df(spark, ids), _edges_df(spark, pairs), 2).collect()
+    }
+    assert out["a"] == out["e"]
+    assert out["b"] == out["d"]
+    assert len({out["a"], out["b"], out["c"]}) == 3
+    # a 5-cycle is vertex-transitive: every node same label at any depth
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    got = {
+        r["wl_label"]
+        for r in wl_refinement(_nodes_df(spark, ids), _edges_df(spark, cyc), 3).collect()
+    }
+    assert len(got) == 1
+    # typed seeds split otherwise-symmetric nodes
+    typed = spark.createDataFrame(
+        [("a", "a", "T1"), ("e", "e", "T2")]
+        + [(i, i, "T0") for i in "bcd"],
+        ["id", "name", "type"],
+    )
+    out_t = {
+        r["id"]: r["wl_label"]
+        for r in wl_refinement(typed, _edges_df(spark, pairs), 2, label_col="type").collect()
+    }
+    assert out_t["a"] != out_t["e"]
+    import pytest as _p
+
+    with _p.raises(ValueError, match=">= 1"):
+        wl_refinement(_nodes_df(spark, ids), _edges_df(spark, pairs), 0)
