@@ -596,6 +596,23 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_fuzzy_names(spark, sf_dir):
+    """Entity name near-duplicates (dedup.py:fuzzy_name_matches): 3-gram
+    postings blocking + Levenshtein <= 2 over part names, aggregated to
+    distinct (name_a, name_b, distance) pairs with multiplicities.  ASCII
+    data by construction, so DuckDB's byte-level levenshtein == Spark's
+    character-level one (documented divergence on multibyte UTF-8)."""
+    from cognee_graphdb_spark.operators.dedup import fuzzy_name_matches
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    m = fuzzy_name_matches(part, max_distance=2, qgram=3, hasher="md5_64")
+    return m.groupBy("name_a", "name_b", "distance").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def _q_term_cooccurrence(spark, sf_dir):
     """Windowed PMI co-occurrence (text_analysis.py:term_cooccurrence — the
     word2vec/GloVe corpus statistic): stopword-filtered positions, window 3,
@@ -2369,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "term_cooccurrence": _q_term_cooccurrence,
+        "dedup_fuzzy_names": _q_dedup_fuzzy_names,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "a5_top_words": _q_a5_top_words,
@@ -2396,16 +2414,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
-        "cypher_list_ops": _q_cypher_list_ops,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; v5_embed_knn + td_curate_corpus +
+        # r7 rows below; cypher_list_ops + v5_embed_knn + td_curate_corpus +
         # a2_connected_components + cognify_node_counts +
         # chunk_classification + memify_rules + code_graph_counts +
         # dedup_incremental_index + a9_pagerank displaced by the new
         # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
         # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
-        # a2_modularity + a2_wl_refinement + term_cooccurrence)
+        # a2_modularity + a2_wl_refinement + term_cooccurrence +
+        # dedup_fuzzy_names)
+        "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
@@ -3150,6 +3169,30 @@ SELECT doc_id, CASE WHEN best = 0 THEN 'und' {lang_case} END AS pred_lang FROM b
 
     sql["doc_fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents"""
+
+    # entity name near-duplicates (dedup.py:fuzzy_name_matches): same 3-gram
+    # md5_64 postings blocking, same candidate dedup, byte==char levenshtein
+    # on the ASCII part names, aggregated to distinct name pairs
+    sql["dedup_fuzzy_names"] = f"""
+WITH nmz AS (
+  SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part
+  WHERE p_name IS NOT NULL AND length(trim(p_name)) > 0
+),
+gr AS (
+  SELECT DISTINCT id, nm, {_md5_64("g", 0)} AS gh FROM (
+    SELECT id, nm, unnest(CASE WHEN length(nm) >= 3
+        THEN list_transform(range(1, length(nm) - 1), i -> substr(nm, CAST(i AS INTEGER), 3))
+        ELSE [nm] END) AS g
+    FROM nmz) z
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+  FROM gr a JOIN gr b ON a.gh = b.gh AND a.id < b.id
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+GROUP BY name_a, name_b, distance"""
 
     # windowed PMI co-occurrence (text_analysis.py:term_cooccurrence):
     # stopword-filtered re-indexed positions, banded self-join, marginals and

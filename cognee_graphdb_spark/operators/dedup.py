@@ -648,3 +648,86 @@ def semdedup(
         final.join(dropped, "id", "left")
         .select("id", "cluster", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
     )
+
+
+def fuzzy_name_matches(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 2,
+    qgram: int = 3,
+    max_df: int | None = None,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, name_a, name_b, distance): entity near-duplicate pairs by
+    Levenshtein edit distance — the name-level resolution step an entity
+    dedup / relational-migration cleanup pipeline runs (the reference
+    normalizes entity names before keying nodes, ids.py:normalize_name; this
+    finds the pairs normalization alone cannot unify).
+
+    Candidate generation is q-gram postings blocking, NEVER all-pairs: names
+    are lowercased/trimmed, split into overlapping ``qgram``-substrings
+    (names shorter than ``qgram`` block on the whole string), and only pairs
+    sharing at least one q-gram are scored.  The standard q-gram count
+    filter guarantees two strings within edit distance k share at least
+    max(|a|,|b|) - qgram + 1 - k*qgram q-grams — ≥ 1 (recall-complete) when
+    the longer name has length ≥ (k+1)*qgram; shorter names may miss pairs
+    whose edits destroy every shared q-gram (documented approximation).
+    ``max_df`` drops grams present in more than that many names BEFORE the
+    postings self-join — the hot-token cap, same as :func:`jaccard_pairs`.
+
+    Scoring is Spark's built-in ``levenshtein`` (JVM codegen, character
+    exact).  NOTE for oracle writers: DuckDB's ``levenshtein`` is BYTE-based
+    — identical on ASCII, divergent on multibyte UTF-8; cross-engine checks
+    must use ASCII data or normalize first.
+
+    Scale: one posexplode (linear in total name length), one co-partitioned
+    postings equi-join on the 8-byte gram hash (quadratic ONLY within a
+    gram's posting list, capped by ``max_df``), distinct pair set, then the
+    edit-distance filter runs once per candidate pair inside codegen.
+    """
+    if max_distance < 0 or qgram < 1:
+        raise ValueError("max_distance must be >= 0 and qgram >= 1")
+    names = (
+        df.select(
+            F.col(id_col).alias("id"), F.lower(F.trim(F.col(name_col))).alias("nm")
+        )
+        .filter(F.col("nm").isNotNull() & (F.length("nm") > 0))
+        .distinct()
+    )
+    grams = names.select(
+        "id",
+        "nm",
+        F.explode(
+            F.when(
+                F.length("nm") >= qgram,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("nm") - qgram + 1),
+                    lambda i: F.col("nm").substr(i, F.lit(qgram)),
+                ),
+            ).otherwise(F.array(F.col("nm")))
+        ).alias("g"),
+    ).select("id", "nm", _hash64(F.col("g"), 0, hasher).alias("gh")).distinct()
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gh")
+        )
+        grams = grams.join(keep, "gh", "left_semi")
+    a = grams.select("gh", F.col("id").alias("id_a"), F.col("nm").alias("name_a"))
+    b = grams.select("gh", F.col("id").alias("id_b"), F.col("nm").alias("name_b"))
+    cands = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

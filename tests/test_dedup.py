@@ -222,3 +222,34 @@ def test_semdedup_deterministic_and_total(spark):
     assert a == b
     assert len(a) == emb.count()
     assert len({t[0] for t in a}) == len(a)
+
+
+def test_fuzzy_name_matches_hand_computed(spark):
+    """'red widget'~'red widgets' (1 edit), 'blue bolt'~'blue belt' (1),
+    'red widget' vs 'blue bolt' never a candidate pair at distance 2;
+    short names (< qgram) block on the whole string."""
+    from pyspark.sql import functions as F
+
+    from cognee_graphdb_spark.operators.dedup import fuzzy_name_matches
+
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgets"), (3, "blue bolt"),
+         (4, "blue belt"), (5, "ab"), (6, "ab"), (7, "xy")],
+        ["id", "name"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_name_matches(df, max_distance=2, qgram=3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(3, 4)] == 1
+    assert got[(5, 6)] == 0  # short names match via whole-string block
+    assert (1, 3) not in got and (5, 7) not in got
+    # max_df drops a hot gram: with max_df=1 every shared gram is "hot",
+    # so only pairs sharing a df<=1 gram survive — none do
+    none = fuzzy_name_matches(df, max_distance=2, qgram=3, max_df=1).count()
+    assert none == 0
+    import pytest as _p
+
+    with _p.raises(ValueError, match=">= 0"):
+        fuzzy_name_matches(df, max_distance=-1)
