@@ -1222,6 +1222,35 @@ def _q_a2_wl_refinement(spark, sf_dir):
     return wl_refinement(ids, fk, n_rounds=2)
 
 
+def _q_a2_incremental_components(spark, sf_dir):
+    """Incrementally-maintained connected components
+    (graph_metrics.py:incremental_components): the nation-family subgraph
+    ingested as two md5-parity edge batches — contract + rerun-on-touched +
+    remap — must produce the SAME partition structure as one full run (the
+    final assignment is batch-split-invariant; label-for-label equality with
+    the from-scratch run is pytest-pinned since representatives are
+    engine-internal min-xxhash64 ids).  Oracle: the region-tree size
+    histogram computed with plain joins."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.graph_metrics import incremental_components
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("n_regionkey", "c_nationkey", "s_nationkey")
+    )
+    par = F.pmod(
+        _hash64(F.concat_ws("|", F.col("src"), F.col("dst")), 0, "md5_64"), F.lit(2)
+    )
+    assign = incremental_components(None, fk.filter(par == 0))
+    assign = incremental_components(assign, fk.filter(par == 1))
+    return (
+        assign.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def _q_a2_modularity(spark, sf_dir):
     """Newman modularity of the 3-round LPA communities
     (graph_metrics.py:modularity ∘ label_propagation — the gds community
@@ -2370,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_node2vec_walks": _q_a2_node2vec_walks,
         "a2_modularity": _q_a2_modularity,
         "a2_wl_refinement": _q_a2_wl_refinement,
+        "a2_incremental_components": _q_a2_incremental_components,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2413,17 +2443,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
-        "cypher_union_having": _q_cypher_union_having,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; cypher_list_ops + v5_embed_knn + td_curate_corpus +
-        # a2_connected_components + cognify_node_counts +
-        # chunk_classification + memify_rules + code_graph_counts +
-        # dedup_incremental_index + a9_pagerank displaced by the new
-        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
-        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
-        # a2_modularity + a2_wl_refinement + term_cooccurrence +
-        # dedup_fuzzy_names)
+        # r7 rows below; cypher_union_having + cypher_list_ops +
+        # v5_embed_knn + td_curate_corpus + a2_connected_components +
+        # cognify_node_counts + chunk_classification + memify_rules +
+        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
+        # by the new a2_random_walks + a2_walk_skipgrams +
+        # a2_harmonic_closeness + a2_shortest_path_counts + a2_betweenness +
+        # a2_node2vec_walks + a2_modularity + a2_wl_refinement +
+        # a2_incremental_components + term_cooccurrence + dedup_fuzzy_names)
+        "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
@@ -4239,6 +4269,23 @@ l0 AS MATERIALIZED (SELECT id AS u, {_md5_64("id", 0)} AS label FROM nfn),
     sql["a2_label_propagation"] = f"""WITH {g},
 {_lp_core}
 SELECT u AS id, label FROM l3"""
+
+    # --- a2 incremental components: the final partition is batch-split-
+    # invariant, so the oracle is the SAME region-tree size histogram the
+    # full-run entry uses (graph_metrics.py:incremental_components) ----------
+    sql["a2_incremental_components"] = f"""WITH {g},
+per_region AS (SELECT n_regionkey AS region, count(*) AS nations FROM nation GROUP BY n_regionkey),
+cust AS (SELECT n.n_regionkey AS region, count(*) AS c
+         FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+supp AS (SELECT n.n_regionkey AS region, count(*) AS s
+         FROM supplier sp JOIN nation n ON sp.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+sizes AS (
+  SELECT p.region, 1 + p.nations + coalesce(cust.c, 0) + coalesce(supp.s, 0) AS component_size
+  FROM per_region p LEFT JOIN cust ON cust.region = p.region LEFT JOIN supp ON supp.region = p.region
+)
+SELECT CAST(component_size AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size"""
 
     # --- a2 WL refinement: 2 unrolled color-refinement rounds,
     # md5(own '#' sorted-joined neighbor labels), structural seed md5('·')

@@ -1125,3 +1125,40 @@ def test_wl_refinement_distinguishes_roles(spark):
 
     with _p.raises(ValueError, match=">= 1"):
         wl_refinement(_nodes_df(spark, ids), _edges_df(spark, pairs), 0)
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Label-for-label: ingesting a seeded random edge set in 3 batches
+    through incremental_components equals connected_components over the full
+    set — including a batch that MERGES two previously-separate components
+    and a batch of edges entirely inside one old component."""
+    import random as _r
+
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = _r.Random(13)
+    ids = [f"n{i}" for i in range(30)]
+    pairs = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(45)})
+    batches = [pairs[0::3], pairs[1::3], pairs[2::3]]
+    assign = None
+    for b in batches:
+        assign = incremental_components(assign, _edges_df(spark, b))
+    full_nodes = spark.createDataFrame(
+        [(x,) for x in sorted({n for p in pairs for n in p})], ["id"]
+    )
+    full = connected_components(full_nodes, _edges_df(spark, pairs))
+    got = sorted(map(tuple, assign.collect()))
+    exp = sorted(map(tuple, full.collect()))
+    assert got == exp
+    # explicit merge case: two chains, then one bridging edge
+    a1 = incremental_components(None, _edges_df(spark, [("a", "b"), ("x", "y")]))
+    a2 = incremental_components(a1, _edges_df(spark, [("b", "x")]))
+    comp = {r["id"]: r["component"] for r in a2.collect()}
+    assert len(set(comp.values())) == 1
+    assert set(comp) == {"a", "b", "x", "y"}
+    # intra-component batch is a no-op on the partition
+    a3 = incremental_components(a2, _edges_df(spark, [("a", "y")]))
+    assert {r["component"] for r in a3.collect()} == set(comp.values())
