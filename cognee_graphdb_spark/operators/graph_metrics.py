@@ -253,18 +253,21 @@ def incremental_components(
     ``cc_kwargs`` only if the from-scratch runs do too (labels must use one
     canonical rule across batches).
     """
+    # (src, dst) is the only required shape — ledger/stream batches often
+    # carry no relationship_name, which the underlying CC view selects
+    ne = new_edges.select("src", "dst", F.lit("ingested").alias("relationship_name"))
     ends = (
-        new_edges.select(F.col("src").alias("id"))
-        .unionByName(new_edges.select(F.col("dst").alias("id")))
+        ne.select(F.col("src").alias("id"))
+        .unionByName(ne.select(F.col("dst").alias("id")))
         .distinct()
     )
     if assignments is None:
-        return connected_components(ends, new_edges, **cc_kwargs)
+        return connected_components(ends, ne, **cc_kwargs)
     m = assignments.select("id", "component").localCheckpoint(eager=True)
     csrc = m.select(F.col("id").alias("src"), F.col("component").alias("rep_src"))
     cdst = m.select(F.col("id").alias("dst"), F.col("component").alias("rep_dst"))
     contracted = (
-        new_edges.select("src", "dst")
+        ne.select("src", "dst")
         .join(csrc, "src", "left")
         .join(cdst, "dst", "left")
         .select(

@@ -238,3 +238,58 @@ def test_near_dedup_redelivery_is_noop(spark, tmp_path):
     replay = near_dedup_batch(batch, idx, threshold=0.3)
     assert replay.isEmpty()
     assert spark.read.parquet(f"{idx}/signatures").count() == sig_rows
+
+
+def test_streaming_components_maintenance(spark, tmp_path):
+    """foreachBatch incremental components over a file edge stream: after two
+    micro-batches the persisted assignment equals a from-scratch CC over all
+    edges (label-for-label), a redelivered batch is a no-op, and the
+    previous version survives at <path>.old."""
+    import os
+
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+    from cognee_graphdb_spark.streaming.components import components_batch
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    assign = str(tmp_path / "assign")
+
+    def sink(batch, batch_id):
+        components_batch(batch, assign)
+
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"src": "a", "dst": "b"}) + "\n")
+        f.write(json.dumps({"src": "x", "dst": "y"}) + "\n")
+
+    def run():
+        q = (
+            spark.readStream.schema("src string, dst string").json(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r["id"]: r["component"] for r in spark.read.parquet(assign).collect()}
+    assert len(set(got1.values())) == 2
+    # batch 2 bridges the two components
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"src": "b", "dst": "x"}) + "\n")
+    run()
+    got2 = {r["id"]: r["component"] for r in spark.read.parquet(assign).collect()}
+    assert set(got2) == {"a", "b", "x", "y"} and len(set(got2.values())) == 1
+    assert os.path.isdir(assign + ".old")
+    # parity with from-scratch over all edges
+    all_edges = spark.createDataFrame(
+        [("a", "b", "r"), ("x", "y", "r"), ("b", "x", "r")],
+        ["src", "dst", "relationship_name"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in "abxy"], ["id"])
+    full = {r["id"]: r["component"] for r in connected_components(nodes, all_edges).collect()}
+    assert got2 == full
+    # redelivery: re-apply batch 2's edge directly — labels unchanged
+    replay = spark.createDataFrame([("b", "x")], ["src", "dst"])
+    after = {r["id"]: r["component"] for r in components_batch(replay, assign).collect()}
+    assert after == got2
