@@ -613,6 +613,26 @@ def _q_dedup_fuzzy_names(spark, sf_dir):
     )
 
 
+def _q_dedup_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution (dedup.py:fuzzy_name_matches ∘
+    dedup_clusters): blocked Levenshtein<=1 name matches collapsed by
+    transitive closure to a canonical min-id keeper per entity cluster —
+    the full ER pipeline a relational migration runs before keying graph
+    nodes.  Oracle: the same blocking+distance pairs fed to a recursive
+    reachability CTE with the same string-min keeper election."""
+    from cognee_graphdb_spark.operators.dedup import dedup_clusters, fuzzy_name_matches
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    m = fuzzy_name_matches(part, max_distance=1, qgram=3, hasher="md5_64")
+    return dedup_clusters(
+        part.select(F.col("id").alias("doc_id")),
+        m.select("id_a", "id_b"),
+        id_col="doc_id",
+    )
+
+
 def _q_term_cooccurrence(spark, sf_dir):
     """Windowed PMI co-occurrence (text_analysis.py:term_cooccurrence — the
     word2vec/GloVe corpus statistic): stopword-filtered positions, window 3,
@@ -2417,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "term_cooccurrence": _q_term_cooccurrence,
         "dedup_fuzzy_names": _q_dedup_fuzzy_names,
+        "dedup_entity_resolution": _q_dedup_entity_resolution,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "a5_top_words": _q_a5_top_words,
@@ -2442,17 +2463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_info": _q_mm_media_info,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
         "cypher_case": _q_cypher_case,
-        "cypher_undirected": _q_cypher_undirected,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; cypher_union_having + cypher_list_ops +
-        # v5_embed_knn + td_curate_corpus + a2_connected_components +
-        # cognify_node_counts + chunk_classification + memify_rules +
-        # code_graph_counts + dedup_incremental_index + a9_pagerank displaced
-        # by the new a2_random_walks + a2_walk_skipgrams +
-        # a2_harmonic_closeness + a2_shortest_path_counts + a2_betweenness +
-        # a2_node2vec_walks + a2_modularity + a2_wl_refinement +
-        # a2_incremental_components + term_cooccurrence + dedup_fuzzy_names)
+        # r7 rows below; cypher_undirected + cypher_union_having +
+        # cypher_list_ops + v5_embed_knn + td_curate_corpus +
+        # a2_connected_components + cognify_node_counts +
+        # chunk_classification + memify_rules + code_graph_counts +
+        # dedup_incremental_index + a9_pagerank displaced by the new
+        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
+        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
+        # a2_modularity + a2_wl_refinement + a2_incremental_components +
+        # term_cooccurrence + dedup_fuzzy_names + dedup_entity_resolution)
+        "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
@@ -3223,6 +3245,38 @@ SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM cand WHERE levenshtein(name_a, name_b) <= 2
 GROUP BY name_a, name_b, distance"""
+
+    # end-to-end entity resolution: the SAME blocking + levenshtein<=1 pairs,
+    # transitively closed by a recursive reachability CTE, min-string keeper
+    # (dedup.py:fuzzy_name_matches -> dedup_clusters)
+    sql["dedup_entity_resolution"] = f"""
+WITH RECURSIVE nmz AS (
+  SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part
+  WHERE p_name IS NOT NULL AND length(trim(p_name)) > 0
+),
+gr AS (
+  SELECT DISTINCT id, nm, {_md5_64("g", 0)} AS gh FROM (
+    SELECT id, nm, unnest(CASE WHEN length(nm) >= 3
+        THEN list_transform(range(1, length(nm) - 1), i -> substr(nm, CAST(i AS INTEGER), 3))
+        ELSE [nm] END) AS g
+    FROM nmz) z
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM gr a JOIN gr b ON a.gh = b.gh AND a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 1
+),
+ids AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS id FROM part),
+sym AS (
+  SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b FROM cand
+  UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM cand
+),
+reach(a, b) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS id, min(b) AS keeper_id FROM reach GROUP BY a"""
 
     # windowed PMI co-occurrence (text_analysis.py:term_cooccurrence):
     # stopword-filtered re-indexed positions, banded self-join, marginals and
