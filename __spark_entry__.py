@@ -1011,6 +1011,40 @@ def _q_a9_pagerank_personalized(spark, sf_dir):
     )
 
 
+def _q_a9_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (graph_metrics.py:pagerank(weight_col=...), GDS
+    relationshipWeightProperty) over the supplier→part shipment graph —
+    edge weight = lineitem multiplicity, so transitions follow shipment
+    volume, not mere adjacency.  Oracle: 10 unrolled iterations with the
+    precomputed w/W fractions in the same operand order, ppm-quantized
+    top-100."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    we = (
+        li.groupBy(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("wt"))
+    )
+    ids = (
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(
+        ids, we, damping=0.85, n_iter=10, weight_col="wt", edges_within_nodes=True
+    )
+    return (
+        pr.select(
+            "id", F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm")
+        )
+        .orderBy(F.desc("rank_ppm"), "id")
+        .limit(100)
+    )
+
+
 def _q_a2_kcore(spark, sf_dir):
     """k-core decomposition (graph_metrics.py:k_core, gds.kcore family): the
     3-core of the FK row graph, summarized per table as (member count, total
@@ -2420,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_modularity": _q_a2_modularity,
         "a2_wl_refinement": _q_a2_wl_refinement,
         "a2_incremental_components": _q_a2_incremental_components,
+        "a9_pagerank_weighted": _q_a9_pagerank_weighted,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
@@ -2462,10 +2497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_resize": _q_mm_jpeg_resize,
         "mm_media_info": _q_mm_media_info,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
-        "cypher_case": _q_cypher_case,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; cypher_undirected + cypher_union_having +
+        # r7 rows below; cypher_case + cypher_undirected +
+        # cypher_union_having +
         # cypher_list_ops + v5_embed_knn + td_curate_corpus +
         # a2_connected_components + cognify_node_counts +
         # chunk_classification + memify_rules + code_graph_counts +
@@ -2473,7 +2508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
         # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
         # a2_modularity + a2_wl_refinement + a2_incremental_components +
-        # term_cooccurrence + dedup_fuzzy_names + dedup_entity_resolution)
+        # term_cooccurrence + dedup_fuzzy_names + dedup_entity_resolution +
+        # a9_pagerank_weighted)
+        "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
         "cypher_list_ops": _q_cypher_list_ops,
@@ -4202,6 +4239,42 @@ nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM fk GROUP BY src),
 r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes CROSS JOIN nn),
 {", ".join(_pr_iters)}
+SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
+FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # weighted variant (graph_metrics.py:pagerank(weight_col=...)): the
+    # supplier->part shipment graph, edge weight = lineitem multiplicity,
+    # frac = w / W precomputed once, spread = rank * frac — same operand
+    # order as the operator's weighted branch
+    _pw_iters = []
+    _prev_r = "r0"
+    for _i in range(1, 11):
+        _pw_iters.append(f"""c{_i} AS MATERIALIZED (
+  SELECT f.dst AS id, SUM(r.rank * f.frac) AS c
+  FROM fr f JOIN {_prev_r} r ON f.src = r.id
+  GROUP BY f.dst
+), d{_i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM {_prev_r} r LEFT JOIN wsum s ON s.src = r.id WHERE s.src IS NULL
+), r{_i} AS MATERIALIZED (
+  SELECT a.id,
+         (CAST(1.0 AS DOUBLE) - {_d}) / nn.n
+         + {_d} * (COALESCE(c.c, CAST(0 AS DOUBLE)) + (SELECT dm FROM d{_i}) / nn.n) AS rank
+  FROM allnodes a CROSS JOIN nn LEFT JOIN c{_i} c ON a.id = c.id
+)""")
+        _prev_r = f"r{_i}"
+    sql["a9_pagerank_weighted"] = f"""WITH
+we AS MATERIALIZED (
+  SELECT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+wsum AS MATERIALIZED (SELECT src, SUM(w) AS ws FROM we GROUP BY src),
+fr AS MATERIALIZED (SELECT e.src, e.dst, e.w / s.ws AS frac FROM we e JOIN wsum s ON e.src = s.src),
+allnodes AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes CROSS JOIN nn),
+{", ".join(_pw_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
 

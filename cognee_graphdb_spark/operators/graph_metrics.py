@@ -363,6 +363,7 @@ def pagerank(
     tol: float | None = None,
     return_iterations: bool = False,
     edges_within_nodes: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, rank): PageRank by power iteration over the directed simple graph
     (distinct (src, dst) pairs; self-loops kept as ordinary edges).
@@ -396,6 +397,15 @@ def pagerank(
     of all nodes — p_i = 1/|S| for seeds else 0 — and dangling mass
     likewise returns to the seeds: rank = (1-d)·p + d·(contrib + dm·p).
     ``return_iterations`` returns (ranks, iterations_run) instead of ranks.
+
+    ``weight_col`` switches to weighted transitions (GDS's
+    relationshipWeightProperty): parallel (src, dst) edges sum their
+    weights, p(u→v) = w(u,v) / W(u), and the per-edge fraction is
+    precomputed ONCE so iterations stay one join + one multiply-sum;
+    non-positive aggregate weights are dropped (a zero-weight edge is no
+    edge), and nodes with no positive-weight out-edge are dangling exactly
+    like unweighted sinks.  The unweighted path's float arithmetic is
+    untouched (its oracles mirror ``rank / deg`` operand-for-operand).
     """
     # everything static is hoisted out of the loop and iterates on 8-byte
     # keys: per round only ONE join (pre-weighted edges ⋈ ranks), one
@@ -424,17 +434,37 @@ def pagerank(
     # Two one-time semi-joins; at scale AQE broadcasts nh when it fits, but a
     # caller GUARANTEEING edges ⊆ nodes×nodes (e.g. nodes derived from the
     # edge list) passes edges_within_nodes=True and skips both shuffles.
-    e = edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.xxhash64("src").alias("hs"),
+                F.xxhash64("dst").alias("hd"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("hs", "hd")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") > 0)
+        )
     if not edges_within_nodes:
         e = (
             e.join(nh.select(F.col("h").alias("hs")), "hs", "left_semi")
             .join(nh.select(F.col("h").alias("hd")), "hd", "left_semi")
         )
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    if weight_col is None:
+        deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    else:
+        deg = e.groupBy("hs").agg(F.sum("w").alias("deg")).localCheckpoint(eager=True)
     # deg is node-sized; AQE broadcast-joins it when it fits, else shuffles —
     # either way this runs ONCE, not once per round
-    ew = e.join(deg, "hs").localCheckpoint(eager=True)
+    ew = e.join(deg, "hs")
+    if weight_col is not None:
+        ew = ew.select("hs", "hd", (F.col("w") / F.col("deg")).alias("frac"))
+    ew = ew.localCheckpoint(eager=True)
     base_frame = (
         nh.select("h")
         .join(deg.select(F.col("hs").alias("h"), F.lit(False).alias("is_sink")), "h", "left")
@@ -468,9 +498,14 @@ def pagerank(
     prev_ck = ranks
     done = 0
     for it in range(n_iter):
+        spread = (
+            (F.col("rank") * F.col("frac"))
+            if weight_col is not None
+            else (F.col("rank") / F.col("deg"))
+        )
         contrib = (
             ew.join(ranks.select(F.col("h").alias("hs"), "rank"), "hs")
-            .select(F.col("hd").alias("h"), (F.col("rank") / F.col("deg")).alias("t"))
+            .select(F.col("hd").alias("h"), spread.alias("t"))
             .groupBy("h")
             .agg(F.sum("t").alias("c"))
         )

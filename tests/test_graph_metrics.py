@@ -1162,3 +1162,44 @@ def test_incremental_components_equals_full_recompute(spark):
     # intra-component batch is a no-op on the partition
     a3 = incremental_components(a2, _edges_df(spark, [("a", "y")]))
     assert {r["component"] for r in a3.collect()} == set(comp.values())
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """Weighted transitions vs a numpy power iteration with the same
+    damping/dangling rules on a 4-node weighted digraph (parallel edges
+    summed, zero-weight edge dropped, c a weighted sink)."""
+    import numpy as np
+
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    rows = [
+        ("a", "b", 3.0), ("a", "c", 1.0),
+        ("b", "c", 2.0), ("b", "c", 2.0),   # parallel: sums to 4
+        ("b", "d", 1.0), ("d", "a", 5.0),
+        ("a", "d", 0.0),                     # zero weight: dropped
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst", "wt"])
+    nodes = spark.createDataFrame([(i,) for i in "abcd"], ["id"])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iter=10, weight_col="wt").collect()
+    }
+    idx = {k: i for i, k in enumerate("abcd")}
+    w = np.zeros((4, 4))
+    w[idx["a"], idx["b"]] = 3.0
+    w[idx["a"], idx["c"]] = 1.0
+    w[idx["b"], idx["c"]] = 4.0
+    w[idx["b"], idx["d"]] = 1.0
+    w[idx["d"], idx["a"]] = 5.0
+    out = w.sum(axis=1)
+    r = np.full(4, 0.25)
+    for _ in range(10):
+        contrib = np.zeros(4)
+        for i in range(4):
+            if out[i] > 0:
+                contrib += r[i] * w[i] / out[i]
+        dm = sum(r[i] for i in range(4) if out[i] == 0)
+        r = 0.15 / 4 + 0.85 * (contrib + dm / 4)
+    for k, i in idx.items():
+        assert got[k] == pytest.approx(r[i], rel=1e-9), k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
