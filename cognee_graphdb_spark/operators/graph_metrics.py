@@ -860,13 +860,11 @@ def label_propagation(
     return nh.join(labels, nh.h == labels.u).select("id", "label")
 
 
-def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
-    """Shared walk-sampler state: (hashed distinct edge view, rank-ordered
-    adjacency with degree, id<->hash map over every endpoint) — ONE
-    definition for :func:`random_walks` and :func:`node2vec_walks`, or their
-    neighbor order desyncs from the driver oracles."""
-    from pyspark.sql.window import Window
-
+def _hashed_edge_view(edges: DataFrame, symmetric: bool, hasher: str):
+    """(eh, names): the hashed distinct simple-graph edge view and the
+    id<->hash map over every endpoint — ONE definition for the walk samplers
+    and :func:`shortest_path_counts`, or their edge semantics desync from
+    the driver oracles.  ``names`` doubles as the final hash->id join frame."""
     from cognee_graphdb_spark.operators.dedup import _hash64
 
     base = edges.select("src", "dst")
@@ -885,15 +883,6 @@ def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    pw = Window.partitionBy("u")
-    adj = eh.select(
-        "u",
-        "v",
-        (F.row_number().over(pw.orderBy("v")) - F.lit(1)).alias("rank"),
-        F.count(F.lit(1)).over(pw).alias("degree"),
-    ).localCheckpoint(eager=True)
-    # the id<->hash map doubles as the final hash->name join frame; walks
-    # start at every endpoint node
     names = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -901,7 +890,51 @@ def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
         .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
         .localCheckpoint(eager=True)
     )
-    return eh, adj, names
+    return eh, names
+
+
+def _walk_graph(edges: DataFrame, symmetric: bool, hasher: str):
+    """Shared walk-sampler state on top of :func:`_hashed_edge_view`:
+    (edge view, rank-ordered adjacency with degree, per-node degree frame,
+    id<->hash map) — ONE definition for :func:`random_walks` and
+    :func:`node2vec_walks`, or their neighbor order desyncs from the driver
+    oracles."""
+    from pyspark.sql.window import Window
+
+    eh, names = _hashed_edge_view(edges, symmetric, hasher)
+    pw = Window.partitionBy("u")
+    adj = eh.select(
+        "u",
+        "v",
+        (F.row_number().over(pw.orderBy("v")) - F.lit(1)).alias("rank"),
+        F.count(F.lit(1)).over(pw).alias("degree"),
+    ).localCheckpoint(eager=True)
+    deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
+    return eh, adj, deg, names
+
+
+def _uniform_pick(frontier: DataFrame, deg: DataFrame, adj: DataFrame, t: int, seed: int, hasher: str):
+    """One hash-mod-degree neighbor pick: frontier (start, walk, cur) ->
+    (start, walk, prev, cur) — the uniform step rule shared by
+    :func:`random_walks` (every step) and :func:`node2vec_walks` (step 1)."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    pick = frontier.join(deg, frontier.cur == deg.u).select(
+        "start",
+        "walk",
+        "cur",
+        F.pmod(
+            _hash64(
+                F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(t), F.col("cur")),
+                seed,
+                hasher,
+            ),
+            F.col("degree"),
+        ).alias("idx"),
+    )
+    return pick.join(adj, (pick.cur == adj.u) & (pick.idx == adj.rank)).select(
+        "start", "walk", F.col("cur").alias("prev"), F.col("v").alias("cur")
+    )
 
 
 def wl_refinement(
@@ -931,7 +964,15 @@ def wl_refinement(
     """
     if n_rounds < 1:
         raise ValueError("n_rounds must be >= 1")
-    seed = F.col(label_col).cast("string") if label_col else F.lit("·")
+    # a NULL typed seed must not poison the node (md5(NULL)=NULL propagates
+    # through every round and collect_list drops NULLs from neighbors'
+    # multisets, silently breaking the non-isomorphism guarantee) — map it
+    # to a sentinel no real label collides with
+    seed = (
+        F.coalesce(F.col(label_col).cast("string"), F.lit("\x00null"))
+        if label_col
+        else F.lit("·")
+    )
     labels = nodes.select("id", F.md5(seed).alias("wl_label")).distinct()
     sym = _sym_edges(edges).localCheckpoint(eager=True)
     for _ in range(n_rounds):
@@ -990,7 +1031,11 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total_degree")
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
-    s_total = sym.agg(F.count(F.lit(1)).alias("s_total"))
+    # S counts the LABEL-COVERED edge view (both endpoints labeled) — the
+    # same view S_c and d_c count, so Q is Newman Q of the labeled subgraph
+    # even when ``labels`` covers only part of the graph (mixing denominators
+    # would mis-scale Q for partial clusterings)
+    s_total = tagged.agg(F.count(F.lit(1)).alias("s_total"))
     out = (
         sizes.join(within, "label", "left")
         .join(degree, "label", "left")
@@ -1067,10 +1112,7 @@ def random_walks(
     if walk_length < 1 or num_walks < 1:
         raise ValueError("walk_length and num_walks must be >= 1")
 
-    from cognee_graphdb_spark.operators.dedup import _hash64
-
-    eh, adj, names = _walk_graph(edges, symmetric, hasher)
-    deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
+    eh, adj, deg, names = _walk_graph(edges, symmetric, hasher)
     frontier = names.select(
         F.col("h").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk"),
@@ -1078,22 +1120,9 @@ def random_walks(
     )
     steps = [frontier.select("start", "walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
     for t in range(1, walk_length + 1):
-        pick = frontier.join(deg, frontier.cur == deg.u).select(
-            "start",
-            "walk",
-            "cur",
-            F.pmod(
-                _hash64(
-                    F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(t), F.col("cur")),
-                    seed,
-                    hasher,
-                ),
-                F.col("degree"),
-            ).alias("idx"),
+        frontier = _uniform_pick(frontier, deg, adj, t, seed, hasher).select(
+            "start", "walk", "cur"
         )
-        frontier = pick.join(
-            adj, (pick.cur == adj.u) & (pick.idx == adj.rank)
-        ).select("start", "walk", F.col("v").alias("cur"))
         if t % 3 == 0 and t < walk_length:
             frontier = frontier.localCheckpoint(eager=True)
         steps.append(
@@ -1144,29 +1173,7 @@ def shortest_path_counts(
 
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    base = edges.select("src", "dst")
-    if symmetric:
-        pairs = base.unionByName(
-            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    else:
-        pairs = base
-    eh = (
-        pairs.filter(F.col("src") != F.col("dst"))
-        .select(
-            _hash64(F.col("src"), 0, hasher).alias("u"),
-            _hash64(F.col("dst"), 0, hasher).alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    names = (
-        pairs.select(F.col("src").alias("id"))
-        .unionByName(pairs.select(F.col("dst").alias("id")))
-        .distinct()
-        .select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
-        .localCheckpoint(eager=True)
-    )
+    eh, names = _hashed_edge_view(edges, symmetric, hasher)
     src_h = (
         sources.select(_hash64(F.col("id"), 0, hasher).alias("s"))
         .distinct()
@@ -1366,8 +1373,7 @@ def node2vec_walks(
     if p <= 0 or q <= 0:
         raise ValueError("p and q must be > 0")
     inv_p, inv_q = 1.0 / p, 1.0 / q
-    eh, adj, names = _walk_graph(edges, symmetric, hasher)
-    deg = adj.select("u", "degree").groupBy("u").agg(F.first("degree").alias("degree"))
+    eh, adj, deg, names = _walk_graph(edges, symmetric, hasher)
     w0 = names.select(
         F.col("h").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk"),
@@ -1375,24 +1381,7 @@ def node2vec_walks(
     )
     steps = [w0.select("start", "walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
     # step 1: uniform, no previous node (random_walks' rule, t=1)
-    pick1 = w0.join(deg, w0.cur == deg.u).select(
-        "start",
-        "walk",
-        "cur",
-        F.pmod(
-            _hash64(
-                F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(1), F.col("cur")),
-                seed,
-                hasher,
-            ),
-            F.col("degree"),
-        ).alias("idx"),
-    )
-    frontier = (
-        pick1.join(adj, (pick1.cur == adj.u) & (pick1.idx == adj.rank))
-        .select("start", "walk", F.col("cur").alias("prev"), F.col("v").alias("cur"))
-        .localCheckpoint(eager=True)
-    )
+    frontier = _uniform_pick(w0, deg, adj, 1, seed, hasher).localCheckpoint(eager=True)
     steps.append(
         frontier.select("start", "walk", F.lit(1).alias("step"), F.col("cur").alias("node"))
     )
@@ -1695,9 +1684,13 @@ def approx_harmonic_closeness(
     ``n_rounds`` hops (Boldi & Vigna, "Axioms for centrality": harmonic
     handles disconnected graphs where classic closeness degenerates).
     Estimated per node as sum_t (|ball(v,t)| - |ball(v,t-1)|) / t with ball
-    sizes read off the node's HLL sketch each round; register-wise max is
-    monotone, so the per-node estimates never decrease and every delta is
-    >= 0.
+    sizes read off the node's HLL sketch each round.  In ``raw`` mode
+    register-wise max is monotone, so the per-node estimates never decrease
+    and every delta is >= 0 by construction; in ``corrected`` mode the
+    estimator can SWITCH branches between rounds (linear counting -> raw as
+    the ball grows past 2.5m), which can dip the rounded estimate, so
+    corrected deltas are clamped at 0 to keep h_scaled a truncated harmonic
+    sum rather than letting a branch switch subtract mass.
 
     Exactness contract: ``h_scaled`` = sum_t delta_t * (L/t) with
     L = lcm(1..n_rounds) — ALL integer arithmetic once each per-round
@@ -1752,10 +1745,15 @@ def approx_harmonic_closeness(
         sk = _hll_round(und, sk)
         cur = cur.join(sk.select("u", est_col().alias(f"e{t}")), "u")
     big_l = math.lcm(*range(1, n_rounds + 1))
-    h_scaled = sum(
-        (F.col(f"e{t}") - F.col(f"e{t - 1}")) * F.lit(big_l // t)
-        for t in range(1, n_rounds + 1)
-    )
+
+    def _delta(t):
+        d = F.col(f"e{t}") - F.col(f"e{t - 1}")
+        # raw mode is monotone by construction (register-wise max only grows
+        # HLL mass) and its exact arithmetic is what the oracle restates;
+        # corrected mode can dip when the estimator switches branches
+        return d if output == "raw" else F.greatest(d, F.lit(0).cast("long"))
+
+    h_scaled = sum(_delta(t) * F.lit(big_l // t) for t in range(1, n_rounds + 1))
     return cur.join(nh, cur.u == nh.h).select(
         "id",
         h_scaled.cast("long").alias("h_scaled"),

@@ -5,10 +5,13 @@ an always-current component assignment without re-running CC over history
 every micro-batch.  ``components_batch`` is the ``foreachBatch`` body: it
 feeds each batch's edges through
 :func:`cognee_graphdb_spark.operators.graph_metrics.incremental_components`
-against the PERSISTED assignment table and atomically replaces it — per-batch
-cost is proportional to the new edges and the components they touch, never to
-stream history, and state lives in parquet, not streaming operator memory
-(the same state discipline as streaming/dedup.py's near-dup registry).
+against the PERSISTED assignment table and replaces it — per-batch COMPUTE is
+proportional to the new edges and the components they touch, never to stream
+history, and state lives in parquet, not streaming operator memory (the same
+state discipline as streaming/dedup.py's near-dup registry).  The state
+PERSIST, by contrast, is a full O(|V|) snapshot rewrite each batch — parquet
+has no in-place update; route the assignment through the GraphStore MERGE
+backend instead when the node universe is large relative to batch size.
 
 Exactness: the assignment after N batches equals ``connected_components``
 over the union of all N batches' edges, label-for-label (canonical min-hash
@@ -43,8 +46,17 @@ def components_batch(batch: DataFrame, assign_path: str) -> DataFrame:
     spark = batch.sparkSession
     edges = batch.select("src", "dst")
     prev = None
+    retired = assign_path.rstrip("/") + ".old"
     if os.path.isdir(assign_path):
         prev = spark.read.parquet(assign_path)
+    elif os.path.isdir(retired):
+        # crash landed between the two renames of a previous swap: the
+        # current pointer is gone but the retired copy IS the last committed
+        # state — resume from it.  The batch that crashed mid-swap gets
+        # re-applied by the streaming engine, and re-applying a batch is a
+        # no-op on labels (its edges contract to intra-component edges), so
+        # recovery is exact.
+        prev = spark.read.parquet(retired)
     updated = incremental_components(prev, edges)
     tmp = tempfile.mkdtemp(
         prefix=".components_", dir=os.path.dirname(assign_path.rstrip("/")) or "."

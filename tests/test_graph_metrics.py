@@ -1203,3 +1203,60 @@ def test_weighted_pagerank_vs_numpy(spark):
     for k, i in idx.items():
         assert got[k] == pytest.approx(r[i], rel=1e-9), k
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_wl_refinement_null_typed_seed_not_poisonous(spark):
+    """A NULL in label_col must not produce NULL wl_labels or erase the node
+    from neighbors' multisets: path a-b with b.type NULL — a's round-1 label
+    must differ from an isolated a's (b is visible), and no label is NULL."""
+    from cognee_graphdb_spark.operators.graph_metrics import wl_refinement
+
+    typed = spark.createDataFrame(
+        [("a", "a", "T1"), ("b", "b", None)], ["id", "name", "type"]
+    )
+    out = {
+        r["id"]: r["wl_label"]
+        for r in wl_refinement(typed, _edges_df(spark, [("a", "b")]), 1, label_col="type").collect()
+    }
+    assert None not in out.values() and set(out) == {"a", "b"}
+    lone = spark.createDataFrame([("a", "a", "T1")], ["id", "name", "type"])
+    lone_edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
+    alone = {
+        r["id"]: r["wl_label"]
+        for r in wl_refinement(lone, lone_edges, 1, label_col="type").collect()
+    }
+    assert out["a"] != alone["a"]
+
+
+def test_harmonic_corrected_deltas_clamped(spark):
+    """Corrected-mode h_scaled is never negative even where the estimator
+    switches branches between rounds (raw mode is monotone by construction)."""
+    import random as _r
+
+    from cognee_graphdb_spark.operators.graph_metrics import approx_harmonic_closeness
+
+    rng = _r.Random(3)
+    ids = [f"n{i}" for i in range(40)]
+    pairs = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(80)})
+    for mode in ("corrected", "raw"):
+        rows = approx_harmonic_closeness(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_rounds=4, m=16, output=mode
+        ).collect()
+        assert all(r["h_scaled"] >= 0 for r in rows), mode
+
+
+def test_modularity_partial_labels_scope_is_labeled_subgraph(spark):
+    """Labels covering only one triangle of the two-triangle bridge graph:
+    S counts only the label-covered edges (6 sym pairs), so the single
+    community has contrib 6*6 - 6^2 = 0 and Q = 0 — Newman Q of the LABELED
+    subgraph, not a mixed-denominator artifact."""
+    from cognee_graphdb_spark.operators.graph_metrics import modularity, modularity_score
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    labels = spark.createDataFrame([(n, 1) for n in "abc"], ["id", "label"])
+    per = modularity(_edges_df(spark, pairs), labels)
+    row = per.collect()[0]
+    assert row["s_total"] == 6 and row["sym_within"] == 6 and row["total_degree"] == 6
+    assert row["contrib_scaled"] == 0
+    assert modularity_score(per) == 0.0

@@ -293,3 +293,23 @@ def test_streaming_components_maintenance(spark, tmp_path):
     replay = spark.createDataFrame([("b", "x")], ["src", "dst"])
     after = {r["id"]: r["component"] for r in components_batch(replay, assign).collect()}
     assert after == got2
+
+
+def test_streaming_components_crash_recovery_from_retired(spark, tmp_path):
+    """Crash between the two swap renames leaves only <path>.old: the next
+    batch must resume from the retired copy (and re-applying the lost batch
+    is a label no-op), not silently restart from scratch."""
+    import os
+    import shutil
+
+    from cognee_graphdb_spark.streaming.components import components_batch
+
+    assign = str(tmp_path / "assign")
+    b1 = spark.createDataFrame([("a", "b"), ("x", "y")], ["src", "dst"])
+    components_batch(b1, assign)
+    # simulate the mid-swap crash: pointer gone, retired copy present
+    shutil.rmtree(assign + ".old", ignore_errors=True)
+    os.rename(assign, assign + ".old")
+    b2 = spark.createDataFrame([("b", "x")], ["src", "dst"])
+    got = {r["id"]: r["component"] for r in components_batch(b2, assign).collect()}
+    assert set(got) == {"a", "b", "x", "y"} and len(set(got.values())) == 1
