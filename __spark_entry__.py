@@ -4456,8 +4456,9 @@ SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
        CAST(COALESCE(win.sym_within, 0) AS BIGINT) AS sym_within,
        CAST(COALESCE(dgr.total_degree, 0) AS BIGINT) AS total_degree,
        CAST(stot.s_total AS BIGINT) AS s_total,
-       CAST(stot.s_total * COALESCE(win.sym_within, 0)
-            - COALESCE(dgr.total_degree, 0) * COALESCE(dgr.total_degree, 0) AS BIGINT)
+       CAST(CAST(stot.s_total AS HUGEINT) * COALESCE(win.sym_within, 0)
+            - CAST(COALESCE(dgr.total_degree, 0) AS HUGEINT)
+              * COALESCE(dgr.total_degree, 0) AS DECIMAL(38,0))
          AS contrib_scaled
 FROM siz LEFT JOIN win ON siz.label = win.label
 LEFT JOIN dgr ON siz.label = dgr.label

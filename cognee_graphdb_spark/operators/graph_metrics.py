@@ -706,9 +706,25 @@ def coreness(
             .distinct()
         )
     else:
-        raise RuntimeError(
-            f"coreness did not converge in {max_rounds} rounds; raise max_rounds"
+        # Boundary: the fixpoint may be REACHED on exactly the max_rounds-th
+        # update — convergence is only observable one round later.  Run one
+        # verification recompute before declaring failure (same off-by-one
+        # class as k_core's boundary-convergence pass).
+        scope = und if affected is None else und.join(affected, "u", "left_semi")
+        nbr = scope.join(
+            c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
+        ).select("u", "cv")
+        upd = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("nc"))
+            .join(c, "u")
+            .filter(F.col("nc") != F.col("c"))
         )
+        if upd.limit(1).count() != 0:
+            raise RuntimeError(
+                f"coreness did not converge in {max_rounds} rounds; raise max_rounds"
+            )
     out = (
         nh.join(c, nh.h == c.u, "left")
         .select("id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("coreness"))
@@ -973,7 +989,17 @@ def wl_refinement(
         if label_col
         else F.lit("·")
     )
-    labels = nodes.select("id", F.md5(seed).alias("wl_label")).distinct()
+    # collapse to ONE seed per id: an id carrying two distinct label values
+    # would otherwise survive .distinct() as duplicate (id, wl_label) rows
+    # that persist through every round and double-count the node in its
+    # neighbors' multisets.  md5 over the sorted distinct label set is
+    # deterministic and, for the common single-label case, identical to
+    # md5(label) (concat_ws of a singleton is the bare string).
+    labels = (
+        nodes.select("id", seed.alias("s0"))
+        .groupBy("id")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_set("s0")))).alias("wl_label"))
+    )
     sym = _sym_edges(edges).localCheckpoint(eager=True)
     for _ in range(n_rounds):
         nbr = sym.join(
@@ -1048,16 +1074,19 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "s_total",
         )
     )
-    contrib = F.col("s_total") * F.col("sym_within") - F.col("total_degree") * F.col(
-        "total_degree"
-    )
+    # exact arithmetic in decimal(38,0): S*S_c and d_c^2 reach S^2, which
+    # wraps BIGINT silently (non-ANSI Spark) once S = 2m exceeds ~3.0e9
+    # (m > ~1.5e9 edges) — exactly the 100 TB regime.  decimal(19,0) inputs
+    # multiply to decimal(38,0); values stay far below 10^38.
+    d = lambda c: F.col(c).cast("decimal(19,0)")
+    contrib = d("s_total") * d("sym_within") - d("total_degree") * d("total_degree")
     return out.select(
         "label",
         "n_nodes",
         "sym_within",
         "total_degree",
         "s_total",
-        contrib.cast("long").alias("contrib_scaled"),
+        contrib.cast("decimal(38,0)").alias("contrib_scaled"),
     )
 
 
@@ -1765,6 +1794,10 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> int:
     """Smallest round t with N(t) >= q * N(t_max), from
     :func:`approx_neighborhood_function` output."""
     rows = sorted(nf.collect(), key=lambda r: r["round"])
+    if not rows:
+        # empty neighborhood-function frame (e.g. ANF over an empty node
+        # set): the diameter of nothing is 0, not an IndexError
+        return 0
     target = q * rows[-1]["nf_est"]
     for r in rows:
         if r["nf_est"] >= target:
@@ -1772,8 +1805,24 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> int:
     return int(rows[-1]["round"])
 
 
-def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = False) -> dict:
-    """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424)."""
+def graph_metrics(
+    nodes: DataFrame,
+    edges: DataFrame,
+    include_paths: bool = False,
+    max_sizes: int = 1_000_000,
+) -> dict:
+    """The A2 metric dict (shape of ground_truth_metrics.json / adapter.py:1353-1424).
+
+    ``sizes_of_connected_components`` is a DRIVER-side list; a 100 TB graph
+    has tens of millions of (mostly singleton) components and collecting them
+    all is a driver OOM.  The list is therefore bounded at ``max_sizes``
+    entries (largest-first, TakeOrderedAndProject — no global sort
+    materialization).  When truncation kicks in, ``component_sizes_truncated``
+    flips to True and ``component_size_log2_histogram`` carries the full
+    distribution as {floor(log2(size)): n_components} — component count and
+    the histogram stay exact at any scale.  At test scale (component count
+    <= max_sizes) the output is byte-identical to the unbounded form.
+    """
     num_nodes = nodes.count()
     num_edges = edges.count()
     mean_degree = (2.0 * num_edges / num_nodes) if num_nodes else 0.0
@@ -1781,17 +1830,35 @@ def graph_metrics(nodes: DataFrame, edges: DataFrame, include_paths: bool = Fals
     num_selfloops = edges.filter(F.col("src") == F.col("dst")).count()
 
     comp = connected_components(nodes, edges)
-    sizes = [r["n"] for r in comp.groupBy("component").agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n")).collect()]
+    csizes = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_components = csizes.count()
+    truncated = n_components > max_sizes
+    # .limit after orderBy compiles to TakeOrderedAndProject: each partition
+    # keeps a max_sizes-bounded heap, the driver merges heaps — never the
+    # full size list
+    sizes = [r["n"] for r in csizes.orderBy(F.desc("n")).limit(max_sizes).collect()]
 
     out = {
         "num_nodes": num_nodes,
         "num_edges": num_edges,
         "mean_degree": mean_degree,
         "edge_density": density,
-        "num_connected_components": len(sizes),
+        "num_connected_components": n_components,
         "sizes_of_connected_components": sizes,
+        "component_sizes_truncated": truncated,
         "num_selfloops": num_selfloops,
     }
+    if truncated:
+        out["component_size_log2_histogram"] = {
+            int(r["b"]): r["cnt"]
+            for r in csizes.groupBy(F.floor(F.log2("n")).alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
     if include_paths:
         out.update(_path_metrics(nodes, edges))
         avg_c = triangle_clustering(nodes, edges).agg(F.avg("clustering")).collect()[0][0]

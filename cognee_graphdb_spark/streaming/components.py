@@ -58,9 +58,17 @@ def components_batch(batch: DataFrame, assign_path: str) -> DataFrame:
         # recovery is exact.
         prev = spark.read.parquet(retired)
     updated = incremental_components(prev, edges)
-    tmp = tempfile.mkdtemp(
-        prefix=".components_", dir=os.path.dirname(assign_path.rstrip("/")) or "."
-    )
+    # a crash after the tmp write but before the renames leaks a
+    # snapshot-sized .components_* dir; repeated crashes accumulate one full
+    # O(|V|) copy each.  Single-writer means any stale sibling is dead —
+    # sweep them before creating this batch's tmp.
+    parent = os.path.dirname(assign_path.rstrip("/")) or "."
+    for stale in os.listdir(parent):
+        if stale.startswith(".components_"):
+            import shutil
+
+            shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix=".components_", dir=parent)
     updated.write.mode("overwrite").parquet(tmp)
     # rename into place: POSIX rename replaces atomically only for empty
     # targets, so swap via a retired name (single-writer makes this safe)

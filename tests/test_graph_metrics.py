@@ -1260,3 +1260,98 @@ def test_modularity_partial_labels_scope_is_labeled_subgraph(spark):
     assert row["s_total"] == 6 and row["sym_within"] == 6 and row["total_degree"] == 6
     assert row["contrib_scaled"] == 0
     assert modularity_score(per) == 0.0
+
+
+def test_coreness_boundary_convergence_at_max_rounds(spark):
+    """The h-index fixpoint reached in EXACTLY max_rounds update rounds must
+    not raise: convergence is only observable one round later, so the
+    verification pass (the k_core boundary fix mirrored) must accept it.
+    Path a-b-c-d-e-f: two update rounds (b,e then c,d drop 2 -> 1), observed
+    converged on round 3 — so max_rounds=2 exercises the boundary and
+    max_rounds=1 is genuinely unconverged."""
+    from cognee_graphdb_spark.operators.graph_metrics import coreness
+
+    ids = list("abcdef")
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    _, rounds = coreness(
+        _nodes_df(spark, ids), _edges_df(spark, pairs), return_rounds=True
+    )
+    assert rounds == 3  # 2 update rounds + 1 observing round
+    out = {
+        r["id"]: r["coreness"]
+        for r in coreness(_nodes_df(spark, ids), _edges_df(spark, pairs), max_rounds=2).collect()
+    }
+    assert out == {i: 1 for i in ids}
+    # a genuinely unconverged run still raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(_nodes_df(spark, ids), _edges_df(spark, pairs), max_rounds=1).collect()
+
+
+def test_wl_refinement_duplicate_typed_ids_collapse(spark):
+    """A node id appearing with TWO distinct label values must collapse to
+    one deterministic seed row, not survive as duplicate (id, wl_label) rows
+    double-counted in neighbors' multisets."""
+    from cognee_graphdb_spark.operators.graph_metrics import wl_refinement
+
+    dup = spark.createDataFrame(
+        [("a", "a", "T1"), ("a", "a", "T2"), ("b", "b", "T0")],
+        ["id", "name", "type"],
+    )
+    out = wl_refinement(dup, _edges_df(spark, [("a", "b")]), 2, label_col="type")
+    rows = out.collect()
+    assert len(rows) == 2 and len({r["id"] for r in rows}) == 2
+    # order of the duplicate label rows is irrelevant (sorted-set seed)
+    dup2 = spark.createDataFrame(
+        [("a", "a", "T2"), ("a", "a", "T1"), ("b", "b", "T0")],
+        ["id", "name", "type"],
+    )
+    out2 = wl_refinement(dup2, _edges_df(spark, [("a", "b")]), 2, label_col="type")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+    # single-label nodes hash exactly as before the collapse (singleton
+    # concat_ws is the bare string): seed must equal md5(label)
+    single = spark.createDataFrame([("s", "s", "T9")], ["id", "name", "type"])
+    no_edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
+    got = wl_refinement(single, no_edges, 1, label_col="type").collect()[0]["wl_label"]
+    import hashlib
+
+    seed = hashlib.md5(b"T9").hexdigest()
+    assert got == hashlib.md5(f"{seed}#".encode()).hexdigest()
+
+
+def test_effective_diameter_empty_frame_is_zero(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import effective_diameter
+
+    empty = spark.createDataFrame([], "round int, nf_est double")
+    assert effective_diameter(empty) == 0
+
+
+def test_modularity_contrib_is_decimal_exact(spark):
+    """contrib_scaled rides in decimal(38,0): S*S_c reaches S^2 which wraps
+    BIGINT silently past ~1.5e9 edges — the type itself is the guard."""
+    from pyspark.sql.types import DecimalType
+
+    from cognee_graphdb_spark.operators.graph_metrics import modularity
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]
+    labels = spark.createDataFrame([(n, 1) for n in "abc"], ["id", "label"])
+    per = modularity(_edges_df(spark, pairs), labels)
+    assert per.schema["contrib_scaled"].dataType == DecimalType(38, 0)
+    assert per.collect()[0]["contrib_scaled"] == 0  # 6*6 - 36
+
+
+def test_graph_metrics_bounds_size_list(spark):
+    """Many-component graph with max_sizes smaller than the component count:
+    the sizes list truncates largest-first, the count and log2 histogram stay
+    exact, and nothing collects the full list."""
+    pairs = [(f"p{i}a", f"p{i}b") for i in range(4)]  # 4 components of size 2
+    ids = [x for p in pairs for x in p] + [f"s{i}" for i in range(5)]  # + 5 singletons
+    m = graph_metrics(_nodes_df(spark, ids), _edges_df(spark, pairs), max_sizes=3)
+    assert m["num_connected_components"] == 9
+    assert m["sizes_of_connected_components"] == [2, 2, 2]
+    assert m["component_sizes_truncated"] is True
+    assert m["component_size_log2_histogram"] == {0: 5, 1: 4}
+    # untruncated path unchanged
+    m2 = graph_metrics(_nodes_df(spark, ids), _edges_df(spark, pairs))
+    assert m2["sizes_of_connected_components"] == [2, 2, 2, 2, 1, 1, 1, 1, 1]
+    assert m2["component_sizes_truncated"] is False
+    assert "component_size_log2_histogram" not in m2

@@ -313,3 +313,22 @@ def test_streaming_components_crash_recovery_from_retired(spark, tmp_path):
     b2 = spark.createDataFrame([("b", "x")], ["src", "dst"])
     got = {r["id"]: r["component"] for r in components_batch(b2, assign).collect()}
     assert set(got) == {"a", "b", "x", "y"} and len(set(got.values())) == 1
+
+
+def test_streaming_components_sweeps_stale_tmp(spark, tmp_path):
+    """A crash after the tmp parquet write but before the renames must not
+    leak .components_* snapshots forever: the next batch sweeps stale
+    siblings before writing its own."""
+    import os
+
+    from cognee_graphdb_spark.streaming.components import components_batch
+
+    assign = str(tmp_path / "assign")
+    stale = tmp_path / ".components_stale_leftover"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"junk")
+    batch = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["id"]: r["component"] for r in components_batch(batch, assign).collect()}
+    assert set(got) == {"a", "b"} and len(set(got.values())) == 1
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith(".components_")]
+    assert leftovers == []
