@@ -2067,9 +2067,43 @@ _ONTO_INDIVIDUALS = {"building": "Structure", "auto": "Vehicle", "machine": "Equ
 
 
 def _q_ontology_resolve(spark, sf_dir):
+    """U12 through the real FILE-PARSE path (r9): a deterministic .owl
+    fixture is written and parsed by OntologyResolver.from_rdf_xml (stdlib
+    RDF/XML walk mirroring RDFLibOntologyResolver.build_lookup), then the
+    parsed individuals resolve customer segments.  Class keys come out
+    lowercased per the reference's _uri_to_key, which the oracle restates."""
+    import os
+    import tempfile
+
     from cognee_graphdb_spark.sources.ontology import OntologyResolver
 
-    r = OntologyResolver(individuals=dict(_ONTO_INDIVIDUALS))
+    onto_xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://example.org/onto#">
+  <owl:Class rdf:about="http://example.org/onto#Structure"/>
+  <owl:Class rdf:about="http://example.org/onto#Vehicle"/>
+  <owl:Class rdf:about="http://example.org/onto#Equipment"/>
+  <owl:NamedIndividual rdf:about="http://example.org/onto#building">
+    <rdf:type rdf:resource="http://example.org/onto#Structure"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="http://example.org/onto#house">
+    <rdf:type rdf:resource="http://example.org/onto#Structure"/>
+  </owl:NamedIndividual>
+  <ex:Vehicle rdf:about="http://example.org/onto#auto"/>
+  <owl:NamedIndividual rdf:about="http://example.org/onto#machine">
+    <rdf:type rdf:resource="http://example.org/onto#Equipment"/>
+  </owl:NamedIndividual>
+</rdf:RDF>
+"""
+    fd, path = tempfile.mkstemp(suffix=".owl")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(onto_xml)
+        r = OntologyResolver.from_rdf_xml(path)
+    finally:
+        os.unlink(path)
+    assert r.individuals == {k: v.lower() for k, v in _ONTO_INDIVIDUALS.items()}
     ents = _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_mktsegment").alias("name"))
     out = r.resolve_entities(ents)
     return out.select("c_custkey", "name", "ontology_class", "ontology_valid")
@@ -4136,10 +4170,10 @@ WITH e AS (
 resolved AS (
   SELECT c_custkey, name,
          CASE
-              WHEN norm = 'building' THEN 'Structure'\n              WHEN norm = 'house' THEN 'Structure'\n              WHEN norm = 'machine' THEN 'Equipment'\n              WHEN norm = 'auto' THEN 'Vehicle'\n              ELSE NULL
+              WHEN norm = 'building' THEN 'structure'\n              WHEN norm = 'house' THEN 'structure'\n              WHEN norm = 'machine' THEN 'equipment'\n              WHEN norm = 'auto' THEN 'vehicle'\n              ELSE NULL
          END AS exact_cls,
          CASE
-              WHEN norm LIKE 'building%' THEN 'Structure'\n              WHEN norm LIKE 'machine%' THEN 'Equipment'\n              WHEN norm LIKE 'house%' THEN 'Structure'\n              WHEN norm LIKE 'auto%' THEN 'Vehicle'\n              ELSE NULL
+              WHEN norm LIKE 'building%' THEN 'structure'\n              WHEN norm LIKE 'machine%' THEN 'equipment'\n              WHEN norm LIKE 'house%' THEN 'structure'\n              WHEN norm LIKE 'auto%' THEN 'vehicle'\n              ELSE NULL
          END AS prefix_cls
   FROM e
 )

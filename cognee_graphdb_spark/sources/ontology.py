@@ -5,11 +5,13 @@ RDF/OWL ontology and fuzzy-matches extracted entity/class names onto ontology
 individuals/classes; matches add canonical nodes + subclass edges during
 cognify (expand_with_nodes_and_edges.py:30-120).
 
-rdflib is not in this container, so the loader accepts a plain dict form
-{"individuals": {name: class}, "subclasses": {cls: parent}} (an RDF/XML
-parser can be plugged behind ``try: import rdflib``); the matching itself —
-normalized-name exact match, then prefix fuzzy match — is the deterministic
-semantics the reference implements, here as broadcast-join expressions.
+The loader accepts a plain dict form
+{"individuals": {name: class}, "subclasses": {cls: parent}} and parses real
+RDF/XML (.owl) files via :meth:`OntologyResolver.from_rdf_xml` — rdflib when
+installed (any serialization), else a stdlib ``xml.etree`` walk (RDF/XML is
+plain XML).  The matching itself — normalized-name exact match, then prefix
+fuzzy match — is the deterministic semantics the reference implements, here
+as broadcast-join expressions.
 """
 
 from __future__ import annotations
@@ -29,6 +31,13 @@ def _norm(s: str) -> str:
     return re.sub(r"[^a-z0-9]+", "_", s.strip().lower())
 
 
+def _uri_key(uri: str) -> str:
+    """Reference ``_uri_to_key`` (RDFLibOntologyResolver.py:50-56): URI
+    fragment after '#', else last path segment; lowercased, spaces -> _."""
+    name = uri.split("#")[-1] if "#" in uri else uri.rstrip("/").split("/")[-1]
+    return name.lower().replace(" ", "_").strip()
+
+
 @dataclass
 class OntologyResolver:
     """individuals: name -> class; subclasses: class -> parent class."""
@@ -38,13 +47,113 @@ class OntologyResolver:
 
     @classmethod
     def from_rdf_xml(cls, path: str) -> "OntologyResolver":
+        """Parse an RDF/XML (.owl) ontology file into the dict form.
+
+        Mirrors RDFLibOntologyResolver.build_lookup (reference
+        RDFLibOntologyResolver.py:59-92): classes are the subjects typed
+        ``owl:Class``, individuals are any subject whose ``rdf:type`` points
+        at a known class, and keys are the URI fragment (after ``#``, else
+        the last path segment) lowercased with spaces as underscores
+        (``_uri_to_key``, :50-56).  ``rdfs:subClassOf`` feeds the subclass
+        map the same way (get_subgraph's is_a walk, :158-164).
+
+        rdflib, when installed, is the fast path (it also handles non-XML
+        serializations); RDF/XML itself is plain XML, so the portable path
+        is a stdlib ``xml.etree`` walk that understands both attribute
+        (``rdf:resource``) and typed-node / nested-element forms.  Where the
+        RDF graph records several types or superclasses for one subject the
+        dict form keeps the lexicographically first — deterministic at any
+        parse order.
+        """
         try:
-            import rdflib  # noqa: F401
-        except ImportError as e:  # pragma: no cover - rdflib absent in this container
-            raise NotImplementedError(
-                "rdflib is unavailable here; construct OntologyResolver from the dict form"
-            ) from e
-        raise NotImplementedError
+            import rdflib
+        except ImportError:
+            return cls._from_rdf_xml_stdlib(path)
+
+        g = rdflib.Graph()
+        g.parse(path)
+        OWL = rdflib.OWL
+        RDF = rdflib.RDF
+        RDFS = rdflib.RDFS
+        key = _uri_key
+        classes = {key(str(s)) for s in g.subjects(RDF.type, OWL.Class)}
+        individuals: dict[str, str] = {}
+        for s, o in g.subject_objects(RDF.type):
+            ks, ko = key(str(s)), key(str(o))
+            if ko in classes and (ks not in individuals or ko < individuals[ks]):
+                individuals[ks] = ko
+        subclasses: dict[str, str] = {}
+        for s, o in g.subject_objects(RDFS.subClassOf):
+            ks, ko = key(str(s)), key(str(o))
+            if ks not in subclasses or ko < subclasses[ks]:
+                subclasses[ks] = ko
+        return cls(individuals=individuals, subclasses=subclasses)
+
+    @classmethod
+    def _from_rdf_xml_stdlib(cls, path: str) -> "OntologyResolver":
+        """rdflib-free RDF/XML parse — see :meth:`from_rdf_xml`."""
+        import xml.etree.ElementTree as ET
+
+        RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+        RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+        OWL = "{http://www.w3.org/2002/07/owl#}"
+        SYNTAX_TAGS = {
+            RDF + "Description", RDF + "RDF",
+            OWL + "Class", OWL + "NamedIndividual", OWL + "Thing",
+            OWL + "Ontology", OWL + "ObjectProperty", OWL + "DatatypeProperty",
+            OWL + "AnnotationProperty", RDFS + "Class",
+        }
+
+        def subject_uri(el):
+            return el.get(RDF + "about") or (
+                "#" + el.get(RDF + "ID") if el.get(RDF + "ID") else None
+            )
+
+        def object_uri(el):
+            # <rdf:type rdf:resource="..."/> or nested <owl:Class rdf:about=...>
+            res = el.get(RDF + "resource")
+            if res is not None:
+                return res
+            for child in el:
+                nested = subject_uri(child)
+                if nested is not None:
+                    return nested
+            return None
+
+        root = ET.parse(path).getroot()
+        # pass 1: (subject, type-uri) and (subject, superclass-uri) assertions
+        types: list[tuple[str, str]] = []
+        subclass_pairs: list[tuple[str, str]] = []
+        class_uris: set[str] = set()
+        for el in root.iter():
+            subj = subject_uri(el)
+            if subj is None:
+                continue
+            if el.tag == OWL + "Class" or el.tag == RDFS + "Class":
+                class_uris.add(subj)
+            elif el.tag not in SYNTAX_TAGS:
+                types.append((subj, el.tag.rsplit("}", 1)[-1]))  # typed-node form
+            for child in el:
+                obj = object_uri(child)
+                if obj is None:
+                    continue
+                if child.tag == RDF + "type":
+                    if obj.endswith("#Class"):
+                        class_uris.add(subj)
+                    else:
+                        types.append((subj, obj))
+                elif child.tag == RDFS + "subClassOf":
+                    subclass_pairs.append((subj, obj))
+        classes = {_uri_key(u) for u in class_uris}
+        individuals: dict[str, str] = {}
+        for s, t in sorted((_uri_key(s), _uri_key(t)) for s, t in types):
+            if t in classes and s not in individuals:
+                individuals[s] = t
+        subclasses: dict[str, str] = {}
+        for s, p in sorted((_uri_key(s), _uri_key(p)) for s, p in subclass_pairs):
+            if s not in subclasses:
+                subclasses[s] = p
+        return cls(individuals=individuals, subclasses=subclasses)
 
     def normalized(self) -> dict[str, str]:
         return {_norm(k): v for k, v in self.individuals.items()}

@@ -337,3 +337,48 @@ def test_ledger_compaction_crash_recovery(spark, tmp_path):
     # the lease file's directory survived every swap: appends still serialize
     store.upsert_nodes(spark.createDataFrame([("n9", "N", "T")], ["id", "name", "type"]))
     assert store.ledger().count() == total + 1
+
+
+def test_ontology_from_rdf_xml(tmp_path):
+    """Real .owl file-parse path (U12, reference RDFLibOntologyResolver
+    build_lookup): owl:Class + rdf:type attribute form, typed-node form,
+    rdf:ID form, nested subClassOf element form, and multiple-type /
+    multiple-parent determinism (lexicographically first wins)."""
+    from cognee_graphdb_spark.sources.ontology import OntologyResolver
+
+    owl = tmp_path / "onto.owl"
+    owl.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://example.org/zoo#">
+  <owl:Class rdf:about="http://example.org/zoo#Animal"/>
+  <owl:Class rdf:ID="Mammal">
+    <rdfs:subClassOf rdf:resource="http://example.org/zoo#Animal"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/zoo#Pet">
+    <rdfs:subClassOf>
+      <owl:Class rdf:about="http://example.org/zoo#Animal"/>
+    </rdfs:subClassOf>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="http://example.org/zoo#Rex">
+    <rdf:type rdf:resource="http://example.org/zoo#Pet"/>
+    <rdf:type rdf:resource="http://example.org/zoo#Mammal"/>
+  </owl:NamedIndividual>
+  <ex:Mammal rdf:about="http://example.org/zoo#Whale Shark"/>
+  <owl:NamedIndividual rdf:about="http://example.org/zoo#Ghost">
+    <rdf:type rdf:resource="http://example.org/zoo#NotAClass"/>
+  </owl:NamedIndividual>
+</rdf:RDF>
+""")
+    r = OntologyResolver.from_rdf_xml(str(owl))
+    # Rex has two types -> lexicographically first class key wins
+    assert r.individuals == {"rex": "mammal", "whale_shark": "mammal"}
+    assert r.subclasses == {"mammal": "animal", "pet": "animal"}
+    # empty ontology parses to empty dicts
+    empty = tmp_path / "empty.owl"
+    empty.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>
+""")
+    e = OntologyResolver.from_rdf_xml(str(empty))
+    assert e.individuals == {} and e.subclasses == {}
