@@ -322,7 +322,7 @@ def ivf_quantized_topk(
     k: int = 10,
     n_lists: int = 16,
     nprobe: int = 2,
-    rerank: int = 50,
+    rerank: int = 100,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
 ) -> DataFrame:
@@ -353,4 +353,300 @@ def ivf_quantized_topk(
         shortlist.select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF_PQ) — memory-bound ANN at 100 TB
+# ---------------------------------------------------------------------------
+# Reference family: LanceDB's default IVF_PQ index (LanceDBAdapter.py
+# create-index path).  A D-dim vector is split into m_sub subvectors; each
+# subspace gets a k_codes-entry codebook (deterministic k-means — the
+# semdedup discipline: hash-seeded, mean-recentered, tie -> lowest code), and
+# a vector is stored as m_sub small integers.  Query-time ADC (asymmetric
+# distance computation) scores candidates from a per-subspace lookup table of
+# query-to-centroid distances — no full-precision vector is touched until the
+# final re-rank.  At 8 bits/code a 64-dim float32 vector compresses 32x,
+# which is what makes the candidate scan memory- (not bandwidth-) bound.
+
+
+def _pq_view(vec, normalize: bool):
+    """array<double> view of a vector column, unit-normalized when asked
+    (zero vectors pass through) — the semdedup _sd_unit discipline, shared by
+    training and encoding so their geometry can never diverge."""
+    v = vec.cast("array<double>")
+    if not normalize:
+        return v
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    return F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot product — bit-identical to the codegen
+    ``aggregate(zip_with(...))`` fold AND DuckDB's list_dot_product, so
+    driver-side LUT literals, executor-side encode expressions, and the SQL
+    oracle can never disagree on a near-tie."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _unit(vec: list[float]) -> list[float]:
+    """Driver-side mirror of :func:`_pq_view` (same left-fold norm order)."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    n = acc ** 0.5
+    return [float(x) for x in vec] if n == 0 else [float(x) / n for x in vec]
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    hasher: str = "xxhash64",
+    seed: int = 41,
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks: ``codebooks[m][j]`` is the j-th
+    centroid of subspace m.  Deterministic end to end (no RNG, no MLlib):
+
+    - seeds = the ``k_codes`` rows with the smallest (seeded hash(id), id),
+      sliced per subspace — the semdedup seed rule;
+    - each round: assign every subvector to the L2-closest centroid of its
+      subspace (tie -> lowest code), then recenter at the elementwise mean
+      (an emptied code keeps its previous centroid).  The argmin metric is
+      computed as ||c||^2 - 2*x.c (equivalent to squared L2 at fixed x) so
+      every comparison is built from sequential-fold dot products — the one
+      float primitive DuckDB's list_dot_product restates bit-identically;
+
+    so the training unrolls to SQL and the oracle can restate the integer
+    code assignment exactly.  L2 accumulates as a LEFT FOLD over dimensions
+    (the :func:`_l2` order contract).  One crossJoin against an
+    (m_sub * k_codes)-row broadcast per round — centroid count is tiny by
+    construction, so training is a few scans of a bounded sample at any
+    corpus size.
+
+    Vectors are UNIT-NORMALIZED first (``normalize=True``): the search-side
+    metric is cosine, and on the unit sphere squared L2 = 2 - 2cos is
+    monotone in it — training PQ on raw norms would rank the ADC shortlist
+    by magnitude, not direction (LanceDB does the same for cosine-metric
+    IVF_PQ indexes).
+    """
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    dim = len(embeddings.select(vector_col).first()[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"m_sub={m_sub} must divide dim={dim}")
+    d_sub = dim // m_sub
+
+    e = embeddings.select(
+        F.col(id_col).cast("string").alias("id"),
+        _pq_view(F.col(vector_col), normalize).alias("v"),
+    )
+    slices = F.array(*[F.slice(F.col("v"), m * d_sub + 1, d_sub) for m in range(m_sub)])
+    sv = e.select("id", F.posexplode(slices).alias("sub", "sv")).localCheckpoint(eager=True)
+
+    h = _hash64(F.col("id"), seed, hasher)
+    seeds = e.withColumn("h", h).orderBy("h", "id").limit(k_codes)
+    cent = (
+        seeds.withColumn("rn", F.row_number().over(Window.orderBy("h", "id")))
+        .select((F.col("rn") - 1).alias("code"), F.posexplode(slices).alias("sub", "c"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(n_iter):
+        cc = F.aggregate(
+            F.zip_with("c", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        xc = F.aggregate(
+            F.zip_with("sv", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        assigned = (
+            sv.join(F.broadcast(cent), "sub")
+            .select("id", "sub", "sv", F.struct((cc - F.lit(2.0) * xc).alias("d"), F.col("code").alias("code")).alias("dc"))
+            .groupBy("id", "sub", "sv")
+            .agg(F.min("dc").alias("best"))
+            .select("id", "sub", "sv", F.col("best.code").alias("code"))
+        )
+        mean = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("newc")
+            )
+        )
+        cent = (
+            cent.join(mean, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("newc", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    rows = cent.collect()  # m_sub * k_codes rows — driver-side by construction
+    books: list[list[list[float]]] = [
+        [None] * k_codes for _ in range(m_sub)  # type: ignore[list-item]
+    ]
+    for r in rows:
+        books[r["sub"]][r["code"]] = [float(x) for x in r["c"]]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    out_col: str = "pq_codes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Attach ``out_col``: array<int> of length m_sub — each vector's
+    per-subspace nearest-codebook-entry index (L2, tie -> lowest code).
+    Pure codegen (literal codebooks, argmin via array_min over (d, j)
+    structs), so the encoded table is reproducible without shipping a model
+    and writes partitioned/bucketed like any other column."""
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    view = _pq_view(F.col(vector_col), normalize)
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(view, m * d_sub + 1, d_sub)
+        cands = []
+        for j, cb in enumerate(book):
+            clit = F.array(*[F.lit(float(x)) for x in cb])
+            xc = F.aggregate(
+                F.zip_with(sub, clit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            d = F.lit(_fold_dot(cb, cb)) - F.lit(2.0) * xc
+            cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        codes.append(F.array_min(F.array(*cands))["j"])
+    return embeddings.withColumn(out_col, F.array(*codes))
+
+
+def _pq_lut(
+    codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    normalize: bool = True,
+) -> list[list[float]]:
+    """ADC lookup table: lut[m][j] = ||c_mj||^2 - 2*q_m.c_mj — squared L2
+    between the query's m-th subvector and codebook entry j, up to the
+    per-m constant ||q_m||^2 (which shifts every ADC score equally and so
+    never changes an ordering).  Built from :func:`_fold_dot` folds, the
+    same op order as the executor-side encode and the SQL oracle."""
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    qv = _unit(query_vector) if normalize else [float(x) for x in query_vector]
+    lut = []
+    for m, book in enumerate(codebooks):
+        q = qv[m * d_sub : (m + 1) * d_sub]
+        row = []
+        for cb in book:
+            row.append(_fold_dot(cb, cb) - 2.0 * _fold_dot(q, cb))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_expr(codes_col, lut: list[list[float]]):
+    """sum_m lut[m][codes[m]] as a codegen expression (left-to-right add)."""
+    acc = None
+    for m, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in row]),
+            F.element_at(codes_col, m + 1) + 1,
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """PQ ANN: ADC shortlist over the compressed codes, exact cosine re-rank
+    of the top ``rerank`` against their full-precision vectors.  The ADC scan
+    touches only m_sub ints + an (m_sub x k_codes) literal LUT per row — the
+    32x-compressed scan LanceDB's IVF_PQ runs per probed partition.  Recall
+    is bounded by quantization coarseness x rerank depth; both knobs trade
+    cost for recall monotonically.  Pass ``codebooks`` to reuse training
+    across queries (build once, query many)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            embeddings, m_sub, k_codes, id_col=id_col, vector_col=vector_col, hasher=hasher
+        )
+    encoded = pq_encode(embeddings, codebooks, id_col, vector_col)
+    lut = _pq_lut(codebooks, query_vector)
+    adc = pq_adc_expr(F.col("pq_codes"), lut)
+    shortlist = (
+        encoded.select(id_col, vector_col, adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        shortlist.select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
+        .withColumn("distance", F.round("distance", 6))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """LanceDB's default index family end to end: IVF list pruning -> PQ ADC
+    scan of the probed lists -> full-precision re-rank.  Each stage attacks a
+    different bottleneck: nprobe/n_lists of the data is READ (partition
+    pruning on a list_id-partitioned table), candidates are scored on
+    m_sub-byte codes (memory-bound, 32x smaller than float32), and only
+    ``rerank`` survivors touch full-precision vectors.  Train codebooks on
+    the full collection (pass ``codebooks``) to share them across queries;
+    untrained calls train on the probed candidates, which biases the
+    codebooks toward the query's region (fine for one-shot use)."""
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_lists, id_col, vector_col)
+    cand = assigned.filter(F.col("list_id").isin(_probe_lists(centroids, query_vector, nprobe)))
+    if codebooks is None:
+        codebooks = pq_codebooks(cand, m_sub, k_codes, id_col=id_col, vector_col=vector_col)
+    return pq_topk(
+        cand,
+        query_vector,
+        k=k,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        rerank=rerank,
+        id_col=id_col,
+        vector_col=vector_col,
+        codebooks=codebooks,
     )

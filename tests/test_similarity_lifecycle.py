@@ -127,3 +127,48 @@ def test_ivf_batch_topk_matches_single(spark, tmp_path):
             for r in ivf_topk(None, v, k=5, nprobe=2, index=index).collect()
         ]
         assert sorted(got[qid]) == sorted(single), qid
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=8)
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64/8 dims per sub
+    # training is deterministic: same data -> bit-identical codebooks
+    books2 = pq_codebooks(emb, m_sub=8, k_codes=8)
+    assert books == books2
+    codes = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 and all(0 <= j < 8 for j in c) for c in codes.values())
+    codes2 = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(emb, books).collect()}
+    assert codes == codes2
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    from cognee_graphdb_spark.operators.similarity import pq_topk
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in knn(emb, q, k=10, vector_col="embedding", id_cols=("vec_id",)).collect()]
+    approx = [r["vec_id"] for r in pq_topk(emb, q, k=10, rerank=100).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"PQ recall too low: {recall} ({approx} vs {exact})"
+    assert 7 in approx  # the query's own vector survives ADC + re-rank
+    # the re-ranked distances are exact cosine: top-1 must match brute force
+    assert approx[0] == exact[0]
+
+
+def test_ivf_pq_topk_recall_and_determinism(spark):
+    from cognee_graphdb_spark.operators.similarity import ivf_pq_topk
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in knn(emb, q, k=10, vector_col="embedding", id_cols=("vec_id",)).collect()]
+    got = [r["vec_id"] for r in ivf_pq_topk(emb, q, k=10, n_lists=8, nprobe=4, rerank=100).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.4, f"IVF_PQ recall too low: {recall} ({got} vs {exact})"
+    got2 = [r["vec_id"] for r in ivf_pq_topk(emb, q, k=10, n_lists=8, nprobe=4, rerank=100).collect()]
+    assert got == got2
