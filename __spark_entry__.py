@@ -2462,88 +2462,103 @@ def _q_skew_report(spark, sf_dir):
     return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=20)
 
 
+def _q_pq_codes(spark, sf_dir):
+    """PQ codebook training + encoding over the embeddings table
+    (operators/similarity.py:pq_codebooks/pq_encode; reference family:
+    LanceDB's default IVF_PQ index — cognee/infrastructure/databases/vector/
+    lancedb/LanceDBAdapter.py create-index path).  Deterministic hash-seeded
+    k-means (1 recenter round, 8 subspaces x 8 codes, md5_64 seeds) so the
+    oracle restates seed pick, argmin assignment, mean recenter, and the
+    final integer codes; output is the all-integer code string per vector."""
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m_sub=8, k_codes=8, hasher="md5_64")
+    enc = pq_encode(emb, books)
+    return enc.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.concat_ws(",", F.transform("pq_codes", lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+    )
+
+
+def _q_pq_topk(spark, sf_dir):
+    """The IVF_PQ query path minus the IVF prune (operators/similarity.py:
+    pq_topk): ADC shortlist over the compressed codes, exact-cosine re-rank
+    of the survivors.  rerank=100 >> k=10 leaves the shortlist cutoff far
+    from the top-10 boundary, so last-ulp ADC summation-order noise cannot
+    change the answer; re-ranked distances round to 6 dp (v1_knn
+    discipline)."""
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m_sub=8, k_codes=8, hasher="md5_64")
+    return pq_topk(
+        emb,
+        _qvec(spark, sf_dir, 7),
+        k=10,
+        m_sub=8,
+        k_codes=8,
+        rerank=100,
+        codebooks=books,
+    )
+
+
+def _q_a2_node_embeddings(spark, sf_dir):
+    """SPPMI corpus stage of SPPMI-SVD node embeddings
+    (operators/node_embeddings.py:sppmi_matrix over the deterministic
+    random_walks → walk_skipgram_pairs corpus; Levy & Goldberg 2014 — the
+    matrix skip-gram-with-negative-sampling implicitly factorizes, i.e. the
+    gds.node2vec analogue).  Integer marginals + ONE rounded log per cell
+    (shift=2 exercises the negative-sampling shift), so the oracle extends
+    the a2_walk_skipgrams chain with three integer aggregates and the log.
+    The factorization stage is float-tolerance work and is pinned by
+    tests/test_node_embeddings.py, not the oracle."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+    from cognee_graphdb_spark.operators.node_embeddings import sppmi_matrix
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    walks = random_walks(fk, walk_length=4, num_walks=2, seed=3, hasher="md5_64")
+    return sppmi_matrix(walk_skipgram_pairs(walks, window=2), shift=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02..r06 each covered exactly the first 50).  Round 7
-    # rotates the window to RE-PROVE the oldest driver rows under current
-    # code (the r6 window re-proved the r4-era block + landed the r6
-    # additions; everything below position 50 was last driver-validated on
-    # r5 code).  Window layout: new r7 entries + the two promoted composites
-    # (graph_completion_context / u7_cot_triplets gained ppm-quantized /
-    # set-valued oracles this round) + the flagship, then the 11 entries
-    # whose last row predates r5, then the oldest 36 of the r5-green block.
-    # Entries past position 50 keep their cumulative rows and lead the r8
-    # window.
+    # (CORRECTNESS_r02..r08 each covered exactly the first 50).  Round 9
+    # window = the r8 VERDICT's prescription: the 3 new r9 entries (IVF_PQ
+    # codes + top-k, SPPMI corpus), then every entry whose MODULE was edited
+    # after its latest driver row (graph_metrics.py + streaming/components.py
+    # advisor-finding fixes, similarity.py PQ commit — so
+    # a9_pagerank_personalized/a2_kcore/a2_coreness/a2_modularity/
+    # a2_wl_refinement/a2_incremental_components/a2_graph_metrics/
+    # knn_quantized re-prove on current code), then ALL 39 r6-vintage rows
+    # (the oldest in the registry; includes a9_pagerank, whose pagerank prep
+    # was restructured in r8).  Below the boundary: the remaining r7 rows
+    # (oldest first — they lead the r10 window), then the r8-proved block.
     raw = {
-        # -- round-8 window (first 50) ---------------------------------------
-        # new this round (coreness/LPA/node-similarity/HyperANF GDS family,
-        # compressed-av [LLM] media path)
+        # -- round-9 window (first 50) ---------------------------------------
+        # new this round (IVF_PQ, SPPMI node-embedding corpus)
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
+        "a2_node_embeddings": _q_a2_node_embeddings,
+        # proof-after-change: latest rows predate edits to their modules
+        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
+        "a2_kcore": _q_a2_kcore,
         "a2_coreness": _q_a2_coreness,
-        "a2_random_walks": _q_a2_random_walks,
-        "a2_walk_skipgrams": _q_a2_walk_skipgrams,
-        "a2_harmonic_closeness": _q_a2_harmonic_closeness,
-        "a2_shortest_path_counts": _q_a2_shortest_path_counts,
-        "a2_betweenness": _q_a2_betweenness,
-        "a2_node2vec_walks": _q_a2_node2vec_walks,
         "a2_modularity": _q_a2_modularity,
         "a2_wl_refinement": _q_a2_wl_refinement,
         "a2_incremental_components": _q_a2_incremental_components,
-        "a9_pagerank_weighted": _q_a9_pagerank_weighted,
-        "a2_label_propagation": _q_a2_label_propagation,
-        "a2_node_similarity": _q_a2_node_similarity,
-        "a2_hyperanf": _q_a2_hyperanf,
-        "mm_llm_media_av": _q_mm_llm_media_av,
-        # the 22 entries whose last driver row was r5-vintage (the r7
-        # VERDICT's top item): re-proved under current code this round
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_exact": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "quality_features": _q_quality_features,
-        "language_id": _q_language_id,
-        "doc_fingerprint": _q_fingerprint,
-        "term_cooccurrence": _q_term_cooccurrence,
-        "dedup_fuzzy_names": _q_dedup_fuzzy_names,
-        "dedup_entity_resolution": _q_dedup_entity_resolution,
-        "token_counts": _q_token_counts,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "a5_top_words": _q_a5_top_words,
-        "a7_token_f1": _q_a7_token_f1,
-        "f4_unicode_tokens": _q_f4_unicode_tokens,
-        "f5_content_id": _q_f5_content_id,
-        "f6_normalize_name": _q_f6_normalize,
-        "f10_title_synthesis": _q_f10_title,
-        "f7_calendar_fields": _q_f7_calendar,
-        "p6_json_extract": _q_p6_json_extract,
-        "w4_last_k_interactions": _q_w4_last_k,
-        "w1_topk_smallest": _q_w1_topk_smallest,
-        "w3_null_inf_sort": _q_w3_null_inf_sort,
-        # the oldest 23 of the r6-validated block, in their r6 order
         "a2_graph_metrics": _q_a2_graph_metrics,
-        "f1_f4_chunking": _q_chunking,
-        "td_pack_sequences": _q_td_pack_sequences,
-        "mm_wav_decode": _q_mm_wav_decode,
-        "mm_bmp_resize": _q_mm_bmp_resize,
-        "mm_png_resize": _q_mm_png_resize,
-        "mm_gif_resize": _q_mm_gif_resize,
-        "mm_jpeg_resize": _q_mm_jpeg_resize,
-        "mm_media_info": _q_mm_media_info,
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        # -- window boundary (50): below here, rows stay green cumulatively --
-        # rest of the r6 block (leads the r9 window together with the oldest
-        # r7 rows below; cypher_case + cypher_undirected +
-        # cypher_union_having +
-        # cypher_list_ops + v5_embed_knn + td_curate_corpus +
-        # a2_connected_components + cognify_node_counts +
-        # chunk_classification + memify_rules + code_graph_counts +
-        # dedup_incremental_index + a9_pagerank displaced by the new
-        # a2_random_walks + a2_walk_skipgrams + a2_harmonic_closeness +
-        # a2_shortest_path_counts + a2_betweenness + a2_node2vec_walks +
-        # a2_modularity + a2_wl_refinement + a2_incremental_components +
-        # term_cooccurrence + dedup_fuzzy_names + dedup_entity_resolution +
-        # a9_pagerank_weighted)
+        "knn_quantized": _q_knn_quantized,
+        # the 39 r6-vintage entries, in their r6 order (nothing in the
+        # registry is older; after this round everything is r7+)
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
@@ -2583,11 +2598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_corpus_stats": _q_td_corpus_stats,
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
-        # the r7-validated window (freshest rows)
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        # the r7-validated rows minus the three promoted above
+        # (a9_pagerank_personalized + a2_kcore + knn_quantized) — oldest
+        # remaining rows, they lead the r10 window
         "mm_llm_media_text": _q_mm_llm_media_text,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
-        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
-        "a2_kcore": _q_a2_kcore,
         "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
         "graph_completion_context": _q_graph_completion_context,
@@ -2604,7 +2620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_source_report": _q_td_source_report,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
-        "knn_quantized": _q_knn_quantized,
         "skew_report": _q_skew_report,
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
@@ -2634,6 +2649,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
+        # the r8-validated rows minus the five promoted into the r9 window
+        # (a2_coreness + a2_modularity + a2_wl_refinement +
+        # a2_incremental_components + a2_graph_metrics) — freshest rows
+        "a2_random_walks": _q_a2_random_walks,
+        "a2_walk_skipgrams": _q_a2_walk_skipgrams,
+        "a2_harmonic_closeness": _q_a2_harmonic_closeness,
+        "a2_shortest_path_counts": _q_a2_shortest_path_counts,
+        "a2_betweenness": _q_a2_betweenness,
+        "a2_node2vec_walks": _q_a2_node2vec_walks,
+        "a9_pagerank_weighted": _q_a9_pagerank_weighted,
+        "a2_label_propagation": _q_a2_label_propagation,
+        "a2_node_similarity": _q_a2_node_similarity,
+        "a2_hyperanf": _q_a2_hyperanf,
+        "mm_llm_media_av": _q_mm_llm_media_av,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_exact": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "term_cooccurrence": _q_term_cooccurrence,
+        "dedup_fuzzy_names": _q_dedup_fuzzy_names,
+        "dedup_entity_resolution": _q_dedup_entity_resolution,
+        "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f10_title_synthesis": _q_f10_title,
+        "f7_calendar_fields": _q_f7_calendar,
+        "p6_json_extract": _q_p6_json_extract,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
+        "f1_f4_chunking": _q_chunking,
+        "td_pack_sequences": _q_td_pack_sequences,
+        "mm_wav_decode": _q_mm_wav_decode,
+        "mm_bmp_resize": _q_mm_bmp_resize,
+        "mm_png_resize": _q_mm_png_resize,
+        "mm_gif_resize": _q_mm_gif_resize,
+        "mm_jpeg_resize": _q_mm_jpeg_resize,
+        "mm_media_info": _q_mm_media_info,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -5407,5 +5470,111 @@ WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt FROM orders
 t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
 SELECT key, cnt, round(cnt / total, 6) AS share, round(cnt * n_keys / total, 6) AS x_mean
 FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20"""
+
+    # --- PQ codebooks / encode / ADC top-k (operators/similarity.py) ---------
+    # Full restatement of the deterministic PQ training: md5_64-seeded pick,
+    # one assign+recenter round (argmin metric ||c||^2 - 2 x.c — every term a
+    # sequential-fold dot, bit-identical to list_dot_product), then the final
+    # integer code assignment.  Like dedup_semdedup, only the centroid MEANS
+    # carry engine-side summation-order noise, far below the branch margins.
+    _pq_h = _md5_64("id", 41)
+    _pq_unit = (
+        "CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v "
+        "ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END"
+    )
+    _pq_train = f"""pq_base AS MATERIALIZED (
+  SELECT CAST(vec_id AS VARCHAR) AS id, vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+),
+pq_unit AS MATERIALIZED (SELECT id, vid, {_pq_unit} AS u FROM pq_base),
+pq_subs AS (SELECT unnest(range(0, 8)) AS sub),
+pq_sv AS MATERIALIZED (
+  SELECT t.id, t.vid, m.sub, t.u[m.sub * 8 + 1 : m.sub * 8 + 8] AS sv
+  FROM pq_unit t CROSS JOIN pq_subs m
+),
+pq_seeds AS (
+  SELECT id, u, rn - 1 AS code FROM (
+    SELECT id, u, row_number() OVER (ORDER BY {_pq_h}, id) AS rn FROM pq_unit) s
+  WHERE rn <= 8
+),
+pq_c0 AS MATERIALIZED (
+  SELECT m.sub, s.code, s.u[m.sub * 8 + 1 : m.sub * 8 + 8] AS c
+  FROM pq_seeds s CROSS JOIN pq_subs m
+),
+pq_asg AS MATERIALIZED (
+  SELECT id, sub, sv, code FROM (
+    SELECT t.id, t.sub, t.sv, c.code,
+           row_number() OVER (PARTITION BY t.id, t.sub
+             ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(t.sv, c.c), c.code) AS rn
+    FROM pq_sv t JOIN pq_c0 c ON t.sub = c.sub) z
+  WHERE rn = 1
+),
+pq_m1 AS (
+  SELECT sub, code, pos, avg(x) AS m FROM (
+    SELECT sub, code, unnest(sv) AS x, unnest(range(1, len(sv) + 1)) AS pos FROM pq_asg) z
+  GROUP BY sub, code, pos
+),
+pq_raw1 AS (SELECT sub, code, list(m ORDER BY pos) AS newc FROM pq_m1 GROUP BY sub, code),
+pq_c1 AS MATERIALIZED (
+  SELECT c0.sub, c0.code, COALESCE(r.newc, c0.c) AS c
+  FROM pq_c0 c0 LEFT JOIN pq_raw1 r ON c0.sub = r.sub AND c0.code = r.code
+),
+pq_enc AS MATERIALIZED (
+  SELECT id, vid, sub, code FROM (
+    SELECT t.id, t.vid, t.sub, c.code,
+           row_number() OVER (PARTITION BY t.id, t.sub
+             ORDER BY list_dot_product(c.c, c.c) - 2 * list_dot_product(t.sv, c.c), c.code) AS rn
+    FROM pq_sv t JOIN pq_c1 c ON t.sub = c.sub) z
+  WHERE rn = 1
+)"""
+
+    sql["pq_codes"] = f"""WITH {_pq_train}
+SELECT vid AS vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes
+FROM pq_enc GROUP BY vid"""
+
+    sql["pq_topk"] = f"""WITH {_pq_train},
+pq_q AS (SELECT v AS qv, {_pq_unit} AS qu FROM pq_base WHERE vid = 7),
+pq_lut AS (
+  SELECT c.sub, c.code,
+         list_dot_product(c.c, c.c)
+           - 2 * list_dot_product(q.qu[c.sub * 8 + 1 : c.sub * 8 + 8], c.c) AS term
+  FROM pq_c1 c CROSS JOIN pq_q q
+),
+pq_adc AS (
+  SELECT cd.vid, SUM(l.term) AS adc
+  FROM pq_enc cd JOIN pq_lut l ON cd.sub = l.sub AND cd.code = l.code
+  GROUP BY cd.vid
+),
+pq_short AS (SELECT vid FROM pq_adc ORDER BY adc, vid LIMIT 100)
+SELECT b.vid AS vec_id, round({_cosd("b.v", "q.qv")}, 6) AS distance
+FROM pq_base b JOIN pq_short s ON b.vid = s.vid CROSS JOIN pq_q q
+ORDER BY distance, vec_id LIMIT 10"""
+
+    # --- SPPMI matrix over the walk skip-gram corpus
+    # (operators/node_embeddings.py:sppmi_matrix, shift=2): the
+    # a2_walk_skipgrams chain + exact integer marginals + one rounded log ----
+    sql["a2_node_embeddings"] = f"""WITH {g},
+{_rw_core},
+sgn AS MATERIALIZED (
+  SELECT r.start, r.walk, r.step, n.id AS node
+  FROM rwres r JOIN rwnn n ON r.node = n.h
+),
+sp AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM sgn a JOIN sgn b ON a.start = b.start AND a.walk = b.walk
+  WHERE abs(a.step - b.step) <= 2 AND a.step != b.step
+  GROUP BY center, context
+),
+ct AS (SELECT center, CAST(SUM(n_pairs) AS BIGINT) AS center_total FROM sp GROUP BY center),
+xt AS (SELECT context, CAST(SUM(n_pairs) AS BIGINT) AS context_total FROM sp GROUP BY context),
+tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM sp)
+SELECT sp.center, sp.context, sp.n_pairs,
+       ct.center_total, xt.context_total, tt.total,
+       greatest(CAST(0.0 AS DOUBLE),
+                round(ln((CAST(sp.n_pairs AS DOUBLE) * CAST(tt.total AS DOUBLE))
+                         / (CAST(ct.center_total AS DOUBLE)
+                            * CAST(xt.context_total * 2 AS DOUBLE))), 6)) AS sppmi
+FROM sp JOIN ct ON sp.center = ct.center
+JOIN xt ON sp.context = xt.context
+CROSS JOIN tt"""
 
     return sql
