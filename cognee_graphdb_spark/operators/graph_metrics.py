@@ -364,6 +364,7 @@ def pagerank(
     return_iterations: bool = False,
     edges_within_nodes: bool = False,
     weight_col: str | None = None,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame:
     """(id, rank): PageRank by power iteration over the directed simple graph
     (distinct (src, dst) pairs; self-loops kept as ordinary edges).
@@ -406,6 +407,16 @@ def pagerank(
     edge), and nodes with no positive-weight out-edge are dangling exactly
     like unweighted sinks.  The unweighted path's float arithmetic is
     untouched (its oracles mirror ``rank / deg`` operand-for-operand).
+
+    ``warm_start`` (an (id, rank) frame, e.g. the previous snapshot's output)
+    replaces the uniform initial vector: known nodes start at their prior
+    rank, new nodes at 1/n, and the whole vector is renormalized to sum 1 —
+    power iteration converges to the SAME damping-t fixpoint from any
+    positive start, but a start near the fixpoint (small edge delta between
+    snapshots) cuts the rounds to reach ``tol`` to a handful.  This is what
+    makes streaming/pagerank.py's per-batch maintenance cheap: the cost of a
+    batch tracks the size of the CHANGE, not of the graph's diameter-scale
+    mixing time.  The init renormalization costs one extra aggregate.
     """
     # everything static is hoisted out of the loop and iterates on 8-byte
     # keys: per round only ONE join (pre-weighted edges ⋈ ranks), one
@@ -491,7 +502,21 @@ def pagerank(
     # (1.0 - damping) / n mirrors the oracle's CAST(... AS DOUBLE) arithmetic
     # bit-for-bit: same operand order, all doubles.
     base = (1.0 - damping) / n
-    if personalized is None:
+    if warm_start is not None:
+        ws = warm_start.select(
+            F.xxhash64("id").alias("h"), F.col("rank").cast("double").alias("r0")
+        )
+        carry = ["h", "is_sink"] + (["p"] if personalized is not None else [])
+        init = base_frame.join(ws, "h", "left").select(
+            *carry, F.coalesce("r0", F.lit(1.0 / n)).alias("r0")
+        )
+        total = init.agg(F.sum("r0").alias("s")).first()["s"]
+        if not total or total <= 0:
+            raise ValueError("warm_start ranks must have a positive sum")
+        ranks = init.select(
+            *carry, (F.col("r0") / F.lit(float(total))).alias("rank")
+        ).localCheckpoint(eager=True)
+    elif personalized is None:
         ranks = base_frame.select("h", "is_sink", F.lit(1.0 / n).alias("rank"))
     else:
         ranks = base_frame.select("h", "is_sink", "p", F.col("p").alias("rank"))
