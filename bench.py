@@ -60,34 +60,14 @@ def main() -> None:
 
     spark.range(par).repartition(par).mapInPandas(_warm, "id long").count()
 
-    from cognee_graphdb_spark.operators import aggregations as agg
-    from cognee_graphdb_spark.operators import dedup
-    from cognee_graphdb_spark.operators.chunking import chunk_documents
-    from cognee_graphdb_spark.operators.graph_joins import k_hop, triplet_score_join
-    from cognee_graphdb_spark.operators.graph_metrics import connected_components
-    from cognee_graphdb_spark.operators.text_analysis import language_id, quality_features
-    from cognee_graphdb_spark.operators.vector_search import batch_knn_agg, knn
-    from cognee_graphdb_spark.plans.cognify import cognify_documents
-    from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
-    from cognee_graphdb_spark.sources.migration import tpch_graph
-
-    timings: dict[str, float] = {}
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
-
-    def step(name, reset=None):
-        def deco(fn):
-            best = None
-            for i in range(repeat):
-                if i > 0 and reset is not None:
-                    reset()
-                t0 = time.perf_counter()
-                fn()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            return fn
-
-        return deco
+    # whole-suite passes: per-step min-of-N kills per-step noise, but a
+    # transient machine-wide stall (GC storm, noisy VM neighbor) spanning one
+    # step's repeats still poisons that step.  Running the ENTIRE suite twice
+    # in the same warm process and reporting both passes makes the spread
+    # visible per query; "queries"/"value" stay the min, so their semantics
+    # remain comparable with rounds <= 8.
+    suite_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SUITE_PASSES", "2")))
 
     # --- calibration (code-independent, measures the machine) -----------------
     # NOT included in "value"/"queries" so per-query comparisons stay aligned
@@ -118,6 +98,73 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    passes = [_run_pass(spark, docs, emb, par, repeat) for _ in range(suite_passes)]
+    timings = {k: min(p[k] for p in passes) for k in passes[0]}
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "calibration": calibration,
+                "calibration_io": calibration_io,
+                "value_normalized": round(total / calibration, 3),
+                # per-query drift correction: a regression in a single
+                # queries_normalized entry is a plan regression in THAT step,
+                # without judge-side arithmetic against the calibration field
+                "queries_normalized": {
+                    k: round(v / calibration, 3) for k, v in timings.items()
+                },
+                # pass-to-pass spread: both full-suite passes verbatim, so a
+                # one-off machine stall shows as a big spread in ONE pass
+                # instead of masquerading as a plan regression
+                "suite_passes": suite_passes,
+                "pass_totals": [round(sum(p.values()), 3) for p in passes],
+                "queries_passes": passes,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_pass(spark, docs, emb, par, repeat):
+    """One full suite pass: every step timed min-of-``repeat``; caches built
+    by the build steps are dropped on exit so the next pass starts cold."""
+    timings: dict[str, float] = {}
+
+    def step(name, reset=None):
+        def deco(fn):
+            best = None
+            for i in range(repeat):
+                if i > 0 and reset is not None:
+                    reset()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            return fn
+
+        return deco
+
+    import __spark_entry__  # noqa: F401  (package already shipped by main)
+
+    from cognee_graphdb_spark.operators import aggregations as agg
+    from cognee_graphdb_spark.operators import dedup
+    from cognee_graphdb_spark.operators.chunking import chunk_documents
+    from cognee_graphdb_spark.operators.graph_joins import k_hop, triplet_score_join
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+    from cognee_graphdb_spark.operators.text_analysis import language_id, quality_features
+    from cognee_graphdb_spark.operators.vector_search import batch_knn_agg, knn
+    from cognee_graphdb_spark.plans.cognify import cognify_documents
+    from cognee_graphdb_spark.plans.triplet_search import brute_force_triplet_search
+    from cognee_graphdb_spark.sources.migration import tpch_graph
 
     # --- build paths ---------------------------------------------------------
     nodes = edges = None
@@ -318,30 +365,11 @@ def main() -> None:
         image_resize(media.select("media_id", F.col("bmp").alias("content")), 4, 3).count()
         media.unpersist()
 
-    total = round(sum(timings.values()), 3)
-    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "calibration": calibration,
-                "calibration_io": calibration_io,
-                "value_normalized": round(total / calibration, 3),
-                # per-query drift correction: a regression in a single
-                # queries_normalized entry is a plan regression in THAT step,
-                # without judge-side arithmetic against the calibration field
-                "queries_normalized": {
-                    k: round(v / calibration, 3) for k, v in timings.items()
-                },
-            }
-        )
-    )
-    spark.stop()
+    # leave nothing cached: the next pass must rebuild the migrate/cognify
+    # caches cold, or its build-step timings measure a no-op
+    _reset_cognify()
+    _reset_migrate()
+    return timings
 
 
 if __name__ == "__main__":
