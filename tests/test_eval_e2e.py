@@ -29,3 +29,21 @@ def test_eval_protocol_through_http_gateway(spark, tmp_path):
     # every hop is HTTP: 3 docs x (graph+summary+classify) + 2 eval passes
     # x 3 questions x (complete [+followup] + judge)
     assert res["n_http_requests"] == 42
+
+
+def test_eval_protocol_24_questions(spark, tmp_path):
+    """The reference-protocol sample size (24 questions, evals/README.md's
+    HotpotQA subset): 18 answerable questions whose gold terms dominate
+    their doc's retrieved subgraph, 6 out-of-corpus.  EM = 18/24 pins that
+    the RETRIEVAL stack finds the right subgraph for every answerable
+    question at 1024 hash buckets — any regression in embed -> normalize ->
+    triplet-score -> render drops specific questions, not noise."""
+    from eval_e2e import CORPUS24, PAIRS24, run_eval
+
+    res = run_eval(spark, str(tmp_path / "ev24"), CORPUS24, PAIRS24, embed_dim=1024)
+    assert res["n_documents"] == 24 and res["n_questions"] == 24
+    for st in ("graph_completion", "graph_completion_cot"):
+        assert res[st]["em"] == pytest.approx(0.75, abs=1e-6), (st, res[st])
+        assert res[st]["f1"] == pytest.approx(0.75, abs=1e-6), (st, res[st])
+        assert res[st]["judge"] == pytest.approx(0.272727, abs=1e-4), (st, res[st])
+    assert res["n_http_requests"] == 336

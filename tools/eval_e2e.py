@@ -157,29 +157,88 @@ PAIRS = [
     ("Who invented the telephone?", "alexander graham bell"),
 ]
 
+# 24-item corpus matching the reference protocol's sample size (its
+# evals/README.md runs a 24-question HotpotQA subset) so EM/F1/judge move in
+# 1/24 quanta instead of thirds.  Construction rule per topic (a, b, verb,
+# verb2, place): the doc mentions its two key terms TWICE and its verb/place
+# once, the question mentions ONLY the verb and the place — so retrieval has
+# distinctive non-gold tokens to embed-match on, and the answer double (which
+# EXCLUDES question-echo words) extracts the two dominant remaining terms:
+# exactly "<a> <b>" alphabetical = the gold IF the right subgraph was
+# retrieved.  Golds for the first 18 questions are those pairs (answerable);
+# the last 6 golds name out-of-corpus facts (unanswerable — retrieval cannot
+# help), so the metrics measure the RETRIEVAL stack, not the formatter.
+_TOPICS = [
+    ("kubernetes", "containers", "orchestrates", "restarts", "harbor"),
+    ("postgres", "transactions", "commits", "isolates", "meadow"),
+    ("airflow", "pipelines", "schedules", "retries", "desert"),
+    ("terraform", "infrastructure", "provisions", "versions", "tundra"),
+    ("prometheus", "metrics", "scrapes", "aggregates", "canyon"),
+    ("grafana", "dashboards", "renders", "refreshes", "jungle"),
+    ("redis", "caches", "stores", "expires", "island"),
+    ("nginx", "requests", "proxies", "balances", "valley"),
+    ("elastic", "indexes", "searches", "shards", "prairie"),
+    ("pytorch", "tensors", "differentiates", "multiplies", "lagoon"),
+    ("antenna", "signals", "receives", "amplifies", "plateau"),
+    ("compiler", "bytecode", "emits", "optimizes", "summit"),
+    ("glacier", "moraines", "carves", "deposits", "grotto"),
+    ("ribosome", "proteins", "assembles", "folds", "ravine"),
+    ("chlorophyll", "photons", "absorbs", "converts", "marsh"),
+    ("turbine", "electricity", "generates", "rotates", "basin"),
+    ("aquifer", "groundwater", "filters", "recharges", "delta"),
+    ("telescope", "galaxies", "observes", "magnifies", "forest"),
+    ("volcano", "basalt", "erupts", "cools", "steppe"),
+    ("enzyme", "substrates", "binds", "catalyzes", "savanna"),
+    ("satellite", "orbits", "maintains", "adjusts", "fjord"),
+    ("reactor", "neutrons", "moderates", "absorbs", "oasis"),
+    ("mycelium", "nutrients", "transports", "decomposes", "glade"),
+    ("lighthouse", "mariners", "guides", "warns", "dunes"),
+]
+CORPUS24 = [
+    f"The {a} {v1} {b} near the {place}. Every {a} also {v2} {b}."
+    for a, b, v1, v2, place in _TOPICS
+]
+PAIRS24 = [
+    (f"What {v1} things near the {place}?", " ".join(sorted((a, b))))
+    for a, b, v1, _, place in _TOPICS[:18]
+] + [
+    ("Who composed the ninth symphony?", "ludwig van beethoven"),
+    ("Which river flows through Cairo?", "the nile"),
+    ("What year did the first moon landing happen?", "1969"),
+    ("Who painted the ceiling of the Sistine Chapel?", "michelangelo"),
+    ("What is the capital of Mongolia?", "ulaanbaatar"),
+    ("Which element has atomic number 79?", "gold"),
+]
 
-def run_eval(spark, root: str) -> dict:
+
+def run_eval(spark, root: str, corpus=None, pairs=None, embed_dim: int = 64) -> dict:
     from cognee_graphdb_spark.api import CogneeSpark
     from cognee_graphdb_spark.llm.http_gateway import HttpLLMGateway
     from cognee_graphdb_spark.plans.eval_qa import evaluate_qa
 
+    corpus = CORPUS if corpus is None else corpus
+    pairs = PAIRS if pairs is None else pairs
     srv = start_server()
     try:
         gw = HttpLLMGateway(
             endpoint=f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions",
             max_requests_per_minute=100000,  # don't throttle an in-process double
         )
-        engine = CogneeSpark(spark, root, gateway=gw)
-        engine.add([(f"doc{i}.txt", t) for i, t in enumerate(CORPUS)])
+        # 64 hash buckets alias badly across a 24-topic vocabulary (~120
+        # distinct tokens -> ~100 colliding pairs), making retrieval
+        # quasi-random; 1024 buckets keep the discriminative tokens separable
+        # at the 24-question scale while staying the same embedder family
+        engine = CogneeSpark(spark, root, gateway=gw, embed_dim=embed_dim)
+        engine.add([(f"doc{i}.txt", t) for i, t in enumerate(corpus)])
         n_docs = engine.cognify()
         result: dict = {
             "protocol": "corpus -> cognify -> search -> EM/F1/LLM-judge, all [LLM] hops via HttpLLMGateway",
             "gateway": "HttpLLMGateway against an in-process deterministic OpenAI-compatible double",
             "n_documents": n_docs,
-            "n_questions": len(PAIRS),
+            "n_questions": len(pairs),
         }
         for st in ("GRAPH_COMPLETION", "GRAPH_COMPLETION_COT"):
-            res = evaluate_qa(engine, PAIRS, search_type=st, llm_judge=True)
+            res = evaluate_qa(engine, pairs, search_type=st, llm_judge=True)
             result[st.lower()] = {
                 "em": round(res["em"], 6),
                 "f1": round(res["f1"], 6),
@@ -198,8 +257,8 @@ def main() -> int:
 
     spark = get_spark("eval-e2e")
     spark.sparkContext.setLogLevel("ERROR")
-    out = run_eval(spark, tempfile.mkdtemp(prefix="eval_e2e_"))
-    path = sys.argv[1] if len(sys.argv) > 1 else "EVAL_r8.json"
+    out = run_eval(spark, tempfile.mkdtemp(prefix="eval_e2e_"), CORPUS24, PAIRS24, embed_dim=1024)
+    path = sys.argv[1] if len(sys.argv) > 1 else "EVAL_r9.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
