@@ -1,0 +1,100 @@
+"""Weighted shortest paths (single-source / multi-source).
+
+The reference exposes path analytics through its GDS metric surface
+(cognee/infrastructure/databases/graph/neo4j_driver/neo4j_metrics_utils.py
+calls the gds.* family; gds.shortestPath.dijkstra /
+gds.allShortestPaths.stream are the weighted members).  A Spark cluster has
+no priority queue, so Dijkstra's sequential relaxation order is replaced by
+hop-synchronous Bellman-Ford relaxation with a FRONTIER optimization — the
+standard distributed SSSP layout (Pregel's canonical example):
+
+- round state is (source, node, dist), keyed by node — per round ONE
+  co-partitioned equi-join (frontier ⋈ edges on node = src) + one
+  partial-aggregated min;
+- only nodes IMPROVED in the previous round relax forward (the frontier),
+  so settled regions of the graph stop costing anything — on a
+  small-diameter graph total work approaches Dijkstra's O(E) per source
+  despite the missing queue;
+- after round i the state is EXACTLY "cheapest path using at most i edges"
+  (the frontier restriction preserves this invariant: any path that
+  improves at round i extends a prefix improved at round i-1), which is
+  what makes the operator restatable round-for-round in SQL for the
+  correctness oracle.
+
+Scale shape: state size is bounded by |sources| x reachable nodes; both the
+frontier and the edge view shuffle on the same 8-byte-hashable key every
+round (AQE reuses the exchange); rounds are bounded by ``max_hops`` (the
+gds maxIterations analogue) or by frontier exhaustion, whichever first.
+Negative weights are rejected up front — with hop-bounded semantics they
+would silently change meaning, and no GDS weighted-path mode accepts them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """(source, node, dist): cheapest path cost from each id in ``sources``
+    to every node reachable within ``max_hops`` edges, following
+    ``weight_col`` (non-negative; parallel edges keep their cheapest copy).
+
+    ``dist`` preserves the weight column's type family: integer weights
+    stay exact integers (the oracle hashes them bit-for-bit), doubles
+    accumulate as left-to-right per-path sums — identical across engines
+    because each path's cost is folded in hop order, never reassociated.
+
+    ``directed=False`` relaxes across both orientations (the GDS
+    UNDIRECTED relationship projection).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    if directed is False:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_sssp requires non-negative weights")
+    # parallel edges: cheapest copy only — fewer candidate rows per round
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(eager=True)
+
+    dist = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("node")
+    ).distinct().withColumn("dist", F.lit(0).cast(dict(e.dtypes)["w"]))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("source", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("source", "node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, ["source", "node"], "full")
+            .select(
+                "source",
+                "node",
+                F.when(
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd")
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                (F.col("dist").isNull() | (F.col("nd") < F.col("dist"))).alias("improved"),
+            )
+        ).localCheckpoint(eager=True)
+        frontier = merged.filter("improved").select("source", "node", "dist")
+        dist = merged.select("source", "node", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

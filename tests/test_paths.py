@@ -1,0 +1,57 @@
+import pytest
+
+from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+
+def _sssp(spark, edges, sources, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    s = spark.createDataFrame([(i,) for i in sources], ["id"])
+    out = weighted_sssp(e, s, **kw)
+    return {(r["source"], r["node"]): r["dist"] for r in out.collect()}
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # a->b->c costs 2, direct a->c costs 10: more hops, cheaper
+    got = _sssp(spark, [("a", "b", 1), ("b", "c", 1), ("a", "c", 10)], ["a"])
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2}
+
+
+def test_sssp_hop_bound_semantics(spark):
+    # with max_hops=1 the cheap 2-hop route is not yet visible
+    got = _sssp(
+        spark, [("a", "b", 1), ("b", "c", 1), ("a", "c", 10)], ["a"], max_hops=1
+    )
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 10}
+
+
+def test_sssp_multi_source_and_parallel_edges(spark):
+    got = _sssp(
+        spark,
+        [("a", "b", 5), ("a", "b", 2), ("x", "b", 7)],
+        ["a", "x"],
+    )
+    assert got[("a", "b")] == 2  # cheapest parallel copy
+    assert got[("x", "b")] == 7
+    assert got[("a", "a")] == 0 and got[("x", "x")] == 0
+    assert ("a", "x") not in got  # unreachable pairs are absent, not inf
+
+
+def test_sssp_undirected_and_early_exit(spark):
+    got = _sssp(spark, [("a", "b", 3)], ["b"], directed=False, max_hops=50)
+    assert got == {("b", "b"): 0, ("b", "a"): 3}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    with pytest.raises(ValueError, match="non-negative"):
+        _sssp(spark, [("a", "b", -1)], ["a"])
+    with pytest.raises(ValueError, match="max_hops"):
+        _sssp(spark, [("a", "b", 1)], ["a"], max_hops=0)
+
+
+def test_sssp_double_weights_fold_in_hop_order(spark):
+    got = _sssp(
+        spark,
+        [("a", "b", 0.5), ("b", "c", 0.25), ("a", "c", 1.0)],
+        ["a"],
+    )
+    assert got[("a", "c")] == 0.75
