@@ -273,6 +273,53 @@ def _run_pass(spark, docs, emb, par, repeat):
             id_col="vec_id",
         ).collect()
 
+    @step("pq_topk")
+    def _pq():
+        # IVF_PQ's compressed query path: train-once codebooks + ADC scan +
+        # exact re-rank (operators/similarity.py)
+        from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_topk
+
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+        books = pq_codebooks(emb, m_sub=8, k_codes=8)
+        pq_topk(emb, qv, k=10, rerank=100, codebooks=books).collect()
+
+    @step("a2_weighted_sssp")
+    def _wsssp():
+        from cognee_graphdb_spark.operators.dedup import _hash64
+        from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+        fk = edges.filter(
+            F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+        )
+        w = fk.select(
+            "src",
+            "dst",
+            (F.pmod(_hash64(F.concat_ws("|", "src", "dst"), 0, "xxhash64"), F.lit(5)) + 1).alias("weight"),
+        )
+        srcs = (
+            fk.select(F.col("src").alias("id"))
+            .unionByName(fk.select(F.col("dst").alias("id")))
+            .distinct()
+            .filter(F.col("id").startswith("region:"))
+        )
+        weighted_sssp(w, srcs, max_hops=4, directed=False).count()
+
+    @step("a2_node_embeddings")
+    def _sppmi():
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+        from cognee_graphdb_spark.operators.node_embeddings import sppmi_node_embeddings
+
+        fk = edges.filter(
+            F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+        )
+        walks = random_walks(fk, walk_length=4, num_walks=2, seed=3)
+        sppmi_node_embeddings(
+            walk_skipgram_pairs(walks, window=2), dim=8, n_iter=4
+        ).count()
+
     @step("dedup_minhash_lsh")
     def _minhash():
         dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5).count()
