@@ -666,3 +666,130 @@ def ivf_pq_topk(
         vector_col=vector_col,
         codebooks=codebooks,
     )
+
+
+def save_pq_index(
+    encoded: DataFrame, codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Persist a PQ index: the encoded rows (ids + full-precision vectors +
+    pq_codes) as parquet, the codebooks as a tiny (sub, code, centroid)
+    parquet — same build-once/query-many seam as :func:`save_ivf_index`.
+    Re-encoding the corpus per query is the anti-pattern this removes; the
+    codes column is what a 100 TB ADC scan reads instead of the vectors."""
+    spark = encoded.sparkSession
+    encoded.write.mode("overwrite").parquet(f"{path}/encoded")
+    rows = [
+        (m, j, [float(x) for x in cb])
+        for m, book in enumerate(codebooks)
+        for j, cb in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]:
+    """(encoded, codebooks) back from :func:`save_pq_index`.  The codebook
+    table is m_sub * k_codes rows — driver-side by construction."""
+    encoded = spark.read.parquet(f"{path}/encoded")
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = 1 + max(r["sub"] for r in rows)
+    k_codes = 1 + max(r["code"] for r in rows)
+    books: list[list[list[float]]] = [[None] * k_codes for _ in range(m_sub)]  # type: ignore[list-item]
+    for r in rows:
+        books[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return encoded, books
+
+
+def pq_batch_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, list[list[list[float]]]],
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    normalize: bool = True,
+) -> DataFrame:
+    """MANY queries against one (persisted) PQ index, fully declarative — the
+    ivf_batch_topk discipline applied to the compressed scan.  Per-query ADC
+    LUTs are computed AS COLUMNS from the broadcast codebook table (no
+    driver loop over queries), the candidate scan is one broadcast join of
+    the flat (query, lut) frame against the encoded table reading only the
+    codes column, the per-query shortlist a ranking window over ADC, and
+    only ``rerank`` survivors per query touch full-precision vectors.
+    Output: (query_id, vec_id, distance), k rows per query."""
+    from pyspark.sql.window import Window
+
+    encoded, codebooks = index
+    spark = queries.sparkSession
+    m_sub = len(codebooks)
+    k_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+
+    cb_rows = [
+        (m, j, [float(x) for x in cb], _fold_dot(cb, cb))
+        for m, book in enumerate(codebooks)
+        for j, cb in enumerate(book)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>, cc double"
+    )
+    qv = _pq_view(F.col(query_vec_col), normalize)
+    q = queries.select(query_id_col, qv.alias("__pq_qu"))
+    # lut term per (query, sub, code): ||c||^2 - 2*q_m.c — the same operand
+    # order as _pq_lut; flattened to one array per query, indexed sub*k+code
+    qsub = F.slice(F.col("__pq_qu"), F.col("sub") * d_sub + 1, F.lit(d_sub))
+    terms = q.join(F.broadcast(cb)).select(
+        query_id_col,
+        (F.col("sub") * k_codes + F.col("code")).alias("flat"),
+        (
+            F.col("cc")
+            - F.lit(2.0)
+            * F.aggregate(
+                F.zip_with(qsub, F.col("centroid"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("term"),
+    )
+    luts = terms.groupBy(query_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("flat", "term"))), lambda s: s["term"]
+        ).alias("__pq_lut")
+    )
+    # ADC per (query, candidate): left-to-right fold over the m_sub codes —
+    # the pq_adc_expr accumulation order
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda c, m: F.element_at(F.col("__pq_lut"), m * k_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = encoded.select(id_col, vector_col, "pq_codes").join(F.broadcast(luts))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    shortlist = (
+        scored.select(query_id_col, id_col, vector_col, adc.alias("adc"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .drop("_rn", "adc")
+    )
+    qvs = queries.select(query_id_col, F.col(query_vec_col).alias("__pq_qv"))
+    rw = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        shortlist.join(F.broadcast(qvs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_distance(F.col(vector_col), F.col("__pq_qv")), 6).alias(
+                "distance"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -172,3 +172,38 @@ def test_ivf_pq_topk_recall_and_determinism(spark):
     assert recall >= 0.4, f"IVF_PQ recall too low: {recall} ({got} vs {exact})"
     got2 = [r["vec_id"] for r in ivf_pq_topk(emb, q, k=10, n_lists=8, nprobe=4, rerank=100).collect()]
     assert got == got2
+
+
+def test_pq_index_persist_and_batch_matches_single(spark, tmp_path):
+    from cognee_graphdb_spark.operators.similarity import (
+        load_pq_index,
+        pq_batch_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        save_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=8)
+    save_pq_index(pq_encode(emb, books), books, str(tmp_path / "pq"))
+    encoded, books2 = load_pq_index(spark, str(tmp_path / "pq"))
+    assert books2 == books  # codebooks survive the round-trip bit-for-bit
+
+    qids = [1, 3, 7]
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    queries = spark.createDataFrame(
+        [(str(i), qrows[i]) for i in qids], ["query_id", "query_vec"]
+    )
+    batch = pq_batch_topk(queries, (encoded, books2), k=5, rerank=50)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["distance"]))
+    assert set(got) == {str(i) for i in qids}
+    for i in qids:
+        single = [
+            (r["vec_id"], r["distance"])
+            for r in pq_topk(emb, qrows[i], k=5, rerank=50, codebooks=books).collect()
+        ]
+        assert got[str(i)] == single, i
