@@ -316,8 +316,10 @@ def _run_pass(spark, docs, emb, par, repeat):
             F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
         )
         walks = random_walks(fk, walk_length=4, num_walks=2, seed=3)
+        # n_iter=2 exercises the full matmul + CholeskyQR + Ritz path at
+        # bench cost; convergence quality is pinned by pytest, not here
         sppmi_node_embeddings(
-            walk_skipgram_pairs(walks, window=2), dim=8, n_iter=4
+            walk_skipgram_pairs(walks, window=2), dim=8, n_iter=2
         ).count()
 
     @step("dedup_minhash_lsh")
