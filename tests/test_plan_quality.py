@@ -351,3 +351,61 @@ def test_node2vec_steps_are_equi_joins(spark, toy_graph):
     plan = plan_of(node2vec_walks(edges, walk_length=3, num_walks=1, p=2.0, q=0.5))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pq_encode_is_map_only_single_scan(spark):
+    """PQ encoding must plan as ONE scan + projections: zero exchanges, no
+    Python worker — the property that lets a 100 TB corpus encode as a
+    map-only pass and write partitioned like any other column.  The staged
+    unit-view/slice projections must survive (CollapseProject would
+    re-evaluate the norm fold per candidate — the 40x regression this pins)."""
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=4)
+    plan = plan_of(pq_encode(emb, books))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pq_topk_is_take_ordered_not_global_sort(spark):
+    """Both the ADC shortlist and the final top-k must plan as
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    global Sort."""
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=4)
+    plan = plan_of(pq_topk(emb, [0.1] * 64, k=5, rerank=20, codebooks=books))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_weighted_sssp_rounds_are_equi_joins(spark, toy_graph):
+    """Each relaxation round must plan as a hash equi-join (frontier ⋈ edges
+    on the node key) + partial-agg min — no cartesian, no Python worker."""
+    from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+    _, edges = toy_graph
+    e = edges.withColumn("weight", F.lit(1))
+    srcs = spark.createDataFrame([("n0",)], ["id"])
+    plan = plan_of(weighted_sssp(e, srcs, max_hops=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_sppmi_matmul_is_equi_join_with_broadcast_total(spark):
+    """The SPPMI matrix must plan with the corpus total as a 1-row BROADCAST
+    (never a shuffle join against it) and the power-iteration matmul as a
+    hash equi-join on the contraction key; everything JVM-side."""
+    from cognee_graphdb_spark.operators.node_embeddings import sppmi_matrix
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2), ("b", "c", 1)],
+        "center string, context string, n_pairs long",
+    )
+    plan = plan_of(sppmi_matrix(pairs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
