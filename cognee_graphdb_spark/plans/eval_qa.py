@@ -94,3 +94,50 @@ def evaluate_qa(
     agg = scored.agg(F.avg("em").alias("em"), F.avg("f1").alias("f1")).first()
     out["em"], out["f1"] = float(agg["em"]), float(agg["f1"])
     return out
+
+
+def bootstrap_ci(
+    scores: list[float],
+    num_samples: int = 10000,
+    confidence_level: float = 0.95,
+    seed: int = 17,
+) -> tuple[float, float, float]:
+    """(mean, lower, upper): bootstrap confidence interval for a score list —
+    the reference's aggregate statistic
+    (eval_framework/analysis/metrics_calculator.py:7-17: resample n-with-
+    replacement num_samples times, take the percentile band of the means).
+    Seeded (the reference draws from global numpy RNG; a seed makes the
+    artifact reproducible) and driver-side BY CONSTRUCTION: the input is one
+    float per eval question (protocol size ~24-1000), never per-document
+    data — corpus-scale work stays in the scoring DataFrame upstream."""
+    import numpy as np
+
+    if not scores:
+        raise ValueError("bootstrap_ci needs at least one score")
+    arr = np.asarray(scores, dtype=float)
+    rng = np.random.default_rng(seed)
+    means = rng.choice(arr, size=(num_samples, len(arr)), replace=True).mean(axis=1)
+    lower = float(np.percentile(means, (1 - confidence_level) / 2 * 100))
+    upper = float(np.percentile(means, (1 + confidence_level) / 2 * 100))
+    return float(arr.mean()), lower, upper
+
+
+def metrics_statistics(
+    per_question: DataFrame,
+    metrics: tuple[str, ...] = ("em", "f1"),
+    num_samples: int = 10000,
+    confidence_level: float = 0.95,
+    seed: int = 17,
+) -> dict[str, tuple[float, float, float]]:
+    """{metric: (mean, ci_lower, ci_upper)} over an ``evaluate_qa``
+    per-question frame — the reference's calculate_metrics_statistics
+    (metrics_calculator.py:78+), null scores skipped like its failed-eval
+    filter.  One driver collect of n_questions rows."""
+    present = [m for m in metrics if m in per_question.columns]
+    rows = per_question.select(*present).collect()
+    out = {}
+    for m in present:
+        scores = [float(r[m]) for r in rows if r[m] is not None]
+        if scores:
+            out[m] = bootstrap_ci(scores, num_samples, confidence_level, seed)
+    return out

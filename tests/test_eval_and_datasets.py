@@ -553,3 +553,26 @@ def test_context_coverage_metric(spark, tmp_path):
         evaluate_qa(e, eval_pairs(pairs), golden_contexts=["only-one"])
     with _pytest.raises(ValueError, match="golden_context"):
         golden_contexts([{"question": "q", "answer": "a"}])
+
+
+def test_bootstrap_ci_seeded_and_sane(spark):
+    from cognee_graphdb_spark.plans.eval_qa import bootstrap_ci, metrics_statistics
+
+    scores = [1.0, 0.0, 1.0, 1.0, 0.5, 0.0, 1.0, 0.75]
+    mean, lo, hi = bootstrap_ci(scores, num_samples=2000)
+    assert abs(mean - sum(scores) / len(scores)) < 1e-12
+    assert lo <= mean <= hi and 0.0 <= lo and hi <= 1.0
+    # seeded: bit-identical across calls; a different seed moves the band
+    assert bootstrap_ci(scores, num_samples=2000) == (mean, lo, hi)
+    assert bootstrap_ci(scores, num_samples=2000, seed=99) != (mean, lo, hi)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bootstrap_ci([])
+
+    df = spark.createDataFrame(
+        [(1.0, 0.5, None), (0.0, 1.0, 0.25)], ["em", "f1", "judge_score"]
+    )
+    stats = metrics_statistics(df, metrics=("em", "f1", "judge_score", "absent"))
+    assert set(stats) == {"em", "f1", "judge_score"}
+    assert stats["judge_score"][0] == 0.25  # null skipped like the reference

@@ -237,12 +237,22 @@ def run_eval(spark, root: str, corpus=None, pairs=None, embed_dim: int = 64) -> 
             "n_documents": n_docs,
             "n_questions": len(pairs),
         }
+        from cognee_graphdb_spark.plans.eval_qa import metrics_statistics
+
         for st in ("GRAPH_COMPLETION", "GRAPH_COMPLETION_COT"):
             res = evaluate_qa(engine, pairs, search_type=st, llm_judge=True)
+            stats = metrics_statistics(
+                res["per_question"], metrics=("em", "f1", "judge_score")
+            )
             result[st.lower()] = {
                 "em": round(res["em"], 6),
                 "f1": round(res["f1"], 6),
                 "judge": round(res["judge"], 6),
+                # seeded bootstrap 95% CI per metric — the reference's
+                # aggregate statistic (metrics_calculator.py)
+                "ci95": {
+                    m: [round(x, 6) for x in v] for m, v in stats.items()
+                },
             }
         result["n_http_requests"] = srv.n_requests
         return result
