@@ -2538,6 +2538,31 @@ def _q_a2_weighted_sssp(spark, sf_dir):
     return out.select("source", "node", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_a2_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style layered neighbor sampling (operators/graph_sampling
+    .py:neighbor_sample; Hamilton et al. 2017 — the GNN mini-batch corpus
+    stage, a training-data op like walks/skip-grams) from the 5 region
+    nodes over the undirected nation-family FK subgraph, fanouts [3, 2].
+    Neighbor order is a seeded hash of (node, neighbor) over the ranked
+    adjacency, so the oracle restates the same row_number ranking and the
+    sampled edge blocks match row-for-row."""
+    from cognee_graphdb_spark.operators.graph_sampling import neighbor_sample
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    roots = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id").startswith("region:"))
+    )
+    return neighbor_sample(
+        fk, roots, fanouts=[3, 2], seed=11, hasher="md5_64", directed=False
+    )
+
+
 def _q_a2_node_embeddings(spark, sf_dir):
     """SPPMI corpus stage of SPPMI-SVD node embeddings
     (operators/node_embeddings.py:sppmi_matrix over the deterministic
@@ -2639,6 +2664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
         # -- window boundary (50): below here, rows stay green cumulatively --
+        # NEW but landed after the r9 window filled with mandated re-proofs
+        # (pytest-proved this round) — it MUST lead the r10 window
+        "a2_neighbor_sample": _q_a2_neighbor_sample,
         # displaced for the function-edited set above (their own functions
         # are untouched since their latest rows — knn_quantized r7,
         # a2_incremental_components r8 — only their MODULES were appended
@@ -5629,6 +5657,40 @@ wsr0 AS MATERIALIZED (
 ),
 {", ".join(_ws_rounds)}
 SELECT source, node, CAST(dist AS BIGINT) AS dist FROM wsr4"""
+
+    # --- layered neighbor sampling (operators/graph_sampling.py): seeded
+    # hash-ranked adjacency + per-layer fanout filters, undirected, [3, 2]
+    _ns_h = _md5_64("concat(src, '|', dst)", 11)
+    sql["a2_neighbor_sample"] = f"""WITH {g},
+nsf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nse AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM nsf UNION ALL SELECT dst AS src, src AS dst FROM nsf
+  ) z WHERE src != dst
+),
+nsadj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY {_ns_h}, dst) AS rnk
+  FROM nse
+),
+nsl0 AS (
+  SELECT id AS root, id AS node FROM (
+    SELECT src AS id FROM nsf UNION SELECT dst FROM nsf
+  ) n WHERE id LIKE 'region:%'
+),
+nss1 AS MATERIALIZED (
+  SELECT DISTINCT f.root, a.src, a.dst
+  FROM nsl0 f JOIN nsadj a ON f.node = a.src WHERE a.rnk <= 3
+),
+nsf1 AS (SELECT DISTINCT root, dst AS node FROM nss1),
+nss2 AS MATERIALIZED (
+  SELECT DISTINCT f.root, a.src, a.dst
+  FROM nsf1 f JOIN nsadj a ON f.node = a.src WHERE a.rnk <= 2
+)
+SELECT root, CAST(1 AS INT) AS layer, src, dst FROM nss1
+UNION ALL
+SELECT root, CAST(2 AS INT) AS layer, src, dst FROM nss2"""
 
     # --- SPPMI matrix over the walk skip-gram corpus
     # (operators/node_embeddings.py:sppmi_matrix, shift=2): the

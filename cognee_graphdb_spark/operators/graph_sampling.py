@@ -1,0 +1,75 @@
+"""Layered neighbor sampling — the GNN mini-batch corpus stage.
+
+A graph-embedding / GNN training pipeline over a 100 TB graph does not feed
+full neighborhoods: it samples a bounded fan-out per node per layer
+(GraphSAGE, Hamilton et al. 2017; the sampler DGL/PyG run on the data side).
+This is a TRAINING-DATA operator like walks/skip-grams: the output is a
+reproducible edge-block table a trainer consumes, so determinism matters
+more than randomness quality — neighbors are picked by SEEDED-HASH RANKING
+(the random_walks discipline), which makes every sample restartable and
+SQL-oracle-checkable where ``rand()`` is not.
+
+Scale shape: layer l joins the layer-(l-1) frontier against the ranked
+adjacency on the node key (co-partitioned equi-join), keeps ranks below the
+fan-out with a FILTER (the per-neighbor rank is precomputed ONCE on the
+adjacency, not re-windowed per layer), and frontiers grow as
+|roots|·Πfanouts — bounded by construction, never by graph degree (a
+10M-degree hub contributes exactly ``fanout`` rows per appearance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    roots: DataFrame,
+    fanouts: list[int],
+    seed: int = 11,
+    hasher: str = "xxhash64",
+    directed: bool = True,
+) -> DataFrame:
+    """(root, layer, src, dst): for each id in ``roots``, a deterministic
+    sampled neighborhood block — layer 1 samples ``fanouts[0]`` out-edges of
+    the root, layer 2 samples ``fanouts[1]`` out-edges of each layer-1
+    neighbor, and so on (GraphSAGE's layered fan-out; ``directed=False``
+    samples the undirected adjacency).
+
+    The per-node neighbor order is a seeded hash of (node, neighbor): stable
+    across runs, partitionings and engines, and INDEPENDENT of the layer or
+    root — so the ranked adjacency is computed once, and two roots sampling
+    the same node see the same neighbors (cacheable blocks, the reusable-
+    neighborhood property samplers exploit).  Duplicate sampled edges within
+    one (root, layer) are collapsed (a node reached twice contributes one
+    block), keeping the output a set like the reference trainers expect.
+    """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError("fanouts must be a non-empty list of positive ints")
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if directed is False:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    h = _hash64(F.concat_ws("|", "src", "dst"), seed, hasher)
+    adj = e.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("src").orderBy(h, F.col("dst"))),
+    ).localCheckpoint(eager=True)
+
+    frontier = roots.select(F.col("id").alias("root"), F.col("id").alias("node")).distinct()
+    blocks = None
+    for layer, fan in enumerate(fanouts, start=1):
+        sampled = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .filter(F.col("rnk") <= fan)
+            .select("root", F.lit(layer).alias("layer"), "src", "dst")
+            .distinct()
+        )
+        blocks = sampled if blocks is None else blocks.unionByName(sampled)
+        frontier = sampled.select("root", F.col("dst").alias("node")).distinct()
+    return blocks

@@ -1,0 +1,58 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.operators.graph_sampling import neighbor_sample
+
+
+def _blocks(spark, edges, roots, fanouts, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    r = spark.createDataFrame([(i,) for i in roots], ["id"])
+    out = neighbor_sample(e, r, fanouts, **kw)
+    return {(x["root"], x["layer"], x["src"], x["dst"]) for x in out.collect()}
+
+
+def test_fanout_bounds_per_node(spark):
+    edges = [("a", f"b{i}") for i in range(10)] + [(f"b{i}", f"c{j}") for i in range(10) for j in range(5)]
+    got = _blocks(spark, edges, ["a"], [3, 2])
+    l1 = {t for t in got if t[1] == 1}
+    l2 = {t for t in got if t[1] == 2}
+    assert len(l1) == 3 and all(t[2] == "a" for t in l1)
+    # each sampled layer-1 neighbor contributes at most 2 layer-2 edges
+    per_src = {}
+    for t in l2:
+        per_src.setdefault(t[2], set()).add(t[3])
+    assert set(per_src) == {t[3] for t in l1}
+    assert all(len(v) == 2 for v in per_src.values())
+
+
+def test_deterministic_and_seed_sensitive(spark):
+    edges = [("a", f"b{i}") for i in range(10)]
+    one = _blocks(spark, edges, ["a"], [4])
+    two = _blocks(spark, edges, ["a"], [4])
+    assert one == two
+    other = _blocks(spark, edges, ["a"], [4], seed=99)
+    assert {t[3] for t in other} != {t[3] for t in one}
+
+
+def test_shared_node_sees_same_neighbors_for_all_roots(spark):
+    # hub h has many out-neighbors; both roots reach h at layer 1 and must
+    # sample the SAME layer-2 block (rank is root-independent)
+    edges = [("r1", "h"), ("r2", "h")] + [("h", f"x{i}") for i in range(8)]
+    got = _blocks(spark, edges, ["r1", "r2"], [1, 3])
+    b1 = {t[3] for t in got if t[0] == "r1" and t[1] == 2}
+    b2 = {t[3] for t in got if t[0] == "r2" and t[1] == 2}
+    assert b1 == b2 and len(b1) == 3
+
+
+def test_undirected_and_validation(spark):
+    got = _blocks(spark, [("a", "b")], ["b"], [2], directed=False)
+    assert got == {("b", 1, "b", "a")}
+    with pytest.raises(ValueError, match="fanouts"):
+        _blocks(spark, [("a", "b")], ["a"], [])
+    with pytest.raises(ValueError, match="fanouts"):
+        _blocks(spark, [("a", "b")], ["a"], [2, 0])
+
+
+def test_self_loops_excluded_and_dedup(spark):
+    got = _blocks(spark, [("a", "a"), ("a", "b"), ("a", "b")], ["a"], [5])
+    assert got == {("a", 1, "a", "b")}
