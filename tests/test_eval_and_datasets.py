@@ -576,3 +576,25 @@ def test_bootstrap_ci_seeded_and_sane(spark):
     stats = metrics_statistics(df, metrics=("em", "f1", "judge_score", "absent"))
     assert set(stats) == {"em", "f1", "judge_score"}
     assert stats["judge_score"][0] == 0.25  # null skipped like the reference
+
+
+def test_eval_dashboard_renders_all_sections(tmp_path):
+    from cognee_graphdb_spark.plans.eval_dashboard import create_dashboard
+
+    html = create_dashboard(
+        per_metric_scores={"f1": [0.0, 0.5, 1.0, 1.0]},
+        ci={"f1": (0.625, 0.25, 1.0)},
+        details=[
+            {"question": "q<1>?", "answer": "a&b", "golden_answer": "g", "score": 1.0}
+        ],
+        output_file=str(tmp_path / "dash.html"),
+    )
+    assert (tmp_path / "dash.html").read_text() == html
+    assert "<svg" in html and "confidence intervals" in html
+    assert "f1 distribution" in html
+    # user strings are escaped, never raw
+    assert "q&lt;1&gt;?" in html and "a&amp;b" in html
+    # artifact-shape input: ci95 blocks become CI rows
+    art = {"graph_completion": {"em": 0.75, "ci95": {"em": [0.75, 0.5, 0.95]}}}
+    html2 = create_dashboard(eval_artifact=art)
+    assert "graph_completion/em" in html2 and "0.750 [0.500, 0.950]" in html2

@@ -271,6 +271,11 @@ def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else "EVAL_r9.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+    from cognee_graphdb_spark.plans.eval_dashboard import create_dashboard
+
+    create_dashboard(
+        eval_artifact=out, output_file=path.rsplit(".", 1)[0] + ".html"
+    )
     print(json.dumps(out))
     return 0
 
