@@ -61,9 +61,12 @@ def weighted_sssp(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
-    neg = e.filter(F.col("w") < 0).limit(1).count()
-    if neg:
-        raise ValueError("weighted_sssp requires non-negative weights")
+    bad = e.filter((F.col("w") < 0) | F.col("w").isNull()).limit(1).count()
+    if bad:
+        # nulls would otherwise propagate as null path costs that win no
+        # min() yet stay in the frontier forever — reject up front like
+        # negatives rather than silently dropping the edge
+        raise ValueError("weighted_sssp requires non-negative, non-null weights")
     # parallel edges: cheapest copy only — fewer candidate rows per round
     e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(eager=True)
 

@@ -55,3 +55,10 @@ def test_sssp_double_weights_fold_in_hop_order(spark):
         ["a"],
     )
     assert got[("a", "c")] == 0.75
+
+
+def test_sssp_rejects_null_weights(spark):
+    e = spark.createDataFrame([("a", "b", None), ("b", "c", 1)], "src string, dst string, weight int")
+    s = spark.createDataFrame([("a",)], ["id"])
+    with pytest.raises(ValueError, match="non-null"):
+        weighted_sssp(e, s)
