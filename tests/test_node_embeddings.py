@@ -151,3 +151,19 @@ def test_embeddings_deterministic_within_tolerance(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert np.allclose(a[k], b[k], atol=1e-9), k
+
+
+def test_embeddings_feed_v1_knn_search(spark):
+    """The VERDICT-r8 integration contract: SPPMI-SVD output is a normal
+    (id, embedding) frame, so the V1 search path consumes it directly —
+    structurally-close nodes (same clique) rank nearest."""
+    from cognee_graphdb_spark.operators.vector_search import knn
+
+    pairs = _clique_pairs(spark, sizes=(6, 5, 4))
+    emb = sppmi_node_embeddings(pairs, dim=3, n_iter=8)
+    q = [float(x) for x in emb.filter(F.col("id") == "c0_0").first()["embedding"]]
+    top = knn(emb, q, k=5, vector_col="embedding", id_cols=("id",)).collect()
+    ids = [r["id"] for r in top]
+    assert ids[0] == "c0_0"
+    # every same-clique member outranks every other-clique node
+    assert all(i.startswith("c0_") for i in ids), ids
