@@ -2563,6 +2563,22 @@ def _q_a2_neighbor_sample(spark, sf_dir):
     )
 
 
+def _q_a2_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/link_prediction.py — the
+    gds.alpha.linkprediction family the reference reaches through its GDS
+    metric surface) over the undirected nation-family FK subgraph, top-500
+    by (score desc, u, v).  Scores fold 1/ln(deg) over SORTED common
+    neighbors (the betweenness float discipline), so the oracle's
+    list(... ORDER BY z) + list_reduce restates them bit-for-bit."""
+    from cognee_graphdb_spark.operators.link_prediction import link_prediction
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    return link_prediction(fk, metric="adamic_adar", top_k=500)
+
+
 def _q_a2_node_embeddings(spark, sf_dir):
     """SPPMI corpus stage of SPPMI-SVD node embeddings
     (operators/node_embeddings.py:sppmi_matrix over the deterministic
@@ -2665,8 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_gopher_filter": _q_td_gopher_filter,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # NEW but landed after the r9 window filled with mandated re-proofs
-        # (pytest-proved this round) — it MUST lead the r10 window
+        # (pytest-proved this round) — these MUST lead the r10 window
         "a2_neighbor_sample": _q_a2_neighbor_sample,
+        "a2_link_prediction": _q_a2_link_prediction,
         # displaced for the function-edited set above (their own functions
         # are untouched since their latest rows — knn_quantized r7,
         # a2_incremental_components r8 — only their MODULES were appended
@@ -5691,6 +5708,37 @@ nss2 AS MATERIALIZED (
 SELECT root, CAST(1 AS INT) AS layer, src, dst FROM nss1
 UNION ALL
 SELECT root, CAST(2 AS INT) AS layer, src, dst FROM nss2"""
+
+    # --- Adamic-Adar link prediction (operators/link_prediction.py): wedge
+    # self-join on the center, anti-join out existing edges, per-pair fold
+    # of 1/ln(deg) over SORTED common neighbors (list_reduce seeds from the
+    # first element; 0.0 + t1 == t1 in IEEE, so the fold orders agree) ------
+    sql["a2_link_prediction"] = f"""WITH {g},
+lpf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+lpsym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM lpf UNION ALL SELECT dst AS src, src AS dst FROM lpf
+  ) z WHERE src != dst
+),
+lpdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM lpsym GROUP BY src),
+lpadj AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS n, d.deg AS dz
+  FROM lpsym s JOIN lpdeg d ON s.src = d.src
+),
+lpw AS MATERIALIZED (
+  SELECT a.z, a.dz, a.n AS u, b.n AS v
+  FROM lpadj a JOIN lpadj b ON a.z = b.z AND a.n < b.n
+),
+lpp AS MATERIALIZED (
+  SELECT w.u, w.v, w.z, w.dz FROM lpw w
+  WHERE NOT EXISTS (SELECT 1 FROM lpsym e WHERE e.src = w.u AND e.dst = w.v)
+)
+SELECT u, v,
+       round(list_reduce(list(1.0 / ln(CAST(dz AS DOUBLE)) ORDER BY z),
+                         (a, b) -> a + b), 6) AS score
+FROM lpp GROUP BY u, v
+ORDER BY score DESC, u, v LIMIT 500"""
 
     # --- SPPMI matrix over the walk skip-gram corpus
     # (operators/node_embeddings.py:sppmi_matrix, shift=2): the
