@@ -2579,6 +2579,40 @@ def _q_a2_link_prediction(spark, sf_dir):
     return link_prediction(fk, metric="adamic_adar", top_k=500)
 
 
+def _q_a2_sssp_paths(spark, sf_dir):
+    """Cheapest paths RENDERED (operators/paths.py:weighted_sssp(return_pred)
+    + sssp_paths — the gds.shortestPath.dijkstra STREAM shape, path strings
+    included) from the 5 region nodes, undirected nation-family subgraph,
+    hash-derived integer weights 1..5, 3-hop bound.  Predecessors tie-break
+    by (dist, pred) over exact integer costs, so the oracle re-derives the
+    same pointers round-for-round and walks them with 3 chained joins."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.paths import sssp_paths, weighted_sssp
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    w = fk.select(
+        "src",
+        "dst",
+        (F.pmod(_hash64(F.concat_ws("|", "src", "dst"), 0, "md5_64"), F.lit(5)) + 1).alias(
+            "weight"
+        ),
+    )
+    srcs = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id").startswith("region:"))
+    )
+    dp = weighted_sssp(w, srcs, max_hops=3, directed=False, return_pred=True)
+    out = sssp_paths(dp, max_hops=3)
+    return out.select(
+        "source", "node", F.col("dist").cast("long").alias("dist"), "path", "truncated"
+    )
+
+
 def _q_a2_node_embeddings(spark, sf_dir):
     """SPPMI corpus stage of SPPMI-SVD node embeddings
     (operators/node_embeddings.py:sppmi_matrix over the deterministic
@@ -2684,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pytest-proved this round) — these MUST lead the r10 window
         "a2_neighbor_sample": _q_a2_neighbor_sample,
         "a2_link_prediction": _q_a2_link_prediction,
+        "a2_sssp_paths": _q_a2_sssp_paths,
         # displaced for the function-edited set above (their own functions
         # are untouched since their latest rows — knn_quantized r7,
         # a2_incremental_components r8 — only their MODULES were appended
@@ -5708,6 +5743,60 @@ nss2 AS MATERIALIZED (
 SELECT root, CAST(1 AS INT) AS layer, src, dst FROM nss1
 UNION ALL
 SELECT root, CAST(2 AS INT) AS layer, src, dst FROM nss2"""
+
+    # --- SSSP with predecessor tracking + rendered paths (operators/
+    # paths.py:weighted_sssp(return_pred=True) + sssp_paths): 3 frontier
+    # relax rounds with (dist, pred) argmin — strict improvements are only
+    # ever offered by last-round-improved nodes, so relaxing from the
+    # improved set matches the Spark frontier exactly — then 3 chained
+    # pointer-walk joins render "source->...->node" strings ----------------
+    _pp_rounds = []
+    for _i in range(1, 4):
+        _pp_rounds.append(f"""ppc{_i} AS MATERIALIZED (
+  SELECT source, node, nd, npred FROM (
+    SELECT f.source, e.dst AS node, f.dist + e.w AS nd, e.src AS npred,
+           row_number() OVER (PARTITION BY f.source, e.dst
+                              ORDER BY f.dist + e.w, e.src) AS rn
+    FROM pp{_i - 1} f JOIN wsu e ON f.node = e.src
+    WHERE f.improved
+  ) z WHERE rn = 1
+), pp{_i} AS MATERIALIZED (
+  SELECT COALESCE(d.source, c.source) AS source,
+         COALESCE(d.node, c.node) AS node,
+         CASE WHEN d.dist IS NULL OR c.nd < d.dist THEN c.nd ELSE d.dist END AS dist,
+         CASE WHEN d.dist IS NULL OR c.nd < d.dist THEN c.npred ELSE d.pred END AS pred,
+         (d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)) AS improved
+  FROM pp{_i - 1} d FULL JOIN ppc{_i} c ON d.source = c.source AND d.node = c.node
+)""")
+    _pp_walk = []
+    for _j in range(1, 4):
+        _pp_walk.append(f"""ppr{_j} AS MATERIALIZED (
+  SELECT r.source, r.node, r.dist,
+         CASE WHEN r.cur IS NULL THEN NULL ELSE t.pred END AS cur,
+         CASE WHEN r.cur IS NULL THEN r.path ELSE r.cur || '->' || r.path END AS path
+  FROM ppr{_j - 1} r LEFT JOIN pp3 t ON r.source = t.source AND r.cur = t.node
+)""")
+    sql["a2_sssp_paths"] = f"""WITH {g},
+wsf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+wsd AS (SELECT src, dst, {_ws_w} AS w FROM wsf),
+wsu AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT src, dst, w FROM wsd
+    UNION ALL SELECT dst AS src, src AS dst, w FROM wsd
+  ) z GROUP BY src, dst
+),
+pp0 AS MATERIALIZED (
+  SELECT id AS source, id AS node, CAST(0 AS BIGINT) AS dist,
+         CAST(NULL AS VARCHAR) AS pred, true AS improved
+  FROM (SELECT src AS id FROM wsf UNION SELECT dst FROM wsf) n
+  WHERE id LIKE 'region:%'
+),
+{", ".join(_pp_rounds)},
+ppr0 AS (SELECT source, node, dist, pred AS cur, CAST(node AS VARCHAR) AS path FROM pp3),
+{", ".join(_pp_walk)}
+SELECT source, node, CAST(dist AS BIGINT) AS dist, path, (cur IS NOT NULL) AS truncated
+FROM ppr3"""
 
     # --- Adamic-Adar link prediction (operators/link_prediction.py): wedge
     # self-join on the center, anti-join out existing edges, per-pair fold

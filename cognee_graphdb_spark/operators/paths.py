@@ -41,6 +41,7 @@ def weighted_sssp(
     weight_col: str = "weight",
     max_hops: int = 10,
     directed: bool = True,
+    return_pred: bool = False,
 ) -> DataFrame:
     """(source, node, dist): cheapest path cost from each id in ``sources``
     to every node reachable within ``max_hops`` edges, following
@@ -53,6 +54,15 @@ def weighted_sssp(
 
     ``directed=False`` relaxes across both orientations (the GDS
     UNDIRECTED relationship projection).
+
+    ``return_pred=True`` adds a ``pred`` column (null at sources): the
+    neighbor the cheapest path arrives from, tie-broken by (dist, pred) —
+    deterministic, and (because only strictly-improving candidates can set
+    it, and any strict improvement is offered by a node improved exactly
+    one round earlier) identical whether rounds relax from the frontier or
+    from the full settled set, which is what lets the SQL oracle restate
+    it.  Feed the result to :func:`sssp_paths` for rendered paths — the
+    gds.shortestPath STREAM shape.
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
@@ -70,34 +80,87 @@ def weighted_sssp(
     # parallel edges: cheapest copy only — fewer candidate rows per round
     e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(eager=True)
 
-    dist = sources.select(
-        F.col("id").alias("source"), F.col("id").alias("node")
-    ).distinct().withColumn("dist", F.lit(0).cast(dict(e.dtypes)["w"]))
-    dist = dist.localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col("id").alias("source"), F.col("id").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast(dict(e.dtypes)["w"]))
+        .withColumn("pred", F.lit(None).cast("string"))
+        .localCheckpoint(eager=True)
+    )
     frontier = dist
 
     for _ in range(max_hops):
         cand = (
             frontier.join(e, frontier["node"] == e["src"])
-            .select("source", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .select(
+                "source",
+                F.col("dst").alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col("w")).alias("nd"),
+                    F.col("src").cast("string").alias("pred"),
+                ).alias("c"),
+            )
             .groupBy("source", "node")
-            .agg(F.min("nd").alias("nd"))
+            .agg(F.min("c").alias("c"))
+            .select("source", "node", F.col("c.nd").alias("nd"), F.col("c.pred").alias("npred"))
         )
+        better = F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
         merged = (
             dist.join(cand, ["source", "node"], "full")
             .select(
                 "source",
                 "node",
-                F.when(
-                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd")
-                )
-                .otherwise(F.col("dist"))
-                .alias("dist"),
-                (F.col("dist").isNull() | (F.col("nd") < F.col("dist"))).alias("improved"),
+                F.when(better, F.col("nd")).otherwise(F.col("dist")).alias("dist"),
+                F.when(better, F.col("npred")).otherwise(F.col("pred")).alias("pred"),
+                better.alias("improved"),
             )
         ).localCheckpoint(eager=True)
-        frontier = merged.filter("improved").select("source", "node", "dist")
-        dist = merged.select("source", "node", "dist")
+        frontier = merged.filter("improved").select("source", "node", "dist", "pred")
+        dist = merged.select("source", "node", "dist", "pred")
         if frontier.limit(1).count() == 0:
             break
-    return dist
+    return dist if return_pred else dist.drop("pred")
+
+
+def sssp_paths(pred_frame: DataFrame, max_hops: int = 10) -> DataFrame:
+    """(source, node, dist, path, truncated): render each
+    ``weighted_sssp(return_pred=True)`` row's cheapest path as
+    "source->...->node" by walking predecessor pointers — ``max_hops``
+    chained equi-joins, each prepending one hop, all rows in parallel (never
+    a per-path driver loop).  ``truncated`` marks rows whose chain did not
+    terminate within ``max_hops`` (only possible via zero-weight cycles —
+    with strictly positive weights every chain strictly descends in dist)."""
+    p = pred_frame.select(
+        "source",
+        "node",
+        "dist",
+        F.array(F.col("node")).alias("rp"),
+        F.col("pred").alias("cur"),
+    )
+    hop = pred_frame.select(
+        "source", F.col("node").alias("cur"), F.col("pred").alias("nxt")
+    )
+    for _ in range(max_hops):
+        if p.filter(F.col("cur").isNotNull()).limit(1).count() == 0:
+            break
+        walking = F.col("cur").isNotNull()
+        p = (
+            p.join(hop, ["source", "cur"], "left")
+            .select(
+                "source",
+                "node",
+                "dist",
+                F.when(walking, F.concat(F.array(F.col("cur")), F.col("rp")))
+                .otherwise(F.col("rp"))
+                .alias("rp"),
+                F.when(walking, F.col("nxt")).otherwise(F.lit(None)).alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        "source",
+        "node",
+        "dist",
+        F.concat_ws("->", "rp").alias("path"),
+        F.col("cur").isNotNull().alias("truncated"),
+    )

@@ -62,3 +62,48 @@ def test_sssp_rejects_null_weights(spark):
     s = spark.createDataFrame([("a",)], ["id"])
     with pytest.raises(ValueError, match="non-null"):
         weighted_sssp(e, s)
+
+
+def test_sssp_pred_and_path_reconstruction(spark):
+    from cognee_graphdb_spark.operators.paths import sssp_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 10), ("c", "d", 1)],
+        ["src", "dst", "weight"],
+    )
+    s = spark.createDataFrame([("a",)], ["id"])
+    dp = weighted_sssp(e, s, return_pred=True)
+    preds = {r["node"]: r["pred"] for r in dp.collect()}
+    assert preds == {"a": None, "b": "a", "c": "b", "d": "c"}
+    out = {r["node"]: r for r in sssp_paths(dp).collect()}
+    assert out["d"]["path"] == "a->b->c->d" and out["d"]["dist"] == 3
+    assert out["a"]["path"] == "a"
+    assert not any(r["truncated"] for r in out.values())
+
+
+def test_sssp_pred_tie_breaks_lexicographically(spark):
+    from cognee_graphdb_spark.operators.paths import sssp_paths
+
+    # two equal-cost one-hop routes into z: pred must be the lexicographic
+    # smaller ('p'), deterministically
+    e = spark.createDataFrame(
+        [("a", "p", 1), ("a", "q", 1), ("p", "z", 1), ("q", "z", 1)],
+        ["src", "dst", "weight"],
+    )
+    s = spark.createDataFrame([("a",)], ["id"])
+    dp = weighted_sssp(e, s, return_pred=True)
+    assert {r["node"]: r["pred"] for r in dp.collect()}["z"] == "p"
+    assert {r["node"]: r["path"] for r in sssp_paths(dp).collect()}["z"] == "a->p->z"
+
+
+def test_sssp_paths_flags_zero_weight_cycle_truncation(spark):
+    from cognee_graphdb_spark.operators.paths import sssp_paths
+
+    # pred chains always terminate with positive weights; force the flag by
+    # handing sssp_paths a synthetic cyclic pred table
+    dp = spark.createDataFrame(
+        [("s", "x", 0, "y"), ("s", "y", 0, "x")],
+        ["source", "node", "dist", "pred"],
+    )
+    out = sssp_paths(dp, max_hops=3)
+    assert all(r["truncated"] for r in out.collect())
