@@ -2613,6 +2613,28 @@ def _q_a2_sssp_paths(spark, sf_dir):
     )
 
 
+def _q_a2_ktruss(spark, sf_dir):
+    """3-truss of the Jaccard near-dup pair graph (operators/dense_subgraph
+    .py:k_truss — the edge analogue of the GDS kcore family the engine
+    already ships; Cohen 2008): every surviving edge sits in ≥1 triangle,
+    i.e. every near-dup link corroborated by a mutual neighbor.  The Spark
+    side peels with hub-safe oriented triangle counting; the oracle unrolls
+    5 naive peel rounds (idempotent past the fixpoint) and recounts final
+    support with a plain wedge join — equal integer supports prove the
+    orientation enumeration lossless under iteration, like the
+    a2_triangle_clustering pin proves it for one pass."""
+    from cognee_graphdb_spark.operators.dedup import jaccard_pairs
+    from cognee_graphdb_spark.operators.dense_subgraph import k_truss
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.9)
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    return k_truss(edges, k=3)
+
+
 def _q_a2_node_embeddings(spark, sf_dir):
     """SPPMI corpus stage of SPPMI-SVD node embeddings
     (operators/node_embeddings.py:sppmi_matrix over the deterministic
@@ -2719,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_neighbor_sample": _q_a2_neighbor_sample,
         "a2_link_prediction": _q_a2_link_prediction,
         "a2_sssp_paths": _q_a2_sssp_paths,
+        "a2_ktruss": _q_a2_ktruss,
         # displaced for the function-edited set above (their own functions
         # are untouched since their latest rows — knn_quantized r7,
         # a2_incremental_components r8 — only their MODULES were appended
@@ -3411,6 +3434,47 @@ cl AS (
 )
 SELECT clustering, CAST(count(*) AS BIGINT) AS n
 FROM cl GROUP BY clustering ORDER BY clustering"""
+
+    # k-truss of the same near-dup pair graph: 5 unrolled naive peel rounds
+    # (support = plain wedge-join common-neighbor count; idempotent once the
+    # fixpoint is reached, so unrolling past convergence is safe), then the
+    # final support recount (operators/dense_subgraph.py:k_truss, k=3)
+    _kt_pairs = """kt_toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
+kt_ts AS (SELECT DISTINCT id, unnest(t) AS token FROM kt_toks),
+kt_sizes AS (SELECT id, count(*) AS sz FROM kt_ts GROUP BY id),
+kt_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM kt_ts a JOIN kt_ts b USING (token) WHERE a.id < b.id GROUP BY 1, 2
+),
+kt0 AS MATERIALIZED (
+  SELECT DISTINCT least(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS u,
+                  greatest(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS v
+  FROM kt_inter JOIN kt_sizes sa ON id_a = sa.id JOIN kt_sizes sb ON id_b = sb.id
+  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9
+)""".format(tok=tok)
+    _kt_rounds = []
+    for _i in range(1, 6):
+        _kt_rounds.append(f"""ktu{_i - 1} AS (
+  SELECT u AS x, v AS y FROM kt{_i - 1} UNION ALL SELECT v, u FROM kt{_i - 1}
+), kts{_i} AS MATERIALIZED (
+  SELECT a.x AS u, b.x AS v, count(*) AS c
+  FROM ktu{_i - 1} a JOIN ktu{_i - 1} b ON a.y = b.y AND a.x < b.x
+  GROUP BY 1, 2
+), kt{_i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kt{_i - 1} e
+  LEFT JOIN kts{_i} s ON s.u = e.u AND s.v = e.v
+  WHERE COALESCE(s.c, 0) >= 1
+)""")
+    sql["a2_ktruss"] = f"""WITH {_kt_pairs},
+{", ".join(_kt_rounds)},
+ktuf AS (SELECT u AS x, v AS y FROM kt5 UNION ALL SELECT v, u FROM kt5),
+ktsf AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS c
+  FROM ktuf a JOIN ktuf b ON a.y = b.y AND a.x < b.x
+  GROUP BY 1, 2
+)
+SELECT e.u, e.v, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM kt5 e LEFT JOIN ktsf s ON s.u = e.u AND s.v = e.v"""
 
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE toks AS (SELECT doc_id AS id, {tok} AS t FROM documents),
