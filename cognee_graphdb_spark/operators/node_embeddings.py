@@ -181,6 +181,12 @@ def sppmi_node_embeddings(
         return z.select(F.col("i").alias("id"), F.array(*cols).alias("q"))
 
     for _ in range(n_iter):
+        # NOTE: Z is deliberately NOT checkpointed even though the Gram and
+        # the rotation both consume it (the matmul runs twice per round):
+        # materializing Z pins it into many partitions whose partial-sum
+        # combine order varies run to run, wobbling the Gram in the last
+        # ulps and cascading through the Cholesky — measured as a
+        # run-to-run determinism regression, for a sub-second saving.
         z = _matmul(sym, q, dim)
         gram_row = z.agg(
             *[
