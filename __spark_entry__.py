@@ -2635,6 +2635,35 @@ def _q_a2_ktruss(spark, sf_dir):
     return k_truss(edges, k=3)
 
 
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords (operators/keywords.py — Mihalcea & Tarau
+    2004, composed from term_cooccurrence + weighted pagerank with NO new
+    iteration machinery): window 3, max_df 400, pairs >= 3, 10 weighted
+    power iterations, top-100 by rank.  Ranks ppm-quantized like the a9
+    pagerank oracles; the co-occurrence weights are exact integers, so the
+    transition fractions are one IEEE division on both engines."""
+    from cognee_graphdb_spark.operators.keywords import textrank_keywords
+
+    # top_k=None: the 100-cut happens on the QUANTIZED ranks below — a
+    # raw-double cut at position 100/101 could flip on engine last-ulp
+    # differences, ppm-integer ties cannot
+    out = textrank_keywords(
+        _t(spark, sf_dir, "documents"),
+        window=3,
+        min_pair_count=3,
+        max_df=400,
+        n_iter=10,
+        top_k=None,
+    )
+    return (
+        out.select(
+            "term", F.round(F.col("rank") * 1000000.0).cast("long").alias("rank_ppm")
+        )
+        .orderBy(F.desc("rank_ppm"), "term")
+        .limit(100)
+    )
+
+
 def _q_a2_node_embeddings(spark, sf_dir):
     """SPPMI corpus stage of SPPMI-SVD node embeddings
     (operators/node_embeddings.py:sppmi_matrix over the deterministic
@@ -2742,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_link_prediction": _q_a2_link_prediction,
         "a2_sssp_paths": _q_a2_sssp_paths,
         "a2_ktruss": _q_a2_ktruss,
+        "textrank_keywords": _q_textrank_keywords,
         # displaced for the function-edited set above (their own functions
         # are untouched since their latest rows — knn_quantized r7,
         # a2_incremental_components r8 — only their MODULES were appended
@@ -3627,6 +3657,52 @@ JOIN mg m1 ON p.t1 = m1.term JOIN mg m2 ON p.t2 = m2.term
 WHERE p.c >= 3"""
 
     sql["token_counts"] = f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents"
+
+    # TextRank keywords (operators/keywords.py): the term_cooccurrence CTE
+    # chain (same window/max_df/min_pair_count as its own oracle) feeding 10
+    # unrolled WEIGHTED power iterations (the a9_pagerank_weighted pattern),
+    # ppm-quantized top-100
+    _trd = "CAST(0.85 AS DOUBLE)"
+    _tr_iters = []
+    _prev_r = "tr0"
+    for _i in range(1, 11):
+        _tr_iters.append(f"""trc{_i} AS MATERIALIZED (
+  SELECT f.dst AS id, SUM(r.rank * f.frac) AS c
+  FROM trfr f JOIN {_prev_r} r ON f.src = r.id
+  GROUP BY f.dst
+), trd{_i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM {_prev_r} r LEFT JOIN trws s ON s.src = r.id WHERE s.src IS NULL
+), tr{_i} AS MATERIALIZED (
+  SELECT a.id,
+         (CAST(1.0 AS DOUBLE) - {_trd}) / trn.n
+         + {_trd} * (COALESCE(c.c, CAST(0 AS DOUBLE)) + (SELECT dm FROM trd{_i}) / trn.n) AS rank
+  FROM trnodes a CROSS JOIN trn LEFT JOIN trc{_i} c ON a.id = c.id
+)""")
+        _prev_r = f"tr{_i}"
+    sql["textrank_keywords"] = f"""
+WITH tf AS (SELECT doc_id, list_filter({tok}, x -> x NOT IN ({stop_in})) AS toks FROM documents),
+tt AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tf),
+keep AS (SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tt GROUP BY term) WHERE df <= 400),
+tk AS (SELECT tt.* FROM tt JOIN keep USING (term)),
+trp AS MATERIALIZED (
+  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2, count(*) AS c
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND 3 AND a.term != b.term
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tre AS MATERIALIZED (
+  SELECT t1 AS src, t2 AS dst, CAST(c AS DOUBLE) AS w FROM trp
+  UNION ALL SELECT t2, t1, CAST(c AS DOUBLE) FROM trp
+),
+trws AS MATERIALIZED (SELECT src, SUM(w) AS ws FROM tre GROUP BY src),
+trfr AS MATERIALIZED (SELECT e.src, e.dst, e.w / s.ws AS frac FROM tre e JOIN trws s ON e.src = s.src),
+trnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM tre),
+trn AS MATERIALIZED (SELECT count(*) AS n FROM trnodes),
+tr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / trn.n AS rank FROM trnodes CROSS JOIN trn),
+{", ".join(_tr_iters)}
+SELECT id AS term, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
+FROM tr10 ORDER BY rank_ppm DESC, term LIMIT 100"""
 
     # real WAV decode: amplitude at ms offset == the synthesized PCM formula
     # (1000 Hz => sample index == offset; duration 200 + doc_id%100 ms)
