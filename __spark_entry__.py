@@ -1310,7 +1310,16 @@ def _q_a2_modularity(spark, sf_dir):
     (graph_metrics.py:modularity ∘ label_propagation — the gds community
     metrics family): per-community exact-integer contributions
     contrib_scaled = S*S_c - d_c², so Q = Σ/S² needs one division AFTER the
-    hash.  Composes two oracle-checked pieces; the oracle restates both."""
+    hash.  Composes two oracle-checked pieces; the oracle restates both.
+
+    Contract note: modularity() emits contrib_scaled as decimal(38,0) — the
+    correct 100 TB overflow guard (BIGINT wraps silently past S ≈ 3.0e9) —
+    but DECIMAL serializations differ between Spark BigDecimal and DuckDB
+    decimal128 in the driver's type-sensitive value hash (the r9 red row:
+    values exactly equal, hash mismatched).  The CONTRACT projection is
+    therefore decimal-free: cast to BIGINT here (max sf0.1 value
+    ≈ S·S_c ≈ 1.4e10, eight orders of margin inside int64) and mirror in
+    the oracle.  Rule: never put a DECIMAL column in a hashed projection."""
     from cognee_graphdb_spark.operators.graph_metrics import (
         label_propagation,
         modularity,
@@ -1326,7 +1335,10 @@ def _q_a2_modularity(spark, sf_dir):
         .distinct()
     )
     labels = label_propagation(ids, fk, n_rounds=3, hasher="md5_64")
-    return modularity(fk, labels)
+    q = modularity(fk, labels)
+    return q.withColumn(
+        "contrib_scaled", F.col("contrib_scaled").cast("bigint")
+    )
 
 
 def _q_a2_node_similarity(spark, sf_dir):
@@ -4821,7 +4833,7 @@ SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
        CAST(stot.s_total AS BIGINT) AS s_total,
        CAST(CAST(stot.s_total AS HUGEINT) * COALESCE(win.sym_within, 0)
             - CAST(COALESCE(dgr.total_degree, 0) AS HUGEINT)
-              * COALESCE(dgr.total_degree, 0) AS DECIMAL(38,0))
+              * COALESCE(dgr.total_degree, 0) AS BIGINT)
          AS contrib_scaled
 FROM siz LEFT JOIN win ON siz.label = win.label
 LEFT JOIN dgr ON siz.label = dgr.label

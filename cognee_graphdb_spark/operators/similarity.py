@@ -611,14 +611,22 @@ def pq_topk(
     encoded = pq_encode(embeddings, codebooks, id_col, vector_col)
     lut = _pq_lut(codebooks, query_vector)
     adc = pq_adc_expr(F.col("pq_codes"), lut)
+    # codes-only shortlist: the ADC scan projects (id, adc) — NOT the
+    # full-precision vector — so the TakeOrderedAndProject heap holds
+    # m_sub ints + a double per row and, on a persisted index, parquet
+    # column pruning skips the vector column entirely.  Only the ``rerank``
+    # survivors fetch vectors, via a broadcast join back on the id.
     shortlist = (
-        encoded.select(id_col, vector_col, adc.alias("adc"))
+        encoded.select(id_col, adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(rerank)
     )
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    rerank_vecs = F.broadcast(shortlist).join(
+        embeddings.select(id_col, vector_col), id_col
+    )
     return (
-        shortlist.select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
+        rerank_vecs.select(id_col, cosine_distance(F.col(vector_col), qv).alias("distance"))
         .withColumn("distance", F.round("distance", 6))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
@@ -770,18 +778,29 @@ def pq_batch_topk(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    scored = encoded.select(id_col, vector_col, "pq_codes").join(F.broadcast(luts))
+    # codes-only ADC scan: project (id, codes) ONLY — every candidate row
+    # crossing the per-query ranking-window shuffle carries m_sub ints, not
+    # the float32[d] vector, and on a persisted index parquet column pruning
+    # never reads the vector column for the scan.  (The r9 plan shipped the
+    # vector through this window — the 100 TB defect this projection fixes.)
+    scored = encoded.select(id_col, "pq_codes").join(F.broadcast(luts))
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc").asc(), F.col(id_col).asc())
     shortlist = (
-        scored.select(query_id_col, id_col, vector_col, adc.alias("adc"))
+        scored.select(query_id_col, id_col, adc.alias("adc"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= rerank)
         .drop("_rn", "adc")
     )
+    # only the n_queries x rerank survivors fetch full-precision vectors:
+    # broadcast the (tiny) shortlist against the encoded table's (id, vector)
+    # projection — a second, vectors-only column-pruned scan
+    rerank_vecs = F.broadcast(shortlist).join(
+        encoded.select(id_col, vector_col), id_col
+    )
     qvs = queries.select(query_id_col, F.col(query_vec_col).alias("__pq_qv"))
     rw = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
     return (
-        shortlist.join(F.broadcast(qvs), query_id_col)
+        rerank_vecs.join(F.broadcast(qvs), query_id_col)
         .select(
             query_id_col,
             id_col,

@@ -382,6 +382,60 @@ def test_pq_topk_is_take_ordered_not_global_sort(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_pq_topk_shortlist_excludes_vectors(spark):
+    """The ADC shortlist heap must carry (id, adc) only — the full-precision
+    vector joins back AFTER the rerank cut.  Pinned on the
+    TakeOrderedAndProject output list: if the vector column reappears there,
+    every scanned row ships float32[d] through the shortlist again."""
+    import re
+
+    from cognee_graphdb_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=4)
+    plan = plan_of(pq_topk(emb, [0.1] * 64, k=5, rerank=20, codebooks=books))
+    # the first (shortlist) TakeOrderedAndProject orders by adc; its detail
+    # block must not project the embedding column
+    blocks = re.findall(r"\(\d+\) TakeOrderedAndProject[^(]*", plan)
+    adc_blocks = [b for b in blocks if "adc" in b]
+    assert adc_blocks, plan
+    assert all("embedding" not in b for b in adc_blocks), plan
+
+
+def test_pq_batch_topk_persisted_scan_is_codes_only(spark, tmp_path):
+    """On a persisted PQ index the batch ADC scan must be column-pruned to
+    (id, pq_codes): the parquet ReadSchema that includes pq_codes must NOT
+    include the vector column — that is the whole point of materializing
+    codes next to vectors (save_pq_index); only the rerank join-back scan
+    reads vectors.  This pins the r9 defect (full vectors shipped through
+    the per-query ranking window) closed."""
+    import re
+
+    from cognee_graphdb_spark.operators.similarity import (
+        load_pq_index,
+        pq_batch_topk,
+        pq_codebooks,
+        pq_encode,
+        save_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m_sub=8, k_codes=4)
+    save_pq_index(pq_encode(emb, books), books, str(tmp_path / "pq"))
+    idx = load_pq_index(spark, str(tmp_path / "pq"))
+    queries = emb.limit(2).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = plan_of(pq_batch_topk(queries, idx, k=3, rerank=10))
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    codes_scans = [s for s in schemas if "pq_codes" in s]
+    assert codes_scans, plan  # the ADC side reads the persisted codes
+    assert all("embedding" not in s for s in codes_scans), plan
+    # and the vector side is a separate, codes-free pruned scan
+    assert any("embedding" in s and "pq_codes" not in s for s in schemas), plan
+
+
 def test_weighted_sssp_rounds_are_equi_joins(spark, toy_graph):
     """Each relaxation round must plan as a hash equi-join (frontier ⋈ edges
     on the node key) + partial-agg min — no cartesian, no Python worker."""
