@@ -1341,6 +1341,31 @@ def _q_a2_modularity(spark, sf_dir):
     )
 
 
+def _q_a2_louvain(spark, sf_dir):
+    """Louvain communities (graph_metrics.py:louvain — gds.louvain, the
+    flagship GDS community algorithm; reference metric surface
+    neo4j_driver/neo4j_metrics_utils.py): 2 levels x 2 synchronous
+    local-move rounds over the nation-family FK subgraph.  Exact-integer
+    gain argmax (T·k_ic − k_i·K_c, HUGEINT/decimal(38,0)) with the
+    Lu et al. singleton-swap guard; tie-break (gain desc, label asc).
+    The oracle unrolls BOTH levels including the between-level graph
+    contraction (communities → super-nodes, ordered-pair weights summed,
+    within-weight as self rows).  Output (id, label) — integer-hashed
+    labels only, no decimals cross the hash."""
+    from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return louvain(ids, fk, n_levels=2, n_rounds=2, hasher="md5_64")
+
+
 def _q_a2_node_similarity(spark, sf_dir):
     """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
     gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
@@ -2702,100 +2727,41 @@ def _q_a2_node_embeddings(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02..r08 each covered exactly the first 50).  Round 9
-    # window = the r8 VERDICT's prescription: the 3 new r9 entries (IVF_PQ
-    # codes + top-k, SPPMI corpus), then every entry whose MODULE was edited
-    # after its latest driver row (graph_metrics.py + streaming/components.py
-    # advisor-finding fixes, similarity.py PQ commit — so
-    # a9_pagerank_personalized/a2_kcore/a2_coreness/a2_modularity/
-    # a2_wl_refinement/a2_incremental_components/a2_graph_metrics/
-    # knn_quantized re-prove on current code), then ALL 39 r6-vintage rows
-    # (the oldest in the registry; includes a9_pagerank, whose pagerank prep
-    # was restructured in r8).  Below the boundary: the remaining r7 rows
-    # (oldest first — they lead the r10 window), then the r8-proved block.
+    # (CORRECTNESS_r02..r09 each covered exactly the first 50).  Round 10
+    # window = the r9 VERDICT's prescription: the fixed red row
+    # (a2_modularity — decimal-free contract projection), the five r9-new
+    # never-driver-proved entries, the round's new operator (a2_louvain),
+    # pq_topk (its FUNCTION was edited this round: codes-only ADC scan +
+    # join-back re-rank — results identical, plan changed, so it re-proves),
+    # then 42 of the 48 r7-vintage rows (two rounds stale, oldest in the
+    # registry).  Six r7 rows are EXPLICITLY DEFERRED to lead the r11 window
+    # (named below the boundary): skew_report / td_mixture_plan /
+    # td_source_report / mm_image_variants (diagnostics/report-shaped, the
+    # four the r9 verdict nominated), mm_llm_media_text (its loader path has
+    # an r8-green sibling row, mm_llm_media_av) and tfidf_topk (ranking.py's
+    # bm25_topk stays in-window; tfidf is the same module's sibling scorer).
+    # All six modules are untouched since r7 (verified against the r8-r10
+    # diffs), so the deferral is process debt, not risk.
     raw = {
-        # -- round-9 window (first 50) ---------------------------------------
-        # new this round (IVF_PQ, SPPMI node-embedding corpus, weighted SSSP)
-        "pq_codes": _q_pq_codes,
-        "pq_topk": _q_pq_topk,
-        "a2_node_embeddings": _q_a2_node_embeddings,
-        "a2_weighted_sssp": _q_a2_weighted_sssp,
-        # proof-after-change: latest rows predate edits to their FUNCTIONS
-        # (module-level re-proof of everything graph_metrics.py backs does
-        # not fit one 50-slot window; the window comment below records which
-        # fresh-proof entries were displaced for these).  a9_pagerank /
-        # a9_pagerank_weighted / a9_pagerank_personalized re-prove the
-        # warm_start parameter added to pagerank() this round; coreness /
-        # modularity / wl_refinement / graph_metrics re-prove the r8 advisor
-        # fixes; a2_kcore was judge-named.
-        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
-        "a9_pagerank_weighted": _q_a9_pagerank_weighted,
-        "a2_kcore": _q_a2_kcore,
-        "a2_coreness": _q_a2_coreness,
+        # -- round-10 window (first 50) ---------------------------------------
+        # the r9 red row: values were verified equal, the DECIMAL serialization
+        # hash-mismatched; contract projection now BIGINT on both sides
         "a2_modularity": _q_a2_modularity,
-        "a2_wl_refinement": _q_a2_wl_refinement,
-        "a2_graph_metrics": _q_a2_graph_metrics,
-        # the 39 r6-vintage entries, in their r6 order (nothing in the
-        # registry is older; after this round everything is r7+)
-        "cypher_case": _q_cypher_case,
-        "cypher_undirected": _q_cypher_undirected,
-        "cypher_union_having": _q_cypher_union_having,
-        "cypher_list_ops": _q_cypher_list_ops,
-        "v5_embed_knn": _q_v5_embed_knn,
-        "td_curate_corpus": _q_td_curate_corpus,
-        "a2_connected_components": _q_a2_components,
-        "cognify_node_counts": _q_cognify_counts,
-        "chunk_classification": _q_chunk_classification,
-        "memify_rules": _q_memify_rules,
-        "code_graph_counts": _q_code_graph,
-        "dedup_incremental_index": _q_dedup_incremental_index,
-        "a9_pagerank": _q_a9_pagerank,
-        "dedup_semdedup": _q_dedup_semdedup,
-        "td_dsir_resample": _q_td_dsir_resample,
-        "s1_ingest_identify": _q_s1_ingest,
-        "s3_classify_documents": _q_s3_classify,
-        "s4_column_values": _q_s4_column_values,
-        "s5_schema_only": _q_s5_schema_only,
-        "u12_ontology_resolve": _q_ontology_resolve,
-        "u_regex_entities": _q_regex_entities,
-        "edge_weights_flatten": _q_edge_weights_flatten,
-        "mm_frame_sample": _q_frame_sample,
-        "mm_resize_plan": _q_resize_plan,
-        "a2_component_sizes": _q_a2_component_sizes,
-        "insights_exact_node": _q_insights_exact,
-        "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
-        "natural_language_search": _q_natural_language,
-        "td_hash_sample": _q_td_hash_sample,
-        "td_stratified_sample": _q_td_stratified_sample,
-        "td_decontaminate": _q_td_decontaminate,
-        "td_pii_redact": _q_td_pii_redact,
-        "td_corpus_stats": _q_td_corpus_stats,
-        "td_repetition": _q_td_repetition,
-        "td_gopher_filter": _q_td_gopher_filter,
-        # -- window boundary (50): below here, rows stay green cumulatively --
-        # NEW but landed after the r9 window filled with mandated re-proofs
-        # (pytest-proved this round) — these MUST lead the r10 window
-        "a2_neighbor_sample": _q_a2_neighbor_sample,
-        "a2_link_prediction": _q_a2_link_prediction,
+        # the five r9-new entries, pytest-proved but never driver-proved
         "a2_sssp_paths": _q_a2_sssp_paths,
         "a2_ktruss": _q_a2_ktruss,
+        "a2_neighbor_sample": _q_a2_neighbor_sample,
+        "a2_link_prediction": _q_a2_link_prediction,
         "textrank_keywords": _q_textrank_keywords,
-        # displaced for the function-edited set above (their own functions
-        # are untouched since their latest rows — knn_quantized r7,
-        # a2_incremental_components r8 — only their MODULES were appended
-        # to); they re-enter with the r10 rotation
+        # new this round: gds.louvain — 2 levels x 2 local-move rounds,
+        # oracle unrolls both levels including the contraction
+        "a2_louvain": _q_a2_louvain,
+        # proof-after-change: pq_topk's shortlist became codes-only this
+        # round (similarity.py edit)
+        "pq_topk": _q_pq_topk,
+        # 42 of the 48 r7-vintage rows, oldest-first (their r7 order)
         "knn_quantized": _q_knn_quantized,
-        "a2_incremental_components": _q_a2_incremental_components,
-        # the r7-validated rows minus the two promoted above
-        # (a9_pagerank_personalized + a2_kcore) — oldest remaining rows,
-        # they lead the r10 window
-        "mm_llm_media_text": _q_mm_llm_media_text,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
-        "mm_image_variants": _q_mm_image_variants,
         "s2_office_text": _q_s2_office_text,
         "graph_completion_context": _q_graph_completion_context,
         "u7_cot_triplets": _q_u7_cot_triplets,
@@ -2807,11 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_duplicate_spans": _q_td_duplicate_spans,
         "td_c4_line_filter": _q_td_c4_line_filter,
         "td_quality_score": _q_td_quality_score,
-        "td_mixture_plan": _q_td_mixture_plan,
-        "td_source_report": _q_td_source_report,
         "bm25_topk": _q_bm25_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "skew_report": _q_skew_report,
         "s4_node_counts": _q_s4_node_counts,
         "a3_node_degrees": _q_a3_node_degrees,
         "j6_k_hop": _q_j6_k_hop,
@@ -2840,10 +2802,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
-        # the r8-validated rows minus those promoted into the r9 window
-        # (a2_coreness + a2_modularity + a2_wl_refinement + a2_graph_metrics
-        # + a9_pagerank_weighted) and a2_incremental_components (displaced,
-        # listed at the top of this block) — freshest rows
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        # the six r7 rows deferred by name (rationale in the header comment);
+        # they MUST lead the r11 window — oldest rows in the registry
+        "skew_report": _q_skew_report,
+        "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
+        "mm_image_variants": _q_mm_image_variants,
+        "mm_llm_media_text": _q_mm_llm_media_text,
+        "tfidf_topk": _q_tfidf_topk,
+        # the r8-validated rows (next-oldest after the deferred six)
+        "a2_incremental_components": _q_a2_incremental_components,
         "a2_random_walks": _q_a2_random_walks,
         "a2_walk_skipgrams": _q_a2_walk_skipgrams,
         "a2_harmonic_closeness": _q_a2_harmonic_closeness,
@@ -2888,6 +2857,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_resize": _q_mm_jpeg_resize,
         "mm_media_info": _q_mm_media_info,
         "a2_triangle_clustering": _q_a2_triangle_clustering,
+        # the r9-validated rows (freshest proofs in the registry): the r9
+        # window's new entries + mandated re-proofs + the full r6-vintage
+        # block it rotated through
+        "pq_codes": _q_pq_codes,
+        "a2_node_embeddings": _q_a2_node_embeddings,
+        "a2_weighted_sssp": _q_a2_weighted_sssp,
+        "a9_pagerank_personalized": _q_a9_pagerank_personalized,
+        "a9_pagerank_weighted": _q_a9_pagerank_weighted,
+        "a2_kcore": _q_a2_kcore,
+        "a2_coreness": _q_a2_coreness,
+        "a2_wl_refinement": _q_a2_wl_refinement,
+        "a2_graph_metrics": _q_a2_graph_metrics,
+        "cypher_case": _q_cypher_case,
+        "cypher_undirected": _q_cypher_undirected,
+        "cypher_union_having": _q_cypher_union_having,
+        "cypher_list_ops": _q_cypher_list_ops,
+        "v5_embed_knn": _q_v5_embed_knn,
+        "td_curate_corpus": _q_td_curate_corpus,
+        "a2_connected_components": _q_a2_components,
+        "cognify_node_counts": _q_cognify_counts,
+        "chunk_classification": _q_chunk_classification,
+        "memify_rules": _q_memify_rules,
+        "code_graph_counts": _q_code_graph,
+        "dedup_incremental_index": _q_dedup_incremental_index,
+        "a9_pagerank": _q_a9_pagerank,
+        "dedup_semdedup": _q_dedup_semdedup,
+        "td_dsir_resample": _q_td_dsir_resample,
+        "s1_ingest_identify": _q_s1_ingest,
+        "s3_classify_documents": _q_s3_classify,
+        "s4_column_values": _q_s4_column_values,
+        "s5_schema_only": _q_s5_schema_only,
+        "u12_ontology_resolve": _q_ontology_resolve,
+        "u_regex_entities": _q_regex_entities,
+        "edge_weights_flatten": _q_edge_weights_flatten,
+        "mm_frame_sample": _q_frame_sample,
+        "mm_resize_plan": _q_resize_plan,
+        "a2_component_sizes": _q_a2_component_sizes,
+        "insights_exact_node": _q_insights_exact,
+        "temporal_search_e2e": _q_temporal_search,
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "natural_language_search": _q_natural_language,
+        "td_hash_sample": _q_td_hash_sample,
+        "td_stratified_sample": _q_td_stratified_sample,
+        "td_decontaminate": _q_td_decontaminate,
+        "td_pii_redact": _q_td_pii_redact,
+        "td_corpus_stats": _q_td_corpus_stats,
+        "td_repetition": _q_td_repetition,
+        "td_gopher_filter": _q_td_gopher_filter,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -4838,6 +4858,79 @@ SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
 FROM siz LEFT JOIN win ON siz.label = win.label
 LEFT JOIN dgr ON siz.label = dgr.label
 CROSS JOIN stot"""
+
+    # --- a2 louvain: 2 levels x 2 synchronous local-move rounds, unrolled,
+    # INCLUDING the between-level contraction (graph_metrics.py:louvain).
+    # score(i,c) = T*k_ic - k_i*(K_c - [c=own]*k_i) in HUGEINT (Spark twin:
+    # decimal(38,0)); singleton -> larger-label-singleton candidates dropped
+    # (the Lu et al. swap guard); pick = row_number over (score DESC, c) —
+    # the exact mirror of Spark's min_by(struct(-score, c)) -----------------
+    def _louvain_round(X, prev, dg, aj):
+        return f"""kc{X} AS MATERIALIZED (
+  SELECT l.label, sum(d.k) AS kc FROM {prev} l JOIN {dg} d ON l.u = d.u GROUP BY l.label
+), sz{X} AS MATERIALIZED (SELECT label, count(*) AS sz FROM {prev} GROUP BY label),
+kic{X} AS MATERIALIZED (
+  SELECT a.u, lb.label AS c, sum(a.w) AS kic
+  FROM {aj} a JOIN {prev} lb ON a.v = lb.u WHERE a.u != a.v GROUP BY a.u, lb.label
+), cand{X} AS MATERIALIZED (
+  SELECT u, c, sum(kic) AS kic FROM (
+    SELECT u, c, kic FROM kic{X}
+    UNION ALL SELECT u, label AS c, CAST(0 AS BIGINT) AS kic FROM {prev}) s
+  GROUP BY u, c
+), sc{X} AS MATERIALIZED (
+  SELECT cd.u, cd.c,
+         CAST(t.t AS HUGEINT) * cd.kic
+           - CAST(d.k AS HUGEINT) * (kc.kc - CASE WHEN cd.c = l.label THEN d.k ELSE 0 END) AS score
+  FROM cand{X} cd
+  JOIN {dg} d ON cd.u = d.u
+  JOIN kc{X} kc ON cd.c = kc.label
+  JOIN {prev} l ON cd.u = l.u
+  JOIN sz{X} so ON l.label = so.label
+  JOIN sz{X} st ON cd.c = st.label
+  CROSS JOIN lvt t
+  WHERE cd.c = l.label OR NOT (so.sz = 1 AND st.sz = 1 AND cd.c > l.label)
+), L{X} AS MATERIALIZED (
+  SELECT u, c AS label FROM (
+    SELECT u, c, row_number() OVER (PARTITION BY u ORDER BY score DESC, c) AS rn
+    FROM sc{X}) s WHERE rn = 1
+)"""
+
+    _lv_contract = """adj1 AS MATERIALIZED (
+  SELECT la.label AS u, lb.label AS v, sum(a.w) AS w
+  FROM adj0 a JOIN L0_2 la ON a.u = la.u JOIN L0_2 lb ON a.v = lb.u
+  GROUP BY la.label, lb.label
+), nid1 AS MATERIALIZED (SELECT DISTINCT label AS u FROM L0_2),
+deg1 AS MATERIALIZED (
+  SELECT n.u, COALESCE(s.k, 0) AS k FROM nid1 n
+  LEFT JOIN (SELECT u, sum(w) AS k FROM adj1 GROUP BY u) s ON n.u = s.u
+), L1_0 AS MATERIALIZED (SELECT u, u AS label FROM nid1)"""
+    sql["a2_louvain"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM nf UNION SELECT dst, src FROM nf) s
+  WHERE u != v
+),
+hn AS MATERIALIZED (SELECT id, {_md5_64("id", 0)} AS h FROM nfn),
+adj0 AS MATERIALIZED (
+  SELECT a.h AS u, b.h AS v, CAST(1 AS BIGINT) AS w
+  FROM nfe e JOIN hn a ON e.u = a.id JOIN hn b ON e.v = b.id
+),
+nid0 AS MATERIALIZED (SELECT DISTINCT h AS u FROM hn),
+deg0 AS MATERIALIZED (
+  SELECT n.u, COALESCE(s.k, 0) AS k FROM nid0 n
+  LEFT JOIN (SELECT u, sum(w) AS k FROM adj0 GROUP BY u) s ON n.u = s.u
+),
+lvt AS (SELECT COALESCE(sum(k), 0) AS t FROM deg0),
+L0_0 AS MATERIALIZED (SELECT u, u AS label FROM nid0),
+{_louvain_round("0_1", "L0_0", "deg0", "adj0")},
+{_louvain_round("0_2", "L0_1", "deg0", "adj0")},
+{_lv_contract},
+{_louvain_round("1_1", "L1_0", "deg1", "adj1")},
+{_louvain_round("1_2", "L1_1", "deg1", "adj1")}
+SELECT hn.id, l2.label
+FROM hn JOIN L0_2 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.label = l2.u"""
 
     # --- a2 random walks: 4 unrolled hash-guided steps (graph_metrics.py:
     # random_walks; neighbor = md5_64(start|walk|step|cur, seed 3) mod degree

@@ -1126,6 +1126,165 @@ def modularity_score(per_community: DataFrame) -> float:
     return float(row["num"]) / float(row["s"] * row["s"])
 
 
+def louvain(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_levels: int = 2,
+    n_rounds: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, label): Louvain community detection — the flagship GDS community
+    algorithm (gds.louvain; the reference's metric surface is the GDS family,
+    cognee reference neo4j_driver/neo4j_metrics_utils.py) — synchronous
+    local-move rounds + graph contraction between levels, deterministic and
+    exact-integer end to end.
+
+    Per LEVEL, every node starts in its own community and runs ``n_rounds``
+    synchronous local-move rounds: it adopts the candidate community c (its
+    neighbors' communities or its own) maximizing the exact-integer
+    modularity gain surrogate
+
+        score(i, c) = T·k_{i,c} − k_i·(K_c − [i ∈ c]·k_i)
+
+    where T = Σ k_u is the total ordered-pair weight (the same S = 2m
+    :func:`modularity` divides by — constant across levels because
+    contraction preserves degrees), k_{i,c} the weight from i to c, and K_c
+    the community's total degree.  score differences equal ΔQ·T²/2, so the
+    argmax is the max-modularity-gain move; ties break by (gain desc, label
+    asc) — the same determinism contract as :func:`label_propagation`'s
+    fixed synchronous rounds (round/level counts are PARAMETERS of the
+    result, which is what lets a DuckDB oracle unroll them exactly).
+
+    Synchronous moves between two adjacent SINGLETON communities oscillate
+    (u adopts w while w adopts u, forever); the standard parallel-Louvain
+    remedy (Lu, Halappanavar & Kalyanaraman 2015, §4 "vertex swap" heuristic)
+    applies: a singleton may move into another singleton community only when
+    the target label is SMALLER — the pair then collapses onto the smaller
+    label in one round instead of swapping.  Non-singleton moves are
+    unrestricted.
+
+    Between levels the graph CONTRACTS (the :func:`incremental_components`
+    contract-and-remap discipline): communities become super-nodes, ordered-
+    pair weights sum, within-community weight becomes a self-row that rides
+    into the super-node's degree — Q of any partition of the contracted
+    graph equals Q of the corresponding partition of the original (pytest-
+    pinned), which is the invariant that makes multi-level Louvain correct.
+
+    Scores use decimal(38,0): T·k_{i,c} reaches S², past BIGINT once
+    S = 2m > ~3.0e9 (the 100 TB regime) — same overflow guard as
+    :func:`modularity`; the OUTPUT (id, label) stays integer-hashed.
+    Scale per round: one label-lookup equi-join on the (contracted) edge
+    view + two label-sized partial aggs; T rides as a 1-row broadcast;
+    lineage truncated per round; each level's graph is no larger — usually
+    orders smaller — than the last.
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        _sym_edges(edges)
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    # ordered-pair weighted adjacency; self rows appear after contraction
+    # and carry the within-community ordered weight (both directions)
+    adj = und.select("u", "v", F.lit(1).cast("long").alias("w"))
+    node_ids = nh.select(F.col("h").alias("u"))
+    mapping = nh.select("id", F.col("h").alias("cur"))
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+
+    for level in range(n_levels):
+        deg = adj.groupBy("u").agg(F.sum("w").alias("k"))
+        deg = (
+            node_ids.join(deg, "u", "left")
+            .select("u", F.coalesce("k", F.lit(0).cast("long")).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        t_row = deg.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("t"))
+        labels = node_ids.select("u", F.col("u").alias("label"))
+        nonself = adj.filter(F.col("u") != F.col("v"))
+        for _ in range(n_rounds):
+            kc = deg.join(labels, "u").groupBy("label").agg(F.sum("k").alias("kc"))
+            sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+            kic = (
+                nonself.join(
+                    labels.select(F.col("u").alias("v"), F.col("label").alias("c")), "v"
+                )
+                .groupBy("u", "c")
+                .agg(F.sum("w").alias("kic"))
+            )
+            # the own community is always a candidate (isolated nodes stay
+            # put); summing the zero row in keeps neighbor-derived k_{i,own}
+            own0 = labels.select(
+                "u", F.col("label").alias("c"), F.lit(0).cast("long").alias("kic")
+            )
+            cand = (
+                kic.unionByName(own0).groupBy("u", "c").agg(F.sum("kic").alias("kic"))
+            )
+            sc = (
+                cand.join(deg, "u")
+                .join(
+                    kc.join(sz, "label").select(
+                        F.col("label").alias("c"), "kc", F.col("sz").alias("c_sz")
+                    ),
+                    "c",
+                )
+                .join(labels.select("u", F.col("label").alias("own")), "u")
+                .join(sz.select(F.col("label").alias("own"), F.col("sz").alias("own_sz")), "own")
+                .crossJoin(F.broadcast(t_row))
+            )
+            # singleton-swap guard (Lu et al. 2015): drop singleton->larger-
+            # label-singleton candidates; own stays a candidate always
+            sc = sc.filter(
+                (F.col("c") == F.col("own"))
+                | ~(
+                    (F.col("own_sz") == 1)
+                    & (F.col("c_sz") == 1)
+                    & (F.col("c") > F.col("own"))
+                )
+            )
+            score = d("t") * d("kic") - d("k") * (
+                F.col("kc")
+                - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
+            ).cast("decimal(19,0)")
+            labels = (
+                sc.select("u", "c", score.alias("score"))
+                .groupBy("u")
+                .agg(
+                    F.min_by(
+                        "c", F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+                    ).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+        mapping = (
+            mapping.join(labels.select(F.col("u").alias("cur"), "label"), "cur")
+            .select("id", F.col("label").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        if level < n_levels - 1:
+            la = labels.select("u", F.col("label").alias("lu"))
+            lb = labels.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+            adj = (
+                adj.join(la, "u")
+                .join(lb, "v")
+                .groupBy(F.col("lu").alias("u"), F.col("lv").alias("v"))
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+            node_ids = labels.select(F.col("label").alias("u")).distinct()
+    return mapping.select("id", F.col("cur").alias("label"))
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 4,

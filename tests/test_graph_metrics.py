@@ -1355,3 +1355,130 @@ def test_graph_metrics_bounds_size_list(spark):
     assert m2["sizes_of_connected_components"] == [2, 2, 2, 2, 1, 1, 1, 1, 1]
     assert m2["component_sizes_truncated"] is False
     assert "component_size_log2_histogram" not in m2
+
+
+# --- louvain (gds.louvain) ----------------------------------------------------
+
+
+def test_louvain_two_triangles_bridge_finds_cliques(spark):
+    """Two triangles joined by a bridge: louvain recovers the textbook
+    optimum (each triangle one community, Q = 5/14) and beats/equals LPA's
+    partition on the same fixture — the Q(louvain) >= Q(LPA) pin."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        label_propagation,
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+    edges = _edges_df(spark, pairs)
+    out = {r["id"]: r["label"] for r in louvain(nodes, edges, n_levels=2, n_rounds=3).collect()}
+    assert len({out["a"], out["b"], out["c"]}) == 1
+    assert len({out["x"], out["y"], out["z"]}) == 1
+    assert out["a"] != out["x"]
+    lv = spark.createDataFrame(list(out.items()), ["id", "label"])
+    q_louvain = modularity_score(modularity(edges, lv))
+    assert q_louvain == pytest.approx(5 / 14)
+    lpa = label_propagation(nodes, edges, n_rounds=3)
+    q_lpa = modularity_score(modularity(edges, lpa))
+    assert q_louvain >= q_lpa
+
+
+def test_louvain_beats_lpa_on_ring_of_cliques(spark):
+    """Ring of four 4-cliques joined by single edges — the classic Louvain
+    fixture.  Louvain must recover the four cliques exactly; its Q must be
+    >= LPA's on the same graph (the brief's pin)."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        label_propagation,
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    cliques = []
+    ids = []
+    pairs = []
+    for ci in range(4):
+        members = [f"c{ci}n{j}" for j in range(4)]
+        ids += members
+        cliques.append(members)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                pairs.append((members[i], members[j]))
+    for ci in range(4):  # ring bridges
+        pairs.append((cliques[ci][0], cliques[(ci + 1) % 4][1]))
+    nodes = _nodes_df(spark, ids)
+    edges = _edges_df(spark, pairs)
+    out = {r["id"]: r["label"] for r in louvain(nodes, edges, n_levels=2, n_rounds=3).collect()}
+    for members in cliques:
+        assert len({out[m] for m in members}) == 1, members
+    assert len({out[m[0]] for m in cliques}) == 4  # cliques stay separate
+    lv = spark.createDataFrame(list(out.items()), ["id", "label"])
+    q_louvain = modularity_score(modularity(edges, lv))
+    lpa = label_propagation(nodes, edges, n_rounds=3)
+    q_lpa = modularity_score(modularity(edges, lpa))
+    assert q_louvain >= q_lpa
+
+
+def test_louvain_isolated_node_keeps_own_label(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+    nodes = _nodes_df(spark, ["a", "b", "lone"])
+    out = {r["id"]: r["label"] for r in louvain(nodes, _edges_df(spark, [("a", "b")]), n_levels=2, n_rounds=2).collect()}
+    assert len(out) == 3
+    assert out["lone"] not in (out["a"], out["b"])
+
+
+def test_louvain_hashers_agree_on_partition(spark):
+    """md5_64 (oracle mirror) and xxhash64 (production) give different label
+    VALUES but identical community co-membership."""
+    from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+
+    def parts(hasher):
+        out = {r["id"]: r["label"] for r in louvain(
+            nodes, _edges_df(spark, pairs), n_levels=2, n_rounds=3, hasher=hasher).collect()}
+        groups = {}
+        for nid, lab in out.items():
+            groups.setdefault(lab, set()).add(nid)
+        return {frozenset(g) for g in groups.values()}
+
+    assert parts("md5_64") == parts("xxhash64")
+
+
+def test_louvain_contraction_preserves_q_and_is_deterministic(spark):
+    """Level-2 never degrades the level-1 partition's Q on the ring fixture
+    (every super-node can stay put — contraction preserves modularity), and
+    repeated runs are bit-identical."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    pairs = []
+    cliques = []
+    ids = []
+    for ci in range(3):
+        members = [f"k{ci}n{j}" for j in range(3)]
+        ids += members
+        cliques.append(members)
+        pairs += [(members[0], members[1]), (members[1], members[2]), (members[0], members[2])]
+    pairs += [(cliques[0][0], cliques[1][0]), (cliques[1][1], cliques[2][0])]
+    nodes = _nodes_df(spark, ids)
+    edges = _edges_df(spark, pairs)
+
+    def q_of(n_levels):
+        lv = louvain(nodes, edges, n_levels=n_levels, n_rounds=3)
+        return modularity_score(modularity(edges, lv))
+
+    assert q_of(2) >= q_of(1) - 1e-12
+    a = sorted(map(tuple, louvain(nodes, edges, n_levels=2, n_rounds=3).collect()))
+    b = sorted(map(tuple, louvain(nodes, edges, n_levels=2, n_rounds=3).collect()))
+    assert a == b
