@@ -99,7 +99,26 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
-    passes = [_run_pass(spark, docs, emb, par, repeat) for _ in range(suite_passes)]
+    # persisted PQ index, built ONCE per invocation (build-once/query-many is
+    # the deployment shape): the pq_batch_persisted step below times the
+    # QUERY path — load + codes-only ADC scan + join-back re-rank — against
+    # parquet, so the scan's column pruning is measured, not assumed
+    import tempfile
+
+    from cognee_graphdb_spark.operators.similarity import (
+        pq_codebooks as _pq_cb,
+        pq_encode as _pq_enc,
+        save_pq_index as _pq_save,
+    )
+
+    pq_index_dir = tempfile.mkdtemp(prefix="bench_pq_index_")
+    _idx_books = _pq_cb(emb, m_sub=8, k_codes=8)
+    _pq_save(_pq_enc(emb, _idx_books), _idx_books, pq_index_dir)
+
+    passes = [
+        _run_pass(spark, docs, emb, par, repeat, pq_index_dir)
+        for _ in range(suite_passes)
+    ]
     timings = {k: min(p[k] for p in passes) for k in passes[0]}
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
@@ -152,7 +171,7 @@ def main() -> None:
     spark.stop()
 
 
-def _run_pass(spark, docs, emb, par, repeat):
+def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
     """One full suite pass: every step timed min-of-``repeat``; caches built
     by the build steps are dropped on exit so the next pass starts cold."""
     timings: dict[str, float] = {}
@@ -303,6 +322,21 @@ def _run_pass(spark, docs, emb, par, repeat):
     def _pq():
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
         pq_topk(emb, qv, k=10, rerank=100, codebooks=_pq_books).collect()
+
+    # the 100 TB deployment path: MANY queries against the PERSISTED index —
+    # the ADC scan reads only (id, pq_codes) from parquet (column-pruned past
+    # the vector column, plan-pinned in test_plan_quality.py); vectors join
+    # back for the rerank survivors only
+    @step("pq_batch_persisted")
+    def _pq_batch():
+        from cognee_graphdb_spark.operators.similarity import load_pq_index, pq_batch_topk
+
+        idx = load_pq_index(spark, pq_index_dir)
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        pq_batch_topk(qs, idx, k=10, rerank=100).count()
 
     @step("a2_weighted_sssp")
     def _wsssp():

@@ -508,6 +508,131 @@ class CogneeSpark:
             raise RuntimeError("No data found in the system, please add data first.")
         return graph_metrics(nodes, edges, include_paths=include_paths)
 
+    def shortest_paths(
+        self,
+        sources: list[str],
+        weight_property: str | None = None,
+        max_hops: int = 10,
+        directed: bool = False,
+        render: bool = True,
+    ) -> DataFrame:
+        """gds.shortestPath.dijkstra analogue over the stored graph (the
+        reference reaches weighted paths through its GDS metric surface,
+        neo4j_driver/neo4j_metrics_utils.py): weighted SSSP from the given
+        source node ids, rendered as "source->...->node" strings when
+        ``render`` (operators/paths.py:weighted_sssp + sssp_paths).
+
+        ``weight_property`` names an edge ``properties`` entry to use as the
+        cost (e.g. ``"feedback_weight"`` after FEEDBACK mutations); edges
+        missing the property cost 1.  With no property every edge costs 1 —
+        hop counts, the unweighted k-hop's weighted twin.  ``directed=False``
+        is the GDS UNDIRECTED projection (the stored graph's default read
+        shape everywhere else in the metric surface)."""
+        from cognee_graphdb_spark.operators.paths import sssp_paths, weighted_sssp
+
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        if weight_property is not None and "properties" in edges.columns:
+            props = F.coalesce(
+                F.col("properties"), F.create_map().cast("map<string,string>")
+            )
+            w = F.coalesce(
+                F.element_at(props, weight_property).cast("double"), F.lit(1.0)
+            )
+        else:
+            # no properties column yet (no FEEDBACK mutation has run) —
+            # every edge costs 1, same as the missing-property default
+            w = F.lit(1.0)
+        weighted = edges.select("src", "dst", w.alias("weight"))
+        src_df = self.spark.createDataFrame([(s,) for s in sources], ["id"])
+        dists = weighted_sssp(
+            weighted,
+            src_df,
+            max_hops=max_hops,
+            directed=directed,
+            return_pred=render,
+        )
+        if not render:
+            return dists
+        return sssp_paths(dists, max_hops=max_hops)
+
+    def embed_graph(
+        self,
+        dim: int = 16,
+        walk_length: int = 4,
+        num_walks: int = 4,
+        window: int = 2,
+        seed: int = 3,
+        n_iter: int = 8,
+    ) -> int:
+        """Structural node embeddings from the STORED graph — DeepWalk-family
+        lifecycle (random walks -> skip-gram pairs -> SPPMI-SVD,
+        operators/node_embeddings.py) persisted into the embeddings table as
+        the ``Entity_graph`` collection through the S7 upsert seam, so graph
+        vectors live next to text vectors and are served by the same V4/V6
+        operators.  They stay in their OWN collection: their dimension is
+        ``dim``, not the text embedder's, so text-query scoring never mixes
+        them in — :meth:`similar_nodes` (and any V6 fan-out naming the
+        collection) is their query surface.  Returns the number of nodes
+        embedded; re-running upserts by (collection, id) — idempotent for an
+        unchanged graph."""
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+        from cognee_graphdb_spark.operators.node_embeddings import (
+            sppmi_node_embeddings,
+        )
+
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        walks = random_walks(
+            edges, walk_length=walk_length, num_walks=num_walks, seed=seed
+        )
+        vecs = sppmi_node_embeddings(
+            walk_skipgram_pairs(walks, window=window), dim=dim, n_iter=n_iter
+        ).localCheckpoint(eager=True)
+        rows = vecs.select(
+            F.lit("Entity_graph").alias("collection"),
+            F.col("id").cast("string").alias("id"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("embedding").cast("array<float>").alias("vector"),
+            F.create_map(F.lit("source"), F.lit("sppmi_walks")).alias("payload"),
+            F.lit(self.dataset_id).alias("dataset_id"),
+        )
+        self.store.upsert_embeddings(rows, created_by="embed_graph")
+        self.runs.log(self.dataset_id, "embed_graph", "COMPLETED")
+        return vecs.count()
+
+    def similar_nodes(
+        self, node_id: str, k: int = 5, collections: list[str] | None = None
+    ) -> DataFrame:
+        """Structurally similar entities: V4 point lookup of ``node_id``'s
+        graph vector + V6 multi-collection fan-out over the graph-embedding
+        collections :meth:`embed_graph` maintains — "which nodes play the
+        same role in the graph", answered from the stored embeddings table
+        (the walks -> vectors -> search loop, closed)."""
+        from cognee_graphdb_spark.operators.vector_search import multi_collection_knn
+
+        emb = self.store.load("embeddings")
+        if emb is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        cols = collections or ["Entity_graph"]
+        row = (
+            emb.filter((F.col("collection") == cols[0]) & (F.col("id") == node_id))
+            .select("vector")
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                f"no graph embedding for node {node_id!r} — run embed_graph() first"
+            )
+        qv = [float(x) for x in row["vector"]]
+        hits = multi_collection_knn(emb, qv, cols, k=k + 1)  # +1: the node itself
+        return hits.filter(F.col("id") != node_id)
+
     def _log_query(self, query_type: str, query_text: str) -> str:
         """Query log row (search.py:61, modules/search/models/Query.py)."""
         import time

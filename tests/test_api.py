@@ -259,3 +259,81 @@ def test_sync_between_stores(spark, tmp_path):
 
     with _pytest.raises(PermissionError):
         a.sync(str(tmp_path / "b"), user_id="nobody")
+
+
+def test_shortest_paths_api_surface(engine):
+    """Weighted SSSP + path rendering reachable through the user API (r9
+    verdict item 7): hop-cost paths from a real stored node, rendered
+    "src->...->node" strings, plus the weight_property variant over the
+    FEEDBACK-mutated edge properties and the raw (unrendered) dist frame."""
+    nodes = engine.store.load("nodes")
+    src = nodes.filter(F.col("type") == "Entity").orderBy("id").first()["id"]
+
+    rendered = engine.shortest_paths([src], max_hops=4)
+    rows = rendered.collect()
+    assert {"source", "node", "dist", "path", "truncated"} <= set(rendered.columns)
+    assert rows, "source should reach at least itself"
+    by_node = {r["node"]: r for r in rows}
+    assert by_node[src]["dist"] == 0.0
+    assert by_node[src]["path"] == src
+    # every rendered path starts at the source and ends at the node
+    for r in rows:
+        assert r["path"].startswith(src) and r["path"].endswith(r["node"])
+        assert not r["truncated"]
+    # unit weights: dist == hop count == path length - 1
+    for r in rows:
+        assert r["dist"] == float(len(r["path"].split("->")) - 1)
+
+    raw = engine.shortest_paths([src], max_hops=4, render=False)
+    assert {"source", "node", "dist"} <= set(raw.columns)
+    assert raw.count() == len(rows)
+
+    # weight_property path: edges missing the property cost 1, so the frame
+    # is well-defined over the whole stored graph
+    wp = engine.shortest_paths([src], weight_property="feedback_weight", max_hops=3)
+    assert wp.count() > 0
+
+    # directed=True never reaches MORE nodes than undirected
+    directed = engine.shortest_paths([src], max_hops=4, directed=True, render=False)
+    assert directed.count() <= len(rows)
+
+
+def test_graph_embedding_lifecycle(spark, tmp_path):
+    """Stretch loop closed (r9 verdict item 8): cognify -> embed_graph
+    (walks -> skip-grams -> SPPMI-SVD persisted as the Entity_graph
+    collection via the S7 upsert) -> similar_nodes serves the graph vectors
+    through V6 fan-out.  Re-embedding an unchanged graph is idempotent."""
+    e = CogneeSpark(spark, str(tmp_path / "embed_store"))
+    e.add(ITEMS)
+    assert e.cognify() == 3
+
+    n = e.embed_graph(dim=8, n_iter=2)
+    assert n > 0
+    emb = e.store.load("embeddings")
+    graph_rows = emb.filter(F.col("collection") == "Entity_graph")
+    assert graph_rows.count() == n
+    # vectors have the GRAPH dimension, not the text embedder's
+    dims = graph_rows.select(F.size("vector").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [8]
+    # every embedded id is a stored graph node
+    nodes = e.store.load("nodes").select("id")
+    assert graph_rows.join(nodes, "id", "left_anti").count() == 0
+
+    # search serves the graph vectors (V6 fan-out over Entity_graph)
+    src = graph_rows.orderBy("id").first()["id"]
+    hits = e.similar_nodes(src, k=3)
+    rows = hits.collect()
+    assert 0 < len(rows) <= 3
+    assert all(r["id"] != src for r in rows)
+    assert all(r["collection"] == "Entity_graph" for r in rows)
+
+    # unknown node -> actionable error
+    with pytest.raises(ValueError, match="embed_graph"):
+        e.similar_nodes("no-such-node")
+
+    # idempotent upsert: same graph, same rows (merge by collection+id)
+    n2 = e.embed_graph(dim=8, n_iter=2)
+    assert n2 == n
+    assert e.store.load("embeddings").filter(
+        F.col("collection") == "Entity_graph"
+    ).count() == n
