@@ -508,6 +508,34 @@ class CogneeSpark:
             raise RuntimeError("No data found in the system, please add data first.")
         return graph_metrics(nodes, edges, include_paths=include_paths)
 
+    def communities(
+        self,
+        algorithm: str = "louvain",
+        n_levels: int = 2,
+        n_rounds: int = 3,
+    ) -> DataFrame:
+        """(id, label): community detection over the stored graph — the GDS
+        community family the reference reaches through its metric surface
+        (gds.louvain / gds.labelPropagation).  ``algorithm`` picks
+        ``"louvain"`` (modularity local moves + contraction,
+        operators/graph_metrics.py:louvain) or ``"lpa"`` (most-frequent-
+        neighbor label rounds, :func:`label_propagation`); round/level
+        counts are parameters of the result (deterministic contract)."""
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            label_propagation,
+            louvain,
+        )
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        algo = algorithm.lower()
+        if algo == "louvain":
+            return louvain(nodes, edges, n_levels=n_levels, n_rounds=n_rounds)
+        if algo == "lpa":
+            return label_propagation(nodes, edges, n_rounds=n_rounds)
+        raise ValueError(f"unsupported community algorithm {algorithm!r} (louvain, lpa)")
+
     def shortest_paths(
         self,
         sources: list[str],

@@ -15,6 +15,16 @@ fan-out with a FILTER (the per-neighbor rank is precomputed ONCE on the
 adjacency, not re-windowed per layer), and frontiers grow as
 |roots|·Πfanouts — bounded by construction, never by graph degree (a
 10M-degree hub contributes exactly ``fanout`` rows per appearance).
+
+Hub cap (the r9 watch item): the rank window itself would sort a hub's whole
+neighbor list in one task, so a PREFILTER bounds it — only ranks up to
+max(fanouts) are ever read, and the rank order is (hash, dst), so keeping
+each key's lowest-hash prefix (expected ~margin·K rows via the uniform-hash
+quantile of the key's degree) provably preserves the true top-K whenever the
+prefix holds at least K rows; the (astronomically rare, Chernoff margin 8)
+undershoot keys fall back to their full lists, keeping the output EXACTLY
+equal to the unfiltered ranking — pytest-pinned on a hub fixture.  Window
+sort memory per key drops from O(degree) to O(margin·K).
 """
 
 from __future__ import annotations
@@ -55,11 +65,43 @@ def neighbor_sample(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    h = _hash64(F.concat_ws("|", "src", "dst"), seed, hasher)
-    adj = e.withColumn(
-        "rnk",
-        F.row_number().over(Window.partitionBy("src").orderBy(h, F.col("dst"))),
-    ).localCheckpoint(eager=True)
+    eh = e.withColumn("__h", _hash64(F.concat_ws("|", "src", "dst"), seed, hasher))
+
+    # hub cap: bound the per-key window sort WITHOUT changing the result.
+    # The rank order is (__h, dst) and only ranks <= K matter, so a key's
+    # lowest-__h prefix contains its true top-K whenever the prefix holds
+    # >= K rows (any excluded row hashes strictly above every kept row).
+    # Keep the expected margin·K lowest hashes per key via the uniform-hash
+    # quantile of the key's degree; keys whose prefix came up short (only
+    # possible when something WAS filtered) retry with their full lists.
+    k_max = max(fanouts)
+    margin = 8
+    deg = eh.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    frac = F.col("__h").cast("double") / F.lit(2.0**64) + F.lit(0.5)  # U[0,1)
+    cand = eh.join(deg, "src").filter(
+        (F.col("__deg") <= margin * k_max)
+        | (frac <= F.lit(float(margin * k_max)) / F.col("__deg"))
+    )
+    kept_cnt = cand.groupBy("src").agg(F.count(F.lit(1)).alias("__kept"))
+    short = (
+        kept_cnt.join(deg, "src")
+        .filter((F.col("__kept") < k_max) & (F.col("__kept") < F.col("__deg")))
+        .select("src")
+    )
+    bounded = cand.join(short, "src", "left_anti").select("src", "dst", "__h")
+    fallback = eh.join(short, "src", "left_semi").select("src", "dst", "__h")
+    adj = (
+        bounded.unionByName(fallback)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("__h"), F.col("dst"))
+            ),
+        )
+        .filter(F.col("rnk") <= k_max)
+        .drop("__h")
+        .localCheckpoint(eager=True)
+    )
 
     frontier = roots.select(F.col("id").alias("root"), F.col("id").alias("node")).distinct()
     blocks = None

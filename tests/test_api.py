@@ -337,3 +337,17 @@ def test_graph_embedding_lifecycle(spark, tmp_path):
     assert e.store.load("embeddings").filter(
         F.col("collection") == "Entity_graph"
     ).count() == n
+
+
+def test_communities_api_surface(engine):
+    """gds.louvain / gds.labelPropagation reachable through the user API:
+    both algorithms partition every stored node; unknown algorithm names the
+    valid choices."""
+    for algo in ("louvain", "lpa"):
+        labels = engine.communities(algorithm=algo)
+        assert set(labels.columns) == {"id", "label"}
+        n_nodes = engine.store.load("nodes").select("id").distinct().count()
+        assert labels.select("id").distinct().count() == n_nodes
+        assert labels.select("label").distinct().count() >= 2
+    with pytest.raises(ValueError, match="louvain, lpa"):
+        engine.communities(algorithm="nope")

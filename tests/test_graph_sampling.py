@@ -56,3 +56,29 @@ def test_undirected_and_validation(spark):
 def test_self_loops_excluded_and_dedup(spark):
     got = _blocks(spark, [("a", "a"), ("a", "b"), ("a", "b")], ["a"], [5])
     assert got == {("a", 1, "a", "b")}
+
+
+def test_hub_cap_prefilter_matches_full_ranking(spark):
+    """The hub-cap prefilter (r9 watch item) must be invisible in the
+    output: on a 2000-degree hub (degree >> margin·K, so the quantile
+    prefilter actually engages) the sampled block equals the top-K of the
+    FULL (hash, dst) ranking computed independently here."""
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    k = 2  # margin·K = 16 << 2000 — the prefilter drops ~99% of the hub's list
+    edges = [("hub", f"n{i:04d}") for i in range(2000)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    expected_rank = e.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                _hash64(F.concat_ws("|", "src", "dst"), 11, "xxhash64"), F.col("dst")
+            )
+        ),
+    ).filter(F.col("rnk") <= k)
+    expected = {r["dst"] for r in expected_rank.collect()}
+    got = _blocks(spark, edges, ["hub"], [k])
+    assert {t[3] for t in got} == expected
+    assert len(got) == k

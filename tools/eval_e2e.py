@@ -239,7 +239,14 @@ def run_eval(spark, root: str, corpus=None, pairs=None, embed_dim: int = 64) -> 
         }
         from cognee_graphdb_spark.plans.eval_qa import metrics_statistics
 
-        for st in ("GRAPH_COMPLETION", "GRAPH_COMPLETION_COT"):
+        # the three retriever configs of the reference's benchmark summary
+        # (evals/benchmark_summary_cognee.json: GRAPH_COMPLETION, COT,
+        # CONTEXT_EXTENSION)
+        for st in (
+            "GRAPH_COMPLETION",
+            "GRAPH_COMPLETION_COT",
+            "GRAPH_COMPLETION_CONTEXT_EXTENSION",
+        ):
             res = evaluate_qa(engine, pairs, search_type=st, llm_judge=True)
             stats = metrics_statistics(
                 res["per_question"], metrics=("em", "f1", "judge_score")
