@@ -77,14 +77,28 @@ def neighbor_sample(
     k_max = max(fanouts)
     margin = 8
     deg = eh.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    frac = F.col("__h").cast("double") / F.lit(2.0**64) + F.lit(0.5)  # U[0,1)
+    # hash range is HASHER-SPECIFIC (md5_64 is 60-bit non-negative, xxhash64
+    # full signed int64), so the quantile cut normalizes by the OBSERVED
+    # global range — two scalars, one map-side-combined agg — instead of
+    # assuming a codomain; uniformity within the true range is all the
+    # prefilter needs, and the fallback below catches any undershoot anyway
+    bounds = eh.agg(
+        F.min("__h").alias("lo"), F.max("__h").alias("hi")
+    ).collect()[0]
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    span = max(hi - lo, 1.0)
+    frac = (F.col("__h").cast("double") - F.lit(lo)) / F.lit(span)  # ~U[0,1]
     cand = eh.join(deg, "src").filter(
         (F.col("__deg") <= margin * k_max)
         | (frac <= F.lit(float(margin * k_max)) / F.col("__deg"))
     )
     kept_cnt = cand.groupBy("src").agg(F.count(F.lit(1)).alias("__kept"))
+    # completeness check from DEG's side: a key whose prefix kept fewer than
+    # k_max rows — including ZERO rows, which has no kept_cnt row at all —
+    # falls back to its full list
     short = (
-        kept_cnt.join(deg, "src")
+        deg.join(kept_cnt, "src", "left")
+        .withColumn("__kept", F.coalesce("__kept", F.lit(0)))
         .filter((F.col("__kept") < k_max) & (F.col("__kept") < F.col("__deg")))
         .select("src")
     )

@@ -82,3 +82,40 @@ def test_hub_cap_prefilter_matches_full_ranking(spark):
     got = _blocks(spark, edges, ["hub"], [k])
     assert {t[3] for t in got} == expected
     assert len(got) == k
+
+
+def test_hub_cap_handles_narrow_range_hashers(spark):
+    """md5_64 hashes land in [0, 2^60) — NOT the full signed-int64 range a
+    naive quantile would assume (the r10 bug: a fixed-codomain cut kept
+    ZERO rows per key and the keys silently vanished).  The observed-range
+    normalization + zero-kept fallback must keep md5_64 output identical to
+    the full ranking, and every frontier key must survive layer 2."""
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    k = 2
+    edges = [("hub", f"n{i:04d}") for i in range(500)] + [
+        (f"n{i:04d}", f"m{i}_{j}") for i in range(500) for j in range(60)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    expected_rank = e.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                _hash64(F.concat_ws("|", "src", "dst"), 11, "md5_64"), F.col("dst")
+            )
+        ),
+    ).filter(F.col("rnk") <= k)
+    exp_l1 = {r["dst"] for r in expected_rank.filter(F.col("src") == "hub").collect()}
+    got = _blocks(spark, edges, ["hub"], [k, k], hasher="md5_64")
+    assert {t[3] for t in got if t[1] == 1} == exp_l1
+    # every sampled layer-1 neighbor (degree 60 each, above the margin*K
+    # cut) contributes exactly k layer-2 edges — none vanish
+    l2_srcs = {t[2] for t in got if t[1] == 2}
+    assert l2_srcs == exp_l1
+    exp_l2 = {
+        (r["src"], r["dst"])
+        for r in expected_rank.filter(F.col("src").isin(list(exp_l1))).collect()
+    }
+    assert {(t[2], t[3]) for t in got if t[1] == 2} == exp_l2
