@@ -709,6 +709,67 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]
     return encoded, books
 
 
+def _batch_adc_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id_col: str,
+    query_vec_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """(query_id, __pq_lut): one flattened ADC lookup array per query,
+    computed AS COLUMNS from the broadcast codebook table (no driver loop
+    over queries).  lut term per (query, sub, code) = ||c||^2 - 2*q_m.c —
+    the same operand order as :func:`_pq_lut`; flattened indexed
+    sub*k_codes + code.  Shared by the flat and IVF batch PQ paths."""
+    spark = queries.sparkSession
+    k_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    cb_rows = [
+        (m, j, [float(x) for x in cb], _fold_dot(cb, cb))
+        for m, book in enumerate(codebooks)
+        for j, cb in enumerate(book)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>, cc double"
+    )
+    qv = _pq_view(F.col(query_vec_col), normalize)
+    q = queries.select(query_id_col, qv.alias("__pq_qu"))
+    qsub = F.slice(F.col("__pq_qu"), F.col("sub") * d_sub + 1, F.lit(d_sub))
+    terms = q.join(F.broadcast(cb)).select(
+        query_id_col,
+        (F.col("sub") * k_codes + F.col("code")).alias("flat"),
+        (
+            F.col("cc")
+            - F.lit(2.0)
+            * F.aggregate(
+                F.zip_with(qsub, F.col("centroid"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy(query_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("flat", "term"))), lambda s: s["term"]
+        ).alias("__pq_lut")
+    )
+
+
+def _batch_adc_expr(m_sub: int, k_codes: int):
+    """ADC per (query, candidate): left-to-right fold over the m_sub codes —
+    the :func:`pq_adc_expr` accumulation order, against the per-query
+    ``__pq_lut`` array column."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda c, m: F.element_at(F.col("__pq_lut"), m * k_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def pq_batch_topk(
     queries: DataFrame,
     index: tuple[DataFrame, list[list[list[float]]]],
@@ -731,53 +792,10 @@ def pq_batch_topk(
     from pyspark.sql.window import Window
 
     encoded, codebooks = index
-    spark = queries.sparkSession
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])
-    d_sub = len(codebooks[0][0])
-
-    cb_rows = [
-        (m, j, [float(x) for x in cb], _fold_dot(cb, cb))
-        for m, book in enumerate(codebooks)
-        for j, cb in enumerate(book)
-    ]
-    cb = spark.createDataFrame(
-        cb_rows, "sub int, code int, centroid array<double>, cc double"
-    )
-    qv = _pq_view(F.col(query_vec_col), normalize)
-    q = queries.select(query_id_col, qv.alias("__pq_qu"))
-    # lut term per (query, sub, code): ||c||^2 - 2*q_m.c — the same operand
-    # order as _pq_lut; flattened to one array per query, indexed sub*k+code
-    qsub = F.slice(F.col("__pq_qu"), F.col("sub") * d_sub + 1, F.lit(d_sub))
-    terms = q.join(F.broadcast(cb)).select(
-        query_id_col,
-        (F.col("sub") * k_codes + F.col("code")).alias("flat"),
-        (
-            F.col("cc")
-            - F.lit(2.0)
-            * F.aggregate(
-                F.zip_with(qsub, F.col("centroid"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("term"),
-    )
-    luts = terms.groupBy(query_id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("flat", "term"))), lambda s: s["term"]
-        ).alias("__pq_lut")
-    )
-    # ADC per (query, candidate): left-to-right fold over the m_sub codes —
-    # the pq_adc_expr accumulation order
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("pq_codes"),
-            F.sequence(F.lit(0), F.lit(m_sub - 1)),
-            lambda c, m: F.element_at(F.col("__pq_lut"), m * k_codes + c + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    luts = _batch_adc_luts(queries, codebooks, query_id_col, query_vec_col, normalize)
+    adc = _batch_adc_expr(m_sub, k_codes)
     # codes-only ADC scan: project (id, codes) ONLY — every candidate row
     # crossing the per-query ranking-window shuffle carries m_sub ints, not
     # the float32[d] vector, and on a persisted index parquet column pruning
@@ -796,6 +814,134 @@ def pq_batch_topk(
     # projection — a second, vectors-only column-pruned scan
     rerank_vecs = F.broadcast(shortlist).join(
         encoded.select(id_col, vector_col), id_col
+    )
+    qvs = queries.select(query_id_col, F.col(query_vec_col).alias("__pq_qv"))
+    rw = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        rerank_vecs.join(F.broadcast(qvs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_distance(F.col(vector_col), F.col("__pq_qv")), 6).alias(
+                "distance"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def save_ivf_pq_index(
+    assigned_encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+) -> None:
+    """Persist the full LanceDB-shaped IVF_PQ index: rows (ids +
+    full-precision vectors + list_id + pq_codes) land PARTITIONED BY
+    list_id — a probe is an nprobe-partition scan AND the ADC read inside
+    each partition is column-pruned to the codes — plus the tiny centroid
+    and codebook tables.  Build once, query many."""
+    spark = assigned_encoded.sparkSession
+    assigned_encoded.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    _centroids_df(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    rows = [
+        (m, j, [float(x) for x in cb])
+        for m, book in enumerate(codebooks)
+        for j, cb in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivf_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """(assigned_encoded, centroids, codebooks) back from
+    :func:`save_ivf_pq_index`.  Both small tables are bounded by
+    construction (n_lists / m_sub*k_codes rows)."""
+    assigned = spark.read.parquet(f"{path}/lists")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [list(r["centroid"]) for r in sorted(crows, key=lambda r: r["list_id"])]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = 1 + max(r["sub"] for r in brows)
+    k_codes = 1 + max(r["code"] for r in brows)
+    books: list[list[list[float]]] = [[None] * k_codes for _ in range(m_sub)]  # type: ignore[list-item]
+    for r in brows:
+        books[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return assigned, centroids, books
+
+
+def ivf_pq_batch_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, list[list[float]], list[list[list[float]]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    normalize: bool = True,
+) -> DataFrame:
+    """MANY queries against one persisted IVF_PQ index — the complete 100 TB
+    ANN deployment path, fully declarative: per-query probe selection is a
+    broadcast join against the tiny centroid table (rank L2, keep nprobe —
+    the same (dist, list_id) order as the single-query :func:`_probe_lists`
+    fold, so the two paths can never pick different probe sets), candidate
+    generation an equi-join of the probe frame against the list_id-
+    partitioned codes (dynamic partition pruning skips unprobed lists at
+    100 TB), ADC scoring reads ONLY (id, list_id, pq_codes), and just
+    ``rerank`` survivors per query join back for full-precision vectors.
+    Output: (query_id, vec_id, distance), k rows per query."""
+    from pyspark.sql.window import Window
+
+    assigned, centroids, codebooks = index
+    spark = queries.sparkSession
+    m_sub = len(codebooks)
+    k_codes = len(codebooks[0])
+
+    cent = _centroids_df(spark, centroids)
+    probes = (
+        queries.join(F.broadcast(cent))
+        .withColumn(
+            "_cd", _l2(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_cd").asc(), F.col("list_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "list_id")
+    )
+    luts = _batch_adc_luts(queries, codebooks, query_id_col, query_vec_col, normalize)
+    adc = _batch_adc_expr(m_sub, k_codes)
+    # probed, codes-only candidate scan: (query_id, list_id) ⋈ codes on
+    # list_id, then the per-query LUT joins in by query id — never a vector
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.select("list_id", id_col, "pq_codes"), "list_id")
+        .join(F.broadcast(luts), query_id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    shortlist = (
+        cand.select(query_id_col, id_col, adc.alias("adc"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .drop("_rn", "adc")
+    )
+    rerank_vecs = F.broadcast(shortlist).join(
+        assigned.select(id_col, vector_col), id_col
     )
     qvs = queries.select(query_id_col, F.col(query_vec_col).alias("__pq_qv"))
     rw = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())

@@ -463,3 +463,35 @@ def test_sppmi_matmul_is_equi_join_with_broadcast_total(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_ivf_pq_batch_probed_scan_is_codes_only(spark, tmp_path):
+    """The batch IVF_PQ candidate scan must read (list_id, id, pq_codes)
+    and never the vector column — same codes-only discipline as
+    pq_batch_topk, applied under list pruning."""
+    import re
+
+    from cognee_graphdb_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_batch_topk,
+        load_ivf_pq_index,
+        pq_codebooks,
+        pq_encode,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_lists=4)
+    books = pq_codebooks(emb, m_sub=8, k_codes=4)
+    save_ivf_pq_index(pq_encode(assigned, books), centroids, books, str(tmp_path / "ivfpq"))
+    idx = load_ivf_pq_index(spark, str(tmp_path / "ivfpq"))
+    queries = emb.limit(2).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = plan_of(ivf_pq_batch_topk(queries, idx, k=3, nprobe=2, rerank=10))
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    codes_scans = [s for s in schemas if "pq_codes" in s]
+    assert codes_scans, plan
+    assert all("embedding" not in s for s in codes_scans), plan
+    assert any("embedding" in s and "pq_codes" not in s for s in schemas), plan

@@ -207,3 +207,47 @@ def test_pq_index_persist_and_batch_matches_single(spark, tmp_path):
             for r in pq_topk(emb, qrows[i], k=5, rerank=50, codebooks=books).collect()
         ]
         assert got[str(i)] == single, i
+
+
+def test_ivf_pq_index_persist_and_batch_matches_single(spark, tmp_path):
+    """The complete LanceDB-shaped deployment path: build IVF_PQ once
+    (lists + centroids + codebooks), persist, load, batch-query — results
+    per query equal the single-query ivf_pq_topk over the same index and
+    codebooks (probe selection orders identically by construction)."""
+    from cognee_graphdb_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_batch_topk,
+        ivf_pq_topk,
+        load_ivf_pq_index,
+        pq_codebooks,
+        pq_encode,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_lists=8)
+    books = pq_codebooks(emb, m_sub=8, k_codes=8)
+    save_ivf_pq_index(pq_encode(assigned, books), centroids, books, str(tmp_path / "ivfpq"))
+    idx = load_ivf_pq_index(spark, str(tmp_path / "ivfpq"))
+    assert idx[1] == centroids and idx[2] == books  # tiny tables round-trip
+
+    qids = [1, 5, 9]
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    queries = spark.createDataFrame(
+        [(str(i), qrows[i]) for i in qids], ["query_id", "query_vec"]
+    )
+    batch = ivf_pq_batch_topk(queries, idx, k=5, nprobe=3, rerank=50)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["distance"]))
+    assert set(got) == {str(i) for i in qids}
+    for i in qids:
+        single = [
+            (r["vec_id"], r["distance"])
+            for r in ivf_pq_topk(
+                emb, qrows[i], k=5, nprobe=3, rerank=50,
+                index=(assigned, centroids), codebooks=books,
+            ).collect()
+        ]
+        assert got[str(i)] == single, i
