@@ -26,9 +26,16 @@ def test_eval_protocol_through_http_gateway(spark, tmp_path):
     assert cot["em"] == pytest.approx(1 / 3, abs=1e-6)
     assert cot["f1"] == pytest.approx(1 / 3, abs=1e-4)
     assert cot["judge"] == pytest.approx(0.121212, abs=1e-4)
-    # every hop is HTTP: 3 docs x (graph+summary+classify) + 2 eval passes
-    # x 3 questions x (complete [+followup] + judge)
-    assert res["n_http_requests"] == 42
+    # CONTEXT_EXTENSION (the reference protocol's third retriever config,
+    # benchmark_summary_cognee.json entry 2): the extension loop converges to
+    # the same triplet fixpoint here, so metrics match GRAPH_COMPLETION's
+    ce = res["graph_completion_context_extension"]
+    assert ce["em"] == pytest.approx(1 / 3, abs=1e-6)
+    assert ce["f1"] == pytest.approx(0.555556, abs=1e-4)
+    assert ce["judge"] == pytest.approx(0.187879, abs=1e-4)
+    # every hop is HTTP: 3 docs x (graph+summary+classify) + 3 eval passes;
+    # the extension pass completes up to 3x per question before the fixpoint
+    assert res["n_http_requests"] == 55
 
 
 def test_eval_protocol_24_questions(spark, tmp_path):
@@ -42,8 +49,12 @@ def test_eval_protocol_24_questions(spark, tmp_path):
 
     res = run_eval(spark, str(tmp_path / "ev24"), CORPUS24, PAIRS24, embed_dim=1024)
     assert res["n_documents"] == 24 and res["n_questions"] == 24
-    for st in ("graph_completion", "graph_completion_cot"):
+    for st in (
+        "graph_completion",
+        "graph_completion_cot",
+        "graph_completion_context_extension",
+    ):
         assert res[st]["em"] == pytest.approx(0.75, abs=1e-6), (st, res[st])
         assert res[st]["f1"] == pytest.approx(0.75, abs=1e-6), (st, res[st])
         assert res[st]["judge"] == pytest.approx(0.272727, abs=1e-4), (st, res[st])
-    assert res["n_http_requests"] == 336
+    assert res["n_http_requests"] == 432

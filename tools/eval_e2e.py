@@ -25,11 +25,16 @@ Run: python tools/eval_e2e.py [out.json]   (writes EVAL json artifact)
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 import threading
 from collections import Counter
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# runnable as `python tools/eval_e2e.py` from anywhere: sys.path[0] is
+# tools/, so the package root must be added explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _WORDS = re.compile(r"[a-z]+")
 
