@@ -287,6 +287,20 @@ def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
 
         pagerank(nodes, edges, n_iter=5, edges_within_nodes=True).agg(F.sum("rank")).collect()
 
+    @step("a2_louvain")
+    def _louvain():
+        from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+        fk = edges.filter(
+            F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+        )
+        ids = (
+            fk.select(F.col("src").alias("id"))
+            .unionByName(fk.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        louvain(ids, fk, n_levels=2, n_rounds=2).groupBy("label").count().count()
+
     @step("j6_k_hop")
     def _j6():
         seeds = spark.createDataFrame([("region:0",), ("region:1",)], ["id"])

@@ -495,3 +495,16 @@ def test_ivf_pq_batch_probed_scan_is_codes_only(spark, tmp_path):
     assert codes_scans, plan
     assert all("embedding" not in s for s in codes_scans), plan
     assert any("embedding" in s and "pq_codes" not in s for s in schemas), plan
+
+
+def test_louvain_rounds_are_equi_joins(spark, toy_graph):
+    """Every louvain local-move round must plan as hash equi-joins (label
+    lookups on the node key) + partial aggs, with T as a broadcast — no
+    cartesian product, no Python worker, across both levels including the
+    contraction."""
+    from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+    nodes, edges = toy_graph
+    plan = plan_of(louvain(nodes, edges, n_levels=2, n_rounds=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
