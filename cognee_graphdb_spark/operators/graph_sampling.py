@@ -85,7 +85,8 @@ def neighbor_sample(
     bounds = eh.agg(
         F.min("__h").alias("lo"), F.max("__h").alias("hi")
     ).collect()[0]
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0  # empty edges
+    hi = float(bounds["hi"]) if bounds["hi"] is not None else 0.0
     span = max(hi - lo, 1.0)
     frac = (F.col("__h").cast("double") - F.lit(lo)) / F.lit(span)  # ~U[0,1]
     cand = eh.join(deg, "src").filter(

@@ -119,3 +119,9 @@ def test_hub_cap_handles_narrow_range_hashers(spark):
         for r in expected_rank.filter(F.col("src").isin(list(exp_l1))).collect()
     }
     assert {(t[2], t[3]) for t in got if t[1] == 2} == exp_l2
+
+
+def test_empty_edges_yield_empty_blocks(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    r = spark.createDataFrame([("a",)], ["id"])
+    assert neighbor_sample(e, r, [2]).count() == 0
