@@ -1256,7 +1256,7 @@ def louvain(
                 F.col("kc")
                 - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
             ).cast("decimal(19,0)")
-            labels = (
+            new_labels = (
                 sc.select("u", "c", score.alias("score"))
                 .groupBy("u")
                 .agg(
@@ -1266,6 +1266,22 @@ def louvain(
                 )
                 .localCheckpoint(eager=True)
             )
+            # fixpoint early exit: if no label moved, every later round picks
+            # the same argmax again (scores are a function of labels alone),
+            # so skipping the rest is OUTPUT-IDENTICAL to unrolling n_rounds
+            # — the oracle's fixed unroll stays exact — and a converged level
+            # stops paying for its remaining rounds (one label-sized
+            # anti-join probe per round, bounded)
+            moved = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "u")
+                .filter(F.col("n.label") != F.col("p.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if moved == 0:
+                break
         mapping = (
             mapping.join(labels.select(F.col("u").alias("cur"), "label"), "cur")
             .select("id", F.col("label").alias("cur"))
