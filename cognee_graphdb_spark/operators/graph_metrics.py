@@ -1180,6 +1180,8 @@ def louvain(
     """
     from cognee_graphdb_spark.operators.dedup import _hash64
 
+    if n_levels < 1 or n_rounds < 1:
+        raise ValueError("n_levels and n_rounds must be >= 1")
     nh = (
         nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
         .distinct()

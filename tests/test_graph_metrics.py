@@ -1482,3 +1482,14 @@ def test_louvain_contraction_preserves_q_and_is_deterministic(spark):
     a = sorted(map(tuple, louvain(nodes, edges, n_levels=2, n_rounds=3).collect()))
     b = sorted(map(tuple, louvain(nodes, edges, n_levels=2, n_rounds=3).collect()))
     assert a == b
+
+
+def test_louvain_validates_rounds_and_levels(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+    nodes = _nodes_df(spark, ["a", "b"])
+    edges = _edges_df(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="n_levels"):
+        louvain(nodes, edges, n_levels=0)
+    with pytest.raises(ValueError, match="n_rounds"):
+        louvain(nodes, edges, n_rounds=0)
