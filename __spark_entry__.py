@@ -1341,6 +1341,33 @@ def _q_a2_modularity(spark, sf_dir):
     )
 
 
+def _q_a2_conductance(spark, sf_dir):
+    """Per-community conductance of the 3-round LPA communities
+    (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
+    the GDS community-quality metric next to modularity; reference metric
+    surface neo4j_driver/neo4j_metrics_utils.py): internal/boundary/volume
+    are exact BIGINT ordered-pair counts over the same undirected
+    simple-graph view a2_modularity scores, and the ratio crosses the hash
+    ppm-quantized only (round(1e6·boundary/volume), same operand order both
+    engines) — the decimal-free contract rule."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        conductance,
+        label_propagation,
+    )
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = label_propagation(ids, fk, n_rounds=3, hasher="md5_64")
+    return conductance(fk, labels)
+
+
 def _q_a2_louvain(spark, sf_dir):
     """Louvain communities (graph_metrics.py:louvain — gds.louvain, the
     flagship GDS community algorithm; reference metric surface
@@ -2846,6 +2873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         # -- window boundary (50): below here, rows stay green cumulatively --
+        # new this round, pytest-proved, awaiting first driver window (r11):
+        # gds.conductance over the same LPA labels a2_modularity scores
+        "a2_conductance": _q_a2_conductance,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -4901,6 +4931,37 @@ SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
          AS contrib_scaled
 FROM siz LEFT JOIN win ON siz.label = win.label
 LEFT JOIN dgr ON siz.label = dgr.label
+CROSS JOIN stot"""
+
+    # --- a2 conductance: per-community boundary/volume of the SAME 3-round
+    # LPA communities over the SAME undirected simple-graph view, exact
+    # BIGINT counts; the ratio crosses the hash as round(1e6·b/v) only
+    # (graph_metrics.py:conductance over label_propagation output) ----------
+    sql["a2_conductance"] = f"""WITH {g},
+{_lp_core},
+tg AS MATERIALIZED (
+  SELECT a.label AS lu, b.label AS lv
+  FROM nfe e JOIN l3 a ON e.u = a.u JOIN l3 b ON e.v = b.u
+),
+stot AS (SELECT count(*) AS s_total FROM tg),
+per AS (
+  SELECT lu AS label,
+         CAST(SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS internal,
+         CAST(SUM(CASE WHEN lu != lv THEN 1 ELSE 0 END) AS BIGINT) AS boundary
+  FROM tg GROUP BY lu
+),
+siz AS (SELECT label, count(*) AS n_nodes FROM l3 GROUP BY label)
+SELECT siz.label, CAST(siz.n_nodes AS BIGINT) AS n_nodes,
+       COALESCE(per.internal, 0) AS internal,
+       COALESCE(per.boundary, 0) AS boundary,
+       COALESCE(per.internal, 0) + COALESCE(per.boundary, 0) AS volume,
+       CAST(stot.s_total AS BIGINT) AS s_total,
+       CASE WHEN COALESCE(per.internal, 0) + COALESCE(per.boundary, 0) = 0 THEN 0
+            ELSE CAST(ROUND(1000000.0 * COALESCE(per.boundary, 0)
+                            / (COALESCE(per.internal, 0) + COALESCE(per.boundary, 0)))
+                      AS BIGINT)
+       END AS conductance_ppm
+FROM siz LEFT JOIN per ON siz.label = per.label
 CROSS JOIN stot"""
 
     # --- a2 louvain: 2 levels x 2 synchronous local-move rounds, unrolled,

@@ -1126,6 +1126,67 @@ def modularity_score(per_community: DataFrame) -> float:
     return float(row["num"]) / float(row["s"] * row["s"])
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, internal, boundary, volume, s_total,
+    conductance_ppm): per-community conductance — the GDS community-quality
+    metric next to :func:`modularity` (gds.conductance; the reference's
+    metric surface is the GDS family, cognee reference
+    neo4j_driver/neo4j_metrics_utils.py:8-190 — same family, per-community
+    quality of any clustering such as :func:`louvain` output).
+
+    Over the DISTINCT undirected simple-graph view restricted to edges with
+    BOTH endpoints labeled (the same scoping rule as :func:`modularity`):
+    for community C, ``internal`` counts ordered pairs staying inside C,
+    ``boundary`` counts ordered pairs leaving C, ``volume`` = internal +
+    boundary = the community's total degree, and conductance is the GDS
+    definition boundary / volume (0 for an isolated or edgeless community).
+    All components are exact BIGINT counts; the ratio is quantized to ppm
+    with one ROUND so it hashes identically in any engine —
+    ``conductance_ppm = round(1e6 * boundary / volume)``.
+
+    Scale: two label-lookup equi-joins on the edge view + one label-sized
+    partial aggregation — one pass over edges, label-sized result; same
+    shuffle shape as :func:`modularity` (the two share the tagged view's
+    plan; label skew lands in a count-only partial agg, no row carry).
+    """
+    sym = _sym_edges(edges)
+    lab = labels.select(F.col("id").alias("u"), "label").distinct()
+    lu = lab.select("u", F.col("label").alias("lu"))
+    lv = lab.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+    tagged = sym.join(lu, sym.src == lu.u).join(lv, sym.dst == lv.v)
+    per = tagged.groupBy(F.col("lu").alias("label")).agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), 1).otherwise(0)).alias("internal"),
+        F.sum(F.when(F.col("lu") != F.col("lv"), 1).otherwise(0)).alias("boundary"),
+    )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    s_total = tagged.agg(F.count(F.lit(1)).alias("s_total"))
+    out = (
+        sizes.join(per, "label", "left")
+        .crossJoin(F.broadcast(s_total))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("internal", F.lit(0)).cast("long").alias("internal"),
+            F.coalesce("boundary", F.lit(0)).cast("long").alias("boundary"),
+            "s_total",
+        )
+    )
+    vol = F.col("internal") + F.col("boundary")
+    return out.select(
+        "label",
+        "n_nodes",
+        "internal",
+        "boundary",
+        vol.alias("volume"),
+        "s_total",
+        F.when(vol == 0, F.lit(0))
+        .otherwise(
+            F.round(F.lit(1000000.0) * F.col("boundary") / vol).cast("long")
+        )
+        .alias("conductance_ppm"),
+    )
+
+
 def louvain(
     nodes: DataFrame,
     edges: DataFrame,

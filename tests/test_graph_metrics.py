@@ -3,6 +3,7 @@
 metrics_test_utils.py:36-60 fixture graphs)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from cognee_graphdb_spark.operators.graph_metrics import connected_components, graph_metrics
 
@@ -1086,6 +1087,65 @@ def test_modularity_two_triangles_bridge(spark):
     per_iso = {r["label"]: r for r in modularity(_edges_df(spark, pairs), labels_iso).collect()}
     assert per_iso[3]["sym_within"] == 0 and per_iso[3]["total_degree"] == 0
     assert per_iso[3]["contrib_scaled"] == 0
+
+
+def test_conductance_two_triangles_bridge(spark):
+    """Same textbook fixture as modularity: each triangle community has
+    internal = 6 ordered pairs, one bridge endpoint -> boundary = 1,
+    volume = 7, phi = 1/7 -> 142857 ppm."""
+    from cognee_graphdb_spark.operators.graph_metrics import conductance
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    labels = spark.createDataFrame(
+        [(n, 1) for n in "abc"] + [(n, 2) for n in "xyz"], ["id", "label"]
+    )
+    rows = {r["label"]: r for r in conductance(_edges_df(spark, pairs), labels).collect()}
+    for lbl in (1, 2):
+        assert rows[lbl]["n_nodes"] == 3
+        assert rows[lbl]["internal"] == 6
+        assert rows[lbl]["boundary"] == 1
+        assert rows[lbl]["volume"] == 7
+        assert rows[lbl]["s_total"] == 14
+        assert rows[lbl]["conductance_ppm"] == 142857
+    # everything in one community: no boundary, phi = 0
+    one = spark.createDataFrame([(n, 9) for n in "abcxyz"], ["id", "label"])
+    only = conductance(_edges_df(spark, pairs), one).collect()[0]
+    assert only["boundary"] == 0 and only["conductance_ppm"] == 0
+    # an edgeless community gets a zero row, not a divide-by-zero
+    labels_iso = labels.union(spark.createDataFrame([("ghost", 3)], ["id", "label"]))
+    iso = {r["label"]: r for r in conductance(_edges_df(spark, pairs), labels_iso).collect()}
+    assert iso[3]["volume"] == 0 and iso[3]["conductance_ppm"] == 0
+    # partial labeling scopes to the labeled subgraph (modularity's rule):
+    # dropping the x-triangle's labels removes those rows AND shrinks s_total
+    part = spark.createDataFrame([(n, 1) for n in "abc"], ["id", "label"])
+    scoped = {r["label"]: r for r in conductance(_edges_df(spark, pairs), part).collect()}
+    assert scoped[1]["internal"] == 6 and scoped[1]["boundary"] == 0
+    assert scoped[1]["s_total"] == 6
+
+
+def test_conductance_louvain_communities_beat_random_split(spark):
+    """On the ring-of-cliques fixture, louvain's communities have strictly
+    lower total conductance than an arbitrary even split — the metric
+    orders partitions the way Q does, from the boundary side."""
+    from cognee_graphdb_spark.operators.graph_metrics import conductance, louvain
+
+    pairs = []
+    cliques = [list(range(i * 4, i * 4 + 4)) for i in range(4)]
+    for cl in cliques:
+        pairs += [(str(a), str(b)) for a in cl for b in cl if a < b]
+    for i in range(4):
+        pairs.append((str(cliques[i][0]), str(cliques[(i + 1) % 4][0])))
+    edges = _edges_df(spark, pairs)
+    ids = _nodes_df(spark, [str(i) for i in range(16)])
+    lv = louvain(ids, edges, n_levels=2, n_rounds=3)
+    split = ids.select("id", (F.col("id").cast("int") % 2).alias("label"))
+
+    def total_phi(labels):
+        rows = conductance(edges, labels).collect()
+        return sum(r["conductance_ppm"] for r in rows)
+
+    assert total_phi(lv) < total_phi(split)
 
 
 def test_wl_refinement_distinguishes_roles(spark):
