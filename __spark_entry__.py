@@ -1341,6 +1341,40 @@ def _q_a2_modularity(spark, sf_dir):
     )
 
 
+def _q_a2_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (graph_metrics.py:hits — gds.hits, the GDS
+    centrality next to pagerank; reference metric surface
+    neo4j_driver/neo4j_metrics_utils.py) over the region-tree FK subgraph:
+    10 power iterations with L1 half-step normalization.  The oracle unrolls
+    the same 10 rounds as chained CTEs with identical double arithmetic
+    (COALESCE-then-divide in the same operand order), and both sides
+    quantize to ppm BIGINTs and take the top-100 by
+    (authority_ppm, hub_ppm, id) — the a9_pagerank float-hash discipline."""
+    from cognee_graphdb_spark.operators.graph_metrics import hits
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = hits(ids, fk, n_iter=10, edges_within_nodes=True)
+    return (
+        out.select(
+            "id",
+            F.round(F.col("hub") * F.lit(1000000.0)).cast("long").alias("hub_ppm"),
+            F.round(F.col("authority") * F.lit(1000000.0))
+            .cast("long")
+            .alias("authority_ppm"),
+        )
+        .orderBy(F.desc("authority_ppm"), F.desc("hub_ppm"), "id")
+        .limit(100)
+    )
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -2874,8 +2908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         # -- window boundary (50): below here, rows stay green cumulatively --
         # new this round, pytest-proved, awaiting first driver window (r11):
-        # gds.conductance over the same LPA labels a2_modularity scores
+        # gds.conductance over the same LPA labels a2_modularity scores,
+        # gds.hits next to the pagerank family
         "a2_conductance": _q_a2_conductance,
+        "a2_hits": _q_a2_hits,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -4782,6 +4818,43 @@ r0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec),
 {", ".join(_pp_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # --- a2 HITS: 10 unrolled hub/authority half-steps with L1 normalization
+    # (graph_metrics.py:hits): auth = COALESCE(sum_in(hub), 0) / total,
+    # hub = COALESCE(sum_out(auth), 0) / total — same operand order as the
+    # operator's _normalize; ppm-quantized top-100 ---------------------------
+    _hits_iters = []
+    _prev_h = "h0"
+    for _i in range(1, 11):
+        _hits_iters.append(f"""ar{_i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.score) AS c
+  FROM fk e JOIN {_prev_h} h ON e.src = h.id GROUP BY e.dst
+), at{_i} AS MATERIALIZED (SELECT COALESCE(SUM(c), CAST(0 AS DOUBLE)) AS t FROM ar{_i}),
+a{_i} AS MATERIALIZED (
+  SELECT n.id, CASE WHEN t.t = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(r.c, CAST(0 AS DOUBLE)) / t.t END AS score
+  FROM allnodes n CROSS JOIN at{_i} t LEFT JOIN ar{_i} r ON n.id = r.id
+), hr{_i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.score) AS c
+  FROM fk e JOIN a{_i} a ON e.dst = a.id GROUP BY e.src
+), ht{_i} AS MATERIALIZED (SELECT COALESCE(SUM(c), CAST(0 AS DOUBLE)) AS t FROM hr{_i}),
+h{_i} AS MATERIALIZED (
+  SELECT n.id, CASE WHEN t.t = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(r.c, CAST(0 AS DOUBLE)) / t.t END AS score
+  FROM allnodes n CROSS JOIN ht{_i} t LEFT JOIN hr{_i} r ON n.id = r.id
+)""")
+        _prev_h = f"h{_i}"
+    sql["a2_hits"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+allnodes AS MATERIALIZED (SELECT src AS id FROM fk UNION SELECT dst FROM fk),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
+h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS score FROM allnodes CROSS JOIN nn),
+{", ".join(_hits_iters)}
+SELECT h.id, CAST(ROUND(h.score * 1000000.0) AS BIGINT) AS hub_ppm,
+       CAST(ROUND(a.score * 1000000.0) AS BIGINT) AS authority_ppm
+FROM h10 h JOIN a10 a ON h.id = a.id
+ORDER BY authority_ppm DESC, hub_ppm DESC, h.id LIMIT 100"""
 
     # --- a2 k-core: 8 unrolled Matula–Beck peel rounds (fixpoint at sf0.01
     # is round 4; later rounds are monotone no-ops) over the same DISTINCT

@@ -574,6 +574,103 @@ def pagerank(
     return (out, done) if return_iterations else out
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    checkpoint_every: int = 3,
+    ids_distinct: bool = False,
+    edges_within_nodes: bool = False,
+) -> DataFrame:
+    """(id, hub, authority): HITS hubs-and-authorities by power iteration
+    over the directed simple graph (distinct (src, dst) pairs) — the GDS
+    centrality next to :func:`pagerank` (gds.hits; the reference's metric
+    surface is the GDS family, cognee reference
+    neo4j_driver/neo4j_metrics_utils.py:8-190).  On a graph memory layer it
+    separates the two roles PageRank conflates: authorities are the entities
+    many curated hubs point AT (the FK graph's nation/region side), hubs the
+    entities that point at many good authorities (the customer/supplier
+    side).
+
+    Kleinberg's mutual recursion with L1 normalization each half-step
+    (the normalization is a PARAMETER of the per-iteration values — L1 keeps
+    every intermediate a plain sum-then-divide, so a SQL oracle can unroll
+    rounds with identical operand order; the ranking is norm-invariant):
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u) / Σ a_t      (authority half-step)
+        h_t(u) = Σ_{u→v} a_t(v)   / Σ h_t        (hub half-step)
+
+    from h_0 = 1/n.  Nodes with no in-edges have authority 0, no out-edges
+    hub 0; an edgeless graph yields all zeros (the CASE total = 0 guard, not
+    a divide-by-zero).
+
+    Scale (same layout as :func:`pagerank`): per half-step ONE equi-join of
+    the static hashed edge list against the node-sized score frame + one
+    partial-agg sum + a 1-row broadcast total — two shuffles per round on
+    the same keys every round (AQE reuses the exchange); lineage truncated
+    every ``checkpoint_every`` rounds.  A billion-edge graph iterates at
+    2× the pagerank round cost, nothing super-linear.
+    """
+    ids = nodes.select("id")
+    if not ids_distinct:
+        ids = ids.distinct()
+    nh = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
+    n = nh.count()
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    e = edges.select(
+        F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")
+    ).distinct()
+    if not edges_within_nodes:
+        e = e.join(nh.select(F.col("h").alias("hs")), "hs", "left_semi").join(
+            nh.select(F.col("h").alias("hd")), "hd", "left_semi"
+        )
+    e = e.localCheckpoint(eager=True)
+    base = nh.select("h").localCheckpoint(eager=True)
+
+    def _normalize(raw, key):
+        # raw: (key, c) partial sums over the scoring join; total is a 1-row
+        # broadcast; all-node frame restores zero rows.  CASE total = 0
+        # guard mirrors the oracle verbatim (edgeless graph => all zeros).
+        total = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("t"))
+        return (
+            base.join(raw.withColumnRenamed(key, "h"), "h", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "h",
+                F.when(F.col("t") == 0.0, F.lit(0.0))
+                .otherwise(F.coalesce(F.col("c"), F.lit(0.0)) / F.col("t"))
+                .alias("score"),
+            )
+        )
+
+    hubs = base.select("h", F.lit(1.0 / n).alias("score"))
+    auths = base.select("h", F.lit(0.0).alias("score"))
+    for it in range(n_iter):
+        araw = (
+            e.join(hubs.select(F.col("h").alias("hs"), "score"), "hs")
+            .groupBy(F.col("hd"))
+            .agg(F.sum("score").alias("c"))
+        )
+        auths = _normalize(araw, "hd")
+        hraw = (
+            e.join(auths.select(F.col("h").alias("hd"), "score"), "hd")
+            .groupBy(F.col("hs"))
+            .agg(F.sum("score").alias("c"))
+        )
+        hubs = _normalize(hraw, "hs")
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return (
+        nh.join(hubs.withColumnRenamed("score", "hub"), "h")
+        .join(auths.withColumnRenamed("score", "authority"), "h")
+        .select("id", "hub", "authority")
+    )
+
+
 def k_core(
     nodes: DataFrame,
     edges: DataFrame,

@@ -364,6 +364,13 @@ def _nodes_df(spark, ids):
     return spark.createDataFrame([(i, i, "t") for i in ids], ["id", "name", "type"])
 
 
+def _directed_edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, "r") for a, b in pairs],
+        "src string, dst string, relationship_name string",
+    )
+
+
 def test_kcore_clique_with_cascade(spark):
     """K4 plus q→{x,y,p1} and pendant p1: p1 peels in round 1 (deg 1), which
     drops q to deg 2 so it peels in round 2 — a genuine multi-round cascade.
@@ -1146,6 +1153,57 @@ def test_conductance_louvain_communities_beat_random_split(spark):
         return sum(r["conductance_ppm"] for r in rows)
 
     assert total_phi(lv) < total_phi(split)
+
+
+def test_hits_roles_on_path_and_star(spark):
+    """Directed path a->b->c reaches its fixpoint in two rounds: hubs
+    {a, b} at 0.5 each, authorities {b, c} at 0.5 each, zeros elsewhere.
+    On a 2-hub star, the doubly-cited authority dominates."""
+    from cognee_graphdb_spark.operators.graph_metrics import hits
+
+    ids = _nodes_df(spark, list("abc"))
+    edges = _directed_edges_df(spark, [("a", "b"), ("b", "c")])
+    out = {r["id"]: r for r in hits(ids, edges, n_iter=10).collect()}
+    assert out["a"]["hub"] == pytest.approx(0.5)
+    assert out["b"]["hub"] == pytest.approx(0.5)
+    assert out["c"]["hub"] == 0.0
+    assert out["a"]["authority"] == 0.0
+    assert out["b"]["authority"] == pytest.approx(0.5)
+    assert out["c"]["authority"] == pytest.approx(0.5)
+    # a->x, b->x, a->y: x is cited by both hubs, y by one
+    star = hits(
+        _nodes_df(spark, list("abxy")),
+        _directed_edges_df(spark, [("a", "x"), ("b", "x"), ("a", "y")]),
+        n_iter=10,
+    )
+    srow = {r["id"]: r for r in star.collect()}
+    assert srow["x"]["authority"] > srow["y"]["authority"]
+    assert srow["a"]["hub"] > srow["b"]["hub"]  # a cites both authorities
+    # edgeless graph: the total-zero guard yields all zeros, no div-by-zero
+    none = hits(_nodes_df(spark, list("ab")), _directed_edges_df(spark, []), n_iter=3)
+    assert all(r["hub"] == 0.0 and r["authority"] == 0.0 for r in none.collect())
+
+
+def test_hits_matches_plain_python_power_iteration(spark):
+    """Cell-exact-ish parity with a dependency-free reference loop using the
+    same L1 half-step normalization on a small deterministic digraph."""
+    from cognee_graphdb_spark.operators.graph_metrics import hits
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d")]
+    V = sorted({u for u, _ in E} | {v for _, v in E})
+    h = {v: 1.0 / len(V) for v in V}
+    a = {v: 0.0 for v in V}
+    for _ in range(10):
+        a = {v: sum(h[u] for u, w in E if w == v) for v in V}
+        ta = sum(a.values())
+        a = {v: (x / ta if ta else 0.0) for v, x in a.items()}
+        h = {u: sum(a[w] for x, w in E if x == u) for u in V}
+        th = sum(h.values())
+        h = {u: (x / th if th else 0.0) for u, x in h.items()}
+    got = {r["id"]: r for r in hits(_nodes_df(spark, V), _directed_edges_df(spark, E), n_iter=10).collect()}
+    for v in V:
+        assert got[v]["hub"] == pytest.approx(h[v], abs=1e-12)
+        assert got[v]["authority"] == pytest.approx(a[v], abs=1e-12)
 
 
 def test_wl_refinement_distinguishes_roles(spark):
