@@ -1427,6 +1427,31 @@ def _q_a2_louvain(spark, sf_dir):
     return louvain(ids, fk, n_levels=2, n_rounds=2, hasher="md5_64")
 
 
+def _q_a2_leiden(spark, sf_dir):
+    """Leiden communities (graph_metrics.py:leiden — gds.leiden, Louvain's
+    successor in the GDS community family; Traag et al. 2019): the same
+    exact-integer local-move rounds as a2_louvain plus the deterministic
+    connectivity-refinement phase — coarse communities split into their
+    connected components (8 min-label rounds, fixpoint-early-exited =
+    output-identical to the oracle's fixed unroll) before contraction, and
+    the aggregate level starts SEEDED with the coarse partition.  The
+    oracle unrolls all of it: 2 local-move rounds, 8 refine rounds, the
+    contraction, and 2 seeded local-move rounds.  Output (id, label) —
+    integer-hashed labels only."""
+    from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return leiden(ids, fk, n_levels=2, n_rounds=2, refine_rounds=8, hasher="md5_64")
+
+
 def _q_a2_node_similarity(spark, sf_dir):
     """Neighborhood Jaccard similarity (graph_metrics.py:node_similarity,
     gds.nodeSimilarity) over the nation-family FK subgraph, top-5 partners
@@ -2912,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gds.hits next to the pagerank family
         "a2_conductance": _q_a2_conductance,
         "a2_hits": _q_a2_hits,
+        "a2_leiden": _q_a2_leiden,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5109,6 +5135,68 @@ L0_0 AS MATERIALIZED (SELECT u, u AS label FROM nid0),
 {_louvain_round("1_2", "L1_1", "deg1", "adj1")}
 SELECT hn.id, l2.label
 FROM hn JOIN L0_2 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.label = l2.u"""
+
+    # --- a2 leiden: louvain's unrolled local-move rounds PLUS the
+    # connectivity-refinement phase (graph_metrics.py:leiden): 8 min-label
+    # rounds split coarse communities into connected components, contraction
+    # runs on the REFINED partition, and level 1's local moves start SEEDED
+    # with the coarse labels instead of singletons ---------------------------
+    _ld_refine = []
+    _prev_rf = "rf0"
+    for _i in range(1, 9):
+        _ld_refine.append(f"""rf{_i} AS MATERIALIZED (
+  SELECT r.u, LEAST(r.ref, COALESCE(m.nref, r.ref)) AS ref
+  FROM {_prev_rf} r LEFT JOIN (
+    SELECT w.u, MIN(p.ref) AS nref FROM rw w JOIN {_prev_rf} p ON w.v = p.u GROUP BY w.u
+  ) m ON r.u = m.u
+)""")
+        _prev_rf = f"rf{_i}"
+    sql["a2_leiden"] = f"""WITH {g},
+nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+nfn AS MATERIALIZED (SELECT src AS id FROM nf UNION SELECT dst FROM nf),
+nfe AS MATERIALIZED (
+  SELECT u, v FROM (SELECT src AS u, dst AS v FROM nf UNION SELECT dst, src FROM nf) s
+  WHERE u != v
+),
+hn AS MATERIALIZED (SELECT id, {_md5_64("id", 0)} AS h FROM nfn),
+adj0 AS MATERIALIZED (
+  SELECT a.h AS u, b.h AS v, CAST(1 AS BIGINT) AS w
+  FROM nfe e JOIN hn a ON e.u = a.id JOIN hn b ON e.v = b.id
+),
+nid0 AS MATERIALIZED (SELECT DISTINCT h AS u FROM hn),
+deg0 AS MATERIALIZED (
+  SELECT n.u, COALESCE(s.k, 0) AS k FROM nid0 n
+  LEFT JOIN (SELECT u, sum(w) AS k FROM adj0 GROUP BY u) s ON n.u = s.u
+),
+lvt AS (SELECT COALESCE(sum(k), 0) AS t FROM deg0),
+L0_0 AS MATERIALIZED (SELECT u, u AS label FROM nid0),
+{_louvain_round("0_1", "L0_0", "deg0", "adj0")},
+{_louvain_round("0_2", "L0_1", "deg0", "adj0")},
+rw AS MATERIALIZED (
+  SELECT a.u, a.v FROM adj0 a
+  JOIN L0_2 la ON a.u = la.u JOIN L0_2 lb ON a.v = lb.u
+  WHERE a.u != a.v AND la.label = lb.label
+),
+rf0 AS MATERIALIZED (SELECT u, u AS ref FROM nid0),
+{", ".join(_ld_refine)},
+adjr AS MATERIALIZED (
+  SELECT ra.ref AS u, rb.ref AS v, sum(a.w) AS w
+  FROM adj0 a JOIN rf8 ra ON a.u = ra.u JOIN rf8 rb ON a.v = rb.u
+  GROUP BY ra.ref, rb.ref
+),
+init1 AS MATERIALIZED (
+  SELECT DISTINCT rf.ref AS u, lc.label FROM rf8 rf JOIN L0_2 lc ON rf.u = lc.u
+),
+nid1 AS MATERIALIZED (SELECT u FROM init1),
+deg1 AS MATERIALIZED (
+  SELECT n.u, COALESCE(s.k, 0) AS k FROM nid1 n
+  LEFT JOIN (SELECT u, sum(w) AS k FROM adjr GROUP BY u) s ON n.u = s.u
+),
+{_louvain_round("1_1", "init1", "deg1", "adjr")},
+{_louvain_round("1_2", "L1_1", "deg1", "adjr")}
+SELECT hn.id, l2.label
+FROM hn JOIN rf8 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.ref = l2.u"""
 
     # --- a2 random walks: 4 unrolled hash-guided steps (graph_metrics.py:
     # random_walks; neighbor = md5_64(start|walk|step|cur, seed 3) mod degree

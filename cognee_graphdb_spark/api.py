@@ -516,13 +516,17 @@ class CogneeSpark:
     ) -> DataFrame:
         """(id, label): community detection over the stored graph — the GDS
         community family the reference reaches through its metric surface
-        (gds.louvain / gds.labelPropagation).  ``algorithm`` picks
-        ``"louvain"`` (modularity local moves + contraction,
-        operators/graph_metrics.py:louvain) or ``"lpa"`` (most-frequent-
-        neighbor label rounds, :func:`label_propagation`); round/level
-        counts are parameters of the result (deterministic contract)."""
+        (gds.louvain / gds.leiden / gds.labelPropagation).  ``algorithm``
+        picks ``"louvain"`` (modularity local moves + contraction,
+        operators/graph_metrics.py:louvain), ``"leiden"`` (louvain plus the
+        connectivity-refinement phase that keeps aggregated communities
+        internally connected, :func:`leiden`), or ``"lpa"``
+        (most-frequent-neighbor label rounds, :func:`label_propagation`);
+        round/level counts are parameters of the result (deterministic
+        contract)."""
         from cognee_graphdb_spark.operators.graph_metrics import (
             label_propagation,
+            leiden,
             louvain,
         )
 
@@ -532,9 +536,13 @@ class CogneeSpark:
         algo = algorithm.lower()
         if algo == "louvain":
             return louvain(nodes, edges, n_levels=n_levels, n_rounds=n_rounds)
+        if algo == "leiden":
+            return leiden(nodes, edges, n_levels=n_levels, n_rounds=n_rounds)
         if algo == "lpa":
             return label_propagation(nodes, edges, n_rounds=n_rounds)
-        raise ValueError(f"unsupported community algorithm {algorithm!r} (louvain, lpa)")
+        raise ValueError(
+            f"unsupported community algorithm {algorithm!r} (louvain, leiden, lpa)"
+        )
 
     def shortest_paths(
         self,

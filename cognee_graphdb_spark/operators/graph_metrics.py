@@ -1284,6 +1284,96 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _louvain_local_moves(
+    adj: DataFrame,
+    deg: DataFrame,
+    t_row: DataFrame,
+    labels: DataFrame,
+    n_rounds: int,
+) -> DataFrame:
+    """The synchronous local-move rounds shared by :func:`louvain` and
+    :func:`leiden`: each node adopts the candidate community maximizing the
+    exact-integer gain score T·k_ic − k_i·(K_c − [c=own]·k_i), with the
+    Lu et al. singleton-swap guard and (gain desc, label asc) tie-break.
+    ``labels`` is the initial (u, label) partition — singletons for louvain;
+    leiden's aggregate levels seed it with the previous coarse partition.
+    Extracted verbatim from louvain's loop: the a2_louvain oracle unrolls
+    exactly these rounds."""
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    nonself = adj.filter(F.col("u") != F.col("v"))
+    for _ in range(n_rounds):
+        kc = deg.join(labels, "u").groupBy("label").agg(F.sum("k").alias("kc"))
+        sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        kic = (
+            nonself.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("c")), "v"
+            )
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("kic"))
+        )
+        # the own community is always a candidate (isolated nodes stay
+        # put); summing the zero row in keeps neighbor-derived k_{i,own}
+        own0 = labels.select(
+            "u", F.col("label").alias("c"), F.lit(0).cast("long").alias("kic")
+        )
+        cand = (
+            kic.unionByName(own0).groupBy("u", "c").agg(F.sum("kic").alias("kic"))
+        )
+        sc = (
+            cand.join(deg, "u")
+            .join(
+                kc.join(sz, "label").select(
+                    F.col("label").alias("c"), "kc", F.col("sz").alias("c_sz")
+                ),
+                "c",
+            )
+            .join(labels.select("u", F.col("label").alias("own")), "u")
+            .join(sz.select(F.col("label").alias("own"), F.col("sz").alias("own_sz")), "own")
+            .crossJoin(F.broadcast(t_row))
+        )
+        # singleton-swap guard (Lu et al. 2015): drop singleton->larger-
+        # label-singleton candidates; own stays a candidate always
+        sc = sc.filter(
+            (F.col("c") == F.col("own"))
+            | ~(
+                (F.col("own_sz") == 1)
+                & (F.col("c_sz") == 1)
+                & (F.col("c") > F.col("own"))
+            )
+        )
+        score = d("t") * d("kic") - d("k") * (
+            F.col("kc")
+            - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
+        ).cast("decimal(19,0)")
+        new_labels = (
+            sc.select("u", "c", score.alias("score"))
+            .groupBy("u")
+            .agg(
+                F.min_by(
+                    "c", F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint early exit: if no label moved, every later round picks
+        # the same argmax again (scores are a function of labels alone),
+        # so skipping the rest is OUTPUT-IDENTICAL to unrolling n_rounds
+        # — the oracle's fixed unroll stays exact — and a converged level
+        # stops paying for its remaining rounds (one label-sized
+        # anti-join probe per round, bounded)
+        moved = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "u")
+            .filter(F.col("n.label") != F.col("p.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if moved == 0:
+            break
+    return labels
+
+
 def louvain(
     nodes: DataFrame,
     edges: DataFrame,
@@ -1360,7 +1450,6 @@ def louvain(
     adj = und.select("u", "v", F.lit(1).cast("long").alias("w"))
     node_ids = nh.select(F.col("h").alias("u"))
     mapping = nh.select("id", F.col("h").alias("cur"))
-    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
 
     for level in range(n_levels):
         deg = adj.groupBy("u").agg(F.sum("w").alias("k"))
@@ -1371,77 +1460,7 @@ def louvain(
         )
         t_row = deg.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("t"))
         labels = node_ids.select("u", F.col("u").alias("label"))
-        nonself = adj.filter(F.col("u") != F.col("v"))
-        for _ in range(n_rounds):
-            kc = deg.join(labels, "u").groupBy("label").agg(F.sum("k").alias("kc"))
-            sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
-            kic = (
-                nonself.join(
-                    labels.select(F.col("u").alias("v"), F.col("label").alias("c")), "v"
-                )
-                .groupBy("u", "c")
-                .agg(F.sum("w").alias("kic"))
-            )
-            # the own community is always a candidate (isolated nodes stay
-            # put); summing the zero row in keeps neighbor-derived k_{i,own}
-            own0 = labels.select(
-                "u", F.col("label").alias("c"), F.lit(0).cast("long").alias("kic")
-            )
-            cand = (
-                kic.unionByName(own0).groupBy("u", "c").agg(F.sum("kic").alias("kic"))
-            )
-            sc = (
-                cand.join(deg, "u")
-                .join(
-                    kc.join(sz, "label").select(
-                        F.col("label").alias("c"), "kc", F.col("sz").alias("c_sz")
-                    ),
-                    "c",
-                )
-                .join(labels.select("u", F.col("label").alias("own")), "u")
-                .join(sz.select(F.col("label").alias("own"), F.col("sz").alias("own_sz")), "own")
-                .crossJoin(F.broadcast(t_row))
-            )
-            # singleton-swap guard (Lu et al. 2015): drop singleton->larger-
-            # label-singleton candidates; own stays a candidate always
-            sc = sc.filter(
-                (F.col("c") == F.col("own"))
-                | ~(
-                    (F.col("own_sz") == 1)
-                    & (F.col("c_sz") == 1)
-                    & (F.col("c") > F.col("own"))
-                )
-            )
-            score = d("t") * d("kic") - d("k") * (
-                F.col("kc")
-                - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
-            ).cast("decimal(19,0)")
-            new_labels = (
-                sc.select("u", "c", score.alias("score"))
-                .groupBy("u")
-                .agg(
-                    F.min_by(
-                        "c", F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
-                    ).alias("label")
-                )
-                .localCheckpoint(eager=True)
-            )
-            # fixpoint early exit: if no label moved, every later round picks
-            # the same argmax again (scores are a function of labels alone),
-            # so skipping the rest is OUTPUT-IDENTICAL to unrolling n_rounds
-            # — the oracle's fixed unroll stays exact — and a converged level
-            # stops paying for its remaining rounds (one label-sized
-            # anti-join probe per round, bounded)
-            moved = (
-                new_labels.alias("n")
-                .join(labels.alias("p"), "u")
-                .filter(F.col("n.label") != F.col("p.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if moved == 0:
-                break
+        labels = _louvain_local_moves(adj, deg, t_row, labels, n_rounds)
         mapping = (
             mapping.join(labels.select(F.col("u").alias("cur"), "label"), "cur")
             .select("id", F.col("label").alias("cur"))
@@ -1459,6 +1478,168 @@ def louvain(
             )
             node_ids = labels.select(F.col("label").alias("u")).distinct()
     return mapping.select("id", F.col("cur").alias("label"))
+
+
+def _min_label_components(
+    node_ids: DataFrame, within: DataFrame, max_rounds: int
+) -> DataFrame:
+    """(u, ref): synchronous min-label spreading over ``within`` (a symmetric
+    (u, v) edge frame) from ref_0 = u, with a fixpoint early exit — each
+    node's final ref is the minimum node key in its connected component.
+    Output-identical to any >= convergence unroll, which is what lets a SQL
+    oracle restate it with a fixed round count.  ``max_rounds`` bounds the
+    worst case (component diameter rounds); leiden's refinement graphs are
+    the INSIDES of local-move communities — dense, small-diameter by
+    construction — so the bound is a guard rail, not the expected path."""
+    refs = node_ids.select("u", F.col("u").alias("ref"))
+    for _ in range(max_rounds):
+        nbr = (
+            within.join(refs.select(F.col("u").alias("v"), "ref"), "v")
+            .groupBy("u")
+            .agg(F.min("ref").alias("nref"))
+        )
+        new_refs = (
+            refs.join(nbr, "u", "left")
+            .select("u", F.least("ref", F.coalesce("nref", "ref")).alias("ref"))
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            new_refs.alias("n")
+            .join(refs.alias("p"), "u")
+            .filter(F.col("n.ref") != F.col("p.ref"))
+            .limit(1)
+            .count()
+        )
+        refs = new_refs
+        if moved == 0:
+            break
+    return refs
+
+
+def leiden(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_levels: int = 2,
+    n_rounds: int = 2,
+    refine_rounds: int = 8,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, label): Leiden community detection (gds.leiden — the successor
+    to :func:`louvain` in the GDS community family; Traag, Waltman &
+    van Eck 2019): the same exact-integer synchronous local-move rounds,
+    plus a REFINEMENT phase between local moves and contraction that
+    guarantees what Louvain famously violates — every aggregated community
+    is internally CONNECTED (Traag et al.'s central defect report: Louvain
+    can strand a community's members with no internal path once a bridge
+    node moves out).
+
+    Per level:
+    1. local moves — :func:`_louvain_local_moves`, the shared exact-integer
+       gain argmax (level 0 from singletons; aggregate levels SEEDED with
+       the previous coarse partition, which is how Leiden carries the
+       partition across levels instead of restarting).
+    2. refinement — the deterministic connectivity core of Traag et al.'s
+       randomized merge phase: split every coarse community into its
+       connected components (min-label spreading over within-community
+       edges; a community that is internally connected is kept whole).
+    3. contraction on the REFINED partition (communities -> super-nodes,
+       ordered-pair weights summed, within-weight as self rows), with the
+       aggregate's initial labels = each refined super-node's COARSE label
+       — so the next level's local moves can re-merge or re-split refined
+       pieces across coarse boundaries, exactly the freedom that lets
+       Leiden escape Louvain's local optima.
+
+    The final partition is the last level's coarse labels (refinement after
+    the last local-move phase would never be observed).  Deterministic end
+    to end: integer gain scores, (gain desc, label asc) tie-breaks,
+    min-label component representatives — a fixed-round SQL unroll
+    reproduces it exactly (the fixpoint early exits are output-identical
+    to full unrolls).
+
+    Scale: louvain's per-round cost (one label-lookup equi-join + two
+    label-sized partial aggs) plus, per level, refine rounds of ONE
+    equi-join + min partial agg on the within-community edge subset —
+    strictly lighter rows than the local-move joins.  Contraction and
+    lineage discipline identical to louvain.
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if n_levels < 1 or n_rounds < 1 or refine_rounds < 1:
+        raise ValueError("n_levels, n_rounds and refine_rounds must be >= 1")
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        _sym_edges(edges)
+        .select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select("u", "v", F.lit(1).cast("long").alias("w"))
+    node_ids = nh.select(F.col("h").alias("u"))
+    mapping = nh.select("id", F.col("h").alias("cur"))
+    init = node_ids.select("u", F.col("u").alias("label"))
+
+    coarse = init
+    for level in range(n_levels):
+        deg = adj.groupBy("u").agg(F.sum("w").alias("k"))
+        deg = (
+            node_ids.join(deg, "u", "left")
+            .select("u", F.coalesce("k", F.lit(0).cast("long")).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        t_row = deg.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("t"))
+        coarse = _louvain_local_moves(adj, deg, t_row, init, n_rounds)
+        if level == n_levels - 1:
+            break
+        # refinement: connected components WITHIN each coarse community.
+        # Communities share no within-edges, so one global min-label pass
+        # over the filtered edge set is per-community CC.
+        la = coarse.select("u", F.col("label").alias("lu"))
+        lb = coarse.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+        within = (
+            adj.filter(F.col("u") != F.col("v"))
+            .join(la, "u")
+            .join(lb, "v")
+            .filter(F.col("lu") == F.col("lv"))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        refined = _min_label_components(node_ids, within, refine_rounds)
+        # contract on the refined partition; the aggregate's initial labels
+        # are the coarse labels (all members of a refined piece share one
+        # coarse label by construction — refinement only splits)
+        mapping = (
+            mapping.join(refined.select(F.col("u").alias("cur"), "ref"), "cur")
+            .select("id", F.col("ref").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        ra = refined.select("u", "ref")
+        rb = refined.select(F.col("u").alias("v"), F.col("ref").alias("ref_v"))
+        adj = (
+            adj.join(ra, "u")
+            .join(rb, "v")
+            .groupBy(F.col("ref").alias("u"), F.col("ref_v").alias("v"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        init = (
+            refined.join(coarse, "u")
+            .select(F.col("ref").alias("u"), "label")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        node_ids = init.select("u")
+    final = mapping.join(
+        coarse.select(F.col("u").alias("cur"), "label"), "cur"
+    ).select("id", "label")
+    return final
 
 
 def random_walks(

@@ -340,14 +340,14 @@ def test_graph_embedding_lifecycle(spark, tmp_path):
 
 
 def test_communities_api_surface(engine):
-    """gds.louvain / gds.labelPropagation reachable through the user API:
-    both algorithms partition every stored node; unknown algorithm names the
-    valid choices."""
-    for algo in ("louvain", "lpa"):
+    """gds.louvain / gds.leiden / gds.labelPropagation reachable through the
+    user API: every algorithm partitions every stored node; unknown
+    algorithm names the valid choices."""
+    for algo in ("louvain", "leiden", "lpa"):
         labels = engine.communities(algorithm=algo)
         assert set(labels.columns) == {"id", "label"}
         n_nodes = engine.store.load("nodes").select("id").distinct().count()
         assert labels.select("id").distinct().count() == n_nodes
         assert labels.select("label").distinct().count() >= 2
-    with pytest.raises(ValueError, match="louvain, lpa"):
+    with pytest.raises(ValueError, match="louvain, leiden, lpa"):
         engine.communities(algorithm="nope")

@@ -1155,6 +1155,85 @@ def test_conductance_louvain_communities_beat_random_split(spark):
     assert total_phi(lv) < total_phi(split)
 
 
+def test_leiden_refinement_splits_disconnected_community(spark):
+    """The mechanism Leiden adds over Louvain, tested directly: a hand-built
+    coarse labeling that strands two disconnected triangles in ONE community
+    gets split by min-label refinement; the connected community is kept
+    whole."""
+    from cognee_graphdb_spark.operators.graph_metrics import _min_label_components
+
+    within = spark.createDataFrame(
+        [(u, v) for a, b in [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13)]
+         for u, v in [(a, b), (b, a)]],
+        "u long, v long",
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 11, 12, 13)], "u long")
+    refs = {r["u"]: r["ref"] for r in _min_label_components(ids, within, 8).collect()}
+    assert refs[1] == refs[2] == refs[3] == 1
+    assert refs[11] == refs[12] == refs[13] == 11
+    assert refs[1] != refs[11]
+
+
+def test_leiden_finds_cliques_and_matches_or_beats_louvain_q(spark):
+    """Ring of 4 K4s: leiden recovers the cliques exactly (4 communities of
+    4) with Q >= louvain's on the same graph, runs deterministically, and
+    every final community is internally connected on this fixture."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        leiden,
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    pairs = []
+    cliques = [list(range(i * 4, i * 4 + 4)) for i in range(4)]
+    for cl in cliques:
+        pairs += [(str(a), str(b)) for a in cl for b in cl if a < b]
+    for i in range(4):
+        pairs.append((str(cliques[i][0]), str(cliques[(i + 1) % 4][0])))
+    edges = _edges_df(spark, pairs)
+    ids = _nodes_df(spark, [str(i) for i in range(16)])
+
+    le = leiden(ids, edges, n_levels=2, n_rounds=3)
+    rows = le.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], set()).add(r["id"])
+    assert sorted(sorted(int(i) // 4 for i in m) for m in by_label.values()) == [
+        [0] * 4, [1] * 4, [2] * 4, [3] * 4,
+    ]
+    q_leiden = modularity_score(modularity(edges, le))
+    q_louvain = modularity_score(modularity(edges, louvain(ids, edges, n_levels=2, n_rounds=3)))
+    assert q_leiden >= q_louvain
+    # determinism: an identical second run returns the identical partition
+    again = {(r["id"], r["label"]) for r in leiden(ids, edges, n_levels=2, n_rounds=3).collect()}
+    assert again == {(r["id"], r["label"]) for r in rows}
+    # every community is internally connected (the Leiden guarantee)
+    und = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    for members in by_label.values():
+        seen, todo = set(), [next(iter(members))]
+        while todo:
+            x = todo.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            todo += [b for a, b in und if a == x and b in members and b not in seen]
+        assert seen == members
+
+
+def test_leiden_validates_parameters(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+    ids = _nodes_df(spark, ["a"])
+    edges = _directed_edges_df(spark, [])
+    for kw in ({"n_levels": 0}, {"n_rounds": 0}, {"refine_rounds": 0}):
+        with pytest.raises(ValueError):
+            leiden(ids, edges, **kw)
+    # single isolated node: one singleton community, no crash
+    out = leiden(ids, _directed_edges_df(spark, []), n_levels=2, n_rounds=2).collect()
+    assert len(out) == 1
+
+
 def test_hits_roles_on_path_and_star(spark):
     """Directed path a->b->c reaches its fixpoint in two rounds: hubs
     {a, b} at 0.5 each, authorities {b, c} at 0.5 each, zeros elsewhere.
