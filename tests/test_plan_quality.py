@@ -508,3 +508,42 @@ def test_louvain_rounds_are_equi_joins(spark, toy_graph):
     plan = plan_of(louvain(nodes, edges, n_levels=2, n_rounds=2))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_leiden_rounds_and_refinement_are_equi_joins(spark, toy_graph):
+    """Leiden's local moves, min-label refinement rounds, seeded aggregate
+    level and contraction must all plan as hash equi-joins + partial aggs —
+    no cartesian product, no Python worker (graph_metrics.py:leiden)."""
+    from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+    nodes, edges = toy_graph
+    plan = plan_of(leiden(nodes, edges, n_levels=2, n_rounds=2, refine_rounds=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_hits_half_steps_are_equi_joins(spark, toy_graph):
+    """Each HITS half-step is one edge-vs-scores equi-join + a partial-agg
+    sum, the L1 total a broadcast 1-row join — no cartesian product, no
+    Python worker (graph_metrics.py:hits; the per-round totals live behind
+    the periodic localCheckpoint, so the pin reads the output-side plan)."""
+    from cognee_graphdb_spark.operators.graph_metrics import hits
+
+    nodes, edges = toy_graph
+    plan = plan_of(hits(nodes, edges, n_iter=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
+    """Conductance shares modularity's tagged-view layout: label-lookup
+    equi-joins + label-sized partial aggs, s_total as a broadcast — no
+    cartesian product, no Python worker (graph_metrics.py:conductance)."""
+    from cognee_graphdb_spark.operators.graph_metrics import conductance
+    from pyspark.sql import functions as F
+
+    nodes, edges = toy_graph
+    labels = nodes.select("id", F.lit(1).alias("label"))
+    plan = plan_of(conductance(edges, labels))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
