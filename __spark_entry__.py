@@ -1427,6 +1427,57 @@ def _q_a2_louvain(spark, sf_dir):
     return louvain(ids, fk, n_levels=2, n_rounds=2, hasher="md5_64")
 
 
+def _q_a2_scc(spark, sf_dir):
+    """Strongly connected components (graph_metrics.py:
+    strongly_connected_components — gds.scc, the directed complement to the
+    reference's gds.wcc surface, neo4j_driver/neo4j_metrics_utils.py:60-92)
+    over a deterministically CYCLIC digraph built from the TPC-H tables:
+    every customer exchanges edges with its nation's hub (the min-custkey
+    customer), hubs point on to their nation and nations to their region —
+    so each nation's customers form one SCC (diameter 2 through the hub)
+    and every nation/region node is a singleton.  The operator runs the
+    general Orzan coloring algorithm; the ORACLE states the answer
+    structurally (label = the component's max md5_64 hash: a per-nation
+    window max for customers, own hash for the DAG tail) — exactly the
+    peel-order-invariant label contract the operator guarantees."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey")
+    cid = F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))
+    hub = cust.groupBy("c_nationkey").agg(F.min("c_custkey").alias("hk"))
+    hid = F.concat(F.lit("customer:"), F.col("hk").cast("string"))
+    ch = cust.join(hub, "c_nationkey")
+    e_out = ch.select(cid.alias("src"), hid.alias("dst"))
+    e_back = ch.select(hid.alias("src"), cid.alias("dst"))
+    e_nat = hub.select(
+        hid.alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e_reg = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = e_out.unionByName(e_back).unionByName(e_nat).unionByName(e_reg)
+    nodes = (
+        cust.select(cid.alias("id"))
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("id")
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("id")
+            )
+        )
+    )
+    return strongly_connected_components(nodes, edges, hasher="md5_64")
+
+
 def _q_a2_leiden(spark, sf_dir):
     """Leiden communities (graph_metrics.py:leiden — gds.leiden, Louvain's
     successor in the GDS community family; Traag et al. 2019): the same
@@ -2938,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_conductance": _q_a2_conductance,
         "a2_hits": _q_a2_hits,
         "a2_leiden": _q_a2_leiden,
+        "a2_scc": _q_a2_scc,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5197,6 +5249,27 @@ deg1 AS MATERIALIZED (
 {_louvain_round("1_2", "L1_1", "deg1", "adjr")}
 SELECT hn.id, l2.label
 FROM hn JOIN rf8 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.ref = l2.u"""
+
+    # --- a2 scc: the structural answer to the hub-star construction
+    # (graph_metrics.py:strongly_connected_components runs the general
+    # Orzan coloring; here the SCC partition is known by construction:
+    # customers of a nation = one SCC through the hub, label = the nation's
+    # max customer hash; nation/region nodes = singletons, label = own hash)
+    sql["a2_scc"] = f"""
+SELECT id, label FROM (
+  SELECT 'customer:' || c_custkey AS id,
+         MAX({_md5_64("'customer:' || c_custkey", 0)})
+           OVER (PARTITION BY c_nationkey) AS label
+  FROM customer
+  UNION ALL
+  SELECT 'nation:' || n_nationkey AS id,
+         {_md5_64("'nation:' || n_nationkey", 0)} AS label
+  FROM nation
+  UNION ALL
+  SELECT 'region:' || r_regionkey AS id,
+         {_md5_64("'region:' || r_regionkey", 0)} AS label
+  FROM region
+) s"""
 
     # --- a2 random walks: 4 unrolled hash-guided steps (graph_metrics.py:
     # random_walks; neighbor = md5_64(start|walk|step|cur, seed 3) mod degree

@@ -508,6 +508,21 @@ class CogneeSpark:
             raise RuntimeError("No data found in the system, please add data first.")
         return graph_metrics(nodes, edges, include_paths=include_paths)
 
+    def strongly_connected(self) -> DataFrame:
+        """(id, label): strongly connected components of the stored DIRECTED
+        graph — gds.scc next to the wcc inside :meth:`metrics`
+        (operators/graph_metrics.py:strongly_connected_components); label is
+        the component's max node hash (deterministic, peel-order-invariant).
+        """
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            strongly_connected_components,
+        )
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        return strongly_connected_components(nodes, edges)
+
     def communities(
         self,
         algorithm: str = "louvain",

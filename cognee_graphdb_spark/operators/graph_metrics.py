@@ -1480,6 +1480,154 @@ def louvain(
     return mapping.select("id", F.col("cur").alias("label"))
 
 
+def strongly_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_outer: int = 32,
+    max_rounds: int = 128,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, label): strongly connected components of the DIRECTED graph —
+    the directed-graph complement to :func:`connected_components` in the GDS
+    family (gds.scc; the reference's metric surface is the GDS family,
+    cognee reference neo4j_driver/neo4j_metrics_utils.py, whose wcc is the
+    undirected half).  ``label`` is the maximum node hash within the
+    component, so two nodes share a label iff each reaches the other.
+
+    Orzan-style coloring, the standard Pregel/label-propagation SCC:
+    per outer round over the still-unassigned subgraph,
+
+    1. FORWARD: color(v) = max hash of any unassigned node that reaches v —
+       synchronous max-propagation along edges to a fixpoint.  Every color
+       class has its root (the node whose own hash is the color) inside it.
+    2. BACKWARD: within each color class, spread from the root along
+       REVERSED edges — the nodes that both are reached by the root (same
+       color) and reach the root (backward-marked) are exactly SCC(root).
+    3. PEEL: assign those nodes label = color (= the component's max hash,
+       peel-order-invariant, which is what makes a structural oracle
+       possible), drop them, restrict edges to survivors, repeat.
+
+    Determinism: pure max/propagation arithmetic, no randomness; the output
+    is independent of partitioning and of peel order.  Fixpoint early exits
+    everywhere; ``max_rounds`` bounds each propagation (component diameter
+    rounds) and ``max_outer`` the peeling (SCC-DAG chain length along
+    decreasing hashes) — exceeded caps RAISE rather than return a silently
+    wrong partial answer.
+
+    Scale: each propagation round is ONE equi-join of the (shrinking) edge
+    list against the node-sized color frame + a max partial agg — the
+    :func:`pagerank` round shape; backward rounds touch only the frontier's
+    in-edges.  Peeling shrinks both frames monotonically; lineage truncated
+    per round.  Like every label-propagation SCC (GraphFrames included),
+    worst-case rounds scale with diameter — long path-shaped components pay
+    the worst case, web/KG-shaped graphs peel in a handful of rounds.
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if max_outer < 1 or max_rounds < 1:
+        raise ValueError("max_outer and max_rounds must be >= 1")
+    nh = (
+        nodes.select("id", _hash64(F.col("id"), 0, hasher).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_all = (
+        edges.select(
+            _hash64(F.col("src"), 0, hasher).alias("u"),
+            _hash64(F.col("dst"), 0, hasher).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .join(nh.select(F.col("h").alias("u")), "u", "left_semi")
+        .join(nh.select(F.col("h").alias("v")), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    remaining = nh.select("h").localCheckpoint(eager=True)
+    rem_edges = e_all
+    assigned = None
+    for _outer in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        # 1. forward max-color propagation to fixpoint
+        colors = remaining.select("h", F.col("h").alias("color"))
+        for _r in range(max_rounds):
+            upd = (
+                rem_edges.join(
+                    colors.select(F.col("h").alias("u"), F.col("color").alias("cu")),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("h"))
+                .agg(F.max("cu").alias("nc"))
+            )
+            new_colors = (
+                colors.join(upd, "h", "left")
+                .select(
+                    "h", F.greatest("color", F.coalesce("nc", "color")).alias("color")
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                new_colors.alias("n")
+                .join(colors.alias("p"), "h")
+                .filter(F.col("n.color") != F.col("p.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc forward propagation did not converge in {max_rounds} rounds"
+            )
+        # 2. backward spread from roots within each color class
+        in_scc = colors.filter(F.col("h") == F.col("color")).localCheckpoint(eager=True)
+        tagged = rem_edges.join(
+            colors.select(F.col("h").alias("u"), F.col("color").alias("cu")), "u"
+        ).join(colors.select(F.col("h").alias("v"), F.col("color").alias("cv")), "v")
+        within = (
+            tagged.filter(F.col("cu") == F.col("cv"))
+            .select("u", "v", F.col("cu").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        for _r in range(max_rounds):
+            grown = (
+                within.join(in_scc.select(F.col("h").alias("v")), "v", "left_semi")
+                .select(F.col("u").alias("h"), "color")
+                .unionByName(in_scc)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if grown.count() == in_scc.count():
+                break
+            in_scc = grown
+        else:
+            raise RuntimeError(
+                f"scc backward propagation did not converge in {max_rounds} rounds"
+            )
+        # 3. peel: assign label = color, restrict to survivors
+        batch = in_scc.select("h", F.col("color").alias("label"))
+        assigned = batch if assigned is None else assigned.unionByName(batch)
+        assigned = assigned.localCheckpoint(eager=True)
+        remaining = (
+            remaining.join(batch.select("h"), "h", "left_anti").localCheckpoint(
+                eager=True
+            )
+        )
+        rem_edges = (
+            rem_edges.join(remaining.select(F.col("h").alias("u")), "u", "left_semi")
+            .join(remaining.select(F.col("h").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if remaining.limit(1).count() != 0:
+        raise RuntimeError(f"scc peeling did not finish in {max_outer} outer rounds")
+    if assigned is None:
+        return nodes.select("id").limit(0).select(
+            "id", F.lit(0).cast("long").alias("label")
+        )
+    return nh.join(assigned, "h").select("id", "label")
+
+
 def _min_label_components(
     node_ids: DataFrame, within: DataFrame, max_rounds: int
 ) -> DataFrame:

@@ -351,3 +351,13 @@ def test_communities_api_surface(engine):
         assert labels.select("label").distinct().count() >= 2
     with pytest.raises(ValueError, match="louvain, leiden, lpa"):
         engine.communities(algorithm="nope")
+
+
+def test_strongly_connected_api_surface(engine):
+    """gds.scc reachable through the user API: every stored node gets a
+    component label; the KG built by cognify is a DAG-ish extraction graph,
+    so labels are fine-grained (>= the community count)."""
+    labels = engine.strongly_connected()
+    assert set(labels.columns) == {"id", "label"}
+    n_nodes = engine.store.load("nodes").select("id").distinct().count()
+    assert labels.select("id").distinct().count() == n_nodes

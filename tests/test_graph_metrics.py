@@ -1155,6 +1155,125 @@ def test_conductance_louvain_communities_beat_random_split(spark):
     assert total_phi(lv) < total_phi(split)
 
 
+def _tarjan(V, E):
+    """Dependency-free Tarjan for parity checks: returns frozenset of
+    frozensets (the SCC partition)."""
+    adj = {v: [] for v in V}
+    for a, b in E:
+        adj[a].append(b)
+    index, low, on, stack, out = {}, {}, set(), [], []
+    counter = [0]
+
+    def strong(v):
+        work = [(v, 0)]
+        while work:
+            x, i = work.pop()
+            if i == 0:
+                index[x] = low[x] = counter[0]
+                counter[0] += 1
+                stack.append(x)
+                on.add(x)
+            recurse = False
+            for j in range(i, len(adj[x])):
+                w = adj[x][j]
+                if w not in index:
+                    work.append((x, j + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[x] = min(low[x], index[w])
+            if not recurse:
+                if low[x] == index[x]:
+                    comp = set()
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.add(w)
+                        if w == x:
+                            break
+                    out.append(frozenset(comp))
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[x])
+
+    for v in V:
+        if v not in index:
+            strong(v)
+    return frozenset(out)
+
+
+def test_scc_textbook_shapes(spark):
+    """Two 3-cycles joined by one directed bridge: two SCCs (the bridge
+    doesn't merge them); a pure DAG: all singletons; label = the component's
+    max hash so both engines agree."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    ids = _nodes_df(spark, list("abcxyz"))
+    out = {r["id"]: r["label"] for r in
+           strongly_connected_components(ids, _directed_edges_df(spark, cyc)).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+    dag = [("a", "b"), ("b", "c"), ("a", "c")]
+    sout = strongly_connected_components(
+        _nodes_df(spark, list("abc")), _directed_edges_df(spark, dag)
+    ).collect()
+    assert len({r["label"] for r in sout}) == 3
+    # empty graph: empty result, stable schema
+    empty = strongly_connected_components(
+        spark.createDataFrame([], "id string, name string, type string"),
+        _directed_edges_df(spark, []),
+    )
+    assert empty.count() == 0 and set(empty.columns) == {"id", "label"}
+
+
+def test_scc_matches_tarjan_on_mixed_digraph(spark):
+    """Partition parity with Tarjan on a mixed digraph: a 4-cycle, a 2-cycle
+    hanging off it, a tail, and an isolated node."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    E = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),   # 4-cycle
+         ("c", "p"), ("p", "q"), ("q", "p"),               # 2-cycle off it
+         ("q", "t1"), ("t1", "t2"),                        # tail
+         ("t2", "a")]                                      # back-edge: merges ALL of a..t2
+    V = sorted({u for u, v in E} | {v for u, v in E} | {"iso"})
+    got = {}
+    for r in strongly_connected_components(
+        _nodes_df(spark, V), _directed_edges_df(spark, E)
+    ).collect():
+        got.setdefault(r["label"], set()).add(r["id"])
+    assert frozenset(frozenset(s) for s in got.values()) == _tarjan(V, E)
+    # and a version without the merging back-edge: three non-trivial SCCs
+    E2 = E[:-1]
+    got2 = {}
+    for r in strongly_connected_components(
+        _nodes_df(spark, V), _directed_edges_df(spark, E2)
+    ).collect():
+        got2.setdefault(r["label"], set()).add(r["id"])
+    assert frozenset(frozenset(s) for s in got2.values()) == _tarjan(V, E2)
+
+
+def test_scc_validates_and_raises_on_cap(spark):
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    ids = _nodes_df(spark, list("abc"))
+    edges = _directed_edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    with pytest.raises(ValueError):
+        strongly_connected_components(ids, edges, max_outer=0)
+    with pytest.raises(RuntimeError):
+        # a 3-cycle needs >1 forward round; cap of 1 must raise, not lie
+        strongly_connected_components(ids, edges, max_rounds=1)
+
+
 def test_leiden_refinement_splits_disconnected_community(spark):
     """The mechanism Leiden adds over Louvain, tested directly: a hand-built
     coarse labeling that strands two disconnected triangles in ONE community

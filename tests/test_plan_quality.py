@@ -547,3 +547,17 @@ def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     plan = plan_of(conductance(edges, labels))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_scc_rounds_are_equi_joins(spark, toy_graph):
+    """Every SCC forward/backward propagation round and the peel anti-joins
+    must plan as hash equi-joins + partial aggs — no cartesian product, no
+    Python worker (graph_metrics.py:strongly_connected_components)."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    nodes, edges = toy_graph
+    plan = plan_of(strongly_connected_components(nodes, edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
