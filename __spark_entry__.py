@@ -1427,6 +1427,146 @@ def _q_a2_louvain(spark, sf_dir):
     return louvain(ids, fk, n_levels=2, n_rounds=2, hasher="md5_64")
 
 
+def _nation_region_graph(spark, sf_dir, siblings: bool = False):
+    """Nodes/edges frames for the nation->region star forest; with
+    ``siblings`` adds a per-region chain between consecutive nations, which
+    closes triangles at the region hubs (used by the gds clustering entry)."""
+    from pyspark.sql.window import Window
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nid = F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("region:"), F.col("n_regionkey").cast("string"))
+    edges = nat.select(
+        nid.alias("src"), rid.alias("dst"), F.lit("in_region").alias("relationship_name")
+    )
+    if siblings:
+        w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        sib = (
+            nat.withColumn("nxt", F.lead("n_nationkey").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(
+                nid.alias("src"),
+                F.concat(F.lit("nation:"), F.col("nxt").cast("string")).alias("dst"),
+                F.lit("sibling").alias("relationship_name"),
+            )
+        )
+        edges = edges.unionByName(sib)
+    nodes = (
+        nat.select(nid.alias("id"))
+        .unionByName(nat.select(rid.alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("name"), F.lit("Entity").alias("type"))
+    )
+    return nodes, edges
+
+
+def _q_cypher_gds_wcc_sizes(spark, sf_dir):
+    """The reference's component-size query VERBATIM through the CALL gds.*
+    Cypher surface (neo4j_metrics_utils.py:92-95; plans/cypher.py:
+    _run_gds_call -> connected_components): componentId is a min-xxhash64
+    representative (not restatable in SQL), so the contract projects the
+    size column its consumer actually reads — the oracle states the sizes
+    structurally (component = region subtree)."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = run_cypher(
+        spark,
+        ids,
+        fk,
+        """
+    CALL gds.wcc.stream('memory_graph')
+    YIELD componentId
+    RETURN componentId, count(*) AS size
+    ORDER BY size DESC;
+    """,
+    )
+    return out.select("size")
+
+
+def _q_cypher_gds_wcc_stats(spark, sf_dir):
+    """The reference's component-count query VERBATIM through CALL gds.*
+    (neo4j_metrics_utils.py:60-62): componentCount over the nation-family
+    FK graph = the number of region subtrees."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return run_cypher(
+        spark,
+        ids,
+        fk,
+        """
+    CALL gds.wcc.stats('memory_graph')
+    YIELD componentCount
+    RETURN componentCount AS num_connected_components;
+    """,
+    )
+
+
+def _q_cypher_gds_apsp(spark, sf_dir):
+    """The reference's all-shortest-paths query VERBATIM through CALL gds.*
+    (neo4j_metrics_utils.py:152-154; multi-source unit-weight BFS =
+    operators/paths.py:weighted_sssp) over the nation->region star forest:
+    nation<->region pairs at distance 1, same-region nation pairs at 2,
+    cross-region unreachable (omitted) — the oracle states exactly that."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    return run_cypher(
+        spark,
+        nodes,
+        edges,
+        """
+    CALL gds.allShortestPaths.stream('memory_graph')
+    YIELD distance
+    RETURN distance;
+    """,
+    )
+
+
+def _q_cypher_gds_clustering(spark, sf_dir):
+    """The reference's average-clustering query VERBATIM through CALL gds.*
+    (neo4j_metrics_utils.py:184-186; graph_metrics.py:triangle_clustering)
+    over the sibling-augmented nation/region graph — consecutive nations
+    chain within each region, closing triangles at the region hub.  The
+    oracle recomputes per-node coefficients with a generic 3-way SQL
+    triangle join; the float average crosses the hash ppm-quantized."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir, siblings=True)
+    out = run_cypher(
+        spark,
+        nodes,
+        edges,
+        """
+    CALL gds.localClusteringCoefficient.stats('memory_graph')
+    YIELD averageClusteringCoefficient
+    RETURN averageClusteringCoefficient AS avg_clustering;
+    """,
+    )
+    return out.select(
+        F.round(F.col("avg_clustering") * F.lit(1000000.0))
+        .cast("long")
+        .alias("avg_clustering_ppm")
+    )
+
+
 def _q_a2_scc(spark, sf_dir):
     """Strongly connected components (graph_metrics.py:
     strongly_connected_components — gds.scc, the directed complement to the
@@ -2990,6 +3130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_hits": _q_a2_hits,
         "a2_leiden": _q_a2_leiden,
         "a2_scc": _q_a2_scc,
+        # the reference's four gds.* metric queries VERBATIM through the
+        # Cypher CALL surface (neo4j_metrics_utils.py:60,92,152,184)
+        "cypher_gds_wcc_sizes": _q_cypher_gds_wcc_sizes,
+        "cypher_gds_wcc_stats": _q_cypher_gds_wcc_stats,
+        "cypher_gds_apsp": _q_cypher_gds_apsp,
+        "cypher_gds_clustering": _q_cypher_gds_clustering,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5249,6 +5395,64 @@ deg1 AS MATERIALIZED (
 {_louvain_round("1_2", "L1_1", "deg1", "adjr")}
 SELECT hn.id, l2.label
 FROM hn JOIN rf8 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.ref = l2.u"""
+
+    # --- cypher gds.* CALL surface: the reference's four metric queries
+    # (neo4j_metrics_utils.py) routed through plans/cypher.py:_run_gds_call.
+    # wcc sizes/count: component = region subtree of the nation-family FK
+    # graph (1 region + its nations + their customers + suppliers) ----------
+    sql["cypher_gds_wcc_sizes"] = """
+WITH per_region AS (SELECT n_regionkey AS region, count(*) AS nations FROM nation GROUP BY n_regionkey),
+cust AS (SELECT n.n_regionkey AS region, count(*) AS c
+         FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+supp AS (SELECT n.n_regionkey AS region, count(*) AS s
+         FROM supplier sp JOIN nation n ON sp.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey)
+SELECT CAST(1 + p.nations + coalesce(cust.c, 0) + coalesce(supp.s, 0) AS BIGINT) AS size
+FROM per_region p LEFT JOIN cust ON cust.region = p.region
+LEFT JOIN supp ON supp.region = p.region"""
+
+    sql["cypher_gds_wcc_stats"] = """
+SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS num_connected_components FROM nation"""
+
+    # apsp over the nation->region star forest: nation<->region ordered pairs
+    # at distance 1, same-region nation pairs at distance 2 ------------------
+    sql["cypher_gds_apsp"] = """
+WITH nr AS (SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS r FROM nation)
+SELECT CAST(1 AS BIGINT) AS distance FROM nr
+UNION ALL SELECT CAST(1 AS BIGINT) FROM nr
+UNION ALL
+SELECT CAST(2 AS BIGINT) FROM nr a JOIN nr b ON a.r = b.r AND a.n != b.n"""
+
+    # avg clustering of the sibling-augmented nation/region graph: generic
+    # 3-way SQL triangle join mirroring graph_metrics.py:triangle_clustering
+    # (2*tri/(d*(d-1)), deg<2 => 0), ppm-quantized --------------------------
+    sql["cypher_gds_clustering"] = """
+WITH nr AS (SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS r FROM nation),
+sib AS (
+  SELECT 'nation:' || n_nationkey AS a,
+         'nation:' || LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS b
+  FROM nation
+),
+ed AS (
+  SELECT n AS u, r AS v FROM nr
+  UNION SELECT a, b FROM sib WHERE b IS NOT NULL
+),
+und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+dg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+tri AS (
+  SELECT e1.u AS v, count(*) AS t
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+  GROUP BY e1.u
+),
+uni AS (SELECT n AS id FROM nr UNION SELECT r FROM nr),
+coef AS (
+  SELECT uni.id,
+         CASE WHEN COALESCE(dg.d, 0) >= 2
+              THEN 2.0 * COALESCE(tri.t, 0) / (dg.d * (dg.d - 1))
+              ELSE CAST(0 AS DOUBLE) END AS c
+  FROM uni LEFT JOIN dg ON uni.id = dg.u LEFT JOIN tri ON uni.id = tri.v
+)
+SELECT CAST(ROUND(AVG(c) * 1000000.0) AS BIGINT) AS avg_clustering_ppm FROM coef"""
 
     # --- a2 scc: the structural answer to the hub-star construction
     # (graph_metrics.py:strongly_connected_components runs the general

@@ -1681,7 +1681,119 @@ def looks_like_cypher(query: str) -> bool:
     head = re.sub(r"//[^\n]*", "", query).lstrip().upper()
     if head.startswith(("MATCH", "OPTIONAL MATCH", "UNWIND")):
         return True
+    if head.startswith("CALL GDS."):
+        return True  # the gds.* procedure surface (reference metric queries)
     return re.match(r"(CREATE|MERGE)\s*\(", head) is not None
+
+
+_GDS_CALL_RE = re.compile(
+    r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats)\(\s*'[^']*'"
+    r"(?:\s*,\s*\{[^}]*\})?\s*\)\s*"
+    r"YIELD\s+(?P<yield>[\w\s,]+?)\s+"
+    r"RETURN\s+(?P<ret>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# the gds.* procedures the reference's metric surface actually calls
+# (neo4j_driver/neo4j_metrics_utils.py:60,92,152,184), mapped to the
+# engine's native operators.  The graph-name argument is accepted and
+# ignored: the projection IS the (nodes, edges) pair run_cypher was given.
+_GDS_AGG_FNS = ("count", "sum", "avg", "min", "max", "collect")
+
+
+def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    key = proc.lower()
+    if key == "wcc.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+        cc = connected_components(nodes, edges)
+        return cc.select(
+            F.col("id").alias("nodeId"), F.col("component").alias("componentId")
+        )
+    if key == "wcc.stats":
+        from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+        cc = connected_components(nodes, edges)
+        return cc.agg(F.count_distinct("component").alias("componentCount"))
+    if key == "allshortestpaths.stream":
+        from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+        # gds.allShortestPaths streams hop distances of the UNDIRECTED
+        # unweighted projection: multi-source hop-synchronous BFS = the
+        # oracle-proven weighted_sssp with unit weights from every node.
+        # Exact all-pairs is O(n·reachable) state by definition — the
+        # sampled scale path is graph_metrics.approx_path_metrics; this
+        # surface exists for reference parity on KG-sized graphs.
+        unit = edges.select("src", "dst", F.lit(1).alias("weight"))
+        d = weighted_sssp(
+            unit, nodes.select("id"), max_hops=64, directed=False
+        )
+        return d.filter(F.col("source") != F.col("node")).select(
+            F.col("source").alias("sourceNodeId"),
+            F.col("node").alias("targetNodeId"),
+            F.col("dist").alias("distance"),
+        )
+    if key == "localclusteringcoefficient.stats":
+        from cognee_graphdb_spark.operators.graph_metrics import triangle_clustering
+
+        tc = triangle_clustering(nodes, edges)
+        return tc.agg(F.avg("clustering").alias("averageClusteringCoefficient"))
+    raise CypherUnsupported(
+        f"unsupported gds procedure gds.{proc} "
+        "(wcc.stats, wcc.stream, allShortestPaths.stream, "
+        "localClusteringCoefficient.stats)"
+    )
+
+
+def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
+    """Execute a ``CALL gds.*(...) YIELD ... RETURN ...`` query: materialize
+    the procedure's stream/stats as a view, then run the RETURN tail as SQL
+    over it — Cypher's implicit grouping (non-aggregate return items become
+    grouping keys when any aggregate is present) and trailing ORDER BY are
+    preserved."""
+    out = _gds_procedure(spark, nodes, edges, m.group(1) + "." + m.group(2).lower())
+    out.createOrReplaceTempView("__gds_yield")
+    ret = m.group("ret").strip()
+    order_sql = ""
+    om = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
+    if om:
+        order_sql = " " + ret[om.start():].strip()
+        ret = ret[: om.start()].strip()
+    # paren-aware split: commas inside function calls don't separate items
+    items, depth, cur = [], 0, []
+    for ch in ret:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur).strip())
+    yielded = {c.strip().lower() for c in m.group("yield").split(",")}
+    for item in items:
+        base = re.split(r"\s+AS\s+", item, flags=re.IGNORECASE)[0].strip()
+        fn = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", base)
+        if fn and fn.group(1).lower() not in _GDS_AGG_FNS:
+            raise CypherUnsupported(f"unsupported function in gds RETURN: {base}")
+        if not fn and base != "*" and base.lower() not in yielded:
+            raise CypherUnsupported(f"gds RETURN references un-YIELDed column: {base}")
+    has_agg = any(
+        re.match(rf"({'|'.join(_GDS_AGG_FNS)})\s*\(", i, re.IGNORECASE) for i in items
+    )
+    group_sql = ""
+    if has_agg:
+        keys = [
+            re.split(r"\s+AS\s+", i, flags=re.IGNORECASE)[0].strip()
+            for i in items
+            if not re.match(rf"({'|'.join(_GDS_AGG_FNS)})\s*\(", i, re.IGNORECASE)
+        ]
+        if keys:
+            group_sql = " GROUP BY " + ", ".join(keys)
+    return spark.sql(f"SELECT {ret} FROM __gds_yield{group_sql}{order_sql}")
 
 
 def run_cypher(
@@ -1694,6 +1806,9 @@ def run_cypher(
     """Register the graph views and execute a translated Cypher query."""
     from pyspark.sql import functions as F
 
+    gds = _GDS_CALL_RE.match(query)
+    if gds:
+        return _run_gds_call(spark, nodes, edges, gds)
     nodes.createOrReplaceTempView("nodes")
     if "properties" not in edges.columns:
         # edge property reads (r.weight) compile to properties['weight'];

@@ -1152,3 +1152,74 @@ def test_percentile_disc_empty_match_returns_null(spark, graph):
         "MATCH (x:NoSuchLabel) RETURN percentileDisc(size(x.name), 0.5) AS v",
     )
     assert r["v"] is None
+
+
+# --- CALL gds.* procedure surface: the reference's metric queries VERBATIM
+# (neo4j_driver/neo4j_metrics_utils.py:60,92,152,184) -------------------------
+
+
+@pytest.fixture(scope="module")
+def gds_graph(spark):
+    """Two components: a triangle a-b-c and an edge x-y."""
+    nodes = spark.createDataFrame(
+        [(i, i, "Entity", {}) for i in ["a", "b", "c", "x", "y"]],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("a", "c", "r"), ("x", "y", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def test_gds_wcc_stats_verbatim(spark, gds_graph):
+    q = """
+    CALL gds.wcc.stats('memory_graph')
+    YIELD componentCount
+    RETURN componentCount AS num_connected_components;
+    """
+    [r] = rows(spark, gds_graph, q)
+    assert r["num_connected_components"] == 2
+
+
+def test_gds_wcc_stream_sizes_verbatim(spark, gds_graph):
+    q = """
+    CALL gds.wcc.stream('memory_graph')
+    YIELD componentId
+    RETURN componentId, count(*) AS size
+    ORDER BY size DESC;
+    """
+    got = rows(spark, gds_graph, q)
+    assert [r["size"] for r in got] == [3, 2]
+
+
+def test_gds_all_shortest_paths_verbatim(spark, gds_graph):
+    q = """
+    CALL gds.allShortestPaths.stream('memory_graph')
+    YIELD distance
+    RETURN distance;
+    """
+    got = sorted(r["distance"] for r in rows(spark, gds_graph, q))
+    # triangle: 6 ordered pairs at distance 1; x-y: 2 pairs at distance 1
+    assert got == [1] * 8
+
+
+def test_gds_clustering_stats_verbatim(spark, gds_graph):
+    q = """
+    CALL gds.localClusteringCoefficient.stats('memory_graph')
+    YIELD averageClusteringCoefficient
+    RETURN averageClusteringCoefficient AS avg_clustering;
+    """
+    [r] = rows(spark, gds_graph, q)
+    # triangle corners: 1.0 each; x, y: degree 1 -> 0.0; avg = 3/5
+    assert r["avg_clustering"] == pytest.approx(0.6)
+
+
+def test_gds_call_rejects_unknown_procedure_and_columns(spark, gds_graph):
+    with pytest.raises(CypherUnsupported, match="unsupported gds procedure"):
+        rows(spark, gds_graph, "CALL gds.pageRank.stream('g') YIELD score RETURN score")
+    with pytest.raises(CypherUnsupported, match="un-YIELDed"):
+        rows(
+            spark, gds_graph,
+            "CALL gds.wcc.stream('g') YIELD componentId RETURN nodeId",
+        )
