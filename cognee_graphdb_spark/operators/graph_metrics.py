@@ -292,11 +292,10 @@ def incremental_components(
     return updated.unionByName(fresh.select("id", "component"))
 
 
-def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Per-node local clustering coefficient via triangle counting.
-
-    triangles(v) = #(a,b) neighbor pairs of v that are themselves edges;
-    coefficient = 2*tri / (deg*(deg-1)); deg<2 ⇒ 0.0.
+def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, deg, triangles): exact per-node triangle counts and undirected
+    simple-graph degree — the gds.triangleCount.stream shape, and the shared
+    counting stage :func:`triangle_clustering` derives coefficients from.
 
     Hub-safe by construction (compact-forward / degree-ordered orientation,
     Latapy "Main-memory triangle computations", 2008): every undirected edge
@@ -342,13 +341,25 @@ def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .join(tri, "id", "left")
         .select(
             "id",
-            F.when(
-                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
-                2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("clustering"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
         )
+    )
+
+
+def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over :func:`triangle_counts`:
+    coefficient = 2*tri / (deg*(deg-1)); deg<2 ⇒ 0.0 (same output as
+    before the counting stage was extracted — the oracle pins it)."""
+    tc = triangle_counts(nodes, edges)
+    return tc.select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
     )
 
 

@@ -1740,10 +1740,95 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
 
         tc = triangle_clustering(nodes, edges)
         return tc.agg(F.avg("clustering").alias("averageClusteringCoefficient"))
+    if key == "localclusteringcoefficient.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import triangle_clustering
+
+        tc = triangle_clustering(nodes, edges)
+        return tc.select(
+            F.col("id").alias("nodeId"),
+            F.col("clustering").alias("localClusteringCoefficient"),
+        )
+    if key == "pagerank.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+        pr = pagerank(nodes.select("id"), edges)
+        return pr.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
+    if key == "louvain.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import louvain
+
+        lv = louvain(nodes, edges)
+        return lv.select(
+            F.col("id").alias("nodeId"), F.col("label").alias("communityId")
+        )
+    if key == "leiden.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+        ld = leiden(nodes, edges)
+        return ld.select(
+            F.col("id").alias("nodeId"), F.col("label").alias("communityId")
+        )
+    if key == "labelpropagation.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import label_propagation
+
+        lp = label_propagation(nodes, edges)
+        return lp.select(
+            F.col("id").alias("nodeId"), F.col("label").alias("communityId")
+        )
+    if key == "scc.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            strongly_connected_components,
+        )
+
+        sc = strongly_connected_components(nodes, edges)
+        return sc.select(
+            F.col("id").alias("nodeId"), F.col("label").alias("componentId")
+        )
+    if key == "hits.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import hits as _hits
+
+        hv = _hits(nodes, edges)
+        return hv.select(
+            F.col("id").alias("nodeId"),
+            F.col("hub").alias("hub"),
+            F.col("authority").alias("auth"),
+        )
+    if key == "degree.stream":
+        # gds.degree: out-degree of the natural orientation
+        deg = (
+            nodes.select("id")
+            .distinct()
+            .join(
+                edges.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("score")
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                F.col("id").alias("nodeId"),
+                F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            )
+        )
+        return deg
+    if key == "kcore.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import coreness
+
+        co = coreness(nodes, edges)
+        return co.select(
+            F.col("id").alias("nodeId"), F.col("coreness").alias("coreValue")
+        )
+    if key == "trianglecount.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import triangle_counts
+
+        tc = triangle_counts(nodes, edges)
+        return tc.select(
+            F.col("id").alias("nodeId"), F.col("triangles").alias("triangleCount")
+        )
     raise CypherUnsupported(
         f"unsupported gds procedure gds.{proc} "
-        "(wcc.stats, wcc.stream, allShortestPaths.stream, "
-        "localClusteringCoefficient.stats)"
+        "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
+        "louvain, leiden, labelPropagation, scc, hits, degree, kcore, "
+        "triangleCount)"
     )
 
 

@@ -1217,9 +1217,71 @@ def test_gds_clustering_stats_verbatim(spark, gds_graph):
 
 def test_gds_call_rejects_unknown_procedure_and_columns(spark, gds_graph):
     with pytest.raises(CypherUnsupported, match="unsupported gds procedure"):
-        rows(spark, gds_graph, "CALL gds.pageRank.stream('g') YIELD score RETURN score")
+        rows(spark, gds_graph, "CALL gds.nope.stream('g') YIELD score RETURN score")
     with pytest.raises(CypherUnsupported, match="un-YIELDed"):
         rows(
             spark, gds_graph,
             "CALL gds.wcc.stream('g') YIELD componentId RETURN nodeId",
         )
+
+
+def test_gds_streams_match_native_operators(spark, gds_graph):
+    """Every stream procedure routes to its native operator: CALL output ==
+    direct call output (same rows, renamed columns)."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        coreness,
+        label_propagation,
+        leiden,
+        louvain,
+        pagerank,
+        strongly_connected_components,
+        triangle_counts,
+    )
+    from cognee_graphdb_spark.operators.graph_metrics import hits as hits_op
+
+    nodes, edges = gds_graph
+
+    def as_set(df):
+        return {tuple(r) for r in df.collect()}
+
+    cases = [
+        ("pageRank", "nodeId, score",
+         pagerank(nodes.select("id"), edges).select("id", "rank")),
+        ("louvain", "nodeId, communityId",
+         louvain(nodes, edges).select("id", "label")),
+        ("leiden", "nodeId, communityId",
+         leiden(nodes, edges).select("id", "label")),
+        ("labelPropagation", "nodeId, communityId",
+         label_propagation(nodes, edges).select("id", "label")),
+        ("scc", "nodeId, componentId",
+         strongly_connected_components(nodes, edges).select("id", "label")),
+        ("hits", "nodeId, hub, auth",
+         hits_op(nodes, edges).select("id", "hub", "authority")),
+        ("kcore", "nodeId, coreValue",
+         coreness(nodes, edges).select("id", "coreness")),
+        ("triangleCount", "nodeId, triangleCount",
+         triangle_counts(nodes, edges).select("id", "triangles")),
+    ]
+    for proc, yields, direct in cases:
+        got = rows(
+            spark, gds_graph,
+            f"CALL gds.{proc}.stream('g') YIELD {yields} RETURN {yields}",
+        )
+        assert {tuple(r) for r in got} == as_set(direct), proc
+
+
+def test_gds_degree_stream(spark, gds_graph):
+    got = {r["nodeId"]: r["score"] for r in rows(
+        spark, gds_graph,
+        "CALL gds.degree.stream('g') YIELD nodeId, score RETURN nodeId, score",
+    )}
+    assert got == {"a": 2, "b": 1, "c": 0, "x": 1, "y": 0}
+
+
+def test_gds_triangle_counts_values(spark, gds_graph):
+    got = {r["nodeId"]: r["triangleCount"] for r in rows(
+        spark, gds_graph,
+        "CALL gds.triangleCount.stream('g') YIELD nodeId, triangleCount "
+        "RETURN nodeId, triangleCount",
+    )}
+    assert got == {"a": 1, "b": 1, "c": 1, "x": 0, "y": 0}
