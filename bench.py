@@ -301,6 +301,22 @@ def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
         )
         louvain(ids, fk, n_levels=2, n_rounds=2).groupBy("label").count().count()
 
+    @step("a2_leiden")
+    def _leiden():
+        # louvain + the connectivity-refinement phase: the delta between the
+        # two steps is the measured refinement cost at this scale
+        from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+        fk = edges.filter(
+            F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+        )
+        ids = (
+            fk.select(F.col("src").alias("id"))
+            .unionByName(fk.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        leiden(ids, fk, n_levels=2, n_rounds=2).groupBy("label").count().count()
+
     @step("j6_k_hop")
     def _j6():
         seeds = spark.createDataFrame([("region:0",), ("region:1",)], ["id"])
