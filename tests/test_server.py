@@ -1,0 +1,94 @@
+"""HTTP serving surface (server.py): the reference's /api/v1/* route shapes
+(api/client.py:225-291) over CogneeSpark, stdlib-only, exercised through a
+real socket."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from cognee_graphdb_spark.api import CogneeSpark
+from cognee_graphdb_spark.server import serve
+
+
+@pytest.fixture(scope="module")
+def srv(spark, tmp_path_factory):
+    engine = CogneeSpark(spark, str(tmp_path_factory.mktemp("http_store")))
+    server = serve(engine)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def call(base, method, path, payload=None):
+    req = urllib.request.Request(
+        base + path,
+        method=method,
+        data=None if payload is None else json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        ct = resp.headers.get("Content-Type", "")
+        body = resp.read().decode()
+        return resp.status, json.loads(body) if "json" in ct else body
+
+
+def test_health(srv):
+    status, body = call(srv, "GET", "/health")
+    assert status == 200 and body == {"status": "ok"}
+
+
+def test_add_cognify_search_lifecycle(srv):
+    status, body = call(srv, "POST", "/api/v1/add", {
+        "data": [
+            {"name": "a.txt", "text": "Apache Spark processes large datasets with executors."},
+            {"name": "b.txt", "text": "DuckDB runs analytical queries embedded in-process."},
+        ],
+    })
+    assert status == 200 and body == {"added": 2}
+    status, body = call(srv, "POST", "/api/v1/cognify", {})
+    assert status == 200 and body == {"documents_processed": 2}
+    # camelCase payload keys are accepted like the reference's DTO aliasing
+    status, rows = call(srv, "POST", "/api/v1/search", {
+        "searchType": "CHUNKS", "query": "Spark executors", "topK": 3,
+    })
+    assert status == 200 and isinstance(rows, list) and rows
+    assert any("text" in r for r in rows)
+    status, completion = call(srv, "POST", "/api/v1/search", {
+        "search_type": "GRAPH_COMPLETION", "query": "What processes datasets?",
+    })
+    assert status == 200 and isinstance(completion, str)
+    # GET /api/v1/search = query history (both searches above logged)
+    status, hist = call(srv, "GET", "/api/v1/search")
+    assert status == 200 and len(hist) >= 2
+    status, ds = call(srv, "GET", "/api/v1/datasets")
+    assert status == 200 and isinstance(ds, list) and ds
+    status, html = call(srv, "GET", "/api/v1/visualize")
+    assert status == 200 and "<html" in html.lower()
+
+
+def test_update_delete_prune_and_errors(srv):
+    status, body = call(srv, "POST", "/api/v1/update", {
+        "name": "b.txt", "text": "DuckDB also reads parquet files directly.",
+    })
+    assert status == 200 and body == {"updated": 1}
+    status, body = call(srv, "POST", "/api/v1/delete", {"name": "b.txt"})
+    assert status == 200 and body["deleted"] > 0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call(srv, "POST", "/api/v1/add", {"data": []})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call(srv, "POST", "/api/v1/search", {"search_type": "NOPE", "query": "x"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call(srv, "GET", "/api/v1/nope")
+    assert e.value.code == 404
+
+    status, body = call(srv, "POST", "/api/v1/prune", {})
+    assert status == 200 and body == {"status": "pruned"}
+    # searching a pruned store surfaces the engine's RuntimeError as 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call(srv, "POST", "/api/v1/search", {"search_type": "CHUNKS", "query": "x"})
+    assert e.value.code == 409
