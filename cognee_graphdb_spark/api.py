@@ -608,6 +608,49 @@ class CogneeSpark:
             return dists
         return sssp_paths(dists, max_hops=max_hops)
 
+    def codify(self, repo_path: str) -> int:
+        """The reference's MCP ``codify`` tool (cognee-mcp/src/server.py:
+        393-452: run the code-graph pipeline over a repository path): read
+        the repo's Python files distributed (recursive lookup + glob filter
+        — partition-parallel, never a driver walk), build the code graph
+        (U11 family, plans/code_graph.py:cognify_code) and persist
+        nodes/edges/embeddings through the same S6/S7 MERGE seams cognify
+        uses, so CODE search serves the result.  Returns the number of
+        files processed; content-addressed ids make re-runs idempotent."""
+        from cognee_graphdb_spark.plans.code_graph import cognify_code
+
+        files = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.py")
+            .text(repo_path, wholetext=True)
+            .select(F.input_file_name().alias("path"), F.col("value").alias("source"))
+        )
+        n_files = files.count()
+        if n_files == 0:
+            raise ValueError(f"no Python files under {repo_path!r}")
+        cg = cognify_code(files)
+        nodes = cg.nodes.select(
+            "id",
+            "name",
+            "type",
+            F.create_map().cast("map<string,string>").alias("properties"),
+            F.lit(self.dataset_id).alias("dataset_id"),
+        )
+        edges = cg.edges.withColumn("dataset_id", F.lit(self.dataset_id))
+        emb = cg.embeddings.select(
+            "collection",
+            "id",
+            "text",
+            F.col("vector").cast("array<float>").alias("vector"),
+            F.create_map(F.lit("source"), F.lit("codify")).alias("payload"),
+            F.lit(self.dataset_id).alias("dataset_id"),
+        )
+        self.store.upsert_nodes(nodes, created_by="codify_pipeline")
+        self.store.upsert_edges(edges, created_by="codify_pipeline")
+        self.store.upsert_embeddings(emb, created_by="codify_pipeline")
+        self.runs.log(self.dataset_id, "codify_pipeline", "COMPLETED")
+        return n_files
+
     def embed_graph(
         self,
         dim: int = 16,
