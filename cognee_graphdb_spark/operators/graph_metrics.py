@@ -1591,7 +1591,11 @@ def strongly_connected_components(
             raise RuntimeError(
                 f"scc forward propagation did not converge in {max_rounds} rounds"
             )
-        # 2. backward spread from roots within each color class
+        # 2. backward spread from roots within each color class — frontier-
+        # optimized (the weighted_sssp discipline): a node joins when any
+        # out-neighbor enters, and neighbors enter exactly once, so only the
+        # LAST round's additions need their in-edges scanned; total backward
+        # work is one pass over the touched edges, not rounds × |within|
         in_scc = colors.filter(F.col("h") == F.col("color")).localCheckpoint(eager=True)
         tagged = rem_edges.join(
             colors.select(F.col("h").alias("u"), F.col("color").alias("cu")), "u"
@@ -1601,17 +1605,19 @@ def strongly_connected_components(
             .select("u", "v", F.col("cu").alias("color"))
             .localCheckpoint(eager=True)
         )
+        frontier = in_scc
         for _r in range(max_rounds):
-            grown = (
-                within.join(in_scc.select(F.col("h").alias("v")), "v", "left_semi")
+            new = (
+                within.join(frontier.select(F.col("h").alias("v")), "v", "left_semi")
                 .select(F.col("u").alias("h"), "color")
-                .unionByName(in_scc)
                 .distinct()
+                .join(in_scc.select("h"), "h", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            if grown.count() == in_scc.count():
+            if new.limit(1).count() == 0:
                 break
-            in_scc = grown
+            in_scc = in_scc.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
         else:
             raise RuntimeError(
                 f"scc backward propagation did not converge in {max_rounds} rounds"
