@@ -48,6 +48,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p_m.add_argument("--target-file-mb", type=int, default=128,
                      help="target data-file size for compaction (MiB)")
 
+    p_srv = sub.add_parser("serve", help="run the HTTP facade (/api/v1/* routes)")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+
+    sub.add_parser("mcp", help="run the MCP stdio server (JSON-RPC tools)")
+
     p_cfg = sub.add_parser("config", help="show effective configuration")
     p_cfg.add_argument("--json", action="store_true")
     return p
@@ -103,6 +109,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.command == "prune":
             engine.prune()
             print("pruned")
+        elif args.command == "serve":
+            from cognee_graphdb_spark.server import serve
+
+            import threading
+
+            srv = serve(engine, host=args.host, port=args.port)
+            host, port = srv.server_address
+            print(f"serving /api/v1/* on http://{host}:{port}", flush=True)
+            try:
+                # serve() accepts on its own thread; park the main thread
+                threading.Event().wait()
+            except KeyboardInterrupt:
+                srv.shutdown()
+        elif args.command == "mcp":
+            from cognee_graphdb_spark.mcp_server import McpServer
+
+            McpServer(engine).serve_stdio()
         elif args.command == "maintain":
             rep = engine.maintain(target_file_bytes=args.target_file_mb * 1024 * 1024)
             for table, st in sorted(rep["after"].items()):

@@ -58,3 +58,48 @@ def test_cli_maintain(spark, tmp_path, capsys):
     assert "nodes: files" in out and "versions" in out
     # post-maintenance store still answers queries
     assert main(["--store", store, "search", "alpha", "--type", "CHUNKS"], spark=spark) == 0
+
+
+def test_cli_mcp_verb_speaks_jsonrpc(spark, tmp_path, capsys, monkeypatch):
+    """`mcp` wires stdin/stdout to the MCP stdio loop."""
+    import io
+    import json as _json
+
+    from cognee_graphdb_spark.cli import main
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(_json.dumps({"jsonrpc": "2.0", "id": 1, "method": "ping"}) + "\n"),
+    )
+    assert main(["--store", str(tmp_path / "m"), "mcp"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert _json.loads(out.splitlines()[-1])["result"] == {}
+
+
+def test_cli_serve_verb_listens(spark, tmp_path, capsys):
+    """`serve` binds the HTTP facade; drive /health over a real socket.
+    Run main() on a thread (it parks forever), then shut the server down."""
+    import re
+    import threading
+    import urllib.request
+
+    from cognee_graphdb_spark.cli import main
+
+    t = threading.Thread(
+        target=main,
+        args=(["--store", str(tmp_path / "s"), "serve", "--port", "0"],),
+        kwargs={"spark": spark},
+        daemon=True,
+    )
+    t.start()
+    for _ in range(100):
+        out = capsys.readouterr().out
+        m = re.search(r"http://([\d.]+):(\d+)", out)
+        if m:
+            break
+        import time
+
+        time.sleep(0.1)
+    assert m, "serve never printed its address"
+    with urllib.request.urlopen(f"http://{m.group(1)}:{m.group(2)}/health") as r:
+        assert r.status == 200
