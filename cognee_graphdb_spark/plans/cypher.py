@@ -1817,6 +1817,15 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         return co.select(
             F.col("id").alias("nodeId"), F.col("coreness").alias("coreValue")
         )
+    if key == "nodesimilarity.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import node_similarity
+
+        ns = node_similarity(nodes, edges)
+        return ns.select(
+            F.col("id_a").alias("node1"),
+            F.col("id_b").alias("node2"),
+            F.col("jaccard").alias("similarity"),
+        )
     if key == "trianglecount.stream":
         from cognee_graphdb_spark.operators.graph_metrics import triangle_counts
 
@@ -1828,7 +1837,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "louvain, leiden, labelPropagation, scc, hits, degree, kcore, "
-        "triangleCount)"
+        "triangleCount, nodeSimilarity)"
     )
 
 

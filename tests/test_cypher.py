@@ -1285,3 +1285,15 @@ def test_gds_triangle_counts_values(spark, gds_graph):
         "RETURN nodeId, triangleCount",
     )}
     assert got == {"a": 1, "b": 1, "c": 1, "x": 0, "y": 0}
+
+
+def test_gds_node_similarity_stream(spark, gds_graph):
+    got = rows(
+        spark, gds_graph,
+        "CALL gds.nodeSimilarity.stream('g') YIELD node1, node2, similarity "
+        "RETURN node1, node2, similarity",
+    )
+    pairs = {(r["node1"], r["node2"]): r["similarity"] for r in got}
+    # triangle corners a,b share neighbor set overlap: N(a)={b,c}, N(b)={a,c}
+    # intersection {c} = 1, union 3 -> 1/3
+    assert pairs[("a", "b")] == pytest.approx(1 / 3)
