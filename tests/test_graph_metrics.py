@@ -1260,6 +1260,31 @@ def test_scc_matches_tarjan_on_mixed_digraph(spark):
     assert frozenset(frozenset(s) for s in got2.values()) == _tarjan(V, E2)
 
 
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    """Seeded random digraphs of mixed density: the Orzan coloring partition
+    equals Tarjan's exactly, every trial."""
+    import random
+
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(7)
+    for _trial in range(4):
+        n = rng.randint(5, 14)
+        V = [f"v{i}" for i in range(n)]
+        E = sorted(
+            {(rng.choice(V), rng.choice(V)) for _ in range(rng.randint(n, 3 * n))}
+        )
+        E = [(a, b) for a, b in E if a != b]
+        got = {}
+        for r in strongly_connected_components(
+            _nodes_df(spark, V), _directed_edges_df(spark, E)
+        ).collect():
+            got.setdefault(r["label"], set()).add(r["id"])
+        assert frozenset(frozenset(s) for s in got.values()) == _tarjan(V, E), (V, E)
+
+
 def test_scc_validates_and_raises_on_cap(spark):
     from cognee_graphdb_spark.operators.graph_metrics import (
         strongly_connected_components,
