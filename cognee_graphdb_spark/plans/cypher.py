@@ -1726,7 +1726,9 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         # Exact all-pairs is O(n·reachable) state by definition — the
         # sampled scale path is graph_metrics.approx_path_metrics; this
         # surface exists for reference parity on KG-sized graphs.
-        unit = edges.select("src", "dst", F.lit(1).alias("weight"))
+        # unit weights as LONG so distances serialize as int64 — the
+        # contract hash is type-sensitive, and the oracle emits BIGINT
+        unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
         d = weighted_sssp(
             unit, nodes.select("id"), max_hops=64, directed=False
         )
