@@ -508,6 +508,33 @@ class CogneeSpark:
             raise RuntimeError("No data found in the system, please add data first.")
         return graph_metrics(nodes, edges, include_paths=include_paths)
 
+    def community_quality(
+        self, labels: DataFrame | None = None, algorithm: str = "louvain"
+    ) -> DataFrame:
+        """Per-community quality of a clustering of the stored graph — the
+        gds community-metrics pair side by side: exact-integer Newman
+        modularity contributions (graph_metrics.py:modularity) joined with
+        boundary/volume conductance (:func:`conductance`).  ``labels`` is
+        any (id, label) frame; when omitted, :meth:`communities` runs
+        ``algorithm`` first."""
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            conductance,
+            modularity,
+        )
+
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        if labels is None:
+            labels = self.communities(algorithm=algorithm)
+        q = modularity(edges, labels).select(
+            "label", "n_nodes", "sym_within", "total_degree", "contrib_scaled"
+        )
+        phi = conductance(edges, labels).select(
+            "label", "internal", "boundary", "conductance_ppm"
+        )
+        return q.join(phi, "label")
+
     def strongly_connected(self) -> DataFrame:
         """(id, label): strongly connected components of the stored DIRECTED
         graph — gds.scc next to the wcc inside :meth:`metrics`

@@ -361,3 +361,17 @@ def test_strongly_connected_api_surface(engine):
     assert set(labels.columns) == {"id", "label"}
     n_nodes = engine.store.load("nodes").select("id").distinct().count()
     assert labels.select("id").distinct().count() == n_nodes
+
+
+def test_community_quality_api_surface(engine):
+    """Modularity contributions and conductance, joined per community, for
+    any clustering of the stored graph."""
+    out = engine.community_quality(algorithm="louvain")
+    rows = out.collect()
+    assert rows and set(out.columns) == {
+        "label", "n_nodes", "sym_within", "total_degree", "contrib_scaled",
+        "internal", "boundary", "conductance_ppm",
+    }
+    # internal counts within-community ordered pairs = sym_within
+    assert all(r["internal"] == r["sym_within"] for r in rows)
+    assert all(0 <= r["conductance_ppm"] <= 1_000_000 for r in rows)
