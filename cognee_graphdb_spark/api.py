@@ -508,6 +508,43 @@ class CogneeSpark:
             raise RuntimeError("No data found in the system, please add data first.")
         return graph_metrics(nodes, edges, include_paths=include_paths)
 
+    def snapshot(self) -> dict:
+        """Pin the store's current table versions (MVCC — free; the pins
+        stay readable until ``maintain``'s vacuum).  Feed to
+        :meth:`diff_since` to see how the memory graph evolved."""
+        return self.store.snapshot()
+
+    def diff_since(self, snap: dict) -> dict:
+        """{table: {added, removed}} row deltas between a :meth:`snapshot`
+        pin and the CURRENT store — the memory-evolution view (what did the
+        last cognify/memify/delete actually change?).  Key-based anti-joins
+        per table (the same MERGE keys the upsert seam uses), so a row
+        UPDATED in place counts in neither column."""
+        from cognee_graphdb_spark.sources.backends import TABLE_KEYS
+
+        out: dict = {}
+        for table, key in TABLE_KEYS.items():
+            cur = self.store.load(table)
+            old = self.store.load_snapshot(table, snap.get(table))
+            if cur is None and old is None:
+                out[table] = {"added": 0, "removed": 0}
+                continue
+            if cur is None or old is None:
+                present = cur if cur is not None else old
+                n = present.select(*key).distinct().count()
+                out[table] = {
+                    "added": n if cur is not None else 0,
+                    "removed": n if old is not None else 0,
+                }
+                continue
+            k_cur = cur.select(*key).distinct()
+            k_old = old.select(*key).distinct()
+            out[table] = {
+                "added": k_cur.join(k_old, key, "left_anti").count(),
+                "removed": k_old.join(k_cur, key, "left_anti").count(),
+            }
+        return out
+
     def community_quality(
         self, labels: DataFrame | None = None, algorithm: str = "louvain"
     ) -> DataFrame:

@@ -125,6 +125,26 @@ class GraphStore:
         the parquet default, ``overwrite`` on Delta)."""
         self.backend.write_snapshot(table, df)
 
+    def snapshot(self) -> dict[str, str | None]:
+        """Pin the CURRENT version of every table: {table: version_path}.
+        MVCC makes this free — snapshot versions are immutable directories,
+        so a pinned path stays readable until :meth:`vacuum` (Delta's time
+        travel is the lakehouse equivalent; the parquet backend exposes the
+        pointer directly)."""
+        if not hasattr(self.backend, "current_version"):
+            raise NotImplementedError(
+                "snapshot() needs a version-pointer backend "
+                "(use Delta time travel on lakehouse backends)"
+            )
+        return {t: self.backend.current_version(t) for t in _KEYS}
+
+    def load_snapshot(self, table: str, version_path: str | None) -> DataFrame | None:
+        """Read a pinned snapshot version of ``table`` (None pin = the table
+        did not exist when the snapshot was taken)."""
+        if version_path is None:
+            return None
+        return self.spark.read.parquet(version_path)
+
     def vacuum(self) -> None:
         """Reclaim superseded storage (callers guarantee no reader still
         holds a plan over it — Delta's VACUUM contract)."""

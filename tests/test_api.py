@@ -375,3 +375,24 @@ def test_community_quality_api_surface(engine):
     # internal counts within-community ordered pairs = sym_within
     assert all(r["internal"] == r["sym_within"] for r in rows)
     assert all(0 <= r["conductance_ppm"] <= 1_000_000 for r in rows)
+
+
+def test_snapshot_diff_tracks_graph_evolution(spark, tmp_path):
+    """snapshot() pins versions; diff_since() shows what a later cognify
+    added and what a delete removed — key-based, updates count in neither."""
+    e = CogneeSpark(spark, str(tmp_path / "snap"))
+    e.add(ITEMS[:1])
+    e.cognify()
+    pin = e.snapshot()
+    base = e.diff_since(pin)
+    assert all(v == {"added": 0, "removed": 0} for v in base.values())
+    e.add(ITEMS[1:2])
+    e.cognify()
+    grown = e.diff_since(pin)
+    assert grown["data"]["added"] == 1 and grown["data"]["removed"] == 0
+    assert grown["nodes"]["added"] > 0 and grown["nodes"]["removed"] == 0
+    pin2 = e.snapshot()
+    e.delete("duck.txt")
+    shrunk = e.diff_since(pin2)
+    assert shrunk["data"]["removed"] == 1
+    assert shrunk["nodes"]["removed"] > 0
