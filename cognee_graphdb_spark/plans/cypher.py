@@ -1819,6 +1819,37 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         return co.select(
             F.col("id").alias("nodeId"), F.col("coreness").alias("coreValue")
         )
+    if key == "closeness.stream":
+        from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+        # exact closeness from the same all-pairs BFS allShortestPaths uses:
+        # score(v) = (reachable-1) / sum(d) — 0 for isolated nodes (the GDS
+        # convention).  Exact all-pairs by definition; the sampled scale
+        # path is approx_harmonic_closeness.
+        unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+        d = weighted_sssp(unit, nodes.select("id"), max_hops=64, directed=False)
+        per = (
+            d.filter(F.col("source") != F.col("node"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("reach"),
+                F.sum("dist").alias("total"),
+            )
+        )
+        return (
+            nodes.select("id")
+            .distinct()
+            .join(per.withColumnRenamed("source", "id"), "id", "left")
+            .select(
+                F.col("id").alias("nodeId"),
+                F.when(
+                    F.coalesce("total", F.lit(0)) > 0,
+                    F.col("reach").cast("double") / F.col("total"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("score"),
+            )
+        )
     if key == "nodesimilarity.stream":
         from cognee_graphdb_spark.operators.graph_metrics import node_similarity
 
@@ -1839,7 +1870,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "louvain, leiden, labelPropagation, scc, hits, degree, kcore, "
-        "triangleCount, nodeSimilarity)"
+        "triangleCount, nodeSimilarity, closeness)"
     )
 
 

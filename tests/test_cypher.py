@@ -1297,3 +1297,25 @@ def test_gds_node_similarity_stream(spark, gds_graph):
     # triangle corners a,b share neighbor set overlap: N(a)={b,c}, N(b)={a,c}
     # intersection {c} = 1, union 3 -> 1/3
     assert pairs[("a", "b")] == pytest.approx(1 / 3)
+
+
+def test_gds_closeness_stream(spark, gds_graph):
+    got = {r["nodeId"]: r["score"] for r in rows(
+        spark, gds_graph,
+        "CALL gds.closeness.stream('g') YIELD nodeId, score RETURN nodeId, score",
+    )}
+    # triangle corners reach 2 nodes at distance 1 each: 2/2 = 1.0
+    for v in ("a", "b", "c"):
+        assert got[v] == pytest.approx(1.0)
+    # x reaches y at 1: 1/1 = 1.0; both components are cliques here, so add
+    # an isolated-node check through a bigger fixture
+    assert got["x"] == pytest.approx(1.0)
+    iso = {r["nodeId"]: r["score"] for r in run_cypher(
+        spark,
+        spark.createDataFrame([("i", "i", "Entity", {})],
+            "id string, name string, type string, properties map<string,string>"),
+        spark.createDataFrame([],
+            "src string, dst string, relationship_name string"),
+        "CALL gds.closeness.stream('g') YIELD nodeId, score RETURN nodeId, score",
+    ).collect()}
+    assert iso["i"] == 0.0
