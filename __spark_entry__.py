@@ -1624,11 +1624,13 @@ def _q_a2_leiden(spark, sf_dir):
     exact-integer local-move rounds as a2_louvain plus the deterministic
     connectivity-refinement phase — coarse communities split into their
     connected components (8 min-label rounds, fixpoint-early-exited =
-    output-identical to the oracle's fixed unroll) before contraction, and
-    the aggregate level starts SEEDED with the coarse partition.  The
-    oracle unrolls all of it: 2 local-move rounds, 8 refine rounds, the
-    contraction, and 2 seeded local-move rounds.  Output (id, label) —
-    integer-hashed labels only."""
+    output-identical to the oracle's fixed unroll) before contraction, the
+    aggregate level starts SEEDED with the coarse partition, and the OUTPUT
+    partition gets one more connectivity split (final_refine — the
+    guarantee-completing pass, a strict Q improvement).  The oracle unrolls
+    all of it: 2 local-move rounds, 8 refine rounds, the contraction,
+    2 seeded local-move rounds, and 8 final refine rounds.  Output
+    (id, label) — integer-hashed labels only."""
     from cognee_graphdb_spark.operators.graph_metrics import leiden
 
     _, edges = tpch_graph(spark, sf_dir)
@@ -5339,16 +5341,21 @@ FROM hn JOIN L0_2 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.label = l2.u"""
     # rounds split coarse communities into connected components, contraction
     # runs on the REFINED partition, and level 1's local moves start SEEDED
     # with the coarse labels instead of singletons ---------------------------
-    _ld_refine = []
-    _prev_rf = "rf0"
-    for _i in range(1, 9):
-        _ld_refine.append(f"""rf{_i} AS MATERIALIZED (
+    def _ld_refine_rounds(prefix, edge_cte):
+        out = []
+        prev = f"{prefix}0"
+        for _i in range(1, 9):
+            out.append(f"""{prefix}{_i} AS MATERIALIZED (
   SELECT r.u, LEAST(r.ref, COALESCE(m.nref, r.ref)) AS ref
-  FROM {_prev_rf} r LEFT JOIN (
-    SELECT w.u, MIN(p.ref) AS nref FROM rw w JOIN {_prev_rf} p ON w.v = p.u GROUP BY w.u
+  FROM {prev} r LEFT JOIN (
+    SELECT w.u, MIN(p.ref) AS nref FROM {edge_cte} w JOIN {prev} p ON w.v = p.u GROUP BY w.u
   ) m ON r.u = m.u
 )""")
-        _prev_rf = f"rf{_i}"
+            prev = f"{prefix}{_i}"
+        return out
+
+    _ld_refine = _ld_refine_rounds("rf", "rw")
+    _ld_refine2 = _ld_refine_rounds("rg", "rw2")
     sql["a2_leiden"] = f"""WITH {g},
 nf AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
@@ -5392,9 +5399,16 @@ deg1 AS MATERIALIZED (
   LEFT JOIN (SELECT u, sum(w) AS k FROM adjr GROUP BY u) s ON n.u = s.u
 ),
 {_louvain_round("1_1", "init1", "deg1", "adjr")},
-{_louvain_round("1_2", "L1_1", "deg1", "adjr")}
-SELECT hn.id, l2.label
-FROM hn JOIN rf8 m1 ON hn.h = m1.u JOIN L1_2 l2 ON m1.ref = l2.u"""
+{_louvain_round("1_2", "L1_1", "deg1", "adjr")},
+rw2 AS MATERIALIZED (
+  SELECT a.u, a.v FROM adjr a
+  JOIN L1_2 la ON a.u = la.u JOIN L1_2 lb ON a.v = lb.u
+  WHERE a.u != a.v AND la.label = lb.label
+),
+rg0 AS MATERIALIZED (SELECT u, u AS ref FROM nid1),
+{", ".join(_ld_refine2)}
+SELECT hn.id, r2.ref AS label
+FROM hn JOIN rf8 m1 ON hn.h = m1.u JOIN rg8 r2 ON m1.ref = r2.u"""
 
     # --- cypher gds.* CALL surface: the reference's four metric queries
     # (neo4j_metrics_utils.py) routed through plans/cypher.py:_run_gds_call.

@@ -688,6 +688,10 @@ class CogneeSpark:
             .option("pathGlobFilter", "*.py")
             .text(repo_path, wholetext=True)
             .select(F.input_file_name().alias("path"), F.col("value").alias("source"))
+            # materialize once: cognify_code consumes the source in several
+            # branches (file nodes, definitions, embeddings) and the count
+            # below must not pay a second whole-repo read
+            .localCheckpoint(eager=True)
         )
         n_files = files.count()
         if n_files == 0:

@@ -21,6 +21,7 @@ Spark UI, so tools here run synchronously and return the final counts —
 
 from __future__ import annotations
 
+import hashlib
 import json
 import sys
 
@@ -171,7 +172,11 @@ class McpServer:
         eng = self.engine
         if name == "cognify":
             data = args["data"]
-            eng.add([(f"mcp_input_{abs(hash(data)) % 10**9}.txt", data)])
+            # content digest, NOT hash(): Python's hash is process-salted,
+            # and the name is the user-visible delete/update handle — it
+            # must be stable across sessions
+            digest = hashlib.md5(data.encode()).hexdigest()[:12]
+            eng.add([(f"mcp_input_{digest}.txt", data)])
             n = eng.cognify()
             return _text_result(f"cognified {n} document(s)")
         if name == "codify":
@@ -188,8 +193,9 @@ class McpServer:
             return _text_result(out if isinstance(out, str) else json.dumps(out, default=str))
         if name == "save_interaction":
             data = args["data"]
+            digest = hashlib.md5(data.encode()).hexdigest()[:12]
             eng.add(
-                [(f"interaction_{abs(hash(data)) % 10**9}.txt", data)],
+                [(f"interaction_{digest}.txt", data)],
                 node_set="coding_agent_rules",
             )
             eng.cognify()

@@ -622,6 +622,8 @@ def hits(
     every ``checkpoint_every`` rounds.  A billion-edge graph iterates at
     2× the pagerank round cost, nothing super-linear.
     """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     ids = nodes.select("id")
     if not ids_distinct:
         ids = ids.distinct()
@@ -1688,6 +1690,7 @@ def leiden(
     n_rounds: int = 2,
     refine_rounds: int = 8,
     hasher: str = "xxhash64",
+    final_refine: bool = True,
 ) -> DataFrame:
     """(id, label): Leiden community detection (gds.leiden — the successor
     to :func:`louvain` in the GDS community family; Traag, Waltman &
@@ -1714,12 +1717,19 @@ def leiden(
        pieces across coarse boundaries, exactly the freedom that lets
        Leiden escape Louvain's local optima.
 
-    The final partition is the last level's coarse labels (refinement after
-    the last local-move phase would never be observed).  Deterministic end
-    to end: integer gain scores, (gain desc, label asc) tie-breaks,
-    min-label component representatives — a fixed-round SQL unroll
-    reproduces it exactly (the fixpoint early exits are output-identical
-    to full unrolls).
+    The final partition is the last level's coarse labels with one more
+    connectivity refinement applied (``final_refine``, default on): the
+    last local-move phase can — exactly like any single Louvain pass —
+    strand a just-vacated community internally disconnected, so the output
+    is split into its connected components too.  This is a STRICT
+    modularity improvement, never a trade: splitting a disconnected
+    community loses no within-community edges while the degree-squared
+    penalty sum drops (d_c² > d_c1² + d_c2²), so Q(final) >= Q(coarse) —
+    pinned by pytest.  With it, EVERY returned community is internally
+    connected, unconditionally.  Deterministic end to end: integer gain
+    scores, (gain desc, label asc) tie-breaks, min-label component
+    representatives — a fixed-round SQL unroll reproduces it exactly (the
+    fixpoint early exits are output-identical to full unrolls).
 
     Scale: louvain's per-round cost (one label-lookup equi-join + two
     label-sized partial aggs) plus, per level, refine rounds of ONE
@@ -1801,6 +1811,22 @@ def leiden(
             .localCheckpoint(eager=True)
         )
         node_ids = init.select("u")
+    if final_refine:
+        # split the output partition into its connected components — the
+        # guarantee-completing pass (strict Q improvement, see docstring)
+        la = coarse.select("u", F.col("label").alias("lu"))
+        lb = coarse.select(F.col("u").alias("v"), F.col("label").alias("lv"))
+        within = (
+            adj.filter(F.col("u") != F.col("v"))
+            .join(la, "u")
+            .join(lb, "v")
+            .filter(F.col("lu") == F.col("lv"))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        coarse = _min_label_components(node_ids, within, refine_rounds).select(
+            "u", F.col("ref").alias("label")
+        )
     final = mapping.join(
         coarse.select(F.col("u").alias("cur"), "label"), "cur"
     ).select("id", "label")

@@ -42,6 +42,7 @@ def weighted_sssp(
     max_hops: int = 10,
     directed: bool = True,
     return_pred: bool = False,
+    on_truncation: str = "ignore",
 ) -> DataFrame:
     """(source, node, dist): cheapest path cost from each id in ``sources``
     to every node reachable within ``max_hops`` edges, following
@@ -55,6 +56,14 @@ def weighted_sssp(
     ``directed=False`` relaxes across both orientations (the GDS
     UNDIRECTED relationship projection).
 
+    ``on_truncation="raise"`` raises RuntimeError when ``max_hops`` rounds
+    complete with the frontier still improving — i.e. when the hop bound
+    actually cut distances off.  The default ``"ignore"`` keeps the
+    documented hop-bounded semantics (gds maxIterations); callers promising
+    EXACT results (the CALL gds.allShortestPaths / closeness surface) pass
+    ``"raise"`` so a long-diameter graph fails loudly instead of returning
+    silently short distances.
+
     ``return_pred=True`` adds a ``pred`` column (null at sources): the
     neighbor the cheapest path arrives from, tie-broken by (dist, pred) —
     deterministic, and (because only strictly-improving candidates can set
@@ -66,6 +75,8 @@ def weighted_sssp(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
+    if on_truncation not in ("ignore", "raise"):
+        raise ValueError("on_truncation must be 'ignore' or 'raise'")
     e = edges.select("src", "dst", F.col(weight_col).alias("w"))
     if directed is False:
         e = e.unionByName(
@@ -119,6 +130,12 @@ def weighted_sssp(
         dist = merged.select("source", "node", "dist", "pred")
         if frontier.limit(1).count() == 0:
             break
+    else:
+        if on_truncation == "raise" and frontier.limit(1).count() != 0:
+            raise RuntimeError(
+                f"weighted_sssp still improving after max_hops={max_hops} "
+                "rounds; raise max_hops or accept hop-bounded semantics"
+            )
     return dist if return_pred else dist.drop("pred")
 
 

@@ -86,6 +86,7 @@ Mapping rules:
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1688,7 +1689,7 @@ def looks_like_cypher(query: str) -> bool:
 
 _GDS_CALL_RE = re.compile(
     r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats)\(\s*'[^']*'"
-    r"(?:\s*,\s*\{[^}]*\})?\s*\)\s*"
+    r"(?:\s*,\s*\{(?P<config>[^}]*)\})?\s*\)\s*"
     r"YIELD\s+(?P<yield>[\w\s,]+?)\s+"
     r"RETURN\s+(?P<ret>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1730,7 +1731,8 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         # contract hash is type-sensitive, and the oracle emits BIGINT
         unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
         d = weighted_sssp(
-            unit, nodes.select("id"), max_hops=64, directed=False
+            unit, nodes.select("id"), max_hops=64, directed=False,
+            on_truncation="raise",
         )
         return d.filter(F.col("source") != F.col("node")).select(
             F.col("source").alias("sourceNodeId"),
@@ -1827,7 +1829,10 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         # convention).  Exact all-pairs by definition; the sampled scale
         # path is approx_harmonic_closeness.
         unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
-        d = weighted_sssp(unit, nodes.select("id"), max_hops=64, directed=False)
+        d = weighted_sssp(
+            unit, nodes.select("id"), max_hops=64, directed=False,
+            on_truncation="raise",
+        )
         per = (
             d.filter(F.col("source") != F.col("node"))
             .groupBy("source")
@@ -1880,8 +1885,19 @@ def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
     over it — Cypher's implicit grouping (non-aggregate return items become
     grouping keys when any aggregate is present) and trailing ORDER BY are
     preserved."""
+    if (m.group("config") or "").strip():
+        # a non-empty procedure config would silently change the asked-for
+        # semantics if discarded — refuse instead (the reference's own
+        # metric queries pass only the graph name)
+        raise CypherUnsupported(
+            "gds procedure config maps are not supported; call the operator "
+            "directly for non-default parameters"
+        )
     out = _gds_procedure(spark, nodes, edges, m.group(1) + "." + m.group(2).lower())
-    out.createOrReplaceTempView("__gds_yield")
+    # per-call view name: a fixed name races concurrent run_cypher calls on
+    # one shared SparkSession
+    view = f"__gds_yield_{uuid.uuid4().hex[:12]}"
+    out.createOrReplaceTempView(view)
     ret = m.group("ret").strip()
     order_sql = ""
     om = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
@@ -1920,7 +1936,10 @@ def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
         ]
         if keys:
             group_sql = " GROUP BY " + ", ".join(keys)
-    return spark.sql(f"SELECT {ret} FROM __gds_yield{group_sql}{order_sql}")
+    try:
+        return spark.sql(f"SELECT {ret} FROM {view}{group_sql}{order_sql}")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def run_cypher(
@@ -1936,6 +1955,14 @@ def run_cypher(
     gds = _GDS_CALL_RE.match(query)
     if gds:
         return _run_gds_call(spark, nodes, edges, gds)
+    if re.match(r"\s*CALL\s+gds\.", query, re.IGNORECASE):
+        # a CALL the full regex rejects (no RETURN tail, YIELD aliases, ...)
+        # must name the actual limitation, not fall into the MATCH translator
+        # and fail with an unrelated parse error
+        raise CypherUnsupported(
+            "CALL gds.* requires the CALL ...(...) YIELD cols RETURN exprs "
+            "shape (plain YIELD column names, explicit RETURN)"
+        )
     nodes.createOrReplaceTempView("nodes")
     if "properties" not in edges.columns:
         # edge property reads (r.weight) compile to properties['weight'];

@@ -119,7 +119,13 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, {"status": "ok"})
         if method == "POST" and path == "/api/v1/add":
             p = self._payload()
-            items = [(d["name"], d["text"]) for d in p.get("data", [])]
+            try:
+                items = [(d["name"], d["text"]) for d in p.get("data", [])]
+            except (TypeError, KeyError) as e:
+                # malformed client input is a 400, not a 500
+                raise ValueError(
+                    "add needs data: [{name, text}, ...]"
+                ) from e
             if not items:
                 raise ValueError("add needs data: [{name, text}, ...]")
             eng.add(items, node_set=p.get("node_set"))

@@ -140,10 +140,15 @@ class GraphStore:
 
     def load_snapshot(self, table: str, version_path: str | None) -> DataFrame | None:
         """Read a pinned snapshot version of ``table`` (None pin = the table
-        did not exist when the snapshot was taken)."""
+        did not exist when the snapshot was taken; an emptied table's
+        snapshot has no parquet footers — same guard as the backend's
+        ``load``, empty and missing behave identically downstream)."""
         if version_path is None:
             return None
-        return self.spark.read.parquet(version_path)
+        try:
+            return self.spark.read.parquet(version_path)
+        except Exception:
+            return None
 
     def vacuum(self) -> None:
         """Reclaim superseded storage (callers guarantee no reader still

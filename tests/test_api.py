@@ -396,3 +396,17 @@ def test_snapshot_diff_tracks_graph_evolution(spark, tmp_path):
     shrunk = e.diff_since(pin2)
     assert shrunk["data"]["removed"] == 1
     assert shrunk["nodes"]["removed"] > 0
+
+
+def test_snapshot_of_emptied_table_diffs_clean(spark, tmp_path):
+    """Review fix pinned: a pin taken while a table is a 0-row snapshot
+    (no parquet footers) reads as absent, not an AnalysisException."""
+    e = CogneeSpark(spark, str(tmp_path / "snap0"))
+    e.add(ITEMS[:1])
+    e.cognify()
+    e.delete(ITEMS[0][0], mode="hard")
+    pin = e.snapshot()
+    e.add(ITEMS[1:2])
+    e.cognify()
+    diff = e.diff_since(pin)
+    assert diff["data"]["added"] == 1 and diff["data"]["removed"] == 0

@@ -1319,3 +1319,17 @@ def test_gds_closeness_stream(spark, gds_graph):
         "CALL gds.closeness.stream('g') YIELD nodeId, score RETURN nodeId, score",
     ).collect()}
     assert iso["i"] == 0.0
+
+
+def test_gds_call_config_map_and_yield_only_shapes_are_named_errors(spark, gds_graph):
+    """Review fixes pinned: a non-empty config map refuses instead of
+    silently running with defaults; a CALL without RETURN gets the CALL
+    limitation named, not a MATCH-translator parse error."""
+    with pytest.raises(CypherUnsupported, match="config maps"):
+        rows(
+            spark, gds_graph,
+            "CALL gds.pageRank.stream('g', {maxIterations: 40}) "
+            "YIELD nodeId, score RETURN nodeId, score",
+        )
+    with pytest.raises(CypherUnsupported, match="YIELD cols RETURN"):
+        rows(spark, gds_graph, "CALL gds.wcc.stream('g') YIELD nodeId, componentId")

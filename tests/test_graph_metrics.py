@@ -1349,6 +1349,11 @@ def test_leiden_finds_cliques_and_matches_or_beats_louvain_q(spark):
     q_leiden = modularity_score(modularity(edges, le))
     q_louvain = modularity_score(modularity(edges, louvain(ids, edges, n_levels=2, n_rounds=3)))
     assert q_leiden >= q_louvain
+    # the final connectivity split is a strict-or-equal Q improvement over
+    # the raw coarse partition (splitting loses no within edges, shrinks
+    # the degree-squared penalty)
+    raw = leiden(ids, edges, n_levels=2, n_rounds=3, final_refine=False)
+    assert q_leiden >= modularity_score(modularity(edges, raw))
     # determinism: an identical second run returns the identical partition
     again = {(r["id"], r["label"]) for r in leiden(ids, edges, n_levels=2, n_rounds=3).collect()}
     assert again == {(r["id"], r["label"]) for r in rows}
@@ -1363,6 +1368,35 @@ def test_leiden_finds_cliques_and_matches_or_beats_louvain_q(spark):
             seen.add(x)
             todo += [b for a, b in und if a == x and b in members and b not in seen]
         assert seen == members
+
+
+def test_leiden_communities_always_connected_on_random_graphs(spark):
+    """The final_refine guarantee, swept: on seeded random graphs every
+    returned leiden community is internally connected."""
+    import random
+
+    from cognee_graphdb_spark.operators.graph_metrics import leiden
+
+    rng = random.Random(11)
+    for _trial in range(3):
+        n = rng.randint(8, 16)
+        V = [str(i) for i in range(n)]
+        E = sorted({tuple(sorted(rng.sample(V, 2))) for _ in range(rng.randint(n, 2 * n))})
+        by_label = {}
+        for r in leiden(
+            _nodes_df(spark, V), _edges_df(spark, E), n_levels=2, n_rounds=2
+        ).collect():
+            by_label.setdefault(r["label"], set()).add(r["id"])
+        und = {(a, b) for a, b in E} | {(b, a) for a, b in E}
+        for members in by_label.values():
+            seen, todo = set(), [next(iter(members))]
+            while todo:
+                x = todo.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                todo += [b for a, b in und if a == x and b in members and b not in seen]
+            assert seen == members, (E, by_label)
 
 
 def test_leiden_validates_parameters(spark):
