@@ -1567,6 +1567,41 @@ def _q_cypher_gds_clustering(spark, sf_dir):
     )
 
 
+def _q_cypher_gds_pagerank(spark, sf_dir):
+    """gds.pageRank.stream through the CALL surface (plans/cypher.py:
+    _gds_procedure -> graph_metrics.py:pagerank with GDS defaults — the
+    same 10 iterations / 0.85 damping a9_pagerank pins), ppm-quantized
+    top-100: the oracle IS the a9_pagerank unroll, so this row proves the
+    CALL plumbing changes nothing about the float discipline."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("name"), F.lit("Entity").alias("type"))
+    )
+    out = run_cypher(
+        spark,
+        ids,
+        fk,
+        "CALL gds.pageRank.stream('memory_graph') YIELD nodeId, score "
+        "RETURN nodeId, score",
+    )
+    return (
+        out.select(
+            F.col("nodeId").alias("id"),
+            F.round(F.col("score") * F.lit(1000000.0)).cast("long").alias("rank_ppm"),
+        )
+        .orderBy(F.desc("rank_ppm"), "id")
+        .limit(100)
+    )
+
+
 def _q_a2_scc(spark, sf_dir):
     """Strongly connected components (graph_metrics.py:
     strongly_connected_components — gds.scc, the directed complement to the
@@ -3138,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_wcc_stats": _q_cypher_gds_wcc_stats,
         "cypher_gds_apsp": _q_cypher_gds_apsp,
         "cypher_gds_clustering": _q_cypher_gds_clustering,
+        "cypher_gds_pagerank": _q_cypher_gds_pagerank,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5044,6 +5080,9 @@ r0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec),
 {", ".join(_pp_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+    # the CALL-surface row reuses the identical unroll: same graph, same
+    # defaults, same ppm projection — the procedure routing must be a no-op
+    sql["cypher_gds_pagerank"] = sql["a9_pagerank"]
 
     # --- a2 HITS: 10 unrolled hub/authority half-steps with L1 normalization
     # (graph_metrics.py:hits): auth = COALESCE(sum_in(hub), 0) / total,
