@@ -1567,6 +1567,28 @@ def _q_cypher_gds_clustering(spark, sf_dir):
     )
 
 
+def _q_cypher_gds_closeness(spark, sf_dir):
+    """gds.closeness.stream through the CALL surface (exact closeness from
+    the all-pairs BFS; plans/cypher.py) over the nation->region star
+    forest: a nation reaches its k-1 siblings at 2 and its region at 1
+    (score = k/(2k-1)); a region reaches its k nations at 1 (score = 1) —
+    the oracle states exactly that, ppm-quantized."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    out = run_cypher(
+        spark,
+        nodes,
+        edges,
+        "CALL gds.closeness.stream('memory_graph') YIELD nodeId, score "
+        "RETURN nodeId, score",
+    )
+    return out.select(
+        F.col("nodeId").alias("id"),
+        F.round(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_ppm"),
+    )
+
+
 def _q_cypher_gds_pagerank(spark, sf_dir):
     """gds.pageRank.stream through the CALL surface (plans/cypher.py:
     _gds_procedure -> graph_metrics.py:pagerank with GDS defaults — the
@@ -3174,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_apsp": _q_cypher_gds_apsp,
         "cypher_gds_clustering": _q_cypher_gds_clustering,
         "cypher_gds_pagerank": _q_cypher_gds_pagerank,
+        "cypher_gds_closeness": _q_cypher_gds_closeness,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5506,6 +5529,19 @@ coef AS (
   FROM uni LEFT JOIN dg ON uni.id = dg.u LEFT JOIN tri ON uni.id = tri.v
 )
 SELECT CAST(ROUND(AVG(c) * 1000000.0) AS BIGINT) AS avg_clustering_ppm FROM coef"""
+
+    # --- cypher gds closeness: structural answer over the star forest
+    # (nation: reach k over total 2k-1; region: 1.0), operand order
+    # mirroring _gds_procedure's CAST(reach AS DOUBLE) / total ---------------
+    sql["cypher_gds_closeness"] = """
+WITH per AS (SELECT n_regionkey AS r, count(*) AS k FROM nation GROUP BY n_regionkey)
+SELECT 'nation:' || n.n_nationkey AS id,
+       CAST(ROUND((CAST(p.k AS DOUBLE) / (2 * p.k - 1)) * 1000000.0) AS BIGINT) AS score_ppm
+FROM nation n JOIN per p ON n.n_regionkey = p.r
+UNION ALL
+SELECT 'region:' || p.r AS id,
+       CAST(ROUND((CAST(p.k AS DOUBLE) / p.k) * 1000000.0) AS BIGINT) AS score_ppm
+FROM per p"""
 
     # --- a2 scc: the structural answer to the hub-star construction
     # (graph_metrics.py:strongly_connected_components runs the general
