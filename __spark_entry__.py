@@ -1567,6 +1567,19 @@ def _q_cypher_gds_clustering(spark, sf_dir):
     )
 
 
+def _q_gen_rmat_graph(spark, sf_dir):
+    """R-MAT benchmark-graph generation (graph_generators.py:rmat_edges —
+    gds.graph.generate family / the Graph500 reference generator): 2^7
+    nodes × 8 samples each, Graph500 quadrant probabilities, md5-seeded so
+    the oracle restates the whole 7-level quadrant recursion in SQL over a
+    bare range() — no input tables, pure determinism.  Whole-stage-codegen
+    projection over a range scan: the 100 TB story is 'a trillion edges at
+    scan speed', and this row pins the recursion bit-for-bit."""
+    from cognee_graphdb_spark.operators.graph_generators import rmat_edges
+
+    return rmat_edges(spark, scale=7, edge_factor=8, seed=5, hasher="md5_64")
+
+
 def _q_cypher_gds_closeness(spark, sf_dir):
     """gds.closeness.stream through the CALL surface (exact closeness from
     the all-pairs BFS; plans/cypher.py) over the nation->region star
@@ -3197,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_clustering": _q_cypher_gds_clustering,
         "cypher_gds_pagerank": _q_cypher_gds_pagerank,
         "cypher_gds_closeness": _q_cypher_gds_closeness,
+        "gen_rmat_graph": _q_gen_rmat_graph,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5529,6 +5543,37 @@ coef AS (
   FROM uni LEFT JOIN dg ON uni.id = dg.u LEFT JOIN tri ON uni.id = tri.v
 )
 SELECT CAST(ROUND(AVG(c) * 1000000.0) AS BIGINT) AS avg_clustering_ppm FROM coef"""
+
+    # --- gen rmat: the full 7-level quadrant recursion over range(1024),
+    # same md5 fraction, same float thresholds (repr-embedded so both
+    # engines parse the identical doubles), bits summed MSB-first
+    # (graph_generators.py:rmat_edges) ---------------------------------------
+    _rm_scale, _rm_seed = 7, 5
+    _rm_t1, _rm_t2, _rm_t3 = 0.57, 0.57 + 0.19, 0.57 + 0.19 + 0.19
+    _rm_keys = [
+        "CAST(i AS VARCHAR) || '|' || '" + str(_l) + "'" for _l in range(_rm_scale)
+    ]
+    _rm_us = ", ".join(
+        f"CAST({_md5_64(_rm_keys[_l], _rm_seed)} AS DOUBLE)"
+        f" / 1152921504606846976.0 AS u{_l}"
+        for _l in range(_rm_scale)
+    )
+    _rm_src = " + ".join(
+        f"(CASE WHEN u{_l} >= {_rm_t2!r} THEN 1 ELSE 0 END) * {1 << (_rm_scale - 1 - _l)}"
+        for _l in range(_rm_scale)
+    )
+    _rm_dst = " + ".join(
+        f"(CASE WHEN (u{_l} >= {_rm_t1!r} AND u{_l} < {_rm_t2!r})"
+        f" OR u{_l} >= {_rm_t3!r} THEN 1 ELSE 0 END) * {1 << (_rm_scale - 1 - _l)}"
+        for _l in range(_rm_scale)
+    )
+    sql["gen_rmat_graph"] = f"""
+WITH base AS (SELECT i FROM range({8 * (1 << _rm_scale)}) t(i)),
+us AS (SELECT i, {_rm_us} FROM base)
+SELECT CAST(i AS BIGINT) AS edge_id,
+       CAST({_rm_src} AS BIGINT) AS src,
+       CAST({_rm_dst} AS BIGINT) AS dst
+FROM us"""
 
     # --- cypher gds closeness: structural answer over the star forest
     # (nation: reach k over total 2k-1; region: 1.0), operand order

@@ -1,0 +1,65 @@
+"""R-MAT generator (operators/graph_generators.py): shape, determinism,
+skew direction, and exact parity with a pure-Python mirror of the md5
+quadrant recursion."""
+
+import hashlib
+
+import pytest
+
+from cognee_graphdb_spark.operators.graph_generators import rmat_edges
+
+
+def _py_rmat(scale, edge_factor, a, b, c, seed):
+    t1, t2, t3 = a, a + b, a + b + c
+    out = []
+    for i in range(edge_factor * (1 << scale)):
+        src = dst = 0
+        for l in range(scale):
+            h = int(hashlib.md5(f"{seed}|{i}|{l}".encode()).hexdigest()[:15], 16)
+            u = h / float(1 << 60)
+            row = 1 if u >= t2 else 0
+            col = 1 if (t1 <= u < t2) or u >= t3 else 0
+            src = src * 2 + row
+            dst = dst * 2 + col
+        out.append((i, src, dst))
+    return out
+
+
+def test_rmat_shape_determinism_and_skew(spark):
+    g = rmat_edges(spark, scale=5, edge_factor=4, seed=3)
+    rows = sorted(tuple(r) for r in g.collect())
+    assert len(rows) == 4 * 32
+    assert all(0 <= s < 32 and 0 <= t < 32 for _, s, t in rows)
+    again = sorted(tuple(r) for r in rmat_edges(spark, scale=5, edge_factor=4, seed=3).collect())
+    assert rows == again
+    # Graph500 defaults put a+b = 0.76 of mass in the top half of the matrix
+    top = sum(1 for _, s, _t in rows if s < 16)
+    assert top > len(rows) * 0.6
+    # a different seed yields a different graph
+    other = sorted(tuple(r) for r in rmat_edges(spark, scale=5, edge_factor=4, seed=4).collect())
+    assert rows != other
+
+
+def test_rmat_matches_python_mirror_md5(spark):
+    got = sorted(
+        tuple(r)
+        for r in rmat_edges(
+            spark, scale=4, edge_factor=2, seed=7, hasher="md5_64"
+        ).collect()
+    )
+    assert got == sorted(_py_rmat(4, 2, 0.57, 0.19, 0.19, 7))
+
+
+def test_rmat_dedup_and_validation(spark):
+    raw = rmat_edges(spark, scale=4, edge_factor=8, seed=1)
+    ded = rmat_edges(spark, scale=4, edge_factor=8, seed=1, dedup=True)
+    pairs = [(r["src"], r["dst"]) for r in ded.collect()]
+    assert len(pairs) == len(set(pairs)) < raw.count()
+    for kw in (
+        {"scale": 0},
+        {"scale": 63},
+        {"scale": 4, "edge_factor": 0},
+        {"scale": 4, "a": 0.9, "b": 0.2, "c": 0.2},
+    ):
+        with pytest.raises(ValueError):
+            rmat_edges(spark, **kw)

@@ -561,3 +561,16 @@ def test_scc_rounds_are_equi_joins(spark, toy_graph):
     plan = plan_of(strongly_connected_components(nodes, edges))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_rmat_generation_is_one_shuffle_free_projection(spark):
+    """The generator must plan as a whole-stage-codegen projection over a
+    range scan — zero Exchange (graph_generators.py:rmat_edges); only the
+    optional dedup may shuffle."""
+    from cognee_graphdb_spark.operators.graph_generators import rmat_edges
+
+    plan = plan_of(rmat_edges(spark, scale=8, edge_factor=4))
+    assert "Exchange" not in plan, plan
+    # formatted mode marks codegen stages with '*' and a codegen id
+    assert "* Project" in plan and "codegen id" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
