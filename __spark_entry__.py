@@ -3195,6 +3195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         # -- window boundary (50): below here, rows stay green cumulatively --
+        # r11 window prescription: lead with the four r7 rows deferred by
+        # name from r10 (skew_report, td_mixture_plan, td_source_report,
+        # mm_image_variants — now the registry's oldest), then the eleven
+        # r10-new entries below (a2_conductance .. gen_rmat_graph — every
+        # one locally verified green on r10 code, 161/161 full-sweep), then
+        # the oldest r8-vintage rows up to 50.
+        #
         # new this round, pytest-proved, awaiting first driver window (r11):
         # gds.conductance over the same LPA labels a2_modularity scores,
         # gds.hits next to the pagerank family
