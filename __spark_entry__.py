@@ -1580,6 +1580,15 @@ def _q_gen_rmat_graph(spark, sf_dir):
     return rmat_edges(spark, scale=7, edge_factor=8, seed=5, hasher="md5_64")
 
 
+def _q_gen_uniform_graph(spark, sf_dir):
+    """Uniform G(n, m) generation (graph_generators.py:uniform_edges —
+    gds.graph.generate UNIFORM, the skew-free control next to R-MAT):
+    endpoint = md5(seed|i|side) mod n, restated verbatim in SQL."""
+    from cognee_graphdb_spark.operators.graph_generators import uniform_edges
+
+    return uniform_edges(spark, n_nodes=100, n_edges=800, seed=6, hasher="md5_64")
+
+
 def _q_cypher_gds_closeness(spark, sf_dir):
     """gds.closeness.stream through the CALL surface (exact closeness from
     the all-pairs BFS; plans/cypher.py) over the nation->region star
@@ -3218,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_pagerank": _q_cypher_gds_pagerank,
         "cypher_gds_closeness": _q_cypher_gds_closeness,
         "gen_rmat_graph": _q_gen_rmat_graph,
+        "gen_uniform_graph": _q_gen_uniform_graph,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5581,6 +5591,16 @@ SELECT CAST(i AS BIGINT) AS edge_id,
        CAST({_rm_src} AS BIGINT) AS src,
        CAST({_rm_dst} AS BIGINT) AS dst
 FROM us"""
+
+    # --- gen uniform: endpoint = md5(seed|i|side) mod n over range(800)
+    # (graph_generators.py:uniform_edges) ------------------------------------
+    _gu_s = _md5_64("CAST(i AS VARCHAR) || '|' || 's'", 6)
+    _gu_d = _md5_64("CAST(i AS VARCHAR) || '|' || 'd'", 6)
+    sql["gen_uniform_graph"] = f"""
+SELECT CAST(i AS BIGINT) AS edge_id,
+       CAST({_gu_s} % 100 AS BIGINT) AS src,
+       CAST({_gu_d} % 100 AS BIGINT) AS dst
+FROM range(800) t(i)"""
 
     # --- cypher gds closeness: structural answer over the star forest
     # (nation: reach k over total 2k-1; region: 1.0), operand order

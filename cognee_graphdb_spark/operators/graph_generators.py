@@ -96,3 +96,34 @@ def rmat_edges(
             .select("edge_id", "src", "dst")
         )
     return out
+
+
+def uniform_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    n_edges: int,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    dedup: bool = False,
+) -> DataFrame:
+    """(edge_id, src, dst): uniform random multigraph — the G(n, m)
+    Erdős–Rényi counterpart to :func:`rmat_edges` (gds.graph.generate's
+    UNIFORM distribution); the skew-free control group for benchmarking
+    skew-sensitive operators.  Endpoint k of edge i is
+    hash(seed, i, k) mod n — the same embarrassingly-parallel,
+    shuffle-free, SQL-restatable construction as R-MAT."""
+    if n_nodes < 1 or n_edges < 1:
+        raise ValueError("n_nodes and n_edges must be >= 1")
+    df = spark.range(n_edges).select(F.col("id").alias("edge_id"))
+    ends = []
+    for side in ("s", "d"):
+        key = F.concat(F.col("edge_id").cast("string"), F.lit("|"), F.lit(side))
+        ends.append(F.pmod(_hash64(key, seed, hasher), F.lit(n_nodes)).cast("long"))
+    out = df.select("edge_id", ends[0].alias("src"), ends[1].alias("dst"))
+    if dedup:
+        out = (
+            out.groupBy("src", "dst")
+            .agg(F.min("edge_id").alias("edge_id"))
+            .select("edge_id", "src", "dst")
+        )
+    return out

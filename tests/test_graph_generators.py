@@ -63,3 +63,29 @@ def test_rmat_dedup_and_validation(spark):
     ):
         with pytest.raises(ValueError):
             rmat_edges(spark, **kw)
+
+
+def test_uniform_edges_shape_determinism_and_balance(spark):
+    from cognee_graphdb_spark.operators.graph_generators import uniform_edges
+
+    g = uniform_edges(spark, n_nodes=32, n_edges=256, seed=2)
+    rows = sorted(tuple(r) for r in g.collect())
+    assert len(rows) == 256
+    assert all(0 <= s < 32 and 0 <= t < 32 for _, s, t in rows)
+    assert rows == sorted(tuple(r) for r in uniform_edges(spark, 32, 256, seed=2).collect())
+    # uniform: no half of the id space dominates the way R-MAT's top does
+    top = sum(1 for _, s, _t in rows if s < 16)
+    assert 0.35 * len(rows) < top < 0.65 * len(rows)
+    # python mirror of the md5 path, exact
+    import hashlib
+
+    def end(i, side, seed, n):
+        h = int(hashlib.md5(f"{seed}|{i}|{side}".encode()).hexdigest()[:15], 16)
+        return h % n
+
+    got = sorted(
+        tuple(r) for r in uniform_edges(spark, 16, 64, seed=9, hasher="md5_64").collect()
+    )
+    assert got == sorted((i, end(i, "s", 9, 16), end(i, "d", 9, 16)) for i in range(64))
+    with pytest.raises(ValueError):
+        uniform_edges(spark, 0, 10)
