@@ -1580,6 +1580,18 @@ def _q_gen_rmat_graph(spark, sf_dir):
     return rmat_edges(spark, scale=7, edge_factor=8, seed=5, hasher="md5_64")
 
 
+def _q_gen_ws_graph(spark, sf_dir):
+    """Watts–Strogatz small-world generation (graph_generators.py:
+    watts_strogatz_edges — the clustered third benchmark topology): ring
+    lattice with hash-decided rewiring, the whole construction restated in
+    SQL over a bare range()."""
+    from cognee_graphdb_spark.operators.graph_generators import watts_strogatz_edges
+
+    return watts_strogatz_edges(
+        spark, n_nodes=60, k=6, p=0.2, seed=8, hasher="md5_64"
+    )
+
+
 def _q_gen_uniform_graph(spark, sf_dir):
     """Uniform G(n, m) generation (graph_generators.py:uniform_edges —
     gds.graph.generate UNIFORM, the skew-free control next to R-MAT):
@@ -3228,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_closeness": _q_cypher_gds_closeness,
         "gen_rmat_graph": _q_gen_rmat_graph,
         "gen_uniform_graph": _q_gen_uniform_graph,
+        "gen_ws_graph": _q_gen_ws_graph,
         # the seven r7 rows deferred by name (rationale in the header
         # comment); they MUST lead the r11 window — oldest in the registry
         "skew_report": _q_skew_report,
@@ -5601,6 +5614,25 @@ SELECT CAST(i AS BIGINT) AS edge_id,
        CAST({_gu_s} % 100 AS BIGINT) AS src,
        CAST({_gu_d} % 100 AS BIGINT) AS dst
 FROM range(800) t(i)"""
+
+    # --- gen watts-strogatz: ring lattice (n=60, k=6) with p=0.2 rewiring,
+    # decision u = md5(seed|idx|r)/2^60, target md5(seed|idx|t) mod n,
+    # self-loop rewires keep the lattice edge
+    # (graph_generators.py:watts_strogatz_edges) ------------------------------
+    _ws_rk = "CAST(i AS VARCHAR) || '|r'"
+    _ws_tk = "CAST(i AS VARCHAR) || '|t'"
+    _ws_u = f"CAST({_md5_64(_ws_rk, 8)} AS DOUBLE) / 1152921504606846976.0"
+    _ws_t = f"{_md5_64(_ws_tk, 8)} % 60"
+    sql["gen_ws_graph"] = f"""
+WITH base AS (
+  SELECT i, i // 3 AS node, 1 + (i % 3) AS j, {_ws_u} AS u, {_ws_t} AS t
+  FROM range(180) r(i)
+)
+SELECT CAST(i AS BIGINT) AS edge_id,
+       CAST(node AS BIGINT) AS src,
+       CAST(CASE WHEN u < 0.2 AND t != node THEN t
+                 ELSE (node + j) % 60 END AS BIGINT) AS dst
+FROM base"""
 
     # --- cypher gds closeness: structural answer over the star forest
     # (nation: reach k over total 2k-1; region: 1.0), operand order

@@ -98,6 +98,61 @@ def rmat_edges(
     return out
 
 
+def watts_strogatz_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    k: int,
+    p: float = 0.1,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+    dedup: bool = False,
+) -> DataFrame:
+    """(edge_id, src, dst): Watts–Strogatz small-world graph — the third
+    benchmark topology next to :func:`rmat_edges` (skewed) and
+    :func:`uniform_edges` (flat): high clustering + short paths, the shape
+    that stresses triangle counting and community detection.
+
+    Ring lattice of ``n_nodes`` with ``k/2`` forward neighbors per node
+    (``k`` even); lattice edge j of node i rewires with probability ``p``
+    to hash(seed, idx, 't') mod n — the rewire DECISION is
+    hash(seed, idx, 'r')/2^bits < p.  A rewire that would self-loop keeps
+    its lattice target (the WS convention of forbidding self-loops, made
+    deterministic).  One shuffle-free projection over range(n·k/2), every
+    choice a pure hash function — SQL-restatable like its siblings.
+    """
+    if n_nodes < 3 or k < 2 or k % 2 or k >= n_nodes:
+        raise ValueError("need n_nodes >= 3 and even k in [2, n_nodes)")
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("p must be a probability")
+    half = k // 2
+    df = spark.range(n_nodes * half).select(F.col("id").alias("edge_id"))
+    i = F.expr(f"edge_id DIV {half}")  # exact integer division, no float hop
+    j = F.pmod(F.col("edge_id"), F.lit(half)) + F.lit(1)
+    ring_dst = F.pmod(i + j, F.lit(n_nodes))
+    rk = F.concat(F.col("edge_id").cast("string"), F.lit("|r"))
+    tk = F.concat(F.col("edge_id").cast("string"), F.lit("|t"))
+    hr = _hash64(rk, seed, hasher)
+    if hasher == "md5_64":
+        u = (hr / F.lit(float(1 << 60))).cast("double")
+    else:
+        u = (
+            F.pmod(hr, F.lit(1 << _FRACTION_BITS))
+            / F.lit(float(1 << _FRACTION_BITS))
+        ).cast("double")
+    t = F.pmod(_hash64(tk, seed, hasher), F.lit(n_nodes)).cast("long")
+    dst = F.when(
+        (u < F.lit(p)) & (t != i), t
+    ).otherwise(ring_dst.cast("long"))
+    out = df.select("edge_id", i.alias("src"), dst.alias("dst"))
+    if dedup:
+        out = (
+            out.groupBy("src", "dst")
+            .agg(F.min("edge_id").alias("edge_id"))
+            .select("edge_id", "src", "dst")
+        )
+    return out
+
+
 def uniform_edges(
     spark: SparkSession,
     n_nodes: int,

@@ -89,3 +89,43 @@ def test_uniform_edges_shape_determinism_and_balance(spark):
     assert got == sorted((i, end(i, "s", 9, 16), end(i, "d", 9, 16)) for i in range(64))
     with pytest.raises(ValueError):
         uniform_edges(spark, 0, 10)
+
+
+def test_watts_strogatz_lattice_rewiring_and_mirror(spark):
+    from cognee_graphdb_spark.operators.graph_generators import watts_strogatz_edges
+
+    # p=0: the pure ring lattice — every node has exactly k/2 out-edges to
+    # its next neighbors
+    g0 = {(r["src"], r["dst"]) for r in
+          watts_strogatz_edges(spark, n_nodes=10, k=4, p=0.0, seed=1).collect()}
+    expect = {(i, (i + j) % 10) for i in range(10) for j in (1, 2)}
+    assert g0 == expect
+    # p=1: every edge rewires (unless self-loop collision); graph differs
+    g1 = {(r["src"], r["dst"]) for r in
+          watts_strogatz_edges(spark, n_nodes=10, k=4, p=1.0, seed=1).collect()}
+    assert g1 != g0
+    assert all(s != d or True for s, d in g1)  # structure check below
+    assert not any(s == d for s, d in g1)      # no self-loops ever
+    # exact python mirror of the md5 path
+    import hashlib
+
+    def mirror(n, k, p, seed):
+        half = k // 2
+        out = []
+        for idx in range(n * half):
+            i, j = idx // half, 1 + idx % half
+            ring = (i + j) % n
+            hr = int(hashlib.md5(f"{seed}|{idx}|r".encode()).hexdigest()[:15], 16)
+            u = hr / float(1 << 60)
+            t = int(hashlib.md5(f"{seed}|{idx}|t".encode()).hexdigest()[:15], 16) % n
+            dst = t if (u < p and t != i) else ring
+            out.append((idx, i, dst))
+        return sorted(out)
+
+    got = sorted(tuple(r) for r in watts_strogatz_edges(
+        spark, n_nodes=12, k=4, p=0.3, seed=5, hasher="md5_64").collect())
+    assert got == mirror(12, 4, 0.3, 5)
+    for kw in ({"n_nodes": 2, "k": 2}, {"n_nodes": 10, "k": 3},
+               {"n_nodes": 10, "k": 10}, {"n_nodes": 10, "k": 4, "p": 1.5}):
+        with pytest.raises(ValueError):
+            watts_strogatz_edges(spark, **kw)
