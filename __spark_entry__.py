@@ -3137,101 +3137,43 @@ def _q_v6_graph_vectors(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver validates the first ~50 keys of this dict
-    # (CORRECTNESS_r02..r09 each covered exactly the first 50).  Round 10
-    # window = the r9 VERDICT's prescription: the fixed red row
-    # (a2_modularity — decimal-free contract projection), the five r9-new
-    # never-driver-proved entries, the round's new operator (a2_louvain),
-    # pq_topk (its FUNCTION was edited this round: codes-only ADC scan +
-    # join-back re-rank — results identical, plan changed, so it re-proves),
-    # then 41 of the 48 r7-vintage rows (two rounds stale, oldest in the
-    # registry).  Seven r7 rows are EXPLICITLY DEFERRED to lead the r11
-    # window (named below the boundary): skew_report / td_mixture_plan /
-    # td_source_report / mm_image_variants (diagnostics/report-shaped, the
-    # four the r9 verdict nominated), mm_llm_media_text (its loader path has
-    # an r8-green sibling row, mm_llm_media_av), tfidf_topk (ranking.py's
-    # bm25_topk stays in-window; tfidf is the same module's sibling scorer)
-    # and a3_degree_one_nodes (aggregations.py's a3_node_degrees stays
-    # in-window; degree-1 is the same module's sibling).  All seven modules
-    # are untouched since r7 (verified against the r8-r10 diffs), so the
-    # deferral is process debt, not risk.
+    # (CORRECTNESS_r02..r10 each covered exactly the first 50).  Round 11
+    # window = the r10 VERDICT's prescription verbatim: the seven r7 rows
+    # deferred by name from r10, the 13 r10-new entries (community family,
+    # CALL gds.* dialect, generator trio) getting their first driver proof,
+    # then 30 of the 45 r8-vintage rows — §2-named rows and touched-module
+    # rows first.  The REGISTRY CAPACITY POLICY the r10 verdict asked for
+    # is stated in full at the window-boundary comment inside the dict:
+    # rows in diff-untouched modules with a fresh same-module sibling may
+    # age to at most 4 rounds, and rows at that cap unconditionally lead
+    # the next window.  The fifteen rule-2 deferrals this round are named
+    # there with their per-row sibling justification.
     raw = {
-        # -- round-10 window (first 50) ---------------------------------------
-        # the r9 red row: values were verified equal, the DECIMAL serialization
-        # hash-mismatched; contract projection now BIGINT on both sides
-        "a2_modularity": _q_a2_modularity,
-        # the five r9-new entries, pytest-proved but never driver-proved
-        "a2_sssp_paths": _q_a2_sssp_paths,
-        "a2_ktruss": _q_a2_ktruss,
-        "a2_neighbor_sample": _q_a2_neighbor_sample,
-        "a2_link_prediction": _q_a2_link_prediction,
-        "textrank_keywords": _q_textrank_keywords,
-        # new this round: gds.louvain — 2 levels x 2 local-move rounds,
-        # oracle unrolls both levels including the contraction
-        "a2_louvain": _q_a2_louvain,
-        # proof-after-change: pq_topk's shortlist became codes-only this
-        # round (similarity.py edit)
-        "pq_topk": _q_pq_topk,
-        # new this round: embed_graph -> Entity_graph -> V6 lifecycle shape
-        "v6_graph_vectors": _q_v6_graph_vectors,
-        # 42 of the 48 r7-vintage rows, oldest-first (their r7 order)
-        "knn_quantized": _q_knn_quantized,
-        "mm_jpeg_progressive": _q_mm_jpeg_progressive,
-        "s2_office_text": _q_s2_office_text,
-        "graph_completion_context": _q_graph_completion_context,
-        "u7_cot_triplets": _q_u7_cot_triplets,
-        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
-        "graph_completion_e2e": _q_graph_completion_e2e,
-        "td_unigram_logprob": _q_td_unigram_logprob,
-        "td_weighted_sample": _q_td_weighted_sample,
-        "td_shuffle_shards": _q_td_shuffle_shards,
-        "td_duplicate_spans": _q_td_duplicate_spans,
-        "td_c4_line_filter": _q_td_c4_line_filter,
-        "td_quality_score": _q_td_quality_score,
-        "bm25_topk": _q_bm25_topk,
-        "s4_node_counts": _q_s4_node_counts,
-        "a3_node_degrees": _q_a3_node_degrees,
-        "j6_k_hop": _q_j6_k_hop,
-        "j5_triplet_scores": _q_j5_triplet_scores,
-        "v1_knn": _q_v1_knn,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "w2_lexical_chunks": _q_w2_lexical_chunks,
-        "a1_edge_type_frequency": _q_a1_edge_type_frequency,
-        "a4_disconnected_nodes": _q_a4_disconnected,
-        "a6_distinct_schema": _q_a6_distinct_schema,
-        "p2_attribute_filter": _q_p2_attribute_filter,
-        "p5_valid_edges": _q_p5_valid_edges,
-        "j1_neighbors": _q_j1_neighbors,
-        "j2_connections": _q_j2_connections,
-        "j3_has_edges": _q_j3_has_edges,
-        "j4_nodeset_subgraph": _q_j4_nodeset_subgraph,
-        "so3_induced_edges": _q_so3_induced_edges,
-        "j7_cascade_delete_set": _q_j7_cascade,
-        "j9_temporal_range_join": _q_j9_temporal_range,
-        "v2_batch_knn": _q_v2_batch_knn,
-        "v2_batch_knn_agg": _q_v2_batch_knn_agg,
-        "v3_minmax_normalize": _q_v3_minmax,
-        "p4_score_threshold": _q_p4_score_threshold,
-        "v4_point_lookup": _q_v4_point_lookup,
-        "v6_multi_collection_knn": _q_v6_multi_collection,
-        "so1_union_dedup": _q_so1_union_dedup,
-        "ann_lsh_topk": _q_ann_lsh,
-        # -- window boundary (50): below here, rows stay green cumulatively --
-        # r11 window prescription: lead with the four r7 rows deferred by
-        # name from r10 (skew_report, td_mixture_plan, td_source_report,
-        # mm_image_variants — now the registry's oldest), then the eleven
-        # r10-new entries below (a2_conductance .. gen_rmat_graph — every
-        # one locally verified green on r10 code, 161/161 full-sweep), then
-        # the oldest r8-vintage rows up to 50.
+        # -- round-11 window (first 50) ---------------------------------------
+        # Composition, exactly as pre-committed at the r10 boundary and
+        # prescribed by the r10 VERDICT (#1/#2/#7): the seven r7 rows
+        # deferred by name from r10 (now the registry's oldest), the 13
+        # r10-new entries awaiting their first driver proof, then 30 of the
+        # 45 r8-vintage rows chosen §2-surface-first.
         #
-        # new this round, pytest-proved, awaiting first driver window (r11):
-        # gds.conductance over the same LPA labels a2_modularity scores,
-        # gds.hits next to the pagerank family
+        # the seven deferred r7 rows (4 diagnostics-shaped + 3 module
+        # siblings; all seven modules verified diff-untouched since r7)
+        "skew_report": _q_skew_report,
+        "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
+        "mm_image_variants": _q_mm_image_variants,
+        "mm_llm_media_text": _q_mm_llm_media_text,
+        "tfidf_topk": _q_tfidf_topk,
+        "a3_degree_one_nodes": _q_a3_degree_one,
+        # the 13 r10-new entries, sweep-green on r10 code, first driver proof:
+        # community family (leiden/hits/conductance/scc), the reference's
+        # four gds.* metric queries VERBATIM through the Cypher CALL surface
+        # (neo4j_metrics_utils.py:60,92,152,184), and the zero-shuffle
+        # benchmark-graph generator trio
         "a2_conductance": _q_a2_conductance,
         "a2_hits": _q_a2_hits,
         "a2_leiden": _q_a2_leiden,
         "a2_scc": _q_a2_scc,
-        # the reference's four gds.* metric queries VERBATIM through the
-        # Cypher CALL surface (neo4j_metrics_utils.py:60,92,152,184)
         "cypher_gds_wcc_sizes": _q_cypher_gds_wcc_sizes,
         "cypher_gds_wcc_stats": _q_cypher_gds_wcc_stats,
         "cypher_gds_apsp": _q_cypher_gds_apsp,
@@ -3241,53 +3183,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_rmat_graph": _q_gen_rmat_graph,
         "gen_uniform_graph": _q_gen_uniform_graph,
         "gen_ws_graph": _q_gen_ws_graph,
-        # the seven r7 rows deferred by name (rationale in the header
-        # comment); they MUST lead the r11 window — oldest in the registry
-        "skew_report": _q_skew_report,
-        "td_mixture_plan": _q_td_mixture_plan,
-        "td_source_report": _q_td_source_report,
-        "mm_image_variants": _q_mm_image_variants,
-        "mm_llm_media_text": _q_mm_llm_media_text,
-        "tfidf_topk": _q_tfidf_topk,
-        "a3_degree_one_nodes": _q_a3_degree_one,
-        # the r8-validated rows (next-oldest after the deferred six)
-        "a2_incremental_components": _q_a2_incremental_components,
+        # 30 of the 45 r8-vintage rows.  Selection rule (registry capacity
+        # policy, below): §2-named rows first (A5/A7/W1/W3/W4, F1-F10, P6 —
+        # the r10 VERDICT #7 list), then every r8 row whose module was
+        # diff-TOUCHED since its r8 proof (graph_metrics.py grew the
+        # community/SCC family in r9-r10, so all eleven a2_* r8 rows
+        # re-prove here), then untouched-module rows oldest-first
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "f1_f4_chunking": _q_chunking,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f7_calendar_fields": _q_f7_calendar,
+        "f10_title_synthesis": _q_f10_title,
+        "p6_json_extract": _q_p6_json_extract,
+        # the eleven a2_* r8 rows — graph_metrics.py was touched in r9/r10
+        # (community family appended), so the extended staleness cap does
+        # NOT apply to them and they re-prove now
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
         "a2_random_walks": _q_a2_random_walks,
         "a2_walk_skipgrams": _q_a2_walk_skipgrams,
         "a2_harmonic_closeness": _q_a2_harmonic_closeness,
         "a2_shortest_path_counts": _q_a2_shortest_path_counts,
         "a2_betweenness": _q_a2_betweenness,
         "a2_node2vec_walks": _q_a2_node2vec_walks,
+        "a2_incremental_components": _q_a2_incremental_components,
         "a2_label_propagation": _q_a2_label_propagation,
         "a2_node_similarity": _q_a2_node_similarity,
         "a2_hyperanf": _q_a2_hyperanf,
-        "mm_llm_media_av": _q_mm_llm_media_av,
-        "dedup_exact": _q_dedup_exact,
+        # untouched-module r8 rows with §2 / LLM-pipeline-table standing
+        # (SO2 jaccard, simhash, embedding-LSH near-dup, quality, lang-id,
+        # fingerprint, BPE tokens)
         "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
-        "term_cooccurrence": _q_term_cooccurrence,
+        "bpe_token_counts": _q_bpe_token_counts,
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        #
+        # REGISTRY CAPACITY POLICY (adopted r11 per the r10 VERDICT #1: 163
+        # entries no longer fit 3 windows x 50 slots, so rotation alone
+        # cannot keep every row <=2 rounds fresh):
+        #   1. Window priority each round: (i) red rows and proof-after-
+        #      change rows (any row whose implementing module was diff-
+        #      touched since its last green proof), (ii) never-driver-proved
+        #      new rows, (iii) oldest rows, §2-mapped before diagnostics-
+        #      shaped at equal age.
+        #   2. Extended staleness cap: a row may age to AT MOST 4 rounds
+        #      since its last green driver proof PROVIDED (a) its
+        #      implementing module is diff-untouched since that proof
+        #      (verified against the round diffs) AND (b) a same-module
+        #      sibling row is green in a window no older than the previous
+        #      round.  Rows failing either condition stay on the <=2-round
+        #      schedule and must enter the next window.
+        #   3. Rows at the 4-round cap unconditionally lead the next window
+        #      (no further deferral, whatever their module diff status).
+        #
+        # The fifteen r8-vintage rows below are the rule-2 deferrals this
+        # round (age 3 after r11; they MUST lead the r12 window by rule 3).
+        # Every one lives in a module untouched since r8 — dedup.py,
+        # text_analysis.py / functions/text.py, training_data.py,
+        # multimodal.py + sources/{media,container}.py (verified against
+        # the r9/r10 diffs) — and every one has a same-module sibling green
+        # in the r10 or r11 window: dedup_* -> dedup_minhash_lsh (r10) +
+        # dedup_jaccard_pairs/simhash/embedding_lsh (r11); token/cooc ->
+        # bpe_token_counts + language_id/quality_features (r11);
+        # td_pack_sequences -> six td_* rows (r10); mm_* decode/resize ->
+        # mm_jpeg_progressive (r10) + mm_image_variants/mm_llm_media_text
+        # (r11)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding_exact": _q_dedup_embedding,
         "dedup_fuzzy_names": _q_dedup_fuzzy_names,
         "dedup_entity_resolution": _q_dedup_entity_resolution,
         "token_counts": _q_token_counts,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "a5_top_words": _q_a5_top_words,
-        "a7_token_f1": _q_a7_token_f1,
-        "f4_unicode_tokens": _q_f4_unicode_tokens,
-        "f5_content_id": _q_f5_content_id,
-        "f6_normalize_name": _q_f6_normalize,
-        "f10_title_synthesis": _q_f10_title,
-        "f7_calendar_fields": _q_f7_calendar,
-        "p6_json_extract": _q_p6_json_extract,
-        "w4_last_k_interactions": _q_w4_last_k,
-        "w1_topk_smallest": _q_w1_topk_smallest,
-        "w3_null_inf_sort": _q_w3_null_inf_sort,
-        "f1_f4_chunking": _q_chunking,
+        "term_cooccurrence": _q_term_cooccurrence,
         "td_pack_sequences": _q_td_pack_sequences,
         "mm_wav_decode": _q_mm_wav_decode,
         "mm_bmp_resize": _q_mm_bmp_resize,
@@ -3295,10 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_resize": _q_mm_gif_resize,
         "mm_jpeg_resize": _q_mm_jpeg_resize,
         "mm_media_info": _q_mm_media_info,
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        # the r9-validated rows (freshest proofs in the registry): the r9
-        # window's new entries + mandated re-proofs + the full r6-vintage
-        # block it rotated through
+        "mm_llm_media_av": _q_mm_llm_media_av,
+        # the r9-validated rows (proofs 2 rounds old after r11; the oldest
+        # of these fill what the r12 window has left after the fifteen
+        # capped rows above and any r11-new entries)
         "pq_codes": _q_pq_codes,
         "a2_node_embeddings": _q_a2_node_embeddings,
         "a2_weighted_sssp": _q_a2_weighted_sssp,
@@ -3347,6 +3323,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_corpus_stats": _q_td_corpus_stats,
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
+        # the r10-validated rows (freshest driver proofs in the registry)
+        "a2_modularity": _q_a2_modularity,
+        "a2_sssp_paths": _q_a2_sssp_paths,
+        "a2_ktruss": _q_a2_ktruss,
+        "a2_neighbor_sample": _q_a2_neighbor_sample,
+        "a2_link_prediction": _q_a2_link_prediction,
+        "textrank_keywords": _q_textrank_keywords,
+        "a2_louvain": _q_a2_louvain,
+        "pq_topk": _q_pq_topk,
+        "v6_graph_vectors": _q_v6_graph_vectors,
+        "knn_quantized": _q_knn_quantized,
+        "mm_jpeg_progressive": _q_mm_jpeg_progressive,
+        "s2_office_text": _q_s2_office_text,
+        "graph_completion_context": _q_graph_completion_context,
+        "u7_cot_triplets": _q_u7_cot_triplets,
+        "u8_context_extension_triplets": _q_u8_context_extension_triplets,
+        "graph_completion_e2e": _q_graph_completion_e2e,
+        "td_unigram_logprob": _q_td_unigram_logprob,
+        "td_weighted_sample": _q_td_weighted_sample,
+        "td_shuffle_shards": _q_td_shuffle_shards,
+        "td_duplicate_spans": _q_td_duplicate_spans,
+        "td_c4_line_filter": _q_td_c4_line_filter,
+        "td_quality_score": _q_td_quality_score,
+        "bm25_topk": _q_bm25_topk,
+        "s4_node_counts": _q_s4_node_counts,
+        "a3_node_degrees": _q_a3_node_degrees,
+        "j6_k_hop": _q_j6_k_hop,
+        "j5_triplet_scores": _q_j5_triplet_scores,
+        "v1_knn": _q_v1_knn,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "w2_lexical_chunks": _q_w2_lexical_chunks,
+        "a1_edge_type_frequency": _q_a1_edge_type_frequency,
+        "a4_disconnected_nodes": _q_a4_disconnected,
+        "a6_distinct_schema": _q_a6_distinct_schema,
+        "p2_attribute_filter": _q_p2_attribute_filter,
+        "p5_valid_edges": _q_p5_valid_edges,
+        "j1_neighbors": _q_j1_neighbors,
+        "j2_connections": _q_j2_connections,
+        "j3_has_edges": _q_j3_has_edges,
+        "j4_nodeset_subgraph": _q_j4_nodeset_subgraph,
+        "so3_induced_edges": _q_so3_induced_edges,
+        "j7_cascade_delete_set": _q_j7_cascade,
+        "j9_temporal_range_join": _q_j9_temporal_range,
+        "v2_batch_knn": _q_v2_batch_knn,
+        "v2_batch_knn_agg": _q_v2_batch_knn_agg,
+        "v3_minmax_normalize": _q_v3_minmax,
+        "p4_score_threshold": _q_p4_score_threshold,
+        "v4_point_lookup": _q_v4_point_lookup,
+        "v6_multi_collection_knn": _q_v6_multi_collection,
+        "so1_union_dedup": _q_so1_union_dedup,
+        "ann_lsh_topk": _q_ann_lsh,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
