@@ -1701,6 +1701,35 @@ _GDS_CALL_RE = re.compile(
 # ignored: the projection IS the (nodes, edges) pair run_cypher was given.
 _GDS_AGG_FNS = ("count", "sum", "avg", "min", "max", "collect")
 
+# gds.allShortestPaths.stream and gds.closeness.stream are EXACT all-pairs:
+# O(n * reachable) distance state by definition, fine on KG-sized graphs but
+# a runaway job on a 100x one — and the CALL surface is user-facing through
+# HTTP/MCP, so the guard must be structural, not documentary (same
+# fail-loudly discipline as weighted_sssp's on_truncation="raise").  Above
+# the node budget the CALL refuses, naming the sampled alternative and the
+# explicit opt-in conf.
+_EXACT_ALL_PAIRS_NODE_BUDGET = 50_000
+_EXACT_ALL_PAIRS_OPT_IN = "spark.cognee.gds.allowExactAllPairs"
+
+
+class GdsScaleGuard(RuntimeError):
+    """An exact all-pairs CALL procedure refused above the node budget."""
+
+
+def _guard_exact_all_pairs(spark, nodes: DataFrame, proc: str, approx: str) -> None:
+    opt_in = str(spark.conf.get(_EXACT_ALL_PAIRS_OPT_IN, "false")).lower()
+    if opt_in == "true":
+        return
+    n = nodes.select("id").distinct().count()
+    if n > _EXACT_ALL_PAIRS_NODE_BUDGET:
+        raise GdsScaleGuard(
+            f"CALL gds.{proc} is exact all-pairs (O(n*reachable) state) and "
+            f"the projection has {n} nodes > budget "
+            f"{_EXACT_ALL_PAIRS_NODE_BUDGET}.  Use the sampled scale path "
+            f"({approx}) or opt in explicitly with "
+            f"spark.conf.set('{_EXACT_ALL_PAIRS_OPT_IN}', 'true')."
+        )
+
 
 def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -1729,6 +1758,10 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         # surface exists for reference parity on KG-sized graphs.
         # unit weights as LONG so distances serialize as int64 — the
         # contract hash is type-sensitive, and the oracle emits BIGINT
+        _guard_exact_all_pairs(
+            spark, nodes, "allShortestPaths.stream",
+            "graph_metrics.approx_path_metrics",
+        )
         unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
         d = weighted_sssp(
             unit, nodes.select("id"), max_hops=64, directed=False,
@@ -1828,6 +1861,10 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         # score(v) = (reachable-1) / sum(d) — 0 for isolated nodes (the GDS
         # convention).  Exact all-pairs by definition; the sampled scale
         # path is approx_harmonic_closeness.
+        _guard_exact_all_pairs(
+            spark, nodes, "closeness.stream",
+            "graph_metrics.approx_harmonic_closeness",
+        )
         unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
         d = weighted_sssp(
             unit, nodes.select("id"), max_hops=64, directed=False,

@@ -1333,3 +1333,50 @@ def test_gds_call_config_map_and_yield_only_shapes_are_named_errors(spark, gds_g
         )
     with pytest.raises(CypherUnsupported, match="YIELD cols RETURN"):
         rows(spark, gds_graph, "CALL gds.wcc.stream('g') YIELD nodeId, componentId")
+
+
+def test_gds_exact_all_pairs_scale_guard_refuses_and_opts_in(spark):
+    """allShortestPaths/closeness are exact all-pairs (O(n*reachable) state);
+    above the node budget the CALL must refuse with the sampled alternative
+    named, and the documented conf opt-in must restore the exact path — the
+    structural guard the r10 review asked for (these procedures are
+    user-reachable through HTTP/MCP, so a doc note alone is not a guard)."""
+    from cognee_graphdb_spark.plans.cypher import (
+        _EXACT_ALL_PAIRS_NODE_BUDGET,
+        _EXACT_ALL_PAIRS_OPT_IN,
+        GdsScaleGuard,
+    )
+
+    big_nodes = spark.range(_EXACT_ALL_PAIRS_NODE_BUDGET + 1).selectExpr(
+        "cast(id as string) AS id",
+        "cast(id as string) AS name",
+        "'Entity' AS type",
+        "cast(map() as map<string,string>) AS properties",
+    )
+    no_edges = spark.createDataFrame(
+        [], "src string, dst string, relationship_name string"
+    )
+    for proc, approx in [
+        ("allShortestPaths", "approx_path_metrics"),
+        ("closeness", "approx_harmonic_closeness"),
+    ]:
+        with pytest.raises(GdsScaleGuard, match=approx):
+            run_cypher(
+                spark, big_nodes, no_edges,
+                f"CALL gds.{proc}.stream('g') YIELD nodeId, score "
+                "RETURN nodeId, score"
+                if proc == "closeness"
+                else f"CALL gds.{proc}.stream('g') YIELD distance RETURN distance",
+            ).collect()
+    # the error names the opt-in conf; setting it restores the exact path
+    spark.conf.set(_EXACT_ALL_PAIRS_OPT_IN, "true")
+    try:
+        out = run_cypher(
+            spark, big_nodes, no_edges,
+            "CALL gds.closeness.stream('g') YIELD nodeId, score "
+            "RETURN nodeId, score",
+        )
+        assert out.filter("score != 0.0").count() == 0  # all isolated
+        assert out.count() == _EXACT_ALL_PAIRS_NODE_BUDGET + 1
+    finally:
+        spark.conf.unset(_EXACT_ALL_PAIRS_OPT_IN)
