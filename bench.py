@@ -40,7 +40,23 @@ from cognee_graphdb_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _xl_enabled() -> bool:
+    """XL scale probe gate: a generated R-MAT graph ~15x the sf0.1 FK graph,
+    so iterative-operator regressions show up where sf0.1's fixed-cost-
+    dominated times cannot (the r10 hand-run, SCALE.md §r10, made
+    recurring).  ON by default for the per-round sf0.1 run; OFF for quick
+    sf0.01/sf0.001 iteration loops unless SPARK_GRAFT_BENCH_XL=1 asks."""
+    flag = os.environ.get("SPARK_GRAFT_BENCH_XL")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    return "sf0.1" in SF_DIR
+
+
 def main() -> None:
+    if _xl_enabled():
+        # scale-16 louvain/leiden need driver heap for the local-mode
+        # shuffle bookkeeping; only effective if the JVM starts here
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -122,6 +138,10 @@ def main() -> None:
     timings = {k: min(p[k] for p in passes) for k in passes[0]}
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    # XL scale probe AFTER the passes so the comparable suite numbers are
+    # unaffected; single-shot (these steps are minutes-scale, and the
+    # round-over-round trend in SCALE.md is the regression detector)
+    xl = _run_xl(spark) if _xl_enabled() else None
     print(
         json.dumps(
             {
@@ -146,6 +166,10 @@ def main() -> None:
                 "suite_passes": suite_passes,
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
                 "queries_passes": passes,
+                # generated-graph scale probe (~15x the sf0.1 FK graph);
+                # xl_queries are SEPARATE from "queries" so the comparable
+                # per-query history stays aligned across rounds
+                "xl": xl,
             }
         )
     )
@@ -165,10 +189,77 @@ def main() -> None:
                 "calibration_io": calibration_io,
                 "suite_passes": suite_passes,
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
+                "xl_total": None if xl is None else xl["total"],
+                "xl_scale": None if xl is None else xl["scale"],
             }
         )
     )
     spark.stop()
+
+
+def _run_xl(spark) -> dict:
+    """Recurring XL probe (r10 VERDICT #4): generate a scale-S R-MAT graph
+    once (deduped; S from SPARK_GRAFT_BENCH_XL_SCALE, default 16 ≈ 950k
+    edges / 47k nodes), then time the iterative graph operators on it —
+    cc / 10-iter pagerank / 2x2 louvain / 2x2 leiden.  At sf0.1 those
+    operators are fixed-cost-per-round dominated; this graph is ~15x the
+    edges, so a per-EDGE cost regression (a new shuffle in the per-round
+    join, lineage growth, a skew blowup) moves these numbers first."""
+    from cognee_graphdb_spark.operators.graph_generators import rmat_edges
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        connected_components,
+        leiden,
+        louvain,
+        pagerank,
+    )
+
+    scale = int(os.environ.get("SPARK_GRAFT_BENCH_XL_SCALE", "16"))
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    edges = (
+        rmat_edges(spark, scale=scale, edge_factor=16, seed=7, dedup=True)
+        .select("src", "dst", F.lit("rmat").alias("relationship_name"))
+        .cache()
+    )
+    n_edges = edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    timings["xl_generate_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    connected_components(nodes, edges).groupBy("component").count().count()
+    timings["xl_connected_components"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pagerank(nodes, edges, n_iter=10, edges_within_nodes=True).agg(
+        F.sum("rank")
+    ).collect()
+    timings["xl_pagerank_10iter"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    louvain(nodes, edges, n_levels=2, n_rounds=2).select("label").distinct().count()
+    timings["xl_louvain_2x2"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    leiden(nodes, edges, n_levels=2, n_rounds=2).select("label").distinct().count()
+    timings["xl_leiden_2x2"] = round(time.perf_counter() - t0, 3)
+
+    edges.unpersist(blocking=True)
+    nodes.unpersist(blocking=True)
+    return {
+        "scale": scale,
+        "edge_factor": 16,
+        "edges": n_edges,
+        "nodes": n_nodes,
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+    }
 
 
 def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
