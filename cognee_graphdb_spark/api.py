@@ -545,6 +545,56 @@ class CogneeSpark:
             }
         return out
 
+    def refresh_pagerank(
+        self,
+        since: dict | None = None,
+        damping: float = 0.85,
+        n_iter: int = 50,
+        tol: float = 1e-9,
+    ) -> DataFrame:
+        """(id, rank): always-current PageRank over the stored graph,
+        maintained INCREMENTALLY from the store's own evolution pointer —
+        the composition of :meth:`snapshot`/:meth:`diff_since` with
+        ``streaming/pagerank.py``'s warm-started maintenance: only the edge
+        DELTA since the last refresh enters the batch, and the solve
+        warm-starts from the previous ranks, so the per-refresh round count
+        tracks the size of the change, not the graph's mixing time.
+
+        ``since`` optionally names a :meth:`snapshot` pin to diff against
+        (the MVCC evolution pointer); without it the delta is computed
+        against the maintenance state's own edge ledger — equivalent, and
+        immune to a vacuumed pin.  Edge REMOVALS (delete/prune) can't fold
+        into a union ledger, so they trigger an automatic cold rebuild
+        (detected by an anti-join probe, state reset, full re-solve) —
+        fail-safe, never silently stale."""
+        import shutil
+
+        from cognee_graphdb_spark.streaming.pagerank import pagerank_batch
+        from cognee_graphdb_spark.streaming.state import read_state
+
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        cur = edges.select("src", "dst").distinct()
+        state_path = os.path.join(self.store.root, "_streaming", "pagerank")
+        ledger = read_state(self.spark, os.path.join(state_path, "edges"))
+        batch = cur
+        if ledger is not None:
+            removed = ledger.join(cur, ["src", "dst"], "left_anti")
+            if removed.limit(1).count() > 0:
+                shutil.rmtree(state_path, ignore_errors=True)  # cold rebuild
+            else:
+                old = None
+                if since is not None:
+                    old = self.store.load_snapshot("edges", since.get("edges"))
+                base = (
+                    old.select("src", "dst").distinct() if old is not None else ledger
+                )
+                batch = cur.join(base, ["src", "dst"], "left_anti")
+        return pagerank_batch(
+            batch, state_path, damping=damping, n_iter=n_iter, tol=tol
+        )
+
     def community_quality(
         self, labels: DataFrame | None = None, algorithm: str = "louvain"
     ) -> DataFrame:
@@ -586,6 +636,57 @@ class CogneeSpark:
         if nodes is None or edges is None:
             raise RuntimeError("No data found in the system, please add data first.")
         return strongly_connected_components(nodes, edges)
+
+    def centrality(self, algorithm: str = "pagerank", **params) -> DataFrame:
+        """Centrality family over the stored graph — the GDS centralities
+        the reference reaches through its metric surface (cognee reference
+        neo4j_driver/neo4j_metrics_utils.py), as a verb next to
+        :meth:`communities` / :meth:`strongly_connected`:
+
+        - ``"pagerank"`` → (id, rank) (gds.pageRank,
+          operators/graph_metrics.py:pagerank)
+        - ``"hits"`` → (id, hub, authority) (gds.hits, :func:`hits` —
+          previously CALL-only; the hub/authority split the memory graph's
+          curated-hub vs pointed-at-entity roles need)
+        - ``"harmonic"`` → (id, h_scaled, closeness) (sampled HyperANF
+          harmonic closeness, :func:`approx_harmonic_closeness` — the
+          100 TB-honest closeness; the exact all-pairs variant lives only
+          behind the CALL surface's scale guard)
+        - ``"betweenness"`` → (node, betweenness) (source-sampled Brandes,
+          :func:`betweenness_sampled`; ``n_sources`` picks the
+          deterministic lowest-hash sample, default 16)
+
+        Extra ``params`` forward to the operator (``n_iter``, ``damping``,
+        ``n_rounds``, ``max_hops``, ...)."""
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            approx_harmonic_closeness,
+            betweenness_sampled,
+            hits,
+            pagerank,
+        )
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        algo = algorithm.lower()
+        if algo == "pagerank":
+            return pagerank(nodes.select("id"), edges, **params)
+        if algo == "hits":
+            return hits(nodes, edges, **params)
+        if algo == "harmonic":
+            return approx_harmonic_closeness(nodes, edges, **params)
+        if algo == "betweenness":
+            n_sources = int(params.pop("n_sources", 16))
+            sources = (
+                nodes.select("id")
+                .orderBy(F.xxhash64("id"), "id")
+                .limit(n_sources)
+            )
+            return betweenness_sampled(edges, sources, **params)
+        raise ValueError(
+            f"unsupported centrality algorithm {algorithm!r} "
+            "(pagerank, hits, harmonic, betweenness)"
+        )
 
     def communities(
         self,

@@ -120,6 +120,23 @@ _TOOLS: list[dict] = [
         "(reference cognee-mcp cognify_status).",
         "inputSchema": {"type": "object", "properties": {}},
     },
+    {
+        "name": "centrality",
+        "description": "Centrality scores over the memory graph: pagerank, "
+        "hits (hub/authority), harmonic (sampled closeness) or betweenness "
+        "(the GDS centrality family the reference reaches through its "
+        "metric surface).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"algorithm": {"type": "string"}},
+        },
+    },
+    {
+        "name": "strongly_connected",
+        "description": "Strongly connected components of the directed "
+        "memory graph (gds.scc).",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
 ]
 
 
@@ -215,6 +232,12 @@ class McpServer:
         if name == "cognify_status":
             status = eng.dataset_status()
             return _text_result(json.dumps(status, default=str))
+        if name == "centrality":
+            return _text_result(
+                _df_text(eng.centrality(args.get("algorithm", "pagerank")))
+            )
+        if name == "strongly_connected":
+            return _text_result(_df_text(eng.strongly_connected()))
         raise ValueError(f"unknown tool {name!r}")
 
     # ------------------------------------------------------------ transport

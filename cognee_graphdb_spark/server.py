@@ -19,6 +19,10 @@ without adding a web framework to the image:
     POST /api/v1/update     {"name", "text"}            -> {"updated": n}
     POST /api/v1/prune      {}                          -> {"status": "pruned"}
     GET  /api/v1/visualize                              -> text/html
+    POST /api/v1/centrality {"algorithm"?, ...params}   -> rows (pagerank |
+                             hits | harmonic | betweenness; CogneeSpark
+                             .centrality — gds.hits reachable as a product)
+    GET  /api/v1/scc                                    -> rows (id, label)
     GET  /health                                        -> {"status": "ok"}
 
 Payload keys are accepted in snake_case or camelCase (the reference's DTO
@@ -174,6 +178,12 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, {"status": "pruned"})
         if method == "GET" and path == "/api/v1/visualize":
             return self._send(200, eng.visualize(None), content_type="text/html")
+        if method == "POST" and path == "/api/v1/centrality":
+            p = self._payload()
+            algo = p.pop("algorithm", "pagerank")
+            return self._send(200, _rows(eng.centrality(algo, **p)))
+        if method == "GET" and path == "/api/v1/scc":
+            return self._send(200, _rows(eng.strongly_connected()))
         return self._send(404, {"error": f"no route {method} {path}"})
 
     def do_GET(self):

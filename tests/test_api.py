@@ -363,6 +363,26 @@ def test_strongly_connected_api_surface(engine):
     assert labels.select("id").distinct().count() == n_nodes
 
 
+def test_centrality_api_surface(engine):
+    """The GDS centrality family reachable through the user API: pagerank,
+    hits (previously CALL-only — the r10 review item), sampled harmonic
+    closeness, and source-sampled betweenness; unknown algorithm names the
+    valid choices."""
+    n_nodes = engine.store.load("nodes").select("id").distinct().count()
+    pr = engine.centrality()  # default pagerank
+    assert set(pr.columns) == {"id", "rank"}
+    assert pr.count() == n_nodes
+    ha = engine.centrality("hits")
+    assert set(ha.columns) == {"id", "hub", "authority"}
+    assert ha.count() == n_nodes
+    harm = engine.centrality("harmonic", n_rounds=2)
+    assert {"id", "closeness"} <= set(harm.columns)
+    bt = engine.centrality("betweenness", n_sources=4, max_hops=3)
+    assert set(bt.columns) == {"node", "betweenness"}
+    with pytest.raises(ValueError, match="pagerank, hits, harmonic"):
+        engine.centrality("nope")
+
+
 def test_community_quality_api_surface(engine):
     """Modularity contributions and conductance, joined per community, for
     any clustering of the stored graph."""
@@ -375,6 +395,49 @@ def test_community_quality_api_surface(engine):
     # internal counts within-community ordered pairs = sym_within
     assert all(r["internal"] == r["sym_within"] for r in rows)
     assert all(0 <= r["conductance_ppm"] <= 1_000_000 for r in rows)
+
+
+def test_refresh_pagerank_incremental_lifecycle(spark, tmp_path):
+    """The r10 stretch composition: snapshot/diff_since's evolution pointer
+    drives streaming-PageRank warm starts.  upsert -> refresh (cold) ->
+    cognify more -> refresh(since=pin) folds only the edge delta and matches
+    a cold solve within tol; a delete triggers the automatic cold rebuild
+    and still matches."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    e = CogneeSpark(spark, str(tmp_path / "prmaint"))
+    e.add(ITEMS[:1])
+    e.cognify()
+    r1 = e.refresh_pagerank()
+    assert set(r1.columns) == {"id", "rank"}
+
+    def cold(engine):
+        edges = engine.store.load("edges").select("src", "dst").distinct()
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return pagerank(
+            nodes, edges, n_iter=50, tol=1e-9,
+            ids_distinct=True, edges_within_nodes=True,
+        )
+
+    pin = e.snapshot()
+    e.add(ITEMS[1:2])
+    e.cognify()
+    assert e.diff_since(pin)["edges"]["added"] > 0  # the pointer moved
+    warm = {r["id"]: r["rank"] for r in e.refresh_pagerank(since=pin).collect()}
+    ref = {r["id"]: r["rank"] for r in cold(e).collect()}
+    assert set(warm) == set(ref)
+    assert all(abs(warm[k] - ref[k]) < 1e-6 for k in ref)
+
+    # deletion -> union ledger can't express it -> automatic cold rebuild
+    e.delete("spark.txt", mode="hard")
+    rebuilt = {r["id"]: r["rank"] for r in e.refresh_pagerank().collect()}
+    ref2 = {r["id"]: r["rank"] for r in cold(e).collect()}
+    assert set(rebuilt) == set(ref2)
+    assert all(abs(rebuilt[k] - ref2[k]) < 1e-6 for k in ref2)
 
 
 def test_snapshot_diff_tracks_graph_evolution(spark, tmp_path):

@@ -39,7 +39,7 @@ def test_initialize_and_tool_listing(mcp):
     names = {t["name"] for t in rpc(mcp, "tools/list")["result"]["tools"]}
     assert names == {"cognify", "codify", "search", "save_interaction",
                      "get_developer_rules", "list_data", "delete", "prune",
-                     "cognify_status"}
+                     "cognify_status", "centrality", "strongly_connected"}
     err = rpc(mcp, "nope/method")
     assert err["error"]["code"] == -32601
 
@@ -61,6 +61,17 @@ def test_cognify_search_status_lifecycle(mcp):
     assert status  # the pipeline-run ledger has entries
     listed = json.loads(tool(mcp, "list_data"))
     assert len(listed) >= 1
+
+
+def test_centrality_and_scc_tools(mcp):
+    """gds.hits and gds.scc reachable as MCP tools (the r10 review asked for
+    the serving route, not just the CALL dialect)."""
+    hits_text = tool(mcp, "centrality", {"algorithm": "hits"})
+    assert "hub" in hits_text and "authority" in hits_text
+    pr_text = tool(mcp, "centrality")  # default algorithm = pagerank
+    assert "rank" in pr_text
+    scc_text = tool(mcp, "strongly_connected")
+    assert "label" in scc_text
 
 
 def test_codify_then_code_search(mcp, tmp_path):

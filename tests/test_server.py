@@ -68,6 +68,27 @@ def test_add_cognify_search_lifecycle(srv):
     assert status == 200 and "<html" in html.lower()
 
 
+def test_centrality_and_scc_routes(srv):
+    """gds.hits and gds.scc reachable over HTTP (runs after the lifecycle
+    test so the module-scoped store has a graph; before the prune test)."""
+    status, rows = call(srv, "POST", "/api/v1/centrality", {"algorithm": "hits"})
+    assert status == 200 and rows
+    assert {"id", "hub", "authority"} <= set(rows[0])
+    status, rows = call(srv, "POST", "/api/v1/centrality", {})
+    assert status == 200 and rows and "rank" in rows[0]
+    status, rows = call(srv, "GET", "/api/v1/scc")
+    assert status == 200 and rows and {"id", "label"} <= set(rows[0])
+    # unknown algorithm -> 400 naming the choices (ValueError mapping)
+    req = urllib.request.Request(
+        srv + "/api/v1/centrality", method="POST",
+        data=json.dumps({"algorithm": "nope"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
 def test_update_delete_prune_and_errors(srv):
     status, body = call(srv, "POST", "/api/v1/update", {
         "name": "b.txt", "text": "DuckDB also reads parquet files directly.",
