@@ -38,6 +38,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _WORDS = re.compile(r"[a-z]+")
 
+# graph-render scaffolding tokens, excluded wherever the double extracts
+# content words from a rendered context: __node_content_start__ tokenizes
+# to node/content/start, and every node block emits one of each, so an
+# unexcluded scaffolding token grows linearly with the retrieved node count
+# and drowns real content words
+_SCAFFOLD = {
+    "relates", "answer", "using", "question", "context", "follow",
+    "entity", "contains", "content", "start", "nodes", "connections",
+    "unnamed",
+}
+
 
 def _freq_words(text: str, n: int, min_len: int = 5) -> list[str]:
     counts: Counter = Counter()
@@ -108,8 +119,16 @@ class DeterministicOpenAIHandler(BaseHTTPRequestHandler):
         if "Split the code query" in prompt:
             return json.dumps({"files": [], "terms": []})
         if "ask ONE follow-up question" in prompt:
-            # deterministic follow-up: re-ask about the dominant term
-            terms = _freq_words(prompt, 1)
+            # deterministic follow-up: re-ask about the dominant CONTEXT
+            # term that is NOT part of the original question — a follow-up
+            # that parrots the question's own words retrieves the same
+            # subgraph again and the CoT loop degenerates into a no-op.
+            # Same extractive philosophy as the answer path below: question
+            # echo and render scaffolding excluded.
+            q = re.search(r"'([^']*)'", prompt)
+            exclude = set(_WORDS.findall(q.group(1).lower())) if q else set()
+            exclude |= _SCAFFOLD | {"given"}
+            terms = [w for w in _freq_words(prompt, 12) if w not in exclude]
             return f"what else about {terms[0] if terms else 'it'}?"
         # plain completion (GRAPH_COMPLETION / COT / RAG answer generation):
         # extractive top-2 frequent long words of the RETRIEVED CONTEXT —
@@ -118,10 +137,7 @@ class DeterministicOpenAIHandler(BaseHTTPRequestHandler):
         # so multiword answers have a canonical order
         q = re.search(r"'([^']*)'", prompt)
         exclude = set(_WORDS.findall(q.group(1).lower())) if q else set()
-        exclude |= {
-            "relates", "answer", "using", "question", "context", "follow",
-            "entity", "contains", "content",  # graph-render scaffolding
-        }
+        exclude |= _SCAFFOLD
         counts: Counter = Counter(
             w for w in _WORDS.findall(prompt.lower()) if len(w) >= 5 and w not in exclude
         )
@@ -162,17 +178,36 @@ PAIRS = [
     ("Who invented the telephone?", "alexander graham bell"),
 ]
 
-# 24-item corpus matching the reference protocol's sample size (its
+# 24-question corpus matching the reference protocol's sample size (its
 # evals/README.md runs a 24-question HotpotQA subset) so EM/F1/judge move in
-# 1/24 quanta instead of thirds.  Construction rule per topic (a, b, verb,
-# verb2, place): the doc mentions its two key terms TWICE and its verb/place
-# once, the question mentions ONLY the verb and the place — so retrieval has
-# distinctive non-gold tokens to embed-match on, and the answer double (which
-# EXCLUDES question-echo words) extracts the two dominant remaining terms:
-# exactly "<a> <b>" alphabetical = the gold IF the right subgraph was
-# retrieved.  Golds for the first 18 questions are those pairs (answerable);
-# the last 6 golds name out-of-corpus facts (unanswerable — retrieval cannot
-# help), so the metrics measure the RETRIEVAL stack, not the formatter.
+# 1/24 quanta instead of thirds.  Three question classes, so the three
+# retriever configs of the reference's benchmark summary publish DIFFERENT
+# numbers (as the reference's do) and a regression in any one loop moves its
+# own metric:
+#
+# - 12 ONE-HOP topics (a, b, verb, verb2, place): the doc mentions its two
+#   key terms TWICE and its verb/place once, the question mentions ONLY the
+#   verb and the place — so retrieval has distinctive non-gold tokens to
+#   embed-match on, and the answer double (which EXCLUDES question-echo
+#   words) extracts the two dominant remaining terms: exactly "<a> <b>"
+#   alphabetical = the gold IF the right subgraph was retrieved.  Every
+#   config answers these right in round 0.
+# - 6 TWO-HOP topics (hotpot-style bridge questions, the reference
+#   benchmark's actual question shape): a HOOK doc carries the question's
+#   verb/place tokens and mentions the bridge term three times but NOT the
+#   second gold term; a BRIDGE doc links the bridge term to the gold term
+#   (mentioned four times).  Round-0 retrieval finds only the hook doc, so
+#   plain GRAPH_COMPLETION answers "<bridge> <hook-noise>" — wrong.  The
+#   gold terms dominate the context only after a SECOND retrieval round:
+#   COT's follow-up re-asks about the dominant context term (the bridge,
+#   which out-counts every question-echo word by construction) and
+#   CONTEXT_EXTENSION re-retrieves with the round-0 completion (which
+#   contains the bridge term), so both pull in the bridge doc and answer
+#   "<bridge> <gold>" — right.  These 6 questions are what separates the
+#   multi-round configs from the single-round one.
+# - 6 UNANSWERABLE golds naming out-of-corpus facts (retrieval cannot
+#   help), so the metrics measure the RETRIEVAL stack, not the formatter;
+#   their 6 topic docs stay in the corpus as distractors.
 _TOPICS = [
     ("kubernetes", "containers", "orchestrates", "restarts", "harbor"),
     ("postgres", "transactions", "commits", "isolates", "meadow"),
@@ -186,12 +221,6 @@ _TOPICS = [
     ("pytorch", "tensors", "differentiates", "multiplies", "lagoon"),
     ("antenna", "signals", "receives", "amplifies", "plateau"),
     ("compiler", "bytecode", "emits", "optimizes", "summit"),
-    ("glacier", "moraines", "carves", "deposits", "grotto"),
-    ("ribosome", "proteins", "assembles", "folds", "ravine"),
-    ("chlorophyll", "photons", "absorbs", "converts", "marsh"),
-    ("turbine", "electricity", "generates", "rotates", "basin"),
-    ("aquifer", "groundwater", "filters", "recharges", "delta"),
-    ("telescope", "galaxies", "observes", "magnifies", "forest"),
     ("volcano", "basalt", "erupts", "cools", "steppe"),
     ("enzyme", "substrates", "binds", "catalyzes", "savanna"),
     ("satellite", "orbits", "maintains", "adjusts", "fjord"),
@@ -199,21 +228,81 @@ _TOPICS = [
     ("mycelium", "nutrients", "transports", "decomposes", "glade"),
     ("lighthouse", "mariners", "guides", "warns", "dunes"),
 ]
-CORPUS24 = [
-    f"The {a} {v1} {b} near the {place}. Every {a} also {v2} {b}."
-    for a, b, v1, v2, place in _TOPICS
+# (bridge, vA, vA2, vA3, place, gold, vB, vB2, vB3): hook doc uses
+# vA/place (the question tokens) and repeats the bridge 3x; bridge doc
+# repeats the gold 4x and names the bridge twice.  All content words are
+# >= 5 chars (the double's extraction floor) and distinct across topics.
+_TOPICS_2HOP = [
+    ("beacon", "flashes", "shines", "glints", "estuary",
+     "dynamo", "powers", "thrums", "twists"),
+    ("windmill", "creaks", "hums", "naps", "lowland",
+     "granary", "supplies", "bulges", "echoes"),
+    ("trawler", "drifts", "bobs", "dips", "breakwater",
+     "capstans", "hoists", "rattle", "strain"),
+    ("furnace", "blazes", "fogs", "dims", "foothill",
+     "ingots", "yields", "harden", "gleam"),
+    ("carousel", "twirls", "tips", "nods", "boardwalk",
+     "ponies", "carries", "frolic", "prance"),
+    ("airship", "cruises", "yaws", "digs", "uplands",
+     "gondola", "dangles", "swings", "rocks"),
 ]
-PAIRS24 = [
-    (f"What {v1} things near the {place}?", " ".join(sorted((a, b))))
-    for a, b, v1, _, place in _TOPICS[:18]
-] + [
-    ("Who composed the ninth symphony?", "ludwig van beethoven"),
-    ("Which river flows through Cairo?", "the nile"),
-    ("What year did the first moon landing happen?", "1969"),
-    ("Who painted the ceiling of the Sistine Chapel?", "michelangelo"),
-    ("What is the capital of Mongolia?", "ulaanbaatar"),
-    ("Which element has atomic number 79?", "gold"),
-]
+CORPUS24 = (
+    [
+        f"The {a} {v1} {b} near the {place}. Every {a} also {v2} {b}."
+        for a, b, v1, v2, place in _TOPICS[:12]
+    ]
+    + [
+        # Hook docs: topic 1 opens with the bridge term; topics 2..6 open
+        # with a subjectless first sentence.  The first sentence IS the
+        # doc's extracted summary, and the summary node's made_from edge
+        # competes in the same top-5 as the bridge doc's contains edge —
+        # a summary that carries the bridge term blocks the extension
+        # round's one available slot (see the bridge-doc comment below).
+        f"The {br} {vA} near the {place}. Each {br} {vA2}; the {br} {vA3}."
+        if i == 0
+        else f"It {vA} near the {place}. Each {br} {vA2}; "
+        f"the {br} {vA3}; all {br} stay."
+        for i, (br, vA, vA2, vA3, place, *_) in enumerate(_TOPICS_2HOP)
+    ]
+    + [
+        # Bridge docs: the gold term 4x, the bridge term twice.  For topics
+        # 2..6, CONTEXT_EXTENSION's round-1 query "<bridge> <vA2>" reaches
+        # this doc through its contains(chunk, bridge-entity) edge — the
+        # top-5 slot that edge needs is free ONLY because those hooks'
+        # summaries carry no bridge term (see the hook comment above).
+        # Topic 1's hook summary DOES carry it and permanently occupies the
+        # slot, so topic 1 is what separates COT (whose follow-up retrieves
+        # by the bridge term alone and reaches every bridge doc) from
+        # CONTEXT_EXTENSION: 18 vs 17 answerable — the three configs
+        # publish three different numbers, as the reference's benchmark
+        # summary does.
+        f"The {br} {vB} the {gold}. Every {gold} {vB2} while the {gold} "
+        f"{vB3}. Atop each {gold} sits the {br}."
+        for br, _, _, _, _, gold, vB, vB2, vB3 in _TOPICS_2HOP
+    ]
+    + [
+        f"The {a} {v1} {b} near the {place}. Every {a} also {v2} {b}."
+        for a, b, v1, v2, place in _TOPICS[12:]
+    ]
+)
+PAIRS24 = (
+    [
+        (f"What {v1} things near the {place}?", " ".join(sorted((a, b))))
+        for a, b, v1, _, place in _TOPICS[:12]
+    ]
+    + [
+        (f"What {vA} things near the {place}?", " ".join(sorted((br, gold))))
+        for br, vA, _, _, place, gold, *_ in _TOPICS_2HOP
+    ]
+    + [
+        ("Who composed the ninth symphony?", "ludwig van beethoven"),
+        ("Which river flows through Cairo?", "the nile"),
+        ("What year did the first moon landing happen?", "1969"),
+        ("Who painted the ceiling of the Sistine Chapel?", "michelangelo"),
+        ("What is the capital of Mongolia?", "ulaanbaatar"),
+        ("Which element has atomic number 79?", "gold"),
+    ]
+)
 
 
 def run_eval(spark, root: str, corpus=None, pairs=None, embed_dim: int = 64) -> dict:
