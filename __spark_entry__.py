@@ -1375,6 +1375,72 @@ def _q_a2_hits(spark, sf_dir):
     )
 
 
+def _q_a2_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (graph_metrics.py:eigenvector — gds.eigenvector,
+    the GDS centrality between pagerank and hits; reference metric surface
+    neo4j_driver/neo4j_metrics_utils.py) over the SYMMETRIZED region-tree FK
+    subgraph: the directed FK tree is a DAG (nilpotent adjacency, centrality
+    identically zero — pinned in pytest), so the entry scores the undirected
+    view, where mass concentrates on the nation/region hub spine.  10 power
+    iterations with L1 per-round normalization; the oracle unrolls the same
+    10 rounds as chained CTEs with identical double arithmetic
+    (COALESCE-then-divide in the same operand order — the a2_hits
+    discipline), and both sides quantize to ppm BIGINTs and take the
+    top-100 by (score_ppm, id)."""
+    from cognee_graphdb_spark.operators.graph_metrics import eigenvector
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    sym = fk.select("src", "dst").unionByName(
+        fk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ids = sym.select(F.col("src").alias("id")).distinct()
+    ev = eigenvector(ids, sym, n_iter=10, ids_distinct=True, edges_within_nodes=True)
+    return (
+        ev.select(
+            "id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "id")
+        .limit(100)
+    )
+
+
+def _q_a2_articlerank(spark, sf_dir):
+    """ArticleRank (graph_metrics.py:articlerank — gds.articleRank, the
+    PageRank variant dividing by out-degree PLUS average out-degree so short
+    reference lists stop dominating; reference metric surface
+    neo4j_driver/neo4j_metrics_utils.py) over the directed region-tree FK
+    subgraph: 10 iterations, damping 0.85, NO dangling redistribution (the
+    GDS definition — region sinks simply absorb nothing).  The oracle
+    unrolls the same 10 rounds as chained CTEs over the same statically
+    pre-weighted edge list (w = 1/(deg+ + m/n), identical operand order),
+    and both sides quantize to ppm BIGINTs and take the top-100 by
+    (rank_ppm, id) — the a9_pagerank float-hash discipline."""
+    from cognee_graphdb_spark.operators.graph_metrics import articlerank
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ar = articlerank(ids, fk, damping=0.85, n_iter=10, edges_within_nodes=True)
+    return (
+        ar.select(
+            "id",
+            F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("rank_ppm"),
+        )
+        .orderBy(F.desc("rank_ppm"), "id")
+        .limit(100)
+    )
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3374,6 +3440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
+        # -- r11-new entries (first driver proof leads the r12 window) -------
+        # gds.eigenvector / gds.articleRank: the two GDS centralities that
+        # complete the power-iteration family (pagerank / hits siblings),
+        # CALL-routable and centrality()-reachable
+        "a2_eigenvector": _q_a2_eigenvector,
+        "a2_articlerank": _q_a2_articlerank,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6881,5 +6953,66 @@ cov AS (SELECT center AS id FROM sppmi_cells WHERE sppmi > 0
         UNION SELECT context FROM sppmi_cells WHERE sppmi > 0)
 SELECT 'Entity_graph' AS collection, CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(count(*) AS BIGINT) AS n_ids, 8 AS dim_min, 8 AS dim_max FROM cov"""
+
+    # --- a2 eigenvector: 10 unrolled L1-normalized power-iteration rounds
+    # over the SYMMETRIZED region-tree FK subgraph (the directed tree is a
+    # DAG => identically zero; graph_metrics.py:eigenvector — hits's
+    # authority half-step without the alternation, same CASE total = 0
+    # guard and operand order) -----------------------------------------------
+    _ev_iters = []
+    _prev_x = "x0"
+    for _i in range(1, 11):
+        _ev_iters.append(f"""xr{_i} AS MATERIALIZED (
+  SELECT e.v AS id, SUM(x.score) AS c
+  FROM und e JOIN {_prev_x} x ON e.u = x.id GROUP BY e.v
+), xt{_i} AS MATERIALIZED (SELECT COALESCE(SUM(c), CAST(0 AS DOUBLE)) AS t FROM xr{_i}),
+x{_i} AS MATERIALIZED (
+  SELECT n.id, CASE WHEN t.t = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(r.c, CAST(0 AS DOUBLE)) / t.t END AS score
+  FROM allnodes n CROSS JOIN xt{_i} t LEFT JOIN xr{_i} r ON n.id = r.id
+)""")
+        _prev_x = f"x{_i}"
+    sql["a2_eigenvector"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT src, dst FROM edges
+       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+und AS MATERIALIZED (SELECT src AS u, dst AS v FROM fk UNION SELECT dst, src FROM fk),
+allnodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM allnodes),
+x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS score FROM allnodes CROSS JOIN nn),
+{", ".join(_ev_iters)}
+SELECT id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_ppm
+FROM x10 ORDER BY score_ppm DESC, id LIMIT 100"""
+
+    # --- a2 articlerank: 10 unrolled rounds of the GDS recurrence
+    # r = (1-d)/N + d * SUM r_u * w(u), over a statically pre-weighted edge
+    # list w = 1/(deg+ + m/n) (graph_metrics.py:articlerank — identical
+    # operand order: count-cast-double degree, double m/n average, no
+    # dangling redistribution) -----------------------------------------------
+    _ar_iters = []
+    _prev_r = "r0"
+    for _i in range(1, 11):
+        _ar_iters.append(f"""rc{_i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(e.w * r.rank) AS c
+  FROM ew e JOIN {_prev_r} r ON e.src = r.id GROUP BY e.dst
+), r{_i} AS MATERIALIZED (
+  SELECT n.id,
+         ((1.0 - 0.85) / nn.n) + 0.85 * COALESCE(c.c, CAST(0 AS DOUBLE)) AS rank
+  FROM allnodes n CROSS JOIN nn LEFT JOIN rc{_i} c ON n.id = c.id
+)""")
+        _prev_r = f"r{_i}"
+    sql["a2_articlerank"] = f"""WITH {g},
+fk AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+allnodes AS MATERIALIZED (SELECT src AS id FROM fk UNION SELECT dst FROM fk),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM allnodes),
+mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM fk),
+degs AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM fk GROUP BY src),
+ew AS MATERIALIZED (
+  SELECT f.src, f.dst, 1.0 / (d.deg + (mm.m / nn.n)) AS w
+  FROM fk f JOIN degs d ON f.src = d.src CROSS JOIN mm CROSS JOIN nn),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes CROSS JOIN nn),
+{", ".join(_ar_iters)}
+SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
+FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
 
     return sql

@@ -645,6 +645,11 @@ class CogneeSpark:
 
         - ``"pagerank"`` → (id, rank) (gds.pageRank,
           operators/graph_metrics.py:pagerank)
+        - ``"eigenvector"`` → (id, score) (gds.eigenvector,
+          :func:`eigenvector` — pure influence-sum centrality, no damping)
+        - ``"articlerank"`` → (id, rank) (gds.articleRank,
+          :func:`articlerank` — PageRank dampened by the average out-degree
+          so short reference lists stop dominating)
         - ``"hits"`` → (id, hub, authority) (gds.hits, :func:`hits` —
           previously CALL-only; the hub/authority split the memory graph's
           curated-hub vs pointed-at-entity roles need)
@@ -660,7 +665,9 @@ class CogneeSpark:
         ``n_rounds``, ``max_hops``, ...)."""
         from cognee_graphdb_spark.operators.graph_metrics import (
             approx_harmonic_closeness,
+            articlerank,
             betweenness_sampled,
+            eigenvector,
             hits,
             pagerank,
         )
@@ -671,6 +678,10 @@ class CogneeSpark:
         algo = algorithm.lower()
         if algo == "pagerank":
             return pagerank(nodes.select("id"), edges, **params)
+        if algo == "eigenvector":
+            return eigenvector(nodes, edges, **params)
+        if algo == "articlerank":
+            return articlerank(nodes, edges, **params)
         if algo == "hits":
             return hits(nodes, edges, **params)
         if algo == "harmonic":
@@ -685,7 +696,7 @@ class CogneeSpark:
             return betweenness_sampled(edges, sources, **params)
         raise ValueError(
             f"unsupported centrality algorithm {algorithm!r} "
-            "(pagerank, hits, harmonic, betweenness)"
+            "(pagerank, eigenvector, articlerank, hits, harmonic, betweenness)"
         )
 
     def communities(

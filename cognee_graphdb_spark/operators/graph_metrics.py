@@ -684,6 +684,161 @@ def hits(
     )
 
 
+def eigenvector(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    checkpoint_every: int = 3,
+    ids_distinct: bool = False,
+    edges_within_nodes: bool = False,
+) -> DataFrame:
+    """(id, score): eigenvector centrality by power iteration over the
+    directed simple graph (distinct (src, dst) pairs) — the GDS centrality
+    between :func:`pagerank` and :func:`hits` (gds.eigenvector; the
+    reference's metric surface is the GDS family, cognee reference
+    neo4j_driver/neo4j_metrics_utils.py:8-190).  Unlike PageRank there is no
+    damping and no out-degree division: a node is central in proportion to
+    the plain SUM of its in-neighbours' centrality, so mass concentrates on
+    the dominant eigenvector's support (nodes outside it decay to 0 —
+    exactly the property that makes it the "quality times quantity"
+    centrality).
+
+        x_t(v) = Σ_{u→v} x_{t-1}(u) / Σ x_t        from x_0 = 1/n
+
+    This is :func:`hits`'s authority half-step without the hub alternation;
+    normalization is L1 per round (a PARAMETER of the per-iteration values —
+    GDS normalizes L2; the ranking is norm-invariant, and L1 keeps every
+    intermediate a plain sum-then-divide so a SQL oracle can unroll rounds
+    with identical operand order).  Nodes with no in-edges score 0; an
+    edgeless graph yields all zeros (CASE total = 0 guard).
+
+    Scale (the :func:`pagerank` layout): per round ONE equi-join of the
+    static hashed edge list against the node-sized score frame + one
+    partial-agg sum + a 1-row broadcast total; lineage truncated every
+    ``checkpoint_every`` rounds.  Half the per-round cost of hits.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    ids = nodes.select("id")
+    if not ids_distinct:
+        ids = ids.distinct()
+    nh = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
+    n = nh.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("score"))
+    e = edges.select(
+        F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")
+    ).distinct()
+    if not edges_within_nodes:
+        e = e.join(nh.select(F.col("h").alias("hs")), "hs", "left_semi").join(
+            nh.select(F.col("h").alias("hd")), "hd", "left_semi"
+        )
+    e = e.localCheckpoint(eager=True)
+    base = nh.select("h").localCheckpoint(eager=True)
+    x = base.select("h", F.lit(1.0 / n).alias("score"))
+    for it in range(n_iter):
+        raw = (
+            e.join(x.select(F.col("h").alias("hs"), "score"), "hs")
+            .groupBy(F.col("hd"))
+            .agg(F.sum("score").alias("c"))
+        )
+        total = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("t"))
+        x = (
+            base.join(raw.withColumnRenamed("hd", "h"), "h", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "h",
+                F.when(F.col("t") == 0.0, F.lit(0.0))
+                .otherwise(F.coalesce(F.col("c"), F.lit(0.0)) / F.col("t"))
+                .alias("score"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            x = x.localCheckpoint(eager=True)
+    return nh.join(x, "h").select("id", "score")
+
+
+def articlerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 3,
+    ids_distinct: bool = False,
+    edges_within_nodes: bool = False,
+) -> DataFrame:
+    """(id, rank): ArticleRank — the PageRank variant that dampens the
+    influence of low-out-degree nodes (gds.articleRank; the reference's
+    metric surface is the GDS family, cognee reference
+    neo4j_driver/neo4j_metrics_utils.py:8-190).  Where PageRank divides a
+    node's rank by its own out-degree, ArticleRank divides by out-degree
+    PLUS the graph's average out-degree, so a citation from a short
+    reference list is no longer worth categorically more than one from a
+    long list:
+
+        r_t(v) = (1-d)/N + d · Σ_{u→v} r_{t-1}(u) / (deg⁺(u) + avgDeg)
+        avgDeg = |E| / N   (distinct directed edges over all nodes)
+
+    from r_0 = 1/N.  Per the GDS definition there is NO dangling-mass
+    redistribution (sinks simply contribute nothing, ranks need not sum
+    to 1), which makes each round STRICTLY cheaper than pagerank's: the
+    per-edge transition factor 1/(deg⁺+avgDeg) is static, so it is
+    precomputed once and the loop is one equi-join + one partial-agg sum +
+    one left join against the static node frame — no dangling aggregate,
+    no 1-row broadcast per round.  Lineage truncated every
+    ``checkpoint_every`` rounds; same 8-byte-key discipline as
+    :func:`pagerank`, the plan you'd want at a billion edges.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    ids = nodes.select("id")
+    if not ids_distinct:
+        ids = ids.distinct()
+    nh = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
+    n = nh.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    e = edges.select(
+        F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd")
+    ).distinct()
+    if not edges_within_nodes:
+        e = e.join(nh.select(F.col("h").alias("hs")), "hs", "left_semi").join(
+            nh.select(F.col("h").alias("hd")), "hd", "left_semi"
+        )
+    e = e.localCheckpoint(eager=True)
+    m = e.count()
+    # static per-edge transition factor: 1 / (deg+(u) + |E|/N) — double
+    # arithmetic in exactly this operand order (the oracle mirrors it)
+    avg_deg = float(m) / float(n)
+    deg = e.groupBy("hs").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ew = (
+        e.join(deg, "hs")
+        .select("hs", "hd", (F.lit(1.0) / (F.col("deg") + F.lit(avg_deg))).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    base = nh.select("h").localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    r = base.select("h", F.lit(1.0 / n).alias("rank"))
+    for it in range(n_iter):
+        contrib = (
+            ew.join(r.select(F.col("h").alias("hs"), "rank"), "hs")
+            .groupBy(F.col("hd"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("c"))
+        )
+        r = base.join(contrib.withColumnRenamed("hd", "h"), "h", "left").select(
+            "h",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            r = r.localCheckpoint(eager=True)
+    return nh.join(r, "h").select("id", "rank")
+
+
 def k_core(
     nodes: DataFrame,
     edges: DataFrame,

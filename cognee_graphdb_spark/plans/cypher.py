@@ -1829,6 +1829,16 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             F.col("hub").alias("hub"),
             F.col("authority").alias("auth"),
         )
+    if key == "eigenvector.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import eigenvector
+
+        ev = eigenvector(nodes, edges)
+        return ev.select(F.col("id").alias("nodeId"), F.col("score").alias("score"))
+    if key == "articlerank.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import articlerank
+
+        ar = articlerank(nodes, edges)
+        return ar.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
     if key == "degree.stream":
         # gds.degree: out-degree of the natural orientation
         deg = (
@@ -1911,8 +1921,8 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
     raise CypherUnsupported(
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
-        "louvain, leiden, labelPropagation, scc, hits, degree, kcore, "
-        "triangleCount, nodeSimilarity, closeness)"
+        "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
+        "hits, degree, kcore, triangleCount, nodeSimilarity, closeness)"
     )
 
 

@@ -375,11 +375,17 @@ def test_centrality_api_surface(engine):
     ha = engine.centrality("hits")
     assert set(ha.columns) == {"id", "hub", "authority"}
     assert ha.count() == n_nodes
+    ev = engine.centrality("eigenvector", n_iter=3)
+    assert set(ev.columns) == {"id", "score"}
+    assert ev.count() == n_nodes
+    ar = engine.centrality("articlerank", n_iter=3)
+    assert set(ar.columns) == {"id", "rank"}
+    assert ar.count() == n_nodes
     harm = engine.centrality("harmonic", n_rounds=2)
     assert {"id", "closeness"} <= set(harm.columns)
     bt = engine.centrality("betweenness", n_sources=4, max_hops=3)
     assert set(bt.columns) == {"node", "betweenness"}
-    with pytest.raises(ValueError, match="pagerank, hits, harmonic"):
+    with pytest.raises(ValueError, match="pagerank, eigenvector, articlerank"):
         engine.centrality("nope")
 
 

@@ -1335,6 +1335,30 @@ def test_gds_call_config_map_and_yield_only_shapes_are_named_errors(spark, gds_g
         rows(spark, gds_graph, "CALL gds.wcc.stream('g') YIELD nodeId, componentId")
 
 
+def test_gds_eigenvector_and_articlerank_stream(spark, gds_graph):
+    """gds.eigenvector.stream / gds.articleRank.stream route to the native
+    power-iteration operators.  The fixture digraph is a DAG (a->b->c,
+    a->c, x->y): its adjacency is nilpotent, so eigenvector centrality is
+    exactly zero everywhere once the iteration outlives the longest path —
+    the honest spectral semantics, distinct from articleRank, which keeps a
+    teleport term and ranks the cited y above the never-cited x."""
+    ev = rows(spark, gds_graph, """
+    CALL gds.eigenvector.stream('memory_graph')
+    YIELD nodeId, score
+    RETURN nodeId, score ORDER BY score DESC;
+    """)
+    scores = {r["nodeId"]: r["score"] for r in ev}
+    assert len(scores) == 5 and all(s == 0.0 for s in scores.values())
+    ar = rows(spark, gds_graph, """
+    CALL gds.articleRank.stream('memory_graph')
+    YIELD nodeId, score
+    RETURN nodeId, score;
+    """)
+    ranks = {r["nodeId"]: r["score"] for r in ar}
+    assert ranks["y"] > ranks["x"]
+    assert len(ranks) == 5
+
+
 def test_gds_exact_all_pairs_scale_guard_refuses_and_opts_in(spark):
     """allShortestPaths/closeness are exact all-pairs (O(n*reachable) state);
     above the node budget the CALL must refuse with the sampled alternative

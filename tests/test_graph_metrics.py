@@ -1463,6 +1463,97 @@ def test_hits_matches_plain_python_power_iteration(spark):
         assert got[v]["authority"] == pytest.approx(a[v], abs=1e-12)
 
 
+def test_eigenvector_concentrates_on_dominant_component(spark):
+    """Eigenvector centrality: on a directed 2-cycle plus a pendant source
+    (d->a, a<->b), mass concentrates on the cycle {a, b} (the dominant
+    eigenvector's support) and the source d decays toward 0; on a star
+    u1..u3 -> x the center holds ALL the mass after round 1, and one more
+    round decays the whole DAG to exact zeros (nilpotent adjacency — the
+    honest spectral semantics for acyclic graphs).  Edgeless graph: the
+    total-zero guard yields all zeros."""
+    from cognee_graphdb_spark.operators.graph_metrics import eigenvector
+
+    out = {
+        r["id"]: r["score"]
+        for r in eigenvector(
+            _nodes_df(spark, list("abd")),
+            _directed_edges_df(spark, [("a", "b"), ("b", "a"), ("d", "a")]),
+            n_iter=10,
+        ).collect()
+    }
+    assert out["a"] > 0.3 and out["b"] > 0.3
+    assert out["d"] == 0.0  # no in-edges at all
+    star_ids = _nodes_df(spark, ["u1", "u2", "u3", "x"])
+    star_edges = _directed_edges_df(spark, [("u1", "x"), ("u2", "x"), ("u3", "x")])
+    star = {
+        r["id"]: r["score"]
+        for r in eigenvector(star_ids, star_edges, n_iter=1).collect()
+    }
+    assert star["x"] == pytest.approx(1.0)
+    assert star["u1"] == 0.0
+    decayed = eigenvector(star_ids, star_edges, n_iter=2)
+    assert all(r["score"] == 0.0 for r in decayed.collect())
+    none = eigenvector(_nodes_df(spark, list("ab")), _directed_edges_df(spark, []), n_iter=2)
+    assert all(r["score"] == 0.0 for r in none.collect())
+
+
+def test_eigenvector_matches_plain_python_power_iteration(spark):
+    """Parity with a dependency-free reference loop using the same L1
+    per-round normalization on a small deterministic digraph."""
+    from cognee_graphdb_spark.operators.graph_metrics import eigenvector
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d")]
+    V = sorted({u for u, _ in E} | {v for _, v in E})
+    x = {v: 1.0 / len(V) for v in V}
+    for _ in range(10):
+        nx = {v: sum(x[u] for u, w in E if w == v) for v in V}
+        t = sum(nx.values())
+        x = {v: (s / t if t else 0.0) for v, s in nx.items()}
+    got = {
+        r["id"]: r["score"]
+        for r in eigenvector(
+            _nodes_df(spark, V), _directed_edges_df(spark, E), n_iter=10
+        ).collect()
+    }
+    for v in V:
+        assert got[v] == pytest.approx(x[v], abs=1e-12)
+
+
+def test_articlerank_dampens_low_outdegree_citations(spark):
+    """ArticleRank vs PageRank on the defining fixture: x is cited once
+    from a SHORT list (s -> x only) and y once from a LONG list
+    (l -> y, l -> z1, l -> z2).  PageRank scores x strictly above y
+    (1/1 vs 1/3 of the citer's rank); ArticleRank narrows exactly that gap
+    (x/y rank ratio strictly smaller), which is the algorithm's purpose.
+    Also: matches a dependency-free loop of the GDS recurrence, and sinks
+    contribute nothing (no dangling redistribution, ranks need not sum
+    to 1)."""
+    from cognee_graphdb_spark.operators.graph_metrics import articlerank, pagerank
+
+    V = ["s", "l", "x", "y", "z1", "z2"]
+    E = [("s", "x"), ("l", "y"), ("l", "z1"), ("l", "z2")]
+    ids, edges = _nodes_df(spark, V), _directed_edges_df(spark, E)
+    pr = {r["id"]: r["rank"] for r in pagerank(ids, edges, n_iter=10).collect()}
+    ar = {r["id"]: r["rank"] for r in articlerank(ids, edges, n_iter=10).collect()}
+    assert pr["x"] > pr["y"]
+    assert ar["x"] > ar["y"]  # still favored, but less so
+    assert ar["x"] / ar["y"] < pr["x"] / pr["y"]
+
+    # dependency-free reference loop: r = (1-d)/N + d * sum r_u/(deg_u+avg)
+    n, d = len(V), 0.85
+    deg = {v: sum(1 for u, _ in E if u == v) for v in V}
+    avg = len(E) / n
+    r = {v: 1.0 / n for v in V}
+    for _ in range(10):
+        r = {
+            v: (1 - d) / n + d * sum(r[u] / (deg[u] + avg) for u, w in E if w == v)
+            for v in V
+        }
+    got = {x["id"]: x["rank"] for x in articlerank(ids, edges, n_iter=10).collect()}
+    for v in V:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
 def test_wl_refinement_distinguishes_roles(spark):
     """Path a-b-c-d-e after 2 rounds: ends {a,e} share a label, their
     neighbors {b,d} share another, the center c is distinct from both —

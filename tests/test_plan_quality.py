@@ -535,6 +535,24 @@ def test_hits_half_steps_are_equi_joins(spark, toy_graph):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_eigenvector_and_articlerank_rounds_are_equi_joins(spark, toy_graph):
+    """Eigenvector's round is one edge-vs-scores equi-join + a partial-agg
+    sum with a 1-row broadcast L1 total (hits's authority half-step);
+    articleRank's is one PRE-WEIGHTED-edge equi-join + partial agg with no
+    per-round total at all — no cartesian product, no Python worker in
+    either (graph_metrics.py:eigenvector/articlerank)."""
+    from cognee_graphdb_spark.operators.graph_metrics import articlerank, eigenvector
+
+    nodes, edges = toy_graph
+    for out in (
+        eigenvector(nodes, edges, n_iter=2),
+        articlerank(nodes, edges, n_iter=2),
+    ):
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no
