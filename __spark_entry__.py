@@ -1441,6 +1441,50 @@ def _q_a2_articlerank(spark, sf_dir):
     )
 
 
+def _q_a2_spanning_forest(spark, sf_dir):
+    """Minimum spanning forest by distributed Borůvka
+    (operators/spanning.py:minimum_spanning_forest — the gds.spanningTree
+    family computed for every component at once; reference metric surface
+    neo4j_driver/neo4j_metrics_utils.py) on a generated ring-plus-chords
+    graph whose MSF is ANALYTICALLY known (the a2_scc structural-fixture
+    discipline): a 128-cycle with distinct md5-derived weights in [0,1)
+    plus stride-7 chords in [10,11).  By the cycle property every chord is
+    the unique maximum of its chord+ring-path cycle and the globally
+    heaviest ring edge is the unique maximum of the full-ring cycle, so
+    MSF = ring minus that one edge — 127 rows the oracle derives in closed
+    form while the operator runs real log-round Borůvka (pick-min /
+    collapse / relabel) to find them.  Weights follow the gen_* convention
+    (md5_64(seed|key) / 2^60 doubles, ppm-quantized across the hash)."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.spanning import minimum_spanning_forest
+
+    K = 128
+    base = spark.range(K)
+    ring = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % K).alias("dst"),
+        (
+            _hash64(F.concat(F.lit("ring:"), F.col("id").cast("string")), 7, "md5_64")
+            / F.lit(float(2**60))
+        ).alias("weight"),
+    )
+    chords = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7 + 3) % K).alias("dst"),
+        (
+            F.lit(10.0)
+            + _hash64(F.concat(F.lit("chord:"), F.col("id").cast("string")), 7, "md5_64")
+            / F.lit(float(2**60))
+        ).alias("weight"),
+    )
+    msf = minimum_spanning_forest(ring.unionByName(chords))
+    return msf.select(
+        "src",
+        "dst",
+        F.round(F.col("weight") * F.lit(1000000.0)).cast("long").alias("weight_ppm"),
+    ).orderBy("src", "dst")
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3446,6 +3490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CALL-routable and centrality()-reachable
         "a2_eigenvector": _q_a2_eigenvector,
         "a2_articlerank": _q_a2_articlerank,
+        # distributed Borůvka MSF on a closed-form ring+chords fixture
+        "a2_spanning_forest": _q_a2_spanning_forest,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7014,5 +7060,20 @@ r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM allnodes 
 {", ".join(_ar_iters)}
 SELECT id, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_ppm
 FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
+
+    # --- a2 spanning forest: closed-form MSF of the generated ring+chords
+    # graph (operators/spanning.py Borůvka; cycle property: every chord and
+    # the heaviest ring edge are each the unique max of a cycle => MSF =
+    # ring minus its heaviest edge).  Weights mirror the entry bit-for-bit:
+    # md5_64('7|ring:' || i) / 2^60 ------------------------------------------
+    _msf_w = _md5_64("concat('ring:', CAST(i AS VARCHAR))", 7)
+    sql["a2_spanning_forest"] = f"""WITH ring AS (
+  SELECT i AS src, (i + 1) % 128 AS dst,
+         CAST({_msf_w} AS DOUBLE) / 1152921504606846976.0 AS w
+  FROM range(128) t(i)
+),
+mx AS (SELECT max(w) AS mw FROM ring)
+SELECT src, dst, CAST(ROUND(w * 1000000.0) AS BIGINT) AS weight_ppm
+FROM ring CROSS JOIN mx WHERE w <> mw ORDER BY src, dst"""
 
     return sql

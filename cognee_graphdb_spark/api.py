@@ -699,6 +699,25 @@ class CogneeSpark:
             "(pagerank, eigenvector, articlerank, hits, harmonic, betweenness)"
         )
 
+    def spanning_forest(self, weight: str | None = None) -> DataFrame:
+        """(src, dst, weight): minimum spanning forest of the stored graph —
+        distributed Borůvka (operators/spanning.py, the gds.spanningTree
+        family computed for every component at once).  ``weight`` names an
+        edge column; without one every edge weighs 1.0 and the result is
+        the graph's deterministic SKELETON (ties broken by hashed edge
+        identity): the minimal edge set that keeps every connected node
+        pair connected — what a visualization or a diameter-ish probe
+        wants instead of the full edge soup."""
+        from cognee_graphdb_spark.operators.spanning import minimum_spanning_forest
+
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        if weight is None:
+            edges = edges.select("src", "dst", F.lit(1.0).alias("weight"))
+            weight = "weight"
+        return minimum_spanning_forest(edges, weight_col=weight)
+
     def communities(
         self,
         algorithm: str = "louvain",

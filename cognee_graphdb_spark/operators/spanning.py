@@ -1,0 +1,146 @@
+"""Minimum spanning forest by distributed Borůvka — the gds.spanningTree
+family re-expressed Spark-first (the reference exposes whole-graph
+analytics through its Neo4j GDS metric surface, cognee reference
+neo4j_driver/neo4j_metrics_utils.py:8-190; GDS's spanningTree/kSpanningTree
+are Prim from a source node — single-frontier, inherently sequential —
+while Borůvka computes the SAME minimum-weight forest for every component
+at once and is the textbook distributed formulation).
+
+Borůvka round (components at least HALVE per round, so ≤ ⌈log2 n⌉ rounds):
+
+1. every edge whose endpoints sit in different components is a candidate
+   for BOTH endpoint components;
+2. each component picks its minimum candidate under the total order
+   (weight, hashed-src, hashed-dst) — the deterministic tie-break makes
+   the forest unique and Borůvka correct even with equal weights (it
+   simulates globally distinct weights);
+3. the picked edges join the forest; the pseudo-forest they induce over
+   component labels is collapsed with the alternating-star connected
+   components (each round's label graph has ONE edge per component, so the
+   total relabel work across all rounds is a geometric series ≤ 2n rows);
+4. component labels update through one equi-join.
+
+Scale: endpoints are relabeled to xxhash64 longs once; per round the
+dataflow is two label-lookup equi-joins on 8-byte keys + one map-side
+min_by partial aggregation (skew-safe: a hot component aggregates, never
+sorts) + the label-graph collapse; lineage is truncated per round via
+localCheckpoint, and termination is a 1-row cross-component probe.  At a
+billion edges each round is the pagerank-join shape; the edge set itself
+is never rewritten — only the (node → component) frame evolves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(src, dst, weight): the minimum-weight spanning forest of the
+    undirected weighted graph — one tree per connected component, ties
+    broken by (weight, xxhash64(src), xxhash64(dst)) so the result is
+    deterministic.  Parallel edges keep their minimum weight; self-loops
+    never span and are dropped.  Edges are returned in their canonical
+    orientation (the input row whose (src, dst) won the parallel-edge
+    reduction).
+
+    ``max_rounds`` is a fail-loudly bound (Borůvka needs ≤ log2 n): hitting
+    it raises rather than returning a partial forest.
+    """
+    spark = edges.sparkSession
+    w = F.col(weight_col).cast("double")
+    # canonical undirected edge id: hashed endpoints ordered, keep the
+    # original string endpoints for the output; parallel edges (either
+    # orientation) reduce to their min-weight representative
+    base = (
+        edges.select(
+            F.xxhash64("src").alias("ha"),
+            F.xxhash64("dst").alias("hb"),
+            w.alias("w"),
+            F.col("src").alias("esrc"),
+            F.col("dst").alias("edst"),
+        )
+        .filter(F.col("ha") != F.col("hb"))
+        .select(
+            F.least("ha", "hb").alias("hu"),
+            F.greatest("ha", "hb").alias("hv"),
+            "w",
+            "esrc",
+            "edst",
+        )
+        .groupBy("hu", "hv")
+        .agg(F.min(F.struct("w", "esrc", "edst")).alias("m"))
+        .select("hu", "hv", "m.w", "m.esrc", "m.edst")
+        .localCheckpoint(eager=True)
+    )
+    # components start as singletons over the edge-incident nodes
+    comp = (
+        base.select(F.col("hu").alias("h"))
+        .unionByName(base.select(F.col("hv").alias("h")))
+        .distinct()
+        .select("h", F.col("h").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for _ in range(max_rounds):
+        t = (
+            base.join(
+                comp.select(F.col("h").alias("hu"), F.col("c").alias("cu")), "hu"
+            )
+            .join(comp.select(F.col("h").alias("hv"), F.col("c").alias("cv")), "hv")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        if t.limit(1).count() == 0:
+            break
+        # per-component minimum candidate: min_by over the deterministic
+        # total order (w, hu, hv) — one map-side-combined aggregation, no
+        # per-component sort (a hot component partial-aggs, never windows)
+        cand = t.select(F.col("cu").alias("c"), "w", "hu", "hv", "cu", "cv").unionByName(
+            t.select(F.col("cv").alias("c"), "w", "hu", "hv", "cu", "cv")
+        )
+        pick = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("w", "hu", "hv", "cu", "cv")).alias("m"))
+            .select("m.w", "m.hu", "m.hv", "m.cu", "m.cv")
+            .dropDuplicates(["hu", "hv"])  # both sides may pick the same edge
+            .localCheckpoint(eager=True)
+        )
+        forest = pick.select("hu", "hv") if forest is None else forest.unionByName(
+            pick.select("hu", "hv")
+        ).localCheckpoint(eager=True)
+        # collapse the label pseudo-forest (one edge per component) and
+        # relabel: comp labels are longs already, no re-hash
+        labels = connected_components(
+            comp.select(F.col("c").alias("id")).distinct(),
+            pick.select(
+                F.col("cu").alias("src"),
+                F.col("cv").alias("dst"),
+                F.lit("msf").alias("relationship_name"),
+            ),
+            hash_ids=False,
+        )
+        comp = (
+            comp.join(labels.withColumnRenamed("id", "c"), "c")
+            .select("h", F.col("component").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} rounds "
+            "(Borůvka needs <= log2(n); raise max_rounds only if the graph "
+            "really has that many nodes)"
+        )
+    if forest is None:
+        return spark.createDataFrame([], "src string, dst string, weight double")
+    return (
+        forest.join(base, ["hu", "hv"])
+        .select(
+            F.col("esrc").alias("src"), F.col("edst").alias("dst"), F.col("w").alias("weight")
+        )
+    )

@@ -389,6 +389,35 @@ def test_centrality_api_surface(engine):
         engine.centrality("nope")
 
 
+def test_spanning_forest_api_surface(engine):
+    """Unit-weight MSF over the stored graph = its deterministic skeleton:
+    per connected component exactly |V|-1 edges, every node covered, two
+    calls identical (hash tie-break)."""
+    from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+    nodes = engine.store.load("nodes")
+    edges = engine.store.load("edges")
+    n_components = (
+        connected_components(nodes.select("id"), edges)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    covered = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    # isolated nodes (no edges) form singleton components with 0 MSF edges
+    iso = nodes.select("id").distinct().count() - covered
+    sk = engine.spanning_forest()
+    assert set(sk.columns) == {"src", "dst", "weight"}
+    assert sk.count() == covered - (n_components - iso)
+    again = engine.spanning_forest()
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_community_quality_api_surface(engine):
     """Modularity contributions and conductance, joined per community, for
     any clustering of the stored graph."""

@@ -553,6 +553,22 @@ def test_eigenvector_and_articlerank_rounds_are_equi_joins(spark, toy_graph):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_spanning_forest_rounds_are_joins_and_partial_aggs(spark, toy_graph):
+    """Each Borůvka round is two label-lookup equi-joins + one map-side
+    min_by partial aggregation + the alternating-star collapse — no
+    cartesian product, no Python worker, no per-component sort window
+    (operators/spanning.py:minimum_spanning_forest)."""
+    from cognee_graphdb_spark.operators.spanning import minimum_spanning_forest
+
+    _, edges = toy_graph
+    out = minimum_spanning_forest(
+        edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no
