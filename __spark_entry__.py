@@ -1485,6 +1485,40 @@ def _q_a2_spanning_forest(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def _q_a2_topo_layers(spark, sf_dir):
+    """Topological layering (operators/dag.py:topological_layers —
+    gds.dag.topologicalSort / gds.dag.longestPath in one result; reference
+    metric surface neo4j_driver/neo4j_metrics_utils.py) of the FK DAG
+    orders -> customer -> nation -> region (+ supplier -> nation): layer =
+    longest source path, so order-less customers and all orders/suppliers
+    sit at 0, ordered customers at 1, nations at 2, regions at 3.  The
+    oracle unrolls the same Kahn peel (peel zero-in-degree, drop their
+    out-edges) for 6 rounds; the projection is per-(layer, node_type)
+    counts — integers only, no floats anywhere in this contract."""
+    from cognee_graphdb_spark.operators.dag import topological_layers
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin(
+            "o_custkey", "c_nationkey", "s_nationkey", "n_regionkey"
+        )
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    tl = topological_layers(ids, fk)
+    return (
+        tl.select(
+            "layer", F.split_part(F.col("id"), F.lit(":"), F.lit(1)).alias("node_type")
+        )
+        .groupBy("layer", "node_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("layer", "node_type")
+    )
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3492,6 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_articlerank": _q_a2_articlerank,
         # distributed Borůvka MSF on a closed-form ring+chords fixture
         "a2_spanning_forest": _q_a2_spanning_forest,
+        # gds.dag.topologicalSort: Kahn-peel layering of the FK DAG
+        "a2_topo_layers": _q_a2_topo_layers,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7075,5 +7111,31 @@ FROM r10 ORDER BY rank_ppm DESC, id LIMIT 100"""
 mx AS (SELECT max(w) AS mw FROM ring)
 SELECT src, dst, CAST(ROUND(w * 1000000.0) AS BIGINT) AS weight_ppm
 FROM ring CROSS JOIN mx WHERE w <> mw ORDER BY src, dst"""
+
+    # --- a2 topological layers: 6 unrolled Kahn-peel rounds over the FK DAG
+    # (operators/dag.py:topological_layers — peel zero-in-degree nodes, drop
+    # their out-edges; layer = longest source path).  Integer-only contract:
+    # per-(layer, node_type) counts --------------------------------------------
+    _tp_rounds = []
+    _prev_rem, _prev_e = "rem0", "te0"
+    for _i in range(6):
+        _tp_rounds.append(f"""tl{_i} AS MATERIALIZED (
+  SELECT id FROM {_prev_rem} r
+  WHERE NOT EXISTS (SELECT 1 FROM {_prev_e} e WHERE e.dst = r.id)
+), rem{_i + 1} AS MATERIALIZED (
+  SELECT id FROM {_prev_rem} WHERE id NOT IN (SELECT id FROM tl{_i})
+), te{_i + 1} AS MATERIALIZED (
+  SELECT src, dst FROM {_prev_e} WHERE src NOT IN (SELECT id FROM tl{_i})
+)""")
+        _prev_rem, _prev_e = f"rem{_i + 1}", f"te{_i + 1}"
+    sql["a2_topo_layers"] = f"""WITH {g},
+tfk AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+       WHERE relationship_name IN ('o_custkey', 'c_nationkey', 's_nationkey', 'n_regionkey')),
+rem0 AS MATERIALIZED (SELECT src AS id FROM tfk UNION SELECT dst FROM tfk),
+te0 AS MATERIALIZED (SELECT src, dst FROM tfk),
+{", ".join(_tp_rounds)},
+layered AS ({" UNION ALL ".join(f"SELECT id, CAST({_i} AS BIGINT) AS layer FROM tl{_i}" for _i in range(6))})
+SELECT layer, split_part(id, ':', 1) AS node_type, CAST(count(*) AS BIGINT) AS n_nodes
+FROM layered GROUP BY layer, node_type ORDER BY layer, node_type"""
 
     return sql

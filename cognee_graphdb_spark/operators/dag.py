@@ -1,0 +1,84 @@
+"""DAG algorithms — topological layering and longest paths, the
+gds.dag.topologicalSort / gds.dag.longestPath pair re-expressed Spark-first
+(the reference exposes whole-graph analytics through its Neo4j GDS metric
+surface, cognee reference neo4j_driver/neo4j_metrics_utils.py:8-190; a
+relational->graph migration's FK graph is a DAG by construction, and
+dependency-ordered processing wants exactly this layering).
+
+Synchronous Kahn peel: round r removes every node whose in-neighbours have
+ALL been removed — which assigns each node ``layer`` = the length of the
+LONGEST path from any source to it.  (layer, id) is therefore a valid
+topological order AND gds.dag.longestPath's per-node distance, one result
+for both procedures.
+
+Scale: endpoints are relabeled to xxhash64 longs once; each round is one
+left_anti join (surviving nodes minus targets of surviving edges) + one
+left_semi edge restriction — frontier-sized work on 8-byte keys, lineage
+truncated per round.  Round count = DAG depth (FK graphs: single digits;
+a path graph is the honest worst case and the ``max_rounds`` budget fails
+loudly rather than spinning).  Cycles are DETECTED, not looped over: a
+round with survivors but no removable node names the cycle members'
+count and raises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def topological_layers(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(id, layer): layer = length of the longest source->node path in the
+    directed simple graph; (layer, id) is a topological order.  Raises
+    ``ValueError`` naming the surviving-node count when the graph has a
+    cycle, and ``RuntimeError`` when ``max_rounds`` is exhausted first
+    (fail-loudly, the weighted_sssp on_truncation discipline).
+    Self-loops are cycles; edges whose endpoints are not in ``nodes`` are
+    ignored."""
+    spark = nodes.sparkSession
+    nh = (
+        nodes.select("id").distinct()
+        .select("id", F.xxhash64("id").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.xxhash64("src").alias("hs"), F.xxhash64("dst").alias("hd"))
+        .distinct()
+        .join(nh.select(F.col("h").alias("hs")), "hs", "left_semi")
+        .join(nh.select(F.col("h").alias("hd")), "hd", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    remaining = nh.select("h")
+    layers = None
+    for r in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        peel = remaining.join(
+            e.select(F.col("hd").alias("h")), "h", "left_anti"
+        ).select("h", F.lit(r).cast("long").alias("layer"))
+        if peel.limit(1).count() == 0:
+            n_left = remaining.count()
+            raise ValueError(
+                f"graph is not a DAG: {n_left} nodes sit on or behind a "
+                "cycle (no zero-in-degree node remains)"
+            )
+        layers = peel if layers is None else layers.unionByName(peel)
+        layers = layers.localCheckpoint(eager=True)
+        remaining = remaining.join(peel.select("h"), "h", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = e.join(peel.select(F.col("h").alias("hs")), "hs", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        raise RuntimeError(
+            f"topological_layers did not finish in {max_rounds} rounds "
+            "(round count = DAG depth; raise max_rounds for deeper graphs)"
+        )
+    if layers is None:
+        return spark.createDataFrame([], "id string, layer long")
+    return nh.join(layers, "h").select("id", "layer")

@@ -1829,6 +1829,17 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             F.col("hub").alias("hub"),
             F.col("authority").alias("auth"),
         )
+    if key == "dag.topologicalsort.stream":
+        from cognee_graphdb_spark.operators.dag import topological_layers
+
+        tl = topological_layers(nodes.select("id"), edges)
+        # GDS yields maxDistanceFromSource with computeMaxDistanceFromSource;
+        # our Kahn-peel layer IS that longest source-distance, so the stream
+        # serves both the order (sort by it) and the distance
+        return tl.select(
+            F.col("id").alias("nodeId"),
+            F.col("layer").alias("maxDistanceFromSource"),
+        )
     if key == "eigenvector.stream":
         from cognee_graphdb_spark.operators.graph_metrics import eigenvector
 
@@ -1922,7 +1933,8 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
-        "hits, degree, kcore, triangleCount, nodeSimilarity, closeness)"
+        "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
+        "dag.topologicalSort)"
     )
 
 

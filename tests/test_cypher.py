@@ -1359,6 +1359,19 @@ def test_gds_eigenvector_and_articlerank_stream(spark, gds_graph):
     assert len(ranks) == 5
 
 
+def test_gds_dag_topological_sort_stream(spark, gds_graph):
+    """gds.dag.topologicalSort.stream yields the Kahn-peel layer as
+    maxDistanceFromSource (the longest source path — a->b->c puts c at 2,
+    above the a->c shortcut's 1)."""
+    got = rows(spark, gds_graph, """
+    CALL gds.dag.topologicalSort.stream('memory_graph')
+    YIELD nodeId, maxDistanceFromSource
+    RETURN nodeId, maxDistanceFromSource ORDER BY maxDistanceFromSource, nodeId;
+    """)
+    layers = {r["nodeId"]: r["maxDistanceFromSource"] for r in got}
+    assert layers == {"a": 0, "x": 0, "b": 1, "y": 1, "c": 2}
+
+
 def test_gds_exact_all_pairs_scale_guard_refuses_and_opts_in(spark):
     """allShortestPaths/closeness are exact all-pairs (O(n*reachable) state);
     above the node budget the CALL must refuse with the sampled alternative

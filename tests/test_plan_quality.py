@@ -569,6 +569,24 @@ def test_spanning_forest_rounds_are_joins_and_partial_aggs(spark, toy_graph):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_topological_layers_rounds_are_anti_joins(spark, toy_graph):
+    """Each Kahn-peel round is one left_anti join (survivors minus edge
+    targets) + one left_anti edge restriction on 8-byte keys — no cartesian
+    product, no Python worker (operators/dag.py:topological_layers; the toy
+    graph is cyclic, so the pin peels a generated DAG instead)."""
+    from cognee_graphdb_spark.operators.dag import topological_layers
+
+    nodes = spark.range(16).selectExpr("cast(id as string) AS id")
+    edges = spark.range(15).selectExpr(
+        "cast(id as string) AS src",
+        "cast(id + 1 as string) AS dst",
+        "'r' AS relationship_name",
+    ).filter("id % 4 != 3")  # four 4-chains: depth 3, four peel rounds
+    plan = plan_of(topological_layers(nodes, edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no
