@@ -1519,6 +1519,24 @@ def _q_a2_topo_layers(spark, sf_dir):
     )
 
 
+def _q_dbscan_clusters(spark, sf_dir):
+    """DBSCAN over the embeddings table (operators/clustering.py:dbscan —
+    Ester et al. 1996, the density clustering a training-data pipeline uses
+    for topic islands / outlier detection / cluster-balanced sampling):
+    ε-graph = cosine ≥ 0.25 pairs through the SAME 4-bit hyperplane LSH
+    buckets the dedup_embedding_lsh entry mirrors in SQL, cores have ≥ 4
+    points in their neighborhood (self included), clusters = connected
+    components of the core-core subgraph labeled by smallest member id
+    (the oracle restates that closure with a recursive CTE — min over
+    reach, no engine-specific hash anywhere), borders attach to the
+    smallest neighboring core cluster, the rest is noise.  All columns
+    strings — float-hash-safe."""
+    from cognee_graphdb_spark.operators.clustering import dbscan
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dbscan(emb, threshold=0.25, min_pts=4, lsh_bits=4, dim=64).orderBy("id")
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3528,6 +3546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_spanning_forest": _q_a2_spanning_forest,
         # gds.dag.topologicalSort: Kahn-peel layering of the FK DAG
         "a2_topo_layers": _q_a2_topo_layers,
+        # DBSCAN over embeddings: LSH ε-graph -> cores -> CC -> border/noise
+        "dbscan_clusters": _q_dbscan_clusters,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7137,5 +7157,58 @@ te0 AS MATERIALIZED (SELECT src, dst FROM tfk),
 layered AS ({" UNION ALL ".join(f"SELECT id, CAST({_i} AS BIGINT) AS layer FROM tl{_i}" for _i in range(6))})
 SELECT layer, split_part(id, ':', 1) AS node_type, CAST(count(*) AS BIGINT) AS n_nodes
 FROM layered GROUP BY layer, node_type ORDER BY layer, node_type"""
+
+    # --- dbscan: ε-graph through the SAME hyperplane buckets as
+    # dedup_embedding_lsh, cores by neighbor count, clusters = min-id over
+    # the recursive core-core closure, borders by min neighboring cluster
+    # (operators/clustering.py:dbscan; threshold 0.25, min_pts 4) ------------
+    _db_bucket = _hyperplane_bucket_sql("v", 4, 64)
+    _db_cos = (
+        "(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+    )
+    sql["dbscan_clusters"] = f"""WITH RECURSIVE
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, {_db_bucket} AS bucket FROM embeddings),
+prs AS MATERIALIZED (
+  SELECT CAST(a.vec_id AS VARCHAR) AS id_a, CAST(b.vec_id AS VARCHAR) AS id_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_db_cos}, 6) >= 0.25
+),
+symn AS MATERIALIZED (SELECT id_a AS id, id_b AS nb FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+degs AS MATERIALIZED (SELECT id, count(*) AS n_other FROM symn GROUP BY id),
+allv AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id FROM e),
+core AS MATERIALIZED (
+  SELECT a.id FROM allv a LEFT JOIN degs d ON a.id = d.id
+  WHERE COALESCE(d.n_other, 0) >= 3
+),
+ce AS MATERIALIZED (
+  SELECT s.id AS a, s.nb AS b FROM symn s
+  JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id
+),
+reach(id, seed) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.b, r.seed FROM reach r JOIN ce ON ce.a = r.id
+),
+clus AS (SELECT id, min(seed) AS cluster FROM reach GROUP BY id),
+bord AS (
+  SELECT s.id, min(cl.cluster) AS cluster
+  FROM symn s
+  JOIN core c ON s.nb = c.id
+  JOIN clus cl ON s.nb = cl.id
+  LEFT JOIN core own ON s.id = own.id
+  WHERE own.id IS NULL
+  GROUP BY s.id
+)
+SELECT a.id,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS kind,
+       COALESCE(cl.cluster, b.cluster) AS cluster
+FROM allv a
+LEFT JOIN core c ON a.id = c.id
+LEFT JOIN clus cl ON a.id = cl.id
+LEFT JOIN bord b ON a.id = b.id
+ORDER BY a.id"""
 
     return sql

@@ -587,6 +587,23 @@ def test_topological_layers_rounds_are_anti_joins(spark, toy_graph):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_dbscan_bucketed_mode_has_no_cartesian(spark):
+    """At lsh_bits > 0 the ε-pair generation is a bucket equi-join (the
+    documented scale path); cores/clusters/borders are joins + partial aggs
+    — no cartesian product, no Python worker anywhere
+    (operators/clustering.py:dbscan; lsh_bits = 0 is the documented exact
+    small-data mode and IS a blocked cross join by design)."""
+    from cognee_graphdb_spark.operators.clustering import dbscan
+
+    emb = spark.range(64).selectExpr(
+        "cast(id as string) AS vec_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d, 0.5d) AS embedding",
+    )
+    plan = plan_of(dbscan(emb, threshold=0.9, min_pts=3, lsh_bits=4, dim=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no
