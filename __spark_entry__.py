@@ -1537,6 +1537,41 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan(emb, threshold=0.25, min_pts=4, lsh_bits=4, dim=64).orderBy("id")
 
 
+def _q_a2_k_spanning(spark, sf_dir):
+    """gds.kSpanningTree (operators/spanning.py:k_spanning_clusters —
+    single-linkage clustering cut at level k, computed bottom-up via the
+    Borůvka MSF): on the same ring+chords fixture as a2_spanning_forest
+    with k=4, cutting the 3 heaviest MSF edges equals removing the 4
+    heaviest RING edges overall (the heaviest never entered the MSF, the
+    chords at 10+ never could), so the clusters are the 4 ring arcs
+    between removed positions, each labeled by its lexicographically
+    smallest member id — all closed-form for the oracle while the operator
+    runs MSF + top-(k-1) cut + CC for real."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.spanning import k_spanning_clusters
+
+    K = 128
+    base = spark.range(K)
+    ring = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % K).alias("dst"),
+        (
+            _hash64(F.concat(F.lit("ring:"), F.col("id").cast("string")), 7, "md5_64")
+            / F.lit(float(2**60))
+        ).alias("weight"),
+    )
+    chords = base.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7 + 3) % K).alias("dst"),
+        (
+            F.lit(10.0)
+            + _hash64(F.concat(F.lit("chord:"), F.col("id").cast("string")), 7, "md5_64")
+            / F.lit(float(2**60))
+        ).alias("weight"),
+    )
+    return k_spanning_clusters(ring.unionByName(chords), k=4).orderBy("id")
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3548,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_topo_layers": _q_a2_topo_layers,
         # DBSCAN over embeddings: LSH ε-graph -> cores -> CC -> border/noise
         "dbscan_clusters": _q_dbscan_clusters,
+        # gds.kSpanningTree: MSF + top-(k-1) cut = single-linkage at level k
+        "a2_k_spanning": _q_a2_k_spanning,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7210,5 +7247,25 @@ LEFT JOIN core c ON a.id = c.id
 LEFT JOIN clus cl ON a.id = cl.id
 LEFT JOIN bord b ON a.id = b.id
 ORDER BY a.id"""
+
+    # --- a2 k-spanning clusters: closed-form single-linkage cut on the ring
+    # fixture (operators/spanning.py:k_spanning_clusters, k=4): cutting the
+    # 3 heaviest MSF edges of a ring == removing the 4 heaviest ring edges,
+    # so each node's cluster is the lexicographic min VARCHAR id of its arc
+    # (arc = run of positions after the nearest removed edge, circularly) ----
+    sql["a2_k_spanning"] = f"""WITH ringw AS (
+  SELECT i AS src, CAST({_msf_w} AS DOUBLE) / 1152921504606846976.0 AS w
+  FROM range(128) t(i)
+),
+rem AS (SELECT src FROM ringw ORDER BY w DESC LIMIT 4),
+arc AS (
+  SELECT n.i AS v,
+         (SELECT (r.src + 1) % 128 FROM rem r
+          ORDER BY ((n.i - (r.src + 1)) % 128 + 128) % 128 LIMIT 1) AS a
+  FROM range(128) n(i)
+),
+clus AS (SELECT a, min(CAST(v AS VARCHAR)) AS cluster FROM arc GROUP BY a)
+SELECT CAST(x.v AS VARCHAR) AS id, c.cluster
+FROM arc x JOIN clus c ON x.a = c.a ORDER BY id"""
 
     return sql

@@ -144,3 +144,52 @@ def minimum_spanning_forest(
             F.col("esrc").alias("src"), F.col("edst").alias("dst"), F.col("w").alias("weight")
         )
     )
+
+
+def k_spanning_clusters(
+    edges: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(id, cluster): gds.kSpanningTree — single-linkage clustering by
+    minimum spanning forest: compute the MSF, CUT its k-1 heaviest edges
+    (ties broken by (weight desc, hashed-src, hashed-dst), mirroring the
+    forest's own total order), and label each resulting tree by its
+    smallest member id.  With c connected components and k >= c the output
+    has exactly k clusters (c when k < c — you cannot cut a forest into
+    fewer pieces than it has trees).  This IS single-linkage hierarchical
+    clustering cut at level k, computed bottom-up in Borůvka's ≤ log2 n
+    rounds instead of n sequential merges.
+
+    Scale: the forest has |V|-c edges but the CUT selection is a top-(k-1)
+    ``orderBy().limit()`` — TakeOrderedAndProject, per-partition heaps, no
+    global sort — and the final labeling is one alternating-star CC over
+    the forest-minus-cuts edge list (tree-sparse by construction)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    msf = minimum_spanning_forest(edges, weight_col=weight_col, max_rounds=max_rounds)
+    msf = msf.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        "weight",
+    ).localCheckpoint(eager=True)
+    cuts = (
+        msf.orderBy(
+            F.desc("weight"), F.xxhash64("src"), F.xxhash64("dst")
+        )
+        .limit(k - 1)
+        .select("src", "dst")
+    )
+    kept = msf.join(cuts, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("mst").alias("relationship_name")
+    )
+    ids = (
+        edges.select(F.col("src").cast("string").alias("id"))
+        .unionByName(edges.select(F.col("dst").cast("string").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    return connected_components(ids, kept, hash_ids=False).select(
+        "id", F.col("component").alias("cluster")
+    )

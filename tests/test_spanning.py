@@ -90,6 +90,27 @@ def test_msf_parallel_edges_self_loops_and_determinism(spark):
     assert one == two and len(one) == 3
 
 
+def test_k_spanning_clusters_single_linkage_cut(spark):
+    """gds.kSpanningTree on a weighted path a-b-c-d-e (weights 1,9,2,8):
+    k=3 cuts the two heaviest MSF edges (9 then 8) -> clusters {a,b},
+    {c,d}, {e}; k=1 = plain components; k > n -> all singletons."""
+    from cognee_graphdb_spark.operators.spanning import k_spanning_clusters
+
+    rows = [("a", "b", 1.0), ("b", "c", 9.0), ("c", "d", 2.0), ("d", "e", 8.0)]
+    got = {r["id"]: r["cluster"] for r in k_spanning_clusters(
+        _edges(spark, rows), k=3
+    ).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
+    one = {r["cluster"] for r in k_spanning_clusters(_edges(spark, rows), k=1).collect()}
+    assert one == {"a"}
+    allk = {r["id"]: r["cluster"] for r in k_spanning_clusters(
+        _edges(spark, rows), k=99
+    ).collect()}
+    assert allk == {v: v for v in "abcde"}
+    with pytest.raises(ValueError, match="k must be"):
+        k_spanning_clusters(_edges(spark, rows), k=0)
+
+
 def test_msf_empty_and_nonconvergence_guard(spark):
     """No spanning edges -> empty typed frame; an impossible round budget
     raises instead of returning a partial forest (fail-loudly)."""
