@@ -1913,6 +1913,62 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
                 .alias("score"),
             )
         )
+    if key == "betweenness.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+        # GDS's default is EXACT betweenness = all-sources Brandes, O(V·E)
+        # state — same scale class as allShortestPaths, same structural
+        # guard; the sampled estimator (betweenness_sampled with a source
+        # sample) is the opt-out scale path
+        _guard_exact_all_pairs(
+            spark, nodes, "betweenness.stream",
+            "graph_metrics.betweenness_sampled(sources=<sample>)",
+        )
+        all_src = nodes.select("id").distinct()
+        bt = betweenness_sampled(edges, all_src, max_hops=64)
+        # undirected convention: every unordered pair is seen from both
+        # endpoints when the source set is all nodes — halve (GDS divides
+        # by 2 for undirected projections)
+        return (
+            nodes.select("id")
+            .distinct()
+            .join(bt.withColumnRenamed("node", "id"), "id", "left")
+            .select(
+                F.col("id").alias("nodeId"),
+                (F.coalesce("betweenness", F.lit(0.0)) / F.lit(2.0)).alias("score"),
+            )
+        )
+    if key == "closeness.harmonic.stream":
+        from cognee_graphdb_spark.operators.paths import weighted_sssp
+
+        # exact harmonic closeness: sum over reachable of 1/d, normalized by
+        # n-1 (the GDS convention); all-pairs by definition — guarded, with
+        # the HyperANF sketch as the scale path
+        _guard_exact_all_pairs(
+            spark, nodes, "closeness.harmonic.stream",
+            "graph_metrics.approx_harmonic_closeness",
+        )
+        n_total = nodes.select("id").distinct().count()
+        unit = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+        d = weighted_sssp(
+            unit, nodes.select("id"), max_hops=64, directed=False,
+            on_truncation="raise",
+        )
+        per = (
+            d.filter(F.col("source") != F.col("node"))
+            .groupBy("source")
+            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("h"))
+        )
+        denom = float(n_total - 1) if n_total > 1 else 1.0
+        return (
+            nodes.select("id")
+            .distinct()
+            .join(per.withColumnRenamed("source", "id"), "id", "left")
+            .select(
+                F.col("id").alias("nodeId"),
+                (F.coalesce("h", F.lit(0.0)) / F.lit(denom)).alias("centrality"),
+            )
+        )
     if key == "nodesimilarity.stream":
         from cognee_graphdb_spark.operators.graph_metrics import node_similarity
 
@@ -1934,7 +1990,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
-        "dag.topologicalSort)"
+        "closeness.harmonic, betweenness, dag.topologicalSort)"
     )
 
 

@@ -1372,6 +1372,38 @@ def test_gds_dag_topological_sort_stream(spark, gds_graph):
     assert layers == {"a": 0, "x": 0, "b": 1, "y": 1, "c": 2}
 
 
+def test_gds_betweenness_and_harmonic_closeness_stream(spark):
+    """gds.betweenness.stream (exact all-sources Brandes, halved for the
+    undirected convention) and gds.closeness.harmonic.stream (sum of 1/d
+    over n-1) on the path p1-p2-p3: only the middle node carries
+    betweenness (exactly 1), and harmonic centrality is 1.0 for the middle
+    vs 0.75 for the ends."""
+    nodes = spark.createDataFrame(
+        [(i, i, "Entity", {}) for i in ["p1", "p2", "p3"]],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("p1", "p2", "r"), ("p2", "p3", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    bt = rows(spark, (nodes, edges), """
+    CALL gds.betweenness.stream('g') YIELD nodeId, score
+    RETURN nodeId, score;
+    """)
+    scores = {r["nodeId"]: r["score"] for r in bt}
+    assert scores == {"p1": 0.0, "p2": pytest.approx(1.0), "p3": 0.0}
+    hc = rows(spark, (nodes, edges), """
+    CALL gds.closeness.harmonic.stream('g') YIELD nodeId, centrality
+    RETURN nodeId, centrality;
+    """)
+    cent = {r["nodeId"]: r["centrality"] for r in hc}
+    assert cent == {
+        "p1": pytest.approx(0.75),
+        "p2": pytest.approx(1.0),
+        "p3": pytest.approx(0.75),
+    }
+
+
 def test_gds_exact_all_pairs_scale_guard_refuses_and_opts_in(spark):
     """allShortestPaths/closeness are exact all-pairs (O(n*reachable) state);
     above the node budget the CALL must refuse with the sampled alternative
