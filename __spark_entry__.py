@@ -1572,6 +1572,23 @@ def _q_a2_k_spanning(spark, sf_dir):
     return k_spanning_clusters(ring.unionByName(chords), k=4).orderBy("id")
 
 
+def _q_td_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (training_data.py:
+    cluster_balanced_sample ∘ clustering.py:dbscan): cap every DBSCAN
+    topic island at 3 documents picked by smallest (md5 hash, id), keep
+    ALL noise rows (the corpus's unique documents ARE the diversity the
+    cap protects).  The oracle reuses the dbscan chain verbatim and adds
+    one window — same hash, same tie order."""
+    from cognee_graphdb_spark.operators.clustering import dbscan
+    from cognee_graphdb_spark.operators.training_data import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = dbscan(emb, threshold=0.25, min_pts=4, lsh_bits=4, dim=64)
+    return cluster_balanced_sample(
+        labeled, cap=3, label_col="cluster", id_col="id", hasher="md5_64"
+    ).orderBy("id")
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3585,6 +3602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan_clusters,
         # gds.kSpanningTree: MSF + top-(k-1) cut = single-linkage at level k
         "a2_k_spanning": _q_a2_k_spanning,
+        # diversity sampling: cap DBSCAN topic islands, keep noise uncapped
+        "td_cluster_sample": _q_td_cluster_sample,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7204,8 +7223,7 @@ FROM layered GROUP BY layer, node_type ORDER BY layer, node_type"""
         "(list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
     )
-    sql["dbscan_clusters"] = f"""WITH RECURSIVE
-e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, {_db_bucket} AS bucket FROM embeddings),
+    _db_chain = f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, {_db_bucket} AS bucket FROM embeddings),
 prs AS MATERIALIZED (
   SELECT CAST(a.vec_id AS VARCHAR) AS id_a, CAST(b.vec_id AS VARCHAR) AS id_b
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -7236,8 +7254,8 @@ bord AS (
   LEFT JOIN core own ON s.id = own.id
   WHERE own.id IS NULL
   GROUP BY s.id
-)
-SELECT a.id,
+)"""
+    _db_final = """SELECT a.id,
        CASE WHEN c.id IS NOT NULL THEN 'core'
             WHEN b.id IS NOT NULL THEN 'border'
             ELSE 'noise' END AS kind,
@@ -7245,8 +7263,25 @@ SELECT a.id,
 FROM allv a
 LEFT JOIN core c ON a.id = c.id
 LEFT JOIN clus cl ON a.id = cl.id
-LEFT JOIN bord b ON a.id = b.id
+LEFT JOIN bord b ON a.id = b.id"""
+    sql["dbscan_clusters"] = f"""WITH RECURSIVE
+{_db_chain}
+{_db_final}
 ORDER BY a.id"""
+
+    # --- td cluster-balanced sample: cap each DBSCAN cluster at 3 rows
+    # picked by smallest (md5_64 hash, id); noise (NULL cluster) uncapped
+    # (operators/training_data.py:cluster_balanced_sample ∘ clustering.py:
+    # dbscan — diversity sampling over topic islands) ------------------------
+    sql["td_cluster_sample"] = f"""WITH RECURSIVE
+{_db_chain},
+fin AS ({_db_final}),
+rnr AS (
+  SELECT id, kind, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY {_md5_64("id", 0)}, id) AS rn
+  FROM fin
+)
+SELECT id, kind, cluster FROM rnr WHERE cluster IS NULL OR rn <= 3 ORDER BY id"""
 
     # --- a2 k-spanning clusters: closed-form single-linkage cut on the ring
     # fixture (operators/spanning.py:k_spanning_clusters, k=4): cutting the

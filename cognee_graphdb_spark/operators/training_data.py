@@ -82,6 +82,41 @@ def stratified_sample(
     return df.filter(_bucket(F.col(id_col), seed, hasher) < thresh)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    cap: int,
+    label_col: str = "cluster",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Diversity sampling: keep at most ``cap`` rows per ``label_col``
+    cluster, chosen deterministically by smallest (seeded hash, id) — the
+    standard cap on topic-island over-representation when a corpus has been
+    clustered (e.g. by :func:`~cognee_graphdb_spark.operators.clustering.
+    dbscan` over embeddings).  Rows with a NULL label (DBSCAN noise — the
+    corpus's unique documents) are kept UNCAPPED: they are exactly the
+    diversity the cap is protecting.
+
+    Like the other samplers the kept set is a pure function of the keys —
+    stable across runs and layouts.  The per-cluster pick is a window
+    row_number; DBSCAN's density bound caps cluster sizes, but for
+    heavy-tailed labelings pre-filter with :func:`hash_sample` first (the
+    same margin trick graph_sampling documents)."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(label_col).orderBy(
+        _hash64(F.col(id_col).cast("string"), seed, hasher), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(label_col).isNull() | (F.col("__rn") <= cap))
+        .drop("__rn")
+    )
+
+
 def ngram_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

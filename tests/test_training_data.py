@@ -23,6 +23,29 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
 
 
+def test_cluster_balanced_sample_caps_clusters_keeps_noise(spark):
+    """At most cap rows per cluster, picked by smallest (hash, id) — stable
+    across two runs; NULL-cluster (noise) rows are never capped."""
+    from cognee_graphdb_spark.operators.training_data import cluster_balanced_sample
+
+    rows = (
+        [(f"a{i}", "big") for i in range(10)]
+        + [(f"b{i}", "small") for i in range(2)]
+        + [(f"n{i}", None) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, cluster string")
+    out = cluster_balanced_sample(df, cap=3)
+    got = {r["cluster"] if r["cluster"] else "noise" for r in out.collect()}
+    counts = {k: 0 for k in got}
+    for r in out.collect():
+        counts[r["cluster"] if r["cluster"] else "noise"] += 1
+    assert counts == {"big": 3, "small": 2, "noise": 5}
+    again = sorted(r["doc_id"] for r in cluster_balanced_sample(df, cap=3).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+    with pytest.raises(ValueError, match="cap"):
+        cluster_balanced_sample(df, cap=0)
+
+
 def test_hash_sample_deterministic_and_sized(docs):
     a = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
     b = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
