@@ -699,6 +699,35 @@ class CogneeSpark:
             "(pagerank, eigenvector, articlerank, hits, harmonic, betweenness)"
         )
 
+    def cluster_embeddings(
+        self,
+        collection: str = "DocumentChunk_text",
+        threshold: float = 0.8,
+        min_pts: int = 4,
+        lsh_bits: int = 0,
+    ) -> DataFrame:
+        """(id, kind, cluster): DBSCAN topic islands over one of the
+        store's vector collections (operators/clustering.py:dbscan) —
+        which chunks pile into dense near-duplicate topics (``core`` /
+        ``border`` with a cluster label) and which are unique (``noise``).
+        ``lsh_bits=0`` is exact (fine at memory-store sizes); set it for
+        the bucketed scale path."""
+        from cognee_graphdb_spark.operators.clustering import dbscan
+
+        embeddings = self.store.load("embeddings")
+        if embeddings is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        sel = embeddings.filter(F.col("collection") == collection)
+        return dbscan(
+            sel,
+            threshold=threshold,
+            min_pts=min_pts,
+            id_col="id",
+            vector_col="vector",
+            lsh_bits=lsh_bits,
+            dim=self.embed_dim if lsh_bits > 0 else None,
+        )
+
     def spanning_forest(self, weight: str | None = None) -> DataFrame:
         """(src, dst, weight): minimum spanning forest of the stored graph —
         distributed Borůvka (operators/spanning.py, the gds.spanningTree

@@ -418,6 +418,22 @@ def test_spanning_forest_api_surface(engine):
     assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_cluster_embeddings_api_surface(engine):
+    """DBSCAN over a stored vector collection: one row per collection
+    member, kinds within the DBSCAN vocabulary, clusters named by member
+    ids; unknown collection -> empty, store intact."""
+    n = (
+        engine.store.load("embeddings")
+        .filter(F.col("collection") == "Entity_name")
+        .count()
+    )
+    out = engine.cluster_embeddings("Entity_name", threshold=0.99, min_pts=2)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["kind"] for r in rows} <= {"core", "border", "noise"}
+    assert engine.cluster_embeddings("NoSuchCollection").count() == 0
+
+
 def test_community_quality_api_surface(engine):
     """Modularity contributions and conductance, joined per community, for
     any clustering of the stored graph."""
