@@ -3471,6 +3471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # td_pack_sequences -> six td_* rows (r10); mm_* decode/resize ->
         # mm_jpeg_progressive (r10) + mm_image_variants/mm_llm_media_text
         # (r11)
+        #
+        # r12 WINDOW PRE-COMMITMENT (rules 1+3): (a) the fifteen rule-2
+        # deferrals above; (b) the seven r11-new rows at the END of this
+        # dict (a2_eigenvector, a2_articlerank, a2_spanning_forest,
+        # a2_topo_layers, dbscan_clusters, a2_k_spanning,
+        # td_cluster_sample); (c) rule-1(i) proof-after-change rows for the
+        # modules r11 diff-touched outside its window: plans/cypher.py
+        # (cypher_passthrough/translated/pipeline/optional_match/list_ops —
+        # appended CALL routes only, but the rule is the rule) and
+        # api.py-backed e2e rows; then oldest-first as usual.
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_exact": _q_dedup_embedding,
