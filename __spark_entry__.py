@@ -3363,124 +3363,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the next window.  The fifteen rule-2 deferrals this round are named
     # there with their per-row sibling justification.
     raw = {
-        # -- round-11 window (first 50) ---------------------------------------
-        # Composition, exactly as pre-committed at the r10 boundary and
-        # prescribed by the r10 VERDICT (#1/#2/#7): the seven r7 rows
-        # deferred by name from r10 (now the registry's oldest), the 13
-        # r10-new entries awaiting their first driver proof, then 30 of the
-        # 45 r8-vintage rows chosen §2-surface-first.
+        # -- round-12 window (first 50) ---------------------------------------
+        # Composition, exactly as pre-committed at the r11 boundary and
+        # prescribed by the r11 VERDICT (#1): (a) the fifteen rule-3 capped
+        # r8 rows (age 4 — unconditional by policy rule 3), (b) the seven
+        # r11-new rows getting their first driver proof, (c) the five
+        # plans/cypher.py dialect rows (rule 1(i): the module was
+        # diff-touched in r11 — appended CALL routes only, but the rule is
+        # the rule), (d) rule-1(i) rows for the modules r12 ITSELF touches
+        # (node_embeddings.py sign pin -> a2_node_embeddings +
+        # v6_graph_vectors; dedup.py k-means extraction -> dedup_semdedup +
+        # dedup_incremental_index), then (e) oldest-first r9 rows.
         #
-        # the seven deferred r7 rows (4 diagnostics-shaped + 3 module
-        # siblings; all seven modules verified diff-untouched since r7)
-        "skew_report": _q_skew_report,
-        "td_mixture_plan": _q_td_mixture_plan,
-        "td_source_report": _q_td_source_report,
-        "mm_image_variants": _q_mm_image_variants,
-        "mm_llm_media_text": _q_mm_llm_media_text,
-        "tfidf_topk": _q_tfidf_topk,
-        "a3_degree_one_nodes": _q_a3_degree_one,
-        # the 13 r10-new entries, sweep-green on r10 code, first driver proof:
-        # community family (leiden/hits/conductance/scc), the reference's
-        # four gds.* metric queries VERBATIM through the Cypher CALL surface
-        # (neo4j_metrics_utils.py:60,92,152,184), and the zero-shuffle
-        # benchmark-graph generator trio
-        "a2_conductance": _q_a2_conductance,
-        "a2_hits": _q_a2_hits,
-        "a2_leiden": _q_a2_leiden,
-        "a2_scc": _q_a2_scc,
-        "cypher_gds_wcc_sizes": _q_cypher_gds_wcc_sizes,
-        "cypher_gds_wcc_stats": _q_cypher_gds_wcc_stats,
-        "cypher_gds_apsp": _q_cypher_gds_apsp,
-        "cypher_gds_clustering": _q_cypher_gds_clustering,
-        "cypher_gds_pagerank": _q_cypher_gds_pagerank,
-        "cypher_gds_closeness": _q_cypher_gds_closeness,
-        "gen_rmat_graph": _q_gen_rmat_graph,
-        "gen_uniform_graph": _q_gen_uniform_graph,
-        "gen_ws_graph": _q_gen_ws_graph,
-        # 30 of the 45 r8-vintage rows.  Selection rule (registry capacity
-        # policy, below): §2-named rows first (A5/A7/W1/W3/W4, F1-F10, P6 —
-        # the r10 VERDICT #7 list), then every r8 row whose module was
-        # diff-TOUCHED since its r8 proof (graph_metrics.py grew the
-        # community/SCC family in r9-r10, so all eleven a2_* r8 rows
-        # re-prove here), then untouched-module rows oldest-first
-        "a5_top_words": _q_a5_top_words,
-        "a7_token_f1": _q_a7_token_f1,
-        "w1_topk_smallest": _q_w1_topk_smallest,
-        "w3_null_inf_sort": _q_w3_null_inf_sort,
-        "w4_last_k_interactions": _q_w4_last_k,
-        "f1_f4_chunking": _q_chunking,
-        "f4_unicode_tokens": _q_f4_unicode_tokens,
-        "f5_content_id": _q_f5_content_id,
-        "f6_normalize_name": _q_f6_normalize,
-        "f7_calendar_fields": _q_f7_calendar,
-        "f10_title_synthesis": _q_f10_title,
-        "p6_json_extract": _q_p6_json_extract,
-        # the eleven a2_* r8 rows — graph_metrics.py was touched in r9/r10
-        # (community family appended), so the extended staleness cap does
-        # NOT apply to them and they re-prove now
-        "a2_triangle_clustering": _q_a2_triangle_clustering,
-        "a2_random_walks": _q_a2_random_walks,
-        "a2_walk_skipgrams": _q_a2_walk_skipgrams,
-        "a2_harmonic_closeness": _q_a2_harmonic_closeness,
-        "a2_shortest_path_counts": _q_a2_shortest_path_counts,
-        "a2_betweenness": _q_a2_betweenness,
-        "a2_node2vec_walks": _q_a2_node2vec_walks,
-        "a2_incremental_components": _q_a2_incremental_components,
-        "a2_label_propagation": _q_a2_label_propagation,
-        "a2_node_similarity": _q_a2_node_similarity,
-        "a2_hyperanf": _q_a2_hyperanf,
-        # untouched-module r8 rows with §2 / LLM-pipeline-table standing
-        # (SO2 jaccard, simhash, embedding-LSH near-dup, quality, lang-id,
-        # fingerprint, BPE tokens)
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "quality_features": _q_quality_features,
-        "language_id": _q_language_id,
-        "doc_fingerprint": _q_fingerprint,
-        "bpe_token_counts": _q_bpe_token_counts,
-        # -- window boundary (50): below here, rows stay green cumulatively --
-        #
-        # REGISTRY CAPACITY POLICY (adopted r11 per the r10 VERDICT #1: 163
-        # entries no longer fit 3 windows x 50 slots, so rotation alone
-        # cannot keep every row <=2 rounds fresh):
-        #   1. Window priority each round: (i) red rows and proof-after-
-        #      change rows (any row whose implementing module was diff-
-        #      touched since its last green proof), (ii) never-driver-proved
-        #      new rows, (iii) oldest rows, §2-mapped before diagnostics-
-        #      shaped at equal age.
-        #   2. Extended staleness cap: a row may age to AT MOST 4 rounds
-        #      since its last green driver proof PROVIDED (a) its
-        #      implementing module is diff-untouched since that proof
-        #      (verified against the round diffs) AND (b) a same-module
-        #      sibling row is green in a window no older than the previous
-        #      round.  Rows failing either condition stay on the <=2-round
-        #      schedule and must enter the next window.
-        #   3. Rows at the 4-round cap unconditionally lead the next window
-        #      (no further deferral, whatever their module diff status).
-        #
-        # The fifteen r8-vintage rows below are the rule-2 deferrals this
-        # round (age 3 after r11; they MUST lead the r12 window by rule 3).
-        # Every one lives in a module untouched since r8 — dedup.py,
-        # text_analysis.py / functions/text.py, training_data.py,
-        # multimodal.py + sources/{media,container}.py (verified against
-        # the r9/r10 diffs) — and every one has a same-module sibling green
-        # in the r10 or r11 window: dedup_* -> dedup_minhash_lsh (r10) +
-        # dedup_jaccard_pairs/simhash/embedding_lsh (r11); token/cooc ->
-        # bpe_token_counts + language_id/quality_features (r11);
-        # td_pack_sequences -> six td_* rows (r10); mm_* decode/resize ->
-        # mm_jpeg_progressive (r10) + mm_image_variants/mm_llm_media_text
-        # (r11)
-        #
-        # r12 WINDOW PRE-COMMITMENT (rules 1+3): (a) the fifteen rule-2
-        # deferrals above; (b) the seven r11-new rows at the END of this
-        # dict (a2_eigenvector, a2_articlerank, a2_spanning_forest,
-        # a2_topo_layers, dbscan_clusters, a2_k_spanning,
-        # td_cluster_sample); (c) rule-1(i) proof-after-change rows for the
-        # modules r11 diff-touched outside its window: plans/cypher.py
-        # (cypher_passthrough/translated/pipeline/optional_match/list_ops —
-        # appended CALL routes only, but the rule is the rule) and
-        # api.py-backed e2e rows; then oldest-first as usual.
+        # (a) the fifteen rule-3 capped rows (r8 proofs, age 4)
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_exact": _q_dedup_embedding,
@@ -3496,11 +3391,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_resize": _q_mm_jpeg_resize,
         "mm_media_info": _q_mm_media_info,
         "mm_llm_media_av": _q_mm_llm_media_av,
-        # the r9-validated rows (proofs 2 rounds old after r11; the oldest
-        # of these fill what the r12 window has left after the fifteen
-        # capped rows above and any r11-new entries)
-        "pq_codes": _q_pq_codes,
+        # (b) the seven r11-new rows, sweep-green on r11 code, first
+        # driver proof (eigenvector/articlerank centralities, Borůvka
+        # MSF, Kahn topo layers, DBSCAN, kSpanningTree, cluster-balanced
+        # diversity sampling)
+        "a2_eigenvector": _q_a2_eigenvector,
+        "a2_articlerank": _q_a2_articlerank,
+        "a2_spanning_forest": _q_a2_spanning_forest,
+        "a2_topo_layers": _q_a2_topo_layers,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "a2_k_spanning": _q_a2_k_spanning,
+        "td_cluster_sample": _q_td_cluster_sample,
+        # (c) plans/cypher.py proof-after-change rows (touched r11+r12)
+        "cypher_passthrough": _q_cypher_passthrough,
+        "cypher_translated": _q_cypher_translated,
+        "cypher_pipeline": _q_cypher_pipeline,
+        "cypher_optional_match": _q_cypher_optional_match,
+        "cypher_list_ops": _q_cypher_list_ops,
+        # (d) proof-after-change rows for modules r12 touches:
+        # node_embeddings.py (eigenvector-sign canonicalization) and
+        # dedup.py (spherical k-means core extracted for gds.kmeans)
         "a2_node_embeddings": _q_a2_node_embeddings,
+        "v6_graph_vectors": _q_v6_graph_vectors,
+        "dedup_semdedup": _q_dedup_semdedup,
+        "dedup_incremental_index": _q_dedup_incremental_index,
+        # (e) oldest-first r9 rows filling the window to 50
+        "pq_codes": _q_pq_codes,
         "a2_weighted_sssp": _q_a2_weighted_sssp,
         "a9_pagerank_personalized": _q_a9_pagerank_personalized,
         "a9_pagerank_weighted": _q_a9_pagerank_weighted,
@@ -3511,7 +3427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_case": _q_cypher_case,
         "cypher_undirected": _q_cypher_undirected,
         "cypher_union_having": _q_cypher_union_having,
-        "cypher_list_ops": _q_cypher_list_ops,
         "v5_embed_knn": _q_v5_embed_knn,
         "td_curate_corpus": _q_td_curate_corpus,
         "a2_connected_components": _q_a2_components,
@@ -3519,9 +3434,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_classification": _q_chunk_classification,
         "memify_rules": _q_memify_rules,
         "code_graph_counts": _q_code_graph,
-        "dedup_incremental_index": _q_dedup_incremental_index,
         "a9_pagerank": _q_a9_pagerank,
-        "dedup_semdedup": _q_dedup_semdedup,
+        # -- window boundary (50): below here, rows stay green cumulatively --
+        #
+        # REGISTRY CAPACITY POLICY (adopted r11 per the r10 VERDICT #1; the
+        # policy is permanent):
+        #   1. Window priority each round: (i) red rows and proof-after-
+        #      change rows (any row whose implementing module was diff-
+        #      touched since its last green proof), (ii) never-driver-proved
+        #      new rows, (iii) oldest rows, §2-mapped before diagnostics-
+        #      shaped at equal age.
+        #   2. Extended staleness cap: a row may age to AT MOST 4 rounds
+        #      since its last green driver proof PROVIDED (a) its
+        #      implementing module is diff-untouched since that proof
+        #      (verified against the round diffs) AND (b) a same-module
+        #      sibling row is green in a window no older than the previous
+        #      round.  Rows failing either condition stay on the <=2-round
+        #      schedule and must enter the next window.
+        #   3. Rows at the 4-round cap unconditionally lead the next window
+        #      (no further deferral, whatever their module diff status).
+        #
+        # r13 WINDOW PRE-COMMITMENT (rules 1+3):
+        #   (a) the twenty-one r9-proved rows below that reach age 4 after
+        #       r12 (rule 3): td_dsir_resample, s1_ingest_identify,
+        #       s3_classify_documents, s4_column_values, s5_schema_only,
+        #       u12_ontology_resolve, u_regex_entities,
+        #       edge_weights_flatten, mm_frame_sample, mm_resize_plan,
+        #       a2_component_sizes, insights_exact_node, temporal_search_e2e,
+        #       natural_language_search, td_hash_sample, td_stratified_sample,
+        #       td_decontaminate, td_pii_redact, td_corpus_stats,
+        #       td_repetition, td_gopher_filter.
+        #   (b) rule-1(i) proof-after-change rows for modules r12 diff-
+        #       touched whose rows are NOT in the r12 window:
+        #       training_data.py (margin prefilter in cluster_balanced_sample
+        #       — output-identical and parity-pinned, but the rule is the
+        #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
+        #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
+        #       route appended) -> the six r11 cypher_gds_* rows.
+        #   (c) the r12-new rows at the END of this dict, then oldest-first.
+        #   That is 21 + 10 + ~10 + new rows — fits one 50-slot window with
+        #   room; the arithmetic closes.
+        "skew_report": _q_skew_report,
+        "td_mixture_plan": _q_td_mixture_plan,
+        "td_source_report": _q_td_source_report,
+        "mm_image_variants": _q_mm_image_variants,
+        "mm_llm_media_text": _q_mm_llm_media_text,
+        "tfidf_topk": _q_tfidf_topk,
+        "a3_degree_one_nodes": _q_a3_degree_one,
+        "a2_conductance": _q_a2_conductance,
+        "a2_hits": _q_a2_hits,
+        "a2_leiden": _q_a2_leiden,
+        "a2_scc": _q_a2_scc,
+        "cypher_gds_wcc_sizes": _q_cypher_gds_wcc_sizes,
+        "cypher_gds_wcc_stats": _q_cypher_gds_wcc_stats,
+        "cypher_gds_apsp": _q_cypher_gds_apsp,
+        "cypher_gds_clustering": _q_cypher_gds_clustering,
+        "cypher_gds_pagerank": _q_cypher_gds_pagerank,
+        "cypher_gds_closeness": _q_cypher_gds_closeness,
+        "gen_rmat_graph": _q_gen_rmat_graph,
+        "gen_uniform_graph": _q_gen_uniform_graph,
+        "gen_ws_graph": _q_gen_ws_graph,
+        "a5_top_words": _q_a5_top_words,
+        "a7_token_f1": _q_a7_token_f1,
+        "w1_topk_smallest": _q_w1_topk_smallest,
+        "w3_null_inf_sort": _q_w3_null_inf_sort,
+        "w4_last_k_interactions": _q_w4_last_k,
+        "f1_f4_chunking": _q_chunking,
+        "f4_unicode_tokens": _q_f4_unicode_tokens,
+        "f5_content_id": _q_f5_content_id,
+        "f6_normalize_name": _q_f6_normalize,
+        "f7_calendar_fields": _q_f7_calendar,
+        "f10_title_synthesis": _q_f10_title,
+        "p6_json_extract": _q_p6_json_extract,
+        "a2_triangle_clustering": _q_a2_triangle_clustering,
+        "a2_random_walks": _q_a2_random_walks,
+        "a2_walk_skipgrams": _q_a2_walk_skipgrams,
+        "a2_harmonic_closeness": _q_a2_harmonic_closeness,
+        "a2_shortest_path_counts": _q_a2_shortest_path_counts,
+        "a2_betweenness": _q_a2_betweenness,
+        "a2_node2vec_walks": _q_a2_node2vec_walks,
+        "a2_incremental_components": _q_a2_incremental_components,
+        "a2_label_propagation": _q_a2_label_propagation,
+        "a2_node_similarity": _q_a2_node_similarity,
+        "a2_hyperanf": _q_a2_hyperanf,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "bpe_token_counts": _q_bpe_token_counts,
         "td_dsir_resample": _q_td_dsir_resample,
         "s1_ingest_identify": _q_s1_ingest,
         "s3_classify_documents": _q_s3_classify,
@@ -3535,10 +3537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_component_sizes": _q_a2_component_sizes,
         "insights_exact_node": _q_insights_exact,
         "temporal_search_e2e": _q_temporal_search,
-        "cypher_passthrough": _q_cypher_passthrough,
-        "cypher_translated": _q_cypher_translated,
-        "cypher_pipeline": _q_cypher_pipeline,
-        "cypher_optional_match": _q_cypher_optional_match,
         "natural_language_search": _q_natural_language,
         "td_hash_sample": _q_td_hash_sample,
         "td_stratified_sample": _q_td_stratified_sample,
@@ -3547,7 +3545,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_corpus_stats": _q_td_corpus_stats,
         "td_repetition": _q_td_repetition,
         "td_gopher_filter": _q_td_gopher_filter,
-        # the r10-validated rows (freshest driver proofs in the registry)
         "a2_modularity": _q_a2_modularity,
         "a2_sssp_paths": _q_a2_sssp_paths,
         "a2_ktruss": _q_a2_ktruss,
@@ -3556,7 +3553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank_keywords,
         "a2_louvain": _q_a2_louvain,
         "pq_topk": _q_pq_topk,
-        "v6_graph_vectors": _q_v6_graph_vectors,
         "knn_quantized": _q_knn_quantized,
         "mm_jpeg_progressive": _q_mm_jpeg_progressive,
         "s2_office_text": _q_s2_office_text,
@@ -3598,22 +3594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
-        # -- r11-new entries (first driver proof leads the r12 window) -------
-        # gds.eigenvector / gds.articleRank: the two GDS centralities that
-        # complete the power-iteration family (pagerank / hits siblings),
-        # CALL-routable and centrality()-reachable
-        "a2_eigenvector": _q_a2_eigenvector,
-        "a2_articlerank": _q_a2_articlerank,
-        # distributed Borůvka MSF on a closed-form ring+chords fixture
-        "a2_spanning_forest": _q_a2_spanning_forest,
-        # gds.dag.topologicalSort: Kahn-peel layering of the FK DAG
-        "a2_topo_layers": _q_a2_topo_layers,
-        # DBSCAN over embeddings: LSH ε-graph -> cores -> CC -> border/noise
-        "dbscan_clusters": _q_dbscan_clusters,
-        # gds.kSpanningTree: MSF + top-(k-1) cut = single-linkage at level k
-        "a2_k_spanning": _q_a2_k_spanning,
-        # diversity sampling: cap DBSCAN topic islands, keep noise uncapped
-        "td_cluster_sample": _q_td_cluster_sample,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
