@@ -227,6 +227,19 @@ def sppmi_node_embeddings(
     t = (t + t.T) / 2.0
     w, v = np.linalg.eigh(t)
     order = np.argsort(-np.abs(w))
-    rot = v[:, order] * np.sqrt(np.abs(w[order]))[None, :]
+    v = v[:, order]
+    # LAPACK leaves each eigenvector's sign arbitrary — it is decided by
+    # the last ulps of t, which wobble with partial-agg combine order, so
+    # an entire embedding dimension can flip sign between two calls in the
+    # SAME session (observed as a +0.618... -> -0.618... flip).  The
+    # Cholesky path above is already ulp-pinned (see the no-checkpoint
+    # NOTE); canonicalize the remaining sign freedom here: flip each
+    # column so its maximum-|entry| coordinate (first such row on ties —
+    # argmax order) is positive.  Driver-side d x d, zero cost.
+    for c in range(v.shape[1]):
+        j = int(np.argmax(np.abs(v[:, c])))
+        if v[j, c] < 0:
+            v[:, c] = -v[:, c]
+    rot = v * np.sqrt(np.abs(w[order]))[None, :]
     out = _rotate(q.select(F.col("id").alias("i"), F.col("q").alias("z")), rot)
     return out.select("id", F.col("q").alias("embedding"))

@@ -156,6 +156,26 @@ def test_embeddings_deterministic_within_tolerance(spark):
         assert np.allclose(a[k], b[k], atol=1e-7), k
 
 
+def test_embeddings_sign_canonicalized(spark):
+    """r11 VERDICT #2: np.linalg.eigh leaves each eigenvector's sign
+    arbitrary (decided by the last ulps of the Ritz matrix, which wobble
+    with partial-agg combine order), so before the fix an entire embedding
+    dimension could flip sign between two calls in ONE session — observed
+    as +0.618... vs -0.618... (1-in-4 under load; the r10 tolerance bump
+    could never absorb it).  The factorization now canonicalizes each
+    column (max-|entry| coordinate positive, argmax-first tie-break), so
+    two embeds must agree in SIGN exactly on every coordinate that is not
+    within noise of zero; magnitudes are covered by the tolerance test."""
+    pairs = _toy_pairs(spark)
+    a = {r["id"]: list(r["embedding"]) for r in sppmi_node_embeddings(pairs, dim=2, n_iter=6).collect()}
+    b = {r["id"]: list(r["embedding"]) for r in sppmi_node_embeddings(pairs, dim=2, n_iter=6).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            if abs(x) > 1e-9 or abs(y) > 1e-9:
+                assert (x >= 0.0) == (y >= 0.0), (k, a[k], b[k])
+
+
 def test_embeddings_feed_v1_knn_search(spark):
     """The VERDICT-r8 integration contract: SPPMI-SVD output is a normal
     (id, embedding) frame, so the V1 search path consumes it directly —
