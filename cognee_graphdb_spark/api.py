@@ -30,6 +30,14 @@ from cognee_graphdb_spark.llm.gateway import MockLLMGateway
 from cognee_graphdb_spark.sources.ingest import PipelineRuns, ingest_texts
 from cognee_graphdb_spark.sources.sinks import GraphStore
 
+# cluster_embeddings' exact ε-pair path (lsh_bits=0) is a blocked cross
+# join — the same scale class as the exact all-pairs CALL procedures
+# (plans/cypher.py:_guard_exact_all_pairs), and this verb is HTTP/MCP-
+# adjacent, so the guard is structural: refuse above the row budget,
+# naming lsh_bits as the scale path and the opt-in conf.
+_EXACT_PAIRS_ROW_BUDGET = 50_000
+_EXACT_PAIRS_OPT_IN = "spark.cognee.cluster.allowExactPairs"
+
 SEARCH_TYPES = (
     "CHUNKS", "SUMMARIES", "RAG_COMPLETION", "GRAPH_COMPLETION",
     "GRAPH_SUMMARY_COMPLETION", "GRAPH_COMPLETION_COT",
@@ -561,9 +569,11 @@ class CogneeSpark:
         tracks the size of the change, not the graph's mixing time.
 
         ``since`` optionally names a :meth:`snapshot` pin to diff against
-        (the MVCC evolution pointer); without it the delta is computed
-        against the maintenance state's own edge ledger — equivalent, and
-        immune to a vacuumed pin.  Edge REMOVALS (delete/prune) can't fold
+        (the MVCC evolution pointer); the delta is always computed against
+        the maintenance state's own edge ledger INTERSECTED with the pin —
+        the pin can narrow what counts as "already folded" but never widen
+        it, so an edge the ledger has never seen (added between the last
+        refresh and the pin) still enters the batch.  Edge REMOVALS (delete/prune) can't fold
         into a union ledger, so they trigger an automatic cold rebuild
         (detected by an anti-join probe, state reset, full re-solve) —
         fail-safe, never silently stale."""
@@ -584,12 +594,22 @@ class CogneeSpark:
             if removed.limit(1).count() > 0:
                 shutil.rmtree(state_path, ignore_errors=True)  # cold rebuild
             else:
-                old = None
+                # The pin can only NARROW the ledger, never replace it: the
+                # maintenance state may be older than the pin, and an edge
+                # in the pin but not the ledger has never entered the
+                # solve — diffing against the raw pin would exclude it
+                # forever (silently stale ranks).  Anti-joining against
+                # ledger ∩ pin keeps every ledger-unknown edge in the
+                # batch.
+                base = ledger
                 if since is not None:
                     old = self.store.load_snapshot("edges", since.get("edges"))
-                base = (
-                    old.select("src", "dst").distinct() if old is not None else ledger
-                )
+                    if old is not None:
+                        base = ledger.join(
+                            old.select("src", "dst").distinct(),
+                            ["src", "dst"],
+                            "left_semi",
+                        )
                 batch = cur.join(base, ["src", "dst"], "left_anti")
         return pagerank_batch(
             batch, state_path, damping=damping, n_iter=n_iter, tol=tol
@@ -659,7 +679,11 @@ class CogneeSpark:
           behind the CALL surface's scale guard)
         - ``"betweenness"`` → (node, betweenness) (source-sampled Brandes,
           :func:`betweenness_sampled`; ``n_sources`` picks the
-          deterministic lowest-hash sample, default 16)
+          deterministic lowest-hash sample, default 16).  The accumulated
+          deltas are unbiased by V/|sources| and halved for the undirected
+          convention, so values are comparable to ``gds.betweenness``
+          (the CALL route's exact variant) and stable in expectation as
+          ``n_sources`` changes
 
         Extra ``params`` forward to the operator (``n_iter``, ``damping``,
         ``n_rounds``, ``max_hops``, ...)."""
@@ -688,12 +712,17 @@ class CogneeSpark:
             return approx_harmonic_closeness(nodes, edges, **params)
         if algo == "betweenness":
             n_sources = int(params.pop("n_sources", 16))
-            sources = (
-                nodes.select("id")
-                .orderBy(F.xxhash64("id"), "id")
-                .limit(n_sources)
+            ids = nodes.select("id").distinct()
+            # bounded probe: one count over the node ids, needed for the
+            # V/|S| unbiasing factor (estimator comparability — r11 ADVICE)
+            n_total = ids.count()
+            n_eff = min(n_sources, n_total)
+            sources = ids.orderBy(F.xxhash64("id"), "id").limit(n_sources)
+            bt = betweenness_sampled(edges, sources, **params)
+            scale = (float(n_total) / float(max(n_eff, 1))) / 2.0
+            return bt.select(
+                "node", (F.col("betweenness") * F.lit(scale)).alias("betweenness")
             )
-            return betweenness_sampled(edges, sources, **params)
         raise ValueError(
             f"unsupported centrality algorithm {algorithm!r} "
             "(pagerank, eigenvector, articlerank, hits, harmonic, betweenness)"
@@ -710,14 +739,38 @@ class CogneeSpark:
         store's vector collections (operators/clustering.py:dbscan) —
         which chunks pile into dense near-duplicate topics (``core`` /
         ``border`` with a cluster label) and which are unique (``noise``).
-        ``lsh_bits=0`` is exact (fine at memory-store sizes); set it for
-        the bucketed scale path."""
+
+        ``lsh_bits=0`` is the EXACT ε-pair path — a blocked cross join by
+        design, the same shape as the exact all-pairs CALL procedures —
+        so it is scale-guarded exactly like them (r11 VERDICT #3): above
+        ``_EXACT_PAIRS_ROW_BUDGET`` rows in the selected collection the
+        verb refuses, naming ``lsh_bits`` as the bucketed scale path and
+        the explicit opt-in conf
+        (``spark.cognee.cluster.allowExactPairs``).  Fine at memory-store
+        sizes; set ``lsh_bits`` for a 100× collection."""
         from cognee_graphdb_spark.operators.clustering import dbscan
+        from cognee_graphdb_spark.plans.cypher import GdsScaleGuard
 
         embeddings = self.store.load("embeddings")
         if embeddings is None:
             raise RuntimeError("No data found in the system, please add data first.")
         sel = embeddings.filter(F.col("collection") == collection)
+        if lsh_bits <= 0:
+            opt_in = str(
+                self.spark.conf.get(_EXACT_PAIRS_OPT_IN, "false")
+            ).lower()
+            if opt_in != "true":
+                n = sel.count()
+                if n > _EXACT_PAIRS_ROW_BUDGET:
+                    raise GdsScaleGuard(
+                        f"cluster_embeddings(lsh_bits=0) is the exact "
+                        f"ε-pair path (O(n²/blocks) candidate pairs) and "
+                        f"collection {collection!r} has {n} rows > budget "
+                        f"{_EXACT_PAIRS_ROW_BUDGET}.  Pass lsh_bits>0 for "
+                        f"the bucketed scale path, or opt in explicitly "
+                        f"with spark.conf.set('{_EXACT_PAIRS_OPT_IN}', "
+                        f"'true')."
+                    )
         return dbscan(
             sel,
             threshold=threshold,

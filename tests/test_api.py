@@ -434,6 +434,92 @@ def test_cluster_embeddings_api_surface(engine):
     assert engine.cluster_embeddings("NoSuchCollection").count() == 0
 
 
+def test_cluster_embeddings_exact_guard(engine, monkeypatch):
+    """r11 VERDICT #3: lsh_bits=0 is the exact ε-pair path — a blocked
+    cross join, the same scale class as the guarded all-pairs CALL
+    procedures — so above the row budget the verb refuses naming lsh_bits
+    as the scale path; the opt-in conf and the bucketed path both pass."""
+    import cognee_graphdb_spark.api as api_mod
+    from cognee_graphdb_spark.plans.cypher import GdsScaleGuard
+
+    monkeypatch.setattr(api_mod, "_EXACT_PAIRS_ROW_BUDGET", 1)
+    with pytest.raises(GdsScaleGuard, match="lsh_bits"):
+        engine.cluster_embeddings("Entity_name", threshold=0.99, min_pts=2)
+    # explicit opt-in runs the exact path anyway
+    engine.spark.conf.set("spark.cognee.cluster.allowExactPairs", "true")
+    try:
+        out = engine.cluster_embeddings("Entity_name", threshold=0.99, min_pts=2)
+        assert out.count() > 0
+    finally:
+        engine.spark.conf.unset("spark.cognee.cluster.allowExactPairs")
+    # the bucketed scale path needs no opt-in at any size
+    bucketed = engine.cluster_embeddings(
+        "Entity_name", threshold=0.99, min_pts=2, lsh_bits=4
+    )
+    assert {r["kind"] for r in bucketed.collect()} <= {"core", "border", "noise"}
+
+
+def test_centrality_betweenness_unbiased_scaling(engine):
+    """r11 ADVICE: the sampled betweenness verb returns V/|sources|-
+    unbiased, undirected-halved values — with the sample covering every
+    node it must equal the CALL route's exact convention (raw Brandes
+    accumulation / 2), and repeated calls at a fixed sample are
+    deterministic."""
+    from cognee_graphdb_spark.operators.graph_metrics import betweenness_sampled
+
+    nodes = engine.store.load("nodes")
+    edges = engine.store.load("edges")
+    ids = nodes.select("id").distinct()
+    n = ids.count()
+    exact = {
+        r["node"]: r["betweenness"] / 2.0
+        for r in betweenness_sampled(edges, ids, max_hops=8).collect()
+    }
+    api_all = {
+        r["node"]: r["betweenness"]
+        for r in engine.centrality("betweenness", n_sources=n, max_hops=8).collect()
+    }
+    assert set(api_all) == set(exact)
+    assert all(abs(api_all[k] - exact[k]) < 1e-9 for k in exact)
+    a = sorted(map(tuple, engine.centrality("betweenness", n_sources=4, max_hops=3).collect()))
+    b = sorted(map(tuple, engine.centrality("betweenness", n_sources=4, max_hops=3).collect()))
+    assert a == b
+
+
+def test_refresh_pagerank_pin_newer_than_ledger(spark, tmp_path):
+    """r11 ADVICE (medium): a snapshot pin taken AFTER edges entered the
+    store but BEFORE they entered the maintenance ledger must not hide
+    those edges from the batch — the delta diffs against ledger ∩ pin, so
+    ledger-unknown edges always fold in and the warm result matches a cold
+    solve (the docstring's never-silently-stale claim, now true for a
+    newer-than-ledger pin)."""
+    from cognee_graphdb_spark.operators.graph_metrics import pagerank
+
+    e = CogneeSpark(spark, str(tmp_path / "prpin"))
+    e.add(ITEMS[:1])
+    e.cognify()
+    e.refresh_pagerank()  # ledger now knows the first batch only
+    e.add(ITEMS[1:2])
+    e.cognify()
+    pin = e.snapshot()  # pin taken AFTER the new edges — newer than ledger
+    warm = {r["id"]: r["rank"] for r in e.refresh_pagerank(since=pin).collect()}
+    edges = e.store.load("edges").select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ref = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, n_iter=50, tol=1e-9,
+            ids_distinct=True, edges_within_nodes=True,
+        ).collect()
+    }
+    assert set(warm) == set(ref)
+    assert all(abs(warm[k] - ref[k]) < 1e-6 for k in ref)
+
+
 def test_community_quality_api_surface(engine):
     """Modularity contributions and conductance, joined per community, for
     any clustering of the stored graph."""
