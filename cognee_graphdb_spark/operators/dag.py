@@ -75,10 +75,15 @@ def topological_layers(
             eager=True
         )
     else:
-        raise RuntimeError(
-            f"topological_layers did not finish in {max_rounds} rounds "
-            "(round count = DAG depth; raise max_rounds for deeper graphs)"
-        )
+        # the empty-`remaining` break only runs at the TOP of an iteration,
+        # so a DAG whose depth is exactly max_rounds finishes every peel on
+        # the last pass and lands here with nothing left — re-probe before
+        # declaring failure (r11 ADVICE off-by-one)
+        if remaining.limit(1).count() > 0:
+            raise RuntimeError(
+                f"topological_layers did not finish in {max_rounds} rounds "
+                "(round count = DAG depth; raise max_rounds for deeper graphs)"
+            )
     if layers is None:
         return spark.createDataFrame([], "id string, layer long")
     return nh.join(layers, "h").select("id", "layer")

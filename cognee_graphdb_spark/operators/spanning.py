@@ -87,15 +87,16 @@ def minimum_spanning_forest(
         .select("h", F.col("h").alias("c"))
         .localCheckpoint(eager=True)
     )
-    forest = None
-    for _ in range(max_rounds):
-        t = (
-            base.join(
-                comp.select(F.col("h").alias("hu"), F.col("c").alias("cu")), "hu"
-            )
-            .join(comp.select(F.col("h").alias("hv"), F.col("c").alias("cv")), "hv")
+    def _cross_component(c: DataFrame) -> DataFrame:
+        return (
+            base.join(c.select(F.col("h").alias("hu"), F.col("c").alias("cu")), "hu")
+            .join(c.select(F.col("h").alias("hv"), F.col("c").alias("cv")), "hv")
             .filter(F.col("cu") != F.col("cv"))
         )
+
+    forest = None
+    for _ in range(max_rounds):
+        t = _cross_component(comp)
         if t.limit(1).count() == 0:
             break
         # per-component minimum candidate: min_by over the deterministic
@@ -131,11 +132,16 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"minimum_spanning_forest did not converge in {max_rounds} rounds "
-            "(Borůvka needs <= log2(n); raise max_rounds only if the graph "
-            "really has that many nodes)"
-        )
+        # the convergence probe only runs at the TOP of an iteration, so a
+        # graph that merges to one component per tree in EXACTLY max_rounds
+        # lands here converged — re-probe before declaring failure (r11
+        # ADVICE off-by-one, same shape as topological_layers)
+        if _cross_component(comp).limit(1).count() > 0:
+            raise RuntimeError(
+                f"minimum_spanning_forest did not converge in {max_rounds} "
+                "rounds (Borůvka needs <= log2(n); raise max_rounds only if "
+                "the graph really has that many nodes)"
+            )
     if forest is None:
         return spark.createDataFrame([], "src string, dst string, weight double")
     return (
@@ -153,14 +159,18 @@ def k_spanning_clusters(
     max_rounds: int = 40,
 ) -> DataFrame:
     """(id, cluster): gds.kSpanningTree — single-linkage clustering by
-    minimum spanning forest: compute the MSF, CUT its k-1 heaviest edges
-    (ties broken by (weight desc, hashed-src, hashed-dst), mirroring the
-    forest's own total order), and label each resulting tree by its
-    smallest member id.  With c connected components and k >= c the output
-    has exactly k clusters (c when k < c — you cannot cut a forest into
-    fewer pieces than it has trees).  This IS single-linkage hierarchical
-    clustering cut at level k, computed bottom-up in Borůvka's ≤ log2 n
-    rounds instead of n sequential merges.
+    minimum spanning forest: compute the MSF, CUT its max(0, k-c) heaviest
+    edges for a graph with c connected components (ties broken by (weight
+    desc, hashed-src, hashed-dst), mirroring the forest's own total order),
+    and label each resulting tree by its smallest member id.  The output
+    has exactly min(k, |V|) clusters when k >= c and exactly c when k < c
+    (you cannot cut a forest into fewer pieces than it has trees); c is
+    derived from the forest itself — c = |edge-incident nodes| - |MSF
+    edges|, a forest identity, so no extra components pass runs (r11
+    ADVICE: the previous unconditional k-1 cut produced c+k-1 clusters on
+    disconnected graphs).  This IS single-linkage hierarchical clustering
+    cut at level k, computed bottom-up in Borůvka's ≤ log2 n rounds
+    instead of n sequential merges.
 
     Scale: the forest has |V|-c edges but the CUT selection is a top-(k-1)
     ``orderBy().limit()`` — TakeOrderedAndProject, per-partition heaps, no
@@ -174,21 +184,26 @@ def k_spanning_clusters(
         F.col("dst").cast("string").alias("dst"),
         "weight",
     ).localCheckpoint(eager=True)
-    cuts = (
-        msf.orderBy(
-            F.desc("weight"), F.xxhash64("src"), F.xxhash64("dst")
-        )
-        .limit(k - 1)
-        .select("src", "dst")
-    )
-    kept = msf.join(cuts, ["src", "dst"], "left_anti").select(
-        "src", "dst", F.lit("mst").alias("relationship_name")
-    )
     ids = (
         edges.select(F.col("src").cast("string").alias("id"))
         .unionByName(edges.select(F.col("dst").cast("string").alias("id")))
         .filter(F.col("id").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # forest identity: components = vertices - tree edges (self-loop-only
+    # nodes contribute a vertex and no edge — their singleton component
+    # counts correctly); two bounded probes over checkpointed frames
+    n_components = ids.count() - msf.count()
+    cuts = (
+        msf.orderBy(
+            F.desc("weight"), F.xxhash64("src"), F.xxhash64("dst")
+        )
+        .limit(max(0, k - n_components))
+        .select("src", "dst")
+    )
+    kept = msf.join(cuts, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("mst").alias("relationship_name")
     )
     return connected_components(ids, kept, hash_ids=False).select(
         "id", F.col("component").alias("cluster")

@@ -55,6 +55,22 @@ def test_cycles_and_budget_fail_loudly(spark):
         )
 
 
+def test_depth_exactly_max_rounds_finishes(spark):
+    """r11 ADVICE off-by-one: a DAG whose depth equals max_rounds peels
+    completely on the last iteration — that is success, not an exhausted
+    budget.  A 3-node chain (3 peels) under max_rounds=3 must return its
+    layers instead of raising."""
+    got = {
+        r["id"]: r["layer"]
+        for r in topological_layers(
+            _nodes(spark, ["a", "b", "c"]),
+            _edges(spark, [("a", "b"), ("b", "c")]),
+            max_rounds=3,
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
 def test_out_of_graph_edges_ignored_and_empty_ok(spark):
     """Edges touching unknown ids do not constrain the layering; an empty
     node set returns a typed empty frame."""

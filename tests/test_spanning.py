@@ -111,6 +111,35 @@ def test_k_spanning_clusters_single_linkage_cut(spark):
         k_spanning_clusters(_edges(spark, rows), k=0)
 
 
+def test_msf_converges_in_exactly_max_rounds(spark):
+    """r11 ADVICE off-by-one: convergence in EXACTLY max_rounds is success,
+    not failure.  P4 with weights 1,5,2 needs exactly two Borůvka rounds
+    (round 1 pairs {a,b} and {c,d}; round 2 merges across bc) — the budget
+    of 2 must return the full 3-edge tree instead of spuriously raising."""
+    rows = [("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 2.0)]
+    out = minimum_spanning_forest(_edges(spark, rows), max_rounds=2).collect()
+    assert sorted((r["src"], r["dst"], r["weight"]) for r in out) == [
+        ("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 2.0)
+    ]
+
+
+def test_k_spanning_clusters_disconnected_components(spark):
+    """r11 ADVICE: with c components the cut removes max(0, k-c) edges, so
+    k >= c yields exactly k clusters (not c+k-1) and k < c yields c.  Two
+    disjoint triangles: c=2; k=2 cuts nothing, k=3 cuts one forest edge,
+    k=1 still gives the 2 components, huge k gives all singletons."""
+    from cognee_graphdb_spark.operators.spanning import k_spanning_clusters
+
+    rows = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 3.0),
+        ("x", "y", 1.0), ("y", "z", 2.0), ("z", "x", 3.0),
+    ]
+    for k, want in [(1, 2), (2, 2), (3, 3), (4, 4), (99, 6)]:
+        got = k_spanning_clusters(_edges(spark, rows), k=k)
+        assert got.select("cluster").distinct().count() == want, k
+        assert got.count() == 6, k
+
+
 def test_msf_empty_and_nonconvergence_guard(spark):
     """No spanning edges -> empty typed frame; an impossible round budget
     raises instead of returning a partial forest (fail-loudly)."""
