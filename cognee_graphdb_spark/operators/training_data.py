@@ -99,22 +99,62 @@ def cluster_balanced_sample(
     diversity the cap is protecting.
 
     Like the other samplers the kept set is a pure function of the keys —
-    stable across runs and layouts.  The per-cluster pick is a window
-    row_number; DBSCAN's density bound caps cluster sizes, but for
-    heavy-tailed labelings pre-filter with :func:`hash_sample` first (the
-    same margin trick graph_sampling documents)."""
+    stable across runs and layouts.
+
+    Skew (the r11 watch item, closed): noise rows NEVER enter the window
+    (the NULL partition — often most of a curated corpus — previously
+    sorted in one task just to be kept verbatim), and the per-cluster
+    window sorts only each label's lowest-hash prefix via the SAME
+    output-identical margin prefilter graph_sampling's hub cap uses
+    (graph_sampling.py:neighbor_sample, r10 ``5d2064a``): the rank order
+    is (hash, id) and only ranks <= cap matter, so a label's lowest-hash
+    prefix contains its true top-cap whenever it holds >= cap rows (every
+    excluded row hashes strictly above every kept row — hash ties land on
+    the same side of the quantile cut); the Chernoff-rare undershoot
+    labels fall back to their full lists, keeping the output EXACTLY equal
+    to the unfiltered ranking (parity-pinned on a >1000-row cluster).
+    Window sort memory per label drops from O(cluster size) to
+    O(margin·cap)."""
     from pyspark.sql.window import Window
 
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    w = Window.partitionBy(label_col).orderBy(
-        _hash64(F.col(id_col).cast("string"), seed, hasher), id_col
+    noise = df.filter(F.col(label_col).isNull())
+    lh = df.filter(F.col(label_col).isNotNull()).withColumn(
+        "__h", _hash64(F.col(id_col).cast("string"), seed, hasher)
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col(label_col).isNull() | (F.col("__rn") <= cap))
-        .drop("__rn")
+    margin = 8
+    deg = lh.groupBy(label_col).agg(F.count(F.lit(1)).alias("__deg"))
+    # hash range is hasher-specific — normalize the quantile cut by the
+    # observed global range (two scalars, one map-side-combined agg)
+    bounds = lh.agg(F.min("__h").alias("lo"), F.max("__h").alias("hi")).collect()[0]
+    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0  # no labeled rows
+    hi = float(bounds["hi"]) if bounds["hi"] is not None else 0.0
+    span = max(hi - lo, 1.0)
+    frac = (F.col("__h").cast("double") - F.lit(lo)) / F.lit(span)  # ~U[0,1]
+    cand = lh.join(deg, label_col).filter(
+        (F.col("__deg") <= margin * cap)
+        | (frac <= F.lit(float(margin * cap)) / F.col("__deg"))
     )
+    kept_cnt = cand.groupBy(label_col).agg(F.count(F.lit(1)).alias("__kept"))
+    # completeness from deg's side: a label whose prefix kept fewer than
+    # cap rows — including zero, which has no kept_cnt row — retries full
+    short = (
+        deg.join(kept_cnt, label_col, "left")
+        .withColumn("__kept", F.coalesce("__kept", F.lit(0)))
+        .filter((F.col("__kept") < cap) & (F.col("__kept") < F.col("__deg")))
+        .select(label_col)
+    )
+    bounded = cand.join(short, label_col, "left_anti").drop("__deg")
+    fallback = lh.join(short, label_col, "left_semi")
+    w = Window.partitionBy(label_col).orderBy(F.col("__h"), id_col)
+    capped = (
+        bounded.unionByName(fallback)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__h")
+    )
+    return capped.unionByName(noise).select(df.columns)
 
 
 def ngram_decontaminate(

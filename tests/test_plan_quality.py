@@ -604,6 +604,28 @@ def test_dbscan_bucketed_mode_has_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
+def test_cluster_balanced_sample_window_is_prefiltered(spark):
+    """The diversity sampler's per-cluster window may only ever see the
+    margin-bounded candidate union, never the raw frame, and noise rows
+    bypass the window entirely (training_data.py:cluster_balanced_sample,
+    r11 VERDICT #4): exactly ONE Window over the filtered+union branch, no
+    cartesian product, no Python worker."""
+    from cognee_graphdb_spark.operators.training_data import cluster_balanced_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "c") for i in range(8)] + [("n0", None)],
+        "doc_id string, cluster string",
+    )
+    plan = plan_of(cluster_balanced_sample(df, cap=2), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    # the window's input is the candidate union: both the quantile-cut
+    # branch and the short-label fallback feed it, so the plan carries a
+    # Union below the Window
+    assert "Union" in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no

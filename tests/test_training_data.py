@@ -46,6 +46,43 @@ def test_cluster_balanced_sample_caps_clusters_keeps_noise(spark):
         cluster_balanced_sample(df, cap=0)
 
 
+def test_cluster_balanced_sample_margin_prefilter_parity(spark):
+    """r11 VERDICT #4: the margin prefilter must be invisible in the
+    output.  A 1500-row hot cluster (>> margin·cap, so the quantile cut
+    drops ~97% of it before the window), a margin-undershoot-sized
+    cluster, a sub-margin cluster and noise — the result equals the naive
+    unfiltered per-cluster window pick row for row, and the schema keeps
+    the input column order."""
+    from pyspark.sql.window import Window
+
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.training_data import cluster_balanced_sample
+
+    rows = (
+        [(f"hot{i:04d}", "hot", i) for i in range(1500)]
+        + [(f"mid{i}", "mid", i) for i in range(40)]
+        + [(f"tiny{i}", "tiny", i) for i in range(3)]
+        + [(f"noise{i}", None, i) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, cluster string, payload long")
+    cap = 4
+    got = sorted(map(tuple, cluster_balanced_sample(df, cap=cap).collect()))
+    w = Window.partitionBy("cluster").orderBy(
+        _hash64(F.col("doc_id").cast("string"), 0, "xxhash64"), "doc_id"
+    )
+    naive = sorted(
+        map(
+            tuple,
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("cluster").isNull() | (F.col("__rn") <= cap))
+            .drop("__rn")
+            .collect(),
+        )
+    )
+    assert got == naive
+    assert cluster_balanced_sample(df, cap=cap).columns == df.columns
+
+
 def test_hash_sample_deterministic_and_sized(docs):
     a = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
     b = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
