@@ -617,7 +617,9 @@ def test_cluster_balanced_sample_window_is_prefiltered(spark):
         "doc_id string, cluster string",
     )
     plan = plan_of(cluster_balanced_sample(df, cap=2), mode="simple")
-    assert plan.count("+- Window") == 1, plan
+    # exactly one Window node ("+- Window [" — Spark 4 also plans a
+    # WindowGroupLimit, the rank-limit pushdown that bounds the sort)
+    assert plan.count("+- Window [") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
     # the window's input is the candidate union: both the quantile-cut
