@@ -1998,6 +1998,23 @@ def _q_a2_hyperanf(spark, sf_dir):
     )
 
 
+def _q_a2_kmeans(spark, sf_dir):
+    """gds.kmeans (operators/clustering.py:kmeans — SemDeDup's spherical
+    k-means core extracted as a first-class operator + CALL route, r11
+    VERDICT #5; one implementation, parity-pinned in pytest).  Same
+    parameters as the dedup_semdedup entry (k=8, one recenter round, md5
+    seeding) so the oracle SHARES that entry's proven CTE chain verbatim.
+    The contract hashes only (id, cluster): every assignment is an argmax
+    branch decision with the margins the semdedup entry already proves;
+    centroid-similarity floats stay out of the hash (cluster means are
+    not operand-order-pinned across engines)."""
+    from cognee_graphdb_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=8, n_iter=1, hasher="md5_64")
+    return out.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -3594,6 +3611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_multi_collection_knn": _q_v6_multi_collection,
         "so1_union_dedup": _q_so1_union_dedup,
         "ann_lsh_topk": _q_ann_lsh,
+        # -- r12-new entries (first driver proof leads the r13 window) -------
+        # gds.kmeans: SemDeDup's spherical k-means core extracted as the
+        # public clustering operator + the CALL gds.kmeans.stream route
+        "a2_kmeans": _q_a2_kmeans,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6260,7 +6281,11 @@ WHERE rn <= 5"""
         "CASE WHEN sqrt(list_dot_product(r.raw, r.raw)) = 0 THEN r.raw "
         "ELSE list_transform(r.raw, x -> x / sqrt(list_dot_product(r.raw, r.raw))) END"
     )
-    sql["dedup_semdedup"] = f"""WITH base AS (
+    # the kmeans chain (seeds -> one recenter round -> final assignment) is
+    # shared VERBATIM by dedup_semdedup and a2_kmeans — the operator side is
+    # literally one implementation too (dedup.py:_spherical_kmeans,
+    # extracted r12 per VERDICT #5)
+    _sd_kmeans_ctes = f"""base AS (
   SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 unitv AS (SELECT id, {_sd_unit} AS u FROM base),
@@ -6295,7 +6320,10 @@ final AS (
                               ORDER BY list_dot_product(t.u, c.c) DESC, c.cluster) AS rn
     FROM unitv t CROSS JOIN c1 c) s
   WHERE rn = 1
-),
+)"""
+    sql["a2_kmeans"] = f"""WITH {_sd_kmeans_ctes}
+SELECT id, CAST(cluster AS BIGINT) AS cluster FROM final"""
+    sql["dedup_semdedup"] = f"""WITH {_sd_kmeans_ctes},
 dropped AS (
   SELECT DISTINCT a.id
   FROM final a JOIN final b ON a.cluster = b.cluster AND a.id != b.id

@@ -29,8 +29,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cognee_graphdb_spark.operators.dedup import embedding_near_duplicates
+from cognee_graphdb_spark.operators.dedup import (
+    _spherical_kmeans,
+    _unit_rows,
+    embedding_near_duplicates,
+)
 from cognee_graphdb_spark.operators.graph_metrics import connected_components
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    hasher: str = "xxhash64",
+    seed: int = 41,
+) -> DataFrame:
+    """(id, cluster, sim): deterministic spherical k-means over an embedding
+    column — gds.kmeans on the GDS surface the reference exposes (cognee
+    reference neo4j_driver/neo4j_metrics_utils.py:8-190), computed by
+    SemDeDup's clustering core extracted as a first-class operator
+    (operators/dedup.py:_spherical_kmeans; Abbas et al. 2023): seeds are
+    the ``k`` smallest (seeded hash(id), id) rows, assignment maximizes
+    the unit-vector dot product against a ``k``-row broadcast (tie ->
+    lowest cluster index), recentering renormalizes the elementwise mean.
+    ``sim`` is the final cosine similarity to the assigned centroid
+    (1 - sim = the cosine distanceFromCentroid gds.kmeans streams).
+
+    End-to-end deterministic (no RNG), so two runs — and the SemDeDup
+    internal — agree exactly; parity is pytest-pinned."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    unit = _unit_rows(embeddings, id_col, vector_col)
+    final = _spherical_kmeans(unit, k=k, n_iter=n_iter, hasher=hasher, seed=seed)
+    return final.select("id", "cluster", "sim")
 
 
 def dbscan(

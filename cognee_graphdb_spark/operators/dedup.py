@@ -511,45 +511,11 @@ def embedding_near_duplicates(
     )
 
 
-def semdedup(
-    embeddings: DataFrame,
-    k: int = 8,
-    threshold: float = 0.95,
-    n_iter: int = 1,
-    id_col: str = "vec_id",
-    vector_col: str = "embedding",
-    hasher: str = "xxhash64",
-    seed: int = 41,
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
-    clustering embeddings, then pruning near-duplicate pairs WITHIN each
-    cluster — the trick that makes embedding dedup sub-quadratic at corpus
-    scale without an index (pairs are only ever formed inside a cluster).
-
-    Deterministic spherical k-means, end to end reproducible across engines:
-
-    - seeds = the ``k`` rows with the smallest (seeded hash(id), id) — no RNG;
-    - each round: assign every unit vector to the centroid with the highest
-      dot product (tie -> lowest cluster index), then recenter each cluster at
-      the renormalized elementwise mean of its members (an emptied cluster
-      keeps its previous centroid);
-    - after ``n_iter`` rounds, one final assignment fixes membership, and a
-      doc is DROPPED when its cluster holds another doc with pairwise cosine
-      > ``threshold`` whose centroid-similarity is lower (tie -> lower id):
-      the paper's keep-the-farthest-from-centroid rule, expressed as a
-      per-pair EXISTS instead of a transitive closure.
-
-    Returns (id, cluster, keep) — integer/string/boolean only, so the result
-    is float-hash-stable for the correctness oracle.
-
-    Scale shape: the assignment is a crossJoin against a ``k``-row broadcast
-    (k is small by construction — the paper uses n/k in the thousands), the
-    recenter is one groupBy(cluster, pos) partial agg, and the prune
-    self-joins on cluster id, whose size the clustering itself bounds.  All
-    dot products run as codegen'd sequential folds (functions/vectors.py:dot)
-    — bit-identical to DuckDB's list_dot_product, which is what lets the
-    oracle restate every branch decision exactly.
-    """
+def _unit_rows(embeddings: DataFrame, id_col: str, vector_col: str) -> DataFrame:
+    """(id, u): string ids + L2-normalized double vectors (zero vectors pass
+    through unchanged), checkpointed — the shared front half of
+    :func:`semdedup` and :func:`~cognee_graphdb_spark.operators.clustering.
+    kmeans`."""
     e = embeddings.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(vector_col).cast("array<double>").alias("v"),
@@ -557,13 +523,33 @@ def semdedup(
     nrm = F.sqrt(
         F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
-    unit = e.select(
+    return e.select(
         "id",
         F.when(nrm == 0, F.col("v"))
         .otherwise(F.transform("v", lambda x: x / nrm))
         .alias("u"),
     ).localCheckpoint(eager=True)
 
+
+def _spherical_kmeans(
+    unit: DataFrame, k: int, n_iter: int, hasher: str, seed: int
+) -> DataFrame:
+    """(id, u, cluster, sim): the deterministic spherical k-means core —
+    SemDeDup's clustering stage (Abbas et al. 2023, arXiv:2303.09540 §2),
+    extracted (r11 VERDICT #5) so :func:`semdedup`, the public
+    ``clustering.kmeans`` operator and the ``CALL gds.kmeans.stream``
+    route share ONE implementation.  ``unit`` is :func:`_unit_rows` output.
+
+    - seeds = the ``k`` rows with the smallest (seeded hash(id), id) — no
+      RNG;
+    - each round: assign every unit vector to the centroid with the
+      highest dot product (tie -> lowest cluster index), then recenter
+      each cluster at the renormalized elementwise mean of its members
+      (an emptied cluster keeps its previous centroid);
+    - after ``n_iter`` rounds one final assignment fixes membership.
+
+    Scale shape: the assignment is a crossJoin against a ``k``-row
+    broadcast, the recenter one groupBy(cluster, pos) partial agg."""
     from pyspark.sql.window import Window
 
     h = _hash64(F.col("id"), seed, hasher)
@@ -622,7 +608,50 @@ def semdedup(
             .localCheckpoint(eager=True)
         )
 
-    final = _assign(centroids).localCheckpoint(eager=True)
+    return _assign(centroids).localCheckpoint(eager=True)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    hasher: str = "xxhash64",
+    seed: int = 41,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning near-duplicate pairs WITHIN each
+    cluster — the trick that makes embedding dedup sub-quadratic at corpus
+    scale without an index (pairs are only ever formed inside a cluster).
+
+    Deterministic spherical k-means, end to end reproducible across engines:
+
+    - seeds = the ``k`` rows with the smallest (seeded hash(id), id) — no RNG;
+    - each round: assign every unit vector to the centroid with the highest
+      dot product (tie -> lowest cluster index), then recenter each cluster at
+      the renormalized elementwise mean of its members (an emptied cluster
+      keeps its previous centroid);
+    - after ``n_iter`` rounds, one final assignment fixes membership, and a
+      doc is DROPPED when its cluster holds another doc with pairwise cosine
+      > ``threshold`` whose centroid-similarity is lower (tie -> lower id):
+      the paper's keep-the-farthest-from-centroid rule, expressed as a
+      per-pair EXISTS instead of a transitive closure.
+
+    Returns (id, cluster, keep) — integer/string/boolean only, so the result
+    is float-hash-stable for the correctness oracle.
+
+    Scale shape: the assignment is a crossJoin against a ``k``-row broadcast
+    (k is small by construction — the paper uses n/k in the thousands), the
+    recenter is one groupBy(cluster, pos) partial agg, and the prune
+    self-joins on cluster id, whose size the clustering itself bounds.  All
+    dot products run as codegen'd sequential folds (functions/vectors.py:dot)
+    — bit-identical to DuckDB's list_dot_product, which is what lets the
+    oracle restate every branch decision exactly.
+    """
+    unit = _unit_rows(embeddings, id_col, vector_col)
+    final = _spherical_kmeans(unit, k=k, n_iter=n_iter, hasher=hasher, seed=seed)
     a = final.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("u").alias("u_a"), F.col("sim").alias("cs_a"))
     b = final.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("u").alias("u_b"), F.col("sim").alias("cs_b"))
     pair_sim = F.aggregate(

@@ -1978,6 +1978,28 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             F.col("id_b").alias("node2"),
             F.col("jaccard").alias("similarity"),
         )
+    if key == "kmeans.stream":
+        from cognee_graphdb_spark.operators.clustering import kmeans
+
+        # gds.kmeans clusters a node-carried vector property (the config
+        # map's nodeProperty — config maps are refused on this surface, so
+        # the projection's nodes must carry an array column literally named
+        # 'embedding', e.g. api.embed_graph's Entity_graph vectors joined
+        # onto the projection).  GDS defaults: k=10, maxIterations=10;
+        # distanceFromCentroid is the cosine distance 1 - sim.
+        if "embedding" not in nodes.columns:
+            raise CypherUnsupported(
+                "gds.kmeans.stream needs the projection's nodes to carry an "
+                "'embedding' array column (the GDS nodeProperty); join one "
+                "on — e.g. embed_graph's vectors — or call "
+                "operators.clustering.kmeans directly for custom columns"
+            )
+        km = kmeans(nodes, k=10, n_iter=10, id_col="id", vector_col="embedding")
+        return km.select(
+            F.col("id").alias("nodeId"),
+            F.col("cluster").cast("long").alias("communityId"),
+            (F.lit(1.0) - F.col("sim")).alias("distanceFromCentroid"),
+        )
     if key == "trianglecount.stream":
         from cognee_graphdb_spark.operators.graph_metrics import triangle_counts
 
@@ -1990,7 +2012,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
-        "closeness.harmonic, betweenness, dag.topologicalSort)"
+        "closeness.harmonic, betweenness, kmeans, dag.topologicalSort)"
     )
 
 

@@ -66,3 +66,31 @@ def test_dbscan_lsh_mode_and_empty(spark):
     assert out["far"][0] == "noise"
     empty = dbscan(_emb(spark, []), threshold=0.9, min_pts=2)
     assert empty.count() == 0 and set(empty.columns) == {"id", "kind", "cluster"}
+
+
+def test_kmeans_matches_semdedup_internal_and_is_deterministic(spark):
+    """r11 VERDICT #5 parity pin: the public kmeans operator and SemDeDup's
+    internal clustering stage are ONE implementation — identical id ->
+    cluster maps at identical parameters — and two runs agree exactly
+    (hash seeding, no RNG).  sim is the cosine to the assigned centroid,
+    so it lives in [-1, 1] and equals 1 for a vector sitting on its
+    centroid."""
+    from cognee_graphdb_spark.operators.clustering import kmeans
+    from cognee_graphdb_spark.operators.dedup import semdedup
+
+    rows = [
+        (f"v{i}", [float((i * 3) % 7), float((i * 5) % 11), 1.0]) for i in range(40)
+    ]
+    emb = _emb3(spark, rows)
+    km = {r["id"]: r["cluster"] for r in kmeans(emb, k=5, n_iter=2).collect()}
+    sd = {r["id"]: r["cluster"] for r in semdedup(emb, k=5, threshold=0.999, n_iter=2).collect()}
+    assert km == sd
+    again = kmeans(emb, k=5, n_iter=2).collect()
+    assert km == {r["id"]: r["cluster"] for r in again}
+    assert all(-1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9 for r in again)
+    with __import__("pytest").raises(ValueError, match="k must be"):
+        kmeans(emb, k=0)
+
+
+def _emb3(spark, rows):
+    return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
