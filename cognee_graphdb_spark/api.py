@@ -800,6 +800,21 @@ class CogneeSpark:
             weight = "weight"
         return minimum_spanning_forest(edges, weight_col=weight)
 
+    def topological_layers(self, max_rounds: int = 200) -> DataFrame:
+        """(id, layer): dependency layering of the stored DIRECTED graph —
+        gds.dag.topologicalSort / gds.dag.longestPath in one result
+        (operators/dag.py:topological_layers; layer = longest source->node
+        path, (layer, id) is a topological order).  Raises ``ValueError``
+        naming the stuck-node count when the stored graph has a cycle
+        (extraction graphs with co_occurs backlinks will — the error is
+        the answer, not a crash)."""
+        from cognee_graphdb_spark.operators.dag import topological_layers
+
+        nodes, edges = self.store.load("nodes"), self.store.load("edges")
+        if nodes is None or edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        return topological_layers(nodes, edges, max_rounds=max_rounds)
+
     def communities(
         self,
         algorithm: str = "louvain",

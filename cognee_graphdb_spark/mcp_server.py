@@ -137,6 +137,40 @@ _TOOLS: list[dict] = [
         "memory graph (gds.scc).",
         "inputSchema": {"type": "object", "properties": {}},
     },
+    {
+        "name": "spanning_forest",
+        "description": "Minimum spanning forest of the memory graph "
+        "(gds.spanningTree for every component at once, distributed "
+        "Borůvka); without a weight column the result is the graph's "
+        "deterministic skeleton.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"weight": {"type": "string"}},
+        },
+    },
+    {
+        "name": "cluster_embeddings",
+        "description": "DBSCAN topic islands over a stored vector "
+        "collection (core/border/noise + cluster labels); lsh_bits>0 is "
+        "the bucketed scale path — the exact default is scale-guarded "
+        "above a row budget.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "threshold": {"type": "number"},
+                "min_pts": {"type": "integer"},
+                "lsh_bits": {"type": "integer"},
+            },
+        },
+    },
+    {
+        "name": "topological_sort",
+        "description": "Dependency layering of the directed memory graph "
+        "(gds.dag.topologicalSort / longestPath: layer = longest source "
+        "path); a cyclic graph answers with the stuck-node count error.",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
 ]
 
 
@@ -238,6 +272,21 @@ class McpServer:
             )
         if name == "strongly_connected":
             return _text_result(_df_text(eng.strongly_connected()))
+        if name == "spanning_forest":
+            return _text_result(_df_text(eng.spanning_forest(args.get("weight"))))
+        if name == "cluster_embeddings":
+            return _text_result(
+                _df_text(
+                    eng.cluster_embeddings(
+                        args.get("collection", "DocumentChunk_text"),
+                        threshold=float(args.get("threshold", 0.8)),
+                        min_pts=int(args.get("min_pts", 4)),
+                        lsh_bits=int(args.get("lsh_bits", 0)),
+                    )
+                )
+            )
+        if name == "topological_sort":
+            return _text_result(_df_text(eng.topological_layers()))
         raise ValueError(f"unknown tool {name!r}")
 
     # ------------------------------------------------------------ transport

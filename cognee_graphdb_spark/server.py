@@ -184,6 +184,29 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, _rows(eng.centrality(algo, **p)))
         if method == "GET" and path == "/api/v1/scc":
             return self._send(200, _rows(eng.strongly_connected()))
+        if method == "POST" and path == "/api/v1/spanning_forest":
+            p = self._payload()
+            return self._send(200, _rows(eng.spanning_forest(p.get("weight"))))
+        if method == "POST" and path == "/api/v1/cluster_embeddings":
+            # the exact lsh_bits=0 default is scale-guarded in the verb
+            # (GdsScaleGuard -> RuntimeError -> 409): serving can't launch
+            # the all-pairs path on an oversized collection by accident
+            p = self._payload()
+            return self._send(
+                200,
+                _rows(
+                    eng.cluster_embeddings(
+                        p.get("collection", "DocumentChunk_text"),
+                        threshold=float(p.get("threshold", 0.8)),
+                        min_pts=int(p.get("min_pts", 4)),
+                        lsh_bits=int(p.get("lsh_bits", 0)),
+                    )
+                ),
+            )
+        if method == "GET" and path == "/api/v1/topology":
+            # cycles raise ValueError -> 400 with the stuck-node count (the
+            # fail-loudly answer for non-DAG memory graphs)
+            return self._send(200, _rows(eng.topological_layers()))
         return self._send(404, {"error": f"no route {method} {path}"})
 
     def do_GET(self):

@@ -39,7 +39,9 @@ def test_initialize_and_tool_listing(mcp):
     names = {t["name"] for t in rpc(mcp, "tools/list")["result"]["tools"]}
     assert names == {"cognify", "codify", "search", "save_interaction",
                      "get_developer_rules", "list_data", "delete", "prune",
-                     "cognify_status", "centrality", "strongly_connected"}
+                     "cognify_status", "centrality", "strongly_connected",
+                     "spanning_forest", "cluster_embeddings",
+                     "topological_sort"}
     err = rpc(mcp, "nope/method")
     assert err["error"]["code"] == -32601
 
@@ -72,6 +74,22 @@ def test_centrality_and_scc_tools(mcp):
     assert "rank" in pr_text
     scc_text = tool(mcp, "strongly_connected")
     assert "label" in scc_text
+
+
+def test_spanning_cluster_topology_tools(mcp):
+    """The r11 operators reach MCP (r11 VERDICT #7): spanning_forest's
+    skeleton, cluster_embeddings' DBSCAN labels, and topological_sort —
+    which on a cyclic memory graph answers the stuck-count error as an
+    isError result, not a protocol crash."""
+    sk_text = tool(mcp, "spanning_forest")
+    assert "src" in sk_text and "dst" in sk_text
+    cl_text = tool(mcp, "cluster_embeddings", {
+        "collection": "Entity_name", "threshold": 0.99, "min_pts": 2,
+    })
+    assert "kind" in cl_text and "cluster" in cl_text
+    resp = rpc(mcp, "tools/call", {"name": "topological_sort", "arguments": {}})
+    text = resp["result"]["content"][0]["text"]
+    assert ("layer" in text) or (resp["result"].get("isError") and "cycle" in text)
 
 
 def test_codify_then_code_search(mcp, tmp_path):

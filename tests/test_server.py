@@ -89,6 +89,31 @@ def test_centrality_and_scc_routes(srv):
     assert e.value.code == 400
 
 
+def test_spanning_cluster_topology_routes(srv):
+    """The r11 operators reach HTTP (r11 VERDICT #7): spanning_forest
+    returns the store graph's skeleton, cluster_embeddings DBSCANs a
+    stored collection (the scale guard sits inside the verb), and
+    /topology answers layers on a DAG store or a 400 naming the cycle —
+    fail-loudly either way, never a 500."""
+    status, rows = call(srv, "POST", "/api/v1/spanning_forest", {})
+    assert status == 200 and rows and {"src", "dst", "weight"} <= set(rows[0])
+    status, rows = call(srv, "POST", "/api/v1/cluster_embeddings", {
+        "collection": "Entity_name", "threshold": 0.99, "min_pts": 2,
+    })
+    assert status == 200 and rows
+    assert {"id", "kind", "cluster"} <= set(rows[0])
+    assert {r["kind"] for r in rows} <= {"core", "border", "noise"}
+    req = urllib.request.Request(srv + "/api/v1/topology", method="GET")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read().decode())
+            assert resp.status == 200
+            assert body and {"id", "layer"} <= set(body[0])
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "cycle" in json.loads(e.read().decode())["error"]
+
+
 def test_update_delete_prune_and_errors(srv):
     status, body = call(srv, "POST", "/api/v1/update", {
         "name": "b.txt", "text": "DuckDB also reads parquet files directly.",
