@@ -820,6 +820,7 @@ class CogneeSpark:
         algorithm: str = "louvain",
         n_levels: int = 2,
         n_rounds: int = 3,
+        refresh: bool = False,
     ) -> DataFrame:
         """(id, label): community detection over the stored graph — the GDS
         community family the reference reaches through its metric surface
@@ -830,7 +831,17 @@ class CogneeSpark:
         internally connected, :func:`leiden`), or ``"lpa"``
         (most-frequent-neighbor label rounds, :func:`label_propagation`);
         round/level counts are parameters of the result (deterministic
-        contract)."""
+        contract).
+
+        ``refresh=True`` (louvain only) maintains the labels INCREMENTALLY
+        — the :meth:`refresh_pagerank` pattern (r11 VERDICT #8): only the
+        edge delta since the last refresh enters the batch (diffed against
+        the maintenance state's own ledger), the solve warm-starts from
+        the previous labels, and edge REMOVALS trigger an automatic cold
+        rebuild — fail-safe, never silently stale.  The warm result is a
+        valid partition of the current graph whose quality tracks the cold
+        one (modularity parity pytest-pinned); it is not byte-equal to a
+        cold run in general."""
         from cognee_graphdb_spark.operators.graph_metrics import (
             label_propagation,
             leiden,
@@ -841,6 +852,30 @@ class CogneeSpark:
         if nodes is None or edges is None:
             raise RuntimeError("No data found in the system, please add data first.")
         algo = algorithm.lower()
+        if refresh:
+            import shutil
+
+            from cognee_graphdb_spark.streaming.communities import louvain_batch
+            from cognee_graphdb_spark.streaming.state import read_state
+
+            if algo != "louvain":
+                raise ValueError(
+                    "communities(refresh=True) maintains louvain labels only "
+                    "(the warm-start seam is the louvain local-move init)"
+                )
+            cur = edges.select("src", "dst").distinct()
+            state_path = os.path.join(self.store.root, "_streaming", "communities")
+            ledger = read_state(self.spark, os.path.join(state_path, "edges"))
+            batch = cur
+            if ledger is not None:
+                removed = ledger.join(cur, ["src", "dst"], "left_anti")
+                if removed.limit(1).count() > 0:
+                    shutil.rmtree(state_path, ignore_errors=True)  # cold rebuild
+                else:
+                    batch = cur.join(ledger, ["src", "dst"], "left_anti")
+            return louvain_batch(
+                batch, state_path, n_levels=n_levels, n_rounds=n_rounds
+            )
         if algo == "louvain":
             return louvain(nodes, edges, n_levels=n_levels, n_rounds=n_rounds)
         if algo == "leiden":

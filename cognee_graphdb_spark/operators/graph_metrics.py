@@ -1548,6 +1548,7 @@ def louvain(
     n_levels: int = 2,
     n_rounds: int = 3,
     hasher: str = "xxhash64",
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """(id, label): Louvain community detection — the flagship GDS community
     algorithm (gds.louvain; the reference's metric surface is the GDS family,
@@ -1593,6 +1594,16 @@ def louvain(
     view + two label-sized partial aggs; T rides as a 1-row broadcast;
     lineage truncated per round; each level's graph is no larger — usually
     orders smaller — than the last.
+
+    ``init_labels`` (an (id, label) frame, e.g. a previous run's output)
+    WARM-STARTS level 0: known nodes begin in their previous community,
+    unseen nodes as singletons — the streaming-maintenance seam
+    (streaming/communities.py, the refresh_pagerank pattern).  Near a
+    settled partition the local-move fixpoint early exit fires after the
+    few rounds the CHANGE needs, not the rounds the graph needs; the warm
+    result is a valid louvain partition of the current graph but not
+    byte-equal to the cold one in general (quality parity is
+    pytest-pinned).
     """
     from cognee_graphdb_spark.operators.dedup import _hash64
 
@@ -1628,6 +1639,19 @@ def louvain(
         )
         t_row = deg.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("t"))
         labels = node_ids.select("u", F.col("u").alias("label"))
+        if level == 0 and init_labels is not None:
+            # warm start: adopt the previous partition where known; nodes
+            # the previous run never saw stay singletons (their own hash —
+            # 64-bit space, collision with a prior label is negligible)
+            prev = nh.join(
+                init_labels.select("id", F.col("label").cast("long").alias("pl")),
+                "id",
+            ).select(F.col("h").alias("u"), "pl")
+            labels = (
+                labels.join(prev, "u", "left")
+                .select("u", F.coalesce("pl", F.col("label")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
         labels = _louvain_local_moves(adj, deg, t_row, labels, n_rounds)
         mapping = (
             mapping.join(labels.select(F.col("u").alias("cur"), "label"), "cur")

@@ -577,6 +577,70 @@ def test_refresh_pagerank_incremental_lifecycle(spark, tmp_path):
     assert all(abs(rebuilt[k] - ref2[k]) < 1e-6 for k in ref2)
 
 
+def test_refresh_communities_incremental_lifecycle(spark, tmp_path):
+    """r11 VERDICT #8: refresh_pagerank's pattern extended to louvain —
+    communities(refresh=True) folds only the edge delta, warm-starts the
+    solve from the previous labels, and matches a cold solve's QUALITY
+    (modularity band; warm labels are a valid partition but not byte-equal
+    to cold in general).  First call = cold exactly; a delete triggers the
+    automatic cold rebuild and matches cold exactly again."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    e = CogneeSpark(spark, str(tmp_path / "cmmaint"))
+    e.add(ITEMS[:1])
+    e.cognify()
+
+    def cold(engine):
+        edges = engine.store.load("edges").select("src", "dst").distinct()
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return louvain(
+            nodes,
+            edges.withColumn("relationship_name", F.lit("stream")),
+            n_levels=2,
+            n_rounds=3,
+        )
+
+    l1 = {r["id"]: r["label"] for r in e.communities(refresh=True).collect()}
+    c1 = {r["id"]: r["label"] for r in cold(e).collect()}
+    assert l1 == c1  # no prior state -> the warm path IS the cold path
+
+    e.add(ITEMS[1:2])
+    e.cognify()
+    warm = e.communities(refresh=True)
+    wmap = {r["id"]: r["label"] for r in warm.collect()}
+    cmap = {r["id"]: r["label"] for r in cold(e).collect()}
+    assert set(wmap) == set(cmap)  # full coverage of the grown graph
+    edges_now = (
+        e.store.load("edges")
+        .select("src", "dst")
+        .distinct()
+        .withColumn("relationship_name", F.lit("stream"))
+    )
+    qw = modularity_score(modularity(edges_now, warm))
+    qc = modularity_score(
+        modularity(edges_now, cold(e))
+    )
+    # warm quality tracks cold: within 10% of the cold modularity (both
+    # are valid partitions; the warm one starts from the settled labels)
+    assert qw >= qc - 0.1 * abs(qc), (qw, qc)
+
+    # deletion -> ledger can't express it -> automatic cold rebuild
+    e.delete("spark.txt", mode="hard")
+    rebuilt = {r["id"]: r["label"] for r in e.communities(refresh=True).collect()}
+    cref = {r["id"]: r["label"] for r in cold(e).collect()}
+    assert rebuilt == cref
+    with pytest.raises(ValueError, match="louvain"):
+        e.communities(algorithm="lpa", refresh=True)
+
+
 def test_snapshot_diff_tracks_graph_evolution(spark, tmp_path):
     """snapshot() pins versions; diff_since() shows what a later cognify
     added and what a delete removed — key-based, updates count in neither."""

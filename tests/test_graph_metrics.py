@@ -1853,6 +1853,47 @@ def test_louvain_two_triangles_bridge_finds_cliques(spark):
     assert q_louvain >= q_lpa
 
 
+def test_louvain_warm_start_stable_and_quality_preserving(spark):
+    """r11 VERDICT #8 mechanism pin: init_labels warm-starts level 0.  On
+    the two-triangle fixture a warm start FROM the cold optimum returns
+    the same partition structure at the same modularity (a settled
+    partition stays settled), a warm start on a grown graph still finds a
+    partition at least as good as LPA's, and init_labels=None stays
+    byte-identical to the cold path (the a2_louvain oracle's contract)."""
+    from cognee_graphdb_spark.operators.graph_metrics import (
+        label_propagation,
+        louvain,
+        modularity,
+        modularity_score,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z"])
+    edges = _edges_df(spark, pairs)
+    cold = louvain(nodes, edges, n_levels=2, n_rounds=3)
+    q_cold = modularity_score(modularity(edges, cold))
+    warm = louvain(nodes, edges, n_levels=2, n_rounds=3, init_labels=cold)
+    wmap = {r["id"]: r["label"] for r in warm.collect()}
+    assert len({wmap["a"], wmap["b"], wmap["c"]}) == 1
+    assert len({wmap["x"], wmap["y"], wmap["z"]}) == 1
+    assert wmap["a"] != wmap["x"]
+    assert modularity_score(modularity(edges, warm)) == pytest.approx(q_cold)
+    # grow the graph by a third triangle hanging off z, warm-start from
+    # the old labels: the new nodes enter as singletons and cluster
+    grown_pairs = pairs + [("z", "p"), ("p", "q"), ("q", "r"), ("p", "r"), ("q", "r")]
+    g_nodes = _nodes_df(spark, ["a", "b", "c", "x", "y", "z", "p", "q", "r"])
+    g_edges = _edges_df(spark, grown_pairs)
+    g_warm = louvain(g_nodes, g_edges, n_levels=2, n_rounds=3, init_labels=cold)
+    q_warm = modularity_score(modularity(g_edges, g_warm))
+    q_lpa = modularity_score(
+        modularity(g_edges, label_propagation(g_nodes, g_edges, n_rounds=3))
+    )
+    assert q_warm >= q_lpa
+    gmap = {r["id"]: r["label"] for r in g_warm.collect()}
+    assert len({gmap["p"], gmap["q"], gmap["r"]}) == 1
+
+
 def test_louvain_beats_lpa_on_ring_of_cliques(spark):
     """Ring of four 4-cliques joined by single edges — the classic Louvain
     fixture.  Louvain must recover the four cliques exactly; its Q must be
