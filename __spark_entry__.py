@@ -1589,6 +1589,34 @@ def _q_td_cluster_sample(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_td_curate_clustered(spark, sf_dir):
+    """Composed curation with topic-island balancing (r11 VERDICT #9
+    stretch — the r9 td_curate_corpus discipline applied to the r11
+    clustering family): gopher quality filter -> DBSCAN topic islands
+    over the document embeddings (bucketed LSH path) -> cluster-balanced
+    diversity sampling capping each island at 3 QUALITY-SURVIVING docs
+    (noise uncapped).  Clustering runs on the FULL embedding set — topic
+    islands are a corpus property, not a survivor property — and the cap
+    ranks only survivors; the oracle restates exactly that wiring from
+    the three standalone-proven fragments."""
+    from cognee_graphdb_spark.operators.clustering import dbscan
+    from cognee_graphdb_spark.operators.training_data import (
+        cluster_balanced_sample,
+        gopher_quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = gopher_quality_filter(docs).filter(F.col("keep")).select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+    labeled = dbscan(emb, threshold=0.25, min_pts=4, lsh_bits=4, dim=64)
+    survivors = labeled.join(kept, "id")
+    return cluster_balanced_sample(
+        survivors, cap=3, label_col="cluster", id_col="id", hasher="md5_64"
+    ).orderBy("id")
+
+
 def _q_a2_conductance(spark, sf_dir):
     """Per-community conductance of the 3-round LPA communities
     (graph_metrics.py:conductance ∘ label_propagation — gds.conductance,
@@ -3615,6 +3643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gds.kmeans: SemDeDup's spherical k-means core extracted as the
         # public clustering operator + the CALL gds.kmeans.stream route
         "a2_kmeans": _q_a2_kmeans,
+        # composed curation: gopher quality -> DBSCAN topic islands ->
+        # cluster-balanced cap, one oracle over the three proven fragments
+        "td_curate_clustered": _q_td_curate_clustered,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6489,8 +6520,9 @@ SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
 FROM line_stats ls JOIN tc USING (doc_id) {" ".join(_gram_joins)}"""
 
     # Gopher quality rules (operators/training_data.py:gopher_quality_filter)
-    sql["td_gopher_filter"] = f"""
-WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {tok} AS toks FROM documents),
+    # the gopher CTE chain is shared VERBATIM by td_gopher_filter and the
+    # composed td_curate_clustered entry (quality -> dbscan -> cluster cap)
+    _gopher_ctes = f"""t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {tok} AS toks FROM documents),
 f AS (
   SELECT doc_id, len(toks) AS n_words,
          coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
@@ -6512,7 +6544,9 @@ r AS (
       CASE WHEN stop_hits < 2 THEN 'too_few_stopwords' END
     ], x -> x IS NOT NULL) AS reasons
   FROM f
-)
+)"""
+    sql["td_gopher_filter"] = f"""
+WITH {_gopher_ctes}
 SELECT doc_id, len(reasons) = 0 AS keep,
        coalesce(array_to_string(reasons, ','), '') AS fail_reasons FROM r"""
 
@@ -7300,6 +7334,28 @@ rnr AS (
   FROM fin
 )
 SELECT id, kind, cluster FROM rnr WHERE cluster IS NULL OR rn <= 3 ORDER BY id"""
+
+    # --- composed curation with topic-island balancing (r11 VERDICT #9
+    # stretch): gopher quality filter -> DBSCAN topic islands on the FULL
+    # embedding set -> cluster-balanced cap over the quality survivors.
+    # Every fragment is shared verbatim with its standalone proven entry
+    # (td_gopher_filter, dbscan_clusters, td_cluster_sample); the
+    # composition pins the order and the join wiring ------------------------
+    sql["td_curate_clustered"] = f"""WITH RECURSIVE
+{_db_chain},
+fin AS ({_db_final}),
+{_gopher_ctes},
+keptq AS (SELECT doc_id FROM r WHERE len(reasons) = 0),
+jq AS (
+  SELECT f2.id, f2.kind, f2.cluster
+  FROM fin f2 JOIN keptq k ON f2.id = k.doc_id
+),
+rnq AS (
+  SELECT id, kind, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY {_md5_64("id", 0)}, id) AS rn
+  FROM jq
+)
+SELECT id, kind, cluster FROM rnq WHERE cluster IS NULL OR rn <= 3 ORDER BY id"""
 
     # --- a2 k-spanning clusters: closed-form single-linkage cut on the ring
     # fixture (operators/spanning.py:k_spanning_clusters, k=4): cutting the
