@@ -1589,6 +1589,60 @@ def _q_td_cluster_sample(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_cypher_gds_knn(spark, sf_dir):
+    """CALL gds.knn.stream (plans/cypher.py — the GDS property-similarity
+    procedure, r12): per-node top-10 cosine neighbors over a projection
+    carrying the embeddings table as its 'embedding' property (500 nodes,
+    under the all-pairs budget; GDS's own knn is approximate NN-descent —
+    this surface is the exact semantics behind the same scale guard as
+    the other exact procedures).  Ranking is on the raw sequential-fold
+    cosine (bit-identical to DuckDB's list_dot_product composition — the
+    v1/v2 knn discipline); similarity crosses the hash ppm-quantized."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
+    out = run_cypher(
+        spark, nodes, edges,
+        "CALL gds.knn.stream('g') YIELD node1, node2, similarity "
+        "RETURN node1, node2, similarity;",
+    )
+    return out.select(
+        "node1", "node2",
+        F.round(F.col("similarity") * 1000000.0).cast("long").alias("sim_ppm"),
+    )
+
+
+def _q_cypher_gds_conductance(spark, sf_dir):
+    """CALL gds.conductance.stream (plans/cypher.py, r12): per-community
+    boundary/volume over a node-carried 'community' property (the GDS
+    communityProperty convention — config maps are refused on this
+    surface).  Projection: the nation->region star forest with community
+    = key % 3, a SQL-restatable labeling, so the oracle recomputes the
+    exact BIGINT ordered-pair counts and the single ppm-rounded division
+    (the a2_conductance arithmetic, reached through the CALL surface)."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    labeled = nodes.select(
+        "id",
+        (F.split(F.col("id"), ":").getItem(1).cast("long") % 3).alias("community"),
+    )
+    out = run_cypher(
+        spark, labeled, edges,
+        "CALL gds.conductance.stream('g') YIELD community, conductance "
+        "RETURN community, conductance;",
+    )
+    return out.select(
+        "community",
+        F.round(F.col("conductance") * 1000000.0).cast("long").alias("conductance_ppm"),
+    )
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3646,6 +3700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed curation: gopher quality -> DBSCAN topic islands ->
         # cluster-balanced cap, one oracle over the three proven fragments
         "td_curate_clustered": _q_td_curate_clustered,
+        # gds.knn + gds.conductance through the CALL surface (property-
+        # carrying projections, guarded exact semantics)
+        "cypher_gds_knn": _q_cypher_gds_knn,
+        "cypher_gds_conductance": _q_cypher_gds_conductance,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -5945,6 +6003,51 @@ UNION ALL
 SELECT 'region:' || p.r AS id,
        CAST(ROUND((CAST(p.k AS DOUBLE) / p.k) * 1000000.0) AS BIGINT) AS score_ppm
 FROM per p"""
+
+    # --- CALL gds.knn.stream (r12): exact per-node top-10 cosine over the
+    # embeddings-as-property projection; raw sequential-fold cosine ranks
+    # (bit-identical cross-engine), ppm-quantized similarity in the hash --
+    _knn_s = (
+        "list_dot_product(e2.v, q.v) / "
+        "(sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    sql["cypher_gds_knn"] = f"""
+WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.id AS node1, e2.id AS node2, {_knn_s} AS s,
+         row_number() OVER (PARTITION BY q.id ORDER BY {_knn_s} DESC, e2.id) AS rk
+  FROM e q JOIN e e2 ON e2.id != q.id
+)
+SELECT node1, node2, CAST(round(s * 1000000.0) AS BIGINT) AS sim_ppm
+FROM scored WHERE rk <= 10"""
+
+    # --- CALL gds.conductance.stream (r12): nation->region star forest
+    # with community = key % 3; exact BIGINT ordered-pair counts + the one
+    # ppm-rounded division (the a2_conductance arithmetic via CALL) --------
+    sql["cypher_gds_conductance"] = """
+WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+nodes AS (
+  SELECT 'nation:' || CAST(k AS VARCHAR) AS id, k % 3 AS community FROM nat
+  UNION
+  SELECT DISTINCT 'region:' || CAST(r AS VARCHAR), r % 3 FROM nat
+),
+pairs AS (SELECT 'nation:' || CAST(k AS VARCHAR) AS a, 'region:' || CAST(r AS VARCHAR) AS b FROM nat),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+tagged AS (
+  SELECT na.community AS ca, nb.community AS cb
+  FROM sym s JOIN nodes na ON s.a = na.id JOIN nodes nb ON s.b = nb.id
+),
+per AS (
+  SELECT ca AS community,
+         CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS internal,
+         CAST(SUM(CASE WHEN ca != cb THEN 1 ELSE 0 END) AS BIGINT) AS boundary
+  FROM tagged GROUP BY ca
+)
+SELECT community,
+       CAST(round((CAST(boundary AS DOUBLE)
+                   / greatest(CAST(internal + boundary AS DOUBLE), 1.0)) * 1000000.0)
+            AS BIGINT) AS conductance_ppm
+FROM per"""
 
     # --- a2 scc: the structural answer to the hub-star construction
     # (graph_metrics.py:strongly_connected_components runs the general

@@ -1978,6 +1978,52 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             F.col("id_b").alias("node2"),
             F.col("jaccard").alias("similarity"),
         )
+    if key == "knn.stream":
+        from pyspark.sql.window import Window
+
+        from cognee_graphdb_spark.functions.vectors import cosine_similarity
+
+        # gds.knn streams each node's topK most-similar nodes by a vector
+        # property (default cosine) — same property convention as kmeans:
+        # the projection's nodes must carry an 'embedding' array column.
+        # GDS's implementation is approximate NN-descent; this surface is
+        # the exact brute-force semantics (broadcast all-queries × scan),
+        # which is the all-pairs scale class — guarded like the other
+        # exact procedures, with the LSH/IVF ANN family as the scale path.
+        if "embedding" not in nodes.columns:
+            raise CypherUnsupported(
+                "gds.knn.stream needs the projection's nodes to carry an "
+                "'embedding' array column (the GDS nodeProperties); join "
+                "one on — e.g. embed_graph's vectors — or use the "
+                "operators.similarity ANN family for custom columns"
+            )
+        _guard_exact_all_pairs(
+            spark, nodes, "knn.stream",
+            "operators.similarity (LSH/IVF approximate neighbors)",
+        )
+        emb = nodes.select(
+            F.col("id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = emb.select(
+            F.col("id").alias("qid"), F.col("v").alias("qv")
+        )
+        joined = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("id") != F.col("qid"))  # GDS excludes self-pairs
+            .select(
+                "qid", "id", cosine_similarity(F.col("v"), F.col("qv")).alias("sim")
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("id"))
+        return (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 10)  # GDS topK default
+            .select(
+                F.col("qid").alias("node1"),
+                F.col("id").alias("node2"),
+                F.col("sim").alias("similarity"),
+            )
+        )
     if key == "kmeans.stream":
         from cognee_graphdb_spark.operators.clustering import kmeans
 
@@ -2000,6 +2046,33 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             F.col("cluster").cast("long").alias("communityId"),
             (F.lit(1.0) - F.col("sim")).alias("distanceFromCentroid"),
         )
+    if key == "conductance.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import conductance
+
+        # gds.conductance streams per-community boundary/volume for a
+        # node-carried community assignment (the config map's
+        # communityProperty — config maps are refused here, so the
+        # projection's nodes must carry a 'community' column, e.g. a
+        # louvain/leiden/lpa result joined on).
+        if "community" not in nodes.columns:
+            raise CypherUnsupported(
+                "gds.conductance.stream needs the projection's nodes to "
+                "carry a 'community' column (the GDS communityProperty); "
+                "join a communities() result on, or call "
+                "operators.graph_metrics.conductance directly"
+            )
+        labels = nodes.select("id", F.col("community").alias("label"))
+        out = conductance(edges, labels)
+        return out.select(
+            F.col("label").alias("community"),
+            (
+                F.col("boundary").cast("double")
+                / F.greatest(
+                    (F.col("internal") + F.col("boundary")).cast("double"),
+                    F.lit(1.0),
+                )
+            ).alias("conductance"),
+        )
     if key == "trianglecount.stream":
         from cognee_graphdb_spark.operators.graph_metrics import triangle_counts
 
@@ -2012,7 +2085,8 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
-        "closeness.harmonic, betweenness, kmeans, dag.topologicalSort)"
+        "closeness.harmonic, betweenness, kmeans, knn, conductance, "
+        "dag.topologicalSort)"
     )
 
 

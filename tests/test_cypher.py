@@ -1415,6 +1415,81 @@ def test_gds_kmeans_stream(spark):
         """)
 
 
+def test_gds_knn_stream(spark):
+    """gds.knn.stream: per-node top-k most-similar nodes by the 'embedding'
+    property (exact brute-force semantics behind the all-pairs guard).
+    Orthogonal clumps rank in-clump neighbors first; self-pairs excluded;
+    missing property names the requirement; the guard fires above the
+    budget and the opt-in conf unlocks it."""
+    from cognee_graphdb_spark.plans import cypher as cy
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported, GdsScaleGuard
+
+    nodes = spark.createDataFrame(
+        [
+            ("a1", [1.0, 0.0]), ("a2", [0.9, 0.1]),
+            ("b1", [0.0, 1.0]), ("b2", [0.1, 0.9]),
+        ],
+        "id string, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [("a1", "b1", "r")], "src string, dst string, relationship_name string"
+    )
+    q = """
+    CALL gds.knn.stream('g') YIELD node1, node2, similarity
+    RETURN node1, node2, similarity ORDER BY node1, similarity DESC;
+    """
+    got = rows(spark, (nodes, edges), q)
+    assert all(r["node1"] != r["node2"] for r in got)
+    nearest = {}
+    for r in got:
+        nearest.setdefault(r["node1"], r["node2"])  # first = highest sim
+    assert nearest == {"a1": "a2", "a2": "a1", "b1": "b2", "b2": "b1"}
+    bare = spark.createDataFrame([("a1",)], "id string")
+    with pytest.raises(CypherUnsupported, match="embedding"):
+        rows(spark, (bare, edges), q)
+    orig = cy._EXACT_ALL_PAIRS_NODE_BUDGET
+    cy._EXACT_ALL_PAIRS_NODE_BUDGET = 1
+    try:
+        with pytest.raises(GdsScaleGuard, match="knn"):
+            rows(spark, (nodes, edges), q)
+        spark.conf.set("spark.cognee.gds.allowExactAllPairs", "true")
+        assert rows(spark, (nodes, edges), q)
+    finally:
+        cy._EXACT_ALL_PAIRS_NODE_BUDGET = orig
+        spark.conf.unset("spark.cognee.gds.allowExactAllPairs")
+
+
+def test_gds_conductance_stream(spark):
+    """gds.conductance.stream over a node-carried 'community' property:
+    the two-triangles-bridge fixture gives each triangle conductance 1/7
+    (1 boundary pair / 7 volume pairs); a projection without the property
+    names the requirement."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2)],
+        "id string, community long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("a", "c", "r"),
+         ("x", "y", "r"), ("y", "z", "r"), ("x", "z", "r"), ("c", "x", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    got = rows(spark, (nodes, edges), """
+    CALL gds.conductance.stream('g') YIELD community, conductance
+    RETURN community, conductance ORDER BY community;
+    """)
+    assert [(r["community"], round(r["conductance"], 6)) for r in got] == [
+        (1, round(1 / 7, 6)), (2, round(1 / 7, 6)),
+    ]
+    bare = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(CypherUnsupported, match="community"):
+        rows(spark, (bare, edges), """
+        CALL gds.conductance.stream('g') YIELD community, conductance
+        RETURN community, conductance;
+        """)
+
+
 def test_gds_betweenness_and_harmonic_closeness_stream(spark):
     """gds.betweenness.stream (exact all-sources Brandes, halved for the
     undirected convention) and gds.closeness.harmonic.stream (sum of 1/d
