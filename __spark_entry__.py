@@ -3570,8 +3570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the r12-new rows at the END of this dict, then oldest-first.
-        #   That is 21 + 10 + ~10 + new rows — fits one 50-slot window with
+        #   (c) the four r12-new rows at the END of this dict (a2_kmeans,
+        #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance),
+        #       then oldest-first.
+        #   That is 21 + 10 + ~10 + 4 = ~45 — fits one 50-slot window with
         #   room; the arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
