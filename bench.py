@@ -250,6 +250,21 @@ def _run_xl(spark) -> dict:
     leiden(nodes, edges, n_levels=2, n_rounds=2).select("label").distinct().count()
     timings["xl_leiden_2x2"] = round(time.perf_counter() - t0, 3)
 
+    # distributed Borůvka on the same graph (r12): hash-derived weights so
+    # the pick is non-trivial; per-EDGE cost regressions in the per-round
+    # min_by/relabel shape move this number first (local control: ~27 s)
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.operators.spanning import minimum_spanning_forest
+
+    t0 = time.perf_counter()
+    w = edges.select(
+        "src", "dst",
+        (F.pmod(_hash64(F.concat_ws("|", "src", "dst"), 0, "xxhash64"), F.lit(1000)) + 1)
+        .cast("double").alias("weight"),
+    )
+    minimum_spanning_forest(w, weight_col="weight").count()
+    timings["xl_msf_boruvka"] = round(time.perf_counter() - t0, 3)
+
     edges.unpersist(blocking=True)
     nodes.unpersist(blocking=True)
     return {
@@ -509,6 +524,19 @@ def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
     @step("dedup_semdedup")
     def _semdedup():
         dedup.semdedup(emb, k=16, threshold=0.35, n_iter=2).filter(~F.col("keep")).count()
+
+    @step("dbscan_cluster_sample")
+    def _dbscan_sample():
+        # the r11/r12 clustering family end to end: bucketed-LSH DBSCAN
+        # topic islands + margin-prefiltered cluster-balanced capping
+        from cognee_graphdb_spark.operators.clustering import dbscan
+        from cognee_graphdb_spark.operators.training_data import cluster_balanced_sample
+
+        labeled = dbscan(
+            emb, threshold=0.25, min_pts=4, id_col="vec_id",
+            vector_col="embedding", lsh_bits=4, dim=64,
+        )
+        cluster_balanced_sample(labeled, cap=3, label_col="cluster", id_col="id").count()
 
     @step("bm25_topk")
     def _bm25():
