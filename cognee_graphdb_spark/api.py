@@ -734,11 +734,22 @@ class CogneeSpark:
         threshold: float = 0.8,
         min_pts: int = 4,
         lsh_bits: int = 0,
+        algorithm: str = "dbscan",
+        k: int = 8,
+        n_iter: int = 5,
     ) -> DataFrame:
-        """(id, kind, cluster): DBSCAN topic islands over one of the
-        store's vector collections (operators/clustering.py:dbscan) —
-        which chunks pile into dense near-duplicate topics (``core`` /
-        ``border`` with a cluster label) and which are unique (``noise``).
+        """Clustering over one of the store's vector collections.
+
+        ``algorithm="dbscan"`` (default) → (id, kind, cluster): density
+        topic islands (operators/clustering.py:dbscan) — which chunks pile
+        into dense near-duplicate topics (``core`` / ``border`` with a
+        cluster label) and which are unique (``noise``).
+        ``algorithm="kmeans"`` → (id, cluster, sim): deterministic
+        spherical k-means partition into exactly ``k`` topics
+        (operators/clustering.py:kmeans — gds.kmeans, SemDeDup's core;
+        ``sim`` is the cosine to the assigned centroid).  k-means is a
+        k-row broadcast assignment — never all-pairs — so it needs no
+        scale guard.
 
         ``lsh_bits=0`` is the EXACT ε-pair path — a blocked cross join by
         design, the same shape as the exact all-pairs CALL procedures —
@@ -748,13 +759,22 @@ class CogneeSpark:
         the explicit opt-in conf
         (``spark.cognee.cluster.allowExactPairs``).  Fine at memory-store
         sizes; set ``lsh_bits`` for a 100× collection."""
-        from cognee_graphdb_spark.operators.clustering import dbscan
+        from cognee_graphdb_spark.operators.clustering import dbscan, kmeans
         from cognee_graphdb_spark.plans.cypher import GdsScaleGuard
 
+        algo = algorithm.lower()
+        if algo not in ("dbscan", "kmeans"):
+            raise ValueError(
+                f"unsupported clustering algorithm {algorithm!r} (dbscan, kmeans)"
+            )
         embeddings = self.store.load("embeddings")
         if embeddings is None:
             raise RuntimeError("No data found in the system, please add data first.")
         sel = embeddings.filter(F.col("collection") == collection)
+        if algo == "kmeans":
+            return kmeans(
+                sel, k=k, n_iter=n_iter, id_col="id", vector_col="vector"
+            )
         if lsh_bits <= 0:
             opt_in = str(
                 self.spark.conf.get(_EXACT_PAIRS_OPT_IN, "false")

@@ -150,10 +150,11 @@ _TOOLS: list[dict] = [
     },
     {
         "name": "cluster_embeddings",
-        "description": "DBSCAN topic islands over a stored vector "
-        "collection (core/border/noise + cluster labels); lsh_bits>0 is "
-        "the bucketed scale path — the exact default is scale-guarded "
-        "above a row budget.",
+        "description": "Clustering over a stored vector collection: "
+        "algorithm 'dbscan' (default — core/border/noise topic islands; "
+        "lsh_bits>0 is the bucketed scale path, the exact default is "
+        "scale-guarded above a row budget) or 'kmeans' (gds.kmeans — "
+        "exactly k spherical topics with centroid similarity).",
         "inputSchema": {
             "type": "object",
             "properties": {
@@ -161,6 +162,9 @@ _TOOLS: list[dict] = [
                 "threshold": {"type": "number"},
                 "min_pts": {"type": "integer"},
                 "lsh_bits": {"type": "integer"},
+                "algorithm": {"type": "string"},
+                "k": {"type": "integer"},
+                "n_iter": {"type": "integer"},
             },
         },
     },
@@ -282,6 +286,9 @@ class McpServer:
                         threshold=float(args.get("threshold", 0.8)),
                         min_pts=int(args.get("min_pts", 4)),
                         lsh_bits=int(args.get("lsh_bits", 0)),
+                        algorithm=args.get("algorithm", "dbscan"),
+                        k=int(args.get("k", 8)),
+                        n_iter=int(args.get("n_iter", 5)),
                     )
                 )
             )

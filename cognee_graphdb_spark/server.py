@@ -200,6 +200,9 @@ class _Handler(BaseHTTPRequestHandler):
                         threshold=float(p.get("threshold", 0.8)),
                         min_pts=int(p.get("min_pts", 4)),
                         lsh_bits=int(p.get("lsh_bits", 0)),
+                        algorithm=p.get("algorithm", "dbscan"),
+                        k=int(p.get("k", 8)),
+                        n_iter=int(p.get("n_iter", 5)),
                     )
                 ),
             )

@@ -432,6 +432,14 @@ def test_cluster_embeddings_api_surface(engine):
     assert len(rows) == n
     assert {r["kind"] for r in rows} <= {"core", "border", "noise"}
     assert engine.cluster_embeddings("NoSuchCollection").count() == 0
+    # algorithm="kmeans" (r12): exactly-k spherical topics, one row per
+    # member, at most k distinct clusters, no guard needed (k-row broadcast)
+    km = engine.cluster_embeddings("Entity_name", algorithm="kmeans", k=3, n_iter=2)
+    krows = km.collect()
+    assert len(krows) == n and set(km.columns) == {"id", "cluster", "sim"}
+    assert len({r["cluster"] for r in krows}) <= 3
+    with pytest.raises(ValueError, match="dbscan, kmeans"):
+        engine.cluster_embeddings("Entity_name", algorithm="nope")
 
 
 def test_cluster_embeddings_exact_guard(engine, monkeypatch):

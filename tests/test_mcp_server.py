@@ -87,6 +87,10 @@ def test_spanning_cluster_topology_tools(mcp):
         "collection": "Entity_name", "threshold": 0.99, "min_pts": 2,
     })
     assert "kind" in cl_text and "cluster" in cl_text
+    km_text = tool(mcp, "cluster_embeddings", {
+        "collection": "Entity_name", "algorithm": "kmeans", "k": 3,
+    })
+    assert "cluster" in km_text and "sim" in km_text
     resp = rpc(mcp, "tools/call", {"name": "topological_sort", "arguments": {}})
     text = resp["result"]["content"][0]["text"]
     assert ("layer" in text) or (resp["result"].get("isError") and "cycle" in text)

@@ -103,6 +103,10 @@ def test_spanning_cluster_topology_routes(srv):
     assert status == 200 and rows
     assert {"id", "kind", "cluster"} <= set(rows[0])
     assert {r["kind"] for r in rows} <= {"core", "border", "noise"}
+    status, rows = call(srv, "POST", "/api/v1/cluster_embeddings", {
+        "collection": "Entity_name", "algorithm": "kmeans", "k": 3, "n_iter": 2,
+    })
+    assert status == 200 and rows and {"id", "cluster", "sim"} <= set(rows[0])
     req = urllib.request.Request(srv + "/api/v1/topology", method="GET")
     try:
         with urllib.request.urlopen(req) as resp:
