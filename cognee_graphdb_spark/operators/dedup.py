@@ -608,7 +608,10 @@ def _spherical_kmeans(
             .localCheckpoint(eager=True)
         )
 
-    return _assign(centroids).localCheckpoint(eager=True)
+    # NOT checkpointed: single-pass consumers (the public kmeans operator,
+    # the CALL route) keep a visible, broadcast-join plan; semdedup — which
+    # self-joins the result — checkpoints at its own call site
+    return _assign(centroids)
 
 
 def semdedup(
@@ -651,7 +654,9 @@ def semdedup(
     oracle restate every branch decision exactly.
     """
     unit = _unit_rows(embeddings, id_col, vector_col)
-    final = _spherical_kmeans(unit, k=k, n_iter=n_iter, hasher=hasher, seed=seed)
+    final = _spherical_kmeans(
+        unit, k=k, n_iter=n_iter, hasher=hasher, seed=seed
+    ).localCheckpoint(eager=True)
     a = final.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("u").alias("u_a"), F.col("sim").alias("cs_a"))
     b = final.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("u").alias("u_b"), F.col("sim").alias("cs_b"))
     pair_sim = F.aggregate(

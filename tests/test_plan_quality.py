@@ -628,6 +628,23 @@ def test_cluster_balanced_sample_window_is_prefiltered(spark):
     assert "Union" in plan, plan
 
 
+def test_kmeans_assignment_is_broadcast_not_shuffle(spark):
+    """The spherical k-means assignment must plan as a BROADCAST join
+    against the k-row centroid frame plus a map-side-combined max_by — no
+    shuffle-side cross product, no Python worker
+    (operators/clustering.py:kmeans / dedup.py:_spherical_kmeans)."""
+    from cognee_graphdb_spark.operators.clustering import kmeans
+
+    emb = spark.range(32).selectExpr(
+        "cast(id as string) AS vec_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d) AS embedding",
+    )
+    plan = plan_of(kmeans(emb, k=4, n_iter=1), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
 def test_conductance_is_two_label_joins_one_agg(spark, toy_graph):
     """Conductance shares modularity's tagged-view layout: label-lookup
     equi-joins + label-sized partial aggs, s_total as a broadcast — no
