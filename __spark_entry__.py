@@ -2097,6 +2097,43 @@ def _q_a2_kmeans(spark, sf_dir):
     return out.select("id", F.col("cluster").cast("long").alias("cluster"))
 
 
+def _q_a2_fastrp(spark, sf_dir):
+    """gds.fastRP (operators/node_embeddings.py:fastrp_embeddings — Chen et
+    al. 2019 very-sparse random projection, GDS's default embedding
+    procedure, CALL-routed with {embeddingDimension, iterationWeights,
+    randomSeed}) over the symmetrized region-tree FK subgraph.  dim=4,
+    GDS-default weights (0, 1, 1) = three averaging rounds with the first
+    unweighted; hasher='md5_64' so the ±1/0 init is bit-identical in the
+    oracle.  The oracle restates all three rounds as chained CTEs with the
+    operator's exact operand order: messages are SUM(val)/COUNT(*) (Spark
+    avg's partial-agg shape), norms the sequential left fold
+    ((((0+v0²)+v1²)+v2²)+v3²) matching F.aggregate, and the weighted sum
+    (v·1.0)+(v·1.0); both sides quantize per (id, dim) to ppm BIGINTs —
+    round-1 values are exact rationals, later rounds' sum-order wobble is
+    absorbed (the a2_eigenvector discipline)."""
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    emb = fastrp_embeddings(
+        ids, fk, dim=4, iteration_weights=(0.0, 1.0, 1.0), seed=42, hasher="md5_64"
+    )
+    return emb.select(
+        "id", F.posexplode("embedding").alias("j", "val")
+    ).select(
+        "id",
+        "j",
+        F.round(F.col("val") * F.lit(1000000.0)).cast("long").alias("val_ppm"),
+    )
+
+
 def _q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (dedup.py:semdedup): deterministic spherical k-means (seeded
     md5 hash picks the k seeds) + within-cluster cosine pruning.  The 0.35
@@ -3570,10 +3607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the four r12-new rows at the END of this dict (a2_kmeans,
-        #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance),
-        #       then oldest-first.
-        #   That is 21 + 10 + ~10 + 4 = ~45 — fits one 50-slot window with
+        #   (c) the five r12-new rows at the END of this dict (a2_kmeans,
+        #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
+        #       a2_fastrp), then oldest-first.
+        #   That is 21 + 10 + ~10 + 5 = ~46 — fits one 50-slot window with
         #   room; the arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
@@ -3706,6 +3743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carrying projections, guarded exact semantics)
         "cypher_gds_knn": _q_cypher_gds_knn,
         "cypher_gds_conductance": _q_cypher_gds_conductance,
+        # gds.fastRP: very-sparse random projection embeddings (Chen et al.
+        # 2019), GDS's default embedding procedure, CALL-routed with the
+        # typed config map ({embeddingDimension, iterationWeights,
+        # randomSeed})
+        "a2_fastrp": _q_a2_fastrp,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6468,6 +6510,65 @@ dropped AS (
 )
 SELECT f.id, CAST(f.cluster AS BIGINT) AS cluster, (d.id IS NULL) AS keep
 FROM final f LEFT JOIN dropped d ON f.id = d.id"""
+
+    # --- fastRP (node_embeddings.py:fastrp_embeddings; gds.fastRP) ----------
+    # three unrolled averaging rounds over the symmetrized FK graph with the
+    # operator's exact operand order: init = md5-hash pmod 6 -> {+1,-1,0},
+    # messages = SUM/COUNT (Spark avg's partial-agg shape), row norms the
+    # sequential left fold ((((0+c0^2)+c1^2)+c2^2)+c3^2) matching
+    # F.aggregate, final = (round2*1.0) + (round3*1.0); ppm-quantized
+    _frp_norm = "((((0.0 + c0*c0) + c1*c1) + c2*c2) + c3*c3)"
+    _frp_whens = "WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3"
+    _frp_wide = ", ".join(
+        f"COALESCE(MAX(CASE WHEN m.j = {j} THEN m.c END), CAST(0 AS DOUBLE)) AS c{j}"
+        for j in range(4)
+    )
+    _frp_h = _md5_64("n.id || '|' || CAST(d.j AS VARCHAR)", 42)
+    _frp_iters = []
+    _frp_prev = "fr0"
+    for _i in (1, 2, 3):
+        _frp_iters.append(f"""fm{_i} AS MATERIALIZED (
+  SELECT p.v AS id, r.j, SUM(r.val) / COUNT(*) AS c
+  FROM frp_pairs p JOIN {_frp_prev} r ON p.u = r.id GROUP BY p.v, r.j
+), fw{_i} AS MATERIALIZED (
+  SELECT n.id, {_frp_wide}
+  FROM frp_nodes n LEFT JOIN fm{_i} m ON n.id = m.id GROUP BY n.id
+), fr{_i} AS MATERIALIZED (
+  SELECT w.id, d.j,
+         CASE WHEN w.nrm > 0 THEN (CASE d.j {_frp_whens} END) / sqrt(w.nrm)
+              ELSE CAST(0 AS DOUBLE) END AS val
+  FROM (SELECT id, c0, c1, c2, c3, {_frp_norm} AS nrm FROM fw{_i}) w
+  CROSS JOIN frp_dims d
+)""")
+        _frp_prev = f"fr{_i}"
+    sql["a2_fastrp"] = f"""WITH {g},
+frp_fk AS MATERIALIZED (SELECT src, dst FROM edges
+  WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+frp_pairs AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM frp_fk UNION ALL SELECT dst, src FROM frp_fk)
+  WHERE u <> v),
+frp_nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM frp_pairs),
+frp_dims AS MATERIALIZED (SELECT unnest([0, 1, 2, 3]) AS j),
+fr0raw AS MATERIALIZED (
+  SELECT n.id, d.j,
+         CASE ((({_frp_h}) % 6) + 6) % 6
+              WHEN 0 THEN CAST(1 AS DOUBLE) WHEN 1 THEN CAST(-1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS val
+  FROM frp_nodes n CROSS JOIN frp_dims d),
+fw0 AS MATERIALIZED (
+  SELECT id, {", ".join(f"MAX(CASE WHEN j = {j} THEN val END) AS c{j}" for j in range(4))}
+  FROM fr0raw GROUP BY id),
+fr0 AS MATERIALIZED (
+  SELECT w.id, d.j,
+         CASE WHEN w.nrm > 0 THEN (CASE d.j {_frp_whens} END) / sqrt(w.nrm)
+              ELSE CAST(0 AS DOUBLE) END AS val
+  FROM (SELECT id, c0, c1, c2, c3, {_frp_norm} AS nrm FROM fw0) w
+  CROSS JOIN frp_dims d),
+{", ".join(_frp_iters)}
+SELECT a.id, a.j,
+       CAST(ROUND(((a.val * 1.0) + (b.val * 1.0)) * 1000000.0) AS BIGINT) AS val_ppm
+FROM fr2 a JOIN fr3 b ON a.id = b.id AND a.j = b.j"""
 
     # --- DSIR importance resampling (training_data.py:dsir_resample) ---------
     # every literal is CAST to DOUBLE so DuckDB's DECIMAL literal arithmetic

@@ -243,3 +243,119 @@ def sppmi_node_embeddings(
     rot = v * np.sqrt(np.abs(w[order]))[None, :]
     out = _rotate(q.select(F.col("id").alias("i"), F.col("q").alias("z")), rot)
     return out.select("id", F.col("q").alias("embedding"))
+
+
+def fastrp_embeddings(
+    nodes: DataFrame,
+    edges: DataFrame,
+    dim: int = 8,
+    iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
+    sparsity: int = 3,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+    symmetric: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(id, embedding): FastRP structural node embeddings (Chen, Sultan,
+    Tyagi & Skiena 2019, "Fast and Accurate Network Embeddings via Very
+    Sparse Random Projection", arXiv:1908.11512) — neo4j GDS's default
+    embedding procedure (``gds.fastRP``), the iteration-free counterpart to
+    :func:`sppmi_node_embeddings` on the same surface the reference
+    ecosystem ships as graph-DB plugins.
+
+    Algorithm, re-expressed as Spark dataflow:
+
+    1. **Very sparse random projection** (Achlioptas/Li): each node's
+       initial vector has entries in {-1, 0, +1} with P(non-zero) =
+       1/``sparsity`` — NO RNG state, entry (i, j) is a pure seeded-hash
+       function of the node id and dimension (the dedup family's
+       ``_hash64`` discipline, so ``hasher='md5_64'`` is bit-reproducible
+       in ANSI SQL for the correctness oracle).  The paper's sqrt(s)
+       magnitude is dropped: every iteration L2-normalizes per node, and a
+       scalar common to all entries cancels there.
+    2. **K averaging rounds**: X_k = rownorm(D^-1 A X_{k-1}) — each node
+       averages its (symmetrized, deduped) neighbors' vectors, then
+       L2-normalizes.  One equi-join (|E| rows against the |V| x d
+       factor) + ONE map-side-combined partial aggregation of d means per
+       round — the pagerank shuffle shape, d-wide instead of 1-wide.
+    3. **Weighted sum**: embedding = sum_k iteration_weights[k] * X_k
+       (GDS's iterationWeights, default [0.0, 1.0, 1.0]: three rounds,
+       first unweighted — pure first-order structure is noise, second and
+       third order carry the signal).
+
+    Scale shape at 100 TB: no driver state beyond the d weights, no
+    collect, no RNG broadcast; the init is map-only hash math; isolated
+    nodes embed as the zero vector (the GDS convention).  Lineage is
+    truncated every ``checkpoint_every`` rounds like the other iterative
+    operators.
+
+    Numerics: norms accumulate with a sequential left fold
+    (``F.aggregate``), matching DuckDB's ``list_dot_product`` operand
+    order; round-1 values are exact rationals (integer sums / counts), and
+    later rounds' partial-agg sum-order wobble is absorbed by the contract
+    entry's ppm quantization (the a2_eigenvector/a2_hits discipline).
+    """
+    from cognee_graphdb_spark.operators.dedup import _hash64
+
+    if dim < 1 or sparsity < 1 or not iteration_weights:
+        raise ValueError("fastrp needs dim >= 1, sparsity >= 1 and >= 1 weight")
+    ids = nodes.select("id").distinct()
+    pairs = edges.select("src", "dst")
+    if symmetric:
+        pairs = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    pairs = pairs.filter(F.col("src") != F.col("dst")).distinct()
+
+    def _init_entry(j: int):
+        m = F.pmod(
+            _hash64(F.concat(F.col("id"), F.lit(f"|{j}")), seed, hasher),
+            F.lit(2 * sparsity),
+        )
+        return (
+            F.when(m == 0, F.lit(1.0)).when(m == 1, F.lit(-1.0)).otherwise(F.lit(0.0))
+        )
+
+    def _rownorm(df: DataFrame) -> DataFrame:
+        norm2 = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        return df.select(
+            "id",
+            F.when(
+                norm2 > 0.0,
+                F.transform("v", lambda x: x / F.sqrt(norm2)),
+            )
+            .otherwise(F.array(*[F.lit(0.0)] * dim))
+            .alias("v"),
+        )
+
+    x = _rownorm(ids.select("id", F.array(*[_init_entry(j) for j in range(dim)]).alias("v")))
+    acc = None
+    for k, w in enumerate(iteration_weights):
+        msgs = (
+            pairs.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.avg(F.col("v")[j]).alias(f"c{j}") for j in range(dim)])
+        )
+        x = _rownorm(
+            ids.join(msgs, "id", "left").select(
+                "id",
+                F.array(
+                    *[F.coalesce(F.col(f"c{j}"), F.lit(0.0)) for j in range(dim)]
+                ).alias("v"),
+            )
+        )
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+        if w == 0.0:
+            continue
+        term = x.select("id", F.transform("v", lambda e: e * F.lit(float(w))).alias("t"))
+        if acc is None:
+            acc = term.withColumnRenamed("t", "e")
+        else:
+            acc = (
+                acc.join(term, "id")
+                .select("id", F.zip_with("e", "t", lambda a, b: a + b).alias("e"))
+            )
+    if acc is None:  # all weights zero — a valid (if useless) request
+        acc = ids.select("id", F.array(*[F.lit(0.0)] * dim).alias("e"))
+    return acc.select("id", F.col("e").alias("embedding"))

@@ -190,3 +190,83 @@ def test_embeddings_feed_v1_knn_search(spark):
     assert ids[0] == "c0_0"
     # every same-clique member outranks every other-clique node
     assert all(i.startswith("c0_") for i in ids), ids
+
+
+# --- FastRP (Chen et al. 2019; gds.fastRP) -----------------------------------
+
+
+def _ring_graph(spark, n=8):
+    nodes = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % n)) for i in range(n)], "src string, dst string"
+    )
+    return nodes, edges
+
+
+def test_fastrp_shape_determinism_and_isolated_zero(spark):
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r["id"]: r["embedding"] for r in fastrp_embeddings(nodes, edges, dim=4).collect()}
+    assert set(out) == {"a", "b", "z"} and all(len(v) == 4 for v in out.values())
+    # isolated nodes embed as the zero vector (the GDS convention)
+    assert out["z"] == [0.0] * 4
+    # seeded-hash init, no RNG: two calls in one session are bit-identical
+    again = {r["id"]: r["embedding"] for r in fastrp_embeddings(nodes, edges, dim=4).collect()}
+    assert out == again
+    # a different seed moves the embeddings
+    other = {r["id"]: r["embedding"] for r in fastrp_embeddings(nodes, edges, dim=4, seed=7).collect()}
+    assert out != other
+
+
+def test_fastrp_iteration_weights_compose_normalized_rounds(spark):
+    """Each weighted round contributes an L2-normalized vector, so with a
+    single unit weight every non-isolated node's embedding has norm 1, and
+    with weights (0, 1, 1) the norm is at most 2 (triangle inequality)."""
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    nodes, edges = _ring_graph(spark)
+    one = fastrp_embeddings(nodes, edges, dim=8, iteration_weights=(1.0,)).collect()
+    for r in one:
+        norm = sum(v * v for v in r["embedding"]) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-9), r["id"]
+    two = fastrp_embeddings(nodes, edges, dim=8, iteration_weights=(0.0, 1.0, 1.0)).collect()
+    for r in two:
+        norm = sum(v * v for v in r["embedding"]) ** 0.5
+        assert norm <= 2.0 + 1e-9
+
+
+def test_fastrp_structural_similarity_on_barbell(spark):
+    """Two 4-cliques joined by one bridge: nodes inside the same clique end
+    up closer (cosine) to each other than to the far clique's nodes."""
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    def clique(prefix):
+        ids = [f"{prefix}{i}" for i in range(4)]
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique("L") + clique("R") + [("L0", "R0")], "src string, dst string"
+    )
+    nodes = edges.selectExpr("src AS id").union(edges.selectExpr("dst")).distinct()
+    out = {r["id"]: r["embedding"] for r in fastrp_embeddings(nodes, edges, dim=16).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) * sum(y * y for y in b)) ** 0.5
+        return num / den
+
+    within = cos(out["L1"], out["L2"])
+    across = cos(out["L1"], out["R2"])
+    assert within > across
+
+
+def test_fastrp_validation(spark):
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    nodes, edges = _ring_graph(spark, 4)
+    with pytest.raises(ValueError, match="dim >= 1"):
+        fastrp_embeddings(nodes, edges, dim=0)
+    with pytest.raises(ValueError, match="dim >= 1"):
+        fastrp_embeddings(nodes, edges, iteration_weights=())

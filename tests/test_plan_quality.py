@@ -684,3 +684,21 @@ def test_rmat_generation_is_one_shuffle_free_projection(spark):
     # formatted mode marks codegen stages with '*' and a codegen id
     assert "* Project" in plan and "codegen id" in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_fastrp_rounds_are_equi_joins_jvm_side(spark, toy_graph):
+    """FastRP (node_embeddings.py:fastrp_embeddings): the hash init is
+    map-only expression math, each averaging round ONE equi-join + one
+    partial-aggregated d-wide mean, norms/weighted sums higher-order
+    Catalyst expressions — no cartesian, no Python worker, no RNG
+    broadcast."""
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    nodes, edges = toy_graph
+    plan = plan_of(
+        fastrp_embeddings(
+            nodes.select("id"), edges, dim=4, checkpoint_every=0
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
