@@ -87,6 +87,7 @@ from __future__ import annotations
 
 import re
 import uuid
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1682,24 +1683,294 @@ def looks_like_cypher(query: str) -> bool:
     head = re.sub(r"//[^\n]*", "", query).lstrip().upper()
     if head.startswith(("MATCH", "OPTIONAL MATCH", "UNWIND")):
         return True
-    if head.startswith("CALL GDS."):
-        return True  # the gds.* procedure surface (reference metric queries)
+    if head.startswith("CALL GDS.") or head.startswith("CALL DB."):
+        return True  # the gds.*/db.* procedure surface (reference metric queries)
     return re.match(r"(CREATE|MERGE)\s*\(", head) is not None
 
 
 _GDS_CALL_RE = re.compile(
-    r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats)\(\s*'[^']*'"
+    r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats)\(\s*'(?P<gname>[^']*)'"
     r"(?:\s*,\s*\{(?P<config>[^}]*)\})?\s*\)\s*"
     r"YIELD\s+(?P<yield>[\w\s,]+?)\s+"
     r"RETURN\s+(?P<ret>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
+# graph-catalog / db-introspection procedures: the reference's Neo4j adapter
+# manages NAMED projections around its metric queries
+# (neo4j_driver/adapter.py:1100-1197 — graph_exists via gds.graph.list,
+# project_entire_graph via db.labels() + db.relationshipTypes() +
+# gds.graph.project, drop_graph via gds.graph.drop).  These calls have a
+# different shape from the stream/stats surface: list/map arguments, YIELD
+# without RETURN, or no YIELD at all.
+_MGMT_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?P<proc>gds\.graph\.(?:project|drop|list|exists)"
+    r"|db\.labels|db\.relationshipTypes)\s*"
+    r"\((?P<args>[^()]*)\)\s*"
+    r"(?:YIELD\s+(?P<yield>[\w\s,]+?))?\s*"
+    r"(?:\bRETURN\s+(?P<ret>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # the gds.* procedures the reference's metric surface actually calls
 # (neo4j_driver/neo4j_metrics_utils.py:60,92,152,184), mapped to the
-# engine's native operators.  The graph-name argument is accepted and
-# ignored: the projection IS the (nodes, edges) pair run_cypher was given.
+# engine's native operators.  The graph-name argument resolves against the
+# session's projection catalog (gds.graph.project below); an unknown name
+# keeps the pre-catalog behavior — the projection IS the (nodes, edges)
+# pair run_cypher was given.
 _GDS_AGG_FNS = ("count", "sum", "avg", "min", "max", "collect")
+
+# --- gds.graph.* projection catalog ------------------------------------------
+# Named projections, per SparkSession (weak: dropping the session drops its
+# catalog).  Spark-first reading of GDS's in-memory graph: project filters
+# the passed (nodes, edges) to the named labels/relationship types, persists
+# both frames MEMORY_AND_DISK (spill-safe — an executor that can't hold its
+# partitions degrades to disk instead of OOM), and materializes the counts
+# ONCE; every later CALL gds.<proc>.stream('<name>') on the same session
+# reuses the cached frames.  At 100 TB that is the difference between one
+# store scan and one scan per metric query — exactly why the reference
+# projects before running its four metric queries
+# (neo4j_driver/adapter.py:1160-1198, neo4j_metrics_utils.py:56-200).
+_GRAPH_CATALOG: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _session_catalog(spark: SparkSession) -> dict:
+    cat = _GRAPH_CATALOG.get(spark)
+    if cat is None:
+        cat = {}
+        _GRAPH_CATALOG[spark] = cat
+    return cat
+
+
+def _parse_call_args(s: str) -> list:
+    """Parse a CALL argument list into Python values: 'string', number,
+    true/false, [lists], and {maps} (nested — gds.graph.project's
+    relationship config is ``{REL: {orientation: 'UNDIRECTED'}}``).  Map
+    keys may be bare identifiers or quoted strings, per Cypher."""
+    pos = 0
+
+    def err(msg: str):
+        return CypherUnsupported(f"CALL argument parse error at {pos}: {msg} in {s!r}")
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(s) and s[pos].isspace():
+            pos += 1
+
+    def value():
+        nonlocal pos
+        skip_ws()
+        if pos >= len(s):
+            raise err("unexpected end of arguments")
+        ch = s[pos]
+        if ch == "'":
+            end = s.find("'", pos + 1)
+            if end < 0:
+                raise err("unterminated string")
+            v = s[pos + 1 : end]
+            pos = end + 1
+            return v
+        if ch == "[":
+            pos += 1
+            items = []
+            skip_ws()
+            if pos < len(s) and s[pos] == "]":
+                pos += 1
+                return items
+            while True:
+                items.append(value())
+                skip_ws()
+                if pos < len(s) and s[pos] == ",":
+                    pos += 1
+                    continue
+                if pos < len(s) and s[pos] == "]":
+                    pos += 1
+                    return items
+                raise err("expected ',' or ']' in list")
+        if ch == "{":
+            pos += 1
+            out = {}
+            skip_ws()
+            if pos < len(s) and s[pos] == "}":
+                pos += 1
+                return out
+            while True:
+                skip_ws()
+                if pos < len(s) and s[pos] == "'":
+                    key = value()
+                else:
+                    m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s[pos:])
+                    if not m:
+                        raise err("expected map key")
+                    key = m.group(0)
+                    pos += len(key)
+                skip_ws()
+                if pos >= len(s) or s[pos] != ":":
+                    raise err("expected ':' after map key")
+                pos += 1
+                out[key] = value()
+                skip_ws()
+                if pos < len(s) and s[pos] == ",":
+                    pos += 1
+                    continue
+                if pos < len(s) and s[pos] == "}":
+                    pos += 1
+                    return out
+                raise err("expected ',' or '}' in map")
+        m = re.match(r"-?\d+(\.\d+)?", s[pos:])
+        if m:
+            pos += len(m.group(0))
+            return float(m.group(0)) if "." in m.group(0) else int(m.group(0))
+        m = re.match(r"(true|false)\b", s[pos:], re.IGNORECASE)
+        if m:
+            pos += len(m.group(0))
+            return m.group(0).lower() == "true"
+        raise err("unsupported literal")
+
+    skip_ws()
+    if pos >= len(s):
+        return []
+    args = [value()]
+    skip_ws()
+    while pos < len(s):
+        if s[pos] != ",":
+            raise err("expected ',' between arguments")
+        pos += 1
+        args.append(value())
+        skip_ws()
+    return args
+
+
+def _run_mgmt_call(spark: SparkSession, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
+    """gds.graph.{project,list,drop,exists} and db.{labels,relationshipTypes}
+    — the reference's projection-management flow verbatim
+    (neo4j_driver/adapter.py:1100-1198)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    proc = m.group("proc").lower()
+    args = _parse_call_args(m.group("args") or "")
+    cat = _session_catalog(spark)
+
+    if proc == "db.labels":
+        # CALL db.labels() -> one row per distinct node label
+        # (adapter.py:1121-1133 reads record['label'])
+        out = (
+            nodes.select(F.col("type").alias("label"))
+            .filter(F.col("label").isNotNull())
+            .distinct()
+            .orderBy("label")
+        )
+    elif proc == "db.relationshiptypes":
+        # adapter.py:1135-1158 collects these into the project config map
+        out = (
+            edges.select(F.col("relationship_name").alias("relationshipType"))
+            .filter(F.col("relationshipType").isNotNull())
+            .distinct()
+            .orderBy("relationshipType")
+        )
+    elif proc == "gds.graph.list":
+        rows = [
+            (name, e["node_count"], e["rel_count"]) for name, e in sorted(cat.items())
+        ]
+        out = spark.createDataFrame(
+            rows, "graphName string, nodeCount long, relationshipCount long"
+        )
+    elif proc == "gds.graph.exists":
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise CypherUnsupported("gds.graph.exists takes one graph-name string")
+        out = spark.createDataFrame(
+            [(args[0], args[0] in cat)], "graphName string, exists boolean"
+        )
+    elif proc == "gds.graph.drop":
+        if len(args) < 1 or not isinstance(args[0], str):
+            raise CypherUnsupported("gds.graph.drop takes a graph-name string")
+        name = args[0]
+        if name not in cat:
+            raise CypherUnsupported(
+                f"gds.graph.drop: graph '{name}' is not in this session's "
+                "catalog (gds.graph.list streams the projected names)"
+            )
+        entry = cat.pop(name)
+        entry["nodes"].unpersist()
+        entry["edges"].unpersist()
+        out = spark.createDataFrame([(name,)], "graphName string")
+    elif proc == "gds.graph.project":
+        if len(args) != 3 or not isinstance(args[0], str):
+            raise CypherUnsupported(
+                "gds.graph.project takes (graphName, nodeProjection, "
+                "relationshipProjection) — the adapter.py:1176-1182 shape"
+            )
+        name, label_arg, rel_arg = args
+        if name in cat:
+            raise CypherUnsupported(
+                f"gds.graph.project: graph '{name}' already exists in this "
+                "session's catalog; gds.graph.drop it first"
+            )
+        pn = nodes
+        if label_arg != "*":
+            labels = [label_arg] if isinstance(label_arg, str) else list(label_arg)
+            if not all(isinstance(x, str) for x in labels):
+                raise CypherUnsupported("node projection must be '*' or label strings")
+            pn = pn.filter(F.col("type").isin(labels))
+        pe = edges
+        if rel_arg != "*":
+            if isinstance(rel_arg, str):
+                rel_names, reversed_names = [rel_arg], []
+            elif isinstance(rel_arg, list):
+                rel_names, reversed_names = list(rel_arg), []
+            elif isinstance(rel_arg, dict):
+                rel_names, reversed_names = [], []
+                for rel, conf in rel_arg.items():
+                    conf = conf if isinstance(conf, dict) else {}
+                    bad = set(conf) - {"orientation"}
+                    if bad:
+                        raise CypherUnsupported(
+                            f"unsupported relationship projection keys {sorted(bad)} "
+                            "(only orientation is supported)"
+                        )
+                    orient = str(conf.get("orientation", "NATURAL")).upper()
+                    if orient not in ("NATURAL", "UNDIRECTED", "REVERSE"):
+                        raise CypherUnsupported(f"unknown orientation {orient!r}")
+                    (reversed_names if orient == "REVERSE" else rel_names).append(rel)
+            else:
+                raise CypherUnsupported("relationship projection must be '*', a list, or a map")
+            parts = []
+            if rel_names:
+                parts.append(pe.filter(F.col("relationship_name").isin(rel_names)))
+            if reversed_names:
+                # REVERSE flips the stored orientation at projection time;
+                # NATURAL/UNDIRECTED keep it — undirectedness is each
+                # procedure's own convention on this surface, same as the
+                # un-cataloged path
+                rev = pe.filter(F.col("relationship_name").isin(reversed_names))
+                parts.append(
+                    rev.withColumn("__s", F.col("dst"))
+                    .withColumn("dst", F.col("src"))
+                    .withColumn("src", F.col("__s"))
+                    .drop("__s")
+                )
+            if not parts:
+                raise CypherUnsupported("relationship projection selected no types")
+            pe = parts[0]
+            for p in parts[1:]:
+                pe = pe.unionByName(p)
+        # GDS projections only keep relationships between projected nodes
+        ids = pn.select("id").distinct()
+        pe = pe.join(ids.withColumnRenamed("id", "src"), "src", "left_semi").join(
+            ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+        )
+        pn = pn.persist(StorageLevel.MEMORY_AND_DISK)
+        pe = pe.persist(StorageLevel.MEMORY_AND_DISK)
+        nc, rc = pn.count(), pe.count()  # materializes the cache once
+        cat[name] = {"nodes": pn, "edges": pe, "node_count": nc, "rel_count": rc}
+        out = spark.createDataFrame(
+            [(name, nc, rc)],
+            "graphName string, nodeCount long, relationshipCount long",
+        )
+    else:  # pragma: no cover — the regex admits only the branches above
+        raise CypherUnsupported(f"unsupported management procedure {proc}")
+    return _apply_yield_return(spark, out, m.group("yield"), m.group("ret"))
 
 # gds.allShortestPaths.stream and gds.closeness.stream are EXACT all-pairs:
 # O(n * reachable) distance state by definition, fine on KG-sized graphs but
@@ -1731,10 +2002,55 @@ def _guard_exact_all_pairs(spark, nodes: DataFrame, proc: str, approx: str) -> N
         )
 
 
-def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> DataFrame:
+# procedures that accept a (typed, whitelisted) config map; every other
+# procedure refuses a non-empty config — a silently dropped key would change
+# the asked-for semantics
+_CONFIGURABLE_PROCS = {
+    "pagerank.stream",
+    "eigenvector.stream",
+    "articlerank.stream",
+    "labelpropagation.stream",
+    "kmeans.stream",
+    "knn.stream",
+    "conductance.stream",
+    "betweenness.stream",
+    "fastrp.stream",
+}
+
+
+def _conf(config: dict, proc: str, **allowed):
+    """Validate and extract a procedure's config-map keys.  ``allowed`` maps
+    key -> (accepted types, default).  Unknown keys refuse loudly, naming
+    the supported set (the GDS config surface is large; this dialect
+    implements the subset each procedure actually parameterizes)."""
+    bad = set(config) - set(allowed)
+    if bad:
+        raise CypherUnsupported(
+            f"gds.{proc}: unsupported config key(s) {sorted(bad)}; "
+            f"supported: {sorted(allowed)}"
+        )
+    out = {}
+    for k, (types, default) in allowed.items():
+        v = config.get(k, default)
+        if v is not None and (not isinstance(v, types) or isinstance(v, bool)):
+            names = ", ".join(t.__name__ for t in types)
+            raise CypherUnsupported(f"gds.{proc}: config {k} must be {names}")
+        out[k] = v
+    return out
+
+
+def _gds_procedure(
+    spark, nodes: DataFrame, edges: DataFrame, proc: str, config: dict | None = None
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     key = proc.lower()
+    config = config or {}
+    if config and key not in _CONFIGURABLE_PROCS:
+        raise CypherUnsupported(
+            f"gds.{proc} takes no config map on this surface; call the "
+            "native operator directly for non-default parameters"
+        )
     if key == "wcc.stream":
         from cognee_graphdb_spark.operators.graph_metrics import connected_components
 
@@ -1788,7 +2104,14 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
     if key == "pagerank.stream":
         from cognee_graphdb_spark.operators.graph_metrics import pagerank
 
-        pr = pagerank(nodes.select("id"), edges)
+        c = _conf(
+            config, "pageRank.stream",
+            maxIterations=((int,), 10), dampingFactor=((int, float), 0.85),
+        )
+        pr = pagerank(
+            nodes.select("id"), edges,
+            damping=float(c["dampingFactor"]), n_iter=c["maxIterations"],
+        )
         return pr.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
     if key == "louvain.stream":
         from cognee_graphdb_spark.operators.graph_metrics import louvain
@@ -1807,7 +2130,8 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
     if key == "labelpropagation.stream":
         from cognee_graphdb_spark.operators.graph_metrics import label_propagation
 
-        lp = label_propagation(nodes, edges)
+        c = _conf(config, "labelPropagation.stream", maxIterations=((int,), 5))
+        lp = label_propagation(nodes, edges, n_rounds=c["maxIterations"])
         return lp.select(
             F.col("id").alias("nodeId"), F.col("label").alias("communityId")
         )
@@ -1843,12 +2167,19 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
     if key == "eigenvector.stream":
         from cognee_graphdb_spark.operators.graph_metrics import eigenvector
 
-        ev = eigenvector(nodes, edges)
+        c = _conf(config, "eigenvector.stream", maxIterations=((int,), 10))
+        ev = eigenvector(nodes, edges, n_iter=c["maxIterations"])
         return ev.select(F.col("id").alias("nodeId"), F.col("score").alias("score"))
     if key == "articlerank.stream":
         from cognee_graphdb_spark.operators.graph_metrics import articlerank
 
-        ar = articlerank(nodes, edges)
+        c = _conf(
+            config, "articleRank.stream",
+            maxIterations=((int,), 10), dampingFactor=((int, float), 0.85),
+        )
+        ar = articlerank(
+            nodes, edges, damping=float(c["dampingFactor"]), n_iter=c["maxIterations"]
+        )
         return ar.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
     if key == "degree.stream":
         # gds.degree: out-degree of the natural orientation
@@ -1918,24 +2249,36 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
 
         # GDS's default is EXACT betweenness = all-sources Brandes, O(V·E)
         # state — same scale class as allShortestPaths, same structural
-        # guard; the sampled estimator (betweenness_sampled with a source
-        # sample) is the opt-out scale path
-        _guard_exact_all_pairs(
-            spark, nodes, "betweenness.stream",
-            "graph_metrics.betweenness_sampled(sources=<sample>)",
-        )
-        all_src = nodes.select("id").distinct()
-        bt = betweenness_sampled(edges, all_src, max_hops=64)
+        # guard.  GDS's own scale knob is the config map's samplingSize
+        # (Brandes & Pich 2007): when set, the estimator runs from that
+        # many hash-picked sources, unbiased by the V/|S| factor (the
+        # api.centrality discipline), and the all-pairs guard does not
+        # apply — the state is O(|S|·E) by construction.
+        c = _conf(config, "betweenness.stream", samplingSize=((int,), None))
+        ids = nodes.select("id").distinct()
+        if c["samplingSize"] is not None:
+            if c["samplingSize"] < 1:
+                raise CypherUnsupported("gds.betweenness.stream: samplingSize must be >= 1")
+            n_total = ids.count()
+            n_eff = min(c["samplingSize"], n_total)
+            sources = ids.orderBy(F.xxhash64("id"), "id").limit(c["samplingSize"])
+            scale = (float(n_total) / float(max(n_eff, 1))) / 2.0
+        else:
+            _guard_exact_all_pairs(
+                spark, nodes, "betweenness.stream",
+                "samplingSize config (Brandes-Pich sampled estimator)",
+            )
+            sources, scale = ids, 0.5
+        bt = betweenness_sampled(edges, sources, max_hops=64)
         # undirected convention: every unordered pair is seen from both
-        # endpoints when the source set is all nodes — halve (GDS divides
-        # by 2 for undirected projections)
+        # endpoints when both are sampled — halve (GDS divides by 2 for
+        # undirected projections); the sampled path folds the V/|S|
+        # unbiasing factor into the same scale constant
         return (
-            nodes.select("id")
-            .distinct()
-            .join(bt.withColumnRenamed("node", "id"), "id", "left")
+            ids.join(bt.withColumnRenamed("node", "id"), "id", "left")
             .select(
                 F.col("id").alias("nodeId"),
-                (F.coalesce("betweenness", F.lit(0.0)) / F.lit(2.0)).alias("score"),
+                (F.coalesce("betweenness", F.lit(0.0)) * F.lit(scale)).alias("score"),
             )
         )
     if key == "closeness.harmonic.stream":
@@ -1985,15 +2328,21 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
 
         # gds.knn streams each node's topK most-similar nodes by a vector
         # property (default cosine) — same property convention as kmeans:
-        # the projection's nodes must carry an 'embedding' array column.
+        # the projection's nodes must carry the named array column
+        # ('embedding' by default, GDS's nodeProperties config).
         # GDS's implementation is approximate NN-descent; this surface is
         # the exact brute-force semantics (broadcast all-queries × scan),
         # which is the all-pairs scale class — guarded like the other
         # exact procedures, with the LSH/IVF ANN family as the scale path.
-        if "embedding" not in nodes.columns:
+        c = _conf(
+            config, "knn.stream",
+            topK=((int,), 10), nodeProperties=((str,), "embedding"),
+        )
+        prop = c["nodeProperties"]
+        if prop not in nodes.columns:
             raise CypherUnsupported(
-                "gds.knn.stream needs the projection's nodes to carry an "
-                "'embedding' array column (the GDS nodeProperties); join "
+                f"gds.knn.stream needs the projection's nodes to carry an "
+                f"{prop!r} array column (the GDS nodeProperties); join "
                 "one on — e.g. embed_graph's vectors — or use the "
                 "operators.similarity ANN family for custom columns"
             )
@@ -2002,7 +2351,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
             "operators.similarity (LSH/IVF approximate neighbors)",
         )
         emb = nodes.select(
-            F.col("id"), F.col("embedding").cast("array<double>").alias("v")
+            F.col("id"), F.col(prop).cast("array<double>").alias("v")
         )
         q = emb.select(
             F.col("id").alias("qid"), F.col("v").alias("qv")
@@ -2017,7 +2366,7 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("id"))
         return (
             joined.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 10)  # GDS topK default
+            .filter(F.col("__rn") <= c["topK"])  # GDS default topK=10
             .select(
                 F.col("qid").alias("node1"),
                 F.col("id").alias("node2"),
@@ -2028,19 +2377,26 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         from cognee_graphdb_spark.operators.clustering import kmeans
 
         # gds.kmeans clusters a node-carried vector property (the config
-        # map's nodeProperty — config maps are refused on this surface, so
-        # the projection's nodes must carry an array column literally named
-        # 'embedding', e.g. api.embed_graph's Entity_graph vectors joined
-        # onto the projection).  GDS defaults: k=10, maxIterations=10;
-        # distanceFromCentroid is the cosine distance 1 - sim.
-        if "embedding" not in nodes.columns:
+        # map's nodeProperty, default 'embedding' — e.g. api.embed_graph's
+        # Entity_graph vectors joined onto the projection).  GDS defaults:
+        # k=10, maxIterations=10; distanceFromCentroid is the cosine
+        # distance 1 - sim.
+        c = _conf(
+            config, "kmeans.stream",
+            k=((int,), 10), maxIterations=((int,), 10),
+            nodeProperty=((str,), "embedding"),
+        )
+        prop = c["nodeProperty"]
+        if prop not in nodes.columns:
             raise CypherUnsupported(
-                "gds.kmeans.stream needs the projection's nodes to carry an "
-                "'embedding' array column (the GDS nodeProperty); join one "
+                f"gds.kmeans.stream needs the projection's nodes to carry an "
+                f"{prop!r} array column (the GDS nodeProperty); join one "
                 "on — e.g. embed_graph's vectors — or call "
                 "operators.clustering.kmeans directly for custom columns"
             )
-        km = kmeans(nodes, k=10, n_iter=10, id_col="id", vector_col="embedding")
+        km = kmeans(
+            nodes, k=c["k"], n_iter=c["maxIterations"], id_col="id", vector_col=prop
+        )
         return km.select(
             F.col("id").alias("nodeId"),
             F.col("cluster").cast("long").alias("communityId"),
@@ -2051,17 +2407,20 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
 
         # gds.conductance streams per-community boundary/volume for a
         # node-carried community assignment (the config map's
-        # communityProperty — config maps are refused here, so the
-        # projection's nodes must carry a 'community' column, e.g. a
-        # louvain/leiden/lpa result joined on).
-        if "community" not in nodes.columns:
+        # communityProperty, default 'community' — e.g. a louvain/leiden/
+        # lpa result joined onto the projection).
+        c = _conf(
+            config, "conductance.stream", communityProperty=((str,), "community")
+        )
+        prop = c["communityProperty"]
+        if prop not in nodes.columns:
             raise CypherUnsupported(
-                "gds.conductance.stream needs the projection's nodes to "
-                "carry a 'community' column (the GDS communityProperty); "
+                f"gds.conductance.stream needs the projection's nodes to "
+                f"carry a {prop!r} column (the GDS communityProperty); "
                 "join a communities() result on, or call "
                 "operators.graph_metrics.conductance directly"
             )
-        labels = nodes.select("id", F.col("community").alias("label"))
+        labels = nodes.select("id", F.col(prop).alias("label"))
         out = conductance(edges, labels)
         return out.select(
             F.col("label").alias("community"),
@@ -2080,36 +2439,73 @@ def _gds_procedure(spark, nodes: DataFrame, edges: DataFrame, proc: str) -> Data
         return tc.select(
             F.col("id").alias("nodeId"), F.col("triangles").alias("triangleCount")
         )
+    if key == "fastrp.stream":
+        from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+        # gds.fastRP — GDS's default embedding procedure (Chen et al. 2019).
+        # embeddingDimension is required by GDS; iterationWeights defaults
+        # to GDS's [0.0, 1.0, 1.0].  randomSeed follows the deterministic
+        # seeded-hash init (operators/node_embeddings.py:fastrp_embeddings
+        # — no RNG state, so equal seeds are bit-reproducible).
+        c = _conf(
+            config, "fastRP.stream",
+            embeddingDimension=((int,), None),
+            iterationWeights=((list,), None),
+            randomSeed=((int,), 42),
+        )
+        if c["embeddingDimension"] is None:
+            raise CypherUnsupported(
+                "gds.fastRP.stream requires the embeddingDimension config key"
+            )
+        weights = c["iterationWeights"]
+        if weights is not None and not all(
+            isinstance(w, (int, float)) for w in weights
+        ):
+            raise CypherUnsupported("gds.fastRP.stream: iterationWeights must be numbers")
+        fe = fastrp_embeddings(
+            nodes, edges,
+            dim=c["embeddingDimension"],
+            iteration_weights=tuple(float(w) for w in weights)
+            if weights is not None
+            else (0.0, 1.0, 1.0),
+            seed=c["randomSeed"],
+        )
+        return fe.select(F.col("id").alias("nodeId"), F.col("embedding"))
     raise CypherUnsupported(
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
         "closeness.harmonic, betweenness, kmeans, knn, conductance, "
-        "dag.topologicalSort)"
+        "dag.topologicalSort, fastRP)"
     )
 
 
-def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
-    """Execute a ``CALL gds.*(...) YIELD ... RETURN ...`` query: materialize
-    the procedure's stream/stats as a view, then run the RETURN tail as SQL
-    over it — Cypher's implicit grouping (non-aggregate return items become
-    grouping keys when any aggregate is present) and trailing ORDER BY are
-    preserved."""
-    if (m.group("config") or "").strip():
-        # a non-empty procedure config would silently change the asked-for
-        # semantics if discarded — refuse instead (the reference's own
-        # metric queries pass only the graph name)
-        raise CypherUnsupported(
-            "gds procedure config maps are not supported; call the operator "
-            "directly for non-default parameters"
-        )
-    out = _gds_procedure(spark, nodes, edges, m.group(1) + "." + m.group(2).lower())
+def _apply_yield_return(
+    spark, out: DataFrame, yield_str: str | None, ret_str: str | None
+) -> DataFrame:
+    """Apply a procedure call's ``YIELD cols [RETURN exprs]`` tail: project
+    to the yielded columns, then (when RETURN is present) materialize them
+    as a view and run the RETURN tail as SQL over it — Cypher's implicit
+    grouping (non-aggregate return items become grouping keys when any
+    aggregate is present) and trailing ORDER BY are preserved."""
+    if yield_str:
+        have = {c.lower(): c for c in out.columns}
+        want = [w.strip() for w in yield_str.split(",") if w.strip()]
+        missing = [w for w in want if w.lower() not in have]
+        if missing:
+            raise CypherUnsupported(
+                f"YIELD names unknown column(s) {missing}; the procedure "
+                f"streams {out.columns}"
+            )
+        out = out.select([have[w.lower()] for w in want])
+    if not ret_str:
+        return out
     # per-call view name: a fixed name races concurrent run_cypher calls on
     # one shared SparkSession
     view = f"__gds_yield_{uuid.uuid4().hex[:12]}"
     out.createOrReplaceTempView(view)
-    ret = m.group("ret").strip()
+    ret = ret_str.strip()
     order_sql = ""
     om = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
     if om:
@@ -2127,7 +2523,7 @@ def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
             cur.append(ch)
     if cur:
         items.append("".join(cur).strip())
-    yielded = {c.strip().lower() for c in m.group("yield").split(",")}
+    yielded = {c.lower() for c in out.columns}
     for item in items:
         base = re.split(r"\s+AS\s+", item, flags=re.IGNORECASE)[0].strip()
         fn = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", base)
@@ -2147,10 +2543,29 @@ def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
         ]
         if keys:
             group_sql = " GROUP BY " + ", ".join(keys)
+    # Cypher's collect() is Spark's collect_list() (adapter.py:1115's
+    # gds.graph.list tail collects graph names); rewrite after validation so
+    # the aggregate classification above still sees the Cypher spelling
+    ret = re.sub(r"\bcollect\s*\(", "collect_list(", ret, flags=re.IGNORECASE)
     try:
         return spark.sql(f"SELECT {ret} FROM {view}{group_sql}{order_sql}")
     finally:
         spark.catalog.dropTempView(view)
+
+
+def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
+    """Execute a ``CALL gds.*(...) YIELD ... RETURN ...`` query against the
+    named catalog projection when one exists (gds.graph.project), else the
+    passed (nodes, edges) pair."""
+    conf_src = (m.group("config") or "").strip()
+    config = _parse_call_args("{" + conf_src + "}")[0] if conf_src else {}
+    entry = _session_catalog(spark).get(m.group("gname"))
+    if entry is not None:
+        nodes, edges = entry["nodes"], entry["edges"]
+    out = _gds_procedure(
+        spark, nodes, edges, m.group(1) + "." + m.group(2).lower(), config
+    )
+    return _apply_yield_return(spark, out, m.group("yield"), m.group("ret"))
 
 
 def run_cypher(
@@ -2166,13 +2581,17 @@ def run_cypher(
     gds = _GDS_CALL_RE.match(query)
     if gds:
         return _run_gds_call(spark, nodes, edges, gds)
-    if re.match(r"\s*CALL\s+gds\.", query, re.IGNORECASE):
+    mgmt = _MGMT_CALL_RE.match(query)
+    if mgmt:
+        return _run_mgmt_call(spark, nodes, edges, mgmt)
+    if re.match(r"\s*CALL\s+(gds|db)\.", query, re.IGNORECASE):
         # a CALL the full regex rejects (no RETURN tail, YIELD aliases, ...)
         # must name the actual limitation, not fall into the MATCH translator
         # and fail with an unrelated parse error
         raise CypherUnsupported(
-            "CALL gds.* requires the CALL ...(...) YIELD cols RETURN exprs "
-            "shape (plain YIELD column names, explicit RETURN)"
+            "CALL gds.*/db.* requires the CALL ...(...) YIELD cols RETURN "
+            "exprs shape (plain YIELD column names; RETURN optional only on "
+            "the gds.graph.* / db.* management surface)"
         )
     nodes.createOrReplaceTempView("nodes")
     if "properties" not in edges.columns:

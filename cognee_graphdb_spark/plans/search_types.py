@@ -314,19 +314,23 @@ def cypher_search(
     Real Cypher strings in the reference's supported shape (MATCH /
     OPTIONAL MATCH / WHERE / RETURN / ORDER BY / LIMIT, see plans/cypher.py)
     are translated to one Spark SQL statement over the ``nodes``/``edges``
-    views; anything else — including full Spark SQL, our native dialect —
-    runs as-is.  A MATCH query that trips the translator's subset limits
-    raises, mirroring the reference's CypherSearchError on bad queries."""
-    from cognee_graphdb_spark.plans.cypher import cypher_to_sql, looks_like_cypher
+    views; ``CALL gds.*`` / ``CALL db.*`` procedure queries — the
+    reference's metric and projection-management surface
+    (neo4j_metrics_utils.py, neo4j_driver/adapter.py:1100-1198) — dispatch
+    to the engine's native operators through run_cypher; anything else —
+    including full Spark SQL, our native dialect — runs as-is.  A MATCH
+    query that trips the translator's subset limits raises, mirroring the
+    reference's CypherSearchError on bad queries."""
+    from cognee_graphdb_spark.plans.cypher import looks_like_cypher, run_cypher
 
+    if looks_like_cypher(raw_query):
+        return run_cypher(spark, ctx.nodes, ctx.edges, raw_query, params)
     ctx.nodes.createOrReplaceTempView("nodes")
     edges = ctx.edges
     if "properties" not in edges.columns:
         # edge property reads (r.weight) compile to properties['key']
         edges = edges.withColumn("properties", F.create_map().cast("map<string,string>"))
     edges.createOrReplaceTempView("edges")
-    if looks_like_cypher(raw_query):
-        return spark.sql(cypher_to_sql(raw_query, params))
     return spark.sql(raw_query)
 
 

@@ -1322,14 +1322,23 @@ def test_gds_closeness_stream(spark, gds_graph):
 
 
 def test_gds_call_config_map_and_yield_only_shapes_are_named_errors(spark, gds_graph):
-    """Review fixes pinned: a non-empty config map refuses instead of
-    silently running with defaults; a CALL without RETURN gets the CALL
-    limitation named, not a MATCH-translator parse error."""
-    with pytest.raises(CypherUnsupported, match="config maps"):
+    """Review fixes pinned, updated for the r12 typed-config surface: a
+    config key the procedure doesn't parameterize refuses instead of
+    silently running with defaults (supported keys like pageRank's
+    maxIterations now apply — test_gds_config_* pins those); a CALL
+    without RETURN gets the CALL limitation named on the stream surface,
+    not a MATCH-translator parse error."""
+    with pytest.raises(CypherUnsupported, match="unsupported config key"):
         rows(
             spark, gds_graph,
-            "CALL gds.pageRank.stream('g', {maxIterations: 40}) "
+            "CALL gds.pageRank.stream('g', {tolerance: 0.1}) "
             "YIELD nodeId, score RETURN nodeId, score",
+        )
+    with pytest.raises(CypherUnsupported, match="takes no config map"):
+        rows(
+            spark, gds_graph,
+            "CALL gds.wcc.stream('g', {seedProperty: 'x'}) "
+            "YIELD nodeId, componentId RETURN componentId",
         )
     with pytest.raises(CypherUnsupported, match="YIELD cols RETURN"):
         rows(spark, gds_graph, "CALL gds.wcc.stream('g') YIELD nodeId, componentId")
@@ -1567,3 +1576,322 @@ def test_gds_exact_all_pairs_scale_guard_refuses_and_opts_in(spark):
         assert out.count() == _EXACT_ALL_PAIRS_NODE_BUDGET + 1
     finally:
         spark.conf.unset(_EXACT_ALL_PAIRS_OPT_IN)
+
+
+# --- gds.graph.* projection catalog + db.* introspection: the reference's
+# projection-management flow VERBATIM (neo4j_driver/adapter.py:1100-1198:
+# graph_exists via gds.graph.list, project_entire_graph via db.labels() +
+# db.relationshipTypes() + gds.graph.project, drop_graph via gds.graph.drop)
+
+
+@pytest.fixture()
+def catalog_graph(spark):
+    """Typed graph: 4 Person nodes (two knows-pairs), 1 Company, works_at
+    edges from a and c into the company.  Function-scoped: the catalog is
+    session-level state and each test starts clean."""
+    from cognee_graphdb_spark.plans.cypher import _GRAPH_CATALOG
+
+    _GRAPH_CATALOG.pop(spark, None)
+    nodes = spark.createDataFrame(
+        [
+            ("a", "a", "Person", {}),
+            ("b", "b", "Person", {}),
+            ("x", "x", "Person", {}),
+            ("y", "y", "Person", {}),
+            ("co", "acme", "Company", {}),
+        ],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "knows"),
+            ("x", "y", "knows"),
+            ("a", "co", "works_at"),
+            ("x", "co", "works_at"),
+        ],
+        "src string, dst string, relationship_name string",
+    )
+    return nodes, edges
+
+
+def test_db_labels_and_relationship_types(spark, catalog_graph):
+    # CALL db.labels() — adapter.py:1121-1133 reads record['label']
+    got = rows(spark, catalog_graph, "CALL db.labels()")
+    assert [r["label"] for r in got] == ["Company", "Person"]
+    # adapter.py:1135-1158 collects relationship types into one row
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL db.relationshipTypes() YIELD relationshipType "
+        "RETURN collect(relationshipType) AS relationships;",
+    )
+    assert sorted(r["relationships"]) == ["knows", "works_at"]
+
+
+def test_project_entire_graph_flow_verbatim(spark, catalog_graph):
+    """The full adapter.py:1160-1198 lifecycle, query text formatted exactly
+    as project_entire_graph formats it from db.labels/db.relationshipTypes."""
+    nodes, edges = catalog_graph
+    labels = [r["label"] for r in rows(spark, catalog_graph, "CALL db.labels()")]
+    [rr] = rows(
+        spark, catalog_graph,
+        "CALL db.relationshipTypes() YIELD relationshipType "
+        "RETURN collect(relationshipType) AS relationships;",
+    )
+    rel_str = (
+        "{" + ", ".join(f"{rel}: {{orientation: 'UNDIRECTED'}}" for rel in rr["relationships"]) + "}"
+    )
+    q = f"""
+    CALL gds.graph.project(
+        'myGraph',
+        ['{"', '".join(labels)}'],
+        {rel_str}
+    ) YIELD graphName;
+    """
+    got = rows(spark, catalog_graph, q)
+    assert len(got) == 1 and got[0].asDict() == {"graphName": "myGraph"}
+    # graph_exists (adapter.py:1100-1118): list + collect + membership
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.graph.list() YIELD graphName "
+        "RETURN collect(graphName) AS graphNames;",
+    )
+    assert "myGraph" in r["graphNames"]
+    # a metric query against the projected name (neo4j_metrics_utils.py:60)
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.wcc.stats('myGraph') YIELD componentCount "
+        "RETURN componentCount AS num_connected_components;",
+    )
+    assert r["num_connected_components"] == 1  # works_at bridges everything
+    # drop_graph (adapter.py:1185-1198), then the name is gone
+    rows(spark, catalog_graph, "CALL gds.graph.drop('myGraph');")
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.graph.list() YIELD graphName "
+        "RETURN collect(graphName) AS graphNames;",
+    )
+    assert r["graphNames"] is None or "myGraph" not in r["graphNames"]
+
+
+def test_project_filters_labels_and_reltypes_and_persists(spark, catalog_graph):
+    nodes, edges = catalog_graph
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.graph.project('persons', ['Person'], ['knows']) "
+        "YIELD graphName, nodeCount, relationshipCount",
+    )
+    assert (r["nodeCount"], r["relationshipCount"]) == (4, 2)
+    # the metric call consumes the CACHED subgraph: Person-only knows graph
+    # has 2 components, the full graph 1 — proves the name resolves to the
+    # projection, not the passed frames
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.wcc.stats('persons') YIELD componentCount "
+        "RETURN componentCount AS c;",
+    )
+    assert r["c"] == 2
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.wcc.stats('unprojected') YIELD componentCount "
+        "RETURN componentCount AS c;",
+    )
+    assert r["c"] == 1
+    # the projection is persisted (GDS's in-memory graph, Spark-style) and
+    # unpersisted on drop
+    from cognee_graphdb_spark.plans.cypher import _GRAPH_CATALOG
+
+    entry = _GRAPH_CATALOG[spark]["persons"]
+    assert entry["nodes"].storageLevel.useMemory
+    assert entry["edges"].storageLevel.useMemory
+    rows(spark, catalog_graph, "CALL gds.graph.drop('persons')")
+    assert not entry["nodes"].storageLevel.useMemory
+
+
+def test_project_endpoint_restriction_and_exists(spark, catalog_graph):
+    # company-only projection keeps no edges: works_at endpoints leave the set
+    [r] = rows(
+        spark, catalog_graph,
+        "CALL gds.graph.project('co', ['Company'], '*') "
+        "YIELD nodeCount, relationshipCount",
+    )
+    assert (r["nodeCount"], r["relationshipCount"]) == (1, 0)
+    [r] = rows(spark, catalog_graph, "CALL gds.graph.exists('co')")
+    assert (r["graphName"], r["exists"]) == ("co", True)
+    [r] = rows(spark, catalog_graph, "CALL gds.graph.exists('nope')")
+    assert r["exists"] is False
+    rows(spark, catalog_graph, "CALL gds.graph.drop('co')")
+
+
+def test_project_reverse_orientation_flips_edges(spark, catalog_graph):
+    rows(
+        spark, catalog_graph,
+        "CALL gds.graph.project('rev', '*', {works_at: {orientation: 'REVERSE'}})",
+    )
+    got = rows(
+        spark, catalog_graph,
+        "CALL gds.degree.stream('rev') YIELD nodeId, score "
+        "RETURN nodeId, score ORDER BY nodeId;",
+    )
+    # reversed works_at: only the company has out-edges now
+    assert {(r["nodeId"], r["score"]) for r in got} == {
+        ("a", 0), ("b", 0), ("x", 0), ("y", 0), ("co", 2),
+    }
+    rows(spark, catalog_graph, "CALL gds.graph.drop('rev')")
+
+
+def test_project_catalog_errors(spark, catalog_graph):
+    rows(spark, catalog_graph, "CALL gds.graph.project('dup', '*', '*')")
+    try:
+        with pytest.raises(CypherUnsupported, match="already exists"):
+            rows(spark, catalog_graph, "CALL gds.graph.project('dup', '*', '*')")
+    finally:
+        rows(spark, catalog_graph, "CALL gds.graph.drop('dup')")
+    with pytest.raises(CypherUnsupported, match="not in this session's catalog"):
+        rows(spark, catalog_graph, "CALL gds.graph.drop('dup')")
+    with pytest.raises(CypherUnsupported, match="orientation"):
+        rows(
+            spark, catalog_graph,
+            "CALL gds.graph.project('bad', '*', {knows: {orientation: 'SIDEWAYS'}})",
+        )
+    with pytest.raises(CypherUnsupported, match="unknown column"):
+        rows(spark, catalog_graph, "CALL gds.graph.list() YIELD nope RETURN nope")
+
+
+def test_cypher_search_routes_gds_calls(spark, catalog_graph):
+    """api.search(CYPHER) runs the reference's metric queries end-to-end:
+    cypher_search delegates CALL gds.*/db.* to run_cypher's dispatcher
+    (the reference executes them through the same .query() surface its
+    MATCH statements use)."""
+    from cognee_graphdb_spark.plans.search_types import GraphContext, cypher_search
+
+    nodes, edges = catalog_graph
+    ctx = GraphContext(nodes=nodes, edges=edges, chunks=None, embeddings=None, gateway=None)
+    [r] = cypher_search(
+        spark, ctx,
+        "CALL gds.wcc.stats('memory_graph') YIELD componentCount "
+        "RETURN componentCount AS num_connected_components;",
+    ).collect()
+    assert r["num_connected_components"] == 1
+    got = cypher_search(spark, ctx, "CALL db.labels()").collect()
+    assert [r["label"] for r in got] == ["Company", "Person"]
+
+
+# --- typed config maps on the CALL surface (the GDS config subset each
+# procedure actually parameterizes; unknown keys refuse loudly) --------------
+
+
+def test_gds_config_pagerank_damping_changes_result(spark):
+    nodes = spark.createDataFrame(
+        [(str(i), str(i), "E", {}) for i in range(5)],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("0", "1", "r"), ("2", "1", "r"), ("3", "1", "r"), ("1", "4", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    g = (nodes, edges)
+    a = {
+        r["nodeId"]: r["score"]
+        for r in rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g', {dampingFactor: 0.5, maxIterations: 20}) "
+            "YIELD nodeId, score RETURN nodeId, score;",
+        )
+    }
+    b = {
+        r["nodeId"]: r["score"]
+        for r in rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g') YIELD nodeId, score RETURN nodeId, score;",
+        )
+    }
+    assert a != b and set(a) == set(b)
+    # config keys are validated, not silently dropped
+    with pytest.raises(CypherUnsupported, match="unsupported config key"):
+        rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g', {nope: 1}) YIELD nodeId, score "
+            "RETURN nodeId, score;",
+        )
+    with pytest.raises(CypherUnsupported, match="must be int"):
+        rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g', {maxIterations: 'ten'}) "
+            "YIELD nodeId, score RETURN nodeId, score;",
+        )
+    # procedures without a config surface refuse any map
+    with pytest.raises(CypherUnsupported, match="takes no config map"):
+        rows(
+            spark, g,
+            "CALL gds.wcc.stream('g', {x: 1}) YIELD nodeId, componentId "
+            "RETURN componentId;",
+        )
+
+
+def test_gds_config_knn_topk_and_kmeans_k(spark):
+    nodes = spark.createDataFrame(
+        [(str(i), str(i), "E", [float(i), 1.0]) for i in range(5)],
+        "id string, name string, type string, embedding array<double>",
+    )
+    edges = spark.createDataFrame([], "src string, dst string, relationship_name string")
+    g = (nodes, edges)
+    got = rows(
+        spark, g,
+        "CALL gds.knn.stream('g', {topK: 1}) YIELD node1, node2, similarity "
+        "RETURN node1, node2, similarity;",
+    )
+    assert len(got) == 5  # exactly one neighbor per node
+    km = rows(
+        spark, g,
+        "CALL gds.kmeans.stream('g', {k: 2, maxIterations: 3}) "
+        "YIELD nodeId, communityId RETURN nodeId, communityId;",
+    )
+    assert len(km) == 5 and len({r["communityId"] for r in km}) <= 2
+
+
+def test_gds_config_betweenness_sampling_size_is_the_scale_path(spark):
+    """samplingSize is GDS's own scale knob: with it set, the exact
+    all-pairs guard does not apply (state is O(|S|*E) by construction) and
+    the estimator is V/|S|-unbiased, matching api.centrality."""
+    from cognee_graphdb_spark.plans.cypher import _EXACT_ALL_PAIRS_NODE_BUDGET
+
+    big_nodes = spark.range(_EXACT_ALL_PAIRS_NODE_BUDGET + 1).selectExpr(
+        "cast(id as string) AS id", "cast(id as string) AS name",
+        "'E' AS type", "cast(map() as map<string,string>) AS properties",
+    )
+    no_edges = spark.createDataFrame(
+        [], "src string, dst string, relationship_name string"
+    )
+    out = run_cypher(
+        spark, big_nodes, no_edges,
+        "CALL gds.betweenness.stream('g', {samplingSize: 4}) "
+        "YIELD nodeId, score RETURN nodeId, score;",
+    )
+    assert out.filter("score != 0.0").count() == 0  # no edges -> all zero
+
+
+def test_gds_fastrp_stream(spark):
+    nodes = spark.createDataFrame(
+        [(str(i), str(i), "E", {}) for i in range(6)],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6), "r") for i in range(6)],
+        "src string, dst string, relationship_name string",
+    )
+    g = (nodes, edges)
+    q = (
+        "CALL gds.fastRP.stream('g', {embeddingDimension: 4}) "
+        "YIELD nodeId, embedding RETURN nodeId, embedding;"
+    )
+    got = rows(spark, g, q)
+    assert len(got) == 6 and all(len(r["embedding"]) == 4 for r in got)
+    # deterministic: the init is a seeded hash, not RNG state
+    assert rows(spark, g, q) == got
+    # GDS requires embeddingDimension
+    with pytest.raises(CypherUnsupported, match="embeddingDimension"):
+        rows(
+            spark, g,
+            "CALL gds.fastRP.stream('g', {randomSeed: 1}) "
+            "YIELD nodeId, embedding RETURN nodeId, embedding;",
+        )
