@@ -1643,6 +1643,53 @@ def _q_cypher_gds_conductance(spark, sf_dir):
     )
 
 
+def _q_cypher_gds_dijkstra(spark, sf_dir):
+    """CALL gds.shortestPath.dijkstra.stream (plans/cypher.py, r12: the
+    typed config map carries sourceNode + relationshipWeightProperty — the
+    GDS path procedure the reference reaches through its metric surface)
+    from region:0 over the UNDIRECTED nation-family FK subgraph, weights =
+    the a2_weighted_sssp hash discipline ((md5_64(src|dst, 0) pmod 5) + 1)
+    carried as an edge properties-map entry, read back through
+    element_at(properties, 'w').  The FK forest is one tree per region, so
+    the stream is exactly region:0's subtree; the oracle unrolls the same
+    relax-and-min rounds (cheapest path using <= i edges) — all-integer
+    costs hash bit-for-bit."""
+    from cognee_graphdb_spark.operators.dedup import _hash64
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ed = fk.select(
+        "src",
+        "dst",
+        F.lit("fk").alias("relationship_name"),
+        F.create_map(
+            F.lit("w"),
+            (
+                F.pmod(_hash64(F.concat_ws("|", "src", "dst"), 0, "md5_64"), F.lit(5))
+                + 1
+            ).cast("string"),
+        ).alias("properties"),
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = run_cypher(
+        spark, ids, ed,
+        "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'region:0', "
+        "relationshipWeightProperty: 'w'}) "
+        "YIELD sourceNode, targetNode, totalCost "
+        "RETURN targetNode, totalCost;",
+    )
+    return out.select(
+        "targetNode", F.col("totalCost").cast("long").alias("cost")
+    )
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3607,10 +3654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the five r12-new rows at the END of this dict (a2_kmeans,
+        #   (c) the six r12-new rows at the END of this dict (a2_kmeans,
         #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
-        #       a2_fastrp), then oldest-first.
-        #   That is 21 + 10 + ~10 + 5 = ~46 — fits one 50-slot window with
+        #       a2_fastrp, cypher_gds_dijkstra), then oldest-first.
+        #   That is 21 + 10 + ~10 + 6 = ~47 — fits one 50-slot window with
         #   room; the arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
@@ -3748,6 +3795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # typed config map ({embeddingDimension, iterationWeights,
         # randomSeed})
         "a2_fastrp": _q_a2_fastrp,
+        # gds.shortestPath.dijkstra through the CALL surface (typed config:
+        # sourceNode + relationshipWeightProperty off the edge properties
+        # map)
+        "cypher_gds_dijkstra": _q_cypher_gds_dijkstra,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -7205,6 +7256,36 @@ wsr0 AS MATERIALIZED (
 ),
 {", ".join(_ws_rounds)}
 SELECT source, node, CAST(dist AS BIGINT) AS dist FROM wsr4"""
+
+    # --- CALL gds.shortestPath.dijkstra.stream (plans/cypher.py): single
+    # source region:0, weights read back from the edge properties map — the
+    # same hash weights as a2_weighted_sssp, totalCost accumulates as DOUBLE
+    # on the Spark side (element_at cast), integer-valued so the BIGINT cast
+    # is exact.  The FK forest is one tree per region (2-hop radius); 6
+    # relax rounds are fixpoint with margin. ---------------------------------
+    _dj_rounds = []
+    for _i in range(1, 7):
+        _dj_rounds.append(f"""djr{_i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM djr{_i - 1}
+    UNION ALL
+    SELECT e.dst AS node, f.dist + e.w AS dist
+    FROM djr{_i - 1} f JOIN wsu e ON f.node = e.src
+  ) z GROUP BY node
+)""")
+    sql["cypher_gds_dijkstra"] = f"""WITH {g},
+wsf AS MATERIALIZED (SELECT src, dst FROM edges
+      WHERE relationship_name IN ('c_nationkey', 's_nationkey', 'n_regionkey')),
+wsd AS (SELECT src, dst, {_ws_w} AS w FROM wsf),
+wsu AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT src, dst, w FROM wsd
+    UNION ALL SELECT dst AS src, src AS dst, w FROM wsd
+  ) z GROUP BY src, dst
+),
+djr0 AS MATERIALIZED (SELECT 'region:0' AS node, CAST(0 AS BIGINT) AS dist),
+{", ".join(_dj_rounds)}
+SELECT node AS targetNode, CAST(dist AS BIGINT) AS cost FROM djr6"""
 
     # --- layered neighbor sampling (operators/graph_sampling.py): seeded
     # hash-ranked adjacency + per-layer fanout filters, undirected, [3, 2]

@@ -1010,41 +1010,74 @@ class CogneeSpark:
         window: int = 2,
         seed: int = 3,
         n_iter: int = 8,
+        method: str = "sppmi",
     ) -> int:
-        """Structural node embeddings from the STORED graph — DeepWalk-family
-        lifecycle (random walks -> skip-gram pairs -> SPPMI-SVD,
-        operators/node_embeddings.py) persisted into the embeddings table as
-        the ``Entity_graph`` collection through the S7 upsert seam, so graph
-        vectors live next to text vectors and are served by the same V4/V6
-        operators.  They stay in their OWN collection: their dimension is
-        ``dim``, not the text embedder's, so text-query scoring never mixes
-        them in — :meth:`similar_nodes` (and any V6 fan-out naming the
-        collection) is their query surface.  Returns the number of nodes
-        embedded; re-running upserts by (collection, id) — idempotent for an
-        unchanged graph."""
-        from cognee_graphdb_spark.operators.graph_metrics import (
-            random_walks,
-            walk_skipgram_pairs,
-        )
-        from cognee_graphdb_spark.operators.node_embeddings import (
-            sppmi_node_embeddings,
-        )
+        """Structural node embeddings from the STORED graph, persisted into
+        the embeddings table as the ``Entity_graph`` collection through the
+        S7 upsert seam, so graph vectors live next to text vectors and are
+        served by the same V4/V6 operators.  They stay in their OWN
+        collection: their dimension is ``dim``, not the text embedder's, so
+        text-query scoring never mixes them in — :meth:`similar_nodes` (and
+        any V6 fan-out naming the collection) is their query surface.
 
+        ``method`` picks the producer (both deterministic, both on the GDS
+        embedding surface the reference ecosystem ships as plugins):
+
+        - ``"sppmi"`` (default): DeepWalk-family lifecycle — random walks ->
+          skip-gram pairs -> SPPMI-SVD (operators/node_embeddings.py;
+          gds.node2vec's matrix-factorization analogue).  ``walk_length``,
+          ``num_walks``, ``window``, ``seed``, ``n_iter`` apply.
+        - ``"fastrp"``: gds.fastRP (Chen et al. 2019) straight off the edge
+          list — no walk corpus, so at scale it is the cheaper path: K
+          equi-join averaging rounds instead of a walk + skip-gram shuffle
+          chain.  ``seed`` applies; the walk knobs don't.
+
+        Returns the number of nodes embedded; re-running upserts by
+        (collection, id) — idempotent for an unchanged graph."""
         edges = self.store.load("edges")
         if edges is None:
             raise RuntimeError("No data found in the system, please add data first.")
-        walks = random_walks(
-            edges, walk_length=walk_length, num_walks=num_walks, seed=seed
-        )
-        vecs = sppmi_node_embeddings(
-            walk_skipgram_pairs(walks, window=window), dim=dim, n_iter=n_iter
-        ).localCheckpoint(eager=True)
+        if method == "sppmi":
+            from cognee_graphdb_spark.operators.graph_metrics import (
+                random_walks,
+                walk_skipgram_pairs,
+            )
+            from cognee_graphdb_spark.operators.node_embeddings import (
+                sppmi_node_embeddings,
+            )
+
+            walks = random_walks(
+                edges, walk_length=walk_length, num_walks=num_walks, seed=seed
+            )
+            vecs = sppmi_node_embeddings(
+                walk_skipgram_pairs(walks, window=window), dim=dim, n_iter=n_iter
+            ).localCheckpoint(eager=True)
+        elif method == "fastrp":
+            from cognee_graphdb_spark.operators.node_embeddings import (
+                fastrp_embeddings,
+            )
+
+            ids = (
+                edges.select(F.col("src").alias("id"))
+                .unionByName(edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            vecs = fastrp_embeddings(
+                ids, edges, dim=dim, seed=seed
+            ).localCheckpoint(eager=True)
+        else:
+            raise ValueError(
+                f"unsupported embedding method {method!r} (sppmi, fastrp)"
+            )
         rows = vecs.select(
             F.lit("Entity_graph").alias("collection"),
             F.col("id").cast("string").alias("id"),
             F.lit(None).cast("string").alias("text"),
             F.col("embedding").cast("array<float>").alias("vector"),
-            F.create_map(F.lit("source"), F.lit("sppmi_walks")).alias("payload"),
+            F.create_map(
+                F.lit("source"),
+                F.lit("sppmi_walks" if method == "sppmi" else "fastrp"),
+            ).alias("payload"),
             F.lit(self.dataset_id).alias("dataset_id"),
         )
         self.store.upsert_embeddings(rows, created_by="embed_graph")

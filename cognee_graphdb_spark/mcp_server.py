@@ -169,6 +169,35 @@ _TOOLS: list[dict] = [
         },
     },
     {
+        "name": "embed_graph",
+        "description": "Compute structural node embeddings of the memory "
+        "graph into the Entity_graph vector collection: method 'sppmi' "
+        "(default — walks -> skip-grams -> SPPMI-SVD) or 'fastrp' "
+        "(gds.fastRP — straight off the edge list, the cheaper path at "
+        "scale).  Query them with similar_nodes.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "dim": {"type": "integer"},
+                "method": {"type": "string"},
+                "seed": {"type": "integer"},
+            },
+        },
+    },
+    {
+        "name": "similar_nodes",
+        "description": "Structurally similar nodes from the Entity_graph "
+        "embedding collection (run embed_graph first).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "node_id": {"type": "string"},
+                "k": {"type": "integer"},
+            },
+            "required": ["node_id"],
+        },
+    },
+    {
         "name": "topological_sort",
         "description": "Dependency layering of the directed memory graph "
         "(gds.dag.topologicalSort / longestPath: layer = longest source "
@@ -294,6 +323,19 @@ class McpServer:
             )
         if name == "topological_sort":
             return _text_result(_df_text(eng.topological_layers()))
+        if name == "embed_graph":
+            n = eng.embed_graph(
+                dim=int(args.get("dim", 16)),
+                method=args.get("method", "sppmi"),
+                seed=int(args.get("seed", 3)),
+            )
+            return _text_result(f"embedded {n} nodes into Entity_graph")
+        if name == "similar_nodes":
+            return _text_result(
+                _df_text(
+                    eng.similar_nodes(args["node_id"], k=int(args.get("k", 5)))
+                )
+            )
         raise ValueError(f"unknown tool {name!r}")
 
     # ------------------------------------------------------------ transport

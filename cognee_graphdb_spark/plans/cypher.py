@@ -2015,6 +2015,7 @@ _CONFIGURABLE_PROCS = {
     "conductance.stream",
     "betweenness.stream",
     "fastrp.stream",
+    "shortestpath.dijkstra.stream",
 }
 
 
@@ -2439,6 +2440,66 @@ def _gds_procedure(
         return tc.select(
             F.col("id").alias("nodeId"), F.col("triangles").alias("triangleCount")
         )
+    if key == "shortestpath.dijkstra.stream":
+        from cognee_graphdb_spark.operators.paths import sssp_paths, weighted_sssp
+
+        # gds.shortestPath.dijkstra from a sourceNode (required config, a
+        # node id), optionally to one targetNode, following
+        # relationshipWeightProperty from the edge properties map (unit/hop
+        # weights when absent — GDS's unweighted default).  UNDIRECTED like
+        # the other path procedures on this surface (the reference projects
+        # every relationship UNDIRECTED, adapter.py:1152-1157); the stream
+        # yields the rendered path string (sssp_paths) instead of GDS's
+        # internal nodeId arrays.  Single-source: O(E) state per round, no
+        # all-pairs guard needed; the hop bound fails loudly on truncation.
+        c = _conf(
+            config, "shortestPath.dijkstra.stream",
+            sourceNode=((str,), None),
+            targetNode=((str,), None),
+            relationshipWeightProperty=((str,), None),
+        )
+        if c["sourceNode"] is None:
+            raise CypherUnsupported(
+                "gds.shortestPath.dijkstra.stream requires the sourceNode "
+                "config key (a node id string)"
+            )
+        src = nodes.select("id").filter(F.col("id") == c["sourceNode"]).distinct()
+        if src.limit(1).count() == 0:  # bounded probe — GDS errors too
+            raise CypherUnsupported(
+                f"gds.shortestPath.dijkstra.stream: sourceNode "
+                f"{c['sourceNode']!r} is not in the projection"
+            )
+        prop = c["relationshipWeightProperty"]
+        if prop is not None:
+            if "properties" not in edges.columns:
+                raise CypherUnsupported(
+                    "relationshipWeightProperty needs the projection's edges "
+                    "to carry a properties map"
+                )
+            e = edges.select(
+                "src", "dst",
+                F.element_at("properties", F.lit(prop)).cast("double").alias("weight"),
+            )
+            if e.filter(F.col("weight").isNull()).limit(1).count() > 0:
+                raise CypherUnsupported(
+                    f"gds.shortestPath.dijkstra.stream: every relationship "
+                    f"needs a numeric {prop!r} property"
+                )
+        else:
+            e = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+        d = weighted_sssp(
+            e, src, max_hops=64, directed=False, return_pred=True,
+            on_truncation="raise",
+        )
+        out = sssp_paths(d, max_hops=64).select(
+            F.col("source").alias("sourceNode"),
+            F.col("node").alias("targetNode"),
+            F.col("dist").cast("double").alias("totalCost"),
+            "path",
+        )
+        if c["targetNode"] is not None:
+            out = out.filter(F.col("targetNode") == c["targetNode"])
+        return out
     if key == "fastrp.stream":
         from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
 
@@ -2477,7 +2538,7 @@ def _gds_procedure(
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
         "closeness.harmonic, betweenness, kmeans, knn, conductance, "
-        "dag.topologicalSort, fastRP)"
+        "dag.topologicalSort, fastRP, shortestPath.dijkstra)"
     )
 
 

@@ -23,6 +23,10 @@ without adding a web framework to the image:
                              hits | harmonic | betweenness; CogneeSpark
                              .centrality — gds.hits reachable as a product)
     GET  /api/v1/scc                                    -> rows (id, label)
+    POST /api/v1/embed_graph {"dim"?, "method"? (sppmi|fastrp), walk knobs}
+                                                        -> {"embedded": n}
+    POST /api/v1/similar_nodes {"node_id", "k"?}        -> rows (structural
+                             neighbors from the Entity_graph collection)
     GET  /health                                        -> {"status": "ok"}
 
 Payload keys are accepted in snake_case or camelCase (the reference's DTO
@@ -210,6 +214,26 @@ class _Handler(BaseHTTPRequestHandler):
             # cycles raise ValueError -> 400 with the stuck-node count (the
             # fail-loudly answer for non-DAG memory graphs)
             return self._send(200, _rows(eng.topological_layers()))
+        if method == "POST" and path == "/api/v1/embed_graph":
+            p = self._payload()
+            n = eng.embed_graph(
+                dim=int(p.get("dim", 16)),
+                walk_length=int(p.get("walk_length", 4)),
+                num_walks=int(p.get("num_walks", 4)),
+                window=int(p.get("window", 2)),
+                seed=int(p.get("seed", 3)),
+                n_iter=int(p.get("n_iter", 8)),
+                method=p.get("method", "sppmi"),
+            )
+            return self._send(200, {"embedded": n})
+        if method == "POST" and path == "/api/v1/similar_nodes":
+            p = self._payload()
+            if not p.get("node_id"):
+                raise ValueError("similar_nodes needs node_id")
+            return self._send(
+                200,
+                _rows(eng.similar_nodes(p["node_id"], k=int(p.get("k", 5)))),
+            )
         return self._send(404, {"error": f"no route {method} {path}"})
 
     def do_GET(self):

@@ -682,3 +682,31 @@ def test_snapshot_of_emptied_table_diffs_clean(spark, tmp_path):
     e.cognify()
     diff = e.diff_since(pin)
     assert diff["data"]["added"] == 1 and diff["data"]["removed"] == 0
+
+
+def test_graph_embedding_fastrp_method(spark, tmp_path):
+    """embed_graph(method='fastrp') — the walk-free gds.fastRP producer on
+    the same S7 lifecycle: same Entity_graph collection, graph dimension,
+    idempotent upsert, served by similar_nodes; an unknown method names
+    the choices."""
+    e = CogneeSpark(spark, str(tmp_path / "frp_store"))
+    e.add(ITEMS)
+    assert e.cognify() == 3
+
+    n = e.embed_graph(dim=8, method="fastrp")
+    assert n > 0
+    graph_rows = e.store.load("embeddings").filter(
+        F.col("collection") == "Entity_graph"
+    )
+    assert graph_rows.count() == n
+    dims = graph_rows.select(F.size("vector").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [8]
+    assert graph_rows.first()["payload"]["source"] == "fastrp"
+    # served through the same V6 fan-out
+    src = graph_rows.orderBy("id").first()["id"]
+    hits = e.similar_nodes(src, k=3).collect()
+    assert 0 < len(hits) <= 3 and all(r["id"] != src for r in hits)
+    # idempotent: re-embedding the unchanged graph upserts the same rows
+    assert e.embed_graph(dim=8, method="fastrp") == n
+    with pytest.raises(ValueError, match="sppmi, fastrp"):
+        e.embed_graph(method="nope")

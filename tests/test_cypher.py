@@ -1895,3 +1895,61 @@ def test_gds_fastrp_stream(spark):
             "CALL gds.fastRP.stream('g', {randomSeed: 1}) "
             "YIELD nodeId, embedding RETURN nodeId, embedding;",
         )
+
+
+def test_gds_dijkstra_stream_weighted_paths(spark):
+    """gds.shortestPath.dijkstra.stream: sourceNode + optional targetNode +
+    relationshipWeightProperty from the edge properties map; undirected like
+    the other path procedures; named errors for a missing/unknown source
+    and a relationship without the weight property."""
+    nodes = spark.createDataFrame(
+        [(x, x, "E", {}) for x in "abcd"],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "r", {"w": "1.0"}),
+            ("b", "c", "r", {"w": "2.0"}),
+            ("a", "c", "r", {"w": "10.0"}),
+            ("c", "d", "r", {"w": "1.0"}),
+        ],
+        "src string, dst string, relationship_name string, properties map<string,string>",
+    )
+    g = (nodes, edges)
+    got = {
+        r["targetNode"]: (r["totalCost"], r["path"])
+        for r in rows(
+            spark, g,
+            "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'a', "
+            "relationshipWeightProperty: 'w'}) "
+            "YIELD sourceNode, targetNode, totalCost, path "
+            "RETURN sourceNode, targetNode, totalCost, path;",
+        )
+    }
+    # cheapest a->c goes through b (3.0), not the direct 10.0 edge
+    assert got["c"] == (3.0, "a->b->c") and got["d"] == (4.0, "a->b->c->d")
+    # unweighted default = hop counts; targetNode filters the stream
+    [r] = rows(
+        spark, g,
+        "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'a', "
+        "targetNode: 'd'}) YIELD targetNode, totalCost RETURN totalCost;",
+    )
+    assert r["totalCost"] == 2.0
+    with pytest.raises(CypherUnsupported, match="requires the sourceNode"):
+        rows(spark, g, "CALL gds.shortestPath.dijkstra.stream('g') YIELD totalCost RETURN totalCost;")
+    with pytest.raises(CypherUnsupported, match="not in the projection"):
+        rows(
+            spark, g,
+            "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'zz'}) "
+            "YIELD totalCost RETURN totalCost;",
+        )
+    bad = spark.createDataFrame(
+        [("a", "b", "r", {})],
+        "src string, dst string, relationship_name string, properties map<string,string>",
+    )
+    with pytest.raises(CypherUnsupported, match="needs a numeric"):
+        rows(
+            spark, (nodes, bad),
+            "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'a', "
+            "relationshipWeightProperty: 'w'}) YIELD totalCost RETURN totalCost;",
+        )

@@ -41,7 +41,7 @@ def test_initialize_and_tool_listing(mcp):
                      "get_developer_rules", "list_data", "delete", "prune",
                      "cognify_status", "centrality", "strongly_connected",
                      "spanning_forest", "cluster_embeddings",
-                     "topological_sort"}
+                     "topological_sort", "embed_graph", "similar_nodes"}
     err = rpc(mcp, "nope/method")
     assert err["error"]["code"] == -32601
 
@@ -136,3 +136,21 @@ def test_stdio_transport_loop(mcp):
     assert resps[0]["result"]["protocolVersion"]
     assert resps[1]["error"]["code"] == -32700
     assert resps[2]["result"] == {}
+
+
+def test_embed_graph_and_similar_nodes_tools(mcp):
+    """The graph-embedding lifecycle reaches MCP: embed_graph (fastrp = the
+    walk-free scale path) persists Entity_graph, similar_nodes queries it.
+    Self-sufficient: the module's prune test empties the shared store, so
+    re-cognify first."""
+    out = tool(mcp, "cognify", {
+        "data": "Spark executors shuffle partitions across the cluster."
+    })
+    assert "cognified 1" in out
+    out = tool(mcp, "embed_graph", {"dim": 8, "method": "fastrp"})
+    assert "embedded" in out and "Entity_graph" in out
+    # pick any embedded node via the store's scc stream
+    scc_text = tool(mcp, "strongly_connected")
+    some_id = json.loads(scc_text)[0]["id"]
+    sim_text = tool(mcp, "similar_nodes", {"node_id": some_id, "k": 3})
+    assert isinstance(sim_text, str)

@@ -142,3 +142,43 @@ def test_update_delete_prune_and_errors(srv):
     with pytest.raises(urllib.error.HTTPError) as e:
         call(srv, "POST", "/api/v1/search", {"search_type": "CHUNKS", "query": "x"})
     assert e.value.code == 409
+
+
+def test_embed_graph_and_similar_nodes_routes(srv):
+    """The graph-embedding lifecycle reaches HTTP: embed_graph persists the
+    Entity_graph collection (fastrp method = the walk-free scale path),
+    similar_nodes serves it; a missing node_id is a 400, not a 500.
+    Self-sufficient: the prune test empties the module store, re-add."""
+    status, body = call(srv, "POST", "/api/v1/add", {
+        "data": [{"name": "g.txt", "text": "Executors shuffle partitions across a Spark cluster."}],
+    })
+    assert status == 200
+    status, body = call(srv, "POST", "/api/v1/cognify", {})
+    assert status == 200
+    status, body = call(srv, "POST", "/api/v1/embed_graph", {
+        "dim": 8, "method": "fastrp",
+    })
+    assert status == 200 and body["embedded"] > 0
+    status, rows = call(srv, "GET", "/api/v1/scc")
+    some_id = rows[0]["id"]
+    status, rows = call(srv, "POST", "/api/v1/similar_nodes", {
+        "node_id": some_id, "k": 3,
+    })
+    assert status == 200 and isinstance(rows, list)
+    req = urllib.request.Request(
+        srv + "/api/v1/similar_nodes", method="POST",
+        data=json.dumps({}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    # unknown embedding method -> 400 naming the choices
+    req = urllib.request.Request(
+        srv + "/api/v1/embed_graph", method="POST",
+        data=json.dumps({"method": "nope"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
