@@ -1690,6 +1690,53 @@ def _q_cypher_gds_dijkstra(spark, sf_dir):
     )
 
 
+def _q_cypher_gds_catalog(spark, sf_dir):
+    """The reference's projection-management flow end-to-end through the
+    CALL surface (neo4j_driver/adapter.py:1100-1198, plans/cypher.py
+    _run_mgmt_call, r12): gds.graph.project of the nation-family FK
+    subgraph under a name — the FULL edge frame goes in, the nested
+    orientation map (the project_entire_graph config shape verbatim)
+    selects the three FK relationship types, endpoint restriction trims to
+    the passed node set, both frames persist MEMORY_AND_DISK with counts
+    materialized once — then gds.wcc.stream AGAINST THE NAME (the cached
+    projection; the passed frames carry every relationship type, so only
+    the catalog resolution yields the 5 region trees) -> gds.graph.drop.
+    Idempotent: exists-check + drop first, so one driver session can
+    re-run the entry.  The oracle is the cypher_gds_wcc_sizes structural
+    restatement (component = region subtree)."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    name = "gds_cat_entry"
+    [r] = run_cypher(spark, ids, edges, f"CALL gds.graph.exists('{name}')").collect()
+    if r["exists"]:
+        run_cypher(spark, ids, edges, f"CALL gds.graph.drop('{name}')").collect()
+    run_cypher(
+        spark, ids, edges,
+        f"CALL gds.graph.project('{name}', '*', "
+        "{c_nationkey: {orientation: 'UNDIRECTED'}, "
+        "s_nationkey: {orientation: 'UNDIRECTED'}, "
+        "n_regionkey: {orientation: 'UNDIRECTED'}}) YIELD graphName;",
+    ).collect()
+    out = run_cypher(
+        spark, ids, edges,
+        f"CALL gds.wcc.stream('{name}') YIELD componentId "
+        "RETURN componentId, count(*) AS size ORDER BY size DESC;",
+    ).localCheckpoint(eager=True)
+    run_cypher(spark, ids, edges, f"CALL gds.graph.drop('{name}')").collect()
+    # component ids are engine-internal representatives; the contract hashes
+    # the SIZE multiset (the reference's num_connected_components shape)
+    return out.select("size")
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3654,10 +3701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the six r12-new rows at the END of this dict (a2_kmeans,
+        #   (c) the seven r12-new rows at the END of this dict (a2_kmeans,
         #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
-        #       a2_fastrp, cypher_gds_dijkstra), then oldest-first.
-        #   That is 21 + 10 + ~10 + 6 = ~47 — fits one 50-slot window with
+        #       a2_fastrp, cypher_gds_dijkstra, cypher_gds_catalog), then
+        #       oldest-first.
+        #   That is 21 + 10 + ~10 + 7 = ~48 — fits one 50-slot window with
         #   room; the arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
@@ -3799,6 +3847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sourceNode + relationshipWeightProperty off the edge properties
         # map)
         "cypher_gds_dijkstra": _q_cypher_gds_dijkstra,
+        # the gds.graph.* projection catalog end-to-end (project with the
+        # reference's nested orientation map -> metric against the cached
+        # name -> drop)
+        "cypher_gds_catalog": _q_cypher_gds_catalog,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -5984,6 +6036,18 @@ LEFT JOIN supp ON supp.region = p.region"""
 
     sql["cypher_gds_wcc_stats"] = """
 SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS num_connected_components FROM nation"""
+
+    # the catalog flow (project -> wcc against the name -> drop) lands on the
+    # same projected FK forest, so its sizes are the wcc_sizes restatement
+    sql["cypher_gds_catalog"] = """
+WITH per_region AS (SELECT n_regionkey AS region, count(*) AS nations FROM nation GROUP BY n_regionkey),
+cust AS (SELECT n.n_regionkey AS region, count(*) AS c
+         FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey GROUP BY n.n_regionkey),
+supp AS (SELECT n.n_regionkey AS region, count(*) AS s
+         FROM supplier sp JOIN nation n ON sp.s_nationkey = n.n_nationkey GROUP BY n.n_regionkey)
+SELECT CAST(1 + p.nations + coalesce(cust.c, 0) + coalesce(supp.s, 0) AS BIGINT) AS size
+FROM per_region p LEFT JOIN cust ON cust.region = p.region
+LEFT JOIN supp ON supp.region = p.region"""
 
     # apsp over the nation->region star forest: nation<->region ordered pairs
     # at distance 1, same-region nation pairs at distance 2 ------------------

@@ -243,6 +243,16 @@ def _run_xl(spark) -> dict:
     timings["xl_pagerank_10iter"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+    # fastRP d=16 over the same graph (r12b): ~3 pagerank-round-shaped
+    # joins but d-wide partial means — a per-EDGE-times-d cost probe
+    fastrp_embeddings(nodes, edges, dim=16).agg(
+        F.sum(F.element_at("embedding", 1))
+    ).collect()
+    timings["xl_fastrp_d16"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     louvain(nodes, edges, n_levels=2, n_rounds=2).select("label").distinct().count()
     timings["xl_louvain_2x2"] = round(time.perf_counter() - t0, 3)
 
@@ -512,6 +522,23 @@ def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
         sppmi_node_embeddings(
             walk_skipgram_pairs(walks, window=2), dim=8, n_iter=2
         ).count()
+
+    @step("a2_fastrp")
+    def _fastrp():
+        # the walk-free embedding producer (gds.fastRP, r12): 3 averaging
+        # rounds straight off the FK edge list — contrast with
+        # a2_node_embeddings' walk + skip-gram + factorization chain
+        from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+
+        fk = edges.filter(
+            F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+        )
+        ids = (
+            fk.select(F.col("src").alias("id"))
+            .unionByName(fk.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        fastrp_embeddings(ids, fk, dim=8).count()
 
     @step("dedup_minhash_lsh")
     def _minhash():

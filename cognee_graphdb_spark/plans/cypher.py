@@ -2016,6 +2016,9 @@ _CONFIGURABLE_PROCS = {
     "betweenness.stream",
     "fastrp.stream",
     "shortestpath.dijkstra.stream",
+    "louvain.stream",
+    "leiden.stream",
+    "nodesimilarity.stream",
 }
 
 
@@ -2117,14 +2120,22 @@ def _gds_procedure(
     if key == "louvain.stream":
         from cognee_graphdb_spark.operators.graph_metrics import louvain
 
-        lv = louvain(nodes, edges)
+        c = _conf(
+            config, "louvain.stream",
+            maxLevels=((int,), 2), maxIterations=((int,), 3),
+        )
+        lv = louvain(nodes, edges, n_levels=c["maxLevels"], n_rounds=c["maxIterations"])
         return lv.select(
             F.col("id").alias("nodeId"), F.col("label").alias("communityId")
         )
     if key == "leiden.stream":
         from cognee_graphdb_spark.operators.graph_metrics import leiden
 
-        ld = leiden(nodes, edges)
+        c = _conf(
+            config, "leiden.stream",
+            maxLevels=((int,), 2), maxIterations=((int,), 2),
+        )
+        ld = leiden(nodes, edges, n_levels=c["maxLevels"], n_rounds=c["maxIterations"])
         return ld.select(
             F.col("id").alias("nodeId"), F.col("label").alias("communityId")
         )
@@ -2316,7 +2327,14 @@ def _gds_procedure(
     if key == "nodesimilarity.stream":
         from cognee_graphdb_spark.operators.graph_metrics import node_similarity
 
-        ns = node_similarity(nodes, edges)
+        c = _conf(
+            config, "nodeSimilarity.stream",
+            topK=((int,), 10), similarityCutoff=((int, float), 0.0),
+        )
+        ns = node_similarity(
+            nodes, edges,
+            top_k=c["topK"], similarity_cutoff=float(c["similarityCutoff"]),
+        )
         return ns.select(
             F.col("id_a").alias("node1"),
             F.col("id_b").alias("node2"),

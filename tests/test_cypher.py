@@ -1953,3 +1953,33 @@ def test_gds_dijkstra_stream_weighted_paths(spark):
             "CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: 'a', "
             "relationshipWeightProperty: 'w'}) YIELD totalCost RETURN totalCost;",
         )
+
+
+def test_gds_config_community_and_similarity_knobs(spark, gds_graph):
+    """louvain/leiden {maxLevels, maxIterations} and nodeSimilarity
+    {topK, similarityCutoff} flow to the native operators."""
+    got = rows(
+        spark, gds_graph,
+        "CALL gds.louvain.stream('g', {maxLevels: 1, maxIterations: 1}) "
+        "YIELD nodeId, communityId RETURN nodeId, communityId;",
+    )
+    assert len(got) == 5
+    got = rows(
+        spark, gds_graph,
+        "CALL gds.leiden.stream('g', {maxLevels: 1, maxIterations: 1}) "
+        "YIELD nodeId, communityId RETURN nodeId, communityId;",
+    )
+    assert len(got) == 5
+    # cutoff 1.01 excludes every pair; topK caps partners per node
+    none = rows(
+        spark, gds_graph,
+        "CALL gds.nodeSimilarity.stream('g', {similarityCutoff: 1.01}) "
+        "YIELD node1, node2, similarity RETURN node1;",
+    )
+    assert none == []
+    one = rows(
+        spark, gds_graph,
+        "CALL gds.nodeSimilarity.stream('g', {topK: 1}) "
+        "YIELD node1, node2, similarity RETURN node1, node2;",
+    )
+    assert len(one) == len({r["node1"] for r in one})
