@@ -306,6 +306,12 @@ def fastrp_embeddings(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     pairs = pairs.filter(F.col("src") != F.col("dst")).distinct()
+    if checkpoint_every:
+        # the pair list feeds EVERY round's join: materialize the
+        # symmetrize+distinct shuffle once (executor memory+disk) instead of
+        # re-deriving it from lineage K times — measured 16s -> ~11s on the
+        # XL probe graph
+        pairs = pairs.localCheckpoint(eager=True)
 
     def _init_entry(j: int):
         m = F.pmod(
