@@ -2016,6 +2016,7 @@ _CONFIGURABLE_PROCS = {
     "betweenness.stream",
     "fastrp.stream",
     "shortestpath.dijkstra.stream",
+    "allshortestpaths.dijkstra.stream",
     "louvain.stream",
     "leiden.stream",
     "nodesimilarity.stream",
@@ -2458,7 +2459,9 @@ def _gds_procedure(
         return tc.select(
             F.col("id").alias("nodeId"), F.col("triangles").alias("triangleCount")
         )
-    if key == "shortestpath.dijkstra.stream":
+    if key in ("shortestpath.dijkstra.stream", "allshortestpaths.dijkstra.stream"):
+        # gds.allShortestPaths.dijkstra is GDS's single-source all-targets
+        # spelling of the same procedure — one handler, targetNode optional
         from cognee_graphdb_spark.operators.paths import sssp_paths, weighted_sssp
 
         # gds.shortestPath.dijkstra from a sourceNode (required config, a

@@ -1983,3 +1983,26 @@ def test_gds_config_community_and_similarity_knobs(spark, gds_graph):
         "YIELD node1, node2, similarity RETURN node1, node2;",
     )
     assert len(one) == len({r["node1"] for r in one})
+
+
+def test_gds_all_shortest_paths_dijkstra_alias(spark):
+    """gds.allShortestPaths.dijkstra.stream is GDS's single-source
+    all-targets spelling of shortestPath.dijkstra — one handler."""
+    nodes = spark.createDataFrame(
+        [(x, x, "E", {}) for x in "abc"],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    got = {
+        r["targetNode"]: r["totalCost"]
+        for r in rows(
+            spark, (nodes, edges),
+            "CALL gds.allShortestPaths.dijkstra.stream('g', {sourceNode: 'a'}) "
+            "YIELD sourceNode, targetNode, totalCost "
+            "RETURN sourceNode, targetNode, totalCost;",
+        )
+    }
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
