@@ -615,6 +615,112 @@ class CogneeSpark:
             batch, state_path, damping=damping, n_iter=n_iter, tol=tol
         )
 
+    def refresh_embeddings(self, dim: int = 16, seed: int = 3) -> int:
+        """Always-current FastRP graph embeddings (the ``Entity_graph``
+        collection), maintained INCREMENTALLY — the :meth:`refresh_pagerank`
+        pattern applied to embeddings, with a stronger property: a FastRP
+        embedding depends ONLY on the node's K-hop neighborhood (K = the
+        producer's three averaging rounds; no global term like pagerank's
+        dangling mass), so an edge change — add OR remove, no cold-rebuild
+        case — can only move embeddings inside the K-hop ball around the
+        changed edges' endpoints.  Precisely: with A = the endpoints whose
+        neighbor SET changed, a value change propagates one new-graph hop
+        per averaging round, so embeddings move exactly on ball_{K-1}(A);
+        and x_k restricted to a subgraph is exact on nodes whose k-hop
+        ball lies inside it, so recomputing on ball_{2K-1}(A) with edges
+        restricted to it is exact on the whole moved set.  The refresh
+        diffs the stored edge set against its own ledger, recomputes that
+        ball, upserts exactly ball_{K-1}(A)'s rows, and DROPS rows for
+        nodes that no longer embed (lost every edge) — never silently
+        stale.  Work per refresh tracks the change's neighborhood size,
+        never |V|.  A dim/seed change forces a full re-embed (parameter
+        state is ledgered too).  Returns the number of rows re-embedded
+        (0 = no change)."""
+        import shutil
+
+        from cognee_graphdb_spark.operators.graph_joins import k_hop
+        from cognee_graphdb_spark.operators.node_embeddings import fastrp_embeddings
+        from cognee_graphdb_spark.streaming.state import read_state, swap_write
+
+        K = 3  # fastrp_embeddings' default (0, 1, 1) weights = 3 rounds
+        edges = self.store.load("edges")
+        if edges is None:
+            raise RuntimeError("No data found in the system, please add data first.")
+        cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        state_dir = os.path.join(self.store.root, "_streaming", "fastrp")
+        edge_state = os.path.join(state_dir, "edges")
+        param_state = os.path.join(state_dir, "params")
+
+        def _commit_state() -> None:
+            swap_write(cur, edge_state, ".fastrp_edges_")
+            swap_write(
+                self.spark.createDataFrame([(dim, seed)], "dim int, seed int"),
+                param_state, ".fastrp_params_",
+            )
+
+        ledger = read_state(self.spark, edge_state)
+        params = read_state(self.spark, param_state)
+        stale_params = params is None or [
+            (r["dim"], r["seed"]) for r in params.collect()
+        ] != [(dim, seed)]
+        if ledger is None or stale_params:
+            if ledger is not None:
+                shutil.rmtree(state_dir, ignore_errors=True)
+            n = self.embed_graph(dim=dim, seed=seed, method="fastrp")
+            _commit_state()
+            return n
+        added = cur.join(ledger, ["src", "dst"], "left_anti")
+        removed = ledger.join(cur, ["src", "dst"], "left_anti")
+        delta = added.unionByName(removed)
+        nodes_now = self.store.load("nodes").select("id").distinct()
+        changed = (
+            delta.select(F.col("src").alias("id"))
+            .unionByName(delta.select(F.col("dst").alias("id")))
+            .distinct()
+            # nodes deleted outright had their vector rows cascaded away by
+            # delete_nodes already; only still-present nodes need new values
+            .join(nodes_now, "id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if changed.limit(1).count() == 0:
+            _commit_state()
+            return 0
+        und = cur.withColumn("relationship_name", F.lit("_"))
+        # every node whose value can move: one new-graph hop of propagation
+        # per averaging round beyond the changed-neighbor-set nodes
+        moved = k_hop(und, changed, K - 1, direction="both")
+        # exact recomputation needs each moved node's full K-hop ball
+        ball = k_hop(und, moved, K, direction="both")
+        sub = cur.join(
+            ball.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(ball.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        emb = fastrp_embeddings(ball, sub, dim=dim, seed=seed).join(
+            moved, "id", "left_semi"
+        )
+        endpoints = (
+            cur.select(F.col("src").alias("id"))
+            .unionByName(cur.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        up = emb.join(endpoints, "id", "left_semi").localCheckpoint(eager=True)
+        gone = moved.join(endpoints, "id", "left_anti")
+        rows = up.select(
+            F.lit("Entity_graph").alias("collection"),
+            F.col("id").cast("string").alias("id"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("embedding").cast("array<float>").alias("vector"),
+            F.create_map(F.lit("source"), F.lit("fastrp")).alias("payload"),
+            F.lit(self.dataset_id).alias("dataset_id"),
+        )
+        self.store.upsert_embeddings(rows, created_by="refresh_embeddings")
+        if gone.limit(1).count() > 0:
+            self.store.delete_embeddings(
+                gone, "Entity_graph", created_by="refresh_embeddings"
+            )
+        _commit_state()
+        self.runs.log(self.dataset_id, "refresh_embeddings", "COMPLETED")
+        return up.count()
+
     def community_quality(
         self, labels: DataFrame | None = None, algorithm: str = "louvain"
     ) -> DataFrame:

@@ -174,13 +174,16 @@ _TOOLS: list[dict] = [
         "graph into the Entity_graph vector collection: method 'sppmi' "
         "(default — walks -> skip-grams -> SPPMI-SVD) or 'fastrp' "
         "(gds.fastRP — straight off the edge list, the cheaper path at "
-        "scale).  Query them with similar_nodes.",
+        "scale).  refresh=true maintains fastrp embeddings incrementally "
+        "(only the changed K-hop ball recomputes).  Query them with "
+        "similar_nodes.",
         "inputSchema": {
             "type": "object",
             "properties": {
                 "dim": {"type": "integer"},
                 "method": {"type": "string"},
                 "seed": {"type": "integer"},
+                "refresh": {"type": "boolean"},
             },
         },
     },
@@ -324,6 +327,11 @@ class McpServer:
         if name == "topological_sort":
             return _text_result(_df_text(eng.topological_layers()))
         if name == "embed_graph":
+            if args.get("refresh"):
+                n = eng.refresh_embeddings(
+                    dim=int(args.get("dim", 16)), seed=int(args.get("seed", 3))
+                )
+                return _text_result(f"refreshed {n} nodes in Entity_graph")
             n = eng.embed_graph(
                 dim=int(args.get("dim", 16)),
                 method=args.get("method", "sppmi"),

@@ -216,6 +216,13 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, _rows(eng.topological_layers()))
         if method == "POST" and path == "/api/v1/embed_graph":
             p = self._payload()
+            if p.get("refresh"):
+                # incremental maintenance: only the changed K-hop ball
+                # recomputes (CogneeSpark.refresh_embeddings)
+                n = eng.refresh_embeddings(
+                    dim=int(p.get("dim", 16)), seed=int(p.get("seed", 3))
+                )
+                return self._send(200, {"embedded": n, "refreshed": True})
             n = eng.embed_graph(
                 dim=int(p.get("dim", 16)),
                 walk_length=int(p.get("walk_length", 4)),

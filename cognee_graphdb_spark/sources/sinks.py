@@ -262,6 +262,29 @@ class GraphStore:
         """Data-table MERGE by content-derived id (ingest_data.py:93-96)."""
         self._upsert("data", data, created_by)
 
+    def delete_embeddings(
+        self, ids: DataFrame, collection: str, created_by: str = "delete"
+    ) -> None:
+        """Remove one collection's vector rows for the given node ids — the
+        targeted counterpart of :meth:`delete_nodes`' embeddings cascade
+        (LanceDBAdapter.py's delete-by-key), used by incremental embedding
+        maintenance when a node is still in the graph but no longer embeds
+        (e.g. it lost every edge, so the embedding producer has no row for
+        it and keeping the old vector would be silently stale)."""
+        ids = ids.select("id").distinct()
+        with self._table_lock("embeddings"):
+            emb = self.load("embeddings")
+            if emb is not None:
+                hit = emb.filter(F.col("collection") == collection)
+                rest = emb.filter(F.col("collection") != collection)
+                kept = hit.join(ids, "id", "left_anti")
+                self._swap_write("embeddings", kept.unionByName(rest))
+        self.append_ledger(
+            "delete_embeddings",
+            ids.select(F.concat("id", F.lit(f"|{collection}")).alias("id")),
+            created_by,
+        )
+
     # -- S9: append-only relationship ledger ---------------------------------
 
     def append_ledger(self, op: str, ids: DataFrame, created_by: str) -> None:

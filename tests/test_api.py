@@ -710,3 +710,68 @@ def test_graph_embedding_fastrp_method(spark, tmp_path):
     assert e.embed_graph(dim=8, method="fastrp") == n
     with pytest.raises(ValueError, match="sppmi, fastrp"):
         e.embed_graph(method="nope")
+
+
+def test_refresh_embeddings_incremental_matches_cold(spark, tmp_path):
+    """refresh_embeddings: the refresh_pagerank pattern on embeddings.
+    First call = full embed; unchanged graph = 0 work; after a graph
+    change the K-hop-ball recompute matches a cold full re-embed on every
+    row (FastRP has no global term, so locality is exact up to partial-agg
+    ulps); a node that loses every edge gets its row DROPPED; a dim change
+    forces a full re-embed."""
+    e = CogneeSpark(spark, str(tmp_path / "refresh_emb_store"))
+    e.add(ITEMS)
+    assert e.cognify() == 3
+
+    n0 = e.refresh_embeddings(dim=8)
+    assert n0 > 0
+    assert e.refresh_embeddings(dim=8) == 0  # unchanged graph
+
+    # grow the graph, refresh incrementally, then compare against cold
+    e.add([("delta.txt", "Databricks tunes Spark clusters for analytics.")])
+    assert e.cognify() == 1
+    n1 = e.refresh_embeddings(dim=8)
+    assert n1 > 0
+
+    def snapshot():
+        return {
+            r["id"]: list(r["vector"])
+            for r in e.store.load("embeddings")
+            .filter(F.col("collection") == "Entity_graph")
+            .collect()
+        }
+
+    warm = snapshot()
+    assert e.embed_graph(dim=8, method="fastrp") == len(warm)  # cold re-embed
+    cold = snapshot()
+    assert set(warm) == set(cold)
+    for node_id, vec in cold.items():
+        assert warm[node_id] == pytest.approx(vec, abs=1e-5), node_id
+
+    # deletion: remove a document -> nodes/edges cascade -> refresh stays
+    # consistent with cold (no cold-rebuild branch needed)
+    e.delete("delta.txt")
+    assert e.refresh_embeddings(dim=8) >= 0
+    warm2 = snapshot()
+    e.embed_graph(dim=8, method="fastrp")
+    cold2 = snapshot()
+    assert set(warm2) == set(cold2)
+    for node_id, vec in cold2.items():
+        assert warm2[node_id] == pytest.approx(vec, abs=1e-5), node_id
+
+    # a node still in the graph but with no edges left must LOSE its row
+    edges = e.store.load("edges")
+    leaf = edges.groupBy("dst").count().filter("count = 1").first()
+    if leaf is not None:
+        victim = leaf["dst"]
+        kept = edges.filter((F.col("src") != victim) & (F.col("dst") != victim))
+        e.store._swap_write("edges", kept)
+        e.refresh_embeddings(dim=8)
+        after = snapshot()
+        assert victim not in after
+
+    # parameter change = full re-embed (ledgered params)
+    n_dim = e.refresh_embeddings(dim=4)
+    assert n_dim == len(snapshot())
+    dims = {len(v) for v in snapshot().values()}
+    assert dims == {4}

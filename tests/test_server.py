@@ -159,6 +159,16 @@ def test_embed_graph_and_similar_nodes_routes(srv):
         "dim": 8, "method": "fastrp",
     })
     assert status == 200 and body["embedded"] > 0
+    # incremental maintenance: first refresh seeds the edge ledger (full
+    # embed), the second sees an unchanged graph -> 0 rows recomputed
+    status, body = call(srv, "POST", "/api/v1/embed_graph", {
+        "dim": 8, "refresh": True,
+    })
+    assert status == 200 and body["refreshed"] and body["embedded"] > 0
+    status, body = call(srv, "POST", "/api/v1/embed_graph", {
+        "dim": 8, "refresh": True,
+    })
+    assert status == 200 and body == {"embedded": 0, "refreshed": True}
     status, rows = call(srv, "GET", "/api/v1/scc")
     some_id = rows[0]["id"]
     status, rows = call(srv, "POST", "/api/v1/similar_nodes", {
