@@ -169,6 +169,26 @@ _TOOLS: list[dict] = [
         },
     },
     {
+        "name": "communities",
+        "description": "Community detection over the memory graph "
+        "(gds.louvain default; 'leiden' or 'lpa'); refresh=true "
+        "warm-starts louvain from the previous labels on the edge delta.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "algorithm": {"type": "string"},
+                "refresh": {"type": "boolean"},
+            },
+        },
+    },
+    {
+        "name": "refresh_pagerank",
+        "description": "Always-current PageRank maintained incrementally "
+        "from the store's evolution pointer: only the edge delta since "
+        "the last refresh enters the warm-started solve.",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
         "name": "embed_graph",
         "description": "Compute structural node embeddings of the memory "
         "graph into the Entity_graph vector collection: method 'sppmi' "
@@ -326,6 +346,17 @@ class McpServer:
             )
         if name == "topological_sort":
             return _text_result(_df_text(eng.topological_layers()))
+        if name == "communities":
+            return _text_result(
+                _df_text(
+                    eng.communities(
+                        algorithm=args.get("algorithm", "louvain"),
+                        refresh=bool(args.get("refresh", False)),
+                    )
+                )
+            )
+        if name == "refresh_pagerank":
+            return _text_result(_df_text(eng.refresh_pagerank()))
         if name == "embed_graph":
             if args.get("refresh"):
                 n = eng.refresh_embeddings(

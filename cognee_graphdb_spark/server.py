@@ -23,7 +23,12 @@ without adding a web framework to the image:
                              hits | harmonic | betweenness; CogneeSpark
                              .centrality — gds.hits reachable as a product)
     GET  /api/v1/scc                                    -> rows (id, label)
-    POST /api/v1/embed_graph {"dim"?, "method"? (sppmi|fastrp), walk knobs}
+    POST /api/v1/communities {"algorithm"?, "refresh"?} -> rows (id, label)
+    POST /api/v1/refresh_pagerank {}                    -> rows (id, rank;
+                             incremental — only the edge delta enters)
+    POST /api/v1/embed_graph {"dim"?, "method"? (sppmi|fastrp),
+                             "refresh"? (incremental ball recompute),
+                             walk knobs}
                                                         -> {"embedded": n}
     POST /api/v1/similar_nodes {"node_id", "k"?}        -> rows (structural
                              neighbors from the Entity_graph collection)
@@ -214,6 +219,22 @@ class _Handler(BaseHTTPRequestHandler):
             # cycles raise ValueError -> 400 with the stuck-node count (the
             # fail-loudly answer for non-DAG memory graphs)
             return self._send(200, _rows(eng.topological_layers()))
+        if method == "POST" and path == "/api/v1/communities":
+            p = self._payload()
+            return self._send(
+                200,
+                _rows(
+                    eng.communities(
+                        algorithm=p.get("algorithm", "louvain"),
+                        n_levels=int(p.get("n_levels", 2)),
+                        n_rounds=int(p.get("n_rounds", 3)),
+                        refresh=bool(p.get("refresh", False)),
+                    )
+                ),
+            )
+        if method == "POST" and path == "/api/v1/refresh_pagerank":
+            # incremental maintenance: only the edge delta enters the solve
+            return self._send(200, _rows(eng.refresh_pagerank()))
         if method == "POST" and path == "/api/v1/embed_graph":
             p = self._payload()
             if p.get("refresh"):

@@ -41,7 +41,8 @@ def test_initialize_and_tool_listing(mcp):
                      "get_developer_rules", "list_data", "delete", "prune",
                      "cognify_status", "centrality", "strongly_connected",
                      "spanning_forest", "cluster_embeddings",
-                     "topological_sort", "embed_graph", "similar_nodes"}
+                     "topological_sort", "embed_graph", "similar_nodes",
+                     "communities", "refresh_pagerank"}
     err = rpc(mcp, "nope/method")
     assert err["error"]["code"] == -32601
 
@@ -154,3 +155,18 @@ def test_embed_graph_and_similar_nodes_tools(mcp):
     some_id = json.loads(scc_text)[0]["id"]
     sim_text = tool(mcp, "similar_nodes", {"node_id": some_id, "k": 3})
     assert isinstance(sim_text, str)
+
+
+def test_communities_and_refresh_pagerank_tools(mcp):
+    """The maintained-analytics verbs reach MCP: communities (louvain
+    default, refresh warm-start flag) and refresh_pagerank (edge-delta
+    incremental solve)."""
+    out = tool(mcp, "communities")
+    assert "label" in out
+    out = tool(mcp, "communities", {"algorithm": "lpa"})
+    assert "label" in out
+    pr = tool(mcp, "refresh_pagerank")
+    assert "rank" in pr
+    # second refresh folds an empty delta, same surface
+    pr2 = tool(mcp, "refresh_pagerank")
+    assert "rank" in pr2

@@ -169,6 +169,11 @@ def test_embed_graph_and_similar_nodes_routes(srv):
         "dim": 8, "refresh": True,
     })
     assert status == 200 and body == {"embedded": 0, "refreshed": True}
+    # maintained analytics reach HTTP too
+    status, rows = call(srv, "POST", "/api/v1/communities", {"algorithm": "louvain"})
+    assert status == 200 and rows and {"id", "label"} <= set(rows[0])
+    status, rows = call(srv, "POST", "/api/v1/refresh_pagerank", {})
+    assert status == 200 and rows and {"id", "rank"} <= set(rows[0])
     status, rows = call(srv, "GET", "/api/v1/scc")
     some_id = rows[0]["id"]
     status, rows = call(srv, "POST", "/api/v1/similar_nodes", {
