@@ -2020,6 +2020,7 @@ _CONFIGURABLE_PROCS = {
     "louvain.stream",
     "leiden.stream",
     "nodesimilarity.stream",
+    "degree.stream",
 }
 
 
@@ -2112,10 +2113,33 @@ def _gds_procedure(
         c = _conf(
             config, "pageRank.stream",
             maxIterations=((int,), 10), dampingFactor=((int, float), 0.85),
+            relationshipWeightProperty=((str,), None),
         )
+        prop = c["relationshipWeightProperty"]
+        weight_col = None
+        if prop is not None:
+            # weighted pageRank: the edge property scales each edge's share
+            # of the source's rank (pagerank's weight_col normalizes per
+            # source internally)
+            if "properties" not in edges.columns:
+                raise CypherUnsupported(
+                    "relationshipWeightProperty needs the projection's edges "
+                    "to carry a properties map"
+                )
+            edges = edges.select(
+                "src", "dst",
+                F.element_at("properties", F.lit(prop)).cast("double").alias("__w"),
+            )
+            if edges.filter(F.col("__w").isNull()).limit(1).count() > 0:
+                raise CypherUnsupported(
+                    f"gds.pageRank.stream: every relationship needs a "
+                    f"numeric {prop!r} property"
+                )
+            weight_col = "__w"
         pr = pagerank(
             nodes.select("id"), edges,
             damping=float(c["dampingFactor"]), n_iter=c["maxIterations"],
+            weight_col=weight_col,
         )
         return pr.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
     if key == "louvain.stream":
@@ -2195,12 +2219,27 @@ def _gds_procedure(
         )
         return ar.select(F.col("id").alias("nodeId"), F.col("rank").alias("score"))
     if key == "degree.stream":
-        # gds.degree: out-degree of the natural orientation
+        # gds.degree: out-degree of the natural orientation by default; the
+        # orientation config flips (REVERSE = in-degree) or doubles
+        # (UNDIRECTED = degree of the symmetrized view, GDS's convention)
+        c = _conf(config, "degree.stream", orientation=((str,), "NATURAL"))
+        orient = c["orientation"].upper()
+        if orient not in ("NATURAL", "REVERSE", "UNDIRECTED"):
+            raise CypherUnsupported(
+                f"gds.degree.stream: unknown orientation {orient!r}"
+            )
+        e = edges.select("src", "dst")
+        if orient == "REVERSE":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif orient == "UNDIRECTED":
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
         deg = (
             nodes.select("id")
             .distinct()
             .join(
-                edges.groupBy(F.col("src").alias("id")).agg(
+                e.groupBy(F.col("src").alias("id")).agg(
                     F.count(F.lit(1)).alias("score")
                 ),
                 "id",

@@ -2006,3 +2006,64 @@ def test_gds_all_shortest_paths_dijkstra_alias(spark):
         )
     }
     assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_gds_config_weighted_pagerank_and_degree_orientation(spark):
+    """pageRank {relationshipWeightProperty} reads edge weights from the
+    properties map (pagerank's weight_col path); degree {orientation}
+    serves NATURAL/REVERSE/UNDIRECTED counts."""
+    nodes = spark.createDataFrame(
+        [(x, x, "E", {}) for x in "abc"],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "r", {"w": "1.0"}),
+            ("a", "c", "r", {"w": "9.0"}),
+        ],
+        "src string, dst string, relationship_name string, properties map<string,string>",
+    )
+    g = (nodes, edges)
+    w = {
+        r["nodeId"]: r["score"]
+        for r in rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g', {relationshipWeightProperty: 'w'}) "
+            "YIELD nodeId, score RETURN nodeId, score;",
+        )
+    }
+    u = {
+        r["nodeId"]: r["score"]
+        for r in rows(
+            spark, g,
+            "CALL gds.pageRank.stream('g') YIELD nodeId, score "
+            "RETURN nodeId, score;",
+        )
+    }
+    # unweighted splits a's rank evenly; the 9:1 weights concentrate it on c
+    assert u["b"] == pytest.approx(u["c"])
+    assert w["c"] > w["b"]
+    bad = spark.createDataFrame(
+        [("a", "b", "r", {})],
+        "src string, dst string, relationship_name string, properties map<string,string>",
+    )
+    with pytest.raises(CypherUnsupported, match="needs a numeric"):
+        rows(
+            spark, (nodes, bad),
+            "CALL gds.pageRank.stream('g', {relationshipWeightProperty: 'w'}) "
+            "YIELD nodeId, score RETURN nodeId, score;",
+        )
+    for orient, want in (
+        ("NATURAL", {"a": 2, "b": 0, "c": 0}),
+        ("REVERSE", {"a": 0, "b": 1, "c": 1}),
+        ("UNDIRECTED", {"a": 2, "b": 1, "c": 1}),
+    ):
+        got = {
+            r["nodeId"]: r["score"]
+            for r in rows(
+                spark, g,
+                f"CALL gds.degree.stream('g', {{orientation: '{orient}'}}) "
+                "YIELD nodeId, score RETURN nodeId, score;",
+            )
+        }
+        assert got == want, orient
