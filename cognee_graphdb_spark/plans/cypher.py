@@ -1852,6 +1852,8 @@ def _run_mgmt_call(spark: SparkSession, nodes: DataFrame, edges: DataFrame, m) -
     args = _parse_call_args(m.group("args") or "")
     cat = _session_catalog(spark)
 
+    if proc in ("db.labels", "db.relationshiptypes", "gds.graph.list") and args:
+        raise CypherUnsupported(f"{m.group('proc')} takes no arguments")
     if proc == "db.labels":
         # CALL db.labels() -> one row per distinct node label
         # (adapter.py:1121-1133 reads record['label'])
@@ -1883,10 +1885,24 @@ def _run_mgmt_call(spark: SparkSession, nodes: DataFrame, edges: DataFrame, m) -
             [(args[0], args[0] in cat)], "graphName string, exists boolean"
         )
     elif proc == "gds.graph.drop":
-        if len(args) < 1 or not isinstance(args[0], str):
-            raise CypherUnsupported("gds.graph.drop takes a graph-name string")
+        # GDS signature: drop(name, failIfMissing=true)
+        if (
+            len(args) < 1
+            or len(args) > 2
+            or not isinstance(args[0], str)
+            or (len(args) == 2 and not isinstance(args[1], bool))
+        ):
+            raise CypherUnsupported(
+                "gds.graph.drop takes a graph-name string and an optional "
+                "failIfMissing boolean"
+            )
         name = args[0]
         if name not in cat:
+            if len(args) == 2 and args[1] is False:
+                out = spark.createDataFrame([], "graphName string")
+                return _apply_yield_return(
+                    spark, out, m.group("yield"), m.group("ret")
+                )
             raise CypherUnsupported(
                 f"gds.graph.drop: graph '{name}' is not in this session's "
                 "catalog (gds.graph.list streams the projected names)"

@@ -2067,3 +2067,16 @@ def test_gds_config_weighted_pagerank_and_degree_orientation(spark):
             )
         }
         assert got == want, orient
+
+
+def test_catalog_drop_fail_if_missing_and_strict_args(spark, catalog_graph):
+    """gds.graph.drop('name', false) answers empty instead of raising (the
+    GDS failIfMissing signature); the no-argument procedures refuse args."""
+    got = rows(spark, catalog_graph, "CALL gds.graph.drop('absent', false)")
+    assert got == []
+    with pytest.raises(CypherUnsupported, match="not in this session"):
+        rows(spark, catalog_graph, "CALL gds.graph.drop('absent', true)")
+    with pytest.raises(CypherUnsupported, match="takes no arguments"):
+        rows(spark, catalog_graph, "CALL db.labels('x')")
+    with pytest.raises(CypherUnsupported, match="takes no arguments"):
+        rows(spark, catalog_graph, "CALL gds.graph.list('x')")
