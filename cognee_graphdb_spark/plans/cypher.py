@@ -1689,7 +1689,7 @@ def looks_like_cypher(query: str) -> bool:
 
 
 _GDS_CALL_RE = re.compile(
-    r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats)\(\s*'(?P<gname>[^']*)'"
+    r"^\s*CALL\s+gds\.([A-Za-z0-9_.]+)\.(stream|stats|mutate)\(\s*'(?P<gname>[^']*)'"
     r"(?:\s*,\s*\{(?P<config>[^}]*)\})?\s*\)\s*"
     r"YIELD\s+(?P<yield>[\w\s,]+?)\s+"
     r"RETURN\s+(?P<ret>.+?)\s*;?\s*$",
@@ -2693,16 +2693,64 @@ def _apply_yield_return(
 def _run_gds_call(spark, nodes: DataFrame, edges: DataFrame, m) -> DataFrame:
     """Execute a ``CALL gds.*(...) YIELD ... RETURN ...`` query against the
     named catalog projection when one exists (gds.graph.project), else the
-    passed (nodes, edges) pair."""
+    passed (nodes, edges) pair.
+
+    ``mutate`` mode writes a procedure's per-node result back INTO the
+    catalog projection as a node property (the GDS chaining workflow:
+    ``gds.louvain.mutate('g', {mutateProperty: 'community'})`` then
+    ``gds.conductance.stream('g')``, or ``gds.fastRP.mutate`` then
+    ``gds.kmeans.stream`` — each stage reads the previous stage's column
+    off the cached frames, no store round-trip)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
     conf_src = (m.group("config") or "").strip()
     config = _parse_call_args("{" + conf_src + "}")[0] if conf_src else {}
-    entry = _session_catalog(spark).get(m.group("gname"))
+    mode = m.group(2).lower()
+    cat = _session_catalog(spark)
+    entry = cat.get(m.group("gname"))
     if entry is not None:
         nodes, edges = entry["nodes"], entry["edges"]
-    out = _gds_procedure(
-        spark, nodes, edges, m.group(1) + "." + m.group(2).lower(), config
+    if mode != "mutate":
+        out = _gds_procedure(
+            spark, nodes, edges, m.group(1) + "." + mode, config
+        )
+        return _apply_yield_return(spark, out, m.group("yield"), m.group("ret"))
+    if entry is None:
+        raise CypherUnsupported(
+            f"gds.{m.group(1)}.mutate needs a cataloged projection "
+            f"('{m.group('gname')}' is not in this session's catalog; "
+            "gds.graph.project it first)"
+        )
+    prop = config.pop("mutateProperty", None)
+    if not isinstance(prop, str) or not prop:
+        raise CypherUnsupported(
+            f"gds.{m.group(1)}.mutate requires the mutateProperty config key"
+        )
+    if prop in nodes.columns:
+        raise CypherUnsupported(
+            f"gds.{m.group(1)}.mutate: the projection already carries a "
+            f"{prop!r} property; pick another mutateProperty or re-project"
+        )
+    out = _gds_procedure(spark, nodes, edges, m.group(1) + ".stream", config)
+    value_cols = [c for c in out.columns if c != "nodeId"]
+    if "nodeId" not in out.columns or len(value_cols) != 1:
+        raise CypherUnsupported(
+            f"gds.{m.group(1)}.mutate needs a (nodeId, value) stream; "
+            f"this procedure streams {out.columns}"
+        )
+    mutated = nodes.join(
+        out.select(F.col("nodeId").alias("id"), F.col(value_cols[0]).alias(prop)),
+        "id",
+        "left",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    written = mutated.filter(F.col(prop).isNotNull()).count()  # materializes
+    entry["nodes"].unpersist()
+    entry["nodes"] = mutated
+    stats = spark.createDataFrame(
+        [(written, prop)], "nodePropertiesWritten long, mutateProperty string"
     )
-    return _apply_yield_return(spark, out, m.group("yield"), m.group("ret"))
+    return _apply_yield_return(spark, stats, m.group("yield"), m.group("ret"))
 
 
 def run_cypher(

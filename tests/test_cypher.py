@@ -2080,3 +2080,65 @@ def test_catalog_drop_fail_if_missing_and_strict_args(spark, catalog_graph):
         rows(spark, catalog_graph, "CALL db.labels('x')")
     with pytest.raises(CypherUnsupported, match="takes no arguments"):
         rows(spark, catalog_graph, "CALL gds.graph.list('x')")
+
+
+def test_gds_mutate_chains_on_catalog_projection(spark, catalog_graph):
+    """The GDS chaining workflow: mutate writes a procedure's per-node
+    result back into the cataloged projection as a node property, and the
+    next CALL reads it off the cached frames — louvain.mutate ->
+    conductance.stream, and fastRP.mutate -> kmeans.stream."""
+    rows(spark, catalog_graph, "CALL gds.graph.project('mut', '*', '*')")
+    try:
+        [r] = rows(
+            spark, catalog_graph,
+            "CALL gds.louvain.mutate('mut', {mutateProperty: 'community'}) "
+            "YIELD nodePropertiesWritten, mutateProperty "
+            "RETURN nodePropertiesWritten, mutateProperty;",
+        )
+        assert r["nodePropertiesWritten"] == 5 and r["mutateProperty"] == "community"
+        cond = rows(
+            spark, catalog_graph,
+            "CALL gds.conductance.stream('mut') YIELD community, conductance "
+            "RETURN community, conductance;",
+        )
+        assert cond and all(0.0 <= c["conductance"] <= 1.0 for c in cond)
+        [r] = rows(
+            spark, catalog_graph,
+            "CALL gds.fastRP.mutate('mut', {embeddingDimension: 4, "
+            "mutateProperty: 'embedding'}) "
+            "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+        )
+        assert r["nodePropertiesWritten"] == 5
+        km = rows(
+            spark, catalog_graph,
+            "CALL gds.kmeans.stream('mut', {k: 2}) YIELD nodeId, communityId "
+            "RETURN nodeId, communityId;",
+        )
+        assert len(km) == 5 and len({r["communityId"] for r in km}) <= 2
+        # error shapes: un-cataloged name, multi-column stream, duplicate prop
+        with pytest.raises(CypherUnsupported, match="cataloged projection"):
+            rows(
+                spark, catalog_graph,
+                "CALL gds.pageRank.mutate('ghost', {mutateProperty: 'pr'}) "
+                "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+            )
+        with pytest.raises(CypherUnsupported, match="nodeId, value"):
+            rows(
+                spark, catalog_graph,
+                "CALL gds.hits.mutate('mut', {mutateProperty: 'h'}) "
+                "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+            )
+        with pytest.raises(CypherUnsupported, match="already carries"):
+            rows(
+                spark, catalog_graph,
+                "CALL gds.louvain.mutate('mut', {mutateProperty: 'community'}) "
+                "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+            )
+        with pytest.raises(CypherUnsupported, match="mutateProperty"):
+            rows(
+                spark, catalog_graph,
+                "CALL gds.pageRank.mutate('mut') "
+                "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+            )
+    finally:
+        rows(spark, catalog_graph, "CALL gds.graph.drop('mut')")
