@@ -1737,6 +1737,49 @@ def _q_cypher_gds_catalog(spark, sf_dir):
     return out.select("size")
 
 
+def _q_cypher_gds_mutate_chain(spark, sf_dir):
+    """The GDS chaining workflow under the driver gate (plans/cypher.py
+    mutate mode, r12): project the FK forest -> gds.wcc.mutate writes each
+    node's componentId back into the cached projection as its 'community'
+    property -> gds.conductance.stream reads it off the cached frames.
+    Closed-form oracle: connected components have zero boundary BY
+    DEFINITION, so the chain is correct iff every streamed conductance is
+    exactly 0 — one row per region tree.  (The community ids themselves
+    are engine-internal min-hash representatives, so the contract hashes
+    the conductance values and row count, the same discipline as
+    cypher_gds_wcc_sizes.)  Idempotent: exists-check + drop first."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    name = "gds_mutate_entry"
+    run_cypher(spark, ids, fk, f"CALL gds.graph.drop('{name}', false)").collect()
+    run_cypher(
+        spark, ids, fk, f"CALL gds.graph.project('{name}', '*', '*')"
+    ).collect()
+    run_cypher(
+        spark, ids, fk,
+        f"CALL gds.wcc.mutate('{name}', {{mutateProperty: 'community'}}) "
+        "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+    ).collect()
+    out = run_cypher(
+        spark, ids, fk,
+        f"CALL gds.conductance.stream('{name}') YIELD community, conductance "
+        "RETURN community, conductance;",
+    ).localCheckpoint(eager=True)
+    run_cypher(spark, ids, fk, f"CALL gds.graph.drop('{name}')").collect()
+    return out.select(
+        F.round(F.col("conductance") * 1000000.0).cast("long").alias("conductance_ppm")
+    )
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3701,12 +3744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the seven r12-new rows at the END of this dict (a2_kmeans,
+        #   (c) the eight r12-new rows at the END of this dict (a2_kmeans,
         #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
-        #       a2_fastrp, cypher_gds_dijkstra, cypher_gds_catalog), then
-        #       oldest-first.
-        #   That is 21 + 10 + ~10 + 7 = ~48 — fits one 50-slot window with
-        #   room; the arithmetic closes.
+        #       a2_fastrp, cypher_gds_dijkstra, cypher_gds_catalog,
+        #       cypher_gds_mutate_chain), then oldest-first.
+        #   That is 21 + 10 + ~10 + 8 = ~49 — fits one 50-slot window;
+        #   the arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
         "td_source_report": _q_td_source_report,
@@ -3851,6 +3894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's nested orientation map -> metric against the cached
         # name -> drop)
         "cypher_gds_catalog": _q_cypher_gds_catalog,
+        # mutate mode: wcc.mutate writes componentId back into the cached
+        # projection, conductance.stream reads it — closed-form all-zero
+        # oracle (components have no boundary)
+        "cypher_gds_mutate_chain": _q_cypher_gds_mutate_chain,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6036,6 +6083,12 @@ LEFT JOIN supp ON supp.region = p.region"""
 
     sql["cypher_gds_wcc_stats"] = """
 SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS num_connected_components FROM nation"""
+
+    # the mutate chain (wcc.mutate -> conductance.stream on the cached
+    # projection): components have zero boundary by definition — one
+    # all-zero conductance row per region tree
+    sql["cypher_gds_mutate_chain"] = """
+SELECT CAST(0 AS BIGINT) AS conductance_ppm FROM nation GROUP BY n_regionkey"""
 
     # the catalog flow (project -> wcc against the name -> drop) lands on the
     # same projected FK forest, so its sizes are the wcc_sizes restatement
