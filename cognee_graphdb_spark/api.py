@@ -999,8 +999,18 @@ class CogneeSpark:
                     shutil.rmtree(state_path, ignore_errors=True)  # cold rebuild
                 else:
                     batch = cur.join(ledger, ["src", "dst"], "left_anti")
-            return louvain_batch(
+            warm = louvain_batch(
                 batch, state_path, n_levels=n_levels, n_rounds=n_rounds
+            )
+            # the maintenance state only knows edge-endpoint nodes; a cold
+            # louvain labels EVERY stored node (isolated ones as their own
+            # singleton) — keep the warm result's coverage identical so
+            # toggling refresh never changes the id set, only the labels
+            isolated = nodes.select("id").distinct().join(warm, "id", "left_anti")
+            return warm.unionByName(
+                # the cold operator's singleton convention: an isolated node
+                # is its own community, labeled by its xxhash64
+                isolated.withColumn("label", F.xxhash64("id"))
             )
         if algo == "louvain":
             return louvain(nodes, edges, n_levels=n_levels, n_rounds=n_rounds)
@@ -1187,6 +1197,19 @@ class CogneeSpark:
             F.lit(self.dataset_id).alias("dataset_id"),
         )
         self.store.upsert_embeddings(rows, created_by="embed_graph")
+        # a full embed (either producer) supersedes the incremental-refresh
+        # ledger: leaving it would let a later refresh_embeddings warm-patch
+        # fastrp vectors over an sppmi collection (silent producer mixing)
+        # or diff against an edge set the collection no longer reflects.
+        # Invalidating forces the next refresh to re-seed with a full
+        # fastrp embed — conservative, never mixed.  (refresh_embeddings'
+        # own full-embed path re-commits fresh state right after this.)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.store.root, "_streaming", "fastrp"),
+            ignore_errors=True,
+        )
         self.runs.log(self.dataset_id, "embed_graph", "COMPLETED")
         return vecs.count()
 

@@ -359,6 +359,11 @@ class McpServer:
             return _text_result(_df_text(eng.refresh_pagerank()))
         if name == "embed_graph":
             if args.get("refresh"):
+                if args.get("method", "fastrp") != "fastrp":
+                    raise ValueError(
+                        "refresh maintains fastrp embeddings; "
+                        f"method {args['method']!r} is not refreshable"
+                    )
                 n = eng.refresh_embeddings(
                     dim=int(args.get("dim", 16)), seed=int(args.get("seed", 3))
                 )

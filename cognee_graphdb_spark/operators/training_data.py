@@ -125,12 +125,17 @@ def cluster_balanced_sample(
     )
     margin = 8
     deg = lh.groupBy(label_col).agg(F.count(F.lit(1)).alias("__deg"))
-    # hash range is hasher-specific — normalize the quantile cut by the
-    # observed global range (two scalars, one map-side-combined agg)
-    bounds = lh.agg(F.min("__h").alias("lo"), F.max("__h").alias("hi")).collect()[0]
-    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0  # no labeled rows
-    hi = float(bounds["hi"]) if bounds["hi"] is not None else 0.0
-    span = max(hi - lo, 1.0)
+    # hash range is hasher-specific but KNOWN: xxhash64 spans the full
+    # signed 64-bit range, md5_64 the first 60 md5 bits.  Constants keep
+    # the function lazy (no plan-construction-time job); output identity
+    # only needs the prefilter to be MONOTONE in __h — any threshold keeps
+    # a lowest-hash prefix and the short-label fallback rescues undershoot
+    # — so the exact normalization constant is free to be theoretical
+    # rather than observed.
+    if hasher == "md5_64":
+        lo, span = 0.0, float(2**60)
+    else:
+        lo, span = float(-(2**63)), float(2**64)
     frac = (F.col("__h").cast("double") - F.lit(lo)) / F.lit(span)  # ~U[0,1]
     cand = lh.join(deg, label_col).filter(
         (F.col("__deg") <= margin * cap)

@@ -1938,7 +1938,14 @@ def _run_mgmt_call(spark: SparkSession, nodes: DataFrame, edges: DataFrame, m) -
             elif isinstance(rel_arg, dict):
                 rel_names, reversed_names = [], []
                 for rel, conf in rel_arg.items():
-                    conf = conf if isinstance(conf, dict) else {}
+                    if not isinstance(conf, dict):
+                        # a non-map value would silently project NATURAL —
+                        # refuse, same never-silently-dropped discipline as
+                        # the config keys
+                        raise CypherUnsupported(
+                            f"relationship projection for {rel!r} must be a "
+                            "config map (e.g. {orientation: 'UNDIRECTED'})"
+                        )
                     bad = set(conf) - {"orientation"}
                     if bad:
                         raise CypherUnsupported(
@@ -2327,6 +2334,14 @@ def _gds_procedure(
         if c["samplingSize"] is not None:
             if c["samplingSize"] < 1:
                 raise CypherUnsupported("gds.betweenness.stream: samplingSize must be >= 1")
+            if c["samplingSize"] > _EXACT_ALL_PAIRS_NODE_BUDGET:
+                # a samplingSize at or beyond the budget IS the exact job
+                # the guard exists to refuse — the knob must not be a
+                # guard bypass (opt-in conf still applies)
+                _guard_exact_all_pairs(
+                    spark, nodes, "betweenness.stream",
+                    f"samplingSize <= {_EXACT_ALL_PAIRS_NODE_BUDGET}",
+                )
             n_total = ids.count()
             n_eff = min(c["samplingSize"], n_total)
             sources = ids.orderBy(F.xxhash64("id"), "id").limit(c["samplingSize"])
@@ -2428,6 +2443,20 @@ def _gds_procedure(
         emb = nodes.select(
             F.col("id"), F.col(prop).cast("array<double>").alias("v")
         )
+        # the node-count guard was sized for O(n*distance-state) procedures;
+        # this one BROADCASTS n*d doubles, so wide embeddings blow the
+        # broadcast well under the node budget — bound the cells too
+        # (50M doubles ~ 400 MB).  Bounded probes: one first() for d, one
+        # count for n.
+        first = emb.select(F.size("v").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+        n_rows = emb.count()
+        if n_rows * max(dim, 1) > 50_000_000:
+            raise GdsScaleGuard(
+                f"gds.knn.stream broadcasts every vector ({n_rows} rows x "
+                f"{dim} dims > 50M cells); use the operators.similarity "
+                "ANN family (LSH/IVF) for collections this wide"
+            )
         q = emb.select(
             F.col("id").alias("qid"), F.col("v").alias("qv")
         )

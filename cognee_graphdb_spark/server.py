@@ -239,7 +239,13 @@ class _Handler(BaseHTTPRequestHandler):
             p = self._payload()
             if p.get("refresh"):
                 # incremental maintenance: only the changed K-hop ball
-                # recomputes (CogneeSpark.refresh_embeddings)
+                # recomputes (CogneeSpark.refresh_embeddings — fastrp only;
+                # a silently dropped method would mix producers)
+                if p.get("method", "fastrp") != "fastrp":
+                    raise ValueError(
+                        "refresh maintains fastrp embeddings; "
+                        f"method {p['method']!r} is not refreshable"
+                    )
                 n = eng.refresh_embeddings(
                     dim=int(p.get("dim", 16)), seed=int(p.get("seed", 3))
                 )

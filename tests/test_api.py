@@ -648,6 +648,28 @@ def test_refresh_communities_incremental_lifecycle(spark, tmp_path):
     with pytest.raises(ValueError, match="louvain"):
         e.communities(algorithm="lpa", refresh=True)
 
+    # isolated store nodes: the maintenance ledger only knows edge
+    # endpoints, but toggling refresh must never change the id SET — an
+    # isolated node stays a singleton (cold louvain's xxhash64 convention)
+    iso = e.spark.createDataFrame(
+        [("lonely-node", "lonely", "Entity")], "id string, name string, type string"
+    ).select(
+        "id", "name", "type",
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+        F.lit(e.dataset_id).alias("dataset_id"),
+    )
+    e.store.upsert_nodes(iso, created_by="test")
+    warm_ids = {r["id"]: r["label"] for r in e.communities(refresh=True).collect()}
+    cold_ids = {r["id"] for r in e.communities().collect()}
+    assert "lonely-node" in warm_ids and set(warm_ids) == cold_ids
+    import pyspark.sql.functions as SF
+    [h] = e.spark.createDataFrame([("lonely-node",)], "id string").select(
+        SF.xxhash64("id")
+    ).collect()
+    assert warm_ids["lonely-node"] == h[0]
+
 
 def test_snapshot_diff_tracks_graph_evolution(spark, tmp_path):
     """snapshot() pins versions; diff_since() shows what a later cognify
@@ -714,11 +736,14 @@ def test_graph_embedding_fastrp_method(spark, tmp_path):
 
 def test_refresh_embeddings_incremental_matches_cold(spark, tmp_path):
     """refresh_embeddings: the refresh_pagerank pattern on embeddings.
-    First call = full embed; unchanged graph = 0 work; after a graph
-    change the K-hop-ball recompute matches a cold full re-embed on every
-    row (FastRP has no global term, so locality is exact up to partial-agg
-    ulps); a node that loses every edge gets its row DROPPED; a dim change
-    forces a full re-embed."""
+    First call = full embed; unchanged graph = 0 work; after graph changes
+    the K-hop-ball recompute matches a COLD ENGINE's full embed row for
+    row (ids are content-addressed, so an independent store over the same
+    documents is a true cold reference — and it can't invalidate the warm
+    engine's refresh ledger the way an in-place re-embed would); a node
+    that loses every edge gets its row DROPPED; a dim change forces a full
+    re-embed; a full embed_graph invalidates the ledger so a later refresh
+    re-seeds instead of warm-patching over it (producer-mixing guard)."""
     e = CogneeSpark(spark, str(tmp_path / "refresh_emb_store"))
     e.add(ITEMS)
     assert e.cognify() == 3
@@ -727,37 +752,37 @@ def test_refresh_embeddings_incremental_matches_cold(spark, tmp_path):
     assert n0 > 0
     assert e.refresh_embeddings(dim=8) == 0  # unchanged graph
 
-    # grow the graph, refresh incrementally, then compare against cold
-    e.add([("delta.txt", "Databricks tunes Spark clusters for analytics.")])
-    assert e.cognify() == 1
-    n1 = e.refresh_embeddings(dim=8)
-    assert n1 > 0
+    DELTA = ("delta.txt", "Databricks tunes Spark clusters for analytics.")
 
-    def snapshot():
+    def snapshot(eng):
         return {
             r["id"]: list(r["vector"])
-            for r in e.store.load("embeddings")
+            for r in eng.store.load("embeddings")
             .filter(F.col("collection") == "Entity_graph")
             .collect()
         }
 
-    warm = snapshot()
-    assert e.embed_graph(dim=8, method="fastrp") == len(warm)  # cold re-embed
-    cold = snapshot()
-    assert set(warm) == set(cold)
-    for node_id, vec in cold.items():
-        assert warm[node_id] == pytest.approx(vec, abs=1e-5), node_id
+    def assert_matches_cold(eng, docs, store_name):
+        cold_eng = CogneeSpark(spark, str(tmp_path / store_name))
+        cold_eng.add(docs)
+        cold_eng.cognify()
+        cold_eng.embed_graph(dim=8, method="fastrp")
+        warm, cold = snapshot(eng), snapshot(cold_eng)
+        assert set(warm) == set(cold)
+        for node_id, vec in cold.items():
+            assert warm[node_id] == pytest.approx(vec, abs=1e-5), node_id
 
-    # deletion: remove a document -> nodes/edges cascade -> refresh stays
-    # consistent with cold (no cold-rebuild branch needed)
+    # grow the graph, refresh incrementally, compare against a cold engine
+    e.add([DELTA])
+    assert e.cognify() == 1
+    assert e.refresh_embeddings(dim=8) > 0
+    assert_matches_cold(e, ITEMS + [DELTA], "cold_grown")
+
+    # deletion: nodes/edges cascade away -> the warm ball recompute still
+    # matches cold (no cold-rebuild branch needed for removals)
     e.delete("delta.txt")
     assert e.refresh_embeddings(dim=8) >= 0
-    warm2 = snapshot()
-    e.embed_graph(dim=8, method="fastrp")
-    cold2 = snapshot()
-    assert set(warm2) == set(cold2)
-    for node_id, vec in cold2.items():
-        assert warm2[node_id] == pytest.approx(vec, abs=1e-5), node_id
+    assert_matches_cold(e, ITEMS, "cold_shrunk")
 
     # a node still in the graph but with no edges left must LOSE its row
     edges = e.store.load("edges")
@@ -767,11 +792,16 @@ def test_refresh_embeddings_incremental_matches_cold(spark, tmp_path):
         kept = edges.filter((F.col("src") != victim) & (F.col("dst") != victim))
         e.store._swap_write("edges", kept)
         e.refresh_embeddings(dim=8)
-        after = snapshot()
-        assert victim not in after
+        assert victim not in snapshot(e)
 
     # parameter change = full re-embed (ledgered params)
     n_dim = e.refresh_embeddings(dim=4)
-    assert n_dim == len(snapshot())
-    dims = {len(v) for v in snapshot().values()}
-    assert dims == {4}
+    assert n_dim == len(snapshot(e))
+    assert {len(v) for v in snapshot(e).values()} == {4}
+
+    # producer-mixing guard: a full sppmi embed invalidates the refresh
+    # ledger, so the next refresh re-seeds with a FULL fastrp embed (every
+    # row overwritten) instead of warm-patching a mixed collection
+    e.embed_graph(dim=4, method="sppmi")
+    n_reseed = e.refresh_embeddings(dim=4)
+    assert n_reseed == len(snapshot(e))  # full, not 0

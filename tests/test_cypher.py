@@ -2142,3 +2142,50 @@ def test_gds_mutate_chains_on_catalog_projection(spark, catalog_graph):
             )
     finally:
         rows(spark, catalog_graph, "CALL gds.graph.drop('mut')")
+
+
+def test_gds_review_fixes_guard_bypass_and_project_strictness(spark):
+    """Review fixes pinned: (1) betweenness samplingSize above the node
+    budget re-enters the all-pairs guard instead of bypassing it; (2) a
+    non-map relationship-projection value refuses instead of silently
+    projecting NATURAL; (3) knn's guard bounds broadcast cells (n*d), not
+    just rows."""
+    from cognee_graphdb_spark.plans.cypher import (
+        _EXACT_ALL_PAIRS_NODE_BUDGET,
+        GdsScaleGuard,
+    )
+
+    big_nodes = spark.range(_EXACT_ALL_PAIRS_NODE_BUDGET + 1).selectExpr(
+        "cast(id as string) AS id", "cast(id as string) AS name",
+        "'E' AS type", "cast(map() as map<string,string>) AS properties",
+    )
+    no_edges = spark.createDataFrame(
+        [], "src string, dst string, relationship_name string"
+    )
+    with pytest.raises(GdsScaleGuard, match="samplingSize"):
+        run_cypher(
+            spark, big_nodes, no_edges,
+            "CALL gds.betweenness.stream('g', "
+            f"{{samplingSize: {_EXACT_ALL_PAIRS_NODE_BUDGET * 2}}}) "
+            "YIELD nodeId, score RETURN nodeId, score;",
+        ).collect()
+    small = spark.createDataFrame(
+        [("a", "a", "E", {})],
+        "id string, name string, type string, properties map<string,string>",
+    )
+    with pytest.raises(CypherUnsupported, match="must be a"):
+        run_cypher(
+            spark, small, no_edges,
+            "CALL gds.graph.project('bad', '*', {KNOWS: 'UNDIRECTED'})",
+        )
+    # 30k nodes x 2048 dims > 50M cells: refused inside the node budget
+    wide = spark.range(30_000).selectExpr(
+        "cast(id as string) AS id", "cast(id as string) AS name",
+        "'E' AS type", "array_repeat(cast(1.0 as double), 2048) AS embedding",
+    )
+    with pytest.raises(GdsScaleGuard, match="cells"):
+        run_cypher(
+            spark, wide, no_edges,
+            "CALL gds.knn.stream('g') YIELD node1, node2, similarity "
+            "RETURN node1, node2, similarity;",
+        ).collect()

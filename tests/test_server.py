@@ -169,6 +169,16 @@ def test_embed_graph_and_similar_nodes_routes(srv):
         "dim": 8, "refresh": True,
     })
     assert status == 200 and body == {"embedded": 0, "refreshed": True}
+    # refresh maintains fastrp only: an explicit other method is a 400,
+    # never a silent producer mix
+    req = urllib.request.Request(
+        srv + "/api/v1/embed_graph", method="POST",
+        data=json.dumps({"method": "sppmi", "refresh": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
     # maintained analytics reach HTTP too
     status, rows = call(srv, "POST", "/api/v1/communities", {"algorithm": "louvain"})
     assert status == 200 and rows and {"id", "label"} <= set(rows[0])
