@@ -2044,6 +2044,11 @@ _CONFIGURABLE_PROCS = {
     "leiden.stream",
     "nodesimilarity.stream",
     "degree.stream",
+    "modularity.stream",
+    "scaleproperties.stream",
+    "spanningtree.stream",
+    "kspanningtree.stream",
+    "randomwalk.stream",
 }
 
 
@@ -2066,6 +2071,32 @@ def _conf(config: dict, proc: str, **allowed):
             raise CypherUnsupported(f"gds.{proc}: config {k} must be {names}")
         out[k] = v
     return out
+
+
+def _weighted_edge_view(edges: DataFrame, prop: str | None, proc: str) -> DataFrame:
+    """(src, dst, weight) for a procedure's relationshipWeightProperty config:
+    the named numeric edge property when given (refusing loudly when any
+    relationship lacks it — a silently unit-weighted edge would change the
+    asked-for semantics), else GDS's unweighted default (unit LONG weights,
+    so hop distances stay exact integers for the contract hash)."""
+    from pyspark.sql import functions as F
+
+    if prop is None:
+        return edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+    if "properties" not in edges.columns:
+        raise CypherUnsupported(
+            "relationshipWeightProperty needs the projection's edges "
+            "to carry a properties map"
+        )
+    e = edges.select(
+        "src", "dst",
+        F.element_at("properties", F.lit(prop)).cast("double").alias("weight"),
+    )
+    if e.filter(F.col("weight").isNull()).limit(1).count() > 0:
+        raise CypherUnsupported(
+            f"gds.{proc}: every relationship needs a numeric {prop!r} property"
+        )
+    return e
 
 
 def _gds_procedure(
@@ -2574,24 +2605,9 @@ def _gds_procedure(
                 f"gds.shortestPath.dijkstra.stream: sourceNode "
                 f"{c['sourceNode']!r} is not in the projection"
             )
-        prop = c["relationshipWeightProperty"]
-        if prop is not None:
-            if "properties" not in edges.columns:
-                raise CypherUnsupported(
-                    "relationshipWeightProperty needs the projection's edges "
-                    "to carry a properties map"
-                )
-            e = edges.select(
-                "src", "dst",
-                F.element_at("properties", F.lit(prop)).cast("double").alias("weight"),
-            )
-            if e.filter(F.col("weight").isNull()).limit(1).count() > 0:
-                raise CypherUnsupported(
-                    f"gds.shortestPath.dijkstra.stream: every relationship "
-                    f"needs a numeric {prop!r} property"
-                )
-        else:
-            e = edges.select("src", "dst", F.lit(1).cast("long").alias("weight"))
+        e = _weighted_edge_view(
+            edges, c["relationshipWeightProperty"], "shortestPath.dijkstra.stream"
+        )
         d = weighted_sssp(
             e, src, max_hops=64, directed=False, return_pred=True,
             on_truncation="raise",
@@ -2637,13 +2653,202 @@ def _gds_procedure(
             seed=c["randomSeed"],
         )
         return fe.select(F.col("id").alias("nodeId"), F.col("embedding"))
+    if key == "modularity.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import modularity
+
+        # gds.modularity streams per-community Newman modularity for a
+        # node-carried community assignment (the required communityProperty
+        # config key — GDS requires it too).  Composes with mutate mode:
+        # gds.louvain.mutate(...{mutateProperty:'community'}) then
+        # gds.modularity.stream reads the written column.  The exact
+        # decimal(38,0) contributions (graph_metrics.modularity) divide
+        # ONCE per row here, so the floats are reassociation-free.
+        c = _conf(config, "modularity.stream", communityProperty=((str,), None))
+        prop = c["communityProperty"]
+        if prop is None:
+            raise CypherUnsupported(
+                "gds.modularity.stream requires the communityProperty "
+                "config key (GDS requires it as well)"
+            )
+        if prop not in nodes.columns:
+            raise CypherUnsupported(
+                f"gds.modularity.stream needs the projection's nodes to "
+                f"carry a {prop!r} column (the GDS communityProperty); "
+                "join a communities() result on, mutate one in, or call "
+                "operators.graph_metrics.modularity directly"
+            )
+        labels = nodes.select("id", F.col(prop).alias("label"))
+        out = modularity(edges, labels)
+        s2 = F.col("s_total").cast("double") * F.col("s_total").cast("double")
+        return out.select(
+            F.col("label").alias("communityId"),
+            F.when(F.col("s_total") == 0, F.lit(0.0))
+            .otherwise(F.col("contrib_scaled").cast("double") / s2)
+            .alias("modularity"),
+        )
+    if key == "scaleproperties.stream":
+        from cognee_graphdb_spark.operators.scaling import SCALERS, scale_properties
+
+        # gds.scaleProperties — normalize node properties into one vector
+        # (the GDS feature-preparation step ahead of kmeans/knn/fastRP).
+        # nodeProperties is required (a list of property names, scaled in
+        # order); scaler defaults to GDS's MinMax; offset mirrors the log
+        # scaler's config.  One aggregate pass + a 1-row broadcast — the
+        # node table itself never shuffles (operators/scaling.py).
+        c = _conf(
+            config, "scaleProperties.stream",
+            nodeProperties=((list,), None),
+            scaler=((str,), "MinMax"),
+            offset=((int, float), 0.0),
+        )
+        props = c["nodeProperties"]
+        if not props or not all(isinstance(p, str) for p in props):
+            raise CypherUnsupported(
+                "gds.scaleProperties.stream requires the nodeProperties "
+                "config key (a non-empty list of node property names)"
+            )
+        missing = [p for p in props if p not in nodes.columns]
+        if missing:
+            raise CypherUnsupported(
+                f"gds.scaleProperties.stream: the projection's nodes lack "
+                f"property column(s) {missing}"
+            )
+        scaler = c["scaler"].lower()
+        if scaler not in SCALERS:
+            raise CypherUnsupported(
+                f"gds.scaleProperties.stream: unknown scaler {c['scaler']!r}; "
+                f"supported: {sorted(SCALERS)}"
+            )
+        sp = scale_properties(
+            nodes, props, scaler=scaler, log_offset=float(c["offset"])
+        )
+        return sp.select(
+            F.col("id").alias("nodeId"), F.col("scaled").alias("scaledProperty")
+        )
+    if key == "spanningtree.stream":
+        from cognee_graphdb_spark.operators.paths import weighted_sssp
+        from cognee_graphdb_spark.operators.spanning import minimum_spanning_forest
+
+        # gds.spanningTree from a sourceNode: the minimum-weight spanning
+        # tree of the source's connected component, streamed rooted (nodeId,
+        # parentId, weight — the GDS yield).  Computed Spark-first: the
+        # whole graph's Borůvka MSF (its restriction to any component IS
+        # that component's MST), then ONE unit-weight BFS over the |V|-c
+        # forest edges from the source assigns parents (forest ⇒ the
+        # predecessor is unique — no tie-break enters the result).  The
+        # source roots itself at weight 0.0, GDS's convention.
+        c = _conf(
+            config, "spanningTree.stream",
+            sourceNode=((str,), None),
+            relationshipWeightProperty=((str,), None),
+        )
+        if c["sourceNode"] is None:
+            raise CypherUnsupported(
+                "gds.spanningTree.stream requires the sourceNode config key "
+                "(a node id string)"
+            )
+        src = nodes.select("id").filter(F.col("id") == c["sourceNode"]).distinct()
+        if src.limit(1).count() == 0:  # bounded probe — GDS errors too
+            raise CypherUnsupported(
+                f"gds.spanningTree.stream: sourceNode {c['sourceNode']!r} "
+                "is not in the projection"
+            )
+        e = _weighted_edge_view(
+            edges, c["relationshipWeightProperty"], "spanningTree.stream"
+        )
+        forest = minimum_spanning_forest(e)
+        d = weighted_sssp(
+            forest.select("src", "dst", F.lit(1).cast("long").alias("weight")),
+            src, max_hops=64, directed=False, return_pred=True,
+            on_truncation="raise",
+        )
+        fw = forest.select(
+            F.col("src").alias("pred"), F.col("dst").alias("node"), "weight"
+        ).unionByName(
+            forest.select(
+                F.col("dst").alias("pred"), F.col("src").alias("node"), "weight"
+            )
+        )
+        rooted = (
+            d.filter(F.col("pred").isNotNull())
+            .join(fw, ["pred", "node"])
+            .select(
+                F.col("node").alias("nodeId"),
+                F.col("pred").alias("parentId"),
+                F.col("weight").cast("double").alias("weight"),
+            )
+        )
+        root = d.filter(F.col("pred").isNull()).select(
+            F.col("node").alias("nodeId"),
+            F.col("node").alias("parentId"),
+            F.lit(0.0).alias("weight"),
+        )
+        return rooted.unionByName(root)
+    if key == "kspanningtree.stream":
+        from cognee_graphdb_spark.operators.spanning import k_spanning_clusters
+
+        # gds.kSpanningTree — single-linkage clustering: cut the MSF's
+        # max(0, k-c) heaviest edges (operators/spanning.py).  communityId
+        # is each tree's smallest member id, the same representative
+        # convention as the wcc/scc streams on this surface.
+        c = _conf(
+            config, "kSpanningTree.stream",
+            k=((int,), None),
+            relationshipWeightProperty=((str,), None),
+        )
+        if c["k"] is None or c["k"] < 1:
+            raise CypherUnsupported(
+                "gds.kSpanningTree.stream requires the k config key "
+                "(a positive integer cluster count)"
+            )
+        e = _weighted_edge_view(
+            edges, c["relationshipWeightProperty"], "kSpanningTree.stream"
+        )
+        ks = k_spanning_clusters(e, k=c["k"])
+        return ks.select(
+            F.col("id").alias("nodeId"), F.col("cluster").alias("communityId")
+        )
+    if key == "randomwalk.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+        # gds.randomWalk — node2vec's sampling stage as its own procedure.
+        # GDS defaults: walkLength 80 (nodes per walk), walksPerNode 10.
+        # The "random" choice is the seeded-hash pick of
+        # graph_metrics.random_walks — reproducible under randomSeed, the
+        # property an exactly-restartable corpus build needs and GDS's RNG
+        # cannot give.  Yields nodeIds (the walk's nodes in step order),
+        # GDS's yield column; walks start at every relationship-incident
+        # node (an isolated node has no step to take).
+        c = _conf(
+            config, "randomWalk.stream",
+            walkLength=((int,), 80),
+            walksPerNode=((int,), 10),
+            randomSeed=((int,), 0),
+        )
+        if c["walkLength"] < 2 or c["walksPerNode"] < 1:
+            raise CypherUnsupported(
+                "gds.randomWalk.stream: walkLength must be >= 2 nodes and "
+                "walksPerNode >= 1"
+            )
+        w = random_walks(
+            edges,
+            walk_length=c["walkLength"] - 1,  # GDS counts nodes, ours steps
+            num_walks=c["walksPerNode"],
+            seed=c["randomSeed"],
+        )
+        return (
+            w.groupBy("start", "walk")
+            .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("s"))
+            .select(F.transform("s", lambda x: x["node"]).alias("nodeIds"))
+        )
     raise CypherUnsupported(
         f"unsupported gds procedure gds.{proc} "
         "(wcc, allShortestPaths, localClusteringCoefficient, pageRank, "
         "eigenvector, articleRank, louvain, leiden, labelPropagation, scc, "
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
         "closeness.harmonic, betweenness, kmeans, knn, conductance, "
-        "dag.topologicalSort, fastRP, shortestPath.dijkstra)"
+        "dag.topologicalSort, fastRP, shortestPath.dijkstra, modularity, "
+        "scaleProperties, spanningTree, kSpanningTree, randomWalk)"
     )
 
 

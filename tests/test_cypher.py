@@ -2189,3 +2189,191 @@ def test_gds_review_fixes_guard_bypass_and_project_strictness(spark):
             "CALL gds.knn.stream('g') YIELD node1, node2, similarity "
             "RETURN node1, node2, similarity;",
         ).collect()
+
+
+def test_gds_scale_properties_stream(spark):
+    """gds.scaleProperties.stream (operators/scaling.py): MinMax and
+    StdScore over two numeric node properties, concatenated in config
+    order; unknown scaler / missing property / missing config key refuse
+    loudly naming the requirement."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 20.0), ("c", 10.0, 30.0)],
+        "id string, score double, size double",
+    )
+    no_edges = spark.createDataFrame(
+        [], "src string, dst string, relationship_name string"
+    )
+    got = rows(spark, (nodes, no_edges), """
+    CALL gds.scaleProperties.stream('g', {nodeProperties: ['score', 'size'],
+        scaler: 'MinMax'})
+    YIELD nodeId, scaledProperty RETURN nodeId, scaledProperty;
+    """)
+    assert sorted((r["nodeId"], tuple(r["scaledProperty"])) for r in got) == [
+        ("a", (0.0, 0.0)), ("b", (0.5, 0.5)), ("c", (1.0, 1.0)),
+    ]
+    # stdScore: population stddev of (0, 5, 10) around mean 5
+    sd = (50.0 / 3.0) ** 0.5
+    got = rows(spark, (nodes, no_edges), """
+    CALL gds.scaleProperties.stream('g', {nodeProperties: ['score'],
+        scaler: 'StdScore'})
+    YIELD nodeId, scaledProperty RETURN nodeId, scaledProperty;
+    """)
+    assert sorted(
+        (r["nodeId"], round(r["scaledProperty"][0], 9)) for r in got
+    ) == [("a", round(-5.0 / sd, 9)), ("b", 0.0), ("c", round(5.0 / sd, 9))]
+    with pytest.raises(CypherUnsupported, match="unknown scaler"):
+        rows(spark, (nodes, no_edges), """
+        CALL gds.scaleProperties.stream('g', {nodeProperties: ['score'],
+            scaler: 'Bogus'})
+        YIELD nodeId, scaledProperty RETURN nodeId, scaledProperty;
+        """)
+    with pytest.raises(CypherUnsupported, match="lack property"):
+        rows(spark, (nodes, no_edges), """
+        CALL gds.scaleProperties.stream('g', {nodeProperties: ['missing']})
+        YIELD nodeId, scaledProperty RETURN nodeId, scaledProperty;
+        """)
+    with pytest.raises(CypherUnsupported, match="nodeProperties"):
+        rows(spark, (nodes, no_edges), """
+        CALL gds.scaleProperties.stream('g') YIELD nodeId, scaledProperty
+        RETURN nodeId, scaledProperty;
+        """)
+
+
+def test_gds_modularity_stream(spark):
+    """gds.modularity.stream over a node-carried community property: the
+    two-triangles-bridge fixture has Q contribution 35/196 per triangle
+    (S = 14 ordered pairs, 6 within each, degree 7 each: 14*6 - 49 = 35);
+    values match the exact-integer operator divided once."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2)],
+        "id string, community long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("a", "c", "r"),
+         ("x", "y", "r"), ("y", "z", "r"), ("x", "z", "r"), ("c", "x", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    got = rows(spark, (nodes, edges), """
+    CALL gds.modularity.stream('g', {communityProperty: 'community'})
+    YIELD communityId, modularity
+    RETURN communityId, modularity ORDER BY communityId;
+    """)
+    assert [(r["communityId"], round(r["modularity"], 9)) for r in got] == [
+        (1, round(35 / 196, 9)), (2, round(35 / 196, 9)),
+    ]
+    with pytest.raises(CypherUnsupported, match="communityProperty"):
+        rows(spark, (nodes, edges), """
+        CALL gds.modularity.stream('g') YIELD communityId, modularity
+        RETURN communityId, modularity;
+        """)
+    bare = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(CypherUnsupported, match="carry a 'community'"):
+        rows(spark, (bare, edges), """
+        CALL gds.modularity.stream('g', {communityProperty: 'community'})
+        YIELD communityId, modularity RETURN communityId, modularity;
+        """)
+
+
+def test_gds_spanning_tree_stream(spark):
+    """gds.spanningTree.stream: the MST of the SOURCE's component, rooted at
+    sourceNode (nodeId, parentId, weight) — the heavier a-c edge is skipped,
+    the disconnected e-f component never streams, the source roots itself at
+    0.0, and a missing sourceNode refuses."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in "abcdef"], "id string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "1"), ("a", "c", "5"), ("b", "c", "2"), ("c", "d", "1"),
+         ("e", "f", "1")],
+        "src string, dst string, w string",
+    ).selectExpr(
+        "src", "dst", "'r' AS relationship_name", "map('w', w) AS properties"
+    )
+    got = rows(spark, (nodes, edges), """
+    CALL gds.spanningTree.stream('g', {sourceNode: 'a',
+        relationshipWeightProperty: 'w'})
+    YIELD nodeId, parentId, weight
+    RETURN nodeId, parentId, weight ORDER BY nodeId;
+    """)
+    assert [(r["nodeId"], r["parentId"], r["weight"]) for r in got] == [
+        ("a", "a", 0.0), ("b", "a", 1.0), ("c", "b", 2.0), ("d", "c", 1.0),
+    ]
+    with pytest.raises(CypherUnsupported, match="sourceNode"):
+        rows(spark, (nodes, edges), """
+        CALL gds.spanningTree.stream('g') YIELD nodeId, parentId, weight
+        RETURN nodeId, parentId, weight;
+        """)
+    with pytest.raises(CypherUnsupported, match="not in the projection"):
+        rows(spark, (nodes, edges), """
+        CALL gds.spanningTree.stream('g', {sourceNode: 'zz'})
+        YIELD nodeId, parentId, weight RETURN nodeId, parentId, weight;
+        """)
+
+
+def test_gds_k_spanning_tree_stream(spark):
+    """gds.kSpanningTree.stream: cutting the heaviest MSF edge of the
+    weighted path a-b(1), b-c(10), c-d(1) at k=2 leaves single-linkage
+    clusters {a,b} and {c,d}, labeled by smallest member; k is required."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame([(i,) for i in "abcd"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "1"), ("b", "c", "10"), ("c", "d", "1")],
+        "src string, dst string, w string",
+    ).selectExpr(
+        "src", "dst", "'r' AS relationship_name", "map('w', w) AS properties"
+    )
+    got = rows(spark, (nodes, edges), """
+    CALL gds.kSpanningTree.stream('g', {k: 2, relationshipWeightProperty: 'w'})
+    YIELD nodeId, communityId RETURN nodeId, communityId ORDER BY nodeId;
+    """)
+    assert [(r["nodeId"], r["communityId"]) for r in got] == [
+        ("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"),
+    ]
+    with pytest.raises(CypherUnsupported, match="k config key"):
+        rows(spark, (nodes, edges), """
+        CALL gds.kSpanningTree.stream('g') YIELD nodeId, communityId
+        RETURN nodeId, communityId;
+        """)
+
+
+def test_gds_random_walk_stream(spark):
+    """gds.randomWalk.stream: walkLength counts NODES (GDS convention —
+    operator steps + 1), every walk matches the random_walks operator's
+    step-ordered trace under the same seed, and equal seeds reproduce
+    bit-identically (the restartable-corpus property)."""
+    from cognee_graphdb_spark.operators.graph_metrics import random_walks
+
+    nodes = spark.createDataFrame([(i,) for i in "abcd"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "d", "r"), ("d", "a", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    q = """
+    CALL gds.randomWalk.stream('g', {walkLength: 4, walksPerNode: 2,
+        randomSeed: 11})
+    YIELD nodeIds RETURN nodeIds;
+    """
+    got = sorted(tuple(r["nodeIds"]) for r in rows(spark, (nodes, edges), q))
+    assert len(got) == 8 and all(len(w) == 4 for w in got)
+    again = sorted(tuple(r["nodeIds"]) for r in rows(spark, (nodes, edges), q))
+    assert got == again
+    w = random_walks(edges, walk_length=3, num_walks=2, seed=11)
+    expect = sorted(
+        tuple(n for _, n in sorted((r["step"], r["node"]) for r in grp))
+        for grp in _group_walks(w.collect())
+    )
+    assert got == expect
+
+
+def _group_walks(rows_):
+    by_key = {}
+    for r in rows_:
+        by_key.setdefault((r["start"], r["walk"]), []).append(r)
+    return by_key.values()
