@@ -1780,6 +1780,98 @@ def _q_cypher_gds_mutate_chain(spark, sf_dir):
     )
 
 
+def _q_cypher_gds_scale_properties(spark, sf_dir):
+    """CALL gds.scaleProperties.stream (plans/cypher.py route over
+    operators/scaling.py, r12: the GDS feature-preparation step ahead of
+    kmeans/knn/fastRP — reference family neo4j_driver/adapter.py:1100-1197's
+    projected-graph ML surface): MinMax-normalize two part properties into
+    one vector through the CALL surface.  ONE aggregate pass collapses to a
+    1-row broadcast — the node table never shuffles.  The oracle restates
+    (x - min) / (max - min) with DuckDB MIN/MAX (order-free statistics, so
+    no float reassociation crosses the hash); both sides ppm-quantize per
+    (id, j)."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    part = _t(spark, sf_dir, "part")
+    nodes = part.select(
+        F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    no_edges = spark.createDataFrame(
+        [], "src string, dst string, relationship_name string"
+    )
+    out = run_cypher(
+        spark, nodes, no_edges,
+        "CALL gds.scaleProperties.stream('g', "
+        "{nodeProperties: ['price', 'size'], scaler: 'MinMax'}) "
+        "YIELD nodeId, scaledProperty RETURN nodeId, scaledProperty;",
+    )
+    return out.select(
+        F.col("nodeId").alias("id"),
+        F.posexplode("scaledProperty").alias("j", "v"),
+    ).select(
+        "id", "j", F.round(F.col("v") * 1000000.0).cast("long").alias("scaled_ppm")
+    )
+
+
+def _q_cypher_gds_modularity(spark, sf_dir):
+    """CALL gds.modularity.stream (plans/cypher.py route, r12): per-community
+    Newman modularity for a node-carried 'community' property — the quality
+    metric beside gds.conductance on the reference's GDS metric family
+    (neo4j_metrics_utils.py), composable with mutate mode.  Same
+    key-%-3 labeling as cypher_gds_conductance, so the oracle recomputes the
+    exact BIGINT ordered-pair counts and the operator's single double
+    division (S·S_c − d_c²) / S² — one division, ppm-rounded."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    labeled = nodes.select(
+        "id",
+        (F.split(F.col("id"), ":").getItem(1).cast("long") % 3).alias("community"),
+    )
+    out = run_cypher(
+        spark, labeled, edges,
+        "CALL gds.modularity.stream('g', {communityProperty: 'community'}) "
+        "YIELD communityId, modularity RETURN communityId, modularity;",
+    )
+    return out.select(
+        F.col("communityId").alias("community"),
+        F.round(F.col("modularity") * 1000000.0).cast("long").alias("modularity_ppm"),
+    )
+
+
+def _q_cypher_gds_spanning(spark, sf_dir):
+    """CALL gds.spanningTree.stream (plans/cypher.py route, r12: Borůvka MSF
+    restricted to the source's component + ONE unit-weight BFS to root it —
+    operators/spanning.py:minimum_spanning_forest ∘ paths.py:weighted_sssp)
+    from region:0 over the UNDIRECTED nation-family FK forest with GDS's
+    unweighted default.  The FK subgraph IS a forest, so the MST is the
+    region-0 tree itself and every parent is structurally forced: nations
+    parent to region:0, customers/suppliers to their nation — closed-form
+    for the oracle while the route runs MSF + rooted BFS for real.  Unit
+    weights stay exact integers across the hash."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    _, edges = tpch_graph(spark, sf_dir)
+    fk = edges.filter(
+        F.col("relationship_name").isin("c_nationkey", "s_nationkey", "n_regionkey")
+    )
+    ids = (
+        fk.select(F.col("src").alias("id"))
+        .unionByName(fk.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = run_cypher(
+        spark, ids, fk,
+        "CALL gds.spanningTree.stream('g', {sourceNode: 'region:0'}) "
+        "YIELD nodeId, parentId, weight RETURN nodeId, parentId, weight;",
+    )
+    return out.select(
+        "nodeId", "parentId", F.col("weight").cast("long").alias("weight")
+    )
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3744,12 +3836,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the eight r12-new rows at the END of this dict (a2_kmeans,
+        #   (c) the eleven r12-new rows at the END of this dict (a2_kmeans,
         #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
         #       a2_fastrp, cypher_gds_dijkstra, cypher_gds_catalog,
-        #       cypher_gds_mutate_chain), then oldest-first.
-        #   That is 21 + 10 + ~10 + 8 = ~49 — fits one 50-slot window;
-        #   the arithmetic closes.
+        #       cypher_gds_mutate_chain, and the r12c CALL-surface rows
+        #       cypher_gds_scale_properties, cypher_gds_modularity,
+        #       cypher_gds_spanning), then oldest-first.
+        #   Exact count: 21 (a) + 16 (b: six r10 td_*, dedup_minhash_lsh +
+        #   three r11 dedup rows, six r11 cypher_gds_*) + 11 (c) = 48 —
+        #   fits one 50-slot window with 2 oldest-first fillers; the
+        #   arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
         "td_source_report": _q_td_source_report,
@@ -3898,6 +3994,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection, conductance.stream reads it — closed-form all-zero
         # oracle (components have no boundary)
         "cypher_gds_mutate_chain": _q_cypher_gds_mutate_chain,
+        # r12c CALL-surface additions (routes + operator proven in one row
+        # each): gds.scaleProperties (operators/scaling.py — MinMax through
+        # the CALL surface, order-free MIN/MAX statistics), gds.modularity
+        # (the a2_modularity integer arithmetic reached through CALL), and
+        # gds.spanningTree (Borůvka MSF + rooted BFS; FK forest makes every
+        # parent structurally forced)
+        "cypher_gds_scale_properties": _q_cypher_gds_scale_properties,
+        "cypher_gds_modularity": _q_cypher_gds_modularity,
+        "cypher_gds_spanning": _q_cypher_gds_spanning,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6260,6 +6365,75 @@ SELECT community,
                    / greatest(CAST(internal + boundary AS DOUBLE), 1.0)) * 1000000.0)
             AS BIGINT) AS conductance_ppm
 FROM per"""
+
+    # --- cypher gds.modularity.stream: same key-%-3 labeling as the
+    # conductance oracle; exact BIGINT/HUGEINT pair counts, the operator's
+    # single double division (S*S_c - d_c^2)/S^2, ppm-rounded ---------------
+    sql["cypher_gds_modularity"] = """
+WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+nodes AS (
+  SELECT 'nation:' || CAST(k AS VARCHAR) AS id, k % 3 AS community FROM nat
+  UNION
+  SELECT DISTINCT 'region:' || CAST(r AS VARCHAR), r % 3 FROM nat
+),
+pairs AS (SELECT 'nation:' || CAST(k AS VARCHAR) AS a, 'region:' || CAST(r AS VARCHAR) AS b FROM nat),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+tagged AS (
+  SELECT na.community AS ca, nb.community AS cb
+  FROM sym s JOIN nodes na ON s.a = na.id JOIN nodes nb ON s.b = nb.id
+),
+tot AS (SELECT COUNT(*) AS s FROM tagged),
+per AS (
+  SELECT ca AS community,
+         SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS w,
+         COUNT(*) AS d
+  FROM tagged GROUP BY ca
+),
+allc AS (SELECT DISTINCT community FROM nodes)
+SELECT a.community,
+       CAST(round((CAST(t.s * COALESCE(p.w, 0) - COALESCE(p.d, 0) * COALESCE(p.d, 0) AS DOUBLE)
+                   / (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))) * 1000000.0)
+            AS BIGINT) AS modularity_ppm
+FROM allc a LEFT JOIN per p ON a.community = p.community CROSS JOIN tot t"""
+
+    # --- cypher gds.scaleProperties.stream: MinMax over two part columns;
+    # MIN/MAX are order-free statistics, the per-row arithmetic is the
+    # operator's exact operand order (x - min) / (max - min), ppm-rounded --
+    sql["cypher_gds_scale_properties"] = """
+WITH p AS (
+  SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS id,
+         CAST(p_retailprice AS DOUBLE) AS price,
+         CAST(p_size AS DOUBLE) AS size
+  FROM part
+),
+s AS (SELECT MIN(price) AS mnp, MAX(price) AS mxp,
+             MIN(size) AS mns, MAX(size) AS mxs FROM p)
+SELECT id, j, CAST(round(v * 1000000.0) AS BIGINT) AS scaled_ppm FROM (
+  SELECT id, 0 AS j,
+         CASE WHEN mxp - mnp = 0 THEN 0.0 ELSE (price - mnp) / (mxp - mnp) END AS v
+  FROM p CROSS JOIN s
+  UNION ALL
+  SELECT id, 1,
+         CASE WHEN mxs - mns = 0 THEN 0.0 ELSE (size - mns) / (mxs - mns) END
+  FROM p CROSS JOIN s
+) q"""
+
+    # --- cypher gds.spanningTree.stream: the FK subgraph is a forest, so
+    # region:0's MST is its tree and every parent is structurally forced —
+    # nations parent to region:0, customers/suppliers to their nation ------
+    sql["cypher_gds_spanning"] = """
+WITH nat0 AS (SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0)
+SELECT 'region:0' AS nodeId, 'region:0' AS parentId, CAST(0 AS BIGINT) AS weight
+UNION ALL
+SELECT 'nation:' || CAST(k AS VARCHAR), 'region:0', CAST(1 AS BIGINT) FROM nat0
+UNION ALL
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+       'nation:' || CAST(c_nationkey AS VARCHAR), CAST(1 AS BIGINT)
+FROM customer WHERE c_nationkey IN (SELECT k FROM nat0)
+UNION ALL
+SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+       'nation:' || CAST(s_nationkey AS VARCHAR), CAST(1 AS BIGINT)
+FROM supplier WHERE s_nationkey IN (SELECT k FROM nat0)"""
 
     # --- a2 scc: the structural answer to the hub-star construction
     # (graph_metrics.py:strongly_connected_components runs the general
