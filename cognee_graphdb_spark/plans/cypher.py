@@ -2045,6 +2045,8 @@ _CONFIGURABLE_PROCS = {
     "nodesimilarity.stream",
     "degree.stream",
     "modularity.stream",
+    "modularity.stats",
+    "node2vec.stream",
     "scaleproperties.stream",
     "spanningtree.stream",
     "kspanningtree.stream",
@@ -2686,6 +2688,100 @@ def _gds_procedure(
             .otherwise(F.col("contrib_scaled").cast("double") / s2)
             .alias("modularity"),
         )
+    if key == "modularity.stats":
+        from cognee_graphdb_spark.operators.graph_metrics import modularity
+
+        # the whole-clustering scalar: sum the exact integer contributions
+        # across communities, divide ONCE (gds.modularity's stats mode —
+        # the number a quality gate compares two clusterings with)
+        c = _conf(config, "modularity.stats", communityProperty=((str,), None))
+        prop = c["communityProperty"]
+        if prop is None or prop not in nodes.columns:
+            raise CypherUnsupported(
+                "gds.modularity.stats requires the communityProperty config "
+                "key naming a column the projection's nodes carry"
+            )
+        out = modularity(edges, nodes.select("id", F.col(prop).alias("label")))
+        stats = out.agg(
+            F.count(F.lit(1)).alias("communityCount"),
+            F.sum("contrib_scaled").alias("num"),
+            F.first("s_total").alias("s"),
+        )
+        return stats.select(
+            "communityCount",
+            F.when(
+                F.col("s").isNull() | (F.col("s") == 0), F.lit(0.0)
+            ).otherwise(
+                F.col("num").cast("double")
+                / (F.col("s").cast("double") * F.col("s").cast("double"))
+            ).alias("modularity"),
+        )
+    if key == "node2vec.stream":
+        from cognee_graphdb_spark.operators.graph_metrics import (
+            node2vec_walks,
+            walk_skipgram_pairs,
+        )
+        from cognee_graphdb_spark.operators.node_embeddings import (
+            sppmi_node_embeddings,
+        )
+
+        # gds.node2vec (Grover & Leskovec KDD'16), Spark-first: biased walks
+        # -> skip-gram pairs -> SPPMI-SVD factorization.  Levy & Goldberg
+        # 2014 prove skip-gram-with-negative-sampling implicitly factorizes
+        # the PMI matrix shifted by log(#negatives), so the closed-form
+        # factorization with shift = negativeSamplingRate IS the
+        # deterministic equivalent of GDS's SGD training — reproducible
+        # under randomSeed, which GDS's concurrent SGD explicitly is not.
+        # GDS config names map 1:1: returnFactor = p, inOutFactor = q.
+        c = _conf(
+            config, "node2vec.stream",
+            embeddingDimension=((int,), 128),
+            walkLength=((int,), 80),
+            walksPerNode=((int,), 10),
+            returnFactor=((int, float), 1.0),
+            inOutFactor=((int, float), 1.0),
+            windowSize=((int,), 10),
+            negativeSamplingRate=((int,), 5),
+            randomSeed=((int,), 0),
+        )
+        if c["embeddingDimension"] < 1 or c["walkLength"] < 2:
+            raise CypherUnsupported(
+                "gds.node2vec.stream: embeddingDimension must be >= 1 and "
+                "walkLength >= 2 nodes"
+            )
+        n_nodes = nodes.select("id").distinct().count()
+        if c["embeddingDimension"] > n_nodes:
+            raise CypherUnsupported(
+                f"gds.node2vec.stream: embeddingDimension "
+                f"{c['embeddingDimension']} exceeds the projection's "
+                f"{n_nodes} nodes (the factorization rank cannot); pass a "
+                "smaller embeddingDimension"
+            )
+        walks = node2vec_walks(
+            edges,
+            walk_length=c["walkLength"] - 1,  # GDS counts nodes, ours steps
+            num_walks=c["walksPerNode"],
+            p=float(c["returnFactor"]),
+            q=float(c["inOutFactor"]),
+            seed=c["randomSeed"],
+        )
+        emb = sppmi_node_embeddings(
+            walk_skipgram_pairs(walks, window=c["windowSize"]),
+            dim=c["embeddingDimension"],
+            shift=c["negativeSamplingRate"],
+            seed=c["randomSeed"],
+        )
+        if emb.limit(1).count() == 0:
+            # SPPMI = max(0, PMI - log k): on a small/diffuse corpus the
+            # default k = 5 can zero EVERY cell, leaving nothing to
+            # factorize — name the knob instead of streaming zero rows
+            raise CypherUnsupported(
+                "gds.node2vec.stream: the SPPMI matrix is empty at "
+                f"negativeSamplingRate {c['negativeSamplingRate']} (no "
+                "co-occurrence clears the log-k shift on this corpus); "
+                "lower negativeSamplingRate or raise walksPerNode/walkLength"
+            )
+        return emb.select(F.col("id").alias("nodeId"), F.col("embedding"))
     if key == "scaleproperties.stream":
         from cognee_graphdb_spark.operators.scaling import SCALERS, scale_properties
 
@@ -2848,7 +2944,7 @@ def _gds_procedure(
         "hits, degree, kcore, triangleCount, nodeSimilarity, closeness, "
         "closeness.harmonic, betweenness, kmeans, knn, conductance, "
         "dag.topologicalSort, fastRP, shortestPath.dijkstra, modularity, "
-        "scaleProperties, spanningTree, kSpanningTree, randomWalk)"
+        "scaleProperties, spanningTree, kSpanningTree, randomWalk, node2vec)"
     )
 
 

@@ -2377,3 +2377,85 @@ def _group_walks(rows_):
     for r in rows_:
         by_key.setdefault((r["start"], r["walk"]), []).append(r)
     return by_key.values()
+
+
+def test_gds_modularity_stats_and_mutate_composition(spark):
+    """The GDS chaining workflow ending in a quality score: project ->
+    louvain.mutate writes 'community' into the cached projection ->
+    modularity.stream reads it per-community and modularity.stats sums the
+    exact contributions once.  On two triangles + bridge, louvain finds the
+    triangles, so Q = 2 * 35/196 total (test_gds_modularity_stream's
+    arithmetic)."""
+    from cognee_graphdb_spark.plans.cypher import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(i, i, "E") for i in "abcxyz"], "id string, name string, type string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("a", "c", "r"),
+         ("x", "y", "r"), ("y", "z", "r"), ("x", "z", "r"), ("c", "x", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    name = "mod_chain_test"
+    run_cypher(spark, nodes, edges, f"CALL gds.graph.drop('{name}', false)").collect()
+    run_cypher(spark, nodes, edges, f"CALL gds.graph.project('{name}', '*', '*')").collect()
+    try:
+        run_cypher(
+            spark, nodes, edges,
+            f"CALL gds.louvain.mutate('{name}', {{mutateProperty: 'community'}}) "
+            "YIELD nodePropertiesWritten RETURN nodePropertiesWritten;",
+        ).collect()
+        per = run_cypher(
+            spark, nodes, edges,
+            f"CALL gds.modularity.stream('{name}', "
+            "{communityProperty: 'community'}) "
+            "YIELD communityId, modularity RETURN communityId, modularity;",
+        ).collect()
+        assert sorted(round(r["modularity"], 9) for r in per) == [
+            round(35 / 196, 9)] * 2
+        [tot] = run_cypher(
+            spark, nodes, edges,
+            f"CALL gds.modularity.stats('{name}', "
+            "{communityProperty: 'community'}) "
+            "YIELD communityCount, modularity RETURN communityCount, modularity;",
+        ).collect()
+        assert tot["communityCount"] == 2
+        assert round(tot["modularity"], 9) == round(70 / 196, 9)
+    finally:
+        run_cypher(spark, nodes, edges, f"CALL gds.graph.drop('{name}')").collect()
+
+
+def test_gds_node2vec_stream(spark):
+    """gds.node2vec.stream: biased walks -> skip-gram pairs -> SPPMI-SVD
+    (the deterministic SGNS factorization, shift = negativeSamplingRate).
+    Shape and seed-reproducibility are the contract here (factor values are
+    float-tolerance work pinned in test_node_embeddings); an
+    embeddingDimension above the node count refuses naming the bound."""
+    import pytest as _pytest
+
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame([(i,) for i in "abcdef"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "d", "r"), ("d", "e", "r"),
+         ("e", "f", "r"), ("f", "a", "r"), ("a", "c", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    q = """
+    CALL gds.node2vec.stream('g', {embeddingDimension: 2, walkLength: 4,
+        walksPerNode: 2, returnFactor: 2.0, inOutFactor: 0.5, windowSize: 2,
+        negativeSamplingRate: 1, randomSeed: 5})
+    YIELD nodeId, embedding RETURN nodeId, embedding;
+    """
+    got = {r["nodeId"]: tuple(r["embedding"]) for r in rows(spark, (nodes, edges), q)}
+    assert set(got) == set("abcdef")
+    assert all(len(v) == 2 for v in got.values())
+    again = {r["nodeId"]: tuple(r["embedding"]) for r in rows(spark, (nodes, edges), q)}
+    assert {k: tuple(round(x, 7) for x in v) for k, v in got.items()} == {
+        k: tuple(round(x, 7) for x in v) for k, v in again.items()
+    }
+    with _pytest.raises(CypherUnsupported, match="exceeds the projection's"):
+        rows(spark, (nodes, edges), """
+        CALL gds.node2vec.stream('g', {embeddingDimension: 64})
+        YIELD nodeId, embedding RETURN nodeId, embedding;
+        """)
