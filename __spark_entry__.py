@@ -1872,6 +1872,21 @@ def _q_cypher_gds_spanning(spark, sf_dir):
     )
 
 
+def _q_td_bpe_pairs(spark, sf_dir):
+    """BPE vocabulary training's argmax stream (operators/bpe.py:
+    pair_candidates — Sennrich et al. 2016 subword tokenization; the
+    training-data pipeline's learned-tokenizer stage beside the BPE-ish
+    counter of text_analysis.py): top-20 first-round merge candidates over
+    the documents corpus.  Training never iterates the corpus — ONE pass to
+    the distinct-word frequency table, then pair counts over the vocab
+    only; everything here is exact integer counting under the deterministic
+    (cnt desc, left, right) total order, so the oracle restates it with
+    DuckDB's regexp/string_split/list_zip verbatim."""
+    from cognee_graphdb_spark.operators.bpe import pair_candidates
+
+    return pair_candidates(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 def _q_td_curate_clustered(spark, sf_dir):
     """Composed curation with topic-island balancing (r11 VERDICT #9
     stretch — the r9 td_curate_corpus discipline applied to the r11
@@ -3836,15 +3851,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       rule) -> the six r10 td_* rows; dedup.py -> dedup_minhash_lsh
         #       (r10) and the three r11 dedup rows; plans/cypher.py (kmeans
         #       route appended) -> the six r11 cypher_gds_* rows.
-        #   (c) the eleven r12-new rows at the END of this dict (a2_kmeans,
+        #   (c) the twelve r12-new rows at the END of this dict (a2_kmeans,
         #       td_curate_clustered, cypher_gds_knn, cypher_gds_conductance,
         #       a2_fastrp, cypher_gds_dijkstra, cypher_gds_catalog,
-        #       cypher_gds_mutate_chain, and the r12c CALL-surface rows
+        #       cypher_gds_mutate_chain, the r12c CALL-surface rows
         #       cypher_gds_scale_properties, cypher_gds_modularity,
-        #       cypher_gds_spanning), then oldest-first.
+        #       cypher_gds_spanning, and td_bpe_pairs), then oldest-first.
         #   Exact count: 21 (a) + 16 (b: six r10 td_*, dedup_minhash_lsh +
-        #   three r11 dedup rows, six r11 cypher_gds_*) + 11 (c) = 48 —
-        #   fits one 50-slot window with 2 oldest-first fillers; the
+        #   three r11 dedup rows, six r11 cypher_gds_*) + 12 (c) = 49 —
+        #   fits one 50-slot window with 1 oldest-first filler; the
         #   arithmetic closes.
         "skew_report": _q_skew_report,
         "td_mixture_plan": _q_td_mixture_plan,
@@ -4003,6 +4018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_gds_scale_properties": _q_cypher_gds_scale_properties,
         "cypher_gds_modularity": _q_cypher_gds_modularity,
         "cypher_gds_spanning": _q_cypher_gds_spanning,
+        # BPE vocabulary training (operators/bpe.py): the first-round merge
+        # argmax stream, exact integer counts
+        "td_bpe_pairs": _q_td_bpe_pairs,
     }
     return {name: _with_shipping(fn) for name, fn in raw.items()}
 
@@ -6434,6 +6452,31 @@ UNION ALL
 SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
        'nation:' || CAST(s_nationkey AS VARCHAR), CAST(1 AS BIGINT)
 FROM supplier WHERE s_nationkey IN (SELECT k FROM nat0)"""
+
+    # --- td bpe pairs: first-round merge candidates (operators/bpe.py) —
+    # word frequencies under the BPE-ish pre-tokenizer, chars + '</w>'
+    # symbols, adjacent-pair counts weighted by word count, top-20 under
+    # the deterministic (cnt desc, left, right) order ---------------------
+    from cognee_graphdb_spark.operators.text_analysis import _BPE_ISH_PATTERN
+
+    _bpe_pat = _BPE_ISH_PATTERN.replace("'", "''")
+    sql["td_bpe_pairs"] = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '{_bpe_pat}', 0)) AS word
+  FROM documents
+),
+wf AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+sym AS (
+  SELECT list_append(list_filter(string_split(word, ''), x -> x != ''), '</w>') AS s, n
+  FROM wf
+),
+pz AS (SELECT unnest(list_zip(s, s[2:])) AS p, n FROM sym),
+pc AS (
+  SELECT p[1] AS "left", p[2] AS "right", CAST(SUM(n) AS BIGINT) AS cnt
+  FROM pz WHERE p[2] IS NOT NULL GROUP BY 1, 2
+)
+SELECT "left", "right", cnt FROM pc
+ORDER BY cnt DESC, "left", "right" LIMIT 20"""
 
     # --- a2 scc: the structural answer to the hub-star construction
     # (graph_metrics.py:strongly_connected_components runs the general

@@ -585,6 +585,17 @@ def _run_pass(spark, docs, emb, par, repeat, pq_index_dir):
         ngram_decontaminate(train, ev, n=5).count()
         redact_pii(docs).count()
 
+    @step("td_bpe_tokenize")
+    def _bpe():
+        # learned-tokenizer stage (operators/bpe.py): 6 merge rounds over
+        # the distinct-word vocab table (per-round cost is the regression
+        # signal — a Python stage or fold regression shows immediately),
+        # then the Arrow-batched encode over the full corpus
+        from cognee_graphdb_spark.operators.bpe import bpe_encode, bpe_train
+
+        merges = bpe_train(docs, n_merges=6)
+        bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()
+
     @step("quality_filters")
     def _qf():
         from cognee_graphdb_spark.operators.training_data import (
