@@ -173,6 +173,41 @@ def bpe_vocabulary(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     )
 
 
+def encode_word(
+    word: str, merges: list[tuple[str, str, int]], ranks: dict | None = None
+) -> list[str]:
+    """Tokenize ONE word with a learned merge list — the classic
+    rank-priority loop (repeatedly merge every occurrence of the
+    lowest-rank pair present).  Because a merge at rank k can only create
+    symbols that later-learned merges consume, rank-priority application is
+    equivalent to replaying training's rounds in order, so re-encoding a
+    training word reproduces training's final symbol sequence.  Pure
+    Python: the worker-side core of :func:`bpe_encode`, exposed for
+    property tests."""
+    if ranks is None:
+        ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best = rk
+        if best is None:
+            break
+        l, r = merges[best][0], merges[best][1]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -200,35 +235,15 @@ def bpe_encode(
         creg = _re.compile(rx)
         cache: dict[str, list[str]] = {}
 
-        def encode_word(word: str) -> list[str]:
+        def enc(word: str) -> list[str]:
             got = cache.get(word)
-            if got is not None:
-                return got
-            syms = list(word) + [END]
-            while len(syms) > 1:
-                best, best_i = None, -1
-                for i in range(len(syms) - 1):
-                    rk = ranks.get((syms[i], syms[i + 1]))
-                    if rk is not None and (best is None or rk < best):
-                        best, best_i = rk, i
-                if best is None:
-                    break
-                l, r = merges[best][0], merges[best][1]
-                out, i = [], 0
-                while i < len(syms):
-                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
-                        out.append(l + r)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            cache[word] = syms
-            return syms
+            if got is None:
+                got = cache[word] = encode_word(word, merges, ranks)
+            return got
 
         for pdf in batches:
             toks = [
-                [t for w in creg.findall(txt or "") for t in encode_word(w)]
+                [t for w in creg.findall(txt or "") for t in enc(w)]
                 for txt in pdf[text_col]
             ]
             yield pd.DataFrame(
