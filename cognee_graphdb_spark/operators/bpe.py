@@ -232,7 +232,11 @@ def bpe_encode(
     def run(batches):
         import pandas as pd
 
-        creg = _re.compile(rx)
+        # re.ASCII: Java regex \s (training, Spark-side) is ASCII-only,
+        # Python's is Unicode — without the flag a NBSP-separated token that
+        # training counted would silently vanish here, breaking the
+        # encode-reproduces-training contract on real web text
+        creg = _re.compile(rx, _re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def enc(word: str) -> list[str]:

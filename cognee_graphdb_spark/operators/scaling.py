@@ -49,7 +49,16 @@ def _scaled_expr(prop: str, scaler: str, log_offset: float):
         rng = mx - mn
         return F.when(rng == 0.0, F.lit(0.0)).otherwise((x - avg) / rng)
     if scaler == "log":
-        return F.log(x + F.lit(log_offset))
+        # match GDS's double-math conventions instead of Spark's NULL-on-
+        # non-positive F.log: ln(0) = -Inf, ln(negative) = NaN — a NULL
+        # output slot must mean a NULL INPUT, nothing else
+        arg = x + F.lit(log_offset)
+        return (
+            F.when(arg.isNull(), F.lit(None).cast("double"))
+            .when(arg > 0.0, F.log(arg))
+            .when(arg == 0.0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
     if scaler == "center":
         return x - avg
     if scaler == "stdscore":
@@ -94,6 +103,19 @@ def scale_properties(
     missing = [p for p in properties if p not in nodes.columns]
     if missing:
         raise ValueError(f"nodes frame lacks property column(s) {missing}")
+    # refuse non-numeric columns: cast('double') would silently turn a
+    # mislisted string column into all-NULL feature slots
+    dtypes = dict(nodes.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    bad = [
+        p for p in properties
+        if dtypes[p] not in numeric and not dtypes[p].startswith("decimal")
+    ]
+    if bad:
+        raise ValueError(
+            f"property column(s) {bad} are not numeric "
+            f"({[dtypes[p] for p in bad]}); scaling needs numeric features"
+        )
     aggs = []
     for p in properties:
         x = F.col(p).cast("double")

@@ -2101,6 +2101,22 @@ def _weighted_edge_view(edges: DataFrame, prop: str | None, proc: str) -> DataFr
     return e
 
 
+def _refuse_null_communities(nodes: DataFrame, prop: str, proc: str) -> None:
+    """A NULL community value would be GROUPED as a real community by the
+    quality metrics (a spurious negative-contribution row, an inflated
+    communityCount) — refuse loudly like the NULL-weight probe, naming the
+    fix (bounded probe: one matching row suffices)."""
+    from pyspark.sql import functions as F
+
+    if nodes.filter(F.col(prop).isNull()).limit(1).count() > 0:
+        raise CypherUnsupported(
+            f"gds.{proc}: some nodes carry a NULL {prop!r} community — a "
+            "partial labeling mis-scores Q; complete the labeling (e.g. "
+            "mutate from a full-coverage procedure) or filter the "
+            "projection first"
+        )
+
+
 def _gds_procedure(
     spark, nodes: DataFrame, edges: DataFrame, proc: str, config: dict | None = None
 ) -> DataFrame:
@@ -2679,6 +2695,7 @@ def _gds_procedure(
                 "join a communities() result on, mutate one in, or call "
                 "operators.graph_metrics.modularity directly"
             )
+        _refuse_null_communities(nodes, prop, "modularity.stream")
         labels = nodes.select("id", F.col(prop).alias("label"))
         out = modularity(edges, labels)
         s2 = F.col("s_total").cast("double") * F.col("s_total").cast("double")
@@ -2701,6 +2718,7 @@ def _gds_procedure(
                 "gds.modularity.stats requires the communityProperty config "
                 "key naming a column the projection's nodes carry"
             )
+        _refuse_null_communities(nodes, prop, "modularity.stats")
         out = modularity(edges, nodes.select("id", F.col(prop).alias("label")))
         stats = out.agg(
             F.count(F.lit(1)).alias("communityCount"),
@@ -2749,13 +2767,20 @@ def _gds_procedure(
                 "gds.node2vec.stream: embeddingDimension must be >= 1 and "
                 "walkLength >= 2 nodes"
             )
-        n_nodes = nodes.select("id").distinct().count()
-        if c["embeddingDimension"] > n_nodes:
+        if c["walksPerNode"] < 1 or c["windowSize"] < 1 or c["negativeSamplingRate"] < 1:
+            # validate every knob HERE so a bad value names the GDS config
+            # key, not an operator-internal parameter
             raise CypherUnsupported(
-                f"gds.node2vec.stream: embeddingDimension "
-                f"{c['embeddingDimension']} exceeds the projection's "
-                f"{n_nodes} nodes (the factorization rank cannot); pass a "
-                "smaller embeddingDimension"
+                "gds.node2vec.stream: walksPerNode, windowSize, and "
+                "negativeSamplingRate must all be >= 1"
+            )
+        dim = c["embeddingDimension"]
+        # bounded probe: touch at most dim+1 distinct ids, not the table
+        if nodes.select("id").distinct().limit(dim).count() < dim:
+            raise CypherUnsupported(
+                f"gds.node2vec.stream: embeddingDimension {dim} exceeds "
+                "the projection's node count (the factorization rank "
+                "cannot); pass a smaller embeddingDimension"
             )
         walks = node2vec_walks(
             edges,
@@ -2837,6 +2862,7 @@ def _gds_procedure(
             config, "spanningTree.stream",
             sourceNode=((str,), None),
             relationshipWeightProperty=((str,), None),
+            maxDepth=((int,), 1024),
         )
         if c["sourceNode"] is None:
             raise CypherUnsupported(
@@ -2853,11 +2879,23 @@ def _gds_procedure(
             edges, c["relationshipWeightProperty"], "spanningTree.stream"
         )
         forest = minimum_spanning_forest(e)
-        d = weighted_sssp(
-            forest.select("src", "dst", F.lit(1).cast("long").alias("weight")),
-            src, max_hops=64, directed=False, return_pred=True,
-            on_truncation="raise",
-        )
+        try:
+            # the rooting BFS early-exits when the frontier empties, so the
+            # generous default costs nothing on shallow trees; MST depth can
+            # exceed graph diameter, hence a config knob rather than the
+            # dijkstra route's fixed bound
+            d = weighted_sssp(
+                forest.select("src", "dst", F.lit(1).cast("long").alias("weight")),
+                src, max_hops=c["maxDepth"], directed=False, return_pred=True,
+                on_truncation="raise",
+            )
+            d = d.localCheckpoint(eager=True)
+        except RuntimeError as exc:
+            raise CypherUnsupported(
+                f"gds.spanningTree.stream: the spanning tree is deeper than "
+                f"maxDepth {c['maxDepth']} hops from the source; raise the "
+                "maxDepth config key"
+            ) from exc
         fw = forest.select(
             F.col("src").alias("pred"), F.col("dst").alias("node"), "weight"
         ).unionByName(
@@ -2900,9 +2938,27 @@ def _gds_procedure(
         e = _weighted_edge_view(
             edges, c["relationshipWeightProperty"], "kSpanningTree.stream"
         )
-        ks = k_spanning_clusters(e, k=c["k"])
+        # edge-less projected nodes are their own single-linkage clusters
+        # and count toward k: cut the edge part at k - |isolated| (floored
+        # at 1 — you cannot cut below the edge part's own component count)
+        # and union the singletons back, each labeled by itself (= its
+        # smallest member, the shared convention).  Self-loop-only nodes
+        # stay with the edge part — k_spanning_clusters already emits them
+        # as singletons and counts their components.
+        ends = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        iso = nodes.select("id").distinct().join(ends, "id", "left_anti")
+        n_iso = iso.count()
+        ks = k_spanning_clusters(e, k=max(1, c["k"] - n_iso))
         return ks.select(
             F.col("id").alias("nodeId"), F.col("cluster").alias("communityId")
+        ).unionByName(
+            iso.select(
+                F.col("id").alias("nodeId"), F.col("id").alias("communityId")
+            )
         )
     if key == "randomwalk.stream":
         from cognee_graphdb_spark.operators.graph_metrics import random_walks

@@ -102,3 +102,18 @@ def test_training_plan_stays_jvm_side(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_encode_tokenizes_unicode_whitespace_like_training(spark):
+    """Java regex \\s (training) is ASCII-only, so a NBSP is a TOKEN the
+    corpus statistics count — encode's Python regex must agree (re.ASCII,
+    r12c review fix) or token counts silently diverge on real web text."""
+    nbsp_doc = spark.createDataFrame(
+        [("d1", "a b")], "doc_id string, text string"
+    )
+    freqs = {r["word"]: r["n"] for r in word_frequencies(nbsp_doc).collect()}
+    assert freqs == {"a": 1, " ": 1, "b": 1}
+    [row] = bpe_encode(nbsp_doc, []).collect()
+    # 3 words x (chars + end marker) = 6 tokens; the NBSP symbol survives
+    assert row["n_tokens"] == 6
+    assert "\u00a0" in row["tokens"]

@@ -2459,3 +2459,97 @@ def test_gds_node2vec_stream(spark):
         CALL gds.node2vec.stream('g', {embeddingDimension: 64})
         YIELD nodeId, embedding RETURN nodeId, embedding;
         """)
+
+
+def test_gds_modularity_refuses_null_communities(spark):
+    """A NULL community value would be grouped as a real community (spurious
+    negative contribution, inflated communityCount) — both modularity modes
+    refuse loudly instead (r12c review fix)."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", None)], "id string, community long"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    for mode in ("stream", "stats"):
+        with pytest.raises(CypherUnsupported, match="NULL 'community'"):
+            rows(spark, (nodes, edges), f"""
+            CALL gds.modularity.{mode}('g', {{communityProperty: 'community'}})
+            YIELD {'communityId, modularity' if mode == 'stream' else 'communityCount, modularity'}
+            RETURN modularity;
+            """)
+
+
+def test_gds_k_spanning_tree_counts_isolated_nodes(spark):
+    """Edge-less projected nodes are singleton clusters that count toward k
+    (r12c review fix): with e isolated and k=2, the correct answer keeps the
+    a-b-c-d chain WHOLE ({a..d} + {e}) instead of cutting c-d and dropping e."""
+    nodes = spark.createDataFrame([(i,) for i in "abcde"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "1"), ("b", "c", "2"), ("c", "d", "3")],
+        "src string, dst string, w string",
+    ).selectExpr(
+        "src", "dst", "'r' AS relationship_name", "map('w', w) AS properties"
+    )
+    got = rows(spark, (nodes, edges), """
+    CALL gds.kSpanningTree.stream('g', {k: 2, relationshipWeightProperty: 'w'})
+    YIELD nodeId, communityId RETURN nodeId, communityId ORDER BY nodeId;
+    """)
+    assert [(r["nodeId"], r["communityId"]) for r in got] == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("e", "e"),
+    ]
+    # k=3: one singleton + a cut of the heaviest chain edge (c-d)
+    got = rows(spark, (nodes, edges), """
+    CALL gds.kSpanningTree.stream('g', {k: 3, relationshipWeightProperty: 'w'})
+    YIELD nodeId, communityId RETURN nodeId, communityId ORDER BY nodeId;
+    """)
+    assert [(r["nodeId"], r["communityId"]) for r in got] == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "e"),
+    ]
+
+
+def test_gds_spanning_tree_max_depth_config(spark):
+    """A spanning tree deeper than maxDepth refuses naming the config key
+    (CypherUnsupported, not a raw RuntimeError); raising maxDepth streams
+    the full tree (r12c review fix — MST depth can exceed graph diameter)."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(6)], "id string")
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", "r") for i in range(5)],
+        "src string, dst string, relationship_name string",
+    )
+    with pytest.raises(CypherUnsupported, match="maxDepth"):
+        rows(spark, (nodes, edges), """
+        CALL gds.spanningTree.stream('g', {sourceNode: 'n0', maxDepth: 2})
+        YIELD nodeId, parentId, weight RETURN nodeId, parentId, weight;
+        """)
+    got = rows(spark, (nodes, edges), """
+    CALL gds.spanningTree.stream('g', {sourceNode: 'n0', maxDepth: 16})
+    YIELD nodeId, parentId, weight RETURN nodeId, parentId, weight ORDER BY nodeId;
+    """)
+    assert [(r["nodeId"], r["parentId"]) for r in got] == [
+        ("n0", "n0"), ("n1", "n0"), ("n2", "n1"), ("n3", "n2"),
+        ("n4", "n3"), ("n5", "n4"),
+    ]
+
+
+def test_gds_node2vec_config_refusals(spark):
+    """Every node2vec knob validates at the CALL surface naming the GDS
+    config key, never an operator-internal parameter (r12c review fix)."""
+    from cognee_graphdb_spark.plans.cypher import CypherUnsupported
+
+    nodes = spark.createDataFrame([(i,) for i in "abc"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r")],
+        "src string, dst string, relationship_name string",
+    )
+    for bad in ("walksPerNode: 0", "windowSize: 0", "negativeSamplingRate: 0"):
+        with pytest.raises(CypherUnsupported, match="walksPerNode, windowSize"):
+            rows(spark, (nodes, edges), f"""
+            CALL gds.node2vec.stream('g', {{embeddingDimension: 2, {bad}}})
+            YIELD nodeId, embedding RETURN nodeId, embedding;
+            """)

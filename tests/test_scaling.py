@@ -135,3 +135,24 @@ def test_plan_single_agg_broadcast_no_node_shuffle(spark):
     # the only shuffle is the stats side collapsing to its single row
     assert plan.count("SinglePartition") == 1
     assert "partial_" in plan  # map-side combine on the aggregate pass
+
+
+def test_log_scaler_gds_conventions_and_type_refusal(spark):
+    """ln(0) = -Inf and ln(negative) = NaN (the GDS double-math behavior,
+    not Spark's NULL-on-non-positive F.log) so a NULL output slot always
+    means a NULL input; a non-numeric property refuses instead of silently
+    casting to NULL (r12c review fixes)."""
+    import math
+
+    frame = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", None)],
+        "id string, x double",
+    )
+    got = {r["id"]: r["scaled"][0] for r in scale_properties(frame, ["x"], "log").collect()}
+    assert got["a"] == pytest.approx(0.0)
+    assert got["b"] == float("-inf")
+    assert math.isnan(got["c"])
+    assert got["d"] is None
+    labeled = frame.withColumn("label", F.lit("tag"))
+    with pytest.raises(ValueError, match="not numeric"):
+        scale_properties(labeled, ["x", "label"], "minmax")
