@@ -390,8 +390,11 @@ def pagerank(
       map-side combine keeps the shuffle at O(distinct dst per partition).
     - dangling mass (rank parked on sinks) is a 1-row aggregate crossJoined
       back (broadcast by construction), NOT a per-iteration driver collect —
-      each iteration is one job, triggered only by the periodic
-      localCheckpoint that also truncates the growing lineage.
+      each iteration is one job, triggered by the per-round localCheckpoint
+      that also truncates the lineage (per-round materialization keeps the
+      dangling broadcast subquery reading an in-memory frame instead of
+      re-executing the rank chain; ``checkpoint_every`` is the tol-check
+      cadence).
     - out-degrees are computed once and reused across iterations (checkpointed
       so the 10 rounds don't rescan the source).
 
@@ -478,20 +481,37 @@ def pagerank(
         )
     e = e.localCheckpoint(eager=True)
     if weight_col is None:
-        deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+        # deg rides on the NODE frame, not the edge list (guide §2.3: shuffle
+        # fewer bytes): base_frame carries (h, is_sink, deg) and each round
+        # computes rank/deg per NODE before the join — 1 division per node
+        # instead of 1 per edge, bit-identical IEEE values — so the per-round
+        # join ships the bare 16-byte (hs, hd) edge list instead of a 24-byte
+        # (hs, hd, deg) copy, and setup drops the edge-sized `ew` checkpoint
+        # plus the deg checkpoint (2 fewer eager jobs over edge-sized data).
+        deg = e.groupBy("hs").agg(F.count(F.lit(1)).alias("deg"))
+        ew = e  # rounds join the bare, already-checkpointed edge list
+        base_frame = (
+            nh.select("h")
+            .join(deg.select(F.col("hs").alias("h"), "deg"), "h", "left")
+            .select("h", F.col("deg").isNull().alias("is_sink"), "deg")
+        )
     else:
         deg = e.groupBy("hs").agg(F.sum("w").alias("deg")).localCheckpoint(eager=True)
-    # deg is node-sized; AQE broadcast-joins it when it fits, else shuffles —
-    # either way this runs ONCE, not once per round
-    ew = e.join(deg, "hs")
-    if weight_col is not None:
-        ew = ew.select("hs", "hd", (F.col("w") / F.col("deg")).alias("frac"))
-    ew = ew.localCheckpoint(eager=True)
-    base_frame = (
-        nh.select("h")
-        .join(deg.select(F.col("hs").alias("h"), F.lit(False).alias("is_sink")), "h", "left")
-        .select("h", F.coalesce("is_sink", F.lit(True)).alias("is_sink"))
-    )
+        # deg is node-sized; AQE broadcast-joins it when it fits, else
+        # shuffles — either way this runs ONCE, not once per round.  The
+        # weighted fraction is genuinely per-EDGE (w / W(u)), so the weighted
+        # path keeps the precomputed frac copy.
+        ew = (
+            e.join(deg, "hs")
+            .select("hs", "hd", (F.col("w") / F.col("deg")).alias("frac"))
+            .localCheckpoint(eager=True)
+        )
+        base_frame = (
+            nh.select("h")
+            .join(deg.select(F.col("hs").alias("h"), F.lit(False).alias("is_sink")), "h", "left")
+            .select("h", F.coalesce("is_sink", F.lit(True)).alias("is_sink"))
+        )
+    statics = ["is_sink"] + (["deg"] if weight_col is None else [])
     if personalized is not None:
         # seeds outside `nodes` would fall out of the base_frame left join
         # below, shrinking the teleport vector's sum below 1 and biasing every
@@ -507,8 +527,9 @@ def pagerank(
         sh = seeds.select(F.xxhash64("id").alias("h"), F.lit(1.0 / ns).alias("p"))
         base_frame = (
             base_frame.join(sh, "h", "left")
-            .select("h", "is_sink", F.coalesce("p", F.lit(0.0)).alias("p"))
+            .select("h", *statics, F.coalesce("p", F.lit(0.0)).alias("p"))
         )
+        statics = statics + ["p"]
     base_frame = base_frame.localCheckpoint(eager=True)
     # (1.0 - damping) / n mirrors the oracle's CAST(... AS DOUBLE) arithmetic
     # bit-for-bit: same operand order, all doubles.
@@ -517,7 +538,7 @@ def pagerank(
         ws = warm_start.select(
             F.xxhash64("id").alias("h"), F.col("rank").cast("double").alias("r0")
         )
-        carry = ["h", "is_sink"] + (["p"] if personalized is not None else [])
+        carry = ["h", *statics]
         init = base_frame.join(ws, "h", "left").select(
             *carry, F.coalesce("r0", F.lit(1.0 / n)).alias("r0")
         )
@@ -528,23 +549,35 @@ def pagerank(
             *carry, (F.col("r0") / F.lit(float(total))).alias("rank")
         ).localCheckpoint(eager=True)
     elif personalized is None:
-        ranks = base_frame.select("h", "is_sink", F.lit(1.0 / n).alias("rank"))
+        ranks = base_frame.select("h", *statics, F.lit(1.0 / n).alias("rank"))
     else:
-        ranks = base_frame.select("h", "is_sink", "p", F.col("p").alias("rank"))
+        ranks = base_frame.select("h", *statics, F.col("p").alias("rank"))
     prev_ck = ranks
     done = 0
     for it in range(n_iter):
-        spread = (
-            (F.col("rank") * F.col("frac"))
-            if weight_col is not None
-            else (F.col("rank") / F.col("deg"))
-        )
-        contrib = (
-            ew.join(ranks.select(F.col("h").alias("hs"), "rank"), "hs")
-            .select(F.col("hd").alias("h"), spread.alias("t"))
-            .groupBy("h")
-            .agg(F.sum("t").alias("c"))
-        )
+        if weight_col is not None:
+            contrib = (
+                ew.join(ranks.select(F.col("h").alias("hs"), "rank"), "hs")
+                .select(F.col("hd").alias("h"), (F.col("rank") * F.col("frac")).alias("t"))
+                .groupBy("h")
+                .agg(F.sum("t").alias("c"))
+            )
+        else:
+            # rank/deg is constant per SOURCE node — computing it on the
+            # node-sized side before the join (same operands, same IEEE
+            # result per edge) keeps the edge side at its bare 16 bytes/row
+            contrib = (
+                ew.join(
+                    ranks.select(
+                        F.col("h").alias("hs"),
+                        (F.col("rank") / F.col("deg")).alias("t"),
+                    ),
+                    "hs",
+                )
+                .select(F.col("hd").alias("h"), "t")
+                .groupBy("h")
+                .agg(F.sum("t").alias("c"))
+            )
         # sinks have no ew rows, so the contrib join skips them naturally;
         # their parked mass is this 1-row broadcast aggregate
         dangling = ranks.filter("is_sink").agg(
@@ -557,7 +590,7 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
             )
-            ranks = joined.select("h", "is_sink", new_rank.alias("rank"))
+            ranks = joined.select("h", *statics, new_rank.alias("rank"))
         else:
             # rank = (1-d)·p + d·(contrib + dm·p): teleport AND dangling mass
             # return to the seed distribution (same operand order as the
@@ -567,10 +600,18 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("p"))
             )
-            ranks = joined.select("h", "is_sink", "p", new_rank.alias("rank"))
+            ranks = joined.select("h", *statics, new_rank.alias("rank"))
         done = it + 1
+        # materialize EVERY round: a multi-round lazy block re-executes the
+        # rank chain once per nested dangling-mass broadcast subquery (the
+        # 1-row aggregate depends on the previous round's un-materialized
+        # ranks), and ReuseExchange only partly dedupes it — measured at
+        # sf0.1/local[32]: 5 iters 13.5s (block of 3) vs 10.2s (per-round);
+        # 10 iters 149s (block of 10) vs 16s (per-round).  ``checkpoint_every``
+        # now governs only the tol-CHECK cadence, so tol callers see the
+        # exact same delta comparisons (and stopping points) as before.
+        ranks = ranks.localCheckpoint(eager=True)
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
             if tol is not None:
                 delta = (
                     ranks.select("h", "rank")
@@ -667,16 +708,18 @@ def hits(
             .groupBy(F.col("hd"))
             .agg(F.sum("score").alias("c"))
         )
-        auths = _normalize(araw, "hd")
+        # per-HALF-STEP materialization (the pagerank finding): each
+        # _normalize carries a 1-row broadcast total whose subquery would
+        # otherwise re-execute the un-materialized score chain below it —
+        # checkpointing auths BEFORE the hub half-step consumes it keeps
+        # every broadcast subquery reading an in-memory frame
+        auths = _normalize(araw, "hd").localCheckpoint(eager=True)
         hraw = (
             e.join(auths.select(F.col("h").alias("hd"), "score"), "hd")
             .groupBy(F.col("hs"))
             .agg(F.sum("score").alias("c"))
         )
-        hubs = _normalize(hraw, "hs")
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            hubs = hubs.localCheckpoint(eager=True)
-            auths = auths.localCheckpoint(eager=True)
+        hubs = _normalize(hraw, "hs").localCheckpoint(eager=True)
     return (
         nh.join(hubs.withColumnRenamed("score", "hub"), "h")
         .join(auths.withColumnRenamed("score", "authority"), "h")
@@ -753,8 +796,10 @@ def eigenvector(
                 .alias("score"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            x = x.localCheckpoint(eager=True)
+        # per-round materialization (the pagerank finding): the L1-total
+        # broadcast subquery otherwise re-executes the un-materialized score
+        # chain once per nested round inside a checkpoint block
+        x = x.localCheckpoint(eager=True)
     return nh.join(x, "h").select("id", "score")
 
 
