@@ -143,6 +143,14 @@ def dbscan(
     labeled = clusters.select("id", F.lit("core").alias("kind"), "cluster").unionByName(
         border.select("id", F.lit("border").alias("kind"), "cluster")
     )
+    # materialize the (node-sized) labeling: dbscan is already eager (pairs /
+    # core / the CC rounds all checkpoint), but the TAIL — the CC label
+    # mapping, the border attachment joins, and this union — stayed lazy, so
+    # a consumer that reads the result more than once (cluster_balanced_sample
+    # scans its input five times: noise split, degree, prefilter, fallback,
+    # window) re-executed the whole tail per scan: the composed
+    # dbscan→sample plan measured 358 Exchanges / 797 operators at sf0.1.
+    # One checkpoint collapses every rescan to an in-memory read.
     return (
         ids.join(labeled, "id", "left")
         .select(
@@ -150,4 +158,5 @@ def dbscan(
             F.coalesce("kind", F.lit("noise")).alias("kind"),
             F.col("cluster").cast("string").alias("cluster"),
         )
+        .localCheckpoint(eager=True)
     )

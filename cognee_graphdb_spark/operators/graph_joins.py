@@ -185,12 +185,17 @@ def k_hop(
             # materialize the (small) frontier: round r's output feeds BOTH
             # the visited union and round r+1's join, and Spark re-executes
             # shared subplans per consumer — without this, round 1's edge
-            # join runs once per remaining round (k× total edge scans)
-            nxt = nxt.localCheckpoint(eager=True)
-            # the frontier is already materialized, so the emptiness probe is
-            # a metadata-cheap take(1) — an exhausted component must not pay
-            # the remaining rounds' edge joins
-            if not nxt.take(1):
+            # join runs once per remaining round (k× total edge scans).
+            # The emptiness probe rides the checkpoint job as an Observation
+            # row count — an exhausted component must not pay the remaining
+            # rounds' edge joins, and the probe must not pay its own job.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
+            )
+            if obs.get["n"] == 0:
                 break
         # nxt is distinct AND anti-joined against visited, so the union is
         # disjoint by construction — no distinct (= no shuffle of the whole

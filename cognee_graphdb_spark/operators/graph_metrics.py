@@ -1512,11 +1512,21 @@ def _louvain_local_moves(
     leiden's aggregate levels seed it with the previous coarse partition.
     Extracted verbatim from louvain's loop: the a2_louvain oracle unrolls
     exactly these rounds."""
+    from pyspark.sql import Observation
+
     d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     nonself = adj.filter(F.col("u") != F.col("v"))
     for _ in range(n_rounds):
-        kc = deg.join(labels, "u").groupBy("label").agg(F.sum("k").alias("kc"))
-        sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        # ONE label-sized shuffle for both community aggregates: deg and
+        # labels are 1-row-per-u frames, so count(*) of the joined frame IS
+        # the community size — kc and sz used to be two separate groupBys
+        # (two exchanges) over the same key
+        kcsz = (
+            deg.join(labels, "u")
+            .groupBy("label")
+            .agg(F.sum("k").alias("kc"), F.count(F.lit(1)).alias("sz"))
+        )
+        sz = kcsz.select("label", "sz")
         kic = (
             nonself.join(
                 labels.select(F.col("u").alias("v"), F.col("label").alias("c")), "v"
@@ -1535,9 +1545,7 @@ def _louvain_local_moves(
         sc = (
             cand.join(deg, "u")
             .join(
-                kc.join(sz, "label").select(
-                    F.col("label").alias("c"), "kc", F.col("sz").alias("c_sz")
-                ),
+                kcsz.select(F.col("label").alias("c"), "kc", F.col("sz").alias("c_sz")),
                 "c",
             )
             .join(labels.select("u", F.col("label").alias("own")), "u")
@@ -1558,31 +1566,35 @@ def _louvain_local_moves(
             F.col("kc")
             - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
         ).cast("decimal(19,0)")
-        new_labels = (
-            sc.select("u", "c", score.alias("score"))
-            .groupBy("u")
-            .agg(
-                F.min_by(
-                    "c", F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
-                ).alias("label")
-            )
-            .localCheckpoint(eager=True)
-        )
         # fixpoint early exit: if no label moved, every later round picks
         # the same argmax again (scores are a function of labels alone),
         # so skipping the rest is OUTPUT-IDENTICAL to unrolling n_rounds
         # — the oracle's fixed unroll stays exact — and a converged level
-        # stops paying for its remaining rounds (one label-sized
-        # anti-join probe per round, bounded)
-        moved = (
-            new_labels.alias("n")
-            .join(labels.alias("p"), "u")
-            .filter(F.col("n.label") != F.col("p.label"))
-            .limit(1)
-            .count()
+        # stops paying for its remaining rounds.  The moved count rides the
+        # checkpoint job as an Observation metric (`own` is constant per u,
+        # so first() is deterministic) instead of a separate join+count job
+        # per round.
+        obs = Observation()
+        new_labels = (
+            sc.select("u", "c", "own", score.alias("score"))
+            .groupBy("u")
+            .agg(
+                F.min_by(
+                    "c", F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+                ).alias("label"),
+                F.first("own").alias("__own"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("__own"), 1).otherwise(0)
+                ).alias("moved"),
+            )
+            .select("u", "label")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if moved == 0:
+        if not obs.get["moved"]:
             break
     return labels
 
@@ -1759,6 +1771,8 @@ def strongly_connected_components(
     worst-case rounds scale with diameter — long path-shaped components pay
     the worst case, web/KG-shaped graphs peel in a handful of rounds.
     """
+    from pyspark.sql import Observation
+
     from cognee_graphdb_spark.operators.dedup import _hash64
 
     if max_outer < 1 or max_rounds < 1:
@@ -1782,8 +1796,9 @@ def strongly_connected_components(
     remaining = nh.select("h").localCheckpoint(eager=True)
     rem_edges = e_all
     assigned = None
+    rem_n = None  # row count of `remaining`, observed at each peel
     for _outer in range(max_outer):
-        if remaining.limit(1).count() == 0:
+        if (rem_n if rem_n is not None else remaining.limit(1).count()) == 0:
             break
         # 1. forward max-color propagation to fixpoint
         colors = remaining.select("h", F.col("h").alias("color"))
@@ -1796,22 +1811,27 @@ def strongly_connected_components(
                 .groupBy(F.col("v").alias("h"))
                 .agg(F.max("cu").alias("nc"))
             )
+            # moved count rides the checkpoint job as an Observation metric
+            # instead of a separate join+count job per round
+            obs = Observation()
             new_colors = (
                 colors.join(upd, "h", "left")
                 .select(
-                    "h", F.greatest("color", F.coalesce("nc", "color")).alias("color")
+                    "h",
+                    F.col("color").alias("__prev"),
+                    F.greatest("color", F.coalesce("nc", "color")).alias("color"),
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("color") != F.col("__prev"), 1).otherwise(0)
+                    ).alias("moved"),
+                )
+                .select("h", "color")
                 .localCheckpoint(eager=True)
             )
-            moved = (
-                new_colors.alias("n")
-                .join(colors.alias("p"), "h")
-                .filter(F.col("n.color") != F.col("p.color"))
-                .limit(1)
-                .count()
-            )
             colors = new_colors
-            if moved == 0:
+            if not obs.get["moved"]:
                 break
         else:
             raise RuntimeError(
@@ -1833,14 +1853,18 @@ def strongly_connected_components(
         )
         frontier = in_scc
         for _r in range(max_rounds):
+            # frontier emptiness rides the checkpoint job as a row count
+            # instead of a separate limit(1).count() job per round
+            obs = Observation()
             new = (
                 within.join(frontier.select(F.col("h").alias("v")), "v", "left_semi")
                 .select(F.col("u").alias("h"), "color")
                 .distinct()
                 .join(in_scc.select("h"), "h", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            if new.limit(1).count() == 0:
+            if obs.get["n"] == 0:
                 break
             in_scc = in_scc.unionByName(new).localCheckpoint(eager=True)
             frontier = new
@@ -1852,17 +1876,19 @@ def strongly_connected_components(
         batch = in_scc.select("h", F.col("color").alias("label"))
         assigned = batch if assigned is None else assigned.unionByName(batch)
         assigned = assigned.localCheckpoint(eager=True)
+        rem_obs = Observation()
         remaining = (
-            remaining.join(batch.select("h"), "h", "left_anti").localCheckpoint(
-                eager=True
-            )
+            remaining.join(batch.select("h"), "h", "left_anti")
+            .observe(rem_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
+        rem_n = rem_obs.get["n"]
         rem_edges = (
             rem_edges.join(remaining.select(F.col("h").alias("u")), "u", "left_semi")
             .join(remaining.select(F.col("h").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-    if remaining.limit(1).count() != 0:
+    if (rem_n if rem_n is not None else remaining.limit(1).count()) != 0:
         raise RuntimeError(f"scc peeling did not finish in {max_outer} outer rounds")
     if assigned is None:
         return nodes.select("id").limit(0).select(
@@ -1882,6 +1908,8 @@ def _min_label_components(
     worst case (component diameter rounds); leiden's refinement graphs are
     the INSIDES of local-move communities — dense, small-diameter by
     construction — so the bound is a guard rail, not the expected path."""
+    from pyspark.sql import Observation
+
     refs = node_ids.select("u", F.col("u").alias("ref"))
     for _ in range(max_rounds):
         nbr = (
@@ -1889,20 +1917,28 @@ def _min_label_components(
             .groupBy("u")
             .agg(F.min("ref").alias("nref"))
         )
+        # the moved count rides the checkpoint job as an Observation metric
+        # (old ref vs new ref, both present pre-projection) instead of a
+        # separate join+count job per round
+        obs = Observation()
         new_refs = (
             refs.join(nbr, "u", "left")
-            .select("u", F.least("ref", F.coalesce("nref", "ref")).alias("ref"))
+            .select(
+                "u",
+                F.col("ref").alias("__prev"),
+                F.least("ref", F.coalesce("nref", "ref")).alias("ref"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("ref") != F.col("__prev"), 1).otherwise(0)
+                ).alias("moved"),
+            )
+            .select("u", "ref")
             .localCheckpoint(eager=True)
         )
-        moved = (
-            new_refs.alias("n")
-            .join(refs.alias("p"), "u")
-            .filter(F.col("n.ref") != F.col("p.ref"))
-            .limit(1)
-            .count()
-        )
         refs = new_refs
-        if moved == 0:
+        if not obs.get["moved"]:
             break
     return refs
 

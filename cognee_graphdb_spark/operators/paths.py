@@ -116,6 +116,11 @@ def weighted_sssp(
             .select("source", "node", F.col("c.nd").alias("nd"), F.col("c.pred").alias("npred"))
         )
         better = F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        # the improved-row count rides the checkpoint job as an Observation
+        # metric instead of a separate limit(1).count() job per round
+        from pyspark.sql import Observation
+
+        obs = Observation()
         merged = (
             dist.join(cand, ["source", "node"], "full")
             .select(
@@ -125,13 +130,17 @@ def weighted_sssp(
                 F.when(better, F.col("npred")).otherwise(F.col("pred")).alias("pred"),
                 better.alias("improved"),
             )
+            .observe(
+                obs, F.sum(F.when(F.col("improved"), 1).otherwise(0)).alias("imp")
+            )
         ).localCheckpoint(eager=True)
+        n_improved = obs.get["imp"] or 0
         frontier = merged.filter("improved").select("source", "node", "dist", "pred")
         dist = merged.select("source", "node", "dist", "pred")
-        if frontier.limit(1).count() == 0:
+        if n_improved == 0:
             break
     else:
-        if on_truncation == "raise" and frontier.limit(1).count() != 0:
+        if on_truncation == "raise" and n_improved != 0:
             raise RuntimeError(
                 f"weighted_sssp still improving after max_hops={max_hops} "
                 "rounds; raise max_hops or accept hop-bounded semantics"

@@ -517,37 +517,56 @@ def pq_encode(
     (d, j) structs), so the encoded table is reproducible without shipping a
     model and writes partitioned/bucketed like any other column.
 
-    Expression-tree discipline: the unit view and each subspace slice are
-    STAGED as intermediate projections referenced many times — Catalyst's
+    Expression-tree discipline: the norm and the unit view are STAGED as
+    intermediate projections referenced many times — Catalyst's
     CollapseProject keeps a non-cheap multi-referenced alias in its own
-    Project, so the O(dim) norm fold runs once per row and each slice once
-    per subspace, not once per (subspace x code) candidate.  Inlining the
-    same Column object per candidate instead re-evaluates the norm 64x per
-    row — measured 17s vs 0.4s on a 5k x 64-dim scan."""
+    Project, so the O(dim) norm fold runs once per row, not once per
+    (subspace x code) candidate (inlining it re-evaluates the norm 64x per
+    row — measured 17s vs 0.4s on a 5k x 64-dim scan).  The candidate
+    distances themselves are UNROLLED scalar arithmetic (element_at + the
+    same left-to-right add chain the fold produced, so every double is
+    bit-identical) built as ONE SQL string: higher-order-function folds are
+    interpreted per row per candidate — measured 84s vs 9s for the encode
+    of 1M 64-dim rows — and building ~4k Column objects through py4j costs
+    seconds of driver time per call where one expr() parse is ~100ms."""
     m_sub = len(codebooks)
     d_sub = len(codebooks[0][0])
-    staged = embeddings.withColumn("__pq_u", _pq_view(F.col(vector_col), normalize))
-    staged = staged.withColumns(
-        {
-            f"__pq_s{m}": F.slice(F.col("__pq_u"), m * d_sub + 1, d_sub)
-            for m in range(m_sub)
-        }
-    )
-    codes = []
+    v = F.col(vector_col).cast("array<double>")
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        )
+        staged = embeddings.withColumn("__pq_nrm", nrm).withColumn(
+            "__pq_u",
+            F.when(F.col("__pq_nrm") == 0, v).otherwise(
+                F.transform(v, lambda x: x / F.col("__pq_nrm"))
+            ),
+        )
+        drop_cols = ["__pq_nrm", "__pq_u"]
+    else:
+        staged = embeddings.withColumn("__pq_u", v)
+        drop_cols = ["__pq_u"]
+
+    def dlit(x: float) -> str:
+        # repr() round-trips doubles exactly; the string-cast parse yields
+        # the identical IEEE value the old F.lit literal carried
+        return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+    code_exprs = []
     for m, book in enumerate(codebooks):
-        sub = F.col(f"__pq_s{m}")
         cands = []
         for j, cb in enumerate(book):
-            clit = F.array(*[F.lit(float(x)) for x in cb])
-            xc = F.aggregate(
-                F.zip_with(sub, clit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            d = F.lit(_fold_dot(cb, cb)) - F.lit(2.0) * xc
-            cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-        codes.append(F.array_min(F.array(*cands))["j"])
-    return staged.withColumn(out_col, F.array(*codes)).drop(
-        "__pq_u", *[f"__pq_s{m}" for m in range(m_sub)]
-    )
+            terms = "0.0D"
+            for d in range(d_sub):
+                terms = (
+                    f"({terms} + (element_at(__pq_u, {m * d_sub + d + 1})"
+                    f" * {dlit(cb[d])}))"
+                )
+            dist = f"({dlit(_fold_dot(cb, cb))} - (2.0D * {terms}))"
+            cands.append(f"struct({dist} AS d, {j} AS j)")
+        code_exprs.append(f"array_min(array({', '.join(cands)})).j")
+    out = staged.withColumn(out_col, F.expr(f"array({', '.join(code_exprs)})"))
+    return out.drop(*drop_cols)
 
 
 def _pq_lut(
