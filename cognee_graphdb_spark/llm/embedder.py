@@ -21,9 +21,21 @@ from pyspark.sql import types as T
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# token -> md5 bucket base, memoized: corpus tokens are Zipf-distributed, so
+# the md5 of a frequent token would otherwise be recomputed once per
+# occurrence per row.  Keyed pre-modulo so every dim shares one cache.
+_BUCKET_CACHE: dict[str, int] = {}
+
 
 def _bucket(token: str, dim: int) -> int:
-    return int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "big") % dim
+    base = _BUCKET_CACHE.get(token)
+    if base is None:
+        if len(_BUCKET_CACHE) > 1_000_000:  # bound worker memory on huge vocabs
+            _BUCKET_CACHE.clear()
+        base = _BUCKET_CACHE[token] = int.from_bytes(
+            hashlib.md5(token.encode()).digest()[:4], "big"
+        )
+    return base % dim
 
 
 @dataclass

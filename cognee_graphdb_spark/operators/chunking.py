@@ -34,33 +34,31 @@ from pyspark.sql import types as T
 _SENT_END = ".;!?…。！？"
 _PARA_END = "\n\r"
 
+# one token per match: a run of non-separator chars, closed by either a
+# sentence-ender plus its absorbed spaces or a single space (the final token
+# of a text may have neither).  Exactly the per-character scanner's tokens —
+# the regex engine just walks the string in C instead of Python (the chunker
+# is a per-row Python stage, so this scan IS its inner loop).  The pattern
+# can only match empty at end-of-string (any other position starts with a
+# char some branch consumes), so finditer's empty-match bump never skips.
+_SCAN_RE = re.compile(r"[^ .;!?…。！？]*(?:[.;!?…。！？] *| )?")
+
 
 def scan_words(text: str) -> Iterator[tuple[str, str]]:
     """Yield (token, kind) preserving all characters. kind ∈ {word,
     sentence_end, paragraph_end}."""
-    buf = []
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        buf.append(ch)
-        if ch == " ":
-            yield "".join(buf), "word"
-            buf = []
-            i += 1
+    n = len(text)
+    for m in _SCAN_RE.finditer(text):
+        tok = m.group(0)
+        if not tok:
             continue
-        if ch in _SENT_END:
-            j = i + 1
-            while j < n and text[j] == " ":
-                buf.append(text[j])
-                j += 1
+        stripped = tok.rstrip(" ") if tok[-1] == " " else tok
+        if stripped and stripped[-1] in _SENT_END:
+            j = m.end()
             kind = "paragraph_end" if j < n and text[j] in _PARA_END else "sentence_end"
-            yield "".join(buf), kind
-            buf = []
-            i = j
-            continue
-        i += 1
-    if buf:
-        yield "".join(buf), "word"
+            yield tok, kind
+        else:
+            yield tok, "word"
 
 
 def sentences(text: str, max_size: int | None = None) -> Iterator[tuple[str, int, str]]:

@@ -139,6 +139,14 @@ def sppmi_node_embeddings(
 
     if dim < 1 or n_iter < 1:
         raise ValueError("dim and n_iter must be >= 1")
+    # materialize the pair corpus ONCE: sppmi_matrix consumes its input four
+    # times (two marginals, the 1-row total, the join spine) and the ent
+    # union below doubles that again — ReuseExchange dedupes only part of
+    # it, so a lazy `pairs` (typically the walk_skipgram_pairs aggregation)
+    # re-executes its lineage several times while `sym` materializes
+    # (measured 6.4s -> 4.5s for the sym build at sf0.1).  The checkpoint
+    # holds (center, context, n_pairs) rows — corpus-bounded.
+    pairs = pairs.localCheckpoint(eager=True)
     m = sppmi_matrix(pairs, shift=shift).filter(F.col("sppmi") > 0)
     ent = m.select(
         F.col("center").alias("i"), F.col("context").alias("j"), F.col("sppmi").alias("v")
@@ -286,8 +294,8 @@ def fastrp_embeddings(
     Scale shape at 100 TB: no driver state beyond the d weights, no
     collect, no RNG broadcast; the init is map-only hash math; isolated
     nodes embed as the zero vector (the GDS convention).  Lineage is
-    truncated every ``checkpoint_every`` rounds like the other iterative
-    operators.
+    truncated every round like the other iterative operators (pass
+    ``checkpoint_every=0`` for a fully lazy plan).
 
     Numerics: norms accumulate with a sequential left fold
     (``F.aggregate``), matching DuckDB's ``list_dot_product`` operand
@@ -350,7 +358,12 @@ def fastrp_embeddings(
                 ).alias("v"),
             )
         )
-        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+        if checkpoint_every:
+            # materialize EVERY round (the pagerank finding): the weighted
+            # accumulator below references each round's x, so a lazy round
+            # chain is re-executed once per accumulator join when the final
+            # frame evaluates — measured 5.4s -> 3.3s at sf0.1 d=8 and
+            # 10.2s -> 4.6s on the XL probe (d=16, 955k edges)
             x = x.localCheckpoint(eager=True)
         if w == 0.0:
             continue
