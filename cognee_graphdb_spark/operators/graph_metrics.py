@@ -175,7 +175,6 @@ def connected_components(
         e = small
         if stats == prev_stats:
             break
-        prev_stats = stats
         # star test: if no target is still a source AND no source has two
         # parents, every node points at exactly one root — the fixpoint,
         # detected WITHOUT the 1-2 extra confirmation rounds the stats
@@ -186,7 +185,14 @@ def connected_components(
         # edges 3-8, 5-8, 5-9, 4-9 leave 5 -> {3,4} after one round) —
         # breaking there would split one component in two.  It runs only
         # once the cheaper depth test passes, i.e. at the final round(s).
-        if small.select("v").join(
+        # GATE: probe only when the round left the row count unchanged — a
+        # mid-convergence round (count still shrinking) virtually never
+        # passes the depth test, so its probe is a wasted self-join job
+        # (~0.9s/round at sf0.1); a fixpoint the gate misses still breaks
+        # one round later via the stats comparison, output-identically.
+        count_stable = prev_stats is not None and stats[0] == prev_stats[0]
+        prev_stats = stats
+        if count_stable and small.select("v").join(
             small.select(F.col("u").alias("v")), "v", "leftsemi"
         ).isEmpty():
             if (

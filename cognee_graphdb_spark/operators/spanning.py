@@ -31,7 +31,7 @@ is never rewritten — only the (node → component) frame evolves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cognee_graphdb_spark.operators.graph_metrics import connected_components
@@ -94,27 +94,34 @@ def minimum_spanning_forest(
             .filter(F.col("cu") != F.col("cv"))
         )
 
-    forest = None
+    picks: list[DataFrame] = []
     for _ in range(max_rounds):
         t = _cross_component(comp)
-        if t.limit(1).count() == 0:
-            break
         # per-component minimum candidate: min_by over the deterministic
         # total order (w, hu, hv) — one map-side-combined aggregation, no
-        # per-component sort (a hot component partial-aggs, never windows)
+        # per-component sort (a hot component partial-aggs, never windows).
+        # Convergence rides the SAME job: pick is empty iff no cross-
+        # component edge remains (a per-component min exists whenever t has
+        # a row), so the separate t.limit(1).count() probe — a full double
+        # join per round — is folded into pick's checkpoint as an
+        # Observation row count.
         cand = t.select(F.col("cu").alias("c"), "w", "hu", "hv", "cu", "cv").unionByName(
             t.select(F.col("cv").alias("c"), "w", "hu", "hv", "cu", "cv")
         )
+        obs = Observation()
         pick = (
             cand.groupBy("c")
             .agg(F.min(F.struct("w", "hu", "hv", "cu", "cv")).alias("m"))
             .select("m.w", "m.hu", "m.hv", "m.cu", "m.cv")
             .dropDuplicates(["hu", "hv"])  # both sides may pick the same edge
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        forest = pick.select("hu", "hv") if forest is None else forest.unionByName(
-            pick.select("hu", "hv")
-        ).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
+            break
+        # the forest is assembled ONCE at the end from the (already
+        # checkpointed) per-round picks — no per-round union re-checkpoint
+        picks.append(pick.select("hu", "hv"))
         # collapse the label pseudo-forest (one edge per component) and
         # relabel: comp labels are longs already, no re-hash
         labels = connected_components(
@@ -142,8 +149,11 @@ def minimum_spanning_forest(
                 "rounds (Borůvka needs <= log2(n); raise max_rounds only if "
                 "the graph really has that many nodes)"
             )
-    if forest is None:
+    if not picks:
         return spark.createDataFrame([], "src string, dst string, weight double")
+    forest = picks[0]
+    for p in picks[1:]:
+        forest = forest.unionByName(p)
     return (
         forest.join(base, ["hu", "hv"])
         .select(
