@@ -177,6 +177,10 @@ def main() -> None:
     # the headline fields first — r9's artifact lost value/calibration to
     # truncation.  Emit a second, SMALL summary line LAST so the tail always
     # captures the headline regardless of how much of the big line survives.
+    # r12 VERDICT #2: the driver parses THIS line, so it must carry the
+    # per-query map too ("queries", and "xl_queries" for the scale probe) —
+    # additions-only; every historical field keeps its exact semantics
+    # ("queries" = per-step min across suite passes, same as the big line).
     print(
         json.dumps(
             {
@@ -191,6 +195,8 @@ def main() -> None:
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
                 "xl_total": None if xl is None else xl["total"],
                 "xl_scale": None if xl is None else xl["scale"],
+                "queries": timings,
+                "xl_queries": None if xl is None else xl["queries"],
             }
         )
     )

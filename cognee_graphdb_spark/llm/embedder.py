@@ -31,7 +31,12 @@ def _bucket(token: str, dim: int) -> int:
     base = _BUCKET_CACHE.get(token)
     if base is None:
         if len(_BUCKET_CACHE) > 1_000_000:  # bound worker memory on huge vocabs
-            _BUCKET_CACHE.clear()
+            # evict HALF instead of clearing: a vocabulary just over the
+            # bound no longer causes periodic full-cache cold restarts —
+            # Zipf-head tokens that do get evicted re-enter on their next
+            # occurrence (one md5 each) while the surviving half stays warm
+            for tok in list(_BUCKET_CACHE.keys())[: len(_BUCKET_CACHE) // 2]:
+                del _BUCKET_CACHE[tok]
         base = _BUCKET_CACHE[token] = int.from_bytes(
             hashlib.md5(token.encode()).digest()[:4], "big"
         )

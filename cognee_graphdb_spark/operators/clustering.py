@@ -52,7 +52,7 @@ def kmeans(
     SemDeDup's clustering core extracted as a first-class operator
     (operators/dedup.py:_spherical_kmeans; Abbas et al. 2023): seeds are
     the ``k`` smallest (seeded hash(id), id) rows, assignment maximizes
-    the unit-vector dot product against a ``k``-row broadcast (tie ->
+    the unit-vector dot product against the k·d centroid literals (tie ->
     lowest cluster index), recentering renormalizes the elementwise mean.
     ``sim`` is the final cosine similarity to the assigned centroid
     (1 - sim = the cosine distanceFromCentroid gds.kmeans streams).

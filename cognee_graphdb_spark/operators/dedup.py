@@ -548,70 +548,83 @@ def _spherical_kmeans(
       (an emptied cluster keeps its previous centroid);
     - after ``n_iter`` rounds one final assignment fixes membership.
 
-    Scale shape: the assignment is a crossJoin against a ``k``-row
-    broadcast, the recenter one groupBy(cluster, pos) partial agg."""
-    from pyspark.sql.window import Window
+    Scale shape (r13): centroids are k×d DRIVER literals by construction
+    (SemDeDup's k is small; k·d doubles is the model, the same way the PQ
+    codebooks are), so the assignment is a MAP-ONLY projection — the old
+    crossJoin(k-row broadcast) + groupBy(id) max_by re-shuffled the full
+    n-row unit frame once per round (guide §2.4: that exchange decided
+    nothing the row itself couldn't) — and the recenter is the one
+    remaining groupBy(cluster, pos) partial agg whose k·d output rows are
+    collected and normalized on the driver with the exact fold order the
+    old in-plan expressions used (bit-identical IEEE)."""
+    import math
 
     h = _hash64(F.col("id"), seed, hasher)
     # seed selection: top-k smallest (hash, id) via orderBy+limit compiles to
     # TakeOrderedAndProject (per-partition heaps + a k-row driver merge) — a
     # global row_number window here would funnel EVERY row through one task.
-    # The window below then ranks only the k seed rows.
-    seeds = unit.withColumn("h", h).orderBy("h", "id").limit(k)
-    centroids = (
-        seeds.withColumn("rn", F.row_number().over(Window.orderBy("h", "id")))
-        .select((F.col("rn") - 1).alias("cluster"), F.col("u").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    # collect() preserves the sorted order, so row i IS cluster i (the rank
+    # the old row_number window assigned).
+    seed_rows = unit.withColumn("h", h).orderBy("h", "id").limit(k).select("u").collect()
+    cents: list[list[float]] = [[float(x) for x in r["u"]] for r in seed_rows]
+    if not cents:
+        return unit.select(
+            "id", "u", F.lit(0).alias("cluster"), F.lit(0.0).alias("sim")
+        ).where(F.lit(False))
 
-    def _assign(cents: DataFrame) -> DataFrame:
-        sim = F.aggregate(
-            F.zip_with("u", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    def _dlit(x: float) -> str:
+        # repr() round-trips doubles exactly; the string-cast parse yields
+        # the identical IEEE value an F.lit literal would carry
+        return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+    def _assign() -> DataFrame:
+        # sim_j = the same left-to-right fold the old HOF computed
+        # (0.0 + u[0]*c[0] + u[1]*c[1] + ...), unrolled as ONE SQL string —
+        # the pq_encode discipline: interpreted aggregate/zip_with folds per
+        # row per centroid lose to codegen'd scalar arithmetic, and one
+        # expr() parse beats thousands of py4j Column objects.  argmax via
+        # array_max over (sim, -cluster, cluster) structs == the old
+        # max_by(struct(sim, -cluster)) ordering: max sim, tie -> lowest
+        # cluster, NaN largest on both paths.
+        cands = []
+        for j, c in enumerate(cents):
+            terms = "0.0D"
+            for d_i, x in enumerate(c):
+                terms = f"({terms} + (element_at(u, {d_i + 1}) * {_dlit(x)}))"
+            cands.append(f"struct({terms} AS sim, {-j} AS nc, {j} AS cluster)")
+        best = F.expr(f"array_max(array({', '.join(cands)}))")
+        return unit.withColumn("__b", best).select(
+            "id", "u", F.col("__b.cluster").alias("cluster"), F.col("__b.sim").alias("sim")
         )
-        scored = unit.crossJoin(F.broadcast(cents)).select(
-            "id", "u", "cluster", sim.alias("sim")
-        )
-        # max sim, tie -> lowest cluster: one partial-aggregatable max_by
-        return scored.groupBy("id").agg(
-            F.max_by(
-                F.struct("u", "cluster", "sim"),
-                F.struct(F.col("sim"), (-F.col("cluster")).alias("nc")),
-            ).alias("b")
-        ).select("id", "b.u", "b.cluster", "b.sim")
 
     for _ in range(n_iter):
-        members = _assign(centroids)
-        mean = (
+        members = _assign()
+        rows = (
             members.select("cluster", F.posexplode("u").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("raw")
-            )
+            .collect()
         )
-        cn = F.sqrt(
-            F.aggregate(
-                F.zip_with("raw", "raw", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-        )
-        updated = mean.select(
-            "cluster",
-            F.when(cn == 0, F.col("raw")).otherwise(F.transform("raw", lambda x: x / cn)).alias("c"),
-        )
-        centroids = (
-            centroids.select("cluster", F.col("c").alias("c0"))
-            .join(updated, "cluster", "left")
-            .select("cluster", F.coalesce("c", "c0").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        by_c: dict[int, list[tuple[int, float]]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], []).append((r["pos"], float(r["m"])))
+        for j, pm in by_c.items():
+            raw = [m for _, m in sorted(pm)]
+            # the old plan's renormalization, replicated op for op: a
+            # left-to-right 0.0-seeded sum of squares (Python float IS the
+            # IEEE double Spark's fold produced), sqrt, elementwise divide;
+            # an all-zero mean keeps the raw vector, an emptied cluster
+            # (absent from by_c) keeps its previous centroid
+            acc = 0.0
+            for x in raw:
+                acc += x * x
+            cn = math.sqrt(acc)
+            cents[j] = raw if cn == 0.0 else [x / cn for x in raw]
 
-    # NOT checkpointed: single-pass consumers (the public kmeans operator,
-    # the CALL route) keep a visible, broadcast-join plan; semdedup — which
-    # self-joins the result — checkpoints at its own call site
-    return _assign(centroids)
+    # map-only plan: single-pass consumers (the public kmeans operator, the
+    # CALL route) scan unit exactly once; semdedup — which self-joins the
+    # result — checkpoints at its own call site
+    return _assign()
 
 
 def semdedup(
@@ -645,10 +658,10 @@ def semdedup(
     Returns (id, cluster, keep) — integer/string/boolean only, so the result
     is float-hash-stable for the correctness oracle.
 
-    Scale shape: the assignment is a crossJoin against a ``k``-row broadcast
-    (k is small by construction — the paper uses n/k in the thousands), the
-    recenter is one groupBy(cluster, pos) partial agg, and the prune
-    self-joins on cluster id, whose size the clustering itself bounds.  All
+    Scale shape: the assignment is a map-only argmax against k·d centroid
+    literals (k is small by construction — the paper uses n/k in the
+    thousands), the recenter is one groupBy(cluster, pos) partial agg, and
+    the prune self-joins on cluster id, whose size the clustering bounds.  All
     dot products run as codegen'd sequential folds (functions/vectors.py:dot)
     — bit-identical to DuckDB's list_dot_product, which is what lets the
     oracle restate every branch decision exactly.

@@ -636,7 +636,6 @@ def hits(
     nodes: DataFrame,
     edges: DataFrame,
     n_iter: int = 10,
-    checkpoint_every: int = 3,
     ids_distinct: bool = False,
     edges_within_nodes: bool = False,
 ) -> DataFrame:
@@ -666,8 +665,10 @@ def hits(
     the static hashed edge list against the node-sized score frame + one
     partial-agg sum + a 1-row broadcast total — two shuffles per round on
     the same keys every round (AQE reuses the exchange); lineage truncated
-    every ``checkpoint_every`` rounds.  A billion-edge graph iterates at
-    2× the pagerank round cost, nothing super-linear.
+    every half-step (each normalization total is a 1-row broadcast subquery
+    that would re-execute an un-materialized score chain — the pagerank
+    finding).  A billion-edge graph iterates at 2× the pagerank round cost,
+    nothing super-linear.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -737,7 +738,6 @@ def eigenvector(
     nodes: DataFrame,
     edges: DataFrame,
     n_iter: int = 10,
-    checkpoint_every: int = 3,
     ids_distinct: bool = False,
     edges_within_nodes: bool = False,
 ) -> DataFrame:
@@ -764,7 +764,8 @@ def eigenvector(
     Scale (the :func:`pagerank` layout): per round ONE equi-join of the
     static hashed edge list against the node-sized score frame + one
     partial-agg sum + a 1-row broadcast total; lineage truncated every
-    ``checkpoint_every`` rounds.  Half the per-round cost of hits.
+    round (the broadcast total re-executes an un-materialized score chain —
+    the pagerank finding).  Half the per-round cost of hits.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -1600,7 +1601,10 @@ def _louvain_local_moves(
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if not obs.get["moved"]:
+        # sum() over an empty frame observes None — coalesce explicitly
+        # (an empty node set IS converged) rather than rely on None being
+        # falsy (the weighted_sssp discipline)
+        if not (obs.get["moved"] or 0):
             break
     return labels
 
@@ -1916,19 +1920,14 @@ def _min_label_components(
     construction — so the bound is a guard rail, not the expected path."""
     from pyspark.sql import Observation
 
-    refs = node_ids.select("u", F.col("u").alias("ref"))
-    for _ in range(max_rounds):
-        nbr = (
-            within.join(refs.select(F.col("u").alias("v"), "ref"), "v")
-            .groupBy("u")
-            .agg(F.min("ref").alias("nref"))
-        )
+    def _round(nbr: DataFrame, prev: DataFrame):
         # the moved count rides the checkpoint job as an Observation metric
         # (old ref vs new ref, both present pre-projection) instead of a
-        # separate join+count job per round
+        # separate join+count job per round; __prev stays IN the checkpoint
+        # so the next round's changed-set is a free filter over it
         obs = Observation()
-        new_refs = (
-            refs.join(nbr, "u", "left")
+        ck = (
+            prev.join(nbr, "u", "left")
             .select(
                 "u",
                 F.col("ref").alias("__prev"),
@@ -1940,13 +1939,34 @@ def _min_label_components(
                     F.when(F.col("ref") != F.col("__prev"), 1).otherwise(0)
                 ).alias("moved"),
             )
-            .select("u", "ref")
             .localCheckpoint(eager=True)
         )
-        refs = new_refs
-        if not obs.get["moved"]:
+        return ck, (obs.get["moved"] or 0)
+
+    # round 1 fused (r13): ref_0 = u makes the neighbor-ref lookup the
+    # identity, so min(ref of v) IS min(v) — the full `within ⋈ refs`
+    # shuffle join the generic round paid carried no information
+    nbr = within.groupBy("u").agg(F.min("v").alias("nref"))
+    ck, moved = _round(nbr, node_ids.select("u", F.col("u").alias("ref")))
+    # rounds 2+: DELTA propagation — only refs that CHANGED last round are
+    # delivered.  Output-identical per round: an unchanged neighbor's ref
+    # was delivered the round after it last changed and min() is idempotent,
+    # so re-delivering it can never lower a running minimum again.  The
+    # changed set shrinks geometrically, so the per-round join touches a
+    # vanishing fraction of `within` instead of all of it.
+    for _ in range(max_rounds - 1):
+        if not moved:
             break
-    return refs
+        changed = ck.filter(F.col("ref") != F.col("__prev")).select(
+            F.col("u").alias("v"), F.col("ref")
+        )
+        nbr = (
+            within.join(changed, "v")
+            .groupBy("u")
+            .agg(F.min("ref").alias("nref"))
+        )
+        ck, moved = _round(nbr, ck.select("u", "ref"))
+    return ck.select("u", "ref")
 
 
 def leiden(

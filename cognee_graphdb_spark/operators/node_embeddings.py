@@ -71,7 +71,10 @@ def sppmi_matrix(pairs: DataFrame, shift: int = 1) -> DataFrame:
     p = pairs.select("center", "context", F.col("n_pairs").cast("long").alias("n_pairs"))
     ct = p.groupBy("center").agg(F.sum("n_pairs").alias("center_total"))
     xt = p.groupBy("context").agg(F.sum("n_pairs").alias("context_total"))
-    tot = p.agg(F.sum("n_pairs").alias("total"))
+    # total = sum of the center marginal (exact: BIGINT addition is
+    # associative) — re-aggregating ct's few rows instead of scanning the
+    # full corpus a third time
+    tot = ct.agg(F.sum("center_total").alias("total"))
     ratio = (F.col("n_pairs").cast("double") * F.col("total").cast("double")) / (
         F.col("center_total").cast("double")
         * (F.col("context_total") * F.lit(shift)).cast("double")
@@ -139,20 +142,36 @@ def sppmi_node_embeddings(
 
     if dim < 1 or n_iter < 1:
         raise ValueError("dim and n_iter must be >= 1")
-    # materialize the pair corpus ONCE: sppmi_matrix consumes its input four
-    # times (two marginals, the 1-row total, the join spine) and the ent
-    # union below doubles that again — ReuseExchange dedupes only part of
-    # it, so a lazy `pairs` (typically the walk_skipgram_pairs aggregation)
-    # re-executes its lineage several times while `sym` materializes
-    # (measured 6.4s -> 4.5s for the sym build at sf0.1).  The checkpoint
-    # holds (center, context, n_pairs) rows — corpus-bounded.
+    # materialize the pair corpus ONCE: sppmi_matrix consumes its input
+    # three times (two marginals + the join spine) — ReuseExchange dedupes
+    # only part of it, so a lazy `pairs` (typically the walk_skipgram_pairs
+    # aggregation) re-executes its lineage several times while `sym`
+    # materializes (measured 6.4s -> 4.5s for the sym build at sf0.1).
+    # The checkpoint holds (center, context, n_pairs) rows — corpus-bounded.
     pairs = pairs.localCheckpoint(eager=True)
     m = sppmi_matrix(pairs, shift=shift).filter(F.col("sppmi") > 0)
-    ent = m.select(
-        F.col("center").alias("i"), F.col("context").alias("j"), F.col("sppmi").alias("v")
-    )
+    # symmetrize in ONE pass: a union of two selects over m would execute
+    # the whole marginal-join chain twice (Spark shares no non-exchange
+    # subplan across union branches — the same 2x the CC star step paid);
+    # explode emits both orientations of each cell from a single scan
     sym = (
-        ent.unionByName(ent.select(F.col("j").alias("i"), F.col("i").alias("j"), "v"))
+        m.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("center").alias("i"),
+                        F.col("context").alias("j"),
+                        F.col("sppmi").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("context").alias("i"),
+                        F.col("center").alias("j"),
+                        F.col("sppmi").alias("v"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j", "p.v")
         .groupBy("i", "j")
         .agg((F.sum("v") * F.lit(0.5)).alias("v"))
         .localCheckpoint(eager=True)
@@ -262,7 +281,7 @@ def fastrp_embeddings(
     seed: int = 42,
     hasher: str = "xxhash64",
     symmetric: bool = True,
-    checkpoint_every: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id, embedding): FastRP structural node embeddings (Chen, Sultan,
     Tyagi & Skiena 2019, "Fast and Accurate Network Embeddings via Very
@@ -294,8 +313,10 @@ def fastrp_embeddings(
     Scale shape at 100 TB: no driver state beyond the d weights, no
     collect, no RNG broadcast; the init is map-only hash math; isolated
     nodes embed as the zero vector (the GDS convention).  Lineage is
-    truncated every round like the other iterative operators (pass
-    ``checkpoint_every=0`` for a fully lazy plan).
+    truncated every round like the other iterative operators — the weighted
+    accumulator references every round's x, so a lazy chain re-executes
+    once per accumulator join (pass ``checkpoint=False`` for a fully lazy
+    plan, e.g. to inspect the composed logical plan).
 
     Numerics: norms accumulate with a sequential left fold
     (``F.aggregate``), matching DuckDB's ``list_dot_product`` operand
@@ -314,7 +335,7 @@ def fastrp_embeddings(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     pairs = pairs.filter(F.col("src") != F.col("dst")).distinct()
-    if checkpoint_every:
+    if checkpoint:
         # the pair list feeds EVERY round's join: materialize the
         # symmetrize+distinct shuffle once (executor memory+disk) instead of
         # re-deriving it from lineage K times — measured 16s -> ~11s on the
@@ -358,7 +379,7 @@ def fastrp_embeddings(
                 ).alias("v"),
             )
         )
-        if checkpoint_every:
+        if checkpoint:
             # materialize EVERY round (the pagerank finding): the weighted
             # accumulator below references each round's x, so a lazy round
             # chain is re-executed once per accumulator join when the final

@@ -15,18 +15,22 @@ Borůvka round (components at least HALVE per round, so ≤ ⌈log2 n⌉ rounds)
    the forest unique and Borůvka correct even with equal weights (it
    simulates globally distinct weights);
 3. the picked edges join the forest; the pseudo-forest they induce over
-   component labels is collapsed with the alternating-star connected
-   components (each round's label graph has ONE edge per component, so the
-   total relabel work across all rounds is a geometric series ≤ 2n rows);
+   component labels (each component has exactly ONE out-pointer — its pick)
+   is collapsed by pointer jumping: mutual pick pairs root at their smaller
+   label, then p := p(p) doubling (the only cycles a strict edge total
+   order allows are 2-cycles, so the pointer graph is a forest after
+   rooting);
 4. component labels update through one equi-join.
 
 Scale: endpoints are relabeled to xxhash64 longs once; per round the
 dataflow is two label-lookup equi-joins on 8-byte keys + one map-side
 min_by partial aggregation (skew-safe: a hot component aggregates, never
-sorts) + the label-graph collapse; lineage is truncated per round via
-localCheckpoint, and termination is a 1-row cross-component probe.  At a
-billion edges each round is the pagerank-join shape; the edge set itself
-is never rewritten — only the (node → component) frame evolves.
+sorts) + the pointer-jump collapse over the (tiny, geometrically
+shrinking) component-label frame; lineage is truncated per round via
+localCheckpoint, and termination rides the pick checkpoint as an
+Observation row count.  At a billion edges each round is the
+pagerank-join shape; the edge set itself is never rewritten — only the
+(node → component) frame evolves.
 """
 
 from __future__ import annotations
@@ -100,42 +104,84 @@ def minimum_spanning_forest(
         # per-component minimum candidate: min_by over the deterministic
         # total order (w, hu, hv) — one map-side-combined aggregation, no
         # per-component sort (a hot component partial-aggs, never windows).
-        # Convergence rides the SAME job: pick is empty iff no cross-
+        # Convergence rides the SAME job: per_c is empty iff no cross-
         # component edge remains (a per-component min exists whenever t has
         # a row), so the separate t.limit(1).count() probe — a full double
-        # join per round — is folded into pick's checkpoint as an
+        # join per round — is folded into per_c's checkpoint as an
         # Observation row count.
         cand = t.select(F.col("cu").alias("c"), "w", "hu", "hv", "cu", "cv").unionByName(
             t.select(F.col("cv").alias("c"), "w", "hu", "hv", "cu", "cv")
         )
         obs = Observation()
-        pick = (
+        per_c = (
             cand.groupBy("c")
             .agg(F.min(F.struct("w", "hu", "hv", "cu", "cv")).alias("m"))
-            .select("m.w", "m.hu", "m.hv", "m.cu", "m.cv")
-            .dropDuplicates(["hu", "hv"])  # both sides may pick the same edge
+            .select("c", "m.w", "m.hu", "m.hv", "m.cu", "m.cv")
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         if obs.get["n"] == 0:
             break
         # the forest is assembled ONCE at the end from the (already
-        # checkpointed) per-round picks — no per-round union re-checkpoint
-        picks.append(pick.select("hu", "hv"))
-        # collapse the label pseudo-forest (one edge per component) and
-        # relabel: comp labels are longs already, no re-hash
-        labels = connected_components(
-            comp.select(F.col("c").alias("id")).distinct(),
-            pick.select(
-                F.col("cu").alias("src"),
-                F.col("cv").alias("dst"),
-                F.lit("msf").alias("relationship_name"),
-            ),
-            hash_ids=False,
+        # checkpointed) per-round per_c frames — both endpoint components
+        # may pick the same edge, hence the dropDuplicates
+        picks.append(per_c.select("hu", "hv").dropDuplicates(["hu", "hv"]))
+        # Collapse the label pseudo-forest by POINTER JUMPING instead of the
+        # general alternating-star CC (r12 VERDICT #1): each component's pick
+        # defines parent(c) = the other endpoint of its min edge — a
+        # FUNCTIONAL graph.  Under the strict (w, hu, hv) total order every
+        # pointer cycle has length exactly 2 (on any longer cycle the
+        # strictly-minimum edge would be the pick of BOTH its endpoints,
+        # collapsing the cycle — the classic Borůvka hooking argument), so
+        # rooting the mutual pairs at their smaller label turns the pointer
+        # graph into a forest, and p := p(p) doubling reaches every root in
+        # ⌈log2 depth⌉ one-join rounds.  The grouping (weakly connected
+        # pointer trees) is identical to CC over the picked edges, and the
+        # forest output never reads the label VALUES — only the grouping —
+        # so the result is unchanged while each Borůvka round drops from
+        # the alternating-star machinery (~4 jobs × several shuffles each)
+        # to one setup join + 1-2 tiny doubling joins.
+        par = per_c.select(
+            "c",
+            F.when(F.col("c") == F.col("cv"), F.col("cu")).otherwise(F.col("cv")).alias("p"),
         )
+        gp = par.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+        par = (
+            par.join(gp, "p")
+            .select(
+                "c",
+                F.when(
+                    (F.col("gp") == F.col("c")) & (F.col("c") < F.col("p")), F.col("c")
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _jump in range(64):
+            stepped = par.join(
+                par.select(F.col("c").alias("p"), F.col("p").alias("gp")), "p"
+            )
+            jobs = Observation()
+            par = (
+                stepped.observe(
+                    jobs,
+                    F.sum(
+                        F.when(F.col("gp") != F.col("p"), 1).otherwise(0)
+                    ).alias("mv"),
+                )
+                .select("c", F.col("gp").alias("p"))
+                .localCheckpoint(eager=True)
+            )
+            if not (jobs.get["mv"] or 0):
+                break
+        else:  # pragma: no cover — depth > 2^64 is impossible
+            raise RuntimeError("pointer jumping did not converge")
+        # relabel: components without a cross edge (absent from par) keep
+        # their label
         comp = (
-            comp.join(labels.withColumnRenamed("id", "c"), "c")
-            .select("h", F.col("component").alias("c"))
+            comp.join(par, "c", "left")
+            .select("h", F.coalesce("p", "c").alias("c"))
             .localCheckpoint(eager=True)
         )
     else:

@@ -40,13 +40,34 @@ def collection_scores(
     collections=DEFAULT_COLLECTIONS,
 ) -> DataFrame:
     """(collection, id, score) for every row of the selected collections; score
-    is the min-max-normalized cosine distance within its collection."""
+    is the min-max-normalized cosine distance within its collection.
+
+    Scale shape (r13): the old ``Window.partitionBy("collection")`` min/max
+    funneled EVERY scored row through ≤|collections| reducer tasks — a
+    worst-case skew shuffle (guide §2.5: a handful of giant partitions) that
+    also re-executed per downstream consumer.  Now the (collection, id,
+    distance) proxy is localCheckpointed ONCE (narrow rows — the §8
+    "decide with small rows" discipline; the full embedding vectors never
+    leave their scan), the per-collection min/max is a partial-aggregated
+    ≤|collections|-row frame, and the rescale is a map-only broadcast join.
+    Values are bit-identical: F.min/F.max aggregate and window forms compute
+    the same IEEE doubles (same Min/Max expressions, same NaN/null handling)
+    and the rescale expression is unchanged."""
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     scored = embeddings.filter(F.col("collection").isin(list(collections))).select(
         "collection", "id", cosine_distance(F.col("vector"), qv).alias("distance")
+    ).localCheckpoint(eager=True)
+    mm = scored.groupBy("collection").agg(
+        F.min("distance").alias("__lo"), F.max("distance").alias("__hi")
     )
-    return scored.select(
-        "collection", "id", minmax_normalize("distance", partition_by=["collection"]).alias("score")
+    return scored.join(F.broadcast(mm), "collection").select(
+        "collection",
+        "id",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0.0))
+        .otherwise(
+            (F.col("distance") - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+        )
+        .alias("score"),
     )
 
 
@@ -95,7 +116,14 @@ def brute_force_triplet_search(
     top = spark.createDataFrame(top_rows, top.schema) if top_rows else top
     ids = sorted({r["src"] for r in top_rows} | {r["dst"] for r in top_rows})
 
-    n_hit = nodes.filter(F.col("id").isin(ids)).select("id", "name")
+    # materialize each ≤2k-row lookup ONCE: n_hit feeds two broadcast builds
+    # and texts feeds two more — un-checkpointed, each build re-ran its full
+    # nodes/embeddings scan (4 table scans after the top-k; now 2)
+    n_hit = (
+        nodes.filter(F.col("id").isin(ids))
+        .select("id", "name")
+        .localCheckpoint(eager=True)
+    )
     n_src = n_hit.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
     n_dst = n_hit.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
     texts = (
@@ -103,6 +131,7 @@ def brute_force_triplet_search(
         .filter(F.col("id").isin(ids))
         .select("id", "text")
         .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
     )
     return (
         top.join(F.broadcast(n_src), "src", "left")

@@ -70,3 +70,62 @@ def test_spark_chunk_documents(spark):
     assert len(out) == 12  # 3 chunks x 4 docs
     one = sorted((r for r in out if r["doc_id"] == "0"), key=lambda r: r["chunk_index"])
     assert "".join(r["text"] for r in one) == INPUT_TEXT["whole_text"]
+
+
+# --- regex-scanner equivalence (r12 VERDICT #5 / r13 #8) --------------------
+# scan_words was rewritten from a per-character Python loop to one compiled
+# regex in r12; this property test pins TOKEN-KIND equivalence against a
+# reference per-char scanner so a future edit to _SCAN_RE can't silently
+# drift (the lossless-reconstruction test alone would miss kind changes).
+
+_SENT = ".;!?…。！？"
+_PARA = "\n\r"
+
+
+def _scan_words_ref(text):
+    """The pre-r12 per-character scanner, kept verbatim as the behavioral
+    reference: run of non-separator chars; a sentence-ender absorbs its
+    following spaces and is tagged by the next char; a single space closes
+    a word token."""
+    n = len(text)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and text[j] != " " and text[j] not in _SENT:
+            j += 1
+        if j >= n:
+            yield text[i:j], "word"
+            return
+        if text[j] in _SENT:
+            k = j + 1
+            while k < n and text[k] == " ":
+                k += 1
+            kind = "paragraph_end" if k < n and text[k] in _PARA else "sentence_end"
+            yield text[i:k], kind
+            i = k
+        else:  # space closes the token; the run may be empty
+            yield text[i : j + 1], "word"
+            i = j + 1
+
+
+def test_scan_words_matches_reference_exhaustive():
+    # every string of length <= 4 over a separator-heavy alphabet
+    import itertools
+
+    alphabet = ["a", " ", ".", "\n", "…", "!"]
+    for ln in range(5):
+        for tup in itertools.product(alphabet, repeat=ln):
+            t = "".join(tup)
+            assert list(scan_words(t)) == list(_scan_words_ref(t)), repr(t)
+
+
+def test_scan_words_matches_reference_fuzz():
+    import random
+
+    rng = random.Random(1313)
+    alphabet = "ab0 \t.;!?…。！？\n\r"
+    for _ in range(400):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 240)))
+        got, ref = list(scan_words(t)), list(_scan_words_ref(t))
+        assert got == ref, repr(t)
+        assert "".join(tok for tok, _ in got) == t
