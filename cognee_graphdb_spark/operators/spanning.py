@@ -123,9 +123,14 @@ def minimum_spanning_forest(
         if obs.get["n"] == 0:
             break
         # the forest is assembled ONCE at the end from the (already
-        # checkpointed) per-round per_c frames — both endpoint components
-        # may pick the same edge, hence the dropDuplicates
-        picks.append(per_c.select("hu", "hv").dropDuplicates(["hu", "hv"]))
+        # checkpointed) per-round per_c frames; duplicates (both endpoint
+        # components picking the same edge) are deduped once on the
+        # assembled union below — cross-round duplicates are impossible
+        # (a picked edge's endpoints merge, so it is intra-component and
+        # filtered by cu != cv in every later round), so one global
+        # dropDuplicates equals the per-round form with one Exchange
+        # instead of one per round
+        picks.append(per_c.select("hu", "hv"))
         # Collapse the label pseudo-forest by POINTER JUMPING instead of the
         # general alternating-star CC (r12 VERDICT #1): each component's pick
         # defines parent(c) = the other endpoint of its min edge — a
@@ -200,6 +205,7 @@ def minimum_spanning_forest(
     forest = picks[0]
     for p in picks[1:]:
         forest = forest.unionByName(p)
+    forest = forest.dropDuplicates(["hu", "hv"])
     return (
         forest.join(base, ["hu", "hv"])
         .select(
